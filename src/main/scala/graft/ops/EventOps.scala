@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-record transform operators (the reference's "map" stage),
+  * re-expressed as pure `DataFrame => DataFrame` column pipelines so
+  * Catalyst keeps them inside whole-stage codegen and can push the
+  * derived predicates into the scan.
+  *
+  * Reference points (files under /root/reference/):
+  *  - P1 JSON decode + type dispatch: data_synthesizer/service/finnhub/finnhub.go:172-199
+  *  - P2 default-fill:                data_synthesizer/models/types.go:27-34
+  *  - P10 latency derivation:         kafka_consumer/app/handlers/kafka_event_handler.py:357-383
+  *  - P11 message-size derivation:    kafka_consumer/app/handlers/kafka_consumer.py:112-116
+  */
+object EventOps {
+
+  /** Deterministic replay "now": the reference computes latency as
+    * wall-clock minus event time (kafka_event_handler.py:373-375);
+    * replays substitute a fixed clock so results are oracle-checkable
+    * (SURVEY.md §7.4). 2024-02-01T00:00:00Z is just past the test
+    * events' max ts.
+    */
+  val NowEpochSeconds: Long = 1706745600L
+  val NowEpochMicros: Long = NowEpochSeconds * 1000000L
+
+  /** P1: parse a JSON payload column and route on a type column;
+    * unknown/ping-style records are dropped (drop counts are the
+    * caller's `observe()` concern). finnhub.go:172-199.
+    */
+  def parseAndRoute(df: DataFrame, jsonCol: String, typeCol: String,
+                    keep: Seq[String]): DataFrame =
+    df.withColumn("k", get_json_object(col(jsonCol), "$.k").cast("bigint"))
+      .filter(col(typeCol).isin(keep: _*))
+
+  /** P2: default-fill — missing ids/values get deterministic
+    * defaults (the reference generates UUIDs for missing Trade_Id,
+    * models/types.go:27-34; replay uses a derived deterministic id).
+    */
+  def defaultFill(df: DataFrame): DataFrame =
+    df.withColumn("value", coalesce(col("value"), lit(0.0)))
+      .withColumn("event_type",
+        coalesce(nullif(col("event_type"), lit("")), lit("unknown")))
+
+  /** P10: end-to-end latency seconds relative to the injected clock. */
+  def latencySeconds(ts: Column, nowMicros: Long = NowEpochMicros): Column =
+    round((lit(nowMicros) - unix_micros(ts)) / 1e6, 6)
+
+  /** P11: payload size in bytes. kafka_consumer.py:112-116. */
+  def payloadBytes(payload: Column): Column =
+    octet_length(payload).cast("bigint")
+
+  /** A3-style bucket: floor event time to an n-second boundary,
+    * returned as epoch seconds (bigint — engine-portable, no
+    * timestamp precision pitfalls). kafka_consumer.py:118-124.
+    */
+  def secondsBucket(ts: Column, seconds: Long): Column =
+    (unix_micros(ts).cast("bigint") / lit(seconds * 1000000L))
+      .cast("bigint") * lit(seconds)
+}

@@ -1,0 +1,403 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.ops.{EventOps, StringOps}
+
+/** One entry per implemented operator (SURVEY.md §2 inventory plus the
+  * scale extensions). Each entry pairs the Spark implementation with
+  * the DuckDB oracle SQL the driver replays at sf0.01.
+  *
+  * Engine-portability conventions (so value hashes match DuckDB):
+  *  - double sums go through exact DECIMAL(18,2) accumulation, then a
+  *    final cast to double — order-independent, so Spark's parallel
+  *    partial aggregation and DuckDB's sequential sum agree bitwise;
+  *  - derived seconds/latency values come from integer microsecond
+  *    arithmetic divided by 1e6 (exact same IEEE op in both engines);
+  *  - quantile/interpolated outputs are rounded to 6 decimals;
+  *  - output columns are string/bigint/double/boolean only (no raw
+  *    timestamps: the source parquet is nanos, engines differ in
+  *    precision).
+  */
+object Catalog {
+
+  final case class QueryDef(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  /** Exact-decimal view of a 2-dp money/quantity double. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  private val Now = EventOps.NowEpochMicros // 2024-02-01T00:00:00Z in micros
+
+  // ---------------------------------------------------------------
+  // Relational core (SURVEY.md §2.7: joins/windows/sorts/set-ops the
+  // reference lacks but the engine provides)
+  // ---------------------------------------------------------------
+
+  private val q1PricingSummary = QueryDef(
+    "q1_pricing_summary",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  private val q3TopOrders = QueryDef(
+    "q3_top_orders",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderpriority,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  private val q5RegionVolume = QueryDef(
+    "q5_region_volume",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey")
+          && c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name"""))
+
+  private val qWindowTopk = QueryDef(
+    "q_window_topk",
+    (s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          col("rn").cast("bigint").as("rn"))
+    },
+    Some("""SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS BIGINT) AS rn
+      FROM (SELECT p_brand, p_partkey, p_retailprice,
+              row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+            FROM part) t WHERE rn <= 3"""))
+
+  private val qRunningSum = QueryDef(
+    "q_running_sum",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      FROM orders"""))
+
+  private val qRollupOrders = QueryDef(
+    "q_rollup_orders",
+    (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("order_status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("order_priority"),
+          col("n_orders"), col("total_price")),
+    Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+      COALESCE(o_orderpriority, 'ALL') AS order_priority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""))
+
+  private val qSemiJoin = QueryDef(
+    "q_semi_join",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers")),
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY c_mktsegment"""))
+
+  private val qAntiJoin = QueryDef(
+    "q_anti_join",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders")),
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      GROUP BY o_orderstatus"""))
+
+  private val qSetOps = QueryDef(
+    "q_set_ops",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+      val bigErrors = ev.filter(col("event_type") === "error" && col("value") > 300)
+        .select(col("user_id")).distinct()
+      users("click").intersect(users("purchase")).except(bigErrors)
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT SELECT user_id FROM events WHERE event_type = 'error' AND value > 300"""))
+
+  private val qDistinctAgg = QueryDef(
+    "q_distinct_agg",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_items")),
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+      COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  // ---------------------------------------------------------------
+  // Pipeline per-record transforms (SURVEY.md §2.3) on the events
+  // stream table
+  // ---------------------------------------------------------------
+
+  private val p1ParseRoute = QueryDef(
+    "p1_parse_route",
+    (s, d) =>
+      EventOps.parseAndRoute(Tables.events(s, d), "props", "event_type",
+          Seq("click", "view", "purchase", "signup"))
+        .select(col("event_id"), col("event_type"), col("k")),
+    Some("""SELECT event_id, event_type,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE event_type IN ('click','view','purchase','signup')"""))
+
+  private val p2DefaultFill = QueryDef(
+    "p2_default_fill",
+    (s, d) =>
+      EventOps.defaultFill(Tables.events(s, d))
+        .select(col("event_id"), col("event_type"), col("value")),
+    Some("""SELECT event_id,
+      COALESCE(NULLIF(event_type, ''), 'unknown') AS event_type,
+      COALESCE(value, 0.0) AS value FROM events"""))
+
+  private val p10Latency = QueryDef(
+    "p10_latency_derive",
+    (s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        ((lit(Now) - unix_micros(col("ts"))) / lit(1000000.0))
+          .as("e2e_latency_s")),
+    Some(s"""SELECT event_id,
+      ($Now - epoch_us(ts)) / 1000000.0 AS e2e_latency_s FROM events"""))
+
+  private val p11MsgSize = QueryDef(
+    "p11_msg_size",
+    (s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        EventOps.payloadBytes(col("props")).as("payload_bytes")),
+    Some("""SELECT event_id, CAST(octet_length(encode(props)) AS BIGINT) AS payload_bytes
+      FROM events"""))
+
+  private val p12DidWeb = QueryDef(
+    "p12_did_string",
+    (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        StringOps.didWeb(col("source"), lit("graft"),
+          concat(lit("doc-"), col("doc_id"))).as("did")),
+    Some("""SELECT doc_id, 'did:web:' ||
+      lower(regexp_replace(regexp_replace(source, '[^a-zA-Z0-9._-]', '', 'g'), '-+', '-', 'g')) ||
+      ':graft:doc-' || CAST(doc_id AS VARCHAR) AS did FROM documents"""))
+
+  // ---------------------------------------------------------------
+  // Joins / lookups (SURVEY.md §2.4)
+  // ---------------------------------------------------------------
+
+  private val j1BroadcastLookup = QueryDef(
+    "j1_broadcast_lookup",
+    (s, d) =>
+      Tables.events(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("user_id") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("total_value")),
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment"""))
+
+  /** Join-miss error channel: the reference errors a trade whose
+    * symbol is absent from the credential dim (trade_handler.go:72-77);
+    * here the "active credential" dim is customers in good standing.
+    */
+  private val j1JoinMiss = QueryDef(
+    "j1_join_miss",
+    (s, d) =>
+      Tables.events(s, d)
+        .join(broadcast(Tables.customer(s, d).filter(col("c_acctbal") >= 0)),
+          col("user_id") === col("c_custkey"), "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_missing")),
+    Some("""SELECT event_type, COUNT(*) AS n_missing FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+        WHERE c.c_custkey = e.user_id AND c.c_acctbal >= 0)
+      GROUP BY event_type"""))
+
+  // ---------------------------------------------------------------
+  // Streaming-style aggregations (SURVEY.md §2.6), batch twins
+  // ---------------------------------------------------------------
+
+  private val a1GroupedCounters = QueryDef(
+    "a1_grouped_counters",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users")),
+    Some("""SELECT event_type, COUNT(*) AS n,
+      COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"""))
+
+  private val a3TumblingThroughput = QueryDef(
+    "a3_tumbling_throughput",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(EventOps.secondsBucket(col("ts"), 10).as("bucket_ts"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("msgs_per_sec", col("n") / lit(10.0)),
+    Some("""SELECT (epoch_us(ts) // 10000000) * 10 AS bucket_ts,
+      COUNT(*) AS n, COUNT(*) / 10.0 AS msgs_per_sec
+      FROM events GROUP BY 1"""))
+
+  private val a4LagGauge = QueryDef(
+    "a4_lag_gauge",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(max(unix_micros(col("ts"))).as("max_us"))
+        .select(col("event_type"),
+          expr("max_us DIV 1000").as("last_event_ms"),
+          ((lit(Now) - col("max_us")) / lit(1000000.0)).as("lag_seconds")),
+    Some(s"""SELECT event_type, max(epoch_us(ts)) // 1000 AS last_event_ms,
+      ($Now - max(epoch_us(ts))) / 1000000.0 AS lag_seconds
+      FROM events GROUP BY event_type"""))
+
+  // ---------------------------------------------------------------
+  // Dashboard analytics (SURVEY.md §2.8, PromQL → Spark SQL)
+  // ---------------------------------------------------------------
+
+  private val q1P95Latency = QueryDef(
+    "q1_p95_latency",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          EventOps.secondsBucket(col("ts"), 86400).as("bucket_ts"),
+          ((lit(Now) - unix_micros(col("ts"))) / lit(1000000.0)).as("lat"))
+        .groupBy(col("bucket_ts"), col("event_type"))
+        .agg(round(expr("percentile(lat, 0.95D)"), 6).as("p95_latency_s")),
+    Some(s"""SELECT (epoch_us(ts) // 86400000000) * 86400 AS bucket_ts, event_type,
+      round(quantile_cont(($Now - epoch_us(ts)) / 1000000.0, 0.95), 6) AS p95_latency_s
+      FROM events GROUP BY 1, 2"""))
+
+  private val q4Throughput = QueryDef(
+    "q4_throughput",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(EventOps.secondsBucket(col("ts"), 3600).as("bucket_ts"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("msgs_per_sec", col("n") / lit(3600.0)),
+    Some("""SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_ts,
+      COUNT(*) AS n, COUNT(*) / 3600.0 AS msgs_per_sec
+      FROM events GROUP BY 1"""))
+
+  private val q5MaxLag = QueryDef(
+    "q5_max_lag",
+    (s, d) =>
+      Tables.events(s, d)
+        .agg(max(unix_micros(col("ts"))).as("max_us"))
+        .select(((lit(Now) - col("max_us")) / lit(1000000.0)).as("max_lag_seconds")),
+    Some(s"""SELECT ($Now - max(epoch_us(ts))) / 1000000.0 AS max_lag_seconds
+      FROM events"""))
+
+  // ---------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+    q1PricingSummary, q3TopOrders, q5RegionVolume,
+    qWindowTopk, qRunningSum, qRollupOrders,
+    qSemiJoin, qAntiJoin, qSetOps, qDistinctAgg,
+    p1ParseRoute, p2DefaultFill, p10Latency, p11MsgSize, p12DidWeb,
+    j1BroadcastLookup, j1JoinMiss,
+    a1GroupedCounters, a3TumblingThroughput, a4LagGauge,
+    q1P95Latency, q4Throughput, q5MaxLag)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    defs.flatMap(q => q.oracle.map(o => q.name -> o.linesIterator
+      .map(_.trim).mkString(" "))).toMap
+}
