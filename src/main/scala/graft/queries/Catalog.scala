@@ -24,11 +24,6 @@ import graft.ops.{EventOps, StringOps}
   */
 object Catalog {
 
-  final case class QueryDef(
-      name: String,
-      run: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
-
   /** Exact-decimal view of a 2-dp money/quantity double. */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
@@ -392,7 +387,8 @@ object Catalog {
     p1ParseRoute, p2DefaultFill, p10Latency, p11MsgSize, p12DidWeb,
     j1BroadcastLookup, j1JoinMiss,
     a1GroupedCounters, a3TumblingThroughput, a4LagGauge,
-    q1P95Latency, q4Throughput, q5MaxLag)
+    q1P95Latency, q4Throughput, q5MaxLag) ++
+    DataPipeQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.run).toMap

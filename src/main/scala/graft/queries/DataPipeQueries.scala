@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.datapipe.{Dedup, TextAnalysis}
+import graft.functions.PromHistogram
+
+/** Queries for the training-data-pipeline operators (dedup, text
+  * analysis) and the Prometheus-histogram aggregations (SURVEY.md
+  * §2.6 A2, §2.8 Q6).
+  */
+object DataPipeQueries {
+
+  // A2: Prometheus cumulative histogram over the event value column,
+  // grouped by event_type, via the custom Aggregator.
+  private val valueBuckets = Array(1.0, 5.0, 10.0, 50.0, 100.0, 250.0, 500.0)
+  private val valueLabels = Array("1", "5", "10", "50", "100", "250", "500", "+Inf")
+
+  private val a2PromHistogram = QueryDef(
+    "a2_prom_histogram",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(PromHistogram.column(valueBuckets, valueLabels, col("value")).as("hist"))
+        .select(col("event_type"), explode(col("hist")).as("h"))
+        .select(col("event_type"), col("h._1").as("le"),
+          col("h._2").as("cum_count")),
+    Some("""SELECT e.event_type, b.le,
+      CAST(COUNT(*) FILTER (WHERE e.value <= b.le_val) AS BIGINT) AS cum_count
+      FROM events e CROSS JOIN (VALUES
+        ('1',1.0),('5',5.0),('10',10.0),('50',50.0),('100',100.0),
+        ('250',250.0),('500',500.0),('+Inf','infinity'::DOUBLE)) b(le, le_val)
+      GROUP BY e.event_type, b.le"""))
+
+  // Q6: payload-size heatmap — exponential le buckets over document
+  // sizes per language (reference buckets 256·2^k,
+  // data_synthesizer/service/metrics/metrics.go:57-62).
+  private val q6PayloadHeatmap = QueryDef(
+    "q6_payload_heatmap",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(col("n_chars") <= 128, "128")
+            .when(col("n_chars") <= 256, "256")
+            .when(col("n_chars") <= 512, "512")
+            .otherwise("+Inf").as("le"))
+        .groupBy(col("lang"), col("le"))
+        .agg(count(lit(1)).as("n")),
+    Some("""SELECT lang,
+      CASE WHEN n_chars <= 128 THEN '128' WHEN n_chars <= 256 THEN '256'
+           WHEN n_chars <= 512 THEN '512' ELSE '+Inf' END AS le,
+      COUNT(*) AS n FROM documents GROUP BY 1, 2"""))
+
+  // --- text analysis --------------------------------------------
+
+  private val textTokens = QueryDef(
+    "text_tokens",
+    (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishCount(col("text")).as("n_bpeish")),
+    Some("""SELECT doc_id,
+      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+      FROM documents"""))
+
+  private val textQuality = QueryDef(
+    "text_quality",
+    (s, d) =>
+      TextAnalysis.qualityFeatures(Tables.documents(s, d), col("text"))
+        .select(col("doc_id"), col("q_chars"), col("q_words"),
+          col("q_avg_word_len"), col("q_stopword_ratio"), col("q_alnum_ratio")),
+    Some("""SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS q_chars,
+      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS q_words,
+      CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        / len(regexp_split_to_array(trim(text), '\s+')) AS q_avg_word_len,
+      CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+        / len(regexp_split_to_array(trim(text), '\s+')) AS q_stopword_ratio,
+      CAST(len(regexp_extract_all(lower(text), '[a-z0-9]')) AS DOUBLE)
+        / length(text) AS q_alnum_ratio
+      FROM documents"""))
+
+  private val textLangId = QueryDef(
+    "text_langid",
+    (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.predictLang(col("text")).as("predicted_lang")),
+    Some("""WITH scored AS (SELECT doc_id, lang,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+        len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS s_es,
+        len(regexp_extract_all(lower(text), '\b(le|la|de|et|les)\b')) AS s_fr,
+        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de
+      FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN s_en > 0 AND s_en >= greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+             WHEN s_es > 0 AND s_es >= greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+             WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+             WHEN s_de > 0 AND s_de >= greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+             ELSE 'und' END AS predicted_lang
+      FROM scored"""))
+
+  private val textFingerprint = QueryDef(
+    "text_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint")),
+    Some("""SELECT doc_id,
+      ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fingerprint
+      FROM documents"""))
+
+  // --- dedup ------------------------------------------------------
+
+  private val dedupExact = QueryDef(
+    "dedup_exact",
+    (s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), col("text"), col("doc_id")),
+    Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+      min(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups
+      FROM documents GROUP BY 1"""))
+
+  /** The test corpus has no near-duplicates, so the near-dup queries
+    * manufacture them deterministically: every document gets a twin
+    * (doc_id + 1000000) with its last word dropped. Both engines
+    * build the same twins, so the verified-Jaccard pairs match.
+    */
+  private def withTwins(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
+    val toks = split(TextAnalysis.normalize(col("text")), " ")
+    val truncated = array_join(slice(toks, lit(1), size(toks) - 1), " ")
+    docs.unionByName(
+      docs.select((col("id") + 1000000).as("id"), truncated.as("text")))
+  }
+
+  private val twinsSqlCte =
+    """docs2 AS (
+        SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS id, array_to_string(w[1:len(w)-1], ' ') AS text
+        FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+              FROM documents))"""
+
+  private val dedupNgramJaccard = QueryDef(
+    "dedup_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(withTwins(s, d), "id", "text",
+      k = 3, threshold = 0.5),
+    Some(s"""WITH $twinsSqlCte,
+      toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
+      sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+      common AS (SELECT x.id AS a_id, y.id AS b_id, COUNT(*) AS n_common
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+                 GROUP BY 1, 2)
+      SELECT a_id, b_id, n_common,
+        CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""))
+
+  private val dedupMinhashLsh = QueryDef(
+    "dedup_minhash_lsh",
+    (s, d) => Dedup.minhashPairs(withTwins(s, d), "id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5),
+    None) // xxhash64 signatures are not DuckDB-expressible → rows-only
+
+  private val dedupSimhash = QueryDef(
+    "dedup_simhash",
+    (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        Dedup.simhash(Dedup.shingles(col("text"), 3)).as("simhash64")),
+    None) // xxhash64 bit votes are not DuckDB-expressible → rows-only
+
+  val defs: Seq[QueryDef] = Seq(
+    a2PromHistogram, q6PayloadHeatmap,
+    textTokens, textQuality, textLangId, textFingerprint,
+    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash)
+}

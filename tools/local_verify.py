@@ -34,6 +34,17 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        if name != "oracle_sql.json" and name not in oracle:
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'"
+                ).fetchone()[0]
+                print(f"ROWS {name}: {n} rows (no oracle)")
+            except Exception as e:
+                print(f"FAIL {name}: rows-only output unreadable: {e}")
+                n_fail += 1
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(
