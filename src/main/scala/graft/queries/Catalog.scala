@@ -388,7 +388,9 @@ object Catalog {
     j1BroadcastLookup, j1JoinMiss,
     a1GroupedCounters, a3TumblingThroughput, a4LagGauge,
     q1P95Latency, q4Throughput, q5MaxLag) ++
-    DataPipeQueries.defs
+    DataPipeQueries.defs ++
+    IdentityQueries.defs ++
+    SimilarityQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.run).toMap
