@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming twins of the reference pipeline
+  * (SURVEY.md §2.9, §3.1).
+  *
+  * The reference's hot path is: Kafka Avro consume → verify →
+  * metrics. Here: `readStream` → the same column transforms the
+  * batch engine uses (they're pure `DataFrame => DataFrame`) →
+  * windowed stateful aggregation → sink. Batch and streaming share
+  * one code path; only source/sink wiring differs.
+  *
+  * Kafka wiring (no broker in this container, shape per the Spark
+  * docs): `spark.readStream.format("kafka")
+  * .option("subscribe", topic).option("startingOffsets", "latest")`
+  * → `from_avro($"value", schemaJson)` — startingOffsets=latest
+  * matches the consumer's auto.offset.reset
+  * (kafka_consumer/app/handlers/kafka_consumer.py:52).
+  */
+object Streams {
+
+  /** S2/S3 batch-twin file source: stream the events table as if it
+    * were the Kafka topic (file source replays deterministically).
+    */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // file-stream sources need a directory; glob-filter to the events
+    // table inside the sf dir
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** A3 streaming twin: tumbling event-time window with watermark;
+    * late data beyond the watermark is dropped (the reference has no
+    * late-data policy at all — SURVEY.md §2.9 — so "drop + count"
+    * is ours by design).
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String = "10 seconds",
+                     watermark: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** A1 streaming twin: running grouped counters (update-mode state,
+    * the Prometheus-counter shape).
+    */
+  def groupedCounters(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+
+  /** K2/K3-style sink: checkpointed parquet append via AvailableNow
+    * (bounded-run semantics = the reference's MESSAGE_COUNT /
+    * PRODUCER_TIMEOUT, S4).
+    */
+  def runToParquet(df: DataFrame, outPath: String,
+                   checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

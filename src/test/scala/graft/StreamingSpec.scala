@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window counts match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val events = Seq(
+      Ev(t("2024-01-01 00:00:01"), "click", 1), Ev(t("2024-01-01 00:00:09"), "click", 2),
+      Ev(t("2024-01-01 00:00:11"), "view", 3), Ev(t("2024-01-01 00:02:00"), "click", 4))
+    in.addData(events: _*)
+    val q = Streams.tumblingCounts(in.toDF(), "10 seconds", "30 seconds")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append).start()
+    // advance the watermark past all windows so append-mode emits them
+    in.addData(Ev(t("2024-01-01 00:10:00"), "late-driver", 0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tumbling")
+      .select(col("window_start").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01 00:00:00", "click", 2L),
+      ("2024-01-01 00:00:10", "view", 1L),
+      ("2024-01-01 00:02:00", "click", 1L)))
+  }
+
+  test("late data beyond the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(in.toDF(), "10 seconds", "10 seconds")
+      .writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append).start()
+    in.addData(Ev(t("2024-01-01 00:00:05"), "click", 1))
+    q.processAllAvailable()
+    in.addData(Ev(t("2024-01-01 01:00:00"), "click", 1)) // watermark → 00:59:50
+    q.processAllAvailable()
+    in.addData(Ev(t("2024-01-01 00:00:06"), "click", 99)) // too late, dropped
+    in.addData(Ev(t("2024-01-01 02:00:00"), "flush", 1))
+    q.processAllAvailable()
+    q.stop()
+    val firstWindow = spark.table("late")
+      .filter(col("window_start") === t("2024-01-01 00:00:00"))
+      .agg(sum("n")).as[Long].head()
+    assert(firstWindow == 1L, "the late row must not be counted")
+  }
+
+  test("file-source stream over events parquet, AvailableNow to parquet sink") {
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val stream = Streams.eventsFileStream(spark, sf)
+    val counts = Streams.tumblingCounts(stream, "1 hour", "0 seconds")
+    val q = Streams.runToParquet(counts, out, ckpt)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .agg(sum("n")).as[Long].head()
+    // append mode holds back windows not yet past the watermark; all
+    // but the final open window must be emitted
+    val batchTotal = graft.sources.Tables.events(spark, sf).count()
+    assert(streamed > batchTotal * 9 / 10 && streamed <= batchTotal)
+  }
+}
