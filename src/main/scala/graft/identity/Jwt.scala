@@ -24,8 +24,14 @@ object Jwt {
   def b64url(bytes: Array[Byte]): String =
     Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
 
+  // One Mac per executor thread: Mac.getInstance walks the JCA
+  // provider list — measurable per-row overhead at 100 TB scale.
+  private val macPool: ThreadLocal[Mac] = new ThreadLocal[Mac] {
+    override def initialValue(): Mac = Mac.getInstance("HmacSHA256")
+  }
+
   private def hmac(secret: String, data: String): Array[Byte] = {
-    val mac = Mac.getInstance("HmacSHA256")
+    val mac = macPool.get()
     mac.init(new SecretKeySpec(secret.getBytes(UTF_8), "HmacSHA256"))
     mac.doFinal(data.getBytes(UTF_8))
   }
