@@ -20,6 +20,14 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // InferFiltersFromGenerate duplicates the generator expression
+      // into a pre-filter and pushdown then re-evaluates it per input
+      // row below the exchange — for expensive generators (shingle /
+      // signature arrays) that doubles scan-side work and serializes
+      // it on the unrepartitioned input. explode(outer=false) already
+      // skips empty arrays at the Generate itself.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

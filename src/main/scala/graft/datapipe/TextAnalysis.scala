@@ -58,10 +58,10 @@ object TextAnalysis {
       (lang, regexp_count(lower(text), lit(pat)))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(lit("und")) { case (acc, (lang, score)) =>
-      // first language reaching the max wins (deterministic order)
-      when(score > 0 && score === best && acc === "und", lit(lang))
-        .otherwise(acc)
+    // first language reaching the max wins (deterministic order) — the
+    // reversed fold nests later languages in the otherwise branch
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(acc)
     }
   }
 

@@ -30,9 +30,18 @@ object Jwt {
     override def initialValue(): Mac = Mac.getInstance("HmacSHA256")
   }
 
+  // Key material is immutable — build each distinct secret's
+  // SecretKeySpec once per JVM instead of re-allocating per row.
+  private val keyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SecretKeySpec]()
+
+  private def key(secret: String): SecretKeySpec =
+    keyCache.computeIfAbsent(secret,
+      s => new SecretKeySpec(s.getBytes(UTF_8), "HmacSHA256"))
+
   private def hmac(secret: String, data: String): Array[Byte] = {
     val mac = macPool.get()
-    mac.init(new SecretKeySpec(secret.getBytes(UTF_8), "HmacSHA256"))
+    mac.init(key(secret))
     mac.doFinal(data.getBytes(UTF_8))
   }
 

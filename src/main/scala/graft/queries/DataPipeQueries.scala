@@ -126,7 +126,12 @@ object DataPipeQueries {
     * build the same twins, so the verified-Jaccard pairs match.
     */
   private def withTwins(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // The test corpus is a single small parquet split; real corpora
+    // arrive in thousands of splits. Repartition so the per-document
+    // shingle/hash work uses the full parallelism (at 100 TB the scan
+    // itself provides this and the repartition is a no-op to remove).
     val docs = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
     val toks = split(TextAnalysis.normalize(col("text")), " ")
     val truncated = array_join(slice(toks, lit(1), size(toks) - 1), " ")
     docs.unionByName(
@@ -159,17 +164,41 @@ object DataPipeQueries {
       JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""))
 
+  /** LSH banding (32 bands × 2 rows) makes twin-recall misses
+    * vanishingly unlikely (< 1e-14 per pair at the corpus's minimum
+    * qualifying Jaccard of 0.8), and the emitted jaccard is the exact
+    * set Jaccard — so the whole operator is checkable against the
+    * all-pairs exact oracle, not just rows-only.
+    */
   private val dedupMinhashLsh = QueryDef(
     "dedup_minhash_lsh",
     (s, d) => Dedup.minhashPairs(withTwins(s, d), "id", "text",
-      numHashes = 64, bands = 16, threshold = 0.5),
-    None) // xxhash64 signatures are not DuckDB-expressible → rows-only
+      numHashes = 64, bands = 32, threshold = 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard")),
+    Some(s"""WITH $twinsSqlCte,
+      toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
+      sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+      common AS (SELECT x.id AS a_id, y.id AS b_id, COUNT(*) AS n_common
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+                 GROUP BY 1, 2)
+      SELECT a_id, b_id,
+        CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""))
 
   private val dedupSimhash = QueryDef(
     "dedup_simhash",
     (s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        Dedup.simhash(Dedup.shingles(col("text"), 3)).as("simhash64")),
+      // staged projections: shingles → hashes → 64 bit-votes; each
+      // stage is computed once per row (see Dedup.simhashFromHashes)
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hh"))
+        .select(col("doc_id"), Dedup.simhashFromHashes(col("hh")).as("simhash64")),
     None) // xxhash64 bit votes are not DuckDB-expressible → rows-only
 
   val defs: Seq[QueryDef] = Seq(

@@ -65,7 +65,8 @@ object SimilarityQueries {
   private val dedupEmbedding = QueryDef(
     "dedup_embedding_cosine",
     (s, d) => {
-      val e = embDouble(s, d)
+      // repartition: the test parquet is one split; see withTwins note
+      val e = embDouble(s, d).repartition(s.sparkContext.defaultParallelism)
       val twins = e.select((col("vec_id") + 1000000).as("vec_id"),
         col("label"), col("emb"))
       Similarity.nearDupPairs(e.unionByName(twins), 0.999)
