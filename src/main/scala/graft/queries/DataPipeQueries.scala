@@ -164,16 +164,18 @@ object DataPipeQueries {
       JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""))
 
-  /** LSH banding (32 bands × 2 rows) makes twin-recall misses
-    * vanishingly unlikely (< 1e-14 per pair at the corpus's minimum
-    * qualifying Jaccard of 0.8), and the emitted jaccard is the exact
-    * set Jaccard — so the whole operator is checkable against the
+  /** LSH banding (32 bands × 2 rows) makes recall misses vanishingly
+    * unlikely at the query threshold 0.8 — per-pair miss probability
+    * (1-j²)³² < 1e-14 at j ≥ 0.8 (at lower thresholds, e.g. 0.5, it
+    * degrades to ~1e-4 per pair and an exact oracle would be
+    * corpus-dependent) — and the emitted jaccard is the exact set
+    * Jaccard, so the whole operator is checkable against the
     * all-pairs exact oracle, not just rows-only.
     */
   private val dedupMinhashLsh = QueryDef(
     "dedup_minhash_lsh",
     (s, d) => Dedup.minhashPairs(withTwins(s, d), "id", "text",
-      numHashes = 64, bands = 32, threshold = 0.5)
+      numHashes = 64, bands = 32, threshold = 0.8)
       .select(col("a_id"), col("b_id"), col("jaccard")),
     Some(s"""WITH $twinsSqlCte,
       toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
@@ -187,19 +189,20 @@ object DataPipeQueries {
         CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
       FROM common
       JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
-      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""))
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8"""))
 
+  /** SimHash near-dup pairs over the twins corpus. The xxhash64 bit
+    * votes are not DuckDB-expressible → rows-only here; the operator
+    * is exactness-asserted in SimHashSpec instead: the banded output
+    * equals a brute-force all-pairs hamming scan (guaranteed by the
+    * pigeonhole argument in Dedup.simhashBands), and the planted
+    * twins are recalled.
+    */
   private val dedupSimhash = QueryDef(
     "dedup_simhash",
-    (s, d) =>
-      // staged projections: shingles → hashes → 64 bit-votes; each
-      // stage is computed once per row (see Dedup.simhashFromHashes)
-      Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
-        .select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hh"))
-        .select(col("doc_id"), Dedup.simhashFromHashes(col("hh")).as("simhash64")),
-    None) // xxhash64 bit votes are not DuckDB-expressible → rows-only
+    (s, d) => Dedup.simhashPairs(withTwins(s, d), "id", "text",
+      k = 3, bands = 8, maxHamming = 7),
+    None)
 
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap,

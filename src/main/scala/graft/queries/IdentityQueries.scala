@@ -62,18 +62,34 @@ object IdentityQueries {
       val scope = concat(did, lit("/*"))
       val resource = when(key % 13 === 0, lit("did:key:zother/resource"))
         .otherwise(concat(did, lit("/trades/"), key))
-      val jwt0 = CredentialOps.signJwt(to_json(struct(subjectDid.as("sub"))))
-      val jwt = when(key % 5 === 0, concat(jwt0, lit("x"))).otherwise(jwt0)
-      Tables.customer(s, d).select(
-        key.as("c_custkey"),
-        CredentialOps.subjectMatches(subjectDid, did).as("subject_ok"),
-        CredentialOps.notExpired(exp, EventOps.NowEpochSeconds).as("not_expired"),
-        CredentialOps.permissionsSatisfied(granted, required).as("perms_ok"),
-        CredentialOps.scopeMatches(scope, resource).as("scope_ok"),
-        CredentialOps.verifyJwt(jwt).as("sig_ok"),
-        CredentialOps.authorized(subjectDid, did, exp,
-          EventOps.NowEpochSeconds, granted, required, scope, resource, jwt)
-          .as("authorized"))
+      // Stage the crypto UDFs as their own projected columns so each
+      // runs exactly ONCE per row: a signJwt inlined into both
+      // branches of the tamper `when` (and a verifyJwt appearing in
+      // both sig_ok and the authorized conjunction) is evaluated per
+      // reference — conditional branches defeat UDF subexpression
+      // elimination. CollapseProject keeps non-cheap multi-referenced
+      // aliases (ScalaUDF) staged, so these survive optimization.
+      Tables.customer(s, d)
+        .select(key.as("c_custkey"), subjectDid.as("subject_did"),
+          granted.as("granted"), exp.as("exp"), scope.as("scope"),
+          resource.as("resource"),
+          CredentialOps.signJwt(to_json(struct(subjectDid.as("sub"))))
+            .as("jwt0"))
+        .withColumn("jwt", when(col("c_custkey") % 5 === 0,
+          concat(col("jwt0"), lit("x"))).otherwise(col("jwt0")))
+        .withColumn("sig_ok", CredentialOps.verifyJwt(col("jwt")))
+        .withColumn("subject_ok", CredentialOps.subjectMatches(
+          col("subject_did"), CredentialOps.didKey(col("c_custkey"))))
+        .withColumn("not_expired",
+          CredentialOps.notExpired(col("exp"), EventOps.NowEpochSeconds))
+        .withColumn("perms_ok",
+          CredentialOps.permissionsSatisfied(col("granted"), required))
+        .withColumn("scope_ok",
+          CredentialOps.scopeMatches(col("scope"), col("resource")))
+        .select(col("c_custkey"), col("subject_ok"), col("not_expired"),
+          col("perms_ok"), col("scope_ok"), col("sig_ok"),
+          (col("subject_ok") && col("not_expired") && col("perms_ok")
+            && col("scope_ok") && col("sig_ok")).as("authorized"))
     },
     Some("""SELECT c_custkey,
       c_custkey % 11 <> 0 AS subject_ok,
