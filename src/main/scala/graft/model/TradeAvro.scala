@@ -28,11 +28,12 @@ object TradeAvro {
       .nullDefault()
     b.requiredDouble("Price")
     b.requiredString("Symbol")
-    // logicalType timestamp-millis over long (trade_event.avsc:59-63)
-    b.name("Event_Timestamp")
-      .`type`(org.apache.avro.LogicalTypes.timestampMillis()
-        .addToSchema(Schema.create(Schema.Type.LONG)))
-      .noDefault()
+    // Plain long epoch millis: the avsc writes "logicalType":
+    // "timestamp-millis" as a field-level SIBLING of "type": "long"
+    // (trade_event.avsc:59-63), a position Avro parsers ignore — the
+    // reference's effective parsed schema is a bare long, and a real
+    // logical type here would change the canonical form/fingerprint.
+    b.requiredLong("Event_Timestamp")
     b.requiredDouble("Volume")
     b.endRecord()
   }

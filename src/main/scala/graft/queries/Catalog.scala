@@ -418,6 +418,7 @@ object Catalog {
     j1BroadcastLookup, j1JoinMiss,
     a1GroupedCounters, a3TumblingThroughput, a4LagGauge,
     q1P95Latency, q4Throughput, q5MaxLag) ++
+    EnvelopeQueries.defs ++
     DataPipeQueries.defs ++
     IdentityQueries.defs ++
     SimilarityQueries.defs
