@@ -15,6 +15,13 @@ import graft.ops.EventOps
   */
 object IdentityQueries {
 
+  /** U1 with a real oracle: the HMAC bytes themselves are not
+    * DuckDB-expressible, but the OBSERVABLE contract is — every signed
+    * JWT must verify (roundtrip_ok) and every tampered one must not
+    * (tamper_detected), so the oracle is the all-TRUE table and any
+    * signing/verification defect flips a value. Each UDF is staged as
+    * its own projected column (one evaluation per row, as in U4).
+    */
   private val u1Sign = QueryDef(
     "u1_sign_credentials",
     (s, d) => {
@@ -22,9 +29,13 @@ object IdentityQueries {
         col("event_id").as("sub"), col("event_type").as("typ")))
       Tables.events(s, d)
         .select(col("event_id"), CredentialOps.signJwt(payload).as("jwt"))
+        .withColumn("roundtrip_ok", CredentialOps.verifyJwt(col("jwt")))
+        .withColumn("tamper_detected",
+          !CredentialOps.verifyJwt(concat(col("jwt"), lit("x"))))
+        .select(col("event_id"), col("roundtrip_ok"), col("tamper_detected"))
     },
-    None) // HMAC-SHA256 is not DuckDB-expressible → rows-only; the
-          // roundtrip is oracle-checked via u2_verify_credentials.
+    Some("""SELECT event_id, TRUE AS roundtrip_ok, TRUE AS tamper_detected
+      FROM events"""))
 
   private val u2Verify = QueryDef(
     "u2_verify_credentials",
@@ -119,6 +130,75 @@ object IdentityQueries {
     Some("""SELECT 'did:key:z' || md5(CAST(user_id AS VARCHAR)) AS did,
       COUNT(*) AS n_records FROM events GROUP BY 1"""))
 
+  /** Q2 (thesis_dashboard.json:743): p95 credential-verification
+    * duration by did_provider/result — the U2 verify path composed
+    * with quantile analytics. Durations are deterministic synthetic
+    * functions of the record (injected-clock rule, SURVEY §7.4):
+    * integer milliseconds = fixed cost + per-record jitter + tamper
+    * penalty + provider penalty, so the DuckDB oracle reproduces the
+    * exact values and the p95 interpolation bit-for-bit.
+    */
+  private val q2P95Verification = QueryDef(
+    "q2_p95_verification",
+    (s, d) => {
+      val verified = col("event_id") % 10 =!= 0 // u2's tamper rule
+      val provider = when(col("user_id") % 2 === 0, lit("did:key"))
+        .otherwise(lit("did:web"))
+      val ms = lit(5L) + col("event_id") % 97 +
+        when(!verified, lit(20L)).otherwise(lit(0L)) +
+        when(provider === "did:web", lit(50L)).otherwise(lit(0L))
+      Tables.events(s, d)
+        .select(provider.as("did_provider"),
+          when(verified, lit("success")).otherwise(lit("failure")).as("result"),
+          (ms / lit(1000.0)).as("dur_s"))
+        .groupBy(col("did_provider"), col("result"))
+        .agg(round(expr("percentile(dur_s, 0.95D)"), 6).as("p95_verification_s"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT
+      CASE WHEN user_id % 2 = 0 THEN 'did:key' ELSE 'did:web' END AS did_provider,
+      CASE WHEN event_id % 10 <> 0 THEN 'success' ELSE 'failure' END AS result,
+      round(quantile_cont((5 + event_id % 97
+        + CASE WHEN event_id % 10 = 0 THEN 20 ELSE 0 END
+        + CASE WHEN user_id % 2 <> 0 THEN 50 ELSE 0 END) / 1000.0, 0.95), 6)
+        AS p95_verification_s,
+      COUNT(*) AS n
+      FROM events GROUP BY 1, 2"""))
+
+  /** Q3 (thesis_dashboard.json:1455): p95 DID-resolution duration by
+    * method/cached (veramo-verifier/src/server.ts:168-175 labels). The
+    * `cached` label follows the J2 cache model deterministically: the
+    * FIRST resolution of a DID in event order is a miss, every later
+    * one a hit — expressed as a row_number window over (user_id) so
+    * the oracle can replay it, instead of reading the executor-local
+    * LRU's nondeterministic state. Misses pay the resolver round-trip
+    * (~100 ms band), hits the cache lookup (~1 ms band).
+    */
+  private val q3P95Resolution = QueryDef(
+    "q3_p95_resolution",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ms = when(col("cached"), lit(1L) + col("user_id") % 5)
+        .otherwise(lit(100L) + col("user_id") % 50)
+      Tables.events(s, d)
+        .withColumn("cached", row_number().over(w) > 1)
+        .select(lit("key").as("method"), col("cached"),
+          (ms / lit(1000.0)).as("dur_s"))
+        .groupBy(col("method"), col("cached"))
+        .agg(round(expr("percentile(dur_s, 0.95D)"), 6).as("p95_resolution_s"),
+          count(lit(1)).as("n_resolutions"))
+    },
+    Some("""WITH r AS (SELECT user_id,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1 AS cached
+      FROM events)
+      SELECT 'key' AS method, cached,
+        round(quantile_cont((CASE WHEN cached THEN 1 + user_id % 5
+          ELSE 100 + user_id % 50 END) / 1000.0, 0.95), 6) AS p95_resolution_s,
+        COUNT(*) AS n_resolutions
+      FROM r GROUP BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
-    Seq(u1Sign, u2Verify, u4GrantCheck, j2CachedResolution)
+    Seq(u1Sign, u2Verify, u4GrantCheck, j2CachedResolution,
+      q2P95Verification, q3P95Resolution)
 }
