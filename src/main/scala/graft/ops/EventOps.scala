@@ -26,12 +26,15 @@ object EventOps {
   val NowEpochMicros: Long = NowEpochSeconds * 1000000L
 
   /** P1: parse a JSON payload column and route on a type column;
-    * unknown/ping-style records are dropped (drop counts are the
-    * caller's `observe()` concern). finnhub.go:172-199.
+    * unknown/ping-style records are dropped, with total/dropped
+    * counted by an [[Observe.parseMetrics]] observe() attached ahead
+    * of the filter (the reference's consumed/dropped counters,
+    * metrics.py:41-50). finnhub.go:172-199.
     */
   def parseAndRoute(df: DataFrame, jsonCol: String, typeCol: String,
                     keep: Seq[String]): DataFrame =
-    df.withColumn("k", get_json_object(col(jsonCol), "$.k").cast("bigint"))
+    Observe.parseMetrics(df, typeCol, keep)
+      .withColumn("k", get_json_object(col(jsonCol), "$.k").cast("bigint"))
       .filter(col(typeCol).isin(keep: _*))
 
   /** P2: default-fill — missing ids/values get deterministic

@@ -321,9 +321,10 @@ object Catalog {
   private val j1JoinMiss = QueryDef(
     "j1_join_miss",
     (s, d) =>
-      Tables.events(s, d)
-        .join(broadcast(Tables.customer(s, d).filter(col("c_acctbal") >= 0)),
-          col("user_id") === col("c_custkey"), "left_anti")
+      graft.ops.Observe.missMetrics(
+        Tables.events(s, d)
+          .join(broadcast(Tables.customer(s, d).filter(col("c_acctbal") >= 0)),
+            col("user_id") === col("c_custkey"), "left_anti"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_missing")),
     Some("""SELECT event_type, COUNT(*) AS n_missing FROM events e
@@ -386,6 +387,53 @@ object Catalog {
       round(quantile_cont(($Now - epoch_us(ts)) / 1000000.0, 0.95), 6) AS p95_latency_s
       FROM events GROUP BY 1, 2"""))
 
+  /** Q1 scale path: the exact `percentile` above buffers every value
+    * per group — OOM-bait at 100×. This variant is the
+    * histogram_quantile shape the reference's dashboard actually
+    * computes (A2 buckets + linear interpolation within the crossing
+    * bucket): state per group is ONE COUNT PER BUCKET, aggregation is
+    * map-side combinable, and the interpolation is deterministic
+    * integer/double arithmetic — so unlike percentile_approx's sketch
+    * it is exactly reproducible in the DuckDB oracle.
+    */
+  private val q1P95LatencyBucketed = QueryDef(
+    "q1_p95_latency_bucketed",
+    (s, d) => {
+      val bucketW = 3600.0 // 1 h latency buckets
+      val byBucket = Tables.events(s, d)
+        .select(col("event_type"),
+          EventOps.secondsBucket(col("ts"), 86400).as("bucket_ts"),
+          ((lit(Now) - unix_micros(col("ts"))) / lit(1000000.0)).as("lat"))
+        .groupBy(col("bucket_ts"), col("event_type"),
+          floor(col("lat") / bucketW).as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val grp = Window.partitionBy(col("bucket_ts"), col("event_type"))
+      val cum = byBucket
+        .withColumn("cum", sum(col("cnt")).over(grp.orderBy(col("b"))))
+        .withColumn("target", lit(0.95) * sum(col("cnt")).over(grp))
+      cum.filter(col("cum") >= col("target") &&
+          (col("cum") - col("cnt")) < col("target"))
+        .select(col("bucket_ts"), col("event_type"),
+          round((col("b") * bucketW +
+            (col("target") - (col("cum") - col("cnt"))) / col("cnt") * bucketW), 6)
+            .as("p95_latency_s"))
+    },
+    Some(s"""WITH lat AS (
+        SELECT event_type, (epoch_us(ts) // 86400000000) * 86400 AS bucket_ts,
+               ($Now - epoch_us(ts)) / 1000000.0 AS lat FROM events),
+      byb AS (
+        SELECT bucket_ts, event_type, floor(lat / 3600.0) AS b, COUNT(*) AS cnt
+        FROM lat GROUP BY 1, 2, 3),
+      cum AS (
+        SELECT bucket_ts, event_type, b, cnt,
+          SUM(cnt) OVER (PARTITION BY bucket_ts, event_type ORDER BY b) AS cum,
+          0.95 * SUM(cnt) OVER (PARTITION BY bucket_ts, event_type) AS target
+        FROM byb)
+      SELECT bucket_ts, event_type,
+        round(b * 3600.0 + (target - (cum - cnt)) / cnt * 3600.0, 6)
+          AS p95_latency_s
+      FROM cum WHERE cum >= target AND (cum - cnt) < target"""))
+
   private val q4Throughput = QueryDef(
     "q4_throughput",
     (s, d) =>
@@ -417,7 +465,7 @@ object Catalog {
     p1ParseRoute, p2DefaultFill, p10Latency, p11MsgSize, p12DidWeb,
     j1BroadcastLookup, j1JoinMiss,
     a1GroupedCounters, a3TumblingThroughput, a4LagGauge,
-    q1P95Latency, q4Throughput, q5MaxLag) ++
+    q1P95Latency, q1P95LatencyBucketed, q4Throughput, q5MaxLag) ++
     EnvelopeQueries.defs ++
     DataPipeQueries.defs ++
     IdentityQueries.defs ++

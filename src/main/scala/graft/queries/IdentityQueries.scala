@@ -45,8 +45,10 @@ object IdentityQueries {
       val jwt = CredentialOps.signJwt(payload)
       val maybeTampered =
         when(col("event_id") % 10 === 0, concat(jwt, lit("x"))).otherwise(jwt)
-      Tables.events(s, d)
-        .withColumn("verified", CredentialOps.verifyJwt(maybeTampered))
+      graft.ops.Observe.verifyMetrics(
+        Tables.events(s, d)
+          .withColumn("verified", CredentialOps.verifyJwt(maybeTampered)),
+        "verified")
         .groupBy(col("event_type"))
         .agg(
           count(when(col("verified"), 1)).as("n_verified"),
