@@ -65,13 +65,19 @@ object Dedup {
     minhashSignatureFromHashes(shingleHashes(shingleCol), numHashes)
 
   /** LSH band buckets: signature split into `bands` rows of
-    * `rowsPerBand`, each hashed to a bucket key. Documents sharing
-    * any (band, bucket) are candidate pairs.
+    * `rowsPerBand`, each hashed WITH its band index to one bucket
+    * key. Documents sharing any bucket key are candidate pairs.
+    *
+    * The key is a single LONG (band folded into the hash seed), not a
+    * (band, bucket) struct: the bucket self-join shuffles and
+    * compares on this key, and a primitive key stays inside
+    * codegen'd comparisons where a struct key forces interpreted
+    * struct ordering in a sort-merge join — measured 3-4x slower on
+    * the same data.
     */
   def lshBuckets(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(sigCol, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+      xxhash64(lit(b), slice(sigCol, b * rowsPerBand + 1, rowsPerBand))
     }: _*)
 
   /** MinHash+LSH near-duplicate pairs with verified Jaccard >=
@@ -98,8 +104,22 @@ object Dedup {
     // preserved by the (collision-free at 64 bits) per-element hash,
     // and the join-back payload becomes a compact long array instead
     // of the string shingles.
+    // persist(): this compact id→hashes table is read THREE times
+    // (both sides of the band self-join via `buckets`, then twice
+    // again for verification join-backs). Without materialization
+    // each branch re-runs the full text→shingle→hash pipeline from
+    // the scan — and worse, InferFiltersFromConstraints turns the
+    // band join's non-null key into an isnotnull(<entire pipeline>)
+    // predicate pushed below the repartition, serializing the whole
+    // computation onto the scan's few input splits (measured: the
+    // single biggest line in the round-2/3 bench). Materializing the
+    // signature table is the standard staging step of production
+    // minhash pipelines; MEMORY_AND_DISK spills instead of OOMing at
+    // cluster scale (at 100 TB this stage is ~1% the size of the
+    // text it derives from).
     val hhTable = docs.select(col(idCol).as("id"),
       array_distinct(shingleHashes(shingles(col(textCol), 3))).as("hh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Staged projections: hh and sig are each materialized ONCE per
     // row before the stages that reference them repeatedly — inlining
     // would multiply the work by the reference count (Catalyst's
@@ -108,7 +128,10 @@ object Dedup {
       .select(col("id"), minhashSignatureFromHashes(col("hh"), numHashes).as("sig"))
       .select(col("id"),
         explode(lshBuckets(col("sig"), bands, numHashes / bands)).as("bb"))
+    // shuffle_hash: the band self-join feeds a distinct hash
+    // aggregation — no sort order downstream, so skip the sort-merge.
     val candidates = buckets.select(col("bb"), col("id").as("a_id"))
+      .hint("shuffle_hash")
       .join(buckets.select(col("bb"), col("id").as("b_id")), Seq("bb"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
@@ -143,13 +166,17 @@ object Dedup {
     * hamming distance < bands collide on at least one band, so the
     * banded candidate set is COMPLETE (not probabilistic) for any
     * `maxHamming <= bands - 1`.
+    *
+    * Key encoding: one LONG `(band << width) | slice` — unique across
+    * bands, and primitive for the same codegen'd-join reason as
+    * [[lshBuckets]].
     */
   def simhashBands(code: Column, bands: Int): Column = {
     val width = 64 / bands
     val mask = (1L << width) - 1
     array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(code, b * width).bitwiseAND(lit(mask)).as("bucket"))
+      shiftrightunsigned(code, b * width).bitwiseAND(lit(mask)) +
+        lit(b.toLong << width)
     }: _*)
   }
 
@@ -167,13 +194,20 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < bands, "pigeonhole completeness needs maxHamming < bands")
+    // persist(): same rationale as minhashPairs — the 16-byte
+    // id→code table feeds both sides of the band self-join; without
+    // it each side re-runs the text pipeline and the inferred
+    // isnotnull(simhash64(...)) join-key predicate lands below the
+    // repartition on the scan's few splits.
     val codes = docs
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .select(col("id"), shingleHashes(col("sh")).as("hh"))
       .select(col("id"), simhashFromHashes(col("hh")).as("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = codes.select(col("id"), col("code"),
       explode(simhashBands(col("code"), bands)).as("bb"))
     buckets.select(col("bb"), col("id").as("a_id"), col("code").as("a_code"))
+      .hint("shuffle_hash")
       .join(buckets.select(col("bb"), col("id").as("b_id"), col("code").as("b_code")),
         Seq("bb"))
       .filter(col("a_id") < col("b_id"))
@@ -208,6 +242,11 @@ object Dedup {
     // next to a generator are re-evaluated once per exploded output
     // row, so an inline shingleHashes(shingles(...)) would recompute
     // the whole array ~|shingles| times per document.
+    // NOT persisted, unlike minhashPairs' hhTable: the posting join
+    // key is a non-nullable xxhash64 (no inferred-filter pathology),
+    // each branch recomputes a column-PRUNED pipeline, and measured
+    // end-to-end the columnar cache build of the big hash arrays
+    // costs more than the pruned recomputes it saves.
     val hhTable = docs.select(col(idCol).as("id"),
       array_distinct(shingleHashes(shingles(col(textCol), k))).as("hh"))
     val posts = hhTable.select(col("id"), explode(col("hh")).as("h"))

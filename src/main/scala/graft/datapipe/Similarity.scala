@@ -85,7 +85,9 @@ object Similarity {
     array((0 until bands).map { b =>
       val key = aggregate(slice(bitCol, b * rows + 1, rows), lit(0L),
         (acc, bit) => acc * 2 + when(bit, 1L).otherwise(0L))
-      struct(lit(b).as("band"), key.as("bucket"))
+      // single LONG key (band folded in via seeded hash): primitive
+      // join keys stay in codegen'd comparisons — see Dedup.lshBuckets
+      xxhash64(lit(b), key)
     }: _*)
   }
 
@@ -99,11 +101,18 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, threshold: Double,
                    bits: Int = 128, bands: Int = 8): DataFrame = {
     val vecs = emb.select(col("vec_id"), col("emb"))
-    val buckets = vecs
+    // persist(): the sign-bit table feeds both sides of the band
+    // self-join — without it the 128 hyperplane dot products per
+    // vector run once per side (see Dedup.minhashPairs for the full
+    // rationale incl. the inferred-filter pathology).
+    val hbTable = vecs
       .select(col("vec_id"), hyperplaneBits(col("emb"), bits).as("hb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = hbTable
       .select(col("vec_id"),
         explode(hyperplaneBuckets(col("hb"), bits, bands)).as("bb"))
     val candidates = buckets.select(col("bb"), col("vec_id").as("a_id"))
+      .hint("shuffle_hash")
       .join(buckets.select(col("bb"), col("vec_id").as("b_id")), Seq("bb"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))

@@ -46,6 +46,31 @@ object EventOps {
       .withColumn("event_type",
         coalesce(nullif(col("event_type"), lit("")), lit("unknown")))
 
+  /** P3: unbatch — one WS frame row carrying a trade ARRAY becomes
+    * one row per trade, position preserved (the reference's only
+    * flatten-shaped op: finnhub.go:203-219 loops `data:
+    * []FinnhubTradeRaw` and emits each element). posexplode is the
+    * Generator form — no driver loop, distributes with the frame
+    * partitioning.
+    */
+  def unbatch(frames: DataFrame, arrayCol: String,
+              posName: String = "pos", itemName: String = "trade"): DataFrame =
+    frames.select(col("*"),
+      posexplode(col(arrayCol)).as(Seq(posName, itemName))).drop(arrayCol)
+
+  /** P4: the declared short→long Finnhub key map (finnhub.go:47-53,
+    * applied via struct conversion at finnhub.go:221-224). */
+  val FinnhubRenames: Seq[(String, String)] = Seq(
+    "c" -> "Trade_Condition", "p" -> "Price", "s" -> "Symbol",
+    "t" -> "Event_Timestamp", "v" -> "Volume")
+
+  /** P4: bulk column rename — a pure projection, so Catalyst folds it
+    * into adjacent selects (zero runtime cost; the reference pays a
+    * per-record map rebuild). */
+  def renameShortKeys(df: DataFrame,
+                      renames: Seq[(String, String)] = FinnhubRenames): DataFrame =
+    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
   /** P10: end-to-end latency seconds relative to the injected clock. */
   def latencySeconds(ts: Column, nowMicros: Long = NowEpochMicros): Column =
     round((lit(nowMicros) - unix_micros(ts)) / 1e6, 6)

@@ -269,6 +269,50 @@ object Catalog {
       COALESCE(NULLIF(event_type, ''), 'unknown') AS event_type,
       COALESCE(value, 0.0) AS value FROM events"""))
 
+  /** P3 over synthetic frames: events are packed into one frame per
+    * user (sorted trade array) and unbatched back — the round trip
+    * proves explode emits every element exactly once with its
+    * position, which the oracle reproduces as a row_number.
+    */
+  private val p3Unbatch = QueryDef(
+    "p3_unbatch",
+    (s, d) => {
+      val frames = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("event_id"), col("value")))).as("data"))
+      EventOps.unbatch(frames, "data")
+        .select(col("user_id"), col("pos").cast("bigint").as("pos"),
+          col("trade.event_id").as("event_id"),
+          col("trade.value").as("value"))
+    },
+    Some("""SELECT user_id,
+      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS pos,
+      event_id, value FROM events"""))
+
+  /** P4 over short-key raw trades (the Finnhub c/p/s/t/v wire form
+    * rebuilt from events), renamed to the long names through the
+    * declared map. */
+  private val p4RenameMap = QueryDef(
+    "p4_rename_map",
+    (s, d) => {
+      val raw = Tables.events(s, d).select(
+        col("event_id"),
+        col("event_type").as("c"),
+        col("value").as("p"),
+        concat(lit("SYM"), col("user_id") % 7).as("s"),
+        expr("unix_micros(ts) DIV 1000").as("t"),
+        get_json_object(col("props"), "$.k").cast("double").as("v"))
+      EventOps.renameShortKeys(raw)
+    },
+    Some("""SELECT event_id,
+      event_type AS Trade_Condition,
+      value AS Price,
+      'SYM' || (user_id % 7) AS Symbol,
+      epoch_us(ts) // 1000 AS Event_Timestamp,
+      CAST(json_extract_string(props, '$.k') AS DOUBLE) AS Volume
+      FROM events"""))
+
   private val p10Latency = QueryDef(
     "p10_latency_derive",
     (s, d) =>
@@ -462,7 +506,8 @@ object Catalog {
     q1PricingSummary, q3TopOrders, q5RegionVolume,
     qWindowTopk, qRunningSum, qRollupOrders,
     qSemiJoin, qAntiJoin, qSetOps, qDistinctAgg,
-    p1ParseRoute, p2DefaultFill, p10Latency, p11MsgSize, p12DidWeb,
+    p1ParseRoute, p2DefaultFill, p3Unbatch, p4RenameMap,
+    p10Latency, p11MsgSize, p12DidWeb,
     j1BroadcastLookup, j1JoinMiss,
     a1GroupedCounters, a3TumblingThroughput, a4LagGauge,
     q1P95Latency, q1P95LatencyBucketed, q4Throughput, q5MaxLag) ++

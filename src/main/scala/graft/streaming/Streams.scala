@@ -72,4 +72,36 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** U5: batched side-output — the reference's size-OR-timeout git
+    * batcher (host_did_web/src/main.go:207-279: flush at BatchSize
+    * items or BatchTimeout, whichever first). Structured-Streaming
+    * mapping: the TRIGGER is the timeout (a ProcessingTime trigger
+    * bounds how long an item waits) and the size cap is applied
+    * INSIDE foreachBatch by chunking the micro-batch into
+    * `flush_group`s of `batchSize` rows in `orderCol` order — each
+    * group is one side-effecting flush, tagged with its
+    * (batch_id, flush_group) so downstream audit can replay exactly
+    * which flush carried which records.
+    *
+    * The per-batch window is driver-light (no collect): the chunk
+    * assignment is a row_number window written straight back out.
+    */
+  def batchedSideOutput(df: DataFrame, outPath: String, checkpoint: String,
+                        batchSize: Int = 10, orderCol: String = "event_id",
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+        batch
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("flush_group",
+            floor((row_number().over(w) - 1) / batchSize))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .trigger(trigger)
+      .start()
 }

@@ -73,4 +73,24 @@ class StreamingSpec extends SparkSpec {
     val batchTotal = graft.sources.Tables.events(spark, sf).count()
     assert(streamed > batchTotal * 9 / 10 && streamed <= batchTotal)
   }
+
+  test("U5: batched side-output flushes in groups capped at batchSize") {
+    val out = Files.createTempDirectory("graft-u5-out").toString
+    val ckpt = Files.createTempDirectory("graft-u5-ckpt").toString
+    val q = Streams.batchedSideOutput(
+      Streams.eventsFileStream(spark, sf), out, ckpt, batchSize = 10)
+    q.awaitTermination()
+    val written = spark.read.parquet(out)
+    val total = graft.sources.Tables.events(spark, sf).count()
+    // every record flushed exactly once
+    assert(written.count() === total)
+    assert(written.select(countDistinct(col("event_id"))).as[Long].head() === total)
+    // no flush group exceeds the size cap; all but per-batch tails are full
+    val sizes = written.groupBy(col("batch_id"), col("flush_group"))
+      .agg(count(lit(1)).as("sz"))
+    assert(sizes.filter(col("sz") > 10).count() === 0)
+    val nonFull = sizes.filter(col("sz") < 10).count()
+    val nBatches = written.select(countDistinct(col("batch_id"))).as[Long].head()
+    assert(nonFull <= nBatches, "at most one partial (tail) group per micro-batch")
+  }
 }
