@@ -57,6 +57,23 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF with SCAN-level cell pruning: the query cells are collected
+    * first (one tiny job — the query set is broadcast-small by
+    * construction, this is the static half of two-phase partition
+    * pruning) and applied as an `isin` pre-filter on the candidate
+    * side, so the restriction reaches the parquet reader as a
+    * PushedFilter. With the corpus laid out partitioned-by-label —
+    * the 100 TB layout this operator assumes — that filter IS
+    * partition pruning: non-matching cells are never read at all,
+    * where [[ivfTopK]]'s join-only form still scans every row.
+    * Same results as [[ivfTopK]] (the join re-checks cell equality).
+    */
+  def ivfTopKPruned(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cells = queries.select(col("q_label")).distinct()
+      .collect().map(_.get(0)).toSeq
+    ivfTopK(emb.filter(col("label").isInCollection(cells)), queries, k)
+  }
+
   /** Random-hyperplane sign bits (SimHash for dense vectors): bit i is
     * the sign of <emb, r_i> where r_i is a deterministic pseudo-random
     * hyperplane derived from xxhash64(i, dim-index). One nested

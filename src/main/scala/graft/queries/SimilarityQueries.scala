@@ -59,6 +59,29 @@ object SimilarityQueries {
         FROM scored)
       SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
 
+  /** Same results as sim_ivf_topk (same oracle), but the query cells
+    * are pushed to the candidate scan — SimilaritySpec asserts the
+    * label filter lands in the parquet PushedFilters. */
+  private val simIvfPruned = QueryDef(
+    "sim_ivf_topk_pruned",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("emb").as("q_emb"))
+      Similarity.ivfTopKPruned(e, q, 5)
+    },
+    Some(s"""WITH $embSqlCte,
+      q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+            FROM e WHERE vec_id < 10),
+      scored AS (SELECT q_id, vec_id,
+          round(list_cosine_similarity(q_emb, emb), 4) AS score
+        FROM q JOIN e ON label = q_label AND vec_id <> q_id),
+      ranked AS (SELECT q_id, vec_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
+
   /** The corpus has no true near-dup embeddings, so inject exact
     * twins (vec_id + 1000000) and find them back.
     */
@@ -89,5 +112,5 @@ object SimilarityQueries {
       FROM documents"""))
 
   val defs: Seq[QueryDef] =
-    Seq(simBruteForce, simIvf, dedupEmbedding, multimodalDecode)
+    Seq(simBruteForce, simIvf, simIvfPruned, dedupEmbedding, multimodalDecode)
 }

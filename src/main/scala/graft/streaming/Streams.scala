@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -21,6 +21,40 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (kafka_consumer/app/handlers/kafka_consumer.py:52).
   */
 object Streams {
+
+  /** S2: the real Kafka reader — `format("kafka")` with the
+    * consumer's offset semantics (auto.offset.reset=latest,
+    * kafka_consumer/app/handlers/kafka_consumer.py:44-55). Produces
+    * the standard Kafka frame (key/value binary + topic/partition/
+    * offset/timestamp); feed it to [[decodeTradeEvents]] for the S3
+    * Avro ingress. No broker runs in this harness, so this is wiring
+    * (construction is lazy — nothing connects until a query starts);
+    * the decode path itself is exercised by StreamingSpec over a
+    * memory source carrying codec-encoded bytes.
+    */
+  def kafkaAvroStream(spark: SparkSession, brokers: String,
+                      topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+
+  /** S3: binary Avro `value` column (batch OR streaming frame) →
+    * typed TradeEvents — [[graft.ops.TradeAvroOps.decode]] runs the
+    * pooled codec per partition, which Structured Streaming applies
+    * per micro-batch partition unchanged.
+    */
+  def decodeTradeEvents(kafkaShaped: DataFrame): Dataset[graft.model.TradeEvent] =
+    graft.ops.TradeAvroOps.decode(kafkaShaped)
+
+  /** K2: typed TradeEvents → Kafka-shaped (key=symbol, value=binary
+    * Avro) rows. On a cluster, chain `.writeStream.format("kafka")
+    * .option("topic", ...)`; the harness sinks the same frame to
+    * parquet via [[runToParquet]] and StreamingSpec round-trips it.
+    */
+  def encodeTradeEvents(events: Dataset[graft.model.TradeEvent]): DataFrame =
+    graft.ops.TradeAvroOps.encode(events)
 
   /** S2/S3 batch-twin file source: stream the events table as if it
     * were the Kafka topic (file source replays deterministically).
