@@ -229,11 +229,13 @@ object Dedup {
     *    O(df²) single-reducer key — the textbook skew scale-killer.
     *    The hot set is tiny by construction (≤ |postings| /
     *    maxDocFreq) so it broadcasts into a left-anti prune;
-    *  - the emitted score is computed from the UNCAPPED sets via
-    *    join-back, so the cap affects RECALL only (a pair is missed
-    *    iff it shares no sub-cap shingle), never the score. (The
-    *    round-2 shape scored against capped counts, silently
-    *    underestimating jaccard for any pair sharing a hot shingle.)
+    *  - the emitted score is computed from the UNCAPPED full sets via
+    *    join-back, so neither the df cap nor the prefix filter ever
+    *    changes a score. (The round-2 shape scored against capped
+    *    counts, silently underestimating jaccard for any pair sharing
+    *    a hot shingle.) Prefix filtering keeps recall EXACT for
+    *    qualifying pairs; the df cap alone can lose a pair, and only
+    *    when every prefix-shared shingle is hotter than the cap.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5,
@@ -247,9 +249,21 @@ object Dedup {
     // each branch recomputes a column-PRUNED pipeline, and measured
     // end-to-end the columnar cache build of the big hash arrays
     // costs more than the pruned recomputes it saves.
+    // Sorted ascending: prefix filtering below needs one global total
+    // order shared by all documents (the hash value is that order).
     val hhTable = docs.select(col(idCol).as("id"),
-      array_distinct(shingleHashes(shingles(col(textCol), k))).as("hh"))
-    val posts = hhTable.select(col("id"), explode(col("hh")).as("h"))
+      array_sort(array_distinct(shingleHashes(shingles(col(textCol), k)))).as("hh"))
+    // Prefix filtering (AllPairs/PPJoin): J(a,b) >= t implies
+    // |a∩b| >= ceil(t*max(|a|,|b|)), and any two sets sharing alpha
+    // elements must intersect within their (n - alpha + 1)-prefixes
+    // under a common total order — so indexing only the first
+    // n - ceil(t*n) + 1 hashes of each document generates every
+    // qualifying pair (EXACT recall) while shrinking the posting
+    // index ~(1-t)-fold and the candidate join quadratically.
+    val prefLen = (size(col("hh")) -
+      ceil(lit(threshold) * size(col("hh"))) + 1).cast("int")
+    val posts = hhTable.select(col("id"),
+      explode(slice(col("hh"), lit(1), prefLen)).as("h"))
     val hot = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select(col("h"))
     val pruned = posts.join(broadcast(hot), Seq("h"), "left_anti")

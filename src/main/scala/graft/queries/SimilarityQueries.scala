@@ -111,6 +111,33 @@ object SimilarityQueries {
       ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height
       FROM documents"""))
 
+  private val multimodalFeatures = QueryDef(
+    "multimodal_features",
+    (s, d) => Multimodal.extractFeatures(s, Tables.documents(s, d)),
+    Some("""SELECT doc_id,
+      ('0x' || substr(md5(text), 1, 4))::BIGINT / 65536.0 AS f0,
+      ('0x' || substr(md5(text), 5, 4))::BIGINT / 65536.0 AS f1,
+      ('0x' || substr(md5(text), 9, 4))::BIGINT / 65536.0 AS f2,
+      ('0x' || substr(md5(text), 13, 4))::BIGINT / 65536.0 AS f3
+      FROM documents"""))
+
+  /** The distributed frame fan-out is the thing under test; the frame
+    * BYTES are asserted in MultimodalSpec (reassembly == payload),
+    * the oracle checks the fan-out arithmetic per document. */
+  private val multimodalFrames = QueryDef(
+    "multimodal_frames",
+    (s, d) => Multimodal.frameSample(s, Tables.documents(s, d), 1024)
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).cast("bigint").as("frame_bytes")),
+    Some("""WITH b AS (SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        CASE WHEN (i + 1) * 1024 <= n THEN 1024 ELSE n - i * 1024 END
+          AS frame_bytes
+      FROM b, UNNEST(generate_series(0, CAST(ceil(n / 1024.0) AS BIGINT) - 1))
+        AS t(i)"""))
+
   val defs: Seq[QueryDef] =
-    Seq(simBruteForce, simIvf, simIvfPruned, dedupEmbedding, multimodalDecode)
+    Seq(simBruteForce, simIvf, simIvfPruned, dedupEmbedding,
+      multimodalDecode, multimodalFeatures, multimodalFrames)
 }
