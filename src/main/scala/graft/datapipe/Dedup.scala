@@ -217,6 +217,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components by
+    * iterative min-label propagation — each round every vertex
+    * adopts the smallest label among itself and its neighbours, so a
+    * component converges to its minimum id in O(diameter) rounds
+    * (near-dup components are shallow: twins/chains, not long paths).
+    *
+    * Scale shape: pure DataFrame joins/aggregations — each round is
+    * one shuffle on id; the driver only checks the converged flag
+    * (one count per round, no data collected). Labels persist per
+    * round and the previous round unpersists, so lineage stays flat
+    * instead of growing a join-tower. `docs` supplies the vertex set
+    * so singletons (no near-dup) cluster as themselves.
+    */
+  def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+               maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbours = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.unionByName(viaNeighbours)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** The dedup SELECT a training pipeline actually runs: keep one
+    * representative per near-dup cluster (the minimum id), drop the
+    * rest. Composes [[clusters]]; emits (id, cluster_id, keep).
+    */
+  def keepOne(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    clusters(docs, idCol, pairs)
+      .select(col("id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("keep"))
+
   /** Exact-Jaccard n-gram near-dup pairs: inverted-index candidate
     * generation + join-back verification against the FULL shingle
     * sets (same dedup-then-verify shape as [[minhashPairs]]).

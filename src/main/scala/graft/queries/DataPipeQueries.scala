@@ -204,8 +204,54 @@ object DataPipeQueries {
       k = 3, bands = 8, maxHamming = 7),
     None)
 
+  /** Shared CTE chain: exact all-pairs jaccard >= 0.8 over the twins
+    * corpus (the dedup_minhash_lsh oracle), reduced to a pair list. */
+  private val exactPairsCte =
+    s"""$twinsSqlCte,
+      toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
+      sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+      common AS (SELECT x.id AS a_id, y.id AS b_id, COUNT(*) AS n_common
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+                 GROUP BY 1, 2),
+      pairs AS (SELECT a_id, b_id FROM common
+        JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (SELECT id, id FROM docs2
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id)"""
+
+  /** Near-dup clusters = connected components over the minhash pair
+    * list; the oracle replays the closure with a recursive CTE over
+    * the exact pair set (recall argument as in dedup_minhash_lsh). */
+  private val dedupClusters = QueryDef(
+    "dedup_clusters",
+    (s, d) => {
+      val corpus = withTwins(s, d)
+      Dedup.clusters(corpus, "id",
+        Dedup.minhashPairs(corpus, "id", "text", 64, 32, 0.8))
+    },
+    Some(s"""WITH RECURSIVE $exactPairsCte
+      SELECT id, min(r) AS cluster_id FROM reach GROUP BY id"""))
+
+  /** The dedup SELECT itself: one representative per cluster. */
+  private val dedupKeepOne = QueryDef(
+    "dedup_keep_one",
+    (s, d) => {
+      val corpus = withTwins(s, d)
+      Dedup.keepOne(corpus, "id",
+        Dedup.minhashPairs(corpus, "id", "text", 64, 32, 0.8))
+    },
+    Some(s"""WITH RECURSIVE $exactPairsCte
+      SELECT id, min(r) AS cluster_id, id = min(r) AS keep
+      FROM reach GROUP BY id"""))
+
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap,
     textTokens, textQuality, textLangId, textFingerprint,
-    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash)
+    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
+    dedupClusters, dedupKeepOne)
 }
