@@ -1,0 +1,58 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data sampling and skew-mitigation operators.
+  *
+  * Both are pure column pipelines: sampling decisions and salt keys
+  * derive from the data itself, so results are deterministic across
+  * runs, executors, and engines — a requirement for reproducible
+  * training mixtures (and for the DuckDB oracle).
+  */
+object Sampling {
+
+  /** Deterministic hash sample: keep a row iff a stable per-row hash
+    * lands under `percent`. Unlike `df.sample()` (RNG per partition,
+    * changes under repartitioning), the decision is a function of the
+    * KEY alone — the same row is kept in every run on every cluster
+    * layout, and the sample composes with incremental reprocessing.
+    * md5-based so the oracle reproduces it bit-for-bit.
+    */
+  def hashSampleCond(key: Column, percent: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("bigint") % 100 < percent
+
+  /** Stratified variant: per-stratum percentages (e.g. downsample the
+    * dominant language, keep all of a rare one) — the mixture-tuning
+    * step of a training-data pipeline.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       percents: Map[String, Int],
+                       defaultPercent: Int): DataFrame = {
+    val pct = percents.foldLeft(lit(defaultPercent)) {
+      case (acc, (s, p)) => when(stratum === s, lit(p)).otherwise(acc)
+    }
+    df.filter(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("bigint") % 100 < pct)
+  }
+
+  /** Two-stage salted aggregation: a groupBy whose key distribution
+    * is heavily skewed (one hot key ≫ partition capacity) funnels the
+    * hot key's rows through one reducer. Salting splits every key
+    * into `salts` sub-keys for a PARTIAL aggregate, then re-aggregates
+    * the (key, salt) partials — the hot key's work spreads over
+    * `salts` reducers and the second shuffle carries only
+    * #keys × salts rows. The salt is a hash of the whole row's id
+    * column (deterministic), not a RNG.
+    *
+    * `aggs` must be algebraic (re-aggregatable): this variant covers
+    * the count/sum family the reference's counters use (A1).
+    */
+  def saltedCounts(df: DataFrame, key: Column, salts: Int,
+                   saltBy: Column): DataFrame =
+    df.groupBy(key.as("key"), (xxhash64(saltBy) % salts).as("salt"))
+      .agg(count(lit(1)).as("partial_n"))
+      .groupBy(col("key"))
+      .agg(sum(col("partial_n")).as("n"))
+}

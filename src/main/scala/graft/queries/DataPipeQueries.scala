@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.datapipe.{Dedup, TextAnalysis}
+import graft.datapipe.{Dedup, Sampling, TextAnalysis}
 import graft.functions.PromHistogram
 
 /** Queries for the training-data-pipeline operators (dedup, text
@@ -204,6 +204,29 @@ object DataPipeQueries {
       k = 3, bands = 8, maxHamming = 7),
     None)
 
+  /** Mixture tuning: keep all of src0, 10% of src1, 40% elsewhere —
+    * decided by a stable per-doc hash, so the same rows survive on
+    * any cluster layout (df.sample's per-partition RNG does not). */
+  private val sampleStratified = QueryDef(
+    "sample_stratified",
+    (s, d) => Sampling.stratifiedSample(
+      Tables.documents(s, d), col("doc_id"), col("source"),
+      Map("src0" -> 100, "src1" -> 10), defaultPercent = 40)
+      .select(col("doc_id"), col("source")),
+    Some("""SELECT doc_id, source FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 10 ELSE 40 END"""))
+
+  /** Same counters as a1 via the two-stage salted aggregate — the
+    * skew path for when one key dominates (the oracle proves the
+    * partial/re-aggregate split loses nothing). */
+  private val a1Salted = QueryDef(
+    "a1_salted_counters",
+    (s, d) => Sampling.saltedCounts(
+      Tables.events(s, d), col("event_type"), 32, col("event_id")),
+    Some("""SELECT event_type AS key, COUNT(*) AS n
+      FROM events GROUP BY event_type"""))
+
   /** Shared CTE chain: exact all-pairs jaccard >= 0.8 over the twins
     * corpus (the dedup_minhash_lsh oracle), reduced to a pair list. */
   private val exactPairsCte =
@@ -253,5 +276,5 @@ object DataPipeQueries {
     a2PromHistogram, q6PayloadHeatmap,
     textTokens, textQuality, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupClusters, dedupKeepOne)
+    dedupClusters, dedupKeepOne, sampleStratified, a1Salted)
 }
