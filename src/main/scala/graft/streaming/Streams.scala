@@ -107,6 +107,50 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup (the datapipe's dedup_exact as a stream):
+    * `dropDuplicatesWithinWatermark` keys state by the id column and
+    * EVICTS state once the watermark passes — bounded state, unlike a
+    * naive dropDuplicates whose key set grows forever. Duplicates
+    * arriving within the watermark horizon are suppressed; that
+    * horizon is the dedup guarantee a replayed/at-least-once Kafka
+    * feed actually needs.
+    */
+  def dedupStream(events: DataFrame, idCol: String,
+                  watermark: String = "30 seconds"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** J2 streaming twin: per-DID resolution cache as EXPLICIT stream
+    * state via mapGroupsWithState — where the batch path uses an
+    * executor-local LRU (graft.identity.LruCache), the streaming
+    * path keys state by DID so hits/misses are exact and the state
+    * participates in checkpoint/recovery. State carries the resolved
+    * document + insertion time; entries older than `ttlMs` re-resolve
+    * (the reference's 10-minute TTL, veramo-agent/src/veramo/
+    * veramo_cached_did_resolver.ts:12-111). Emits one row per DID per
+    * micro-batch: (did, n_records, cache_hit).
+    */
+  final case class CacheEntry(doc: String, insertedAtMs: Long)
+
+  def cachedResolutionStream(dids: Dataset[String],
+                             ttlMs: Long = 600000L): DataFrame = {
+    import dids.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    dids.groupByKey(identity)
+      .mapGroupsWithState[CacheEntry, (String, Long, Boolean)](
+        GroupStateTimeout.NoTimeout) { (did, rows, state) =>
+        val n = rows.size.toLong
+        val now = System.currentTimeMillis()
+        val hit = state.getOption.exists(now - _.insertedAtMs < ttlMs)
+        if (!hit) {
+          state.update(
+            CacheEntry(graft.identity.DidResolver.resolveDocument(did), now))
+        }
+        (did, n, hit)
+      }
+      .toDF("did", "n_records", "cache_hit")
+  }
+
   /** U5: batched side-output — the reference's size-OR-timeout git
     * batcher (host_did_web/src/main.go:207-279: flush at BatchSize
     * items or BatchTimeout, whichever first). Structured-Streaming

@@ -74,6 +74,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed > batchTotal * 9 / 10 && streamed <= batchTotal)
   }
 
+  test("streaming dedup suppresses duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.dedupStream(
+      in.toDF().withColumn("id", col("value").cast("bigint")), "id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Ev(t("2024-01-01 00:00:01"), "click", 1),
+      Ev(t("2024-01-01 00:00:02"), "click", 1), // dup id within watermark
+      Ev(t("2024-01-01 00:00:03"), "view", 2))
+    q.processAllAvailable()
+    in.addData(Ev(t("2024-01-01 00:00:04"), "view", 2)) // dup, later batch
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select(col("id"))
+      .as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L))
+  }
+
+  test("J2 streaming twin: mapGroupsWithState cache hits across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = Streams.cachedResolutionStream(in.toDS())
+      .writeStream.format("memory").queryName("did_cache")
+      .outputMode(OutputMode.Update).start()
+    in.addData("did:key:zA", "did:key:zA", "did:key:zB")
+    q.processAllAvailable()
+    in.addData("did:key:zA", "did:key:zC")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("did_cache")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(rows === Set(
+      ("did:key:zA", 2L, false), // batch 1: first sight, miss
+      ("did:key:zB", 1L, false),
+      ("did:key:zA", 1L, true),  // batch 2: state hit
+      ("did:key:zC", 1L, false)))
+  }
+
   test("S3/K2 streaming: Avro encode sink then decode source round-trips") {
     import graft.model._
     val out = Files.createTempDirectory("graft-avro-out").toString
