@@ -46,6 +46,36 @@ object EventOps {
       .withColumn("event_type",
         coalesce(nullif(col("event_type"), lit("")), lit("unknown")))
 
+  /** P1+P3+P4 composed over the reference's ACTUAL WebSocket frame
+    * shape — `{"type": "trade"|"ping"|…, "data": [{c,p,s,t,v}, …]}`
+    * (models/types.go:37-40 frame, :9-16 raw trade; dispatch
+    * finnhub.go:172-199): typed `from_json`, route on `type` with
+    * ping/unknown dropped (counted by the P1 observe), explode the
+    * trade array, and project the short wire keys to the long names
+    * through the declared map. One codegen'd pipeline — the JSON is
+    * parsed once per frame against a fixed schema, not per field.
+    */
+  def parseWsFrames(frames: DataFrame, jsonCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val frameSchema = StructType(Seq(
+      StructField("type", StringType),
+      StructField("data", ArrayType(StructType(Seq(
+        StructField("c", ArrayType(StringType)),
+        StructField("p", DoubleType),
+        StructField("s", StringType),
+        StructField("t", LongType),
+        StructField("v", DoubleType)))))))
+    val parsed = frames
+      .withColumn("frame", from_json(col(jsonCol), frameSchema))
+    Observe.parseMetrics(parsed, "frame.type", Seq("trade"))
+      .filter(col("frame.type") === "trade")
+      .select(explode(col("frame.data")).as("trade"))
+      .select(col("trade.c").as("c"), col("trade.p").as("p"),
+        col("trade.s").as("s"), col("trade.t").as("t"),
+        col("trade.v").as("v"))
+      .transform(renameShortKeys(_))
+  }
+
   /** P3: unbatch — one WS frame row carrying a trade ARRAY becomes
     * one row per trade, position preserved (the reference's only
     * flatten-shaped op: finnhub.go:203-219 loops `data:

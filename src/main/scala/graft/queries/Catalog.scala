@@ -269,6 +269,40 @@ object Catalog {
       COALESCE(NULLIF(event_type, ''), 'unknown') AS event_type,
       COALESCE(value, 0.0) AS value FROM events"""))
 
+  /** P1+P3+P4 over the reference's real WS frame JSON: events are
+    * serialized into `{"type","data":[{c,p,s,t,v}]}` frames (every
+    * 50th a ping), then parsed back through the typed from_json
+    * pipeline — the oracle computes the expected trades directly, so
+    * a defect anywhere in build/parse/route/explode/rename mismatches.
+    */
+  private val p1WsFrames = QueryDef(
+    "p1_ws_frames",
+    (s, d) => {
+      val trade = struct(
+        when(col("event_type").isNull || col("event_type") === "",
+          lit(null).cast("array<string>"))
+          .otherwise(array(col("event_type"))).as("c"),
+        col("value").as("p"),
+        concat(lit("SYM"), col("user_id") % 7).as("s"),
+        expr("unix_micros(ts) DIV 1000").as("t"),
+        get_json_object(col("props"), "$.k").cast("double").as("v"))
+      val frames = Tables.events(s, d).select(
+        when(col("event_id") % 50 === 0, lit("""{"type":"ping"}"""))
+          .otherwise(to_json(struct(lit("trade").as("type"),
+            array(trade).as("data")))).as("raw"))
+      EventOps.parseWsFrames(frames, "raw")
+        .select(element_at(col("Trade_Condition"), 1).as("trade_condition"),
+          col("Price"), col("Symbol"), col("Event_Timestamp"), col("Volume"))
+    },
+    Some("""SELECT
+      CASE WHEN event_type IS NULL OR event_type = '' THEN NULL
+           ELSE event_type END AS trade_condition,
+      value AS Price,
+      'SYM' || (user_id % 7) AS Symbol,
+      epoch_us(ts) // 1000 AS Event_Timestamp,
+      CAST(json_extract_string(props, '$.k') AS DOUBLE) AS Volume
+      FROM events WHERE event_id % 50 <> 0"""))
+
   /** P3 over synthetic frames: events are packed into one frame per
     * user (sorted trade array) and unbatched back — the round trip
     * proves explode emits every element exactly once with its
@@ -506,7 +540,7 @@ object Catalog {
     q1PricingSummary, q3TopOrders, q5RegionVolume,
     qWindowTopk, qRunningSum, qRollupOrders,
     qSemiJoin, qAntiJoin, qSetOps, qDistinctAgg,
-    p1ParseRoute, p2DefaultFill, p3Unbatch, p4RenameMap,
+    p1ParseRoute, p1WsFrames, p2DefaultFill, p3Unbatch, p4RenameMap,
     p10Latency, p11MsgSize, p12DidWeb,
     j1BroadcastLookup, j1JoinMiss,
     a1GroupedCounters, a3TumblingThroughput, a4LagGauge,

@@ -107,6 +107,21 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** K3: structured-log sink — JSON-lines append (the reference's
+    * consumer writes JSON result logs; kafka_consumer/app/handlers/
+    * kafka_event_handler.py result records). Checkpointed like the
+    * parquet sink, human/jq-greppable output.
+    */
+  def runToJsonLog(df: DataFrame, outPath: String,
+                   checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .format("json")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact dedup (the datapipe's dedup_exact as a stream):
     * `dropDuplicatesWithinWatermark` keys state by the id column and
     * EVICTS state once the watermark passes — bounded state, unlike a

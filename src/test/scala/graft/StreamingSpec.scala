@@ -74,6 +74,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed > batchTotal * 9 / 10 && streamed <= batchTotal)
   }
 
+  test("K3: JSON-lines log sink appends readable result records") {
+    val out = Files.createTempDirectory("graft-json-out").toString
+    val ckpt = Files.createTempDirectory("graft-json-ckpt").toString
+    val counts = Streams.tumblingCounts(
+      Streams.eventsFileStream(spark, sf), "1 hour", "0 seconds")
+    val q = Streams.runToJsonLog(counts, out, ckpt)
+    q.awaitTermination()
+    val back = spark.read.json(out)
+    assert(back.count() > 0)
+    assert(back.columns.toSet === Set("window_start", "event_type", "n"))
+  }
+
   test("streaming dedup suppresses duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
