@@ -139,6 +139,9 @@ object Dedup {
     candidates
       .join(hhTable.select(col("id").as("a_id"), col("hh").as("a_hh")), "a_id")
       .join(hhTable.select(col("id").as("b_id"), col("hh").as("b_hh")), "b_id")
+      // size filter (exact): J >= t forces t*|b| <= |a| <= |b|/t
+      .filter(size(col("a_hh")) >= lit(threshold) * size(col("b_hh")) &&
+        size(col("b_hh")) >= lit(threshold) * size(col("a_hh")))
       .select(col("a_id"), col("b_id"),
         (size(array_intersect(col("a_hh"), col("b_hh"))).cast("double") /
           size(array_union(col("a_hh"), col("b_hh")))).as("jaccard"))
@@ -232,26 +235,39 @@ object Dedup {
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The ITERATION runs on RDDs, deliberately (the rare case where
+    // the DataFrame API is the wrong substrate): each DataFrame round
+    // builds a fresh plan and compiles fresh codegen (~1-2 s of fixed
+    // cost per round, measured), while the RDD loop reuses one hash
+    // partitioner across rounds so reduceByKey/join co-partition and
+    // per-round cost is the actual data work — the same reason GraphX
+    // is RDD-based. Pair generation and the returned table stay
+    // DataFrames; edges persist so the expensive pair pipeline runs
+    // once, not once per round.
+    val spark = docs.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import spark.implicits._
+    val edges = pairs
+      .select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .persist(lvl)
+    var labels = docs.select(col(idCol).cast("long")).as[Long].rdd
+      .map(id => (id, id)).persist(lvl)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val viaNeighbours = edges
-        .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels.unionByName(viaNeighbours)
-        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old")).isEmpty
+      val viaNeighbours = edges.join(labels)
+        .map { case (_, (dst, lbl)) => (dst, lbl) }
+      val next = labels.union(viaNeighbours)
+        .reduceByKey(math.min).persist(lvl)
+      converged = next.join(labels)
+        .filter { case (_, (n, o)) => n != o }.isEmpty()
       labels.unpersist()
       labels = next
       iter += 1
     }
-    labels
+    spark.createDataFrame(labels).toDF("id", "cluster_id")
   }
 
   /** The dedup SELECT a training pipeline actually runs: keep one
@@ -326,6 +342,11 @@ object Dedup {
     candidates
       .join(hhTable.select(col("id").as("a_id"), col("hh").as("a_hh")), "a_id")
       .join(hhTable.select(col("id").as("b_id"), col("hh").as("b_hh")), "b_id")
+      // size filter: J(a,b) >= t forces t*|b| <= |a| and t*|a| <= |b|
+      // — a two-long comparison that discards size-incompatible
+      // candidates before the O(n) intersect/union work.
+      .filter(size(col("a_hh")) >= lit(threshold) * size(col("b_hh")) &&
+        size(col("b_hh")) >= lit(threshold) * size(col("a_hh")))
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("a_hh"), col("b_hh"))).cast("bigint").as("n_common"),
         size(array_union(col("a_hh"), col("b_hh"))).cast("bigint").as("n_union"))
