@@ -70,6 +70,23 @@ object EnvelopeOps {
   def normalizeContext(cred: Column): Column =
     cred.withField("context", cred.getField("@context")).dropFields("`@context`")
 
+  /** The tradeData XOR tradeCredential invariant as an EXPLICIT
+    * validated constraint (SURVEY §7.4 — the reference only enforces
+    * it implicitly by construction, trade_handler.go:128-145): flags
+    * each envelope, and counts violations on the [[Observe]] error
+    * channel so a malformed producer is visible in metrics, not just
+    * silently routed.
+    */
+  def validateEitherOr(df: org.apache.spark.sql.DataFrame,
+                       envCol: String): org.apache.spark.sql.DataFrame = {
+    val td = col(envCol).getField("tradeData")
+    val tc = col(envCol).getField("tradeCredential")
+    val flagged = df.withColumn("envelope_valid", td.isNotNull =!= tc.isNotNull)
+    flagged.observe("envelope_invalid_metrics",
+      sum(when(!col("envelope_valid"), 1L).otherwise(0L)).as("n_invalid"),
+      count(lit(1)).as("n_total"))
+  }
+
   /** P9: record-DID extraction with the reference's two fallbacks
     * (kafka_event_handler.py:250-260): non-SSI records report the
     * literal "None", SSI records missing a subject id report

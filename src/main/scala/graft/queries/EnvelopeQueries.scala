@@ -218,7 +218,28 @@ object EnvelopeQueries {
       'T' || event_id AS claims_trade_id
       FROM events WHERE event_id % 2 = 1"""))
 
+  /** Either-or invariant as a checked constraint over a corpus with
+    * deterministic violations injected (every 97th event gets BOTH
+    * branches nulled — the shape a buggy producer emits). */
+  private val p5EnvelopeValidate = QueryDef(
+    "p5_envelope_validate",
+    (s, d) => {
+      val broken = col("event_id") % 97 === 0
+      val ev = EnvelopeOps.envelope(
+        tradeEventId = concat(lit("trade-"), col("event_id")),
+        symbol = concat(lit("SYM"), col("user_id") % 7),
+        startTimestamp = startTs,
+        ssi = ssi && !broken,
+        tradeData = when(!broken, tradeData),
+        tradeCredential = credential(concat(lit("did:key:z"), col("user_id"))))
+      EnvelopeOps.validateEitherOr(
+        Tables.events(s, d).select(col("event_id"), ev.as("ev")), "ev")
+        .select(col("event_id"), col("envelope_valid"))
+    },
+    Some("""SELECT event_id, event_id % 97 <> 0 AS envelope_valid
+      FROM events"""))
+
   val defs: Seq[QueryDef] = Seq(
     p5EnvelopeBuild, s3AvroRoundtrip, p7p8ContextRoundtrip,
-    p9NestedExtract, p13VcEnvelope)
+    p9NestedExtract, p13VcEnvelope, p5EnvelopeValidate)
 }
