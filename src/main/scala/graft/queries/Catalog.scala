@@ -545,6 +545,7 @@ object Catalog {
     j1BroadcastLookup, j1JoinMiss,
     a1GroupedCounters, a3TumblingThroughput, a4LagGauge,
     q1P95Latency, q1P95LatencyBucketed, q4Throughput, q5MaxLag) ++
+    JoinQueries.defs ++
     EnvelopeQueries.defs ++
     DataPipeQueries.defs ++
     IdentityQueries.defs ++
