@@ -194,6 +194,47 @@ object Catalog {
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""))
 
+  private val qCubeOrders = QueryDef(
+    "q_cube_orders",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("order_status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("order_priority"),
+          col("n_orders")),
+    Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+      COALESCE(o_orderpriority, 'ALL') AS order_priority,
+      COUNT(*) AS n_orders
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""))
+
+  /** Pivot with an explicit value list — the Spark form that avoids
+    * the extra distinct-values job AND keeps the output schema stable
+    * as data drifts (an unlisted new event type cannot silently add a
+    * column downstream consumers never agreed to). */
+  private val qPivotEvents = QueryDef(
+    "q_pivot_events",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(EventOps.secondsBucket(col("ts"), 86400).as("day_ts"))
+        .pivot(col("event_type"),
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("day_ts"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error")),
+    Some("""SELECT (epoch_us(ts) // 86400000000) * 86400 AS day_ts,
+      COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+      COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+      FROM events GROUP BY 1"""))
+
   private val qSemiJoin = QueryDef(
     "q_semi_join",
     (s, d) =>
@@ -538,7 +579,7 @@ object Catalog {
 
   val defs: Seq[QueryDef] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionVolume,
-    qWindowTopk, qRunningSum, qRollupOrders,
+    qWindowTopk, qRunningSum, qRollupOrders, qCubeOrders, qPivotEvents,
     qSemiJoin, qAntiJoin, qSetOps, qDistinctAgg,
     p1ParseRoute, p1WsFrames, p2DefaultFill, p3Unbatch, p4RenameMap,
     p10Latency, p11MsgSize, p12DidWeb,
