@@ -74,6 +74,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed > batchTotal * 9 / 10 && streamed <= batchTotal)
   }
 
+  test("S4: checkpoint prevents reprocessing across restarts") {
+    val out = Files.createTempDirectory("graft-ckpt-out").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-ckpt").toString
+    def runOnce(): Unit = {
+      val q = Streams.batchedSideOutput(
+        Streams.eventsFileStream(spark, sf), out, ckpt, batchSize = 100)
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0)
+    // a restarted query resumes from the committed offsets: the same
+    // input must NOT be emitted twice (exactly-once sink contract)
+    runOnce()
+    assert(spark.read.parquet(out).count() === afterFirst)
+  }
+
   test("K3: JSON-lines log sink appends readable result records") {
     val out = Files.createTempDirectory("graft-json-out").toString
     val ckpt = Files.createTempDirectory("graft-json-ckpt").toString
