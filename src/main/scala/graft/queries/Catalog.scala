@@ -493,6 +493,33 @@ object Catalog {
   // Dashboard analytics (SURVEY.md §2.8, PromQL → Spark SQL)
   // ---------------------------------------------------------------
 
+  /** Session windows (native session_window, 30 min gap): the oracle
+    * derives the identical sessions independently via lag-gap breaks
+    * + a running sum — so Spark's dynamic-gap window semantics are
+    * checked against first principles, not against themselves.
+    */
+  private val qSessionize = QueryDef(
+    "q_sessionize",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events")),
+    Some("""WITH g AS (SELECT user_id, ts,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (SELECT user_id, ts,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g)
+      SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+        COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid"""))
+
   private val q1P95Latency = QueryDef(
     "q1_p95_latency",
     (s, d) =>
@@ -585,6 +612,7 @@ object Catalog {
     p10Latency, p11MsgSize, p12DidWeb,
     j1BroadcastLookup, j1JoinMiss,
     a1GroupedCounters, a3TumblingThroughput, a4LagGauge,
+    qSessionize,
     q1P95Latency, q1P95LatencyBucketed, q4Throughput, q5MaxLag) ++
     JoinQueries.defs ++
     EnvelopeQueries.defs ++

@@ -93,6 +93,19 @@ object Streams {
   def groupedCounters(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
 
+  /** Session windows on the stream: dynamic-gap state that closes a
+    * session only when the watermark passes gap beyond its last
+    * event — the stream twin of the batch q_sessionize entry.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"), col("n"))
+
   /** K2/K3-style sink: checkpointed parquet append via AvailableNow
     * (bounded-run semantics = the reference's MESSAGE_COUNT /
     * PRODUCER_TIMEOUT, S4).

@@ -74,6 +74,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed > batchTotal * 9 / 10 && streamed <= batchTotal)
   }
 
+  test("session windows split on the gap and close at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sessions = Streams.sessionCounts(
+      in.toDF().withColumn("user_id", col("value").cast("bigint")),
+      gap = "10 minutes", watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Ev(t("2024-01-01 00:00:00"), "click", 1), // session A (user 1)
+      Ev(t("2024-01-01 00:05:00"), "view", 1),  // still A (gap 5 min)
+      Ev(t("2024-01-01 00:30:00"), "click", 1), // session B (gap 25 min)
+      Ev(t("2024-01-01 00:02:00"), "click", 2)) // session C (user 2)
+    in.addData(Ev(t("2024-01-01 02:00:00"), "late-driver", 9)) // advance wm
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions")
+      .select(col("user_id"), col("session_start").cast("string"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got.contains((1L, "2024-01-01 00:00:00", 2L)))
+    assert(got.contains((1L, "2024-01-01 00:30:00", 1L)))
+    assert(got.contains((2L, "2024-01-01 00:02:00", 1L)))
+  }
+
   test("S4: checkpoint prevents reprocessing across restarts") {
     val out = Files.createTempDirectory("graft-ckpt-out").toString
     val ckpt = Files.createTempDirectory("graft-ckpt-ckpt").toString
