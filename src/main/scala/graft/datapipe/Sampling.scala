@@ -19,9 +19,12 @@ object Sampling {
     * layout, and the sample composes with incremental reprocessing.
     * md5-based so the oracle reproduces it bit-for-bit.
     */
-  def hashSampleCond(key: Column, percent: Int): Column =
+  def hashSampleCond(key: Column, percent: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("bigint") % 100 < percent
+
+  def hashSampleCond(key: Column, percent: Int): Column =
+    hashSampleCond(key, lit(percent))
 
   /** Stratified variant: per-stratum percentages (e.g. downsample the
     * dominant language, keep all of a rare one) — the mixture-tuning
@@ -33,8 +36,7 @@ object Sampling {
     val pct = percents.foldLeft(lit(defaultPercent)) {
       case (acc, (s, p)) => when(stratum === s, lit(p)).otherwise(acc)
     }
-    df.filter(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("bigint") % 100 < pct)
+    df.filter(hashSampleCond(key, pct))
   }
 
   /** Two-stage salted aggregation: a groupBy whose key distribution

@@ -137,7 +137,19 @@ object SimilarityQueries {
       FROM b, UNNEST(generate_series(0, CAST(ceil(n / 1024.0) AS BIGINT) - 1))
         AS t(i)"""))
 
+  /** Crop-stub resize; the byte-level crop is asserted in
+    * MultimodalSpec, the oracle checks the size arithmetic. */
+  private val multimodalResize = QueryDef(
+    "multimodal_resize",
+    (s, d) => Multimodal.resize(s, Tables.documents(s, d), 32, 32)
+      .select(col("doc_id"), octet_length(col("resized")).cast("bigint")
+        .as("resized_bytes")),
+    Some("""SELECT doc_id,
+      least(CAST(octet_length(encode(text)) AS BIGINT), 1024) AS resized_bytes
+      FROM documents"""))
+
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, dedupEmbedding,
-      multimodalDecode, multimodalFeatures, multimodalFrames)
+      multimodalDecode, multimodalFeatures, multimodalFrames,
+      multimodalResize)
 }
