@@ -16,13 +16,18 @@ object Bench {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup (untimed): one small end-to-end query so session init,
-    // codegen compilation, and JIT of the common operator paths don't
-    // land on whichever map entry happens to run first — previously
-    // the first query absorbed multiple seconds of one-time cost.
-    try {
-      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    // Warmup (untimed): small end-to-end queries so session init,
+    // codegen compilation, and JIT of the operator paths don't land
+    // on whichever entry happens to run first — previously the first
+    // query absorbed multiple seconds of one-time cost. The dedup
+    // warmup at sf0.001 compiles the text→shingle→hash→band-join
+    // pipeline the heaviest queries share (steady-state JIT is what a
+    // long-running cluster actually has).
+    for (warm <- Seq(
+        () => SparkEntry.entry(spark),
+        () => SparkEntry.queries("dedup_minhash_lsh")(spark, "/root/testdata/sf0.001")))
+      try { warm().write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
     // (name, seconds, error). A query that dies must NOT read as a fast
     // success: its error is recorded and surfaced in the JSON.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
