@@ -19,6 +19,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native expressions as SQL functions (cosine_similarity,
+      // simhash64) for spark.sql users
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // InferFiltersFromGenerate duplicates the generator expression
       // into a pre-filter and pushdown then re-evaluates it per input

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimHashFunctions, VectorFunctions}
+
+/** The SQL surface of the native expressions: registered via
+  * GraftExtensions, results identical to the Column API.
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_similarity is callable from SQL and matches the Column API") {
+    val viaSql = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 2.0D, 3.0D), array(3.0D, 2.0D, 1.0D))")
+      .as[Double].head()
+    val viaColumn = Seq((Seq(1.0, 2.0, 3.0), Seq(3.0, 2.0, 1.0)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosineSimilarity(col("a"), col("b")))
+      .as[Double].head()
+    assert(viaSql === viaColumn)
+    assert(math.abs(viaSql - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("simhash64 is callable from SQL and matches the Column API") {
+    val hashes = Seq(Seq(7L, 7L, 8L))
+    val viaSql = spark.sql("SELECT simhash64(array(7L, 7L, 8L))")
+      .as[Long].head()
+    val viaColumn = hashes.toDF("hh")
+      .select(SimHashFunctions.simhash64(col("hh"))).as[Long].head()
+    assert(viaSql === viaColumn)
+  }
+}
