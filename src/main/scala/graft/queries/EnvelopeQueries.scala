@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TradeEvent
-import graft.ops.{EnvelopeOps, TradeAvroOps}
+import graft.ops.{EnvelopeOps, EventOps, TradeAvroOps}
 import graft.sources.Tables
 
 /** TradeEvent envelope + Avro path entries (SURVEY.md §2: P5, P7-P9,
@@ -239,7 +239,85 @@ object EnvelopeQueries {
     Some("""SELECT event_id, event_id % 97 <> 0 AS envelope_valid
       FROM events"""))
 
+  /** The reference's hot path composed END-TO-END in one query —
+    * WS frame parse (P1/P3/P4) → default-fill (P2) → envelope build
+    * (P5) with REAL credential signing (U1) → binary Avro egress +
+    * ingress (K2/S3) → verification (U2) → per-symbol throughput and
+    * p95 latency analytics (A1/Q1). The oracle predicts the
+    * observable outcome from the deterministic rules alone, so a
+    * break anywhere in the chain (parse, codec, crypto, quantile)
+    * mismatches.
+    */
+  private val e2eHotPath = QueryDef(
+    "e2e_hot_path",
+    (s, d) => {
+      import s.implicits._
+      import graft.identity.CredentialOps
+      import graft.model.TradeEvent
+      import graft.ops.{EventOps, TradeAvroOps}
+      // P1 input: the WS frame JSON stream, every 50th a ping
+      val wsTrade = struct(
+        when(col("event_type").isNull || col("event_type") === "",
+          lit(null).cast("array<string>"))
+          .otherwise(array(col("event_type"))).as("c"),
+        col("value").as("p"),
+        concat(lit("SYM"), col("user_id") % 7).as("s"),
+        expr("unix_micros(ts) DIV 1000").as("t"),
+        get_json_object(col("props"), "$.k").cast("double").as("v"))
+      val frames = Tables.events(s, d).select(
+        when(col("event_id") % 50 === 0, lit("""{"type":"ping"}"""))
+          .otherwise(to_json(struct(lit("trade").as("type"),
+            array(wsTrade).as("data")))).as("raw"))
+      // P1/P3/P4 parse + P2 default-fill (missing Trade_Id/Price/Volume)
+      val trades = EventOps.parseWsFrames(frames, "raw")
+        .withColumn("Trade_Id", concat(lit("T"), col("Event_Timestamp")))
+        .withColumn("Price", coalesce(col("Price"), lit(0.0)))
+        .withColumn("Volume", coalesce(col("Volume"), lit(0.0)))
+      val perTradeSsi = col("Event_Timestamp") % 2 === 1
+      val subject = concat(lit("did:key:z"), col("Event_Timestamp") % 1000)
+      val td = struct(col("Trade_Id"), col("Trade_Condition"), col("Price"),
+        col("Symbol"), col("Event_Timestamp"), col("Volume"))
+      val cred = EnvelopeOps.vcCredential(
+        vcId = concat(lit("vc:trade-"), col("Event_Timestamp")),
+        issuerDid = lit("did:web:graft.example:issuer"),
+        subjectDid = subject,
+        issuanceDate = lit("2024-01-01T00:00:00Z"),
+        claims = td,
+        jwt = CredentialOps.signJwt(to_json(struct(subject.as("sub")))))
+      val env = EnvelopeOps.envelope(
+        concat(lit("trade-"), col("Event_Timestamp")), col("Symbol"),
+        lit("2024-01-01T00:00:00Z"), perTradeSsi, td, cred)
+      // K2 egress → S3 ingress through the binary codec
+      val decoded = TradeAvroOps.decode(TradeAvroOps.encode(
+        trades.select(env.as("ev")).select(col("ev.*")).as[TradeEvent]))
+        .toDF()
+      // U2 verify + Q1 latency analytics on the decoded stream
+      decoded.select(col("symbol"),
+          col("tradeCredential").isNotNull.as("is_ssi"),
+          when(col("tradeCredential").isNotNull,
+            CredentialOps.verifyJwt(col("tradeCredential.proof.jwt")))
+            .as("verified"),
+          coalesce(col("tradeData.Event_Timestamp"),
+            col("tradeCredential.credentialSubject.claims.TradeData.Event_Timestamp"))
+            .as("t_ms"))
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_trades"),
+          count(when(col("is_ssi"), 1)).as("n_ssi"),
+          count(when(col("verified"), 1)).as("n_verified"),
+          round(expr(s"percentile((${EventOps.NowEpochMicros / 1000}" +
+            " - t_ms) / 1000.0D, 0.95D)"), 6).as("p95_latency_s"))
+    },
+    Some(s"""WITH tr AS (
+        SELECT 'SYM' || (user_id % 7) AS symbol, epoch_us(ts) // 1000 AS t_ms
+        FROM events WHERE event_id % 50 <> 0)
+      SELECT symbol, COUNT(*) AS n_trades,
+        COUNT(*) FILTER (WHERE t_ms % 2 = 1) AS n_ssi,
+        COUNT(*) FILTER (WHERE t_ms % 2 = 1) AS n_verified,
+        round(quantile_cont((${EventOps.NowEpochMicros / 1000} - t_ms)
+          / 1000.0, 0.95), 6) AS p95_latency_s
+      FROM tr GROUP BY symbol"""))
+
   val defs: Seq[QueryDef] = Seq(
     p5EnvelopeBuild, s3AvroRoundtrip, p7p8ContextRoundtrip,
-    p9NestedExtract, p13VcEnvelope, p5EnvelopeValidate)
+    p9NestedExtract, p13VcEnvelope, p5EnvelopeValidate, e2eHotPath)
 }
