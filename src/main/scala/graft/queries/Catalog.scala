@@ -392,10 +392,10 @@ object Catalog {
     "p10_latency_derive",
     (s, d) =>
       Tables.events(s, d).select(col("event_id"),
-        ((lit(Now) - unix_micros(col("ts"))) / lit(1000000.0))
-          .as("e2e_latency_s")),
+        EventOps.latencySeconds(col("ts")).as("e2e_latency_s")),
     Some(s"""SELECT event_id,
-      ($Now - epoch_us(ts)) / 1000000.0 AS e2e_latency_s FROM events"""))
+      round(($Now - epoch_us(ts)) / 1000000.0, 6) AS e2e_latency_s
+      FROM events"""))
 
   private val p11MsgSize = QueryDef(
     "p11_msg_size",

@@ -74,6 +74,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed > batchTotal * 9 / 10 && streamed <= batchTotal)
   }
 
+  test("A1 streaming twin: grouped counters accumulate in update mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.groupedCounters(in.toDF())
+      .writeStream.format("memory").queryName("counters")
+      .outputMode(OutputMode.Update).start()
+    in.addData(Ev(t("2024-01-01 00:00:01"), "click", 1),
+      Ev(t("2024-01-01 00:00:02"), "click", 2))
+    q.processAllAvailable()
+    in.addData(Ev(t("2024-01-01 00:00:03"), "click", 3),
+      Ev(t("2024-01-01 00:00:04"), "view", 4))
+    q.processAllAvailable()
+    q.stop()
+    // update mode emits a new running total per changed key per batch;
+    // the LATEST row per key is the counter value
+    val last = spark.table("counters")
+      .groupBy(col("event_type")).agg(max(col("n")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(last === Map("click" -> 3L, "view" -> 1L))
+  }
+
   test("session windows split on the gap and close at the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
