@@ -204,6 +204,23 @@ object DataPipeQueries {
       k = 3, bands = 8, maxHamming = 7),
     None)
 
+  /** Content-defined chunking for passage-level dedup: the chunk
+    * BOUNDARIES come from a rolling hash (not SQL-expressible), so
+    * the oracle checks the invariant it can — per-document chunk
+    * bytes must reassemble to exactly the document's bytes — while
+    * ChunkerSpec asserts byte-exact reassembly, length bounds, and
+    * boundary resynchronization after edits. */
+  private val dedupCdcChunks = QueryDef(
+    "dedup_cdc_chunks",
+    (s, d) => graft.datapipe.Chunker.chunkTable(s, Tables.documents(s, d))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("chunk_len")).as("total_chunk_bytes"),
+        countDistinct(col("chunk_md5")).as("n_distinct_chunks"))
+      .select(col("doc_id"), col("total_chunk_bytes")),
+    Some("""SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS total_chunk_bytes
+      FROM documents"""))
+
   /** Mixture tuning: keep all of src0, 10% of src1, 40% elsewhere —
     * decided by a stable per-doc hash, so the same rows survive on
     * any cluster layout (df.sample's per-partition RNG does not). */
@@ -276,5 +293,5 @@ object DataPipeQueries {
     a2PromHistogram, q6PayloadHeatmap,
     textTokens, textQuality, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupClusters, dedupKeepOne, sampleStratified, a1Salted)
+    dedupClusters, dedupKeepOne, dedupCdcChunks, sampleStratified, a1Salted)
 }
