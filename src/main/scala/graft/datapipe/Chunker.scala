@@ -19,7 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object Chunker {
 
-  /** Boundary offsets (exclusive end positions) of the chunks. */
+  /** True iff cutting BEFORE byte i keeps both sides valid UTF-8
+    * (i.e. byte i is not a continuation byte). */
+  private def isCharStart(bytes: Array[Byte], i: Int): Boolean =
+    i >= bytes.length || (bytes(i) & 0xc0) != 0x80
+
+  /** Boundary offsets (exclusive end positions) of the chunks. Every
+    * boundary is snapped FORWARD to the next UTF-8 character start,
+    * so byte slices never split a multi-byte sequence (a raw cut
+    * would decode to U+FFFD and break the lossless-reassembly and
+    * chunk-hash contracts on non-ASCII text); maxLen can therefore
+    * be exceeded by up to 3 continuation bytes.
+    */
   def boundaries(bytes: Array[Byte], window: Int, maskBits: Int,
                  minLen: Int, maxLen: Int): Seq[Int] = {
     val mask = (1L << maskBits) - 1
@@ -33,7 +44,8 @@ object Chunker {
       h = (h << 1) + (bytes(i) & 0xff)
       if (i - start + 1 >= window * 2) h &= (1L << 48) - 1
       val len = i - start + 1
-      if ((len >= minLen && (h & mask) == mask) || len >= maxLen) {
+      if (((len >= minLen && (h & mask) == mask) || len >= maxLen)
+          && isCharStart(bytes, i + 1)) {
         out += i + 1
         start = i + 1
         h = 0L
@@ -69,11 +81,17 @@ object Chunker {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          chunksOf(Option(text).getOrElse("")).zipWithIndex.map {
-            case (c, i) =>
-              val bytes = c.getBytes("UTF-8")
-              val hex = md.digest(bytes).map("%02x".format(_)).mkString
-              Chunk(id, i.toLong, hex, bytes.length.toLong)
+          // an empty/null document still yields ONE (empty) chunk row,
+          // so per-document invariants (and the oracle's row count)
+          // hold on any corpus
+          val cs = chunksOf(Option(text).getOrElse("")) match {
+            case Seq() => Seq("")
+            case s => s
+          }
+          cs.zipWithIndex.map { case (c, i) =>
+            val bytes = c.getBytes("UTF-8")
+            val hex = md.digest(bytes).map("%02x".format(_)).mkString
+            Chunk(id, i.toLong, hex, bytes.length.toLong)
           }
         }
       }

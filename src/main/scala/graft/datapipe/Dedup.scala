@@ -234,7 +234,7 @@ object Dedup {
     * so singletons (no near-dup) cluster as themselves.
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-               maxIter: Int = 10): DataFrame = {
+               maxIter: Int = 20): DataFrame = {
     // The ITERATION runs on RDDs, deliberately (the rare case where
     // the DataFrame API is the wrong substrate): each DataFrame round
     // builds a fresh plan and compiles fresh codegen (~1-2 s of fixed
@@ -247,26 +247,41 @@ object Dedup {
     val spark = docs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     import spark.implicits._
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // partitionBy BEFORE persist: with edges and labels sharing one
+    // partitioner, every join/reduceByKey in the loop is narrow —
+    // only viaNeighbours (re-keyed by dst) shuffles each round.
     val edges = pairs
       .select(col("a_id").cast("long"), col("b_id").cast("long"))
       .as[(Long, Long)].rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .persist(lvl)
+      .partitionBy(part).persist(lvl)
     var labels = docs.select(col(idCol).cast("long")).as[Long].rdd
-      .map(id => (id, id)).persist(lvl)
+      .map(id => (id, id)).partitionBy(part).persist(lvl)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val viaNeighbours = edges.join(labels)
         .map { case (_, (dst, lbl)) => (dst, lbl) }
       val next = labels.union(viaNeighbours)
-        .reduceByKey(math.min).persist(lvl)
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)).persist(lvl)
+      // count(), not isEmpty(): take-based probes materialize only
+      // part of `next`, and unpersisting the old labels under a
+      // partially-cached successor forces recomputation cascades.
       converged = next.join(labels)
-        .filter { case (_, (n, o)) => n != o }.isEmpty()
+        .filter { case (_, (n, o)) => n != o }.count() == 0
       labels.unpersist()
       labels = next
       iter += 1
     }
+    edges.unpersist(false)
+    // Silent non-convergence would mis-split a component into several
+    // clusters and keepOne would retain documents dedup should drop —
+    // fail loudly instead; raise maxIter for deep chains.
+    require(converged,
+      s"label propagation did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter)")
     spark.createDataFrame(labels).toDF("id", "cluster_id")
   }
 

@@ -319,19 +319,7 @@ object Catalog {
   private val p1WsFrames = QueryDef(
     "p1_ws_frames",
     (s, d) => {
-      val trade = struct(
-        when(col("event_type").isNull || col("event_type") === "",
-          lit(null).cast("array<string>"))
-          .otherwise(array(col("event_type"))).as("c"),
-        col("value").as("p"),
-        concat(lit("SYM"), col("user_id") % 7).as("s"),
-        expr("unix_micros(ts) DIV 1000").as("t"),
-        get_json_object(col("props"), "$.k").cast("double").as("v"))
-      val frames = Tables.events(s, d).select(
-        when(col("event_id") % 50 === 0, lit("""{"type":"ping"}"""))
-          .otherwise(to_json(struct(lit("trade").as("type"),
-            array(trade).as("data")))).as("raw"))
-      EventOps.parseWsFrames(frames, "raw")
+      EventOps.parseWsFrames(WsFrames.frames(s, d), "raw")
         .select(element_at(col("Trade_Condition"), 1).as("trade_condition"),
           col("Price"), col("Symbol"), col("Event_Timestamp"), col("Volume"))
     },

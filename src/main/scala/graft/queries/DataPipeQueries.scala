@@ -218,7 +218,8 @@ object DataPipeQueries {
         countDistinct(col("chunk_md5")).as("n_distinct_chunks"))
       .select(col("doc_id"), col("total_chunk_bytes")),
     Some("""SELECT doc_id,
-      CAST(octet_length(encode(text)) AS BIGINT) AS total_chunk_bytes
+      CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+        AS total_chunk_bytes
       FROM documents"""))
 
   /** Mixture tuning: keep all of src0, 10% of src1, 40% elsewhere —

@@ -255,21 +255,9 @@ object EnvelopeQueries {
       import graft.identity.CredentialOps
       import graft.model.TradeEvent
       import graft.ops.{EventOps, TradeAvroOps}
-      // P1 input: the WS frame JSON stream, every 50th a ping
-      val wsTrade = struct(
-        when(col("event_type").isNull || col("event_type") === "",
-          lit(null).cast("array<string>"))
-          .otherwise(array(col("event_type"))).as("c"),
-        col("value").as("p"),
-        concat(lit("SYM"), col("user_id") % 7).as("s"),
-        expr("unix_micros(ts) DIV 1000").as("t"),
-        get_json_object(col("props"), "$.k").cast("double").as("v"))
-      val frames = Tables.events(s, d).select(
-        when(col("event_id") % 50 === 0, lit("""{"type":"ping"}"""))
-          .otherwise(to_json(struct(lit("trade").as("type"),
-            array(wsTrade).as("data")))).as("raw"))
-      // P1/P3/P4 parse + P2 default-fill (missing Trade_Id/Price/Volume)
-      val trades = EventOps.parseWsFrames(frames, "raw")
+      // P1/P3/P4 parse of the shared WS frame stream + P2
+      // default-fill (missing Trade_Id/Price/Volume)
+      val trades = EventOps.parseWsFrames(WsFrames.frames(s, d), "raw")
         .withColumn("Trade_Id", concat(lit("T"), col("Event_Timestamp")))
         .withColumn("Price", coalesce(col("Price"), lit(0.0)))
         .withColumn("Volume", coalesce(col("Volume"), lit(0.0)))

@@ -160,15 +160,27 @@ object Streams {
     */
   final case class CacheEntry(doc: String, insertedAtMs: Long)
 
+  /** `clock` is injected (the repo-wide deterministic-replay rule —
+    * tests pin it, production passes wall clock). Expiry is enforced
+    * ON ACCESS: a DID seen after its TTL re-resolves and replaces the
+    * stale entry. Idle-DID state lingers until next access — a
+    * processing-time timeout would evict it, but timeout-driven
+    * no-data batches make `processAllAvailable` non-terminating, so
+    * the deterministic twin trades idle eviction for replayability
+    * (production can layer `GroupStateTimeout.ProcessingTimeTimeout`
+    * on the same body).
+    */
   def cachedResolutionStream(dids: Dataset[String],
-                             ttlMs: Long = 600000L): DataFrame = {
+                             ttlMs: Long = 600000L,
+                             clock: () => Long = () => System.currentTimeMillis())
+      : DataFrame = {
     import dids.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     dids.groupByKey(identity)
       .mapGroupsWithState[CacheEntry, (String, Long, Boolean)](
         GroupStateTimeout.NoTimeout) { (did, rows, state) =>
         val n = rows.size.toLong
-        val now = System.currentTimeMillis()
+        val now = clock()
         val hit = state.getOption.exists(now - _.insertedAtMs < ttlMs)
         if (!hit) {
           state.update(
@@ -200,9 +212,15 @@ object Streams {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+        // window per input PARTITION (a global orderBy window would
+        // funnel the whole micro-batch through one task); each
+        // partition flushes its own ≤batchSize groups, keyed by
+        // (batch_id, part_id, flush_group)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("part_id")).orderBy(col(orderCol))
         batch
           .withColumn("batch_id", lit(batchId))
+          .withColumn("part_id", spark_partition_id())
           .withColumn("flush_group",
             floor((row_number().over(w) - 1) / batchSize))
           .write.mode("append").parquet(outPath)

@@ -243,12 +243,16 @@ class StreamingSpec extends SparkSpec {
     // every record flushed exactly once
     assert(written.count() === total)
     assert(written.select(countDistinct(col("event_id"))).as[Long].head() === total)
-    // no flush group exceeds the size cap; all but per-batch tails are full
-    val sizes = written.groupBy(col("batch_id"), col("flush_group"))
+    // no flush group exceeds the size cap; all but per-(batch,
+    // partition) tails are full
+    val sizes = written
+      .groupBy(col("batch_id"), col("part_id"), col("flush_group"))
       .agg(count(lit(1)).as("sz"))
     assert(sizes.filter(col("sz") > 10).count() === 0)
     val nonFull = sizes.filter(col("sz") < 10).count()
-    val nBatches = written.select(countDistinct(col("batch_id"))).as[Long].head()
-    assert(nonFull <= nBatches, "at most one partial (tail) group per micro-batch")
+    val nStreams = written.select(col("batch_id"), col("part_id"))
+      .distinct().count()
+    assert(nonFull <= nStreams,
+      "at most one partial (tail) group per micro-batch partition")
   }
 }
