@@ -45,6 +45,18 @@ object Dedup {
   def shingleHashes(shingleCol: Column): Column =
     transform(shingleCol, s => xxhash64(s))
 
+  /** Engine-portable shingle hashing: 60-bit longs from the leading
+    * 15 hex chars of md5, computable bit-identically in any engine
+    * with an md5() (e.g. `('0x' || substr(md5(s), 1, 15))::BIGINT`).
+    * xxhash64 stays the default everywhere — md5 costs ~3× more —
+    * but hash-DEPENDENT outputs (simhash codes and their hamming
+    * pairs) can only be checked end-to-end against an external
+    * oracle when both engines agree on the hash itself.
+    */
+  def shingleHashesPortable(shingleCol: Column): Column =
+    transform(shingleCol,
+      s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
+
   /** MinHash signature over PRE-HASHED shingles: permutation i is
     * xxhash64(i, h) — a fixed-width two-long hash, ~the cost of one
     * affine map but overflow-free under ANSI arithmetic (a raw
@@ -195,7 +207,8 @@ object Dedup {
     * (band, 16-bit bucket) key plus a distinct.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+                   k: Int = 3, bands: Int = 4, maxHamming: Int = 3,
+                   hasher: Column => Column = shingleHashes): DataFrame = {
     require(maxHamming < bands, "pigeonhole completeness needs maxHamming < bands")
     // persist(): same rationale as minhashPairs — the 16-byte
     // id→code table feeds both sides of the band self-join; without
@@ -204,7 +217,7 @@ object Dedup {
     // repartition on the scan's few splits.
     val codes = docs
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .select(col("id"), shingleHashes(col("sh")).as("hh"))
+      .select(col("id"), hasher(col("sh")).as("hh"))
       .select(col("id"), simhashFromHashes(col("hh")).as("code"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = codes.select(col("id"), col("code"),

@@ -191,18 +191,38 @@ object DataPipeQueries {
       JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8"""))
 
-  /** SimHash near-dup pairs over the twins corpus. The xxhash64 bit
-    * votes are not DuckDB-expressible → rows-only here; the operator
-    * is exactness-asserted in SimHashSpec instead: the banded output
-    * equals a brute-force all-pairs hamming scan (guaranteed by the
-    * pigeonhole argument in Dedup.simhashBands), and the planted
-    * twins are recalled.
+  /** SimHash near-dup pairs over the twins corpus, oracle-checked
+    * END-TO-END: the catalog entry hashes shingles with the
+    * engine-portable md5-derived 60-bit hash
+    * ([[Dedup.shingleHashesPortable]]) so DuckDB can rebuild the
+    * exact same codes — token hash → ±1 bit votes → code — and then
+    * enumerate all-pairs hamming ≤ 7 by brute force. The banded
+    * Spark plan must emit exactly that set (pigeonhole: 8 bands of 8
+    * bits catch every pair with < 8 differing bits), so this checks
+    * the hash, the vote fold, the band join, AND the verification in
+    * one hash-equality. The xxhash64 fast path stays the library
+    * default and keeps its exactness assertion in SimHashSpec.
     */
   private val dedupSimhash = QueryDef(
     "dedup_simhash",
     (s, d) => Dedup.simhashPairs(withTwins(s, d), "id", "text",
-      k = 3, bands = 8, maxHamming = 7),
-    None)
+      k = 3, bands = 8, maxHamming = 7,
+      hasher = Dedup.shingleHashesPortable)
+      .select(col("a_id"), col("b_id"),
+        col("hamming").cast("bigint").as("hamming")),
+    Some(s"""WITH $twinsSqlCte,
+      toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
+      sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS s
+             FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      th AS (SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+      votes AS (SELECT id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM th, UNNEST(generate_series(0, 59)) AS t(b) GROUP BY 1, 2),
+      code AS (SELECT id, COALESCE(SUM(CASE WHEN v > 0 THEN 1::BIGINT << b END), 0) AS c
+               FROM votes GROUP BY 1)
+      SELECT a.id AS a_id, b.id AS b_id,
+        CAST(bit_count(xor(a.c, b.c)) AS BIGINT) AS hamming
+      FROM code a JOIN code b ON a.id < b.id
+      WHERE bit_count(xor(a.c, b.c)) <= 7"""))
 
   /** Content-defined chunking for passage-level dedup: the chunk
     * BOUNDARIES come from a rolling hash (not SQL-expressible), so
