@@ -371,15 +371,22 @@ object Dedup {
       .join(hhTable.select(col("id").as("a_id"), col("hh").as("a_hh")), "a_id")
       .join(hhTable.select(col("id").as("b_id"), col("hh").as("b_hh")), "b_id")
       // size filter: J(a,b) >= t forces t*|b| <= |a| and t*|a| <= |b|
-      // — a two-long comparison that discards size-incompatible
-      // candidates before the O(n) intersect/union work.
+      // — size() on a materialized array reads a stored length, so
+      // this two-long comparison discards size-incompatible
+      // candidates before the O(n) intersect work. (Do NOT stage the
+      // size as its own projected column: CollapseProject inlines the
+      // whole shingle-hash array expression into the size() call and
+      // the pipeline runs twice — measured 3× end-to-end.)
       .filter(size(col("a_hh")) >= lit(threshold) * size(col("b_hh")) &&
         size(col("b_hh")) >= lit(threshold) * size(col("a_hh")))
+      // |a ∪ b| = |a| + |b| - |a ∩ b|: one array_intersect per pair,
+      // never an array_union — half the per-pair hash-set work.
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("a_hh"), col("b_hh"))).cast("bigint").as("n_common"),
-        size(array_union(col("a_hh"), col("b_hh"))).cast("bigint").as("n_union"))
+        (size(col("a_hh")) + size(col("b_hh"))).cast("bigint").as("n_total"))
       .select(col("a_id"), col("b_id"), col("n_common"),
-        (col("n_common").cast("double") / col("n_union")).as("jaccard"))
+        (col("n_common").cast("double") /
+          (col("n_total") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }
