@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.datapipe.{Dedup, Sampling, TextAnalysis}
+import graft.datapipe.{Contamination, Dedup, Packing, Sampling, TextAnalysis}
 import graft.functions.PromHistogram
 
 /** Queries for the training-data-pipeline operators (dedup, text
@@ -310,9 +310,63 @@ object DataPipeQueries {
       SELECT id, min(r) AS cluster_id, id = min(r) AS keep
       FROM reach GROUP BY id"""))
 
+  /** Concat-and-chunk sequence packing (whitespace token counts,
+    * capacity 512). The oracle's single-partition window running sum
+    * is the SEMANTIC spec; the Spark side computes the same prefix
+    * sum with the two-pass distributed scan in [[Packing]] — the
+    * oracle proving the distributed offsets equal the sequential
+    * ones is the whole point of the entry.
+    */
+  private val packChunks = QueryDef(
+    "pack_chunks",
+    (s, d) => Packing.packChunks(Tables.documents(s, d), col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), capacity = 512),
+    Some("""WITH t AS (SELECT doc_id AS id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        FROM documents),
+      c AS (SELECT id, n,
+        COALESCE(SUM(n) OVER (ORDER BY id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        FROM t WHERE n > 0)
+      SELECT id AS doc_id, b AS chunk_id,
+        CAST(least(s + n, (b + 1) * 512) - greatest(s, b * 512) AS BIGINT)
+          AS n_tokens
+      FROM c, UNNEST(generate_series(CAST(s // 512 AS BIGINT),
+        CAST((s + n - 1) // 512 AS BIGINT))) AS u(b)"""))
+
+  /** Benchmark decontamination: docs with doc_id % 17 == 0 play the
+    * benchmark corpus, the rest are training docs scored by shared
+    * k-shingle fraction. Spark joins on xxhash64 longs, the oracle
+    * on the shingle strings — equal counts under the same
+    * collision-free assumption the ngram/minhash oracles use.
+    */
+  private val decontaminate = QueryDef(
+    "decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.score(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", k = 3)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+      tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 <> 0),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
+      shared AS (SELECT tr.doc_id, COUNT(*) AS n_shared
+                 FROM tr JOIN b USING (shingle) GROUP BY 1)
+      SELECT z.doc_id, COALESCE(n_shared, 0) AS n_shared, n_shingles,
+        CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_shingles AS contamination
+      FROM sizes z LEFT JOIN shared ON z.doc_id = shared.doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap,
     textTokens, textQuality, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupClusters, dedupKeepOne, dedupCdcChunks, sampleStratified, a1Salted)
+    dedupClusters, dedupKeepOne, dedupCdcChunks, sampleStratified, a1Salted,
+    packChunks, decontaminate)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.datapipe.{Contamination, Packing, TextAnalysis}
+
+/** Sequence packing: the distributed prefix sum must reproduce the
+  * sequential concat-and-chunk layout exactly, and decontamination
+  * scores must hit the planted extremes.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val C = 64L
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  test("chunks tile the token stream: full chunks everywhere, remainder last") {
+    val packed = Packing.packChunks(docs, col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), C)
+      .persist()
+    val perChunk = packed.groupBy("chunk_id").agg(sum("n_tokens").as("tok"))
+      .orderBy("chunk_id").as[(Long, Long)].collect()
+    val total = docs.select(sum(TextAnalysis.tokenCount(col("text"))))
+      .as[Long].head()
+    // chunk ids are exactly 0..ceil(total/C)-1
+    assert(perChunk.map(_._1).toSeq === (0L until (total + C - 1) / C).toSeq)
+    // every chunk holds exactly C tokens except possibly the last
+    perChunk.dropRight(1).foreach { case (id, tok) =>
+      assert(tok === C, s"chunk $id holds $tok tokens")
+    }
+    assert(perChunk.map(_._2).sum === total)
+    packed.unpersist()
+  }
+
+  test("per-document shares are contiguous and sum to the token count") {
+    val packed = Packing.packChunks(docs, col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), C)
+    val byDoc = packed.groupBy("doc_id").agg(
+      sum("n_tokens").as("tok"),
+      min("chunk_id").as("lo"), max("chunk_id").as("hi"),
+      count(lit(1)).as("n_chunks"))
+    val counts = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"))
+    val joined = byDoc.join(counts, "doc_id")
+    assert(joined.filter(col("tok") =!= col("n")).isEmpty)
+    // a doc's chunks form one contiguous run — no gaps
+    assert(joined.filter(col("hi") - col("lo") + 1 =!= col("n_chunks")).isEmpty)
+    // fan-out bound: a doc with n tokens starting at offset s touches
+    // floor((s mod C + n - 1)/C) + 1 <= floor((n + C - 2)/C) + 1 chunks
+    assert(joined.filter(
+      col("n_chunks") > floor((col("n") + C - 2) / C) + 1).isEmpty)
+  }
+
+  test("contamination hits the planted extremes and stays in [0,1]") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // identical → 1.0
+      (11L, "one two three four five six seven"),   // disjoint  → 0.0
+      (12L, "alpha beta gamma one two three four")  // partial
+    ).toDF("doc_id", "text")
+    val scored = Contamination.score(train, bench, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(scored(10L)._4 === 1.0)
+    assert(scored(11L)._4 === 0.0)
+    // doc 12: shingles "alpha beta gamma" shared; 5 shingles total
+    assert(scored(12L)._2 === 1L && scored(12L)._3 === 5L)
+    assert(scored.values.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+  }
+}
