@@ -343,7 +343,11 @@ object DataPipeQueries {
   private val decontaminate = QueryDef(
     "decontaminate",
     (s, d) => {
+      // Same rationale as withTwins: the test corpus is one parquet
+      // split; real corpora arrive in thousands. Repartition so the
+      // per-document shingle work uses the full parallelism.
       val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
       Contamination.score(
         docs.filter(col("doc_id") % 17 =!= 0),
         docs.filter(col("doc_id") % 17 === 0),
