@@ -270,7 +270,13 @@ object Dedup {
       .as[(Long, Long)].rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(part).persist(lvl)
-    var labels = docs.select(col(idCol).cast("long")).as[Long].rdd
+    // The loop runs ONLY over nodes that appear in some pair: an
+    // isolated document can never change label, so carrying the whole
+    // corpus through every iteration's shuffles pays |corpus| per
+    // round for nothing — after near-dedup of a 100 TB corpus the dup
+    // graph is orders of magnitude smaller than the doc set. Isolated
+    // docs rejoin as their own cluster in one final left join.
+    var labels = edges.keys.distinct(part.numPartitions)
       .map(id => (id, id)).partitionBy(part).persist(lvl)
     var iter = 0
     var converged = false
@@ -295,7 +301,10 @@ object Dedup {
     require(converged,
       s"label propagation did not converge in $maxIter rounds " +
         "(component diameter exceeds maxIter)")
-    spark.createDataFrame(labels).toDF("id", "cluster_id")
+    val connected = spark.createDataFrame(labels).toDF("id", "lbl")
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(connected, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 
   /** The dedup SELECT a training pipeline actually runs: keep one
