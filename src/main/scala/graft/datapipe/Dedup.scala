@@ -343,11 +343,15 @@ object Dedup {
     // next to a generator are re-evaluated once per exploded output
     // row, so an inline shingleHashes(shingles(...)) would recompute
     // the whole array ~|shingles| times per document.
-    // NOT persisted, unlike minhashPairs' hhTable: the posting join
-    // key is a non-nullable xxhash64 (no inferred-filter pathology),
-    // each branch recomputes a column-PRUNED pipeline, and measured
-    // end-to-end the columnar cache build of the big hash arrays
-    // costs more than the pruned recomputes it saves.
+    // hhTable itself is NOT persisted, unlike minhashPairs': the
+    // posting join key is a non-nullable xxhash64 (no inferred-filter
+    // pathology), and measured end-to-end the columnar cache build of
+    // the big hash ARRAYS costs more than the two pruned verification
+    // recomputes it would save. The exploded `posts` below IS
+    // persisted — flat (long, long) rows cache cheaply and feed three
+    // consumers (hot list + both candidate-join sides), collapsing
+    // three text-pipeline passes into one; at corpus scale the
+    // disk-backed cache is strictly cheaper than three full rescans.
     // Sorted ascending: prefix filtering below needs one global total
     // order shared by all documents (the hash value is that order).
     val hhTable = docs.select(col(idCol).as("id"),
@@ -363,6 +367,7 @@ object Dedup {
       ceil(lit(threshold) * size(col("hh"))) + 1).cast("int")
     val posts = hhTable.select(col("id"),
       explode(slice(col("hh"), lit(1), prefLen)).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select(col("h"))
     val pruned = posts.join(broadcast(hot), Seq("h"), "left_anti")
