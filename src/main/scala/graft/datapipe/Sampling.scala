@@ -39,6 +39,41 @@ object Sampling {
     df.filter(hashSampleCond(key, pct))
   }
 
+  /** Fractional-weight mixture replication — the "epochs per source"
+    * knob of a pretraining mixture. A stratum with weight w
+    * contributes floor(w) copies of every document plus one extra
+    * copy for a deterministic (w - floor(w)) fraction of them, so one
+    * operator covers upsampling (w > 1), downsampling (w < 1), and
+    * dropping (w = 0). The extra-copy decision reuses the
+    * [[hashSampleCond]] md5 bucket: stable across runs, cluster
+    * layouts, and engines. Output rows carry a `copy` ordinal
+    * (1-based) so downstream packing/shuffling can tell replicas
+    * apart.
+    *
+    * Scale shape: pure per-row arithmetic plus one generator whose
+    * fan-out is the weight itself — no shuffle, no state.
+    */
+  def upsample(df: DataFrame, key: Column, stratum: Column,
+               weights: Map[String, Double],
+               defaultWeight: Double): DataFrame = {
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+      "mixture weights must be non-negative")
+    val w = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (s, x)) => when(stratum === s, lit(x)).otherwise(acc)
+    }
+    val fracPct = round((w - floor(w)) * 100).cast("bigint")
+    val bucket = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("bigint") % 100
+    val copies = floor(w).cast("bigint") +
+      when(bucket < fracPct, lit(1L)).otherwise(lit(0L))
+    df.select(col("*"), copies.as("n_copies"))
+      .filter(col("n_copies") > 0)
+      // sequence() DESCENDS when start > stop, so the n_copies = 0
+      // case must never reach it — the filter above guarantees 1..n.
+      .select(col("*"), explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .drop("n_copies")
+  }
+
   /** Two-stage salted aggregation: a groupBy whose key distribution
     * is heavily skewed (one hot key ≫ partition capacity) funnels the
     * hot key's rows through one reducer. Salting splits every key

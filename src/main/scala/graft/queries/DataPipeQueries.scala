@@ -367,10 +367,97 @@ object DataPipeQueries {
         CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_shingles AS contamination
       FROM sizes z LEFT JOIN shared ON z.doc_id = shared.doc_id"""))
 
+  /** Mixture replication: src0 2.5 epochs, src1 0.3 epochs, 1.0
+    * elsewhere — floor(w) copies each plus a hash-chosen fractional
+    * extra, numbered so replicas stay distinguishable. */
+  private val mixtureUpsample = QueryDef(
+    "mixture_upsample",
+    (s, d) => Sampling.upsample(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      col("doc_id"), col("source"),
+      Map("src0" -> 2.5, "src1" -> 0.3), defaultWeight = 1.0),
+    Some("""WITH wts AS (SELECT doc_id, source,
+        CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.3 ELSE 1.0 END AS w,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        FROM documents),
+      n AS (SELECT doc_id, source,
+        CAST(FLOOR(w) AS BIGINT) +
+          CASE WHEN b < CAST(ROUND((w - FLOOR(w)) * 100) AS BIGINT)
+               THEN 1 ELSE 0 END AS n_copies
+        FROM wts)
+      SELECT doc_id, source, u.copy
+      FROM n, UNNEST(generate_series(1::BIGINT, n_copies)) u(copy)
+      WHERE n_copies > 0"""))
+
+  /** The training-data flow end-to-end as ONE oracle-checked query:
+    * minhash near-dedup keeps one doc per cluster, benchmark-overlap
+    * decontamination drops anything sharing a shingle with the eval
+    * subset (doc_id % 17 == 0), and the survivors are packed into
+    * 256-token chunks. The oracle replays the whole chain — recursive
+    * closure, shingle semi-join, window prefix sum — so the three
+    * operators are checked COMPOSED, not just in isolation.
+    */
+  private val e2eDataPipeline = QueryDef(
+    "e2e_data_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val keepers = Dedup.keepOne(docs, "doc_id",
+        Dedup.minhashPairs(docs, "doc_id", "text", 64, 32, 0.8))
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      val train = docs.join(keepers, "doc_id")
+        .filter(col("doc_id") % 17 =!= 0)
+      val clean = Contamination.score(train, bench, "doc_id", "text", k = 3)
+        .filter(col("n_shared") === 0).select("doc_id")
+      Packing.packChunks(docs.join(clean, "doc_id"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), capacity = 256)
+    },
+    Some("""WITH RECURSIVE
+      toks AS (SELECT doc_id AS id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+      common AS (SELECT x.id AS a_id, y.id AS b_id, COUNT(*) AS n_common
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+                 GROUP BY 1, 2),
+      pairs AS (SELECT a_id, b_id FROM common
+        JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id),
+      keepers AS (SELECT id AS doc_id FROM
+        (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        WHERE id = cluster_id),
+      bsh AS (SELECT DISTINCT shingle FROM sh WHERE id % 17 = 0),
+      train AS (SELECT doc_id FROM keepers WHERE doc_id % 17 <> 0),
+      contaminated AS (SELECT DISTINCT sh.id FROM sh
+        JOIN train ON sh.id = train.doc_id
+        JOIN bsh USING (shingle)),
+      clean AS (SELECT doc_id FROM train
+        WHERE doc_id NOT IN (SELECT id FROM contaminated)),
+      t AS (SELECT doc_id AS id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        FROM documents JOIN clean USING (doc_id)),
+      c AS (SELECT id, n,
+        COALESCE(SUM(n) OVER (ORDER BY id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        FROM t WHERE n > 0)
+      SELECT id AS doc_id, b AS chunk_id,
+        CAST(least(s + n, (b + 1) * 256) - greatest(s, b * 256) AS BIGINT)
+          AS n_tokens
+      FROM c, UNNEST(generate_series(CAST(s // 256 AS BIGINT),
+        CAST((s + n - 1) // 256 AS BIGINT))) AS u(b)"""))
+
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap,
     textTokens, textQuality, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, sampleStratified, a1Salted,
-    packChunks, decontaminate)
+    packChunks, decontaminate, mixtureUpsample, e2eDataPipeline)
 }

@@ -53,6 +53,26 @@ class PackingSpec extends SparkSpec {
       col("n_chunks") > floor((col("n") + C - 2) / C) + 1).isEmpty)
   }
 
+  test("upsample: integer weights replicate exactly, zero drops, copies are 1..n") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "source")
+    val out = graft.datapipe.Sampling.upsample(df, col("doc_id"), col("source"),
+      Map("a" -> 3.0, "b" -> 0.0), defaultWeight = 1.0)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(out === Seq((1L, "a", 1L), (1L, "a", 2L), (1L, "a", 3L), (3L, "c", 1L)))
+  }
+
+  test("upsample: fractional weight yields floor/ceil copies at the hash split") {
+    val df = spark.range(0, 1000).toDF("doc_id")
+      .select(col("doc_id"), lit("s").as("source"))
+    val out = graft.datapipe.Sampling.upsample(df, col("doc_id"), col("source"),
+      Map("s" -> 1.5), defaultWeight = 0.0)
+    val perDoc = out.groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") < 1 || col("count") > 2).isEmpty)
+    val n2 = perDoc.filter(col("count") === 2).count()
+    // md5 buckets are near-uniform: ~50% of docs get the extra copy
+    assert(n2 > 400 && n2 < 600, s"extra-copy fraction off: $n2/1000")
+  }
+
   test("contamination hits the planted extremes and stays in [0,1]") {
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val train = Seq(
