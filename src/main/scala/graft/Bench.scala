@@ -22,14 +22,25 @@ object Bench {
     // one-time cost, not plan cost. Steady-state is the honest number
     // for the target deployment: a long-running cluster executes each
     // operator's generated code far more than once.
-    try { SparkEntry.entry(spark).write.format("noop").mode("overwrite").save() }
-    catch { case _: Throwable => () }
     for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
       try { fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
+    // Several operators persist() staging tables and never unpersist
+    // (session-scoped caches). Drop them all between runs: cache
+    // lookup matches canonicalized PLANS, so a timed query over the
+    // same sf dir would silently read the warmup's InMemoryRelations
+    // and measure cached scans instead of execution. Clearing between
+    // timed queries likewise keeps each number self-contained instead
+    // of "incremental cost given whatever ran before it".
+    def dropAllCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    dropAllCaches()
     // (name, seconds, error). A query that dies must NOT read as a fast
     // success: its error is recorded and surfaced in the JSON.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      dropAllCaches()
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column (a bare
       // count() would let Catalyst prune the projections under test).

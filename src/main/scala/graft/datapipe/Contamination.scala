@@ -26,23 +26,26 @@ object Contamination {
     */
   def score(train: DataFrame, bench: DataFrame, idCol: String,
             textCol: String, k: Int = 3): DataFrame = {
-    val trainSh = train.select(col(idCol).as("doc_id"),
-      Dedup.shingleHashes(Dedup.shingles(col(textCol), k)).as("hh"))
     val benchSet = bench
       .select(explode(Dedup.shingleHashes(Dedup.shingles(col(textCol), k)))
         .as("h"))
       .distinct()
-    val shared = trainSh
-      .select(col("doc_id"), explode(col("hh")).as("h"))
-      .join(broadcast(benchSet), Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    trainSh
-      .select(col("doc_id"), size(col("hh")).cast("bigint").as("n_shingles"))
-      .join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        col("n_shingles"),
-        (coalesce(col("n_shared"), lit(0L)).cast("double") /
-          col("n_shingles")).as("contamination"))
+    // ONE training-side pass: every exploded shingle probes the
+    // broadcast set via an outer join whose `hit` marker is counted
+    // next to the total in a single aggregation. (A separate
+    // size(hh) branch for the total would re-run the whole shingle
+    // pipeline a second time; shingles() never returns an empty
+    // array, so every document survives the aggregation and no
+    // zero-fill join is needed.)
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.shingleHashes(Dedup.shingles(col(textCol), k))).as("h"))
+      .join(broadcast(benchSet.select(col("h"), lit(1).as("hit"))),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        (col("n_shared").cast("double") / col("n_shingles"))
+          .as("contamination"))
   }
 }

@@ -276,8 +276,15 @@ object Dedup {
     // round for nothing — after near-dedup of a 100 TB corpus the dup
     // graph is orders of magnitude smaller than the doc set. Isolated
     // docs rejoin as their own cluster in one final left join.
-    var labels = edges.keys.distinct(part.numPartitions)
-      .map(id => (id, id)).partitionBy(part).persist(lvl)
+    // edges is already hash-partitioned by source id, so a
+    // per-partition distinct IS globally distinct and the seed labels
+    // inherit the loop partitioner with ZERO extra shuffles (a
+    // .distinct() + .partitionBy here would shuffle the vertex set
+    // twice).
+    var labels = edges
+      .mapPartitions(it => it.map(_._1).toSet.iterator.map((id: Long) => (id, id)),
+        preservesPartitioning = true)
+      .persist(lvl)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {

@@ -24,9 +24,9 @@ import org.apache.spark.sql.functions._
   *     to the driver, whose running sum yields each partition's base
   *     offset;
   *  3. one narrow mapPartitions pass emits each row's global start
-  *     offset from the partition base. The pass re-reads the stage-1
-  *     shuffle output (skipped-stage reuse), so the scan itself runs
-  *     once.
+  *     offset from the partition base. The compact (id, n) rows are
+  *     cached around the shuffle, so the feeding pipeline and the
+  *     post-shuffle sort each run exactly once.
   *
   * Everything after the prefix sum is per-row arithmetic: a document
   * spanning [start, start+n) touches chunks floor(start/C) through
@@ -43,24 +43,39 @@ object Packing {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = docs.sparkSession
     import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Persist the compact (id, n) projection BEFORE the range
+    // repartition: RangePartitioner runs an eager SAMPLING job over
+    // its child to pick bounds, then the shuffle-map job runs the
+    // child again — without the cache that is two full passes over
+    // whatever pipeline feeds the packer (in the composed e2e entry,
+    // joins over the document text). 16 bytes/row, spills to disk.
     val counted = docs
       .select(idCol.cast("long").as("id"), nTokensCol.cast("long").as("n"))
       .filter(col("n") > 0)
+      .persist(lvl)
+    // Persist the sorted partitions too: both the totals job and the
+    // offset pass consume them, and the post-shuffle sort would
+    // otherwise run in each.
+    val sorted = counted
       .repartitionByRange(col("id"))
       .sortWithinPartitions(col("id"))
       .as[(Long, Long)]
-      .rdd
-    val partTotals = counted
+      .rdd.persist(lvl)
+    val partTotals = sorted
       .mapPartitionsWithIndex { (i, it) =>
         var s = 0L
         it.foreach(s += _._2)
         Iterator((i, s))
       }
       .collect().sortBy(_._1).map(_._2)
+    // The totals job materialized `sorted`; the cached (id, n) DF
+    // behind it is no longer needed by anyone.
+    counted.unpersist(false)
     // Exclusive scan over the (tiny) per-partition totals: base(i) =
     // sum of all tokens in partitions before i.
     val base = partTotals.scanLeft(0L)(_ + _)
-    val withStart = counted.mapPartitionsWithIndex { (i, it) =>
+    val withStart = sorted.mapPartitionsWithIndex { (i, it) =>
       var acc = base(i)
       it.map { case (id, n) =>
         val s = acc

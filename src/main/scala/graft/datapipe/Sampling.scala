@@ -19,9 +19,16 @@ object Sampling {
     * layout, and the sample composes with incremental reprocessing.
     * md5-based so the oracle reproduces it bit-for-bit.
     */
-  def hashSampleCond(key: Column, percent: Column): Column =
+  /** The stable per-row percent bucket (0-99) behind every
+    * deterministic sampling decision here — md5-derived so any engine
+    * reproduces it bit-for-bit.
+    */
+  def hashBucket(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("bigint") % 100 < percent
+      .cast("bigint") % 100
+
+  def hashSampleCond(key: Column, percent: Column): Column =
+    hashBucket(key) < percent
 
   def hashSampleCond(key: Column, percent: Int): Column =
     hashSampleCond(key, lit(percent))
@@ -62,10 +69,8 @@ object Sampling {
       case (acc, (s, x)) => when(stratum === s, lit(x)).otherwise(acc)
     }
     val fracPct = round((w - floor(w)) * 100).cast("bigint")
-    val bucket = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("bigint") % 100
     val copies = floor(w).cast("bigint") +
-      when(bucket < fracPct, lit(1L)).otherwise(lit(0L))
+      when(hashBucket(key) < fracPct, lit(1L)).otherwise(lit(0L))
     df.select(col("*"), copies.as("n_copies"))
       .filter(col("n_copies") > 0)
       // sequence() DESCENDS when start > stop, so the n_copies = 0
