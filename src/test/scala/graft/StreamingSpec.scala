@@ -255,4 +255,31 @@ class StreamingSpec extends SparkSpec {
     assert(nonFull <= nStreams,
       "at most one partial (tail) group per micro-batch partition")
   }
+
+  test("streaming dedup: redelivered ids collapse, state expires with the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.dedupStream(in.toDF(), "event_type", "10 seconds")
+      .writeStream.format("memory").queryName("dedup_expiry")
+      .outputMode(OutputMode.Append).start()
+    // duplicate delivery inside one batch AND across batches
+    in.addData(Ev(t("2024-01-01 00:00:01"), "id-1", 1),
+      Ev(t("2024-01-01 00:00:02"), "id-1", 1),
+      Ev(t("2024-01-01 00:00:03"), "id-2", 2))
+    q.processAllAvailable()
+    in.addData(Ev(t("2024-01-01 00:00:04"), "id-1", 1)) // redelivery, within watermark
+    q.processAllAvailable()
+    assert(spark.table("dedup_expiry").count() === 2)
+    // advance the watermark far past id-1's state, then redeliver: the
+    // expired entry no longer blocks it (bounded-state tradeoff)
+    in.addData(Ev(t("2024-01-01 01:00:00"), "id-3", 3))
+    q.processAllAvailable()
+    in.addData(Ev(t("2024-01-01 01:00:01"), "id-1", 1))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_expiry").groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(ids("id-1") === 2L, "expired state readmits the id")
+    assert(ids("id-2") === 1L && ids("id-3") === 1L)
+  }
 }
