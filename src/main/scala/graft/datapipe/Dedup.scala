@@ -68,9 +68,12 @@ object Dedup {
     * Callers must stage the hash array in its own projection.
     */
   def minhashSignatureFromHashes(hashCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(hashCol, h => xxhash64(lit(i), h)))
-    }: _*)
+    // Fused one-pass expression; bit-identical to the composed form
+    // `array(array_min(transform(hh, h => xxhash64(lit(i), h))), …)`
+    // which traversed the array once per permutation (64 transform
+    // passes + 64 intermediate arrays per row — MinHashSpec pins the
+    // equivalence).
+    graft.functions.MinHashFunctions.minhashSignature(hashCol, numHashes)
 
   /** Convenience single-expression form (tests, small frames). */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** MinHash signature: fold an array of pre-hashed shingles
+  * (array<bigint>) into `numHashes` permutation minima in ONE pass.
+  *
+  * Bit-compatible with the column-composed form
+  * `array((0 until n).map(i => array_min(transform(hh, h =>
+  * xxhash64(lit(i), h)))))`: Spark's XxHash64 expression folds its
+  * children left from seed 42, so `xxhash64(lit(i), h)` over an
+  * IntegerType literal and a long is
+  * `XXH64.hashLong(h, XXH64.hashInt(i, 42))` — the per-permutation
+  * seeds are precomputed once and the element loop calls only
+  * `hashLong`. The composed form traverses the hash array once PER
+  * PERMUTATION (64 `transform` passes, each allocating an
+  * intermediate array); this expression is a single fused loop with
+  * one long[] of state, the same technique as [[SimHash64]] and
+  * [[CosineSimilarity]].
+  *
+  * Empty input produces all-null elements — exactly what
+  * `array_min(transform(empty, ...))` yields — so the two forms stay
+  * interchangeable even on degenerate rows.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature requires array<bigint>, got ${other.catalogString}")
+    }
+
+  // xxhash64(lit(i), h) = hashLong(h, seed_i), seed_i = hashInt(i, 42)
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = XXH64.hashLong(h, seeds(i))
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      s"""
+        int $n = $a.numElements();
+        if ($n == 0) {
+          ${ev.value} = new $gad(new Object[$numHashes]);
+        } else {
+          long[] $mins = new long[$numHashes];
+          java.util.Arrays.fill($mins, Long.MAX_VALUE);
+          for (int $j = 0; $j < $n; $j++) {
+            long $h = $a.getLong($j);
+            for (int $i = 0; $i < $numHashes; $i++) {
+              long $v = $xxh.hashLong($h, $seedsRef[$i]);
+              if ($v < $mins[$i]) $mins[$i] = $v;
+            }
+          }
+          ${ev.value} = new $gad($mins);
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashFunctions {
+  /** minhash_signature(hashes, n) over an array<bigint> column of
+    * per-shingle hashes (see [[graft.datapipe.Dedup.shingleHashes]]). */
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), numHashes))
+}
