@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, SimHash64}
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64}
 
 /** SparkSessionExtensions hook: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -26,6 +26,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "simhash64(hashes)")
         SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "minhash_signature(hashes, numHashes) — numHashes a literal int")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"numHashes must be a literal int, got $other")
+        }
+        MinHashSignature(children.head, n)
       }))
   }
 }

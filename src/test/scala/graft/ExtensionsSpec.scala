@@ -22,6 +22,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(viaSql - 10.0 / 14.0) < 1e-12)
   }
 
+  test("minhash_signature is callable from SQL and matches the Column API") {
+    val viaSql = spark.sql("SELECT minhash_signature(array(7L, 8L, 9L), 8)")
+      .as[Seq[Long]].head()
+    val viaColumn = Seq(Seq(7L, 8L, 9L)).toDF("hh")
+      .select(graft.functions.MinHashFunctions.minhashSignature(col("hh"), 8))
+      .as[Seq[Long]].head()
+    assert(viaSql === viaColumn && viaSql.length === 8)
+  }
+
   test("simhash64 is callable from SQL and matches the Column API") {
     val hashes = Seq(Seq(7L, 7L, 8L))
     val viaSql = spark.sql("SELECT simhash64(array(7L, 7L, 8L))")
