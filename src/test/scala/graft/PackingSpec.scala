@@ -73,6 +73,22 @@ class PackingSpec extends SparkSpec {
     assert(n2 > 400 && n2 < 600, s"extra-copy fraction off: $n2/1000")
   }
 
+  test("contamination against an empty benchmark scores all zeros") {
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val train = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = Contamination.score(train, bench, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 0L, 2L, 0.0)))
+  }
+
+  test("packing a single short document yields one partial chunk") {
+    val one = Seq((5L, "just a few tokens here")).toDF("doc_id", "text")
+    val got = Packing.packChunks(one, col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), C)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((5L, 0L, 5L)))
+  }
+
   test("contamination hits the planted extremes and stays in [0,1]") {
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val train = Seq(
