@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -12,20 +14,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Bit-compatible with the column-composed form
   * `array((0 until n).map(i => array_min(transform(hh, h =>
-  * xxhash64(lit(i), h)))))`: Spark's XxHash64 expression folds its
-  * children left from seed 42, so `xxhash64(lit(i), h)` over an
-  * IntegerType literal and a long is
-  * `XXH64.hashLong(h, XXH64.hashInt(i, 42))` — the per-permutation
-  * seeds are precomputed once and the element loop calls only
-  * `hashLong`. The composed form traverses the hash array once PER
-  * PERMUTATION (64 `transform` passes, each allocating an
-  * intermediate array); this expression is a single fused loop with
-  * one long[] of state, the same technique as [[SimHash64]] and
-  * [[CosineSimilarity]].
+  * xxhash64(lit(i), h)))))` — INCLUDING its null semantics, which
+  * follow from how Spark's XxHash64 folds children left from seed 42
+  * and skips null inputs:
+  *  - a null ELEMENT hashes to the permutation seed itself
+  *    (`xxhash64(lit(i), null)` = `hashInt(i, 42)`), so it still
+  *    competes for the minimum;
+  *  - a null or empty ARRAY yields an array of `numHashes` nulls
+  *    (`array_min` of a null/empty array is null, and the outer
+  *    `array(...)` is itself never null) — so this expression is
+  *    non-nullable.
   *
-  * Empty input produces all-null elements — exactly what
-  * `array_min(transform(empty, ...))` yields — so the two forms stay
-  * interchangeable even on degenerate rows.
+  * The composed form traverses the hash array once PER PERMUTATION
+  * (64 `transform` passes, each allocating an intermediate array);
+  * this expression is a single fused loop with one long[] of state,
+  * the same technique as [[SimHash64]] and [[CosineSimilarity]].
+  * MinHashSpec pins the equivalence on corpus text and on every
+  * degenerate shape above.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -33,6 +38,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   require(numHashes > 0, s"numHashes must be positive, got $numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
   override def prettyName: String = "minhash_signature"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -48,54 +54,76 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   private lazy val seeds: Array[Long] =
     Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new GenericArrayData(new Array[Any](numHashes))
+    val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val h = arr.getLong(j)
-      var i = 0
-      while (i < numHashes) {
-        val v = XXH64.hashLong(h, seeds(i))
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      if (arr.isNullAt(j)) {
+        // null element → candidate value is the permutation seed
+        var i = 0
+        while (i < numHashes) {
+          if (seeds(i) < mins(i)) mins(i) = seeds(i)
+          i += 1
+        }
+      } else {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < numHashes) {
+          val v2 = XXH64.hashLong(h, seeds(i))
+          if (v2 < mins(i)) mins(i) = v2
+          i += 1
+        }
       }
       j += 1
     }
     new GenericArrayData(mins)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
-      val n = ctx.freshName("n")
-      val mins = ctx.freshName("mins")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val h = ctx.freshName("h")
-      val v = ctx.freshName("v")
-      val xxh = classOf[XXH64].getName
-      val gad = classOf[GenericArrayData].getName
-      s"""
-        int $n = $a.numElements();
-        if ($n == 0) {
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+    val n = ctx.freshName("n")
+    val mins = ctx.freshName("mins")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val h = ctx.freshName("h")
+    val v = ctx.freshName("v")
+    val xxh = classOf[XXH64].getName
+    val gad = classOf[GenericArrayData].getName
+    val arrData = classOf[ArrayData].getName
+    val resultCode =
+      code"""
+        ${childGen.code}
+        $arrData ${ev.value};
+        if (${childGen.isNull} || ${childGen.value}.numElements() == 0) {
           ${ev.value} = new $gad(new Object[$numHashes]);
         } else {
+          int $n = ${childGen.value}.numElements();
           long[] $mins = new long[$numHashes];
           java.util.Arrays.fill($mins, Long.MAX_VALUE);
           for (int $j = 0; $j < $n; $j++) {
-            long $h = $a.getLong($j);
-            for (int $i = 0; $i < $numHashes; $i++) {
-              long $v = $xxh.hashLong($h, $seedsRef[$i]);
-              if ($v < $mins[$i]) $mins[$i] = $v;
+            if (${childGen.value}.isNullAt($j)) {
+              for (int $i = 0; $i < $numHashes; $i++) {
+                if ($seedsRef[$i] < $mins[$i]) $mins[$i] = $seedsRef[$i];
+              }
+            } else {
+              long $h = ${childGen.value}.getLong($j);
+              for (int $i = 0; $i < $numHashes; $i++) {
+                long $v = $xxh.hashLong($h, $seedsRef[$i]);
+                if ($v < $mins[$i]) $mins[$i] = $v;
+              }
             }
           }
           ${ev.value} = new $gad($mins);
         }
       """
-    })
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)

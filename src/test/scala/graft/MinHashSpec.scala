@@ -6,7 +6,9 @@ import graft.datapipe.Dedup
 
 /** The fused MinHashSignature expression must be bit-identical to the
   * column-composed form it replaced (array_min over 64 transform
-  * passes), including the all-null signature of an empty hash array.
+  * passes) on corpus text AND on every degenerate shape: empty
+  * arrays, null arrays, and null elements (which the composed form
+  * hashes to the permutation seed via xxhash64's null-skipping fold).
   */
 class MinHashSpec extends SparkSpec {
   import spark.implicits._
@@ -23,17 +25,26 @@ class MinHashSpec extends SparkSpec {
     val both = docs.select(col("doc_id"),
       Dedup.minhashSignatureFromHashes(col("hh"), 64).as("fused"),
       composed(col("hh"), 64).as("ref"))
-    assert(both.filter(col("fused") =!= col("ref")).isEmpty)
+    // null-safe comparison: =!= would silently drop any null-bearing row
+    assert(both.filter(!(col("fused") <=> col("ref"))).isEmpty)
     assert(both.count() > 0)
   }
 
-  test("empty hash array yields an all-null signature like the composed form") {
-    val df = Seq(Seq.empty[Long], Seq(7L)).toDF("hh")
+  test("empty, null, and null-element arrays match the composed form") {
+    val df = Seq(
+      Some(Seq(Some(7L), Some(8L))),
+      Some(Seq.empty[Option[Long]]),
+      None, // null array (e.g. null text upstream)
+      Some(Seq(Some(7L), None)), // null element competes as the seed
+      Some(Seq[Option[Long]](None))
+    ).toDF("hh")
     val got = df.select(
       Dedup.minhashSignatureFromHashes(col("hh"), 4).as("fused"),
       composed(col("hh"), 4).as("ref"))
-      .as[(Seq[Option[Long]], Seq[Option[Long]])].collect()
-    got.foreach { case (fused, ref) => assert(fused === ref) }
-    assert(got(0)._1 === Seq(None, None, None, None))
+    assert(got.filter(!(col("fused") <=> col("ref"))).isEmpty)
+    val rows = got.as[(Seq[Option[Long]], Seq[Option[Long]])].collect()
+    assert(rows(1)._1 === Seq(None, None, None, None))
+    assert(rows(2)._1 === Seq(None, None, None, None))
+    assert(rows(4)._1.forall(_.isDefined), "all-null input still yields seed minima")
   }
 }
