@@ -13,19 +13,19 @@ import org.apache.spark.sql.functions._
   * fixed-length training sequences.
   *
   * Scale design: the only global coordination is an EXCLUSIVE PREFIX
-  * SUM of per-document token counts in id order. The naive
-  * `sum(n) over (order by id)` window funnels every row through ONE
-  * partition — the classic 100 TB killer — so this runs the textbook
+  * SUM over a total order. The naive `sum(v) over (order by k)`
+  * window funnels every row through ONE partition — the classic
+  * 100 TB killer — so [[exclusivePrefixSum]] runs the textbook
   * two-pass distributed scan instead:
   *
-  *  1. range-partition by id and sort within partitions (one
-  *     shuffle; partition i holds strictly smaller ids than i+1);
-  *  2. per-partition token totals — numPartitions longs — come back
-  *     to the driver, whose running sum yields each partition's base
-  *     offset;
+  *  1. range-partition by the order key and sort within partitions
+  *     (one shuffle; partition i holds strictly smaller keys than
+  *     i+1);
+  *  2. per-partition totals — numPartitions longs — come back to the
+  *     driver, whose running sum yields each partition's base offset;
   *  3. one narrow mapPartitions pass emits each row's global start
-  *     offset from the partition base. The compact (id, n) rows are
-  *     cached around the shuffle, so the feeding pipeline and the
+  *     offset from the partition base. The compact rows are cached
+  *     around the shuffle, so the feeding pipeline and the
   *     post-shuffle sort each run exactly once.
   *
   * Everything after the prefix sum is per-row arithmetic: a document
@@ -35,55 +35,71 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Distributed exclusive prefix sum: input columns (k1, k2, v) —
+    * (k1, k2) a total order, v the summed value — output the same
+    * rows plus `start` = sum of v over all strictly-preceding rows.
+    * The shared primitive under [[packChunks]] (offsets over token
+    * counts) and [[ShuffleOrder.shuffleRank]] (ranks = prefix count
+    * of ones).
+    */
+  def exclusivePrefixSum(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Persist the compact rows BEFORE the range repartition:
+    // RangePartitioner runs an eager SAMPLING job over its child to
+    // pick bounds, then the shuffle-map job runs the child again —
+    // without the cache that is two full passes over whatever
+    // pipeline feeds this (in the composed e2e entry, joins over the
+    // document text). 24 bytes/row, spills to disk.
+    val compact = rows
+      .select(col("k1").cast("long"), col("k2").cast("long"),
+        col("v").cast("long"))
+      .persist(lvl)
+    // Persist the sorted partitions too: both the totals job and the
+    // offset pass consume them, and the post-shuffle sort would
+    // otherwise run in each.
+    val sorted = compact
+      .repartitionByRange(col("k1"), col("k2"))
+      .sortWithinPartitions(col("k1"), col("k2"))
+      .as[(Long, Long, Long)]
+      .rdd.persist(lvl)
+    val partTotals = sorted
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach(s += _._3)
+        Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // The totals job materialized `sorted`; the cached input DF
+    // behind it is no longer needed by anyone.
+    compact.unpersist(false)
+    // Exclusive scan over the (tiny) per-partition totals: base(i) =
+    // sum of v in partitions before i.
+    val base = partTotals.scanLeft(0L)(_ + _)
+    val withStart = sorted.mapPartitionsWithIndex { (i, it) =>
+      var acc = base(i)
+      it.map { case (k1, k2, v) =>
+        val s = acc
+        acc += v
+        (k1, k2, v, s)
+      }
+    }
+    spark.createDataFrame(withStart).toDF("k1", "k2", "v", "start")
+  }
+
   /** One row per (doc, chunk) overlap: (doc_id, chunk_id, n_tokens).
     * Documents with zero tokens occupy no chunk and are dropped.
     */
   def packChunks(docs: DataFrame, idCol: Column, nTokensCol: Column,
                  capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Persist the compact (id, n) projection BEFORE the range
-    // repartition: RangePartitioner runs an eager SAMPLING job over
-    // its child to pick bounds, then the shuffle-map job runs the
-    // child again — without the cache that is two full passes over
-    // whatever pipeline feeds the packer (in the composed e2e entry,
-    // joins over the document text). 16 bytes/row, spills to disk.
-    val counted = docs
-      .select(idCol.cast("long").as("id"), nTokensCol.cast("long").as("n"))
-      .filter(col("n") > 0)
-      .persist(lvl)
-    // Persist the sorted partitions too: both the totals job and the
-    // offset pass consume them, and the post-shuffle sort would
-    // otherwise run in each.
-    val sorted = counted
-      .repartitionByRange(col("id"))
-      .sortWithinPartitions(col("id"))
-      .as[(Long, Long)]
-      .rdd.persist(lvl)
-    val partTotals = sorted
-      .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L
-        it.foreach(s += _._2)
-        Iterator((i, s))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    // The totals job materialized `sorted`; the cached (id, n) DF
-    // behind it is no longer needed by anyone.
-    counted.unpersist(false)
-    // Exclusive scan over the (tiny) per-partition totals: base(i) =
-    // sum of all tokens in partitions before i.
-    val base = partTotals.scanLeft(0L)(_ + _)
-    val withStart = sorted.mapPartitionsWithIndex { (i, it) =>
-      var acc = base(i)
-      it.map { case (id, n) =>
-        val s = acc
-        acc += n
-        (id, n, s)
-      }
-    }
-    spark.createDataFrame(withStart).toDF("doc_id", "n", "start")
+    val offsets = exclusivePrefixSum(docs
+      .select(idCol.cast("long").as("k1"), lit(0L).as("k2"),
+        nTokensCol.cast("long").as("v"))
+      .filter(col("v") > 0))
+      .select(col("k1").as("doc_id"), col("v").as("n"), col("start"))
+    offsets
       .select(col("doc_id"), col("n"), col("start"),
         explode(sequence(
           floor(col("start") / capacity).cast("long"),
@@ -92,5 +108,31 @@ object Packing {
       .select(col("doc_id"), col("chunk_id"),
         (least(col("start") + col("n"), (col("chunk_id") + 1) * capacity) -
           greatest(col("start"), col("chunk_id") * capacity)).as("n_tokens"))
+  }
+}
+
+/** Deterministic global training-order shuffle: every epoch pipeline
+  * needs the corpus in a pseudorandom order that is REPRODUCIBLE —
+  * the same on every run, resumable mid-epoch, and independent of
+  * cluster layout (an orderBy(rand()) is none of these). The order
+  * key is the md5-derived long of the id (ties broken by id, so the
+  * order is total even under hash collisions), and the materialized
+  * rank comes from the distributed prefix sum over ones — no
+  * single-partition window, no zipWithIndex job chain on the
+  * unsorted layout.
+  */
+object ShuffleOrder {
+
+  /** (doc_id, shuffle_rank): rank 0 is the first document of the
+    * epoch order. Feed `shuffle_rank` into [[Packing.packChunks]] as
+    * the order key (via a join) to pack an epoch in shuffled order.
+    */
+  def shuffleRank(docs: DataFrame, idCol: Column): DataFrame = {
+    val hkey = conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+      .cast("bigint")
+    Packing.exclusivePrefixSum(
+      docs.select(hkey.as("k1"), idCol.cast("long").as("k2"),
+        lit(1L).as("v")))
+      .select(col("k2").as("doc_id"), col("start").as("shuffle_rank"))
   }
 }

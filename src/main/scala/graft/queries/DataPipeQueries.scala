@@ -389,6 +389,20 @@ object DataPipeQueries {
       FROM n, UNNEST(generate_series(1::BIGINT, n_copies)) u(copy)
       WHERE n_copies > 0"""))
 
+  /** Epoch-order shuffle: the oracle's single-partition ROW_NUMBER
+    * window is the semantic spec; the Spark side materializes the
+    * same ranks via the distributed prefix sum over md5-key order.
+    */
+  private val shuffleRank = QueryDef(
+    "shuffle_rank",
+    (s, d) => graft.datapipe.ShuffleOrder.shuffleRank(
+      Tables.documents(s, d), col("doc_id")),
+    Some("""SELECT doc_id,
+      ROW_NUMBER() OVER (ORDER BY
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        doc_id) - 1 AS shuffle_rank
+      FROM documents"""))
+
   /** The training-data flow end-to-end as ONE oracle-checked query:
     * minhash near-dedup keeps one doc per cluster, benchmark-overlap
     * decontamination drops anything sharing a shingle with the eval
@@ -459,5 +473,6 @@ object DataPipeQueries {
     textTokens, textQuality, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, sampleStratified, a1Salted,
-    packChunks, decontaminate, mixtureUpsample, e2eDataPipeline)
+    packChunks, decontaminate, mixtureUpsample, shuffleRank,
+    e2eDataPipeline)
 }

@@ -73,6 +73,15 @@ class PackingSpec extends SparkSpec {
     assert(n2 > 400 && n2 < 600, s"extra-copy fraction off: $n2/1000")
   }
 
+  test("shuffle ranks are a permutation of 0..n-1 and differ from id order") {
+    val ranks = graft.datapipe.ShuffleOrder.shuffleRank(docs, col("doc_id"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val n = ranks.length
+    assert(ranks.map(_._2).sorted.toSeq === (0L until n).toSeq)
+    // the hash order must not accidentally be the id order
+    assert(ranks.map(_._2).toSeq !== (0L until n).toSeq)
+  }
+
   test("contamination against an empty benchmark scores all zeros") {
     val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val train = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
