@@ -148,6 +148,74 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** State per LSH band bucket: the most recent `maxPerBucket`
+    * (id, signature) entries, a ring bounded by arrival order.
+    */
+  final case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+
+  /** Streaming near-duplicate detection — the streaming twin of
+    * [[graft.datapipe.Dedup.minhashPairs]]: each incoming document's
+    * minhash signature is banded into LSH bucket keys, and
+    * `flatMapGroupsWithState` keyed BY BUCKET compares it against the
+    * bucket's recent entries, emitting (a_id, b_id, est_jaccard) for
+    * signature agreement ≥ `threshold` (est_jaccard = matching
+    * signature components / numHashes, the unbiased minhash
+    * estimator).
+    *
+    * Scale/state design: state is bounded to `maxPerBucket` recent
+    * entries per bucket (arrival-ordered ring) — near-dup-vs-RECENT
+    * semantics, the same tradeoff as dedupStream's watermark horizon;
+    * unbounded bucket state is the streaming scale-killer. A pair
+    * sharing several bands can be emitted once per shared band;
+    * exact-once pair output would need a second stateful stage keyed
+    * by pair, so dedup is left to the consumer (`.dropDuplicates` /
+    * distinct-on-write), keeping this operator one shuffle wide.
+    */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int = 64, bands: Int = 32,
+                    threshold: Double = 0.8,
+                    maxPerBucket: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val rowsPerBand = numHashes / bands
+    val sigged = docs.select(col(idCol).cast("long").as("id"),
+      graft.datapipe.Dedup.shingleHashes(
+        graft.datapipe.Dedup.shingles(col(textCol), 3)).as("hh"))
+      .select(col("id"),
+        graft.datapipe.Dedup.minhashSignatureFromHashes(col("hh"), numHashes)
+          .as("sig"))
+      .select(col("id"), col("sig"),
+        explode(graft.datapipe.Dedup.lshBuckets(col("sig"), bands, rowsPerBand))
+          .as("bb"))
+    sigged.as[(Long, Seq[Long], Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[BucketState, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        var st = state.getOption.getOrElse(BucketState(Nil, Nil))
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        rows.foreach { case (id, sig, _) =>
+          st.ids.iterator.zip(st.sigs.iterator).foreach { case (cid, csig) =>
+            if (cid != id) {
+              var same = 0
+              var i = 0
+              while (i < numHashes) {
+                if (sig(i) == csig(i)) same += 1
+                i += 1
+              }
+              val est = same.toDouble / numHashes
+              if (est >= threshold)
+                out += ((math.min(id, cid), math.max(id, cid), est))
+            }
+          }
+          st = BucketState((st.ids :+ id).takeRight(maxPerBucket),
+            (st.sigs :+ sig).takeRight(maxPerBucket))
+        }
+        state.update(st)
+        out.result().iterator
+      }
+      .toDF("a_id", "b_id", "est_jaccard")
+  }
+
   /** J2 streaming twin: per-DID resolution cache as EXPLICIT stream
     * state via mapGroupsWithState — where the batch path uses an
     * executor-local LRU (graft.identity.LruCache), the streaming

@@ -168,6 +168,40 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L))
   }
 
+  test("streaming near-dup: twins match across batches, bucket state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val q = Streams.nearDupStream(
+      in.toDF().toDF("id", "text"), "id", "text",
+      numHashes = 16, bands = 8, threshold = 0.8, maxPerBucket = 2)
+      .writeStream.format("memory").queryName("near_dup")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, base), (2L, "totally unrelated words about spark plans"))
+    q.processAllAvailable()
+    in.addData((3L, base)) // exact twin of 1, later batch
+    q.processAllAvailable()
+    val pairs = spark.table("near_dup")
+      .select(col("a_id"), col("b_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)), "twin across batches must match")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "unrelated doc must not match")
+    // flood doc 1's OWN buckets past maxPerBucket=2 with newer twins
+    // (unrelated text would land in different buckets and evict
+    // nothing), then replay: 1's entries are out of the ring
+    in.addData((4L, base), (5L, base))
+    q.processAllAvailable()
+    in.addData((13L, base))
+    q.processAllAvailable()
+    q.stop()
+    val later = spark.table("near_dup")
+      .filter(col("b_id") === 13L).as[(Long, Long, Double)].collect()
+    assert(!later.exists(_._1 == 1L), "evicted entries must not match")
+    assert(later.exists(p => p._1 == 4L || p._1 == 5L),
+      "ring survivors still match")
+  }
+
   test("J2 streaming twin: mapGroupsWithState cache hits across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
