@@ -54,8 +54,7 @@ object Dedup {
     * oracle when both engines agree on the hash itself.
     */
   def shingleHashesPortable(shingleCol: Column): Column =
-    transform(shingleCol,
-      s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
+    transform(shingleCol, s => TextAnalysis.md5Long60(s.cast("binary")))
 
   /** MinHash signature over PRE-HASHED shingles: permutation i is
     * xxhash64(i, h) — a fixed-width two-long hash, ~the cost of one
@@ -114,6 +113,10 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 32,
                    threshold: Double = 0.8): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes) — " +
+        "a truncated split silently weakens recall, and rowsPerBand=0 " +
+        "would collapse every document into the same per-band buckets")
     // Hashed-shingle sets (one string-hash pass). Verification also
     // runs on the hashed sets: set intersection/union sizes are
     // preserved by the (collision-free at 64 bits) per-element hash,

@@ -41,6 +41,13 @@ object Packing {
     * The shared primitive under [[packChunks]] (offsets over token
     * counts) and [[ShuffleOrder.shuffleRank]] (ranks = prefix count
     * of ones).
+    *
+    * The sorted partitions stay persisted for the session (like
+    * minhashPairs' signature table): the returned DataFrame is lazy,
+    * so there is no safe point inside this function to unpersist
+    * without forcing the caller's consumption to re-sort. Long-lived
+    * drivers that call this repeatedly should clear caches between
+    * runs — the bench does exactly that.
     */
   def exclusivePrefixSum(rows: DataFrame): DataFrame = {
     val spark = rows.sparkSession
@@ -128,8 +135,7 @@ object ShuffleOrder {
     * the order key (via a join) to pack an epoch in shuffled order.
     */
   def shuffleRank(docs: DataFrame, idCol: Column): DataFrame = {
-    val hkey = conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
-      .cast("bigint")
+    val hkey = TextAnalysis.md5Long60(idCol.cast("string"))
     Packing.exclusivePrefixSum(
       docs.select(hkey.as("k1"), idCol.cast("long").as("k2"),
         lit(1L).as("v")))

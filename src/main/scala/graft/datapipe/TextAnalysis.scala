@@ -65,6 +65,17 @@ object TextAnalysis {
     }
   }
 
+  /** Engine-portable 60-bit hash: the leading 15 hex chars of md5 as
+    * a bigint, reproducible in any engine as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`. The ONE shared
+    * primitive behind document fingerprints, portable shingle hashes
+    * ([[Dedup.shingleHashesPortable]]), and the epoch-shuffle key
+    * ([[ShuffleOrder.shuffleRank]]) — the prefix length is an
+    * oracle-parity contract, so change it here or nowhere.
+    */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
   /** 64-bit document fingerprint: md5 of the whitespace-normalized,
     * lowercased text, top 60 bits as a bigint. Engine-portable (md5
     * is identical everywhere) and collision-safe enough for exact
@@ -72,7 +83,7 @@ object TextAnalysis {
     * bits... use the full md5 string when that matters).
     */
   def fingerprint(text: Column): Column =
-    conv(substring(md5(normalize(text)), 1, 15), 16, 10).cast("bigint")
+    md5Long60(normalize(text))
 
   /** Normalization used by fingerprint/dedup: lower, collapse
     * whitespace, trim.

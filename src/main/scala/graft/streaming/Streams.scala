@@ -162,10 +162,12 @@ object Streams {
     * signature components / numHashes, the unbiased minhash
     * estimator).
     *
-    * Scale/state design: state is bounded to `maxPerBucket` recent
-    * entries per bucket (arrival-ordered ring) — near-dup-vs-RECENT
-    * semantics, the same tradeoff as dedupStream's watermark horizon;
-    * unbounded bucket state is the streaming scale-killer. A pair
+    * Scale/state design: each bucket holds at most `maxPerBucket`
+    * recent entries (arrival-ordered ring), and `stateTtl` bounds the
+    * NUMBER of live buckets by timing out idle ones — together they
+    * give near-dup-vs-RECENT semantics with fully bounded state, the
+    * same tradeoff as dedupStream's watermark horizon; unbounded
+    * bucket state is the streaming scale-killer. A pair
     * sharing several bands can be emitted once per shared band;
     * exact-once pair output would need a second stateful stage keyed
     * by pair, so dedup is left to the consumer (`.dropDuplicates` /
@@ -174,44 +176,68 @@ object Streams {
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
                     numHashes: Int = 64, bands: Int = 32,
                     threshold: Double = 0.8,
-                    maxPerBucket: Int = 64): DataFrame = {
+                    maxPerBucket: Int = 64,
+                    stateTtl: Option[String] = None): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes) — " +
+        "a truncated split silently weakens recall, and rowsPerBand=0 " +
+        "would collapse every document into the same per-band buckets")
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val rowsPerBand = numHashes / bands
     val sigged = docs.select(col(idCol).cast("long").as("id"),
       graft.datapipe.Dedup.shingleHashes(
         graft.datapipe.Dedup.shingles(col(textCol), 3)).as("hh"))
+      // a null text yields a null hash array → an all-null signature;
+      // drop it HERE like the batch twin's joins do, or the row kills
+      // the whole query at the non-nullable tuple decode below
+      .filter(col("id").isNotNull && col("hh").isNotNull)
       .select(col("id"),
         graft.datapipe.Dedup.minhashSignatureFromHashes(col("hh"), numHashes)
           .as("sig"))
       .select(col("id"), col("sig"),
         explode(graft.datapipe.Dedup.lshBuckets(col("sig"), bands, rowsPerBand))
           .as("bb"))
+    // stateTtl bounds the NUMBER of live buckets (maxPerBucket only
+    // bounds each bucket's size): idle buckets time out and drop.
+    // Default None keeps NoTimeout for the same reason as
+    // cachedResolutionStream — ProcessingTimeTimeout schedules
+    // no-data batches that make processAllAvailable() hang in
+    // deterministic tests; production streams should pass a TTL about
+    // as long as their redelivery/near-dup horizon.
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     sigged.as[(Long, Seq[Long], Long)]
       .groupByKey(_._3)
       .flatMapGroupsWithState[BucketState, (Long, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
-        var st = state.getOption.getOrElse(BucketState(Nil, Nil))
-        val out = Seq.newBuilder[(Long, Long, Double)]
-        rows.foreach { case (id, sig, _) =>
-          st.ids.iterator.zip(st.sigs.iterator).foreach { case (cid, csig) =>
-            if (cid != id) {
-              var same = 0
-              var i = 0
-              while (i < numHashes) {
-                if (sig(i) == csig(i)) same += 1
-                i += 1
+        OutputMode.Append, timeoutConf) { (_, rows, state) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          rows.foreach { case (id, sig, _) =>
+            st.ids.iterator.zip(st.sigs.iterator).foreach { case (cid, csig) =>
+              if (cid != id) {
+                var same = 0
+                var i = 0
+                while (i < numHashes) {
+                  if (sig(i) == csig(i)) same += 1
+                  i += 1
+                }
+                val est = same.toDouble / numHashes
+                if (est >= threshold)
+                  out += ((math.min(id, cid), math.max(id, cid), est))
               }
-              val est = same.toDouble / numHashes
-              if (est >= threshold)
-                out += ((math.min(id, cid), math.max(id, cid), est))
             }
+            st = BucketState((st.ids :+ id).takeRight(maxPerBucket),
+              (st.sigs :+ sig).takeRight(maxPerBucket))
           }
-          st = BucketState((st.ids :+ id).takeRight(maxPerBucket),
-            (st.sigs :+ sig).takeRight(maxPerBucket))
+          state.update(st)
+          stateTtl.foreach(state.setTimeoutDuration)
+          out.result().iterator
         }
-        state.update(st)
-        out.result().iterator
       }
       .toDF("a_id", "b_id", "est_jaccard")
   }

@@ -202,6 +202,24 @@ class StreamingSpec extends SparkSpec {
       "ring survivors still match")
   }
 
+  test("streaming near-dup tolerates null text like the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val q = Streams.nearDupStream(
+      in.toDF().toDF("id", "text"), "id", "text",
+      numHashes = 16, bands = 8, threshold = 0.8, maxPerBucket = 4)
+      .writeStream.format("memory").queryName("near_dup_null")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, base), (2L, null), (3L, base))
+    q.processAllAvailable() // must not throw on the null-text row
+    q.stop()
+    val pairs = spark.table("near_dup_null")
+      .select(col("a_id"), col("b_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 3L)))
+  }
+
   test("J2 streaming twin: mapGroupsWithState cache hits across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
