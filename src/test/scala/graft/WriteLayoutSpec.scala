@@ -45,4 +45,14 @@ class WriteLayoutSpec extends SparkSpec {
     assert(fromJson.join(base, key).filter(
       fromJson("event_type") =!= base("event_type")).count() === 0)
   }
+
+  test("ORC round-trips the full events table including timestamps") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    events.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === events.count())
+    // exact row equality both directions (timestamps survive)
+    assert(back.exceptAll(events).isEmpty)
+    assert(events.exceptAll(back).isEmpty)
+  }
 }
