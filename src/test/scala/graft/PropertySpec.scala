@@ -14,11 +14,11 @@ import graft.model._
   */
 object PropertySpec extends Properties("graft") {
 
-  private val str: Gen[String] =
+  val str: Gen[String] =
     Gen.oneOf(Gen.alphaNumStr, Gen.asciiPrintableStr,
       Gen.const(""), Gen.const("déjà-vu ☃"))
 
-  private val genTradeData: Gen[TradeData] = for {
+  val genTradeData: Gen[TradeData] = for {
     id <- str; sym <- str
     cond <- Gen.option(Gen.listOf(str).map(_.toSeq))
     price <- Gen.chooseNum(-1e12, 1e12)
@@ -26,7 +26,7 @@ object PropertySpec extends Properties("graft") {
     vol <- Gen.chooseNum(0.0, 1e9)
   } yield TradeData(id, cond, price, sym, ts, vol)
 
-  private val genCredential: Gen[TradeCredential] = for {
+  val genCredential: Gen[TradeCredential] = for {
     td <- genTradeData; vcId <- str; date <- str
     issuer <- str; subject <- str; jwt <- str
   } yield TradeCredential(
@@ -34,7 +34,7 @@ object PropertySpec extends Properties("graft") {
     Issuer(issuer), CredentialSubject(subject, Claims(td)),
     Proof(jwt, "JwtProof2020"), Seq("VerifiableCredential"))
 
-  private val genEvent: Gen[TradeEvent] = for {
+  val genEvent: Gen[TradeEvent] = for {
     ts <- str; sym <- str; id <- str
     ssi <- Arbitrary.arbitrary[Boolean]
     td <- genTradeData; cred <- genCredential
