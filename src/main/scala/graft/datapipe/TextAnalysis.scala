@@ -85,6 +85,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5Long60(normalize(text))
 
+  /** PII scrub — the redaction pass a pretraining corpus gets before
+    * anything else sees it: email-like tokens become `<EMAIL>`, digit
+    * runs of 10+ (phone/account numbers) become `<NUM>`. Pure
+    * regexp_replace (codegen'd, replace-all), with patterns inside
+    * the RE2 ∩ java.util.regex common subset so an external engine
+    * replicates them byte-for-byte.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\d{10,}", "<NUM>")
+
   /** Normalization used by fingerprint/dedup: lower, collapse
     * whitespace, trim.
     */

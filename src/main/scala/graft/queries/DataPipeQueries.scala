@@ -389,6 +389,25 @@ object DataPipeQueries {
       FROM n, UNNEST(generate_series(1::BIGINT, n_copies)) u(copy)
       WHERE n_copies > 0"""))
 
+  /** PII redaction: the corpus is synthetic word salad, so a
+    * deterministic email + long digit run is INJECTED per row (both
+    * engines build the same string) — the regexes exercise on every
+    * document instead of matching nothing.
+    */
+  private val textRedact = QueryDef(
+    "text_redact",
+    (s, d) => Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.redact(concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@example.com tel 9876543210123"))).as("clean")),
+    Some("""SELECT doc_id,
+      regexp_replace(regexp_replace(
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com tel 9876543210123',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\d{10,}', '<NUM>', 'g') AS clean
+      FROM documents"""))
+
   /** Epoch-order shuffle: the oracle's single-partition ROW_NUMBER
     * window is the semantic spec; the Spark side materializes the
     * same ranks via the distributed prefix sum over md5-key order.
@@ -474,5 +493,5 @@ object DataPipeQueries {
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, sampleStratified, a1Salted,
     packChunks, decontaminate, mixtureUpsample, shuffleRank,
-    e2eDataPipeline)
+    textRedact, e2eDataPipeline)
 }

@@ -82,6 +82,21 @@ class PackingSpec extends SparkSpec {
     assert(ranks.map(_._2).toSeq !== (0L until n).toSeq)
   }
 
+  test("redaction scrubs planted PII and leaves clean text alone") {
+    val got = Seq(
+      "write to first.last+tag@sub.example.co today",
+      "call 98765432101234 now",
+      "short number 123456789 stays",
+      "nothing sensitive here").toDF("text")
+      .select(TextAnalysis.redact(col("text")).as("clean"))
+      .as[String].collect().toSeq
+    assert(got === Seq(
+      "write to <EMAIL> today",
+      "call <NUM> now",
+      "short number 123456789 stays",
+      "nothing sensitive here"))
+  }
+
   test("contamination against an empty benchmark scores all zeros") {
     val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val train = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
