@@ -110,13 +110,19 @@ object Dedup {
     * in practice and the operator is oracle-checkable against an
     * all-pairs exact-Jaccard query.
     */
+  /** The banding contract shared by the batch and streaming LSH
+    * paths: a truncated split silently weakens recall, and
+    * rowsPerBand = 0 would collapse every document into the same
+    * per-band buckets.
+    */
+  def requireValidBanding(numHashes: Int, bands: Int): Unit =
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes)")
+
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 32,
                    threshold: Double = 0.8): DataFrame = {
-    require(bands > 0 && numHashes % bands == 0,
-      s"bands ($bands) must evenly divide numHashes ($numHashes) — " +
-        "a truncated split silently weakens recall, and rowsPerBand=0 " +
-        "would collapse every document into the same per-band buckets")
+    requireValidBanding(numHashes, bands)
     // Hashed-shingle sets (one string-hash pass). Verification also
     // runs on the hashed sets: set intersection/union sizes are
     // preserved by the (collision-free at 64 bits) per-element hash,

@@ -62,6 +62,11 @@ object Packing {
     val compact = rows
       .select(col("k1").cast("long"), col("k2").cast("long"),
         col("v").cast("long"))
+      // a null key or value has no place in the total order and would
+      // kill the job at the non-nullable tuple decode below — drop,
+      // like the dedup pipelines drop null-text documents
+      .filter(col("k1").isNotNull && col("k2").isNotNull &&
+        col("v").isNotNull)
       .persist(lvl)
     // Persist the sorted partitions too: both the totals job and the
     // offset pass consume them, and the post-shuffle sort would

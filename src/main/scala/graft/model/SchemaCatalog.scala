@@ -57,8 +57,10 @@ object SchemaCatalog {
     * each step so the order is deterministic. References to names
     * outside the catalog fail loudly (the reference's initialiser
     * likewise refuses to register a schema whose dependency is
-    * unknown), as do reference cycles, which Avro named types cannot
-    * express acyclically anyway.
+    * unknown). SELF-reference is valid Avro (recursive records) and
+    * imposes no ordering constraint; cycles ACROSS schemas fail
+    * loudly because no one-schema-at-a-time registration order can
+    * satisfy them.
     */
   def registrationOrder(schemas: Map[String, String]): Seq[String] = {
     val deps: Map[String, Set[String]] = schemas.map { case (name, json) =>
@@ -66,7 +68,9 @@ object SchemaCatalog {
       val unknown = refs.filterNot(schemas.contains)
       require(unknown.isEmpty,
         s"schema $name references unknown types: ${unknown.toSeq.sorted.mkString(", ")}")
-      name -> refs
+      // self-reference is VALID Avro (recursive records like linked
+      // nodes parse fine) and is not an ordering constraint
+      name -> (refs - name)
     }
     val order = Seq.newBuilder[String]
     var remaining = deps
@@ -75,7 +79,9 @@ object SchemaCatalog {
         case (n, ds) if ds.forall(d => !remaining.contains(d)) => n
       }.toSeq.sorted
       require(ready.nonEmpty,
-        s"schema reference cycle among: ${remaining.keys.toSeq.sorted.mkString(", ")}")
+        "schema reference cycle among: " +
+          s"${remaining.keys.toSeq.sorted.mkString(", ")} — mutual " +
+          "recursion across named types cannot be registered one-by-one")
       order ++= ready
       remaining = remaining -- ready
     }

@@ -178,10 +178,12 @@ object Streams {
                     threshold: Double = 0.8,
                     maxPerBucket: Int = 64,
                     stateTtl: Option[String] = None): DataFrame = {
-    require(bands > 0 && numHashes % bands == 0,
-      s"bands ($bands) must evenly divide numHashes ($numHashes) — " +
-        "a truncated split silently weakens recall, and rowsPerBand=0 " +
-        "would collapse every document into the same per-band buckets")
+    graft.datapipe.Dedup.requireValidBanding(numHashes, bands)
+    require(maxPerBucket > 0,
+      s"maxPerBucket ($maxPerBucket) must be positive — an empty ring " +
+        "compares every arrival against nothing and silently emits no pairs")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold ($threshold) must be in (0, 1] — above 1 nothing can match")
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val rowsPerBand = numHashes / bands

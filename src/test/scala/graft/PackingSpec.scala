@@ -105,6 +105,14 @@ class PackingSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 0L, 2L, 0.0)))
   }
 
+  test("null ids are dropped instead of killing the prefix-sum job") {
+    val withNull = Seq((Some(1L), "three tokens here"), (None, "ghost doc"))
+      .toDF("doc_id", "text")
+    val ranks = graft.datapipe.ShuffleOrder.shuffleRank(withNull, col("doc_id"))
+      .as[(Long, Long)].collect()
+    assert(ranks.toSeq === Seq((1L, 0L)))
+  }
+
   test("packing a single short document yields one partial chunk") {
     val one = Seq((5L, "just a few tokens here")).toDF("doc_id", "text")
     val got = Packing.packChunks(one, col("doc_id"),

@@ -50,6 +50,15 @@ class SchemaCatalogSpec extends AnyFunSuite {
       catalog.toSeq.reverse.toMap) === order)
   }
 
+  test("self-referential (recursive) schemas register and parse fine") {
+    val node = Map("Node" ->
+      """{"type": "record", "name": "Node", "fields": [
+           {"name": "v", "type": "long"},
+           {"name": "next", "type": ["null", "Node"], "default": null}]}""")
+    assert(SchemaCatalog.registrationOrder(node) === Seq("Node"))
+    assert(SchemaCatalog.parseAll(node)("Node").getName === "Node")
+  }
+
   test("unknown references and cycles fail loudly") {
     val dangling = Map("A" ->
       """{"type": "record", "name": "A", "fields": [{"name": "x", "type": "Ghost"}]}""")
