@@ -362,19 +362,19 @@ object Dedup {
     // next to a generator are re-evaluated once per exploded output
     // row, so an inline shingleHashes(shingles(...)) would recompute
     // the whole array ~|shingles| times per document.
-    // hhTable itself is NOT persisted, unlike minhashPairs': the
-    // posting join key is a non-nullable xxhash64 (no inferred-filter
-    // pathology), and measured end-to-end the columnar cache build of
-    // the big hash ARRAYS costs more than the two pruned verification
-    // recomputes it would save. The exploded `posts` below IS
-    // persisted — flat (long, long) rows cache cheaply and feed three
-    // consumers (hot list + both candidate-join sides), collapsing
-    // three text-pipeline passes into one; at corpus scale the
-    // disk-backed cache is strictly cheaper than three full rescans.
+    // BOTH staging tables persist: the exploded `posts` (flat
+    // long-pair rows, three consumers — hot list + both candidate
+    // sides) and hhTable itself (two verification join-backs). An
+    // earlier round measured the hhTable array cache as a net loss,
+    // but that was when it ALSO fed the posting pipeline; with posts
+    // cached, hhTable's only consumers are the join-backs and caching
+    // it wins (~15% warm, re-measured). At corpus scale a disk-backed
+    // cache beats re-running the text pipeline per consumer outright.
     // Sorted ascending: prefix filtering below needs one global total
     // order shared by all documents (the hash value is that order).
     val hhTable = docs.select(col(idCol).as("id"),
       array_sort(array_distinct(shingleHashes(shingles(col(textCol), k)))).as("hh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Prefix filtering (AllPairs/PPJoin): J(a,b) >= t implies
     // |a∩b| >= ceil(t*max(|a|,|b|)), and any two sets sharing alpha
     // elements must intersect within their (n - alpha + 1)-prefixes
