@@ -27,8 +27,7 @@ object Contamination {
   def score(train: DataFrame, bench: DataFrame, idCol: String,
             textCol: String, k: Int = 3): DataFrame = {
     val benchSet = bench
-      .select(explode(Dedup.shingleHashes(Dedup.shingles(col(textCol), k)))
-        .as("h"))
+      .select(explode(Dedup.hashedShingles(col(textCol), k)).as("h"))
       .distinct()
     // ONE training-side pass: every exploded shingle probes the
     // broadcast set via an outer join whose `hit` marker is counted
@@ -39,7 +38,7 @@ object Contamination {
     // zero-fill join is needed.)
     train
       .select(col(idCol).as("doc_id"),
-        explode(Dedup.shingleHashes(Dedup.shingles(col(textCol), k))).as("h"))
+        explode(Dedup.hashedShingles(col(textCol), k)).as("h"))
       .join(broadcast(benchSet.select(col("h"), lit(1).as("hit"))),
         Seq("h"), "left")
       .groupBy(col("doc_id"))

@@ -45,6 +45,18 @@ object Dedup {
   def shingleHashes(shingleCol: Column): Column =
     transform(shingleCol, s => xxhash64(s))
 
+  /** The fused text→distinct-shingle-hash stage: tokenizes once,
+    * then [[graft.functions.ShingleHashes]] hashes every k-window
+    * from a reused byte buffer — no per-shingle string allocation,
+    * bit-identical longs to `shingleHashes(shingles(text, k))`
+    * (ShingleHashesSpec pins it). This is the form the dedup
+    * operators call; the composed pair stays for tests and for
+    * callers that need the shingle STRINGS.
+    */
+  def hashedShingles(text: Column, k: Int): Column =
+    graft.functions.ShingleHashes.ofTokens(
+      split(TextAnalysis.normalize(text), " "), k)
+
   /** Engine-portable shingle hashing: 60-bit longs from the leading
     * 15 hex chars of md5, computable bit-identically in any engine
     * with an md5() (e.g. `('0x' || substr(md5(s), 1, 15))::BIGINT`).
@@ -142,7 +154,7 @@ object Dedup {
     // cluster scale (at 100 TB this stage is ~1% the size of the
     // text it derives from).
     val hhTable = docs.select(col(idCol).as("id"),
-      array_distinct(shingleHashes(shingles(col(textCol), 3))).as("hh"))
+      hashedShingles(col(textCol), 3).as("hh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Staged projections: hh and sig are each materialized ONCE per
     // row before the stages that reference them repeatedly — inlining
@@ -220,7 +232,8 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, bands: Int = 4, maxHamming: Int = 3,
-                   hasher: Column => Column = shingleHashes): DataFrame = {
+                   hashPipeline: (Column, Int) => Column = hashedShingles)
+      : DataFrame = {
     require(maxHamming < bands, "pigeonhole completeness needs maxHamming < bands")
     // persist(): same rationale as minhashPairs — the 16-byte
     // id→code table feeds both sides of the band self-join; without
@@ -228,8 +241,7 @@ object Dedup {
     // isnotnull(simhash64(...)) join-key predicate lands below the
     // repartition on the scan's few splits.
     val codes = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .select(col("id"), hasher(col("sh")).as("hh"))
+      .select(col(idCol).as("id"), hashPipeline(col(textCol), k).as("hh"))
       .select(col("id"), simhashFromHashes(col("hh")).as("code"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = codes.select(col("id"), col("code"),
@@ -373,7 +385,7 @@ object Dedup {
     // Sorted ascending: prefix filtering below needs one global total
     // order shared by all documents (the hash value is that order).
     val hhTable = docs.select(col(idCol).as("id"),
-      array_sort(array_distinct(shingleHashes(shingles(col(textCol), k)))).as("hh"))
+      array_sort(hashedShingles(col(textCol), k)).as("hh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Prefix filtering (AllPairs/PPJoin): J(a,b) >= t implies
     // |a∩b| >= ceil(t*max(|a|,|b|)), and any two sets sharing alpha

@@ -207,7 +207,7 @@ object DataPipeQueries {
     "dedup_simhash",
     (s, d) => Dedup.simhashPairs(withTwins(s, d), "id", "text",
       k = 3, bands = 8, maxHamming = 7,
-      hasher = Dedup.shingleHashesPortable)
+      hashPipeline = (t, kk) => Dedup.shingleHashesPortable(Dedup.shingles(t, kk)))
       .select(col("a_id"), col("b_id"),
         col("hamming").cast("bigint").as("hamming")),
     Some(s"""WITH $twinsSqlCte,

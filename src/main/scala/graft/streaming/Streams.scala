@@ -188,8 +188,7 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val rowsPerBand = numHashes / bands
     val sigged = docs.select(col(idCol).cast("long").as("id"),
-      graft.datapipe.Dedup.shingleHashes(
-        graft.datapipe.Dedup.shingles(col(textCol), 3)).as("hh"))
+      graft.datapipe.Dedup.hashedShingles(col(textCol), 3).as("hh"))
       // a null text yields a null hash array → an all-null signature;
       // drop it HERE like the batch twin's joins do, or the row kills
       // the whole query at the non-nullable tuple decode below
