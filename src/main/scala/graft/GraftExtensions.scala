@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, MinHashSignature, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions hook: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -39,6 +39,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"numHashes must be a literal int, got $other")
         }
         MinHashSignature(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "shingle_hashes(tokens, k) — k a literal int")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"k must be a literal int, got $other")
+        }
+        ShingleHashes(children.head, k)
       }))
   }
 }

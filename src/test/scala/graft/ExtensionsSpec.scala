@@ -31,6 +31,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql === viaColumn && viaSql.length === 8)
   }
 
+  test("shingle_hashes is callable from SQL and matches the Column API") {
+    val viaSql = spark.sql(
+      "SELECT shingle_hashes(array('a', 'b', 'c', 'd'), 3)")
+      .as[Seq[Long]].head()
+    val viaColumn = Seq(Seq("a", "b", "c", "d")).toDF("toks")
+      .select(graft.functions.ShingleHashes.ofTokens(col("toks"), 3))
+      .as[Seq[Long]].head()
+    assert(viaSql === viaColumn && viaSql.length === 2)
+  }
+
   test("simhash64 is callable from SQL and matches the Column API") {
     val hashes = Seq(Seq(7L, 7L, 8L))
     val viaSql = spark.sql("SELECT simhash64(array(7L, 7L, 8L))")
