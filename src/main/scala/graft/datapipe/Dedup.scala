@@ -153,8 +153,11 @@ object Dedup {
     // minhash pipelines; MEMORY_AND_DISK spills instead of OOMing at
     // cluster scale (at 100 TB this stage is ~1% the size of the
     // text it derives from).
+    // sorted: the signature fold is order-independent, and sorted
+    // arrays let verification count intersections by two-pointer
+    // merge instead of building a hash set per candidate pair
     val hhTable = docs.select(col(idCol).as("id"),
-      hashedShingles(col(textCol), 3).as("hh"))
+      array_sort(hashedShingles(col(textCol), 3)).as("hh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Staged projections: hh and sig are each materialized ONCE per
     // row before the stages that reference them repeatedly — inlining
@@ -179,8 +182,14 @@ object Dedup {
       .filter(size(col("a_hh")) >= lit(threshold) * size(col("b_hh")) &&
         size(col("b_hh")) >= lit(threshold) * size(col("a_hh")))
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_hh"), col("b_hh"))).cast("double") /
-          size(array_union(col("a_hh"), col("b_hh")))).as("jaccard"))
+        graft.functions.SortedIntersectCount.column(col("a_hh"), col("b_hh"))
+          .as("n_common"),
+        (size(col("a_hh")) + size(col("b_hh"))).cast("bigint").as("n_total"))
+      // |a ∪ b| = |a| + |b| - |a ∩ b|: merge-count once, union by
+      // arithmetic — no per-pair hash set, no materialized arrays
+      .select(col("a_id"), col("b_id"),
+        (col("n_common").cast("double") /
+          (col("n_total") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -424,10 +433,11 @@ object Dedup {
       // the pipeline runs twice — measured 3× end-to-end.)
       .filter(size(col("a_hh")) >= lit(threshold) * size(col("b_hh")) &&
         size(col("b_hh")) >= lit(threshold) * size(col("a_hh")))
-      // |a ∪ b| = |a| + |b| - |a ∩ b|: one array_intersect per pair,
-      // never an array_union — half the per-pair hash-set work.
+      // |a ∪ b| = |a| + |b| - |a ∩ b|, with the intersection counted
+      // by allocation-free two-pointer merge over the sorted arrays
       .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("a_hh"), col("b_hh"))).cast("bigint").as("n_common"),
+        graft.functions.SortedIntersectCount.column(col("a_hh"), col("b_hh"))
+          .as("n_common"),
         (size(col("a_hh")) + size(col("b_hh"))).cast("bigint").as("n_total"))
       .select(col("a_id"), col("b_id"), col("n_common"),
         (col("n_common").cast("double") /
