@@ -12,6 +12,15 @@ import graft.functions.{CosineSimilarity, MinHashSignature, ShingleHashes, SimHa
   * `spark.sql.extensions=graft.GraftExtensions` (GraftSession does).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def literalInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal int, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
@@ -33,12 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2,
           "minhash_signature(hashes, numHashes) — numHashes a literal int")
-        val n = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"numHashes must be a literal int, got $other")
-        }
-        MinHashSignature(children.head, n)
+        MinHashSignature(children.head, literalInt(children(1), "numHashes"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("shingle_hashes"),
@@ -46,12 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2,
           "shingle_hashes(tokens, k) — k a literal int")
-        val k = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"k must be a literal int, got $other")
-        }
-        ShingleHashes(children.head, k)
+        ShingleHashes(children.head, literalInt(children(1), "k"))
       }))
   }
 }

@@ -97,13 +97,30 @@ object ShingleHashes {
     }
 
     if (n < k) return new GenericArrayData(Array(windowHash(0, n)))
-    val seen = new java.util.HashSet[java.lang.Long](math.max(16, (n - k + 1) * 2))
-    val out = new Array[Long](n - k + 1)
+    // primitive open-addressing dedup set (a java.util.HashSet would
+    // box one Long + allocate one node per shingle — per document, on
+    // the hottest path in the engine). 0 is a valid hash, so the
+    // empty slot sentinel is a separate flag.
+    val nw = n - k + 1
+    var cap = 16
+    while (cap < nw * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val mask = cap - 1
+    var hasZero = false
+    val out = new Array[Long](nw)
     var m = 0
     var s = 0
     while (s <= n - k) {
       val h = windowHash(s, s + k)
-      if (seen.add(h)) { out(m) = h; m += 1 }
+      var fresh = false
+      if (h == 0L) {
+        if (!hasZero) { hasZero = true; fresh = true }
+      } else {
+        var slot = (java.lang.Long.hashCode(h) & mask)
+        while (table(slot) != 0L && table(slot) != h) slot = (slot + 1) & mask
+        if (table(slot) == 0L) { table(slot) = h; fresh = true }
+      }
+      if (fresh) { out(m) = h; m += 1 }
       s += 1
     }
     new GenericArrayData(if (m == out.length) out else java.util.Arrays.copyOf(out, m))

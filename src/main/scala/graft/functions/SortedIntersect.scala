@@ -27,11 +27,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      // non-null elements required: compute() reads slots via getLong,
+      // which would silently turn a null element into 0L and miscount
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"sorted_intersect_count requires two array<bigint>, got $other")
+          s"sorted_intersect_count requires two array<bigint> with " +
+            s"non-null elements, got $other")
     }
 
   override def nullSafeEval(a: Any, b: Any): Any =
