@@ -318,18 +318,35 @@ object Dedup {
       .mapPartitions(it => it.map(_._1).toSet.iterator.map((id: Long) => (id, id)),
         preservesPartitioning = true)
       .persist(lvl)
+    val spark2 = docs.sparkSession.sparkContext
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val viaNeighbours = edges.join(labels)
         .map { case (_, (dst, lbl)) => (dst, lbl) }
-      val next = labels.union(viaNeighbours)
-        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)).persist(lvl)
+      // cogroup instead of union+reduceByKey: labels is co-partitioned
+      // with `part`, so only viaNeighbours shuffles — the union shape
+      // destroyed the partitioning and re-shuffled the label side
+      // every round. The convergence check rides the SAME action via
+      // an accumulator; a task retry can only over-count changes,
+      // which at worst delays convergence detection by one round,
+      // never ends the loop early.
+      val changed = spark2.longAccumulator
+      val next = labels.cogroup(viaNeighbours, part)
+        .mapValues { case (olds, news) =>
+          val o = olds.head // every cogroup key comes from labels
+          var m = o
+          val it = news.iterator
+          while (it.hasNext) { val v = it.next(); if (v < m) m = v }
+          if (m != o) changed.add(1)
+          m
+        }.persist(lvl)
       // count(), not isEmpty(): take-based probes materialize only
-      // part of `next`, and unpersisting the old labels under a
-      // partially-cached successor forces recomputation cascades.
-      converged = next.join(labels)
-        .filter { case (_, (n, o)) => n != o }.count() == 0
+      // part of `next` (breaking the accumulator), and unpersisting
+      // the old labels under a partially-cached successor forces
+      // recomputation cascades.
+      next.count()
+      converged = changed.value == 0
       labels.unpersist()
       labels = next
       iter += 1
