@@ -37,19 +37,37 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     dropAllCaches()
-    // (name, seconds, error). A query that dies must NOT read as a fast
-    // success: its error is recorded and surfaced in the JSON.
+    // (name, runs-in-seconds, error). A query that dies must NOT read
+    // as a fast success: its error is recorded and surfaced in the JSON.
+    //
+    // Each query is timed REPS times and reported as min + median:
+    // single-shot timings in a long-lived JVM that has compiled 74
+    // queries' codegen classes drift by up to 10x from GC pressure and
+    // JIT deopt (BENCH_r04 reported phantom 10x regressions on code
+    // that had not changed). Median-of-3 is robust to one bad run;
+    // emitting min alongside median makes residual noise visible in
+    // the artifact instead of silently polluting cross-round diffs.
+    val REPS = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      dropAllCaches()
-      val t0 = System.nanoTime()
-      // noop sink: full materialization of every output column (a bare
-      // count() would let Catalyst prune the projections under test).
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+      val runs = Vector.newBuilder[Double]
+      var err: Option[String] = None
+      var r = 0
+      while (r < REPS && err.isEmpty) {
+        dropAllCaches()
+        // Collect garbage from the previous query's runs so its heap
+        // debt is not billed to this timing window.
+        System.gc()
+        val t0 = System.nanoTime()
+        // noop sink: full materialization of every output column (a bare
+        // count() would let Catalyst prune the projections under test).
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+          err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+        runs += (System.nanoTime() - t0) / 1e9
+        r += 1
+      }
+      (name, runs.result(), err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -57,12 +75,23 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // Driver contract: "queries" stays name -> one number (the median).
+    // "stats" carries min/median/all runs for noise auditing.
+    val qs = results.map { case (k, v, _) => s"${jstr(k)}:${median(v)}" }
       .mkString("{", ",", "}")
+    val stats = results.map { case (k, v, _) =>
+      s"""${jstr(k)}:{"min":${v.min},"median":${median(v)},"runs":[${v.mkString(",")}]}"""
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":${results.count(_._3.nonEmpty)},"sf":"$sfDir"}""")
+    val total = results.map(r => median(r._2)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"failed":$failed,"n_failed":${results.count(_._3.nonEmpty)},"sf":"$sfDir","reps":$REPS}""")
     spark.stop()
   }
 }
