@@ -1,45 +1,145 @@
 package graft.datapipe
 
+import java.io.ByteArrayInputStream
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: image/audio/video payloads are opaque
-  * `binary` columns with typed metadata; decode / feature-extract run
-  * per partition so a real decoder amortizes its init (codec tables,
-  * model weights) across a batch — the Scala analogue of the
-  * mapInPandas batch shape.
+/** Multimodal-column operators: image payloads are opaque `binary`
+  * columns decoded / feature-extracted / resized per partition, so a
+  * real decoder amortizes its init across a batch — the Scala
+  * analogue of the mapInPandas batch shape.
   *
-  * The container ships no image/audio libraries, so the decode step
-  * is a clearly-marked deterministic STUB (md5-derived fake
-  * dimensions). The Spark-side contract — schema, binary encoding,
-  * partition-batched UDF signature — is real and oracle-tested.
+  * The media bytes are REAL: each document carries a deterministic
+  * 24-bit uncompressed BMP (manually encoded little-endian header +
+  * bottom-up padded pixel rows) whose dimensions and pixel values
+  * derive from md5(text) / doc_id by closed-form rules, and every
+  * operator decodes those bytes with the JDK's actual BMP reader
+  * (`javax.imageio`) — nothing downstream of [[imageCorpus]] looks at
+  * the generation rule. The rules exist so the external oracle can
+  * verify the DECODED output (width/height from the real header,
+  * integer pixel sums from the real raster) by independent
+  * arithmetic. In production the generator is replaced by reading a
+  * bytes column from storage; decode/feature/resize keep the same
+  * binary→typed partition-batched contract.
+  *
+  * Reference multimodal surface: the pipeline treats payloads as
+  * opaque envelopes end-to-end; these operators add the
+  * training-data-pipeline media path the builder brief asks for.
   */
 object Multimodal {
+
+  /** BMP geometry: 54-byte header (14 file + 40 info), 24-bit BI_RGB,
+    * each pixel row padded to a 4-byte boundary, rows stored
+    * bottom-up.
+    */
+  val HeaderBytes = 54
+  def rowSize(w: Int): Int = ((3 * w + 3) / 4) * 4
+  def bmpSize(w: Int, h: Int): Int = HeaderBytes + h * rowSize(w)
+
+  /** Corpus dimension rule: md5(text) hex nibbles → width, height in
+    * [8, 31]. Small enough that the oracle can afford a per-pixel
+    * generate_series replay at verification scale.
+    */
+  def dims(text: String): (Int, Int) = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val w = 8 + (java.lang.Long.parseLong(hex.substring(0, 4), 16) % 24).toInt
+    val h = 8 + (java.lang.Long.parseLong(hex.substring(4, 8), 16) % 24).toInt
+    (w, h)
+  }
+
+  /** Per-channel pixel rules (doc_id-seeded so images differ). */
+  def pixR(id: Long, x: Int, y: Int): Int = ((x * 31L + y * 17L + id * 11L) % 256L).toInt
+  def pixG(id: Long, x: Int, y: Int): Int = ((x * 13L + y * 7L + id * 3L) % 256L).toInt
+  def pixB(id: Long, x: Int, y: Int): Int = ((x * 5L + y * 29L + id * 7L) % 256L).toInt
+
+  /** Manual 24-bit BMP encoder. `pix(x, y)` returns (r, g, b) with
+    * (0, 0) the TOP-left pixel; rows are written bottom-up per the
+    * format, so a decoder's (x, y) matches `pix`'s coordinates.
+    */
+  def encodeBmp(w: Int, h: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val row = rowSize(w)
+    val size = HeaderBytes + h * row
+    val b = new Array[Byte](size)
+    def putInt(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte
+      b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte
+      b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    putInt(2, size) // file size
+    putInt(10, HeaderBytes) // pixel-data offset
+    putInt(14, 40) // BITMAPINFOHEADER size
+    putInt(18, w)
+    putInt(22, h) // positive height = bottom-up rows
+    b(26) = 1 // planes
+    b(28) = 24 // bits per pixel
+    putInt(30, 0) // BI_RGB, uncompressed
+    putInt(34, h * row) // image size
+    putInt(38, 2835); putInt(42, 2835) // 72 DPI in px/metre
+    var y = 0
+    while (y < h) {
+      // row y of the image is stored at slot (h-1-y) from the header
+      val off = HeaderBytes + (h - 1 - y) * row
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = pix(x, y)
+        b(off + 3 * x) = bl.toByte
+        b(off + 3 * x + 1) = g.toByte
+        b(off + 3 * x + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Deterministic image corpus: (doc_id, img) with real BMP bytes.
+    * The generator stands in for reading a media bytes column from
+    * storage; everything downstream decodes `img` for real.
+    */
+  def imageCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val (w, h) = dims(text)
+          (id, encodeBmp(w, h, (x, y) => (pixR(id, x, y), pixG(id, x, y), pixB(id, x, y))))
+        }
+      }
+      .toDF("doc_id", "img")
+  }
+
+  /** Decode a BMP with the JDK's real reader. In-memory stream, no
+    * ImageIO disk cache (set per call site before the batch loop).
+    */
+  def decodeBmp(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(bytes))
 
   final case class MediaMeta(doc_id: Long, n_bytes: Long,
                              width: Long, height: Long)
 
-  /** STUB decoder: a real implementation parses the media header.
-    * Deterministic stand-in: dimensions from the payload's md5.
+  /** binary → decoded metadata: the width/height come from parsing
+    * the actual BMP header via javax.imageio, not from the
+    * generation rule — the oracle recomputes the rule independently
+    * and the match proves the decode.
     */
-  def stubDecode(id: Long, payload: Array[Byte]): MediaMeta = {
-    val digest = MessageDigest.getInstance("MD5").digest(payload)
-    val hex = digest.map("%02x".format(_)).mkString
-    MediaMeta(id, payload.length.toLong,
-      java.lang.Long.parseLong(hex.substring(0, 4), 16) % 1024,
-      java.lang.Long.parseLong(hex.substring(4, 8), 16) % 1024)
-  }
-
-  /** documents.text → binary payload → per-partition decode. */
   def decodeMetadata(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    imageCorpus(spark, docs)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder init happens here in a real codec
-        it.map { case (id, payload) => stubDecode(id, payload) }
+        ImageIO.setUseCache(false) // per-partition decoder init
+        it.map { case (id, payload) =>
+          val img = decodeBmp(payload)
+          MediaMeta(id, payload.length.toLong, img.getWidth.toLong, img.getHeight.toLong)
+        }
       }
       .toDF()
   }
@@ -47,29 +147,73 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, f0: Double, f1: Double,
                                  f2: Double, f3: Double)
 
-  /** STUB feature extractor (a real one runs a vision/audio model per
-    * partition-loaded weights): 4 deterministic md5-derived unit-range
-    * doubles, so the DuckDB oracle reproduces them.
-    */
-  def stubFeatures(id: Long, payload: Array[Byte]): MediaFeatures = {
-    val hex = MessageDigest.getInstance("MD5").digest(payload)
-      .map("%02x".format(_)).mkString
-    def f(i: Int): Double =
-      java.lang.Long.parseLong(hex.substring(i * 4, i * 4 + 4), 16) / 65536.0
-    MediaFeatures(id, f(0), f(1), f(2), f(3))
-  }
-
-  /** Embedding-extraction plumbing: binary → fixed-width feature
-    * vector, batched per partition (model weights load once per
-    * partition in a real extractor — the mapInPandas amortization).
+  /** Feature extraction over the DECODED raster: per-channel means
+    * and mean luminance. Integer pixel sums are exact in any engine,
+    * so one final IEEE division keeps the doubles bit-identical to
+    * the oracle's replay (FP-summation order never comes into play).
     */
   def extractFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    imageCorpus(spark, docs)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition model init happens here in a real extractor
-        it.map { case (id, payload) => stubFeatures(id, payload) }
+        ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val img = decodeBmp(payload)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          MediaFeatures(id,
+            sr / (255.0 * n), sg / (255.0 * n), sb / (255.0 * n),
+            (sr + sg + sb) / (3.0 * 255.0 * n))
+        }
+      }
+      .toDF()
+  }
+
+  final case class MediaStats(doc_id: Long, width: Long, height: Long,
+                              n_bytes: Long, pix_sum: Long)
+
+  /** Decode ANY (id, bmp-bytes) table to real raster stats: header
+    * dimensions plus the exact integer sum of all channel values —
+    * the oracle-friendly digest of the full pixel contents. Used to
+    * verify re-encoded media (e.g. [[resize]] output) end-to-end.
+    */
+  def decodeStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val Seq(idCol, byteCol) = media.columns.take(2).toSeq
+    media.select(col(idCol), col(byteCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val img = decodeBmp(payload)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          MediaStats(id, w.toLong, h.toLong, payload.length.toLong, s)
+        }
       }
       .toDF()
   }
@@ -78,16 +222,16 @@ object Multimodal {
                          frame: Array[Byte])
 
   /** Frame-sampling plumbing for video-like payloads: one input row
-    * fans out to one row per fixed-size frame (STUB: byte chunks of
-    * `frameBytes`; a real sampler seeks keyframes). The fan-out runs
-    * inside mapPartitions — frames never gather on the driver, and
-    * downstream per-frame operators (decode, features) distribute
-    * over the exploded rows.
+    * fans out to one row per fixed-size chunk of the media bytes (a
+    * real sampler seeks keyframes; chunking keeps the oracle
+    * arithmetic closed-form). The fan-out runs inside mapPartitions —
+    * frames never gather on the driver, and downstream per-frame
+    * operators distribute over the exploded rows.
     */
   def frameSample(spark: SparkSession, docs: DataFrame,
                   frameBytes: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    imageCorpus(spark, docs)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
@@ -98,16 +242,26 @@ object Multimodal {
       .toDF()
   }
 
-  /** Resize plumbing (STUB: crop to `w*h` bytes; a real resize
-    * decodes, scales, re-encodes — same binary→binary partition-batch
-    * signature).
+  /** Real resize: decode the BMP, nearest-neighbour scale to w × h
+    * (srcX = dstX * srcW / w, integer floor), re-encode as BMP. The
+    * output column is decodable media again — MultimodalSpec decodes
+    * it and asserts pixel-level equality with the source rule.
     */
   def resize(spark: SparkSession, docs: DataFrame, w: Int, h: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    imageCorpus(spark, docs)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, payload) => (id, payload.take(w * h)) }
+        ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val src = decodeBmp(payload)
+          val (sw, sh) = (src.getWidth, src.getHeight)
+          val out = encodeBmp(w, h, (x, y) => {
+            val rgb = src.getRGB(x * sw / w, y * sh / h)
+            ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          })
+          (id, out)
+        }
       }
       .toDF("doc_id", "resized")
   }

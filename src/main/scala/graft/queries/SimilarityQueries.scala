@@ -102,51 +102,86 @@ object SimilarityQueries {
         FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id)
       SELECT a_id, b_id, score FROM pairs WHERE score >= 0.999"""))
 
+  /** md5(text)-derived BMP dimensions, shared by every multimodal
+    * oracle (mirrors [[Multimodal.dims]]). */
+  private val dimsCte =
+    """dims AS (SELECT doc_id,
+        8 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 24 AS w,
+        8 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 24 AS h
+      FROM documents)"""
+
+  /** The Spark side DECODES the real BMP bytes (javax.imageio); the
+    * oracle replays the generation rule arithmetically — a match
+    * proves the decoded header agrees with what was encoded. */
   private val multimodalDecode = QueryDef(
     "multimodal_decode",
     (s, d) => Multimodal.decodeMetadata(s, Tables.documents(s, d)),
-    Some("""SELECT doc_id,
-      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
-      ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height
-      FROM documents"""))
+    Some(s"""WITH $dimsCte
+      SELECT doc_id, CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+        w AS width, h AS height
+      FROM dims"""))
 
+  /** Channel means over the DECODED raster. Integer pixel sums are
+    * exact in both engines; one final IEEE division each keeps the
+    * doubles bit-identical. */
   private val multimodalFeatures = QueryDef(
     "multimodal_features",
     (s, d) => Multimodal.extractFeatures(s, Tables.documents(s, d)),
-    Some("""SELECT doc_id,
-      ('0x' || substr(md5(text), 1, 4))::BIGINT / 65536.0 AS f0,
-      ('0x' || substr(md5(text), 5, 4))::BIGINT / 65536.0 AS f1,
-      ('0x' || substr(md5(text), 9, 4))::BIGINT / 65536.0 AS f2,
-      ('0x' || substr(md5(text), 13, 4))::BIGINT / 65536.0 AS f3
-      FROM documents"""))
+    Some(s"""WITH $dimsCte,
+      px AS (SELECT doc_id, w, h, xx.x AS x, yy.y AS y
+        FROM dims, UNNEST(generate_series(0, w - 1)) AS xx(x),
+                   UNNEST(generate_series(0, h - 1)) AS yy(y)),
+      sums AS (SELECT doc_id, w, h,
+          SUM((x*31 + y*17 + doc_id*11) % 256) AS sr,
+          SUM((x*13 + y*7 + doc_id*3) % 256) AS sg,
+          SUM((x*5 + y*29 + doc_id*7) % 256) AS sb
+        FROM px GROUP BY doc_id, w, h)
+      SELECT doc_id,
+        sr / (255.0 * (w * h)) AS f0,
+        sg / (255.0 * (w * h)) AS f1,
+        sb / (255.0 * (w * h)) AS f2,
+        (sr + sg + sb) / (3.0 * 255.0 * (w * h)) AS f3
+      FROM sums"""))
 
   /** The distributed frame fan-out is the thing under test; the frame
     * BYTES are asserted in MultimodalSpec (reassembly == payload),
-    * the oracle checks the fan-out arithmetic per document. */
+    * the oracle checks the fan-out arithmetic over the real BMP
+    * payload size. */
   private val multimodalFrames = QueryDef(
     "multimodal_frames",
     (s, d) => Multimodal.frameSample(s, Tables.documents(s, d), 1024)
       .select(col("doc_id"), col("frame_idx"),
         octet_length(col("frame")).cast("bigint").as("frame_bytes")),
-    Some("""WITH b AS (SELECT doc_id,
-        CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
+    Some(s"""WITH $dimsCte,
+      b AS (SELECT doc_id,
+        CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n FROM dims)
       SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         CASE WHEN (i + 1) * 1024 <= n THEN 1024 ELSE n - i * 1024 END
           AS frame_bytes
       FROM b, UNNEST(generate_series(0, CAST(ceil(n / 1024.0) AS BIGINT) - 1))
         AS t(i)"""))
 
-  /** Crop-stub resize; the byte-level crop is asserted in
-    * MultimodalSpec, the oracle checks the size arithmetic. */
+  /** Real nearest-neighbour resize: decode → scale → re-encode, then
+    * decode AGAIN via decodeStats. The oracle replays the source rule
+    * through the same nearest-neighbour mapping — pix_sum matching
+    * proves the full decode→resize→encode→decode roundtrip at pixel
+    * level. */
   private val multimodalResize = QueryDef(
     "multimodal_resize",
-    (s, d) => Multimodal.resize(s, Tables.documents(s, d), 32, 32)
-      .select(col("doc_id"), octet_length(col("resized")).cast("bigint")
-        .as("resized_bytes")),
-    Some("""SELECT doc_id,
-      least(CAST(octet_length(encode(text)) AS BIGINT), 1024) AS resized_bytes
-      FROM documents"""))
+    (s, d) => Multimodal.decodeStats(s,
+      Multimodal.resize(s, Tables.documents(s, d), 16, 16)),
+    Some(s"""WITH $dimsCte,
+      px AS (SELECT doc_id, (xx.x * w) // 16 AS sx, (yy.y * h) // 16 AS sy
+        FROM dims, UNNEST(generate_series(0, 15)) AS xx(x),
+                   UNNEST(generate_series(0, 15)) AS yy(y)),
+      s AS (SELECT doc_id,
+          SUM((sx*31 + sy*17 + doc_id*11) % 256
+            + (sx*13 + sy*7 + doc_id*3) % 256
+            + (sx*5 + sy*29 + doc_id*7) % 256) AS ps
+        FROM px GROUP BY doc_id)
+      SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        CAST(54 + 16 * 48 AS BIGINT) AS n_bytes, CAST(ps AS BIGINT) AS pix_sum
+      FROM s"""))
 
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, dedupEmbedding,

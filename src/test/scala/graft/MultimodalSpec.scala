@@ -4,8 +4,10 @@ import org.apache.spark.sql.functions._
 
 import graft.datapipe.Multimodal
 
-/** Multimodal plumbing: the binary round-trips the stubs cannot fake —
-  * frame reassembly, resize cropping, and feature determinism.
+/** Multimodal media path: the BMP bytes are real (JDK javax.imageio
+  * decodes them), so these tests assert at the pixel level — the
+  * encoder writes exactly the rule, the decoder reads exactly the
+  * bytes, and resize maps pixels by nearest neighbour.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -13,7 +15,40 @@ class MultimodalSpec extends SparkSpec {
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
     .select(col("doc_id"), col("text")).limit(50)
 
-  test("frame sampling partitions every payload byte exactly once") {
+  test("encoded BMP decodes to rule-exact dimensions and pixels") {
+    val (id, text) = docs.as[(Long, String)].head()
+    val (w, h) = Multimodal.dims(text)
+    val bytes = Multimodal.encodeBmp(w, h,
+      (x, y) => (Multimodal.pixR(id, x, y), Multimodal.pixG(id, x, y),
+        Multimodal.pixB(id, x, y)))
+    assert(bytes.length === Multimodal.bmpSize(w, h))
+    val img = Multimodal.decodeBmp(bytes)
+    assert(img.getWidth === w)
+    assert(img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) === Multimodal.pixR(id, x, y))
+      assert(((rgb >> 8) & 0xff) === Multimodal.pixG(id, x, y))
+      assert((rgb & 0xff) === Multimodal.pixB(id, x, y))
+    }
+  }
+
+  test("decodeMetadata reads real headers for the whole corpus") {
+    val meta = Multimodal.decodeMetadata(spark, docs)
+      .as[Multimodal.MediaMeta].collect()
+    val expected = docs.as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val (w, h) = Multimodal.dims(text)
+        id -> ((w.toLong, h.toLong, Multimodal.bmpSize(w, h).toLong))
+      }.toMap
+    assert(meta.nonEmpty)
+    meta.foreach { m =>
+      val (w, h, n) = expected(m.doc_id)
+      assert((m.width, m.height, m.n_bytes) === ((w, h, n)))
+    }
+  }
+
+  test("frame sampling partitions every media byte exactly once") {
     val frames = Multimodal.frameSample(spark, docs, 128)
     val reassembled = frames
       .groupBy(col("doc_id"))
@@ -22,26 +57,48 @@ class MultimodalSpec extends SparkSpec {
       .select(col("doc_id"),
         aggregate(col("fs"), lit(Array.empty[Byte]),
           (acc, f) => concat(acc, f.getField("frame"))).as("bytes"))
-    val original = docs.select(col("doc_id"), col("text").cast("binary").as("bytes"))
+    val original = Multimodal.imageCorpus(spark, docs)
+      .select(col("doc_id"), col("img").as("bytes"))
     val joined = reassembled.as("r")
       .join(original.as("o"), Seq("doc_id"))
       .filter(col("r.bytes") =!= col("o.bytes"))
     assert(joined.count() === 0)
   }
 
-  test("resize crops to exactly w*h bytes (or payload size if smaller)") {
-    val resized = Multimodal.resize(spark, docs, 16, 16)
-      .select(col("doc_id"), octet_length(col("resized")).as("out"))
-    val expected = docs.select(col("doc_id"),
-      least(octet_length(col("text").cast("binary")), lit(256)).as("exp"))
-    assert(resized.join(expected, Seq("doc_id"))
-      .filter(col("out") =!= col("exp")).count() === 0)
+  test("resize output is pixel-exact nearest-neighbour of the source") {
+    val (id, text) = docs.as[(Long, String)].head()
+    val (sw, sh) = Multimodal.dims(text)
+    val one = docs.filter(col("doc_id") === id)
+    val resized = Multimodal.resize(spark, one, 16, 16)
+      .as[(Long, Array[Byte])].head()._2
+    val img = Multimodal.decodeBmp(resized)
+    assert(img.getWidth === 16)
+    assert(img.getHeight === 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val (sx, sy) = (x * sw / 16, y * sh / 16)
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) === Multimodal.pixR(id, sx, sy))
+      assert(((rgb >> 8) & 0xff) === Multimodal.pixG(id, sx, sy))
+      assert((rgb & 0xff) === Multimodal.pixB(id, sx, sy))
+    }
   }
 
-  test("feature extraction is deterministic and unit-range") {
-    val f1 = Multimodal.extractFeatures(spark, docs).collect().toSet
-    val f2 = Multimodal.extractFeatures(spark, docs).collect().toSet
-    assert(f1 === f2)
+  test("features equal exact integer-sum means of the decoded raster") {
+    val (id, text) = docs.as[(Long, String)].head()
+    val (w, h) = Multimodal.dims(text)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += Multimodal.pixR(id, x, y)
+      sg += Multimodal.pixG(id, x, y)
+      sb += Multimodal.pixB(id, x, y)
+    }
+    val n = w.toLong * h
+    val f = Multimodal.extractFeatures(spark, docs.filter(col("doc_id") === id))
+      .as[Multimodal.MediaFeatures].head()
+    assert(f.f0 === sr / (255.0 * n))
+    assert(f.f1 === sg / (255.0 * n))
+    assert(f.f2 === sb / (255.0 * n))
+    assert(f.f3 === (sr + sg + sb) / (3.0 * 255.0 * n))
     val bad = Multimodal.extractFeatures(spark, docs)
       .filter(col("f0") < 0 || col("f0") >= 1 || col("f3") < 0 || col("f3") >= 1)
     assert(bad.count() === 0)
