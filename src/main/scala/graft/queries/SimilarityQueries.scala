@@ -102,6 +102,50 @@ object SimilarityQueries {
         FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id)
       SELECT a_id, b_id, score FROM pairs WHERE score >= 0.999"""))
 
+  /** DuckDB replay of the ENTIRE k-means trainer ([[Similarity
+    * .kmeansCentroids]]): quantized vectors, md5-ranked seeds, and
+    * `iters` unrolled Lloyd's rounds (assign by exact-integer
+    * D/n² argmin, update by exact integer component sums, empty
+    * cells carried). Pure integer arithmetic plus one IEEE division
+    * per (vector, cell) makes every intermediate bit-identical to
+    * the Spark side regardless of aggregation order.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
+    def iterCte(i: Int) = s"""
+      p$i AS (SELECT v.vec_id, v.q, c.cell,
+         CAST(list_sum(list_transform(list_zip(v.q, c.s),
+              z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS DOUBLE)
+           / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) AS f
+       FROM v, c${i - 1} c),
+      a$i AS (SELECT vec_id, q, cell FROM (
+         SELECT vec_id, q, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+         FROM p$i) t WHERE rn = 1),
+      u$i AS (SELECT a.cell, g.i, SUM(a.q[g.i]) AS s_i, COUNT(*) AS cnt
+       FROM a$i a, generate_series(1, $dim) AS g(i) GROUP BY a.cell, g.i),
+      n$i AS (SELECT cell, LIST(s_i ORDER BY i) AS s, MAX(cnt) AS n
+       FROM u$i GROUP BY cell),
+      c$i AS (SELECT p.cell, COALESCE(n_.s, p.s) AS s, COALESCE(n_.n, p.n) AS n
+       FROM c${i - 1} p LEFT JOIN n$i n_ ON p.cell = n_.cell)"""
+    s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings),
+      seeds AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+            AS cell, q
+        FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+      c0 AS (SELECT cell, q AS s, CAST(1 AS BIGINT) AS n FROM seeds),
+      ${(1 to iters).map(iterCte).mkString(",")}
+      SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a$iters"""
+  }
+
+  private val simIvfKmeans = QueryDef(
+    "sim_ivf_kmeans",
+    (s, d) => Similarity.kmeansAssign(
+      embDouble(s, d).select(col("vec_id"), col("emb")), 8, 3),
+    Some(kmeansOracleSql(8, 3, 64)))
+
   /** md5(text)-derived BMP dimensions, shared by every multimodal
     * oracle (mirrors [[Multimodal.dims]]). */
   private val dimsCte =
@@ -184,7 +228,7 @@ object SimilarityQueries {
       FROM s"""))
 
   val defs: Seq[QueryDef] =
-    Seq(simBruteForce, simIvf, simIvfPruned, dedupEmbedding,
+    Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, dedupEmbedding,
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize)
 }
