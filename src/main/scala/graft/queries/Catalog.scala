@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
 import graft.ops.{EventOps, StringOps}
+import graft.functions.PromHistogram
 
 /** One entry per implemented operator (SURVEY.md §2 inventory plus the
   * scale extensions). Each entry pairs the Spark implementation with
@@ -568,6 +569,91 @@ object Catalog {
           AS p95_latency_s
       FROM cum WHERE cum >= target AND (cum - cnt) < target"""))
 
+  /** The dashboard-LITERAL Q1 (round-4 verdict item 5):
+    * `histogram_quantile(0.95, message_end_to_end_latency_seconds)`
+    * over the reference's exact cumulative bucket edges 0.1…300 s
+    * (metrics.py:59), composed from the A2 [[PromHistogram]]
+    * aggregator. Latencies follow the injected-clock convention
+    * (deterministic per-event seconds spanning every bucket incl.
+    * +Inf). Prometheus semantics reproduced exactly: rank = q·total;
+    * crossing bucket = first le with cum ≥ rank; +Inf crossing
+    * returns the highest finite edge; first-bucket crossing
+    * interpolates from 0; otherwise linear interpolation inside
+    * [lower, upper]. All interpolation inputs are exact longs, so
+    * the one double formula is bit-identical in the oracle.
+    *
+    * Scale shape: per-group state is the 11-slot count vector (A2's
+    * map-side-combinable aggregator), the interpolation runs on
+    * 11 rows per group — the plan the dashboard needs at 100 TB,
+    * unlike exact `percentile`'s per-group value buffer.
+    */
+  private val q1P95Prometheus = QueryDef(
+    "q1_p95_prometheus",
+    (s, d) => {
+      val edges = PromHistogram.LatencyBuckets
+      val labels = edges.map(e =>
+        if (e == math.floor(e)) e.toLong.toString else e.toString) :+ "+Inf"
+      val lat = (col("event_id") % 4000) / lit(10.0) // 0.0 … 399.9 s
+      val hist = Tables.events(s, d)
+        .select(col("event_type"),
+          EventOps.secondsBucket(col("ts"), 86400).as("bucket_ts"),
+          lat.as("lat"))
+        .groupBy(col("bucket_ts"), col("event_type"))
+        .agg(PromHistogram.column(edges, labels, col("lat")).as("hist"))
+      val grp = Window.partitionBy(col("bucket_ts"), col("event_type"))
+      val edgesLit = typedLit(edges.toSeq)
+      val lower = when(col("i") === 0, lit(0.0))
+        .otherwise(element_at(edgesLit, col("i")))
+      val upper = element_at(edgesLit, col("i") + 1)
+      hist.select(col("bucket_ts"), col("event_type"),
+          posexplode(col("hist")).as(Seq("i", "h")))
+        .select(col("bucket_ts"), col("event_type"), col("i"),
+          col("h._2").as("cum"))
+        .withColumn("prev",
+          coalesce(lag(col("cum"), 1).over(grp.orderBy(col("i"))), lit(0L)))
+        .withColumn("rank", lit(0.95) * max(col("cum")).over(grp))
+        .filter(col("cum") >= col("rank") && col("prev") < col("rank"))
+        .select(col("bucket_ts"), col("event_type"),
+          round(
+            when(col("i") === edges.length, lit(edges.last))
+              .otherwise(lower + (upper - lower) *
+                (col("rank") - col("prev")) / (col("cum") - col("prev"))),
+            6).as("p95_latency_s"))
+    },
+    Some("""WITH lat AS (
+        SELECT event_type, (epoch_us(ts) // 86400000000) * 86400 AS bucket_ts,
+          (event_id % 4000) / CAST(10.0 AS DOUBLE) AS lat FROM events),
+      b AS (SELECT bucket_ts, event_type,
+          CASE WHEN lat <= 0.1 THEN 0 WHEN lat <= 0.5 THEN 1
+               WHEN lat <= 1.0 THEN 2 WHEN lat <= 2.0 THEN 3
+               WHEN lat <= 5.0 THEN 4 WHEN lat <= 10.0 THEN 5
+               WHEN lat <= 30.0 THEN 6 WHEN lat <= 60.0 THEN 7
+               WHEN lat <= 120.0 THEN 8 WHEN lat <= 300.0 THEN 9
+               ELSE 10 END AS i
+        FROM lat),
+      cnt AS (SELECT bucket_ts, event_type, i, COUNT(*) AS c
+        FROM b GROUP BY 1, 2, 3),
+      cum AS (SELECT bucket_ts, event_type, i,
+          CAST(SUM(c) OVER (PARTITION BY bucket_ts, event_type ORDER BY i)
+            AS BIGINT) AS cum,
+          CAST(SUM(c) OVER (PARTITION BY bucket_ts, event_type ORDER BY i)
+            - c AS BIGINT) AS prev,
+          CAST(0.95 AS DOUBLE)
+            * CAST(SUM(c) OVER (PARTITION BY bucket_ts, event_type) AS DOUBLE)
+            AS rank
+        FROM cnt),
+      e(i, lower, upper) AS (VALUES
+        (0, 0.0, 0.1), (1, 0.1, 0.5), (2, 0.5, 1.0), (3, 1.0, 2.0),
+        (4, 2.0, 5.0), (5, 5.0, 10.0), (6, 10.0, 30.0), (7, 30.0, 60.0),
+        (8, 60.0, 120.0), (9, 120.0, 300.0), (10, 300.0, NULL))
+      SELECT bucket_ts, event_type,
+        round(CASE WHEN i = 10 THEN 300.0
+          ELSE CAST(e.lower AS DOUBLE) +
+            (CAST(e.upper AS DOUBLE) - CAST(e.lower AS DOUBLE))
+            * (rank - prev) / (cum - prev) END, 6) AS p95_latency_s
+      FROM cum JOIN e USING (i)
+      WHERE cum >= rank AND prev < rank"""))
+
   private val q4Throughput = QueryDef(
     "q4_throughput",
     (s, d) =>
@@ -601,7 +687,8 @@ object Catalog {
     j1BroadcastLookup, j1JoinMiss,
     a1GroupedCounters, a3TumblingThroughput, a4LagGauge,
     qSessionize,
-    q1P95Latency, q1P95LatencyBucketed, q4Throughput, q5MaxLag) ++
+    q1P95Latency, q1P95LatencyBucketed, q1P95Prometheus,
+    q4Throughput, q5MaxLag) ++
     JoinQueries.defs ++
     EnvelopeQueries.defs ++
     DataPipeQueries.defs ++
