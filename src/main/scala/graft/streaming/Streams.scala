@@ -148,10 +148,15 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
-  /** State per LSH band bucket: the most recent `maxPerBucket`
-    * (id, signature) entries, a ring bounded by arrival order.
+  /** State per LSH band bucket: a FIFO ring of the most recent
+    * `maxPerBucket` (id, signature) entries. Arrays are sized to the
+    * live count while the bucket fills (each append is one flat
+    * array copy), then become a fixed circular buffer: `pos` is the
+    * oldest slot and each arrival overwrites it in place — O(1)
+    * steady state, no per-record `Seq :+`/`takeRight` rebuilds.
     */
-  final case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  final case class BucketState(ids: Array[Long], sigs: Array[Array[Long]],
+                               pos: Int)
 
   /** Streaming near-duplicate detection — the streaming twin of
     * [[graft.datapipe.Dedup.minhashPairs]]: each incoming document's
@@ -168,16 +173,22 @@ object Streams {
     * give near-dup-vs-RECENT semantics with fully bounded state, the
     * same tradeoff as dedupStream's watermark horizon; unbounded
     * bucket state is the streaming scale-killer. A pair
-    * sharing several bands can be emitted once per shared band;
-    * exact-once pair output would need a second stateful stage keyed
-    * by pair, so dedup is left to the consumer (`.dropDuplicates` /
-    * distinct-on-write), keeping this operator one shuffle wide.
+    * sharing several bands can be emitted once per shared band (and
+    * once per redelivery); this operator stays one shuffle wide, and
+    * [[nearDupStreamExactOnce]] layers the pair-keyed dedup stage on
+    * top for exact-once emission.
+    *
+    * `tsCol` (optional) threads an event-time column through the
+    * stateful stage: each pair row then carries the EMITTING
+    * arrival's timestamp as `ts` — the handle the exact-once wrapper
+    * needs for its watermark.
     */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
                     numHashes: Int = 64, bands: Int = 32,
                     threshold: Double = 0.8,
                     maxPerBucket: Int = 64,
-                    stateTtl: Option[String] = None): DataFrame = {
+                    stateTtl: Option[String] = None,
+                    tsCol: Option[String] = None): DataFrame = {
     graft.datapipe.Dedup.requireValidBanding(numHashes, bands)
     require(maxPerBucket > 0,
       s"maxPerBucket ($maxPerBucket) must be positive — an empty ring " +
@@ -188,15 +199,17 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val rowsPerBand = numHashes / bands
     val sigged = docs.select(col(idCol).cast("long").as("id"),
-      graft.datapipe.Dedup.hashedShingles(col(textCol), 3).as("hh"))
+      graft.datapipe.Dedup.hashedShingles(col(textCol), 3).as("hh"),
+      tsCol.map(col).getOrElse(lit(null)).cast("timestamp").as("ts"))
       // a null text yields a null hash array → an all-null signature;
       // drop it HERE like the batch twin's joins do, or the row kills
       // the whole query at the non-nullable tuple decode below
       .filter(col("id").isNotNull && col("hh").isNotNull)
       .select(col("id"),
         graft.datapipe.Dedup.minhashSignatureFromHashes(col("hh"), numHashes)
-          .as("sig"))
-      .select(col("id"), col("sig"),
+          .as("sig"),
+        col("ts"))
+      .select(col("id"), col("sig"), col("ts"),
         explode(graft.datapipe.Dedup.lshBuckets(col("sig"), bands, rowsPerBand))
           .as("bb"))
     // stateTtl bounds the NUMBER of live buckets (maxPerBucket only
@@ -208,40 +221,81 @@ object Streams {
     // as long as their redelivery/near-dup horizon.
     val timeoutConf = if (stateTtl.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
-    sigged.as[(Long, Seq[Long], Long)]
-      .groupByKey(_._3)
-      .flatMapGroupsWithState[BucketState, (Long, Long, Double)](
+    val pairs = sigged.as[(Long, Seq[Long], java.sql.Timestamp, Long)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[BucketState, (Long, Long, Double, java.sql.Timestamp)](
         OutputMode.Append, timeoutConf) { (_, rows, state) =>
         if (state.hasTimedOut) {
           state.remove()
           Iterator.empty
         } else {
-          var st = state.getOption.getOrElse(BucketState(Nil, Nil))
-          val out = Seq.newBuilder[(Long, Long, Double)]
-          rows.foreach { case (id, sig, _) =>
-            st.ids.iterator.zip(st.sigs.iterator).foreach { case (cid, csig) =>
+          var st = state.getOption
+            .getOrElse(BucketState(Array.emptyLongArray, Array.empty, 0))
+          val out = Seq.newBuilder[(Long, Long, Double, java.sql.Timestamp)]
+          rows.foreach { case (id, sig, ts, _) =>
+            val sigArr = sig.toArray
+            var j = 0
+            while (j < st.ids.length) {
+              val cid = st.ids(j)
               if (cid != id) {
+                val csig = st.sigs(j)
                 var same = 0
                 var i = 0
                 while (i < numHashes) {
-                  if (sig(i) == csig(i)) same += 1
+                  if (sigArr(i) == csig(i)) same += 1
                   i += 1
                 }
                 val est = same.toDouble / numHashes
                 if (est >= threshold)
-                  out += ((math.min(id, cid), math.max(id, cid), est))
+                  out += ((math.min(id, cid), math.max(id, cid), est, ts))
               }
+              j += 1
             }
-            st = BucketState((st.ids :+ id).takeRight(maxPerBucket),
-              (st.sigs :+ sig).takeRight(maxPerBucket))
+            st = if (st.ids.length < maxPerBucket) {
+              val n = st.ids.length
+              val ids2 = java.util.Arrays.copyOf(st.ids, n + 1)
+              val sigs2 = java.util.Arrays.copyOf(st.sigs, n + 1)
+              ids2(n) = id
+              sigs2(n) = sigArr
+              BucketState(ids2, sigs2, 0)
+            } else {
+              // full: overwrite the oldest slot in place, advance pos
+              st.ids(st.pos) = id
+              st.sigs(st.pos) = sigArr
+              BucketState(st.ids, st.sigs, (st.pos + 1) % maxPerBucket)
+            }
           }
           state.update(st)
           stateTtl.foreach(state.setTimeoutDuration)
           out.result().iterator
         }
       }
-      .toDF("a_id", "b_id", "est_jaccard")
+      .toDF("a_id", "b_id", "est_jaccard", "ts")
+    if (tsCol.isDefined) pairs else pairs.drop("ts")
   }
+
+  /** Exact-once pair emission: the bucket stage above can emit a
+    * pair once per shared band and once per redelivery; this wrapper
+    * dedups on (a_id, b_id) with `dropDuplicatesWithinWatermark`,
+    * whose pair-keyed state — like [[dedupStream]]'s — is EVICTED
+    * once the watermark passes, so the exact-once guarantee spans
+    * the same bounded horizon the rest of the pipeline promises (a
+    * pair re-surfacing after the horizon re-emits, by design —
+    * that's the near-dup-vs-RECENT contract). Two stateful stages,
+    * each one shuffle wide: bucket key, then pair key. Requires an
+    * event-time column on the documents; the emitted row keeps the
+    * first-emission `ts` and `est_jaccard`.
+    */
+  def nearDupStreamExactOnce(docs: DataFrame, idCol: String, textCol: String,
+                             tsCol: String, watermark: String = "30 seconds",
+                             numHashes: Int = 64, bands: Int = 32,
+                             threshold: Double = 0.8,
+                             maxPerBucket: Int = 64,
+                             stateTtl: Option[String] = None): DataFrame =
+    nearDupStream(docs, idCol, textCol, numHashes, bands, threshold,
+      maxPerBucket, stateTtl, tsCol = Some(tsCol))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("a_id", "b_id")
 
   /** J2 streaming twin: per-DID resolution cache as EXPLICIT stream
     * state via mapGroupsWithState — where the batch path uses an

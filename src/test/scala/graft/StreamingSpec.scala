@@ -220,6 +220,32 @@ class StreamingSpec extends SparkSpec {
     assert(pairs === Set((1L, 3L)))
   }
 
+  test("streaming near-dup exact-once: multi-band twin emits one pair row") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // an exact twin agrees on ALL 8 bands → 8 bucket-stage emissions
+    // without the pair-keyed dedup stage
+    val q = Streams.nearDupStreamExactOnce(
+      in.toDF().toDF("id", "text", "ts"), "id", "text", "ts",
+      watermark = "10 minutes",
+      numHashes = 16, bands = 8, threshold = 0.8, maxPerBucket = 4)
+      .writeStream.format("memory").queryName("near_dup_once")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, base, t("2024-01-01 00:00:01")))
+    q.processAllAvailable()
+    in.addData((3L, base, t("2024-01-01 00:00:02")))
+    q.processAllAvailable()
+    // redelivery of 3 within the watermark horizon: still no new row
+    in.addData((3L, base, t("2024-01-01 00:00:03")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("near_dup_once")
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+    assert(rows.toSeq === Seq((1L, 3L)),
+      "a twin sharing every band must emit exactly one pair row")
+  }
+
   test("J2 streaming twin: mapGroupsWithState cache hits across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
