@@ -23,6 +23,8 @@ object Contamination {
 
   /** (doc_id, n_shared, n_shingles, contamination) per training doc,
     * zero-filled for documents sharing nothing with the benchmark.
+    * A null-text document still emits its row — as (0, 0, null),
+    * since a contamination fraction over zero shingles is undefined.
     */
   def score(train: DataFrame, bench: DataFrame, idCol: String,
             textCol: String, k: Int = 3): DataFrame = {
@@ -33,18 +35,21 @@ object Contamination {
     // broadcast set via an outer join whose `hit` marker is counted
     // next to the total in a single aggregation. (A separate
     // size(hh) branch for the total would re-run the whole shingle
-    // pipeline a second time; shingles() never returns an empty
-    // array, so every document survives the aggregation and no
-    // zero-fill join is needed.)
+    // pipeline a second time.) shingles() never returns an empty
+    // array for non-null text, and explode_OUTER keeps a null-text
+    // document as one null-hash row, so every document survives the
+    // aggregation and no zero-fill join is needed; the null-safe
+    // count(h) scores that one carrier row as zero shingles.
     train
       .select(col(idCol).as("doc_id"),
-        explode(Dedup.hashedShingles(col(textCol), k)).as("h"))
+        explode_outer(Dedup.hashedShingles(col(textCol), k)).as("h"))
       .join(broadcast(benchSet.select(col("h"), lit(1).as("hit"))),
         Seq("h"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+      .agg(count(col("h")).as("n_shingles"), count(col("hit")).as("n_shared"))
       .select(col("doc_id"), col("n_shared"), col("n_shingles"),
-        (col("n_shared").cast("double") / col("n_shingles"))
+        when(col("n_shingles") === 0, lit(null).cast("double"))
+          .otherwise(col("n_shared").cast("double") / col("n_shingles"))
           .as("contamination"))
   }
 }

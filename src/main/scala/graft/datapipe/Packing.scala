@@ -46,10 +46,19 @@ object Packing {
     * minhashPairs' signature table): the returned DataFrame is lazy,
     * so there is no safe point inside this function to unpersist
     * without forcing the caller's consumption to re-sort. Long-lived
-    * drivers that call this repeatedly should clear caches between
-    * runs — the bench does exactly that.
+    * drivers that call this repeatedly should use
+    * [[exclusivePrefixSumReleasable]] and release once the result is
+    * consumed (or clear caches between runs — the bench does that).
     */
-  def exclusivePrefixSum(rows: DataFrame): DataFrame = {
+  def exclusivePrefixSum(rows: DataFrame): DataFrame =
+    exclusivePrefixSumReleasable(rows)._1
+
+  /** As [[exclusivePrefixSum]], plus a release handle that unpersists
+    * the sorted partitions backing the returned DataFrame. Call it
+    * after the result has been fully consumed (written/collected);
+    * actions run after release still succeed but re-sort.
+    */
+  def exclusivePrefixSumReleasable(rows: DataFrame): (DataFrame, () => Unit) = {
     val spark = rows.sparkSession
     import spark.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -97,7 +106,8 @@ object Packing {
         (k1, k2, v, s)
       }
     }
-    spark.createDataFrame(withStart).toDF("k1", "k2", "v", "start")
+    (spark.createDataFrame(withStart).toDF("k1", "k2", "v", "start"),
+      () => { sorted.unpersist(false); () })
   }
 
   /** One row per (doc, chunk) overlap: (doc_id, chunk_id, n_tokens).

@@ -59,6 +59,12 @@ object Sampling {
     *
     * Scale shape: pure per-row arithmetic plus one generator whose
     * fan-out is the weight itself — no shuffle, no state.
+    *
+    * Granularity: the fractional part of each weight is quantized to
+    * whole PERCENT (the md5 hash bucket is mod 100, the coin that is
+    * reproducible bit-for-bit in any engine), so w = 1.003 behaves as
+    * 1.0 and w = 1.005 as 1.01. Mixture weights are coarse knobs;
+    * callers needing finer resolution should scale copies upstream.
     */
   def upsample(df: DataFrame, key: Column, stratum: Column,
                weights: Map[String, Double],

@@ -102,6 +102,13 @@ object ShingleHashes {
     // the hottest path in the engine). 0 is a valid hash, so the
     // empty slot sentinel is a separate flag.
     val nw = n - k + 1
+    // cap is the next power of two ≥ 2·nw; past 2^29 windows that
+    // sizing overflows Int and the probe loop below would spin on a
+    // full 16-slot table forever — fail loudly instead (a single
+    // document with half a billion tokens should be split upstream).
+    require(nw < (1 << 29),
+      s"$nw shingle windows in one document overflows the dedup table " +
+        "sizing (max 2^29 - 1); split pathological giant documents upstream")
     var cap = 16
     while (cap < nw * 2) cap <<= 1
     val table = new Array[Long](cap)

@@ -363,9 +363,14 @@ object DataPipeQueries {
       sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
       shared AS (SELECT tr.doc_id, COUNT(*) AS n_shared
                  FROM tr JOIN b USING (shingle) GROUP BY 1)
-      SELECT z.doc_id, COALESCE(n_shared, 0) AS n_shared, n_shingles,
-        CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_shingles AS contamination
-      FROM sizes z LEFT JOIN shared ON z.doc_id = shared.doc_id"""))
+      SELECT d.doc_id, COALESCE(n_shared, 0) AS n_shared,
+        COALESCE(n_shingles, 0) AS n_shingles,
+        CASE WHEN COALESCE(n_shingles, 0) = 0 THEN NULL
+          ELSE CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_shingles END
+          AS contamination
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+      LEFT JOIN sizes z ON d.doc_id = z.doc_id
+      LEFT JOIN shared ON d.doc_id = shared.doc_id"""))
 
   /** Mixture replication: src0 2.5 epochs, src1 0.3 epochs, 1.0
     * elsewhere — floor(w) copies each plus a hash-chosen fractional

@@ -121,6 +121,30 @@ class PackingSpec extends SparkSpec {
     assert(got.toSeq === Seq((5L, 0L, 5L)))
   }
 
+  test("contamination keeps a null-text doc as a (0, 0, null) row") {
+    val bench = Seq((17L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq((Some(1L), Some("alpha beta gamma delta")),
+      (Some(2L), None)).toDF("doc_id", "text")
+    val got = Contamination.score(train, bench, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, Some(1.0)),
+      (2L, 0L, 0L, None)))
+  }
+
+  test("prefix-sum release handle unpersists the sorted partitions") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (out, release) = Packing.exclusivePrefixSumReleasable(
+      Seq((1L, 0L, 3L), (2L, 0L, 4L)).toDF("k1", "k2", "v"))
+    assert(out.select(col("k1"), col("start")).as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq === Seq((1L, 0L), (2L, 3L)))
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "the sorted partitions must be persisted while live")
+    release()
+    assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty,
+      "release must unpersist the sorted partitions")
+  }
+
   test("contamination hits the planted extremes and stays in [0,1]") {
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val train = Seq(
