@@ -461,4 +461,129 @@ object Dedup {
           (col("n_total") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Incremental corpus dedup: which `newDocs` are genuinely new —
+    * their normalized content appears nowhere in `corpus`?
+    *
+    * The scale problem this solves: the corpus side is the 100 TB
+    * accumulated crawl, the new side is one day's batch. A plain
+    * anti join would either broadcast the new side's full hash
+    * relation (hundreds of bytes per row — broadcast caps out around
+    * tens of millions of rows) or shuffle the entire corpus. Instead
+    * the new side collapses to a Bloom filter (~10 bits per key, so
+    * 100M keys ≈ 120 MB — broadcastable long after the row relation
+    * isn't) that prunes the corpus map-side: a corpus row whose key
+    * fails the filter matches no new document and never reaches the
+    * shuffle. Bloom filters have NO false negatives, so every true
+    * match survives pruning and the exact anti join on the survivors
+    * returns exactly the plain anti join's result — false positives
+    * cost only wasted shuffle rows (`fpp` of the corpus), never
+    * correctness. This is Spark's own runtime-filter pattern
+    * (InjectRuntimeFilter) made explicit, sized, and verified.
+    *
+    * Output: the `idCol` of each genuinely-new document. Matching is
+    * on xxhash64 of normalized text (the usual collision-free-at-64-
+    * bit assumption; the oracle joins on the strings). A null-text
+    * document never equals anything (SQL equality) and is kept.
+    */
+  def bloomNewDocs(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+                   textCol: String, expectedItems: Long,
+                   fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val key = xxhash64(TextAnalysis.normalize(col(textCol)))
+    val newKeys = newDocs.select(col(idCol), key.as("k"))
+    // One pass over the (small) new side builds the filter on the
+    // driver: bounded by the filter's bit array, not by row count.
+    // putLong/mightContainLong share BloomFilterImpl's hashing, so
+    // the probe below is consistent with this build by construction.
+    val bf = newKeys.select(col("k")).na.drop("any")
+      .stat.bloomFilter("k", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // might_contain(<serialized filter>, k): Spark's native runtime-
+    // filter predicate — codegen'd, evaluated at the corpus scan, and
+    // with the filter shipped once per executor as a literal.
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      ColumnBridge.expression(col("k"))))
+    val survivors = corpus.select(key.as("k")).filter(mightContain)
+    newKeys.join(survivors, Seq("k"), "left_anti").select(col(idCol))
+  }
+
+  /** Maximal shared token runs (exact substring-level duplication,
+    * the complement of the set-similarity family above): for every
+    * document pair, every maximal run of >= `minWindows` consecutive
+    * k-token windows with identical content, reported with its start
+    * offset in both documents. This is the operator behind "these two
+    * crawl pages share a 300-token boilerplate block" — set-Jaccard
+    * cannot see contiguity, so it misses exactly these.
+    *
+    * Shape: one window-hash equi-join (ids + positions only — 8-byte
+    * rows, never text) finds aligned window matches; runs are then
+    * gaps-and-islands per (pair, diagonal): along diagonal d = a_pos
+    * - b_pos, consecutive a_pos values form one contiguous shared
+    * run, so island id = a_pos - row_number() and one aggregation
+    * emits each maximal span. The join is the scale hazard — a
+    * boilerplate window appearing in d documents fans out d² — so
+    * window hashes with document frequency > `maxDf` are dropped
+    * first (both engines replay the cap, so it is part of the
+    * operator's semantics, not an approximation): a hotter window
+    * than that is stop-phrase noise, and a long span loses at most
+    * its capped windows, splitting into sub-spans that still surface.
+    * Post-join work shuffles matched positions by (a_id, b_id, diag)
+    * — span-local keys whose group size is bounded by document
+    * length, never corpus size.
+    *
+    * Output: (a_id, b_id, a_start, b_start, n_windows, span_tokens)
+    * with 0-based starts and span_tokens = n_windows + k - 1.
+    */
+  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, minWindows: Int = 4,
+                  maxDf: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    // Positional windows (NOT the distinct-shingle pipeline — spans
+    // need every occurrence with its offset). Docs shorter than k
+    // have no k-window and cannot carry a span.
+    val windows = docs
+      .select(col(idCol).as("id"), toks.as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("w")) - k),
+        i => xxhash64(array_join(slice(col("w"), i + 1, lit(k)), " ")))))
+      .select(col("id"), col("pos"), col("col").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = windows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("h"))
+    val pruned = windows.join(broadcast(hot), Seq("h"), "left_anti")
+    // (a_id, pos) is unique, so per (pair, diagonal) each a_pos
+    // appears at most once and row_number needs no extra tie-break.
+    val matches = pruned.select(col("h"), col("id").as("a_id"), col("pos").as("pa"))
+      .hint("shuffle_hash")
+      .join(pruned.select(col("h"), col("id").as("b_id"), col("pos").as("pb")),
+        Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("pa"), col("pb"))
+    val diag = col("pa") - col("pb")
+    val islands = matches
+      .withColumn("g", col("pa") - row_number().over(
+        Window.partitionBy(col("a_id"), col("b_id"), diag).orderBy(col("pa"))))
+    islands
+      .groupBy(col("a_id"), col("b_id"), diag.as("d"), col("g"))
+      .agg(min(col("pa")).as("a_start0"), min(col("pb")).as("b_start0"),
+        count(lit(1)).as("n_windows"))
+      .filter(col("n_windows") >= minWindows)
+      .select(col("a_id"), col("b_id"),
+        col("a_start0").cast("bigint").as("a_start"),
+        col("b_start0").cast("bigint").as("b_start"),
+        col("n_windows"),
+        (col("n_windows") + (k - 1)).as("span_tokens"))
+  }
 }

@@ -1,0 +1,78 @@
+package graft.datapipe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level relevance scoring (BM25) — the ranking half of a
+  * training-data pipeline's quality/retrieval tooling: score every
+  * document against a fixed query-term set for retrieval-based data
+  * selection ("keep documents relevant to these seed topics").
+  *
+  * BM25 (Robertson/Spärck Jones, the Lucene `k1`/`b` variant):
+  *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *   idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+  *
+  * Scale shape: one token-explode pass filtered to the query terms
+  * (map-side — the non-matching token stream never shuffles), one
+  * groupBy (doc, term) for tf, and two tiny broadcast sides: per-term
+  * document frequencies (|terms| rows) and the global (N, avgdl)
+  * pair. The 100 TB corpus is shuffled only as (doc_id, term, tf)
+  * rows for matching terms.
+  *
+  * Engine portability: every aggregate feeding the formula is exact
+  * (counts, and avgdl = Σdl/N — one IEEE division of exact longs), so
+  * the float pipeline is a fixed expression tree over identical
+  * inputs in any engine. Per-term weights are combined as pivoted
+  * columns added in literal term order — NOT a float `sum()` whose
+  * partial-aggregation order Spark does not define — so the total is
+  * bit-reproducible; the oracle replays the same left-to-right sum.
+  */
+object Relevance {
+
+  /** (doc_id, score) for every document (0.0 when no term matches),
+    * rounded to 4 dp. `terms` must be distinct lowercase tokens; the
+    * scoring order is the Seq order, which the oracle must mirror.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct: $terms")
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("w"))
+    // dl must count ALL tokens (BM25's length normalization), so it
+    // rides the explode row alongside each matched term.
+    val matched = base
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val dfs = matched.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("w"))).as("sum_dl"))
+    val weighted = matched
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("wt",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    // Pivot to fixed columns, then add left-to-right in term order:
+    // at most one `wt` row exists per (doc, term), so each max() is
+    // exact and the sum order is literal, not shuffle-dependent.
+    val aggs = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === lit(t), col("wt"))).as(s"w_$i")
+    }
+    val perTerm = weighted.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val total = terms.indices
+      .map(i => coalesce(col(s"w_$i"), lit(0.0)))
+      .reduce(_ + _)
+    base.select(col("doc_id"))
+      .join(perTerm, Seq("doc_id"), "left")
+      .select(col("doc_id"), round(total, 4).as("score"))
+  }
+}

@@ -201,6 +201,78 @@ object Similarity {
     ivfTopKPruned(e, q, k)
   }
 
+  /** Global max-|component| of the corpus — the scalar quantizer's
+    * one training statistic. Order-independent (max of exact
+    * comparisons), so any engine derives the identical double. One
+    * aggregation; one scalar reaches the driver.
+    */
+  def sq8MaxAbs(emb: DataFrame): Double =
+    emb.select(max(array_max(transform(col("emb"), x => abs(x)))).as("m"))
+      .head().getDouble(0)
+
+  /** Symmetric 8-bit scalar quantization: q_i = round(x_i·127/M) ∈
+    * [-127, 127] with M the global [[sq8MaxAbs]]. Symmetric-around-
+    * zero with ONE scale is what keeps the integer dot product
+    * faithful: dequantization is x̂_i = q_i·M/127, so dot(x̂, ŷ) ∝
+    * Σ q_i r_i and cos(x̂, ŷ) is computable from integer sums alone —
+    * a per-dimension or affine quantizer (the min/max kind) breaks
+    * both with shift cross-terms. Each step is one IEEE double op
+    * plus a half-away-from-zero round that Spark and DuckDB share,
+    * so codes are engine-portable. Stored as array<long> (Spark has
+    * no int8 array); the 100 TB layout would pack codes to
+    * BinaryType — arithmetic and join shape unchanged.
+    */
+  def sq8Quantize(emb: Column, maxAbs: Double): Column = {
+    require(maxAbs > 0.0, s"sq8 needs a positive scale, got $maxAbs")
+    transform(emb, x => round(x * lit(127.0) / lit(maxAbs)).cast("long"))
+  }
+
+  /** Two-stage scalar-quantized top-k (the SQ tier of the usual ANN
+    * stack, between brute force and IVF): stage 1 ranks candidates by
+    * approximate cosine computed ENTIRELY from exact integer sums —
+    * dot/(√‖a‖²·√‖b‖²) over 8-bit codes, with [[graft.functions
+    * .LongDotProduct]] as the one fused codegen loop per pair — and
+    * keeps `refine · k` per query; stage 2 rescores only those with
+    * true cosine and emits the final top-k. At 100 TB the stage-1
+    * scan touches 8-bit codes instead of 8-byte doubles — 8× less
+    * memory bandwidth on the innermost loop, the classic SQ trade —
+    * while stage 2's exact math runs on a bounded candidate set
+    * (|queries| × refine·k rows). Both stages shuffle at most
+    * k·refine rows per (partition, query) through the
+    * [[graft.functions.TopKAggregator]]. The approximate score is a
+    * few exact-integer-fed IEEE ops (division, sqrt — both correctly
+    * rounded), and ties break by vec_id everywhere, so the result is
+    * deterministic and the oracle replays both stages exactly.
+    */
+  def sq8TopK(emb: DataFrame, queries: DataFrame, k: Int,
+              refine: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.longDotProduct
+    val m = sq8MaxAbs(emb.select(col("emb")))
+    // ‖code‖² is computed once per row at quantization time, not once
+    // per (query, candidate) pair in the join below.
+    val codes = emb.select(col("vec_id"),
+      sq8Quantize(col("emb"), m).as("code"))
+      .withColumn("nb2", longDotProduct(col("code"), col("code")))
+    val qCodes = queries.select(col("q_id"),
+      sq8Quantize(col("q_emb"), m).as("q_code"))
+      .withColumn("na2", longDotProduct(col("q_code"), col("q_code")))
+    val approx = codes
+      .join(broadcast(qCodes), col("vec_id") =!= col("q_id"))
+      .withColumn("ascore",
+        when(col("na2") === 0 || col("nb2") === 0, lit(0.0)).otherwise(
+          longDotProduct(col("code"), col("q_code")).cast("double") /
+            (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))))
+    val candidates = approx.groupBy(col("q_id"))
+      .agg(TopK.topK(k * refine)(col("vec_id"), col("ascore")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.item").as("vec_id"))
+    val rescored = candidates
+      .join(emb.select(col("vec_id"), col("emb")), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("score", round(cosineSimilarity(col("q_emb"), col("emb")), 4))
+    rankTopK(rescored.select(col("q_id"), col("vec_id"), col("score")), k)
+  }
+
   /** Random-hyperplane sign bits (SimHash for dense vectors): bit i is
     * the sign of <emb, r_i> where r_i is a deterministic pseudo-random
     * hyperplane derived from xxhash64(i, dim-index). One fused

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<double>` columns.
@@ -67,6 +67,49 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused integer dot product over two `array<long>` columns — the
+  * scoring kernel of the scalar-quantized ANN tier
+  * ([[graft.datapipe.Similarity.sq8TopK]]). Same rationale as
+  * [[CosineSimilarity]]: this runs once per (query, candidate) pair,
+  * so it must be one codegen'd loop with no intermediate array (the
+  * zip_with/aggregate composition allocates one per row). Integer
+  * accumulation is exact, hence order-portable across engines.
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L; var i = 0
+    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $dot = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += $a.getLong($i) * $b.getLong($i);
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** cosine_similarity(a, b) over array<double> columns. Inputs are
     * cast explicitly (the expression assumes double arrays). */
@@ -74,4 +117,10 @@ object VectorFunctions {
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a.cast("array<double>")),
       ColumnBridge.expression(b.cast("array<double>"))))
+
+  /** long_dot_product(a, b) over array<long> columns. */
+  def longDotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(LongDotProduct(
+      ColumnBridge.expression(a.cast("array<long>")),
+      ColumnBridge.expression(b.cast("array<long>"))))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.datapipe.{Contamination, Dedup, Packing, Sampling, TextAnalysis}
+import graft.datapipe.{Contamination, Dedup, Packing, Relevance, Sampling, TextAnalysis}
 import graft.functions.PromHistogram
 
 /** Queries for the training-data-pipeline operators (dedup, text
@@ -110,6 +110,44 @@ object DataPipeQueries {
       ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fingerprint
       FROM documents"""))
 
+  /** BM25 over three vocabulary terms of differing rarity. The oracle
+    * replays the formula with the SAME expression tree (literal
+    * arithmetic like (1.2 + 1.0) constant-folds to the identical
+    * double in both engines) and the same literal-order pivoted sum,
+    * so the only shared rounding surface is ln() — see
+    * [[graft.datapipe.Relevance]].
+    */
+  private val textBm25 = QueryDef(
+    "text_bm25",
+    (s, d) => Relevance.bm25(Tables.documents(s, d), "doc_id", "text",
+      Seq("merge", "window", "customer")),
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      base AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+      stats AS (SELECT COUNT(*) AS n_docs, SUM(len(w)) AS sum_dl FROM toks),
+      m AS (SELECT doc_id, dl, u.t AS term
+            FROM base, UNNEST(w) AS u(t)
+            WHERE u.t IN ('merge', 'window', 'customer')),
+      tfs AS (SELECT doc_id, term, MAX(dl) AS dl, COUNT(*) AS tf
+              FROM m GROUP BY 1, 2),
+      dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1),
+      wts AS (SELECT doc_id, term,
+          ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+            (tf * (1.2 + 1.0)) /
+            (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl /
+              (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS wt
+        FROM tfs JOIN dfs USING (term), stats),
+      p AS (SELECT doc_id,
+          MAX(CASE WHEN term = 'merge' THEN wt END) AS w0,
+          MAX(CASE WHEN term = 'window' THEN wt END) AS w1,
+          MAX(CASE WHEN term = 'customer' THEN wt END) AS w2
+        FROM wts GROUP BY doc_id)
+      SELECT b.doc_id,
+        round(COALESCE(w0, 0.0) + COALESCE(w1, 0.0) + COALESCE(w2, 0.0), 4)
+          AS score
+      FROM base b LEFT JOIN p USING (doc_id)"""))
+
   // --- dedup ------------------------------------------------------
 
   private val dedupExact = QueryDef(
@@ -145,6 +183,68 @@ object DataPipeQueries {
         SELECT doc_id + 1000000 AS id, array_to_string(w[1:len(w)-1], ' ') AS text
         FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
               FROM documents))"""
+
+  /** Incremental-crawl dedup: new batch = doc_id % 13 == 0, corpus =
+    * everything else PLUS re-ingested copies of half the batch (the
+    * % 26 == 0 docs under shifted ids) — so the operator must both
+    * admit and reject. Spark prunes the corpus with a Bloom filter of
+    * the batch's keys before the exact anti join; the result is
+    * bloom-invisible (no false negatives), so the oracle is the plain
+    * anti join on normalized text.
+    */
+  private val dedupIncremental = QueryDef(
+    "dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val fresh = docs.filter(col("doc_id") % 13 === 0)
+      val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+        .unionByName(fresh.filter(col("doc_id") % 26 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      Dedup.bloomNewDocs(fresh, corpus, "doc_id", "text",
+        expectedItems = 100000)
+    },
+    Some("""WITH nd AS (SELECT doc_id,
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents WHERE doc_id % 13 = 0),
+      corpus AS (
+        SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents WHERE doc_id % 26 = 0)
+      SELECT doc_id FROM nd
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.t = nd.t)"""))
+
+  /** Maximal shared token runs over the twin corpus: each truncated
+    * twin shares its full (len-1)-token prefix with its original, so
+    * every twin pair must surface as one long diagonal-0 span (unless
+    * a > maxDf window splits it — the oracle replays the cap, so both
+    * engines split identically).
+    */
+  private val dedupSpans = QueryDef(
+    "dedup_spans",
+    (s, d) => Dedup.sharedSpans(withTwins(s, d), "id", "text",
+      k = 3, minWindows = 4, maxDf = 50),
+    Some(s"""WITH $twinsSqlCte,
+      toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
+      win AS (SELECT id, i - 1 AS pos, array_to_string(w[i:i+2], ' ') AS sh
+              FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+              WHERE len(w) >= 3),
+      keep AS (SELECT sh FROM win GROUP BY sh HAVING COUNT(*) <= 50),
+      w2 AS (SELECT win.* FROM win JOIN keep USING (sh)),
+      m AS (SELECT a.id AS a_id, b.id AS b_id, a.pos AS pa, b.pos AS pb
+            FROM w2 a JOIN w2 b ON a.sh = b.sh AND a.id < b.id),
+      isl AS (SELECT a_id, b_id, pa - pb AS d, pa, pb,
+          pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb ORDER BY pa) AS g
+        FROM m),
+      sp AS (SELECT a_id, b_id, d, MIN(pa) AS a_start, MIN(pb) AS b_start,
+          COUNT(*) AS n_windows
+        FROM isl GROUP BY a_id, b_id, d, g)
+      SELECT a_id, b_id, CAST(a_start AS BIGINT) AS a_start,
+        CAST(b_start AS BIGINT) AS b_start, n_windows,
+        n_windows + 2 AS span_tokens
+      FROM sp WHERE n_windows >= 4"""))
 
   private val dedupNgramJaccard = QueryDef(
     "dedup_ngram_jaccard",
@@ -494,9 +594,10 @@ object DataPipeQueries {
 
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap,
-    textTokens, textQuality, textLangId, textFingerprint,
+    textTokens, textQuality, textLangId, textFingerprint, textBm25,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupClusters, dedupKeepOne, dedupCdcChunks, sampleStratified, a1Salted,
+    dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
+    dedupSpans, sampleStratified, a1Salted,
     packChunks, decontaminate, mixtureUpsample, shuffleRank,
     textRedact, e2eDataPipeline)
 }

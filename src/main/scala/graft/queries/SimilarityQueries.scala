@@ -140,6 +140,55 @@ object SimilarityQueries {
       SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a$iters"""
   }
 
+  /** Scalar-quantized two-stage top-k: stage 1 ranks by approximate
+    * cosine from exact integer sums over 8-bit codes and keeps
+    * refine·k = 15 candidates, stage 2 rescores those with exact
+    * cosine. The oracle replays BOTH stages — quantizer training
+    * (global max-abs), code assignment, integer-sum approx ranking,
+    * exact rescore — so a hash match certifies the full SQ pipeline,
+    * not just the final list.
+    */
+  private val simSq8 = QueryDef(
+    "sim_sq8_topk",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.sq8TopK(e, q, 5, refine = 3)
+    },
+    Some(s"""WITH $embSqlCte,
+      m AS (SELECT MAX(list_max(list_transform(emb, x -> abs(x)))) AS mx
+            FROM e),
+      c AS (SELECT vec_id,
+          list_transform(emb, x -> CAST(round(x * 127.0 / m.mx) AS BIGINT))
+            AS code
+        FROM e, m),
+      c2 AS (SELECT vec_id, code,
+          list_sum(list_transform(list_zip(code, code), z -> z[1] * z[2]))
+            AS n2
+        FROM c),
+      q AS (SELECT vec_id AS q_id, code AS q_code, n2 AS na2 FROM c2
+            WHERE vec_id < 10),
+      ap AS (SELECT q_id, c2.vec_id,
+          CASE WHEN na2 = 0 OR n2 = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(list_zip(c2.code, q.q_code),
+                      z -> z[1] * z[2])) AS DOUBLE)
+                    / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+          END AS ascore
+        FROM q, c2 WHERE c2.vec_id <> q_id),
+      cand AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id) AS rn
+          FROM ap) t WHERE rn <= 15),
+      qq AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      re AS (SELECT cand.q_id, cand.vec_id,
+          round(list_cosine_similarity(q_emb, emb), 4) AS score
+        FROM cand JOIN e USING (vec_id) JOIN qq ON cand.q_id = qq.q_id),
+      ranked AS (SELECT q_id, vec_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+        FROM re)
+      SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
+
   private val simIvfKmeans = QueryDef(
     "sim_ivf_kmeans",
     (s, d) => Similarity.kmeansAssign(
@@ -228,7 +277,8 @@ object SimilarityQueries {
       FROM s"""))
 
   val defs: Seq[QueryDef] =
-    Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, dedupEmbedding,
+    Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simSq8,
+      dedupEmbedding,
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize)
 }

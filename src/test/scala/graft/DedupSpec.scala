@@ -57,4 +57,72 @@ class DedupSpec extends SparkSpec {
       .select(TextAnalysis.normalize(col("t"))).as[String].head()
     assert(once == "a b c" && once == twice)
   }
+
+  test("bloom-pruned incremental dedup == plain anti join, exactly") {
+    val corpus = (0L until 200L).map(i =>
+      (i, (0 to 10).map(j => s"c${(i * 7 + j) % 53}").mkString(" ")))
+      .toDF("doc_id", "text")
+    // new batch: 20 docs already in the corpus (same text, new ids)
+    // + 20 genuinely new ones
+    val fresh = ((0L until 20L).map(i =>
+      (1000L + i, (0 to 10).map(j => s"c${(i * 7 + j) % 53}").mkString(" "))) ++
+      (0L until 20L).map(i => (2000L + i, s"fresh doc number $i")))
+      .toDF("doc_id", "text")
+    val viaBloom = Dedup.bloomNewDocs(fresh, corpus, "doc_id", "text",
+      expectedItems = 1000).as[Long].collect().toSet
+    val plain = fresh
+      .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("t"))
+      .join(corpus.select(TextAnalysis.normalize(col("text")).as("t")),
+        Seq("t"), "left_anti")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(viaBloom === plain)
+    assert(viaBloom === (0L until 20L).map(2000L + _).toSet,
+      "exactly the genuinely-new docs survive")
+  }
+
+  test("bloom prefilter reaches the corpus side as might_contain") {
+    // parquet-backed input: a local relation would be folded away by
+    // ConvertToLocalRelation before the plan is inspectable
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fresh = docs.filter(col("doc_id") % 13 === 0)
+    val plan = Dedup.bloomNewDocs(fresh, docs, "doc_id", "text", 1000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected might_contain on the corpus side; plan:\n${plan.take(2000)}")
+  }
+
+  test("shared spans: planted block surfaces with exact offsets") {
+    // doc 1 and doc 2 share tokens s0..s5 (a 6-token block) embedded
+    // at different offsets; doc 3 is unrelated.
+    val block = (0 to 5).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"x1 x2 $block y1 y2"),
+      (2L, s"z1 z2 z3 $block q1"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")).toDF("id", "text")
+    val spans = Dedup.sharedSpans(docs, "id", "text",
+      k = 3, minWindows = 4, maxDf = 50).collect()
+    assert(spans.length === 1)
+    val r = spans.head
+    // 6 tokens → 4 consecutive 3-windows; block starts at token 2 in
+    // doc 1 (0-based) and token 3 in doc 2
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(r.getLong(2) === 2L, "a_start")
+    assert(r.getLong(3) === 3L, "b_start")
+    assert(r.getLong(4) === 4L, "n_windows")
+    assert(r.getLong(5) === 6L, "span_tokens")
+  }
+
+  test("shared spans: runs below minWindows stay silent; maxDf splits hot runs") {
+    val block = (0 to 3).map(i => s"t$i").mkString(" ") // 4 tokens → 2 windows
+    val docs = Seq((1L, s"a1 a2 $block b1"), (2L, s"c1 $block d1"))
+      .toDF("id", "text")
+    assert(Dedup.sharedSpans(docs, "id", "text", k = 3, minWindows = 4)
+      .collect().isEmpty)
+    // a window hotter than maxDf vanishes: plant the same 8-token
+    // block in 4 docs with maxDf=3 → every middle window has df 4 > 3
+    val big = (0 to 7).map(i => s"h$i").mkString(" ")
+    val hotDocs = (1L to 4L).map(i => (i, s"p$i $big")).toDF("id", "text")
+    assert(Dedup.sharedSpans(hotDocs, "id", "text",
+      k = 3, minWindows = 2, maxDf = 3).collect().isEmpty)
+  }
 }

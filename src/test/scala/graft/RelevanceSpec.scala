@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.datapipe.Relevance
+
+/** BM25 against an independent plain-Scala re-computation of the
+  * formula, plus the ranking invariants that define the scorer.
+  */
+class RelevanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark merge merge merge join"),       // tf(merge)=3, dl=5
+    (2L, "merge sort"),                         // tf(merge)=1, dl=2
+    (3L, "window window scan scan scan scan"),  // rare-term doc, dl=6
+    (4L, "nothing relevant here at all"))       // no match, dl=5
+    .toDF("doc_id", "text")
+
+  private def scores(terms: Seq[String]): Map[Long, Double] =
+    Relevance.bm25(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("bm25 matches a hand-rolled reference computation") {
+    val got = scores(Seq("merge", "window"))
+    // reference: N=4, avgdl=(5+2+6+5)/4=4.5
+    def idf(df: Int) = math.log(1.0 + (4L - df + 0.5) / (df + 0.5))
+    def w(tf: Long, dl: Long, df: Int) =
+      idf(df) * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / 4.5))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === r4(w(3, 5, 2)))
+    assert(got(2L) === r4(w(1, 2, 2)))
+    assert(got(3L) === r4(w(2, 6, 1)))
+    assert(got(4L) === 0.0)
+  }
+
+  test("bm25 invariants: zero-fill, tf monotonicity, rarity preference") {
+    val got = scores(Seq("merge", "window"))
+    assert(got.keySet === Set(1L, 2L, 3L, 4L), "every doc gets a row")
+    assert(got(1L) > got(2L), "more occurrences at similar length outrank")
+    // 'window' (df=1) is rarer than 'merge' (df=2): doc 3 with tf=2
+    // outranks doc 2 with tf=1 of the commoner term
+    assert(got(3L) > got(2L))
+  }
+
+  test("bm25 rejects duplicate or empty term lists") {
+    intercept[IllegalArgumentException] {
+      Relevance.bm25(docs, "doc_id", "text", Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      Relevance.bm25(docs, "doc_id", "text", Seq.empty)
+    }
+  }
+}

@@ -61,4 +61,44 @@ class SimilaritySpec extends SparkSpec {
     // query's cell; the floor documents the quality bar
     assert(recall >= 0.5, s"recall@5 $recall below 0.5")
   }
+
+  test("sq8 codes are in [-127,127] and the scale element hits a rail") {
+    import spark.implicits._
+    val m = Similarity.sq8MaxAbs(emb.select(col("emb")))
+    assert(m > 0.0)
+    val codes = emb
+      .select(Similarity.sq8Quantize(col("emb"), m).as("c"))
+      .as[Seq[Long]].collect()
+    val flat = codes.flatten
+    assert(flat.forall(v => v >= -127L && v <= 127L))
+    // the max-|component| element quantizes to exactly ±127
+    assert(flat.map(math.abs).max === 127L)
+  }
+
+  test("sq8 with an exhaustive refine equals brute force exactly") {
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    // refine*k >= corpus: stage 1 keeps every candidate, so the
+    // rescoring stage IS brute force — results must be identical
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceTopK(emb, qs, 5).collect().toSet
+    val sq = Similarity.sq8TopK(emb, qs, 5, refine = n).collect().toSet
+    assert(sq === exact)
+    assert(sq.nonEmpty)
+  }
+
+  test("sq8 at refine=3 reaches high recall against brute force") {
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val exact = Similarity.bruteForceTopK(emb, qs, 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sq8TopK(emb, qs, 5, refine = 3)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & sq).size.toDouble / exact.size
+    info(s"sq8 recall@5 over ${exact.size} truth pairs: $recall")
+    // 8-bit codes preserve cosine order well; the floor documents it
+    assert(recall >= 0.8, s"sq8 recall@5 $recall below 0.8")
+  }
 }
