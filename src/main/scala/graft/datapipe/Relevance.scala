@@ -41,11 +41,18 @@ object Relevance {
     val base = docs.select(col(idCol).as("doc_id"), toks.as("w"))
     // dl must count ALL tokens (BM25's length normalization), so it
     // rides the explode row alongside each matched term.
+    // persist(): matched feeds BOTH the weighting join and the df
+    // aggregation below — without it Catalyst plans the scan + explode
+    // + filter pipeline twice (DataFrame reuse is logical, not
+    // physical). Post-aggregation it is skinny (≤ |terms| rows per
+    // doc), so the cache is bounded; session-scoped like the other
+    // dedup staging tables (Bench/tests clear caches between queries).
     val matched = base
       .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfs = matched.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val stats = base.agg(count(lit(1)).as("n_docs"),

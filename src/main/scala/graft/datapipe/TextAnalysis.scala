@@ -103,4 +103,48 @@ object TextAnalysis {
     */
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Within-document repetition metrics — the Gopher/RefinedWeb-style
+    * quality signals that catch boilerplate loops and degenerate
+    * generations BEFORE they reach pretraining:
+    *
+    *  - dup2_frac / dup3_frac: fraction of word 2-/3-grams that are
+    *    repeats of an earlier occurrence in the same document
+    *    ((total − distinct) / total; null when the doc is too short
+    *    to have any such n-gram);
+    *  - top_word_frac: the most frequent token's share of all tokens.
+    *
+    * The n-gram fractions are pure column expressions (per-row
+    * array_distinct over the window array — no shuffle, scan speed).
+    * top_word_frac is one (doc_id, word) count + a per-doc max: the
+    * same two partial-aggregated shuffles as tf counting, carrying
+    * (id, word-hash-sized) rows — linear at 100 TB. Every fraction is
+    * exact-integer-counts divided once, so any engine reproduces the
+    * doubles bit-for-bit.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(normalize(col(textCol)), " ")
+    def grams(w: Column, n: Int): Column =
+      when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(w) - n),
+          i => array_join(slice(w, i + 1, lit(n)), " ")))
+    def dupFrac(g: Column): Column =
+      when(size(g) === 0, lit(null).cast("double"))
+        .otherwise((size(g) - size(array_distinct(g))).cast("double") /
+          size(g).cast("double"))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("w"))
+    val inline = base.select(col("doc_id"),
+      size(col("w")).cast("bigint").as("n_tokens"),
+      dupFrac(grams(col("w"), 2)).as("dup2_frac"),
+      dupFrac(grams(col("w"), 3)).as("dup3_frac"))
+    val topWord = base
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    inline.join(topWord, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup2_frac"),
+        col("dup3_frac"),
+        (col("top_c").cast("double") / col("n_tokens").cast("double"))
+          .as("top_word_frac"))
+  }
 }

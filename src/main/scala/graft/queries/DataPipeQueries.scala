@@ -110,6 +110,38 @@ object DataPipeQueries {
       ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fingerprint
       FROM documents"""))
 
+  /** Gopher-style repetition quality metrics: duplicate 2-/3-gram
+    * fractions (pure per-row expressions) plus the top token's share
+    * (one tf-shaped aggregation). Fractions are exact integer counts
+    * divided once, so the doubles match across engines.
+    */
+  private val textRepetition = QueryDef(
+    "text_repetition",
+    (s, d) => TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      g2 AS (SELECT doc_id, COUNT(*) AS t2, COUNT(DISTINCT gm) AS d2
+             FROM (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gm
+                   FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+                   WHERE len(w) >= 2) GROUP BY doc_id),
+      g3 AS (SELECT doc_id, COUNT(*) AS t3, COUNT(DISTINCT gm) AS d3
+             FROM (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gm
+                   FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+                   WHERE len(w) >= 3) GROUP BY doc_id),
+      tw AS (SELECT doc_id, MAX(c) AS top_c FROM (
+               SELECT doc_id, u.t AS word, COUNT(*) AS c
+               FROM toks, UNNEST(w) AS u(t) GROUP BY doc_id, u.t)
+             GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        CASE WHEN t2 IS NULL THEN NULL
+             ELSE CAST(t2 - d2 AS DOUBLE) / CAST(t2 AS DOUBLE) END AS dup2_frac,
+        CASE WHEN t3 IS NULL THEN NULL
+             ELSE CAST(t3 - d3 AS DOUBLE) / CAST(t3 AS DOUBLE) END AS dup3_frac,
+        CAST(top_c AS DOUBLE) / CAST(len(w) AS DOUBLE) AS top_word_frac
+      FROM toks t LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+        LEFT JOIN tw USING (doc_id)"""))
+
   /** BM25 over three vocabulary terms of differing rarity. The oracle
     * replays the formula with the SAME expression tree (literal
     * arithmetic like (1.2 + 1.0) constant-folds to the identical
@@ -595,6 +627,7 @@ object DataPipeQueries {
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
+    textRepetition,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, sampleStratified, a1Salted,

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.datapipe.{Dedup, Relevance, Similarity}
+
+/** Physical-plan contracts for the round-5 operators — the shapes
+  * that keep them 100 TB-safe. (Result correctness is covered by the
+  * oracle entries; these pin the PLAN so a regression that silently
+  * de-optimizes still fails loudly.)
+  */
+class NewOpsPlanSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+  private def qs = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+
+  test("sq8: the corpus side is never shuffled before stage-1 scoring") {
+    val plan = Similarity.sq8TopK(emb, qs, 5, 3)
+      .queryExecution.executedPlan.toString
+    // stage 1 must be broadcast(queries) x corpus scan — a shuffle of
+    // the corpus by query key would defeat the scan-side design
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join in stage 1; plan:\n${plan.take(3000)}")
+    assert(plan.contains("long_dot_product"),
+      "stage-1 scoring must use the fused integer kernel")
+    assert(!plan.contains("CartesianProduct"),
+      "no un-broadcast cartesian anywhere")
+  }
+
+  test("spans: no cartesian product; the pair join is an equi-join") {
+    val plan = Dedup.sharedSpans(
+      docs.select(col("doc_id").as("id"), col("text")), "id", "text",
+      k = 3, minWindows = 4, maxDf = 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"window-hash join must stay an equi-join; plan:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin"),
+      "the shuffle_hash hint on the window-hash self-join must hold")
+  }
+
+  test("bm25: map-side term filter, cached tf table, no cartesian") {
+    val plan = Relevance.bm25(docs, "doc_id", "text",
+      Seq("merge", "window", "customer")).queryExecution.executedPlan.toString
+    // the non-matching token stream dies map-side, under the
+    // (doc_id, term) exchange
+    assert(plan.contains("IN (merge,window,customer)"),
+      s"expected the term prefilter; plan:\n${plan.take(3000)}")
+    // the tf table is persisted so the scan+explode pipeline is
+    // planned once, not once per consumer (weighting + df branches)
+    assert(plan.contains("InMemoryTableScan"),
+      "matched tf staging should be cache-backed")
+    // the only nested-loop is the broadcast of the 1-row stats side
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

@@ -52,4 +52,20 @@ class RelevanceSpec extends SparkSpec {
       Relevance.bm25(docs, "doc_id", "text", Seq.empty)
     }
   }
+
+  test("repetition metrics match hand counts") {
+    val rep = Seq(
+      (1L, "a b a b a"),   // 2-grams: ab ba ab ba → 4 total 2 distinct
+      (2L, "x y z"),       // all distinct; 3-gram total 1 distinct 1
+      (3L, "w"))           // too short for any n-gram
+      .toDF("doc_id", "text")
+    val got = graft.datapipe.TextAnalysis.repetition(rep, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getDouble(4)))
+      .toMap
+    assert(got(1L) === ((5L, Some(0.5), Some(1.0 / 3.0), 0.6)),
+      "abab: half the 2-grams repeat, 'a' is 3/5 of tokens")
+    assert(got(2L) === ((3L, Some(0.0), Some(0.0), 1.0 / 3.0)))
+    assert(got(3L) === ((1L, None, None, 1.0)))
+  }
 }
