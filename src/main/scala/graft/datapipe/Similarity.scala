@@ -218,9 +218,9 @@ object Similarity {
     * a per-dimension or affine quantizer (the min/max kind) breaks
     * both with shift cross-terms. Each step is one IEEE double op
     * plus a half-away-from-zero round that Spark and DuckDB share,
-    * so codes are engine-portable. Stored as array<long> (Spark has
-    * no int8 array); the 100 TB layout would pack codes to
-    * BinaryType — arithmetic and join shape unchanged.
+    * so codes are engine-portable. Emitted as array<long> for oracle
+    * parity; [[sq8TopK]] immediately packs them to BinaryType
+    * ([[graft.functions.PackSignedBytes]]) for storage and scoring.
     */
   def sq8Quantize(emb: Column, maxAbs: Double): Column = {
     require(maxAbs > 0.0, s"sq8 needs a positive scale, got $maxAbs")
@@ -230,12 +230,13 @@ object Similarity {
   /** Two-stage scalar-quantized top-k (the SQ tier of the usual ANN
     * stack, between brute force and IVF): stage 1 ranks candidates by
     * approximate cosine computed ENTIRELY from exact integer sums —
-    * dot/(√‖a‖²·√‖b‖²) over 8-bit codes, with [[graft.functions
-    * .LongDotProduct]] as the one fused codegen loop per pair — and
-    * keeps `refine · k` per query; stage 2 rescores only those with
-    * true cosine and emits the final top-k. At 100 TB the stage-1
-    * scan touches 8-bit codes instead of 8-byte doubles — 8× less
-    * memory bandwidth on the innermost loop, the classic SQ trade —
+    * dot/(√‖a‖²·√‖b‖²) over 8-bit codes packed into BinaryType, with
+    * [[graft.functions.ByteDotProduct]] as the one fused codegen loop
+    * per pair — and keeps `refine · k` per query; stage 2 rescores
+    * only those with true cosine and emits the final top-k. At 100 TB
+    * the stage-1 scan touches 1-byte codes instead of 8-byte doubles
+    * — 8× less memory bandwidth on the innermost loop, the classic SQ
+    * trade —
     * while stage 2's exact math runs on a bounded candidate set
     * (|queries| × refine·k rows). Both stages shuffle at most
     * k·refine rows per (partition, query) through the
@@ -246,21 +247,23 @@ object Similarity {
     */
   def sq8TopK(emb: DataFrame, queries: DataFrame, k: Int,
               refine: Int = 3): DataFrame = {
-    import graft.functions.VectorFunctions.longDotProduct
+    import graft.functions.VectorFunctions.{byteDotProduct, packSignedBytes}
     val m = sq8MaxAbs(emb.select(col("emb")))
-    // ‖code‖² is computed once per row at quantization time, not once
-    // per (query, candidate) pair in the join below.
+    // Codes are PACKED to binary (1 byte/component) the moment they
+    // are quantized — this is where the 8× bandwidth claim is
+    // realized, not just documented — and ‖code‖² is computed once
+    // per row here, not once per (query, candidate) pair below.
     val codes = emb.select(col("vec_id"),
-      sq8Quantize(col("emb"), m).as("code"))
-      .withColumn("nb2", longDotProduct(col("code"), col("code")))
+      packSignedBytes(sq8Quantize(col("emb"), m)).as("code"))
+      .withColumn("nb2", byteDotProduct(col("code"), col("code")))
     val qCodes = queries.select(col("q_id"),
-      sq8Quantize(col("q_emb"), m).as("q_code"))
-      .withColumn("na2", longDotProduct(col("q_code"), col("q_code")))
+      packSignedBytes(sq8Quantize(col("q_emb"), m)).as("q_code"))
+      .withColumn("na2", byteDotProduct(col("q_code"), col("q_code")))
     val approx = codes
       .join(broadcast(qCodes), col("vec_id") =!= col("q_id"))
       .withColumn("ascore",
         when(col("na2") === 0 || col("nb2") === 0, lit(0.0)).otherwise(
-          longDotProduct(col("code"), col("q_code")).cast("double") /
+          byteDotProduct(col("code"), col("q_code")).cast("double") /
             (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))))
     val candidates = approx.groupBy(col("q_id"))
       .agg(TopK.topK(k * refine)(col("vec_id"), col("ascore")).as("top"))

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<double>` columns.
@@ -67,26 +67,80 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Fused integer dot product over two `array<long>` columns — the
-  * scoring kernel of the scalar-quantized ANN tier
-  * ([[graft.datapipe.Similarity.sq8TopK]]). Same rationale as
-  * [[CosineSimilarity]]: this runs once per (query, candidate) pair,
-  * so it must be one codegen'd loop with no intermediate array (the
-  * zip_with/aggregate composition allocates one per row). Integer
-  * accumulation is exact, hence order-portable across engines.
+/** Pack an `array<long>` of values in [-128, 127] into a BinaryType
+  * row of signed bytes — the storage form of the scalar-quantized ANN
+  * tier ([[graft.datapipe.Similarity.sq8TopK]]). An array<long> code
+  * vector costs 8 bytes per component plus array headers; the packed
+  * form is 1 byte per component, which is the whole point of SQ8 —
+  * the stage-1 scan's memory traffic drops 8×. Out-of-range input
+  * throws: silent truncation would corrupt scores undetectably.
   */
-case class LongDotProduct(left: Expression, right: Expression)
+case class PackSignedBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pack_signed_bytes"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val v = x.getLong(i)
+      if (v < -128L || v > 127L)
+        throw new IllegalArgumentException(
+          s"pack_signed_bytes: $v at index $i is outside [-128, 127]")
+      out(i) = v.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = $a.numElements();
+        byte[] $out = new byte[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          long $v = $a.getLong($i);
+          if ($v < -128L || $v > 127L) {
+            throw new IllegalArgumentException(
+              "pack_signed_bytes: value at index " + $i +
+              " is outside [-128, 127]");
+          }
+          $out[$i] = (byte) $v;
+        }
+        ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PackSignedBytes = copy(child = newChild)
+}
+
+/** Fused integer dot product over two packed signed-byte columns —
+  * the stage-1 scoring kernel of SQ8. Same rationale as
+  * [[CosineSimilarity]]: this runs once per (query, candidate) pair,
+  * so it must be one codegen'd loop over primitive bytes with no
+  * intermediate allocation. Integer accumulation is exact, hence
+  * order-portable across engines.
+  */
+case class ByteDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "long_dot_product"
+  override def prettyName: String = "byte_dot_product"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
     var dot = 0L; var i = 0
-    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) { dot += x(i).toLong * y(i).toLong; i += 1 }
     dot
   }
 
@@ -96,17 +150,17 @@ case class LongDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = java.lang.Math.min($a.length, $b.length);
         long $dot = 0L;
         for (int $i = 0; $i < $n; $i++) {
-          $dot += $a.getLong($i) * $b.getLong($i);
+          $dot += ((long) $a[$i]) * ((long) $b[$i]);
         }
         ${ev.value} = $dot;
       """
     })
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): LongDotProduct =
+      newLeft: Expression, newRight: Expression): ByteDotProduct =
     copy(left = newLeft, right = newRight)
 }
 
@@ -118,9 +172,14 @@ object VectorFunctions {
       ColumnBridge.expression(a.cast("array<double>")),
       ColumnBridge.expression(b.cast("array<double>"))))
 
-  /** long_dot_product(a, b) over array<long> columns. */
-  def longDotProduct(a: Column, b: Column): Column =
-    ColumnBridge.column(LongDotProduct(
-      ColumnBridge.expression(a.cast("array<long>")),
-      ColumnBridge.expression(b.cast("array<long>"))))
+  /** pack_signed_bytes(a): array<long> in [-128,127] → binary. */
+  def packSignedBytes(a: Column): Column =
+    ColumnBridge.column(PackSignedBytes(
+      ColumnBridge.expression(a.cast("array<long>"))))
+
+  /** byte_dot_product(a, b) over packed signed-byte binary columns. */
+  def byteDotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(ByteDotProduct(
+      ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
 }

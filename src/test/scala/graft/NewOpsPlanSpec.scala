@@ -26,8 +26,8 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"),
       s"expected a broadcast join in stage 1; plan:\n${plan.take(3000)}")
-    assert(plan.contains("long_dot_product"),
-      "stage-1 scoring must use the fused integer kernel")
+    assert(plan.contains("byte_dot_product"),
+      "stage-1 scoring must use the fused packed-byte kernel")
     assert(!plan.contains("CartesianProduct"),
       "no un-broadcast cartesian anywhere")
   }

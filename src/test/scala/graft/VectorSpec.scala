@@ -22,6 +22,34 @@ class VectorSpec extends SparkSpec {
     assert(out.isNullAt(0))
   }
 
+  test("pack+byte dot product equals the composed zip_with arithmetic") {
+    import graft.functions.VectorFunctions.{byteDotProduct, packSignedBytes}
+    // deterministic pseudo-random codes across the full [-127,127]
+    // range, incl. negatives and zeros
+    val rows = (0 until 50).map { i =>
+      val a = (0 until 64).map(j => ((i * 31 + j * 17) % 255 - 127).toLong)
+      val b = (0 until 64).map(j => ((i * 13 + j * 29) % 255 - 127).toLong)
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val viaBytes = df.select(
+      byteDotProduct(packSignedBytes(col("a")), packSignedBytes(col("b"))).as("d"))
+      .as[Long].collect()
+    val viaBuiltins = df.select(
+      aggregate(zip_with(col("a"), col("b"), _ * _), lit(0L), _ + _).as("d"))
+      .as[Long].collect()
+    assert(viaBytes.toSeq === viaBuiltins.toSeq)
+  }
+
+  test("pack_signed_bytes rejects out-of-range values") {
+    val ex = intercept[Exception] {
+      Seq(Seq(1L, 300L)).toDF("a")
+        .select(graft.functions.VectorFunctions.packSignedBytes(col("a")))
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("codegen and interpreted paths agree on real embeddings") {
     val e = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
