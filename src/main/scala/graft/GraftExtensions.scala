@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, MinHashSignature, ShingleHashes, SimHash64}
+import graft.functions.{ByteDotProduct, CosineSimilarity, HyperplaneBitsExpr, MinHashSignature, PackSignedBytes, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions hook: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -51,6 +51,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "shingle_hashes(tokens, k) — k a literal int")
         ShingleHashes(children.head, literalInt(children(1), "k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pack_signed_bytes"),
+      new ExpressionInfo(classOf[PackSignedBytes].getName, "pack_signed_bytes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "pack_signed_bytes(arr)")
+        PackSignedBytes(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("byte_dot_product"),
+      new ExpressionInfo(classOf[ByteDotProduct].getName, "byte_dot_product"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "byte_dot_product(a, b)")
+        ByteDotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_bits"),
+      new ExpressionInfo(classOf[HyperplaneBitsExpr].getName, "hyperplane_bits"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "hyperplane_bits(emb, bits) — bits a literal int")
+        HyperplaneBitsExpr(children.head, literalInt(children(1), "bits"))
       }))
   }
 }

@@ -49,4 +49,23 @@ class ExtensionsSpec extends SparkSpec {
       .select(SimHashFunctions.simhash64(col("hh"))).as[Long].head()
     assert(viaSql === viaColumn)
   }
+
+  test("pack_signed_bytes + byte_dot_product are callable from SQL") {
+    val viaSql = spark.sql(
+      """SELECT byte_dot_product(pack_signed_bytes(array(1L, -2L, 127L)),
+        |                        pack_signed_bytes(array(3L, 4L, -1L)))""".stripMargin)
+      .as[Long].head()
+    assert(viaSql === (1 * 3 + -2 * 4 + 127 * -1).toLong)
+  }
+
+  test("hyperplane_bits is callable from SQL and matches the Column API") {
+    val emb = Seq(Seq(0.5, -1.5, 2.0))
+    val viaSql = spark.sql(
+      "SELECT hyperplane_bits(array(0.5D, -1.5D, 2.0D), 16)")
+      .as[Seq[Boolean]].head()
+    val viaColumn = emb.toDF("emb")
+      .select(graft.functions.HyperplaneFunctions.hyperplaneBits(col("emb"), 16))
+      .as[Seq[Boolean]].head()
+    assert(viaSql === viaColumn && viaSql.length === 16)
+  }
 }
