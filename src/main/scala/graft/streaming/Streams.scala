@@ -340,6 +340,46 @@ object Streams {
       .toDF("did", "n_records", "cache_hit")
   }
 
+  /** Stream-stream event-time interval join: enrich each left-stream
+    * row with the right-stream rows sharing its key whose timestamp
+    * lies in [leftTs − lookback, leftTs] — e.g. trades joined with
+    * the credential rotations that preceded them. This is the
+    * dual-stream cousin of [[graft.ops.Joins]]' batch as-of/range
+    * joins.
+    *
+    * State-bound design (the part that scales): BOTH sides carry a
+    * watermark and the join condition carries an explicit time range,
+    * which is exactly what Spark's symmetric hash join needs to EVICT
+    * buffered rows — a stream-stream join without both holds every
+    * row forever. Buffered state per side is bounded by
+    * (watermark + lookback) of arrivals per key; the join itself is
+    * one shuffle of each side by key.
+    *
+    * `right` must not share column names with `left` (rename
+    * upstream, as the streaming specs do). `joinType` supports
+    * "inner" and "leftOuter" — outer results for unmatched left rows
+    * emit only once the watermark passes their interval, which is the
+    * correctness condition, not a limitation.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         lookback: String = "1 minute",
+                         watermark: String = "30 seconds",
+                         joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "leftOuter").contains(joinType),
+      s"unsupported stream-stream join type: $joinType")
+    val overlap = left.columns.toSet & right.columns.toSet
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both have: $overlap")
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"""$leftKey = $rightKey AND
+                 $rightTs >= $leftTs - INTERVAL $lookback AND
+                 $rightTs <= $leftTs"""),
+        joinType)
+  }
+
   /** U5: batched side-output — the reference's size-OR-timeout git
     * batcher (host_did_web/src/main.go:207-279: flush at BatchSize
     * items or BatchTimeout, whichever first). Structured-Streaming

@@ -360,4 +360,58 @@ class StreamingSpec extends SparkSpec {
     assert(ids("id-1") === 2L, "expired state readmits the id")
     assert(ids("id-2") === 1L && ids("id-3") === 1L)
   }
+
+  test("stream-stream interval join matches only inside the lookback") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(Timestamp, String, Double)]
+    val rots = MemoryStream[(Timestamp, String, String)]
+    val joined = Streams.intervalJoinStream(
+      trades.toDF().toDF("ts", "symbol", "price"),
+      rots.toDF().toDF("r_ts", "r_symbol", "credential"),
+      "symbol", "r_symbol", "ts", "r_ts",
+      lookback = "1 minute", watermark = "30 seconds")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append).start()
+    rots.addData(
+      (t("2024-01-01 00:00:00"), "AAPL", "cred-old"),  // 90s before: outside
+      (t("2024-01-01 00:01:00"), "AAPL", "cred-new"),  // 30s before: inside
+      (t("2024-01-01 00:01:20"), "MSFT", "cred-msft")) // wrong key
+    trades.addData((t("2024-01-01 00:01:30"), "AAPL", 10.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ivj")
+      .select(col("symbol"), col("credential"))
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("AAPL", "cred-new")),
+      "only the same-key rotation within the lookback joins")
+  }
+
+  test("stream-stream left-outer join emits unmatched trades after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(Timestamp, String, Double)]
+    val rots = MemoryStream[(Timestamp, String, String)]
+    val joined = Streams.intervalJoinStream(
+      trades.toDF().toDF("ts", "symbol", "price"),
+      rots.toDF().toDF("r_ts", "r_symbol", "credential"),
+      "symbol", "r_symbol", "ts", "r_ts",
+      lookback = "1 minute", watermark = "10 seconds",
+      joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ivj_outer")
+      .outputMode(OutputMode.Append).start()
+    trades.addData((t("2024-01-01 00:01:30"), "TSLA", 5.0))
+    q.processAllAvailable()
+    // the null row may only surface once the watermark passes the
+    // trade's interval — advance both streams well beyond it
+    trades.addData((t("2024-01-01 00:10:00"), "DRV", 0.0))
+    rots.addData((t("2024-01-01 00:10:00"), "DRV2", "x"))
+    q.processAllAvailable()
+    trades.addData((t("2024-01-01 00:20:00"), "DRV3", 0.0))
+    rots.addData((t("2024-01-01 00:20:00"), "DRV4", "x"))
+    q.processAllAvailable()
+    q.stop()
+    val tsla = spark.table("ivj_outer").filter(col("symbol") === "TSLA")
+      .select(col("credential")).collect()
+    assert(tsla.length === 1 && tsla.head.isNullAt(0),
+      "unmatched trade emits exactly one null-enriched row")
+  }
 }
