@@ -567,6 +567,76 @@ object DataPipeQueries {
     * closure, shingle semi-join, window prefix sum — so the three
     * operators are checked COMPOSED, not just in isolation.
     */
+  /** Composed quality gate — the text-family operators deciding
+    * together, the way a curation pipeline actually runs them: keep a
+    * document iff it language-IDs as English, has a sane token count,
+    * contains stopwords, and is not repetitive (dup 3-gram fraction
+    * and top-token share under their caps; a doc too short to have
+    * 3-grams fails the repetition gate via the null→false coalesce).
+    * The decision row carries every feature so the oracle certifies
+    * the inputs, not just the verdict bit.
+    */
+  private val e2eQualityGate = QueryDef(
+    "e2e_quality_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val feats = TextAnalysis.qualityFeatures(docs, col("text"))
+        .select(col("doc_id"), col("q_words"), col("q_stopword_ratio"))
+      val rep = TextAnalysis.repetition(docs, "doc_id", "text")
+        .select(col("doc_id"), col("dup3_frac"), col("top_word_frac"))
+      val lang = docs.select(col("doc_id"),
+        TextAnalysis.predictLang(col("text")).as("lang_pred"))
+      feats.join(rep, "doc_id").join(lang, "doc_id")
+        .select(col("doc_id"), col("lang_pred"), col("q_words"),
+          col("q_stopword_ratio"), col("dup3_frac"), col("top_word_frac"),
+          (col("lang_pred") === "en" &&
+            col("q_words") >= 20 && col("q_words") <= 10000 &&
+            col("q_stopword_ratio") > 0.0 &&
+            coalesce(col("dup3_frac") <= 0.2, lit(false)) &&
+            col("top_word_frac") <= 0.2).as("kept"))
+    },
+    Some("""WITH f AS (SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS q_words,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+          / len(regexp_split_to_array(trim(text), '\s+')) AS q_stopword_ratio
+        FROM documents),
+      ls AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+        len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS s_es,
+        len(regexp_extract_all(lower(text), '\b(le|la|de|et|les)\b')) AS s_fr,
+        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de
+        FROM documents),
+      l AS (SELECT doc_id,
+        CASE WHEN s_en > 0 AND s_en >= greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+             WHEN s_es > 0 AND s_es >= greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+             WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+             WHEN s_de > 0 AND s_de >= greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+             ELSE 'und' END AS lang_pred
+        FROM ls),
+      toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      g3 AS (SELECT doc_id, COUNT(*) AS t3, COUNT(DISTINCT gm) AS d3
+             FROM (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gm
+                   FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+                   WHERE len(w) >= 3) GROUP BY doc_id),
+      tw AS (SELECT doc_id, MAX(c) AS top_c FROM (
+               SELECT doc_id, u.t AS word, COUNT(*) AS c
+               FROM toks, UNNEST(w) AS u(t) GROUP BY doc_id, u.t)
+             GROUP BY doc_id),
+      r AS (SELECT t.doc_id,
+        CASE WHEN t3 IS NULL THEN NULL
+             ELSE CAST(t3 - d3 AS DOUBLE) / CAST(t3 AS DOUBLE) END AS dup3_frac,
+        CAST(top_c AS DOUBLE) / CAST(len(w) AS DOUBLE) AS top_word_frac
+        FROM toks t LEFT JOIN g3 USING (doc_id) LEFT JOIN tw USING (doc_id))
+      SELECT f.doc_id, lang_pred, q_words, q_stopword_ratio,
+        dup3_frac, top_word_frac,
+        (lang_pred = 'en' AND q_words >= 20 AND q_words <= 10000
+          AND q_stopword_ratio > 0.0
+          AND COALESCE(dup3_frac <= 0.2, FALSE)
+          AND top_word_frac <= 0.2) AS kept
+      FROM f JOIN l USING (doc_id) JOIN r ON f.doc_id = r.doc_id"""))
+
   private val e2eDataPipeline = QueryDef(
     "e2e_data_pipeline",
     (s, d) => {
@@ -632,5 +702,5 @@ object DataPipeQueries {
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, sampleStratified, a1Salted,
     packChunks, decontaminate, mixtureUpsample, shuffleRank,
-    textRedact, e2eDataPipeline)
+    textRedact, e2eDataPipeline, e2eQualityGate)
 }
