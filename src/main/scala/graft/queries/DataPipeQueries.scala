@@ -253,16 +253,25 @@ object DataPipeQueries {
     * every twin pair must surface as one long diagonal-0 span (unless
     * a > maxDf window splits it — the oracle replays the cap, so both
     * engines split identically).
+    *
+    * Window size: the minimum reportable span is minWindows + k − 1
+    * tokens, so (k=5, minWindows=2) detects the same ≥6-token runs as
+    * (k=3, minWindows=4) — but 5-gram windows are combinatorially
+    * rarer, so the window-hash self-join's fan-out collapses (the
+    * k=3 parameterization was this engine's slowest query at sf0.1:
+    * the synthetic 30-word vocabulary makes trigrams hot). Longer
+    * anchors = sparser postings is the same lever PPJoin's prefix
+    * filter pulls.
     */
   private val dedupSpans = QueryDef(
     "dedup_spans",
     (s, d) => Dedup.sharedSpans(withTwins(s, d), "id", "text",
-      k = 3, minWindows = 4, maxDf = 50),
+      k = 5, minWindows = 2, maxDf = 50),
     Some(s"""WITH $twinsSqlCte,
       toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
-      win AS (SELECT id, i - 1 AS pos, array_to_string(w[i:i+2], ' ') AS sh
-              FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
-              WHERE len(w) >= 3),
+      win AS (SELECT id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS sh
+              FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+              WHERE len(w) >= 5),
       keep AS (SELECT sh FROM win GROUP BY sh HAVING COUNT(*) <= 50),
       w2 AS (SELECT win.* FROM win JOIN keep USING (sh)),
       m AS (SELECT a.id AS a_id, b.id AS b_id, a.pos AS pa, b.pos AS pb
@@ -275,8 +284,8 @@ object DataPipeQueries {
         FROM isl GROUP BY a_id, b_id, d, g)
       SELECT a_id, b_id, CAST(a_start AS BIGINT) AS a_start,
         CAST(b_start AS BIGINT) AS b_start, n_windows,
-        n_windows + 2 AS span_tokens
-      FROM sp WHERE n_windows >= 4"""))
+        n_windows + 4 AS span_tokens
+      FROM sp WHERE n_windows >= 2"""))
 
   private val dedupNgramJaccard = QueryDef(
     "dedup_ngram_jaccard",

@@ -64,4 +64,102 @@ class SparkPropertySpec extends SparkSpec {
       .select("symbol").distinct().as[String].collect().toSet
     assert(misses === eventSyms.toSet.diff(dimSyms.toSet))
   }
+
+  // Seeded generator for the round-5 properties: reproducible word
+  // salads (a failing seed replays exactly).
+  private def saladDocs(seed: Long, nDocs: Int): IndexedSeq[Array[String]] = {
+    val rng = new scala.util.Random(seed)
+    val vocab = (0 until 20).map(i => s"v$i")
+    (0 until nDocs).map { _ =>
+      Array.fill(10 + rng.nextInt(30))(vocab(rng.nextInt(vocab.size)))
+    }
+  }
+
+  test("shared spans are real shared runs, maximal, and find planted blocks") {
+    val rng = new scala.util.Random(7L)
+    val base = saladDocs(11L, 20)
+    // plant an identical 8-token block into each (2i, 2i+1) pair at
+    // random offsets; block words are OUTSIDE the salad vocab so the
+    // planted span cannot be confused with salad coincidences
+    val planted = (0 until 10).map { i =>
+      Array.fill(8)(s"b${i}_${rng.nextInt(3)}")
+    }
+    val toks: IndexedSeq[Array[String]] = base.zipWithIndex.map { case (doc, j) =>
+      val block = planted(j / 2)
+      val at = rng.nextInt(doc.length)
+      doc.take(at) ++ block ++ doc.drop(at)
+    }
+    val docs = toks.zipWithIndex
+      .map { case (w, id) => (id.toLong, w.mkString(" ")) }
+      .toDF("id", "text")
+    val spans = graft.datapipe.Dedup
+      .sharedSpans(docs, "id", "text", k = 3, minWindows = 3, maxDf = 10000)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt,
+        r.getLong(3).toInt, r.getLong(5).toInt))
+    assert(spans.nonEmpty)
+    for ((a, b, as, bs, len) <- spans) {
+      // soundness: the reported slices are literally identical
+      assert(toks(a).slice(as, as + len).sameElements(toks(b).slice(bs, bs + len)),
+        s"span ($a,$b,$as,$bs,$len) is not a shared run")
+      // maximality: extending one token either way breaks equality or
+      // runs off an edge (no window was df-capped at maxDf=10000)
+      assert(as == 0 || bs == 0 || toks(a)(as - 1) != toks(b)(bs - 1),
+        s"span ($a,$b,$as,$bs,$len) extends left")
+      assert(as + len == toks(a).length || bs + len == toks(b).length ||
+        toks(a)(as + len) != toks(b)(bs + len),
+        s"span ($a,$b,$as,$bs,$len) extends right")
+    }
+    // completeness: every planted pair surfaces a span covering its block
+    for (i <- 0 until 10) {
+      val (a, b) = (2 * i, 2 * i + 1)
+      val aAt = toks(a).indexOfSlice(planted(i))
+      val bAt = toks(b).indexOfSlice(planted(i))
+      assert(spans.exists { case (sa, sb, as, bs, len) =>
+        sa == a && sb == b && as <= aAt && bs <= bAt &&
+          as + len >= aAt + 8 && bs + len >= bAt + 8
+      }, s"planted block $i not covered by any span")
+    }
+  }
+
+  test("bloom incremental dedup equals the plain anti join on generated corpora") {
+    val corpusToks = saladDocs(23L, 120)
+    val corpus = corpusToks.zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toDF("doc_id", "text")
+    // new batch: half re-ingests of corpus docs, half fresh
+    val rng = new scala.util.Random(29L)
+    val fresh = ((0 until 30).map { i =>
+      (1000L + i, corpusToks(rng.nextInt(corpusToks.size)).mkString(" "))
+    } ++ saladDocs(31L, 30).zipWithIndex.map { case (w, i) =>
+      (2000L + i, w.mkString(" ") + " uniquely new")
+    }).toDF("doc_id", "text")
+    val viaBloom = graft.datapipe.Dedup
+      .bloomNewDocs(fresh, corpus, "doc_id", "text", expectedItems = 1000)
+      .as[Long].collect().toSet
+    val plain = fresh
+      .select(col("doc_id"),
+        graft.datapipe.TextAnalysis.normalize(col("text")).as("t"))
+      .join(corpus.select(
+        graft.datapipe.TextAnalysis.normalize(col("text")).as("t")),
+        Seq("t"), "left_anti")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(viaBloom === plain)
+    assert((2000L until 2030L).toSet.subsetOf(viaBloom),
+      "the genuinely-new docs all survive")
+  }
+
+  test("sq8 dequantization error stays within half a quantization step") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+    val m = graft.datapipe.Similarity.sq8MaxAbs(emb.select(col("emb")))
+    val rows = emb.select(col("emb"),
+      graft.datapipe.Similarity.sq8Quantize(col("emb"), m).as("q"))
+      .as[(Seq[Double], Seq[Long])].collect()
+    val step = m / 127.0
+    for ((x, q) <- rows; (xi, qi) <- x.zip(q)) {
+      assert(math.abs(qi * step - xi) <= step / 2 + 1e-9,
+        s"dequant error for $xi → $qi exceeds half a step")
+    }
+  }
 }
