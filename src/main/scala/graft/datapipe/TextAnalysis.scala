@@ -114,37 +114,49 @@ object TextAnalysis {
     *    to have any such n-gram);
     *  - top_word_frac: the most frequent token's share of all tokens.
     *
-    * The n-gram fractions are pure column expressions (per-row
-    * array_distinct over the window array — no shuffle, scan speed).
-    * top_word_frac is one (doc_id, word) count + a per-doc max: the
-    * same two partial-aggregated shuffles as tf counting, carrying
-    * (id, word-hash-sized) rows — linear at 100 TB. Every fraction is
-    * exact-integer-counts divided once, so any engine reproduces the
-    * doubles bit-for-bit.
+    * ZERO shuffles — everything is a per-row expression, so the
+    * operator runs at scan speed and the 100 TB cost is one pass over
+    * the text column. Distinct n-gram counts come from the fused
+    * [[graft.functions.ShingleHashes]] (which dedups as it hashes —
+    * no n-gram string arrays are ever materialized; distinct-by-
+    * 64-bit-hash is the engine's standard collision-free assumption,
+    * and the oracle counts distinct strings). The top token count is
+    * a sort_array + run-length aggregate per row — an earlier version
+    * counted (doc_id, word) pairs via explode/groupBy, which shuffles
+    * the entire token stream; the per-row sort is strictly local and
+    * exact. The tokenizer expression is referenced by several output
+    * columns and CollapseProject inlines it into each (staging it in
+    * a projection does not survive optimization); it is one regex
+    * pass per reference, which the scan-speed measurement already
+    * includes. Every fraction is exact-integer-counts divided once,
+    * so any engine reproduces the doubles bit-for-bit.
     */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(normalize(col(textCol)), " ")
-    def grams(w: Column, n: Int): Column =
-      when(size(w) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(w) - n),
-          i => array_join(slice(w, i + 1, lit(n)), " ")))
-    def dupFrac(g: Column): Column =
-      when(size(g) === 0, lit(null).cast("double"))
-        .otherwise((size(g) - size(array_distinct(g))).cast("double") /
-          size(g).cast("double"))
-    val base = docs.select(col(idCol).as("doc_id"), toks.as("w"))
-    val inline = base.select(col("doc_id"),
-      size(col("w")).cast("bigint").as("n_tokens"),
-      dupFrac(grams(col("w"), 2)).as("dup2_frac"),
-      dupFrac(grams(col("w"), 3)).as("dup3_frac"))
-    val topWord = base
-      .select(col("doc_id"), explode(col("w")).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
-    inline.join(topWord, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"), col("dup2_frac"),
-        col("dup3_frac"),
-        (col("top_c").cast("double") / col("n_tokens").cast("double"))
-          .as("top_word_frac"))
+    def dupFrac(w: Column, k: Int): Column = {
+      val total = (size(w) - (k - 1)).cast("double")
+      when(size(w) < k, lit(null).cast("double"))
+        .otherwise((total -
+          size(graft.functions.ShingleHashes.ofTokens(w, k)).cast("double"))
+          / total)
+    }
+    // Longest equal-run in the sorted token array == the max token
+    // multiplicity. State: (prev token, current run, best run).
+    def topRun(w: Column): Column = aggregate(
+      sort_array(w),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.select(col(idCol).as("doc_id"),
+      size(toks).cast("bigint").as("n_tokens"),
+      dupFrac(toks, 2).as("dup2_frac"),
+      dupFrac(toks, 3).as("dup3_frac"),
+      (topRun(toks).cast("double") / size(toks).cast("double"))
+        .as("top_word_frac"))
   }
 }
