@@ -543,22 +543,28 @@ object Dedup {
     * Output: (a_id, b_id, a_start, b_start, n_windows, span_tokens)
     * with 0-based starts and span_tokens = n_windows + k - 1.
     */
-  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
-                  k: Int = 3, minWindows: Int = 4,
-                  maxDf: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-
+  /** Positional k-token window hashes: (id, pos, h) — NOT the
+    * distinct-shingle pipeline; span detection needs every occurrence
+    * with its offset. Docs shorter than k have no k-window.
+    */
+  private def positionalWindows(docs: DataFrame, idCol: String,
+                                textCol: String, k: Int): DataFrame = {
     val toks = split(TextAnalysis.normalize(col(textCol)), " ")
-    // Positional windows (NOT the distinct-shingle pipeline — spans
-    // need every occurrence with its offset). Docs shorter than k
-    // have no k-window and cannot carry a span.
-    val windows = docs
+    docs
       .select(col(idCol).as("id"), toks.as("w"))
       .filter(size(col("w")) >= k)
       .select(col("id"), posexplode(transform(
         sequence(lit(0), size(col("w")) - k),
         i => xxhash64(array_join(slice(col("w"), i + 1, lit(k)), " ")))))
       .select(col("id"), col("pos"), col("col").as("h"))
+  }
+
+  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, minWindows: Int = 4,
+                  maxDf: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val windows = positionalWindows(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = windows.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("h"))
@@ -581,6 +587,50 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .filter(col("n_windows") >= minWindows)
       .select(col("a_id"), col("b_id"),
+        col("a_start0").cast("bigint").as("a_start"),
+        col("b_start0").cast("bigint").as("b_start"),
+        col("n_windows"),
+        (col("n_windows") + (k - 1)).as("span_tokens"))
+  }
+
+  /** Intra-document repeated blocks — [[sharedSpans]]' within-doc
+    * twin: every maximal run of >= `minWindows` consecutive k-token
+    * windows that recurs LATER in the SAME document, reported with
+    * both offsets. This is the structural form of the repetition
+    * problem the [[TextAnalysis.repetition]] fractions only score:
+    * a generation loop or copy-pasted boilerplate shows up here as a
+    * long span at a fixed self-offset.
+    *
+    * Same islands machinery as sharedSpans on diagonal d = b_pos −
+    * a_pos > 0, but the candidate join keys on (hash, id) — matches
+    * never cross documents, so the fan-out per key is the within-doc
+    * multiplicity (tiny) and no df cap is needed; cost is linear in
+    * corpus size with strictly document-local shuffle keys.
+    *
+    * Output: (doc_id, a_start, b_start, n_windows, span_tokens) with
+    * a_start < b_start, 0-based.
+    */
+  def selfSpans(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 5, minWindows: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val windows = positionalWindows(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matches = windows.select(col("h"), col("id"), col("pos").as("pa"))
+      .hint("shuffle_hash")
+      .join(windows.select(col("h"), col("id"), col("pos").as("pb")),
+        Seq("h", "id"))
+      .filter(col("pa") < col("pb"))
+      .select(col("id"), col("pa"), col("pb"))
+    val diag = col("pb") - col("pa")
+    matches
+      .withColumn("g", col("pa") - row_number().over(
+        Window.partitionBy(col("id"), diag).orderBy(col("pa"))))
+      .groupBy(col("id").as("doc_id"), diag.as("d"), col("g"))
+      .agg(min(col("pa")).as("a_start0"), min(col("pb")).as("b_start0"),
+        count(lit(1)).as("n_windows"))
+      .filter(col("n_windows") >= minWindows)
+      .select(col("doc_id"),
         col("a_start0").cast("bigint").as("a_start"),
         col("b_start0").cast("bigint").as("b_start"),
         col("n_windows"),

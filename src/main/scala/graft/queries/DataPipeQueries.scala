@@ -287,6 +287,47 @@ object DataPipeQueries {
         n_windows + 4 AS span_tokens
       FROM sp WHERE n_windows >= 2"""))
 
+  /** Intra-document repeated blocks over a corpus with planted
+    * self-repeats: each doc gets its own first 10 normalized tokens
+    * appended, so every long-enough document must report (at least)
+    * the planted block at diagonal len(original tokens).
+    */
+  private val dedupSelfSpans = QueryDef(
+    "dedup_self_spans",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val toks = split(TextAnalysis.normalize(col("text")), " ")
+      val planted = docs.select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          array_join(slice(toks, 1, 10), " ")).as("text"))
+      Dedup.selfSpans(planted, "doc_id", "text", k = 5, minWindows = 2)
+    },
+    Some("""WITH base AS (SELECT doc_id, text,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      docs3 AS (SELECT doc_id,
+        text || ' ' || array_to_string(w[1:10], ' ') AS text FROM base),
+      toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM docs3),
+      win AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS sh
+              FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+              WHERE len(w) >= 5),
+      m AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+            FROM win a JOIN win b
+            ON a.sh = b.sh AND a.doc_id = b.doc_id AND a.pos < b.pos),
+      isl AS (SELECT doc_id, pb - pa AS d, pa, pb,
+          pa - row_number() OVER (PARTITION BY doc_id, pb - pa ORDER BY pa) AS g
+        FROM m),
+      sp AS (SELECT doc_id, d, MIN(pa) AS a_start, MIN(pb) AS b_start,
+          COUNT(*) AS n_windows
+        FROM isl GROUP BY doc_id, d, g)
+      SELECT doc_id, CAST(a_start AS BIGINT) AS a_start,
+        CAST(b_start AS BIGINT) AS b_start, n_windows,
+        n_windows + 4 AS span_tokens
+      FROM sp WHERE n_windows >= 2"""))
+
   private val dedupNgramJaccard = QueryDef(
     "dedup_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(withTwins(s, d), "id", "text",
@@ -709,7 +750,7 @@ object DataPipeQueries {
     textRepetition,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
-    dedupSpans, sampleStratified, a1Salted,
+    dedupSpans, dedupSelfSpans, sampleStratified, a1Salted,
     packChunks, decontaminate, mixtureUpsample, shuffleRank,
     textRedact, e2eDataPipeline, e2eQualityGate)
 }

@@ -112,6 +112,21 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(5) === 6L, "span_tokens")
   }
 
+  test("self spans: a repeated block in one doc surfaces with both offsets") {
+    // tokens 0..4 repeat at position 8: one 5-window at diag 8
+    val block = (0 to 4).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block f1 f2 f3 $block"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")).toDF("id", "text")
+    val spans = Dedup.selfSpans(docs, "id", "text", k = 5, minWindows = 1)
+      .collect()
+    assert(spans.length === 1)
+    val r = spans.head
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(1) === 0L && r.getLong(2) === 8L, "a_start=0, b_start=8")
+    assert(r.getLong(3) === 1L && r.getLong(4) === 5L)
+  }
+
   test("shared spans: runs below minWindows stay silent; maxDf splits hot runs") {
     val block = (0 to 3).map(i => s"t$i").mkString(" ") // 4 tokens → 2 windows
     val docs = Seq((1L, s"a1 a2 $block b1"), (2L, s"c1 $block d1"))

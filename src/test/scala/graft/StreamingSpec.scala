@@ -361,6 +361,28 @@ class StreamingSpec extends SparkSpec {
     assert(ids("id-2") === 1L && ids("id-3") === 1L)
   }
 
+  test("repetition metrics stream statelessly and match the batch twin") {
+    // the zero-shuffle rewrite makes the quality metrics pure per-row
+    // expressions, so they run unchanged on an unbounded stream — the
+    // property this test pins
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val texts = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "w"))
+    val q = graft.datapipe.TextAnalysis
+      .repetition(in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("rep_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rep_stream").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val batch = graft.datapipe.TextAnalysis
+      .repetition(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("stream-stream interval join matches only inside the lookback") {
     implicit val sqlCtx = spark.sqlContext
     val trades = MemoryStream[(Timestamp, String, Double)]
