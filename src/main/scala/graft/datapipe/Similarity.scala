@@ -85,23 +85,23 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x * lit(1000)).cast("long"))
 
+  /** Per-cell objective array f_c = ||q − s_c/n_c||² computed without
+    * ever forming the fractional centroid: with D_c = Σ_i (n_c·q_i −
+    * s_c_i)² (exact integer, ≤ 2^53 at any plausible n·scale so its
+    * double image is exact), f_c = D_c / n_c² — ONE IEEE division of
+    * exact values, bit-identical in any engine. This array is both
+    * the assignment objective (argmin) and, per PQ subspace, the
+    * query's ADC lookup table.
+    */
+  def kmeansObjectivesCol(q: Column, cents: Seq[(Array[Long], Long)]): Column =
+    graft.functions.KmeansObjectives.of(q, cents)
+
   /** One Lloyd's-iteration assignment as a pure codegen column:
-    * cell = argmin_c ||q - s_c/n_c||², computed without ever forming
-    * the fractional centroid. With D_c = Σ_i (n_c·q_i − s_c_i)²
-    * (exact integer, ≤ 2^53 at any plausible n·scale so its double
-    * image is exact), the objective is f_c = D_c / n_c² — ONE IEEE
-    * division of exact values, bit-identical in any engine. Ties
-    * break to the lowest cell id (array_position returns the first
-    * minimum).
+    * cell = argmin_c of [[kmeansObjectivesCol]]. Ties break to the
+    * lowest cell id (array_position returns the first minimum).
     */
   def kmeansAssignCol(q: Column, cents: Seq[(Array[Long], Long)]): Column = {
-    val fs = array(cents.map { case (s, n) =>
-      val d = aggregate(
-        zip_with(q, typedLit(s.toSeq), (x, sv) =>
-          (lit(n) * x - sv) * (lit(n) * x - sv)),
-        lit(0L), (acc, v) => acc + v)
-      d.cast("double") / lit(n.toDouble * n.toDouble)
-    }: _*)
+    val fs = kmeansObjectivesCol(q, cents)
     (array_position(fs, array_min(fs)) - 1).cast("bigint")
   }
 
@@ -167,16 +167,9 @@ object Similarity {
     * deterministic through ties.
     */
   def kmeansProbesCol(q: Column, cents: Seq[(Array[Long], Long)], nprobe: Int): Column = {
-    val fs = array(cents.zipWithIndex.map { case ((s, n), c) =>
-      struct(
-        (aggregate(
-          zip_with(q, typedLit(s.toSeq), (x, sv) =>
-            (lit(n) * x - sv) * (lit(n) * x - sv)),
-          lit(0L), (acc, v) => acc + v)
-          .cast("double") / lit(n.toDouble * n.toDouble)).as("f"),
-        lit(c.toLong).as("cell"))
-    }: _*)
-    transform(slice(array_sort(fs), 1, nprobe), s => s.getField("cell"))
+    val structs = transform(kmeansObjectivesCol(q, cents),
+      (f, i) => struct(f.as("f"), i.cast("bigint").as("cell")))
+    transform(slice(array_sort(structs), 1, nprobe), s => s.getField("cell"))
   }
 
   /** IVF top-k with a TRAINED coarse quantizer (round-4 verdict item
@@ -265,15 +258,128 @@ object Similarity {
         when(col("na2") === 0 || col("nb2") === 0, lit(0.0)).otherwise(
           byteDotProduct(col("code"), col("q_code")).cast("double") /
             (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))))
+    refineStage(approx, emb, queries, k, refine)
+  }
+
+  /** Shared stage 2 of the quantized tiers: keep the `refine·k` best
+    * stage-1 candidates per query (bounded TopK shuffle), rescore
+    * ONLY those with exact cosine against the full vectors, emit the
+    * final top-k. `approx` must carry (q_id, vec_id, ascore) with
+    * HIGHER ascore = better.
+    */
+  private def refineStage(approx: DataFrame, emb: DataFrame,
+                          queries: DataFrame, k: Int, refine: Int): DataFrame = {
     val candidates = approx.groupBy(col("q_id"))
       .agg(TopK.topK(k * refine)(col("vec_id"), col("ascore")).as("top"))
       .select(col("q_id"), explode(col("top")).as("c"))
       .select(col("q_id"), col("c.item").as("vec_id"))
     val rescored = candidates
       .join(emb.select(col("vec_id"), col("emb")), "vec_id")
-      .join(broadcast(queries), "q_id")
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id")
       .withColumn("score", round(cosineSimilarity(col("q_emb"), col("emb")), 4))
     rankTopK(rescored.select(col("q_id"), col("vec_id"), col("score")), k)
+  }
+
+  /** Product-quantization top-k — the last rung of the ANN ladder
+    * (flat → IVF → SQ8 → PQ): the vector splits into `subspaces`
+    * contiguous blocks, each block is vector-quantized against its
+    * own `kcents`-centroid codebook (the [[kmeansCentroids]] trainer
+    * per subspace — exact integer (sum, count) centroids, so training
+    * is engine-replayable), and a vector's code is just `subspaces`
+    * small ints. Stage 1 scores by ADC (asymmetric distance
+    * computation): each query precomputes ONE lookup table per
+    * subspace — [[kmeansObjectivesCol]], its exact-arithmetic
+    * objective array — and a candidate's approximate distance is
+    * `subspaces` array lookups + adds, summed in literal subspace
+    * order so the double is engine-portable. Stage 2 is the shared
+    * exact rescore.
+    *
+    * At 100 TB: codes are `subspaces`·log2(kcents) bits per vector
+    * (8×4 = 4 bytes here vs 512 for the raw doubles), LUTs are
+    * per-query constants broadcast with the query row, and the scan
+    * never touches the full vectors until the bounded rescore — the
+    * standard big-corpus ANN memory layout.
+    */
+  /** Train all `subspaces` PQ codebooks together — bit-identical to
+    * running [[kmeansCentroids]] once per sliced subspace (PQSpec
+    * pins the equivalence) but in ONE Spark job per training step
+    * instead of `subspaces` sequential trainings: the md5-ranked
+    * seed vectors are collected once and sliced driver-side (the
+    * seed RANKING ignores values, so every subspace seeds from the
+    * same 16 vectors), and each Lloyd's round assigns all subspace
+    * cells in one projection, then pivots (subspace, cell, dim) sums
+    * through a single groupBy. Driver traffic per round is
+    * subspaces·k·subDim longs — the same totals, 8× fewer jobs; at
+    * any corpus size the training latency is a handful of actions,
+    * not O(subspaces) of them.
+    */
+  def pqCodebooks(emb: DataFrame, subspaces: Int, kcents: Int,
+                  iters: Int): IndexedSeq[Seq[(Array[Long], Long)]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = emb.select(size(col("emb")).as("d")).head().getInt(0)
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+    val subDim = dim / subspaces
+    val q = emb.select(col("vec_id"), quantize(col("emb")).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedVecs: Array[Array[Long]] = q
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+        .limit(kcents).select(col("q")).as[Seq[Long]].collect().map(_.toArray)
+      var cents: IndexedSeq[Array[(Array[Long], Long)]] =
+        (0 until subspaces).map(s =>
+          seedVecs.map(v => (v.slice(s * subDim, (s + 1) * subDim), 1L)))
+      var it = 0
+      while (it < iters - 1) {
+        val cellsCol = array((0 until subspaces).map(s =>
+          kmeansAssignCol(slice(col("q"), s * subDim + 1, subDim),
+            cents(s).toSeq)): _*)
+        val sub = (col("pos") / subDim).cast("int")
+        val updated = q.withColumn("cells", cellsCol)
+          .select(col("cells"), posexplode(col("q")))
+          .select(sub.as("s"),
+            element_at(col("cells"), sub + 1).as("cell"),
+            (col("pos") % subDim).as("p"), col("col").as("v"))
+          .groupBy(col("s"), col("cell"), col("p"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+          .as[(Int, Long, Int, Long, Long)].collect()
+        val bySub = updated.groupBy(_._1)
+        cents = (0 until subspaces).map { s =>
+          val m = bySub.getOrElse(s, Array.empty)
+            .groupBy(_._2).map { case (cell, rows) =>
+              cell.toInt -> ((rows.sortBy(_._3).map(_._4), rows.head._5))
+            }
+          cents(s).zipWithIndex.map { case (prev, c) => m.getOrElse(c, prev) }
+        }
+        it += 1
+      }
+      cents.map(_.toSeq)
+    } finally q.unpersist()
+  }
+
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+             subspaces: Int = 8, kcents: Int = 16, iters: Int = 2,
+             refine: Int = 4): DataFrame = {
+    val dim = emb.select(size(col("emb")).as("d")).head().getInt(0)
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+    val subDim = dim / subspaces
+    def subEmb(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
+    val cents = pqCodebooks(emb.select(col("vec_id"), col("emb")),
+      subspaces, kcents, iters)
+    val codes = emb.select(col("vec_id"), array((0 until subspaces).map(s =>
+      kmeansAssignCol(quantize(subEmb(col("emb"), s)), cents(s))): _*).as("code"))
+    val qLuts = queries.select(col("q_id") +: (0 until subspaces).map(s =>
+      kmeansObjectivesCol(quantize(subEmb(col("q_emb"), s)), cents(s))
+        .as(s"lut_$s")): _*)
+    val adist = (0 until subspaces).map(s =>
+      element_at(col(s"lut_$s"), (col("code").getItem(s) + 1).cast("int")))
+      .reduce(_ + _)
+    // TopK keeps the HIGHEST score; ADC is a distance, so negate —
+    // IEEE negation is exact, and ties still break by vec_id.
+    val approx = codes
+      .join(broadcast(qLuts), col("vec_id") =!= col("q_id"))
+      .withColumn("ascore", -adist)
+    refineStage(approx, emb, queries, k, refine)
   }
 
   /** Random-hyperplane sign bits (SimHash for dense vectors): bit i is

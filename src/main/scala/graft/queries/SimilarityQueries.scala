@@ -17,7 +17,7 @@ object SimilarityQueries {
 
   /** DuckDB view matching embDouble. */
   private val embSqlCte =
-    """e AS (SELECT vec_id, label,
+    """e AS MATERIALIZED (SELECT vec_id, label,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        FROM embeddings)"""
 
@@ -30,11 +30,11 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(e, q, 5)
     },
     Some(s"""WITH $embSqlCte,
-      q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
-      scored AS (SELECT q_id, vec_id,
+      q AS MATERIALIZED (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      scored AS MATERIALIZED (SELECT q_id, vec_id,
           round(list_cosine_similarity(q_emb, emb), 4) AS score
         FROM q, e WHERE vec_id <> q_id),
-      ranked AS (SELECT q_id, vec_id, score,
+      ranked AS MATERIALIZED (SELECT q_id, vec_id, score,
           CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
         FROM scored)
       SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
@@ -49,12 +49,12 @@ object SimilarityQueries {
       Similarity.ivfTopK(e, q, 5)
     },
     Some(s"""WITH $embSqlCte,
-      q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+      q AS MATERIALIZED (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
             FROM e WHERE vec_id < 10),
-      scored AS (SELECT q_id, vec_id,
+      scored AS MATERIALIZED (SELECT q_id, vec_id,
           round(list_cosine_similarity(q_emb, emb), 4) AS score
         FROM q JOIN e ON label = q_label AND vec_id <> q_id),
-      ranked AS (SELECT q_id, vec_id, score,
+      ranked AS MATERIALIZED (SELECT q_id, vec_id, score,
           CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
         FROM scored)
       SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
@@ -72,12 +72,12 @@ object SimilarityQueries {
       Similarity.ivfTopKPruned(e, q, 5)
     },
     Some(s"""WITH $embSqlCte,
-      q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+      q AS MATERIALIZED (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
             FROM e WHERE vec_id < 10),
-      scored AS (SELECT q_id, vec_id,
+      scored AS MATERIALIZED (SELECT q_id, vec_id,
           round(list_cosine_similarity(q_emb, emb), 4) AS score
         FROM q JOIN e ON label = q_label AND vec_id <> q_id),
-      ranked AS (SELECT q_id, vec_id, score,
+      ranked AS MATERIALIZED (SELECT q_id, vec_id, score,
           CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
         FROM scored)
       SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
@@ -95,9 +95,9 @@ object SimilarityQueries {
       Similarity.nearDupPairs(e.unionByName(twins), 0.999)
     },
     Some(s"""WITH $embSqlCte,
-      e2 AS (SELECT vec_id, emb FROM e
+      e2 AS MATERIALIZED (SELECT vec_id, emb FROM e
              UNION ALL SELECT vec_id + 1000000, emb FROM e),
-      pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      pairs AS MATERIALIZED (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
           round(list_cosine_similarity(a.emb, b.emb), 4) AS score
         FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id)
       SELECT a_id, b_id, score FROM pairs WHERE score >= 0.999"""))
@@ -112,20 +112,20 @@ object SimilarityQueries {
     */
   private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
     def iterCte(i: Int) = s"""
-      p$i AS (SELECT v.vec_id, v.q, c.cell,
+      p$i AS MATERIALIZED (SELECT v.vec_id, v.q, c.cell,
          CAST(list_sum(list_transform(list_zip(v.q, c.s),
               z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS DOUBLE)
            / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) AS f
        FROM v, c${i - 1} c),
-      a$i AS (SELECT vec_id, q, cell FROM (
+      a$i AS MATERIALIZED (SELECT vec_id, q, cell FROM (
          SELECT vec_id, q, cell,
            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
          FROM p$i) t WHERE rn = 1),
-      u$i AS (SELECT a.cell, g.i, SUM(a.q[g.i]) AS s_i, COUNT(*) AS cnt
+      u$i AS MATERIALIZED (SELECT a.cell, g.i, SUM(a.q[g.i]) AS s_i, COUNT(*) AS cnt
        FROM a$i a, generate_series(1, $dim) AS g(i) GROUP BY a.cell, g.i),
-      n$i AS (SELECT cell, LIST(s_i ORDER BY i) AS s, MAX(cnt) AS n
+      n$i AS MATERIALIZED (SELECT cell, LIST(s_i ORDER BY i) AS s, MAX(cnt) AS n
        FROM u$i GROUP BY cell),
-      c$i AS (SELECT p.cell, COALESCE(n_.s, p.s) AS s, COALESCE(n_.n, p.n) AS n
+      c$i AS MATERIALIZED (SELECT p.cell, COALESCE(n_.s, p.s) AS s, COALESCE(n_.n, p.n) AS n
        FROM c${i - 1} p LEFT JOIN n$i n_ ON p.cell = n_.cell)"""
     s"""WITH v AS (
         SELECT vec_id, list_transform(embedding,
@@ -135,7 +135,7 @@ object SimilarityQueries {
         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
             AS cell, q
         FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
-      c0 AS (SELECT cell, q AS s, CAST(1 AS BIGINT) AS n FROM seeds),
+      c0 AS MATERIALIZED (SELECT cell, q AS s, CAST(1 AS BIGINT) AS n FROM seeds),
       ${(1 to iters).map(iterCte).mkString(",")}
       SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a$iters"""
   }
@@ -157,34 +157,34 @@ object SimilarityQueries {
       Similarity.sq8TopK(e, q, 5, refine = 3)
     },
     Some(s"""WITH $embSqlCte,
-      m AS (SELECT MAX(list_max(list_transform(emb, x -> abs(x)))) AS mx
+      m AS MATERIALIZED (SELECT MAX(list_max(list_transform(emb, x -> abs(x)))) AS mx
             FROM e),
-      c AS (SELECT vec_id,
+      c AS MATERIALIZED (SELECT vec_id,
           list_transform(emb, x -> CAST(round(x * 127.0 / m.mx) AS BIGINT))
             AS code
         FROM e, m),
-      c2 AS (SELECT vec_id, code,
+      c2 AS MATERIALIZED (SELECT vec_id, code,
           list_sum(list_transform(list_zip(code, code), z -> z[1] * z[2]))
             AS n2
         FROM c),
-      q AS (SELECT vec_id AS q_id, code AS q_code, n2 AS na2 FROM c2
+      q AS MATERIALIZED (SELECT vec_id AS q_id, code AS q_code, n2 AS na2 FROM c2
             WHERE vec_id < 10),
-      ap AS (SELECT q_id, c2.vec_id,
+      ap AS MATERIALIZED (SELECT q_id, c2.vec_id,
           CASE WHEN na2 = 0 OR n2 = 0 THEN 0.0
                ELSE CAST(list_sum(list_transform(list_zip(c2.code, q.q_code),
                       z -> z[1] * z[2])) AS DOUBLE)
                     / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
           END AS ascore
         FROM q, c2 WHERE c2.vec_id <> q_id),
-      cand AS (SELECT q_id, vec_id FROM (
+      cand AS MATERIALIZED (SELECT q_id, vec_id FROM (
           SELECT q_id, vec_id,
             row_number() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id) AS rn
           FROM ap) t WHERE rn <= 15),
-      qq AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
-      re AS (SELECT cand.q_id, cand.vec_id,
+      qq AS MATERIALIZED (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      re AS MATERIALIZED (SELECT cand.q_id, cand.vec_id,
           round(list_cosine_similarity(q_emb, emb), 4) AS score
         FROM cand JOIN e USING (vec_id) JOIN qq ON cand.q_id = qq.q_id),
-      ranked AS (SELECT q_id, vec_id, score,
+      ranked AS MATERIALIZED (SELECT q_id, vec_id, score,
           CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
         FROM re)
       SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
@@ -195,10 +195,93 @@ object SimilarityQueries {
       embDouble(s, d).select(col("vec_id"), col("emb")), 8, 3),
     Some(kmeansOracleSql(8, 3, 64)))
 
+  /** DuckDB replay of the ENTIRE PQ pipeline: per-subspace codebook
+    * training (the [[kmeansOracleSql]] unrolling, once per subspace
+    * over the sliced quantized vectors), code assignment, ADC scoring
+    * via the per-(query, cell) objective table summed in literal
+    * subspace order, candidate selection, and exact rescore. A hash
+    * match certifies training, codes, LUTs, and both ranking stages.
+    */
+  private def pqOracleSql(subspaces: Int, subDim: Int, kc: Int, iters: Int,
+                          kTop: Int, refine: Int): String = {
+    def iterCte(s: Int, i: Int) = s"""
+      s${s}p$i AS MATERIALIZED (SELECT v.vec_id, v.q, c.cell,
+         CAST(list_sum(list_transform(list_zip(v.q, c.s),
+              z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS DOUBLE)
+           / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) AS f
+       FROM v$s v, s${s}c${i - 1} c),
+      s${s}a$i AS MATERIALIZED (SELECT vec_id, q, cell FROM (
+         SELECT vec_id, q, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+         FROM s${s}p$i) t WHERE rn = 1),
+      s${s}u$i AS MATERIALIZED (SELECT a.cell, g.i, SUM(a.q[g.i]) AS s_i, COUNT(*) AS cnt
+       FROM s${s}a$i a, generate_series(1, $subDim) AS g(i) GROUP BY a.cell, g.i),
+      s${s}n$i AS MATERIALIZED (SELECT cell, LIST(s_i ORDER BY i) AS s, MAX(cnt) AS n
+       FROM s${s}u$i GROUP BY cell),
+      s${s}c$i AS MATERIALIZED (SELECT p.cell, COALESCE(n_.s, p.s) AS s, COALESCE(n_.n, p.n) AS n
+       FROM s${s}c${i - 1} p LEFT JOIN s${s}n$i n_ ON p.cell = n_.cell)"""
+    def subspaceCtes(s: Int) = {
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      s"""v$s AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding[$lo:$hi],
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         FROM embeddings),
+       seeds$s AS MATERIALIZED (SELECT
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS cell, q
+         FROM v$s ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kc),
+       s${s}c0 AS MATERIALIZED (SELECT cell, q AS s, CAST(1 AS BIGINT) AS n FROM seeds$s),
+       ${(1 to iters).map(i => iterCte(s, i)).mkString(",")}"""
+    }
+    val codesJoin = (1 until subspaces)
+      .map(s => s"JOIN s${s}a$iters a$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until subspaces).map(s => s"a$s.cell AS c$s").mkString(", ")
+    val luts = (0 until subspaces).map(s =>
+      s"lut$s AS MATERIALIZED (SELECT vec_id AS q_id, cell, f FROM s${s}p$iters WHERE vec_id < 10)")
+      .mkString(",\n      ")
+    val lutJoins = (0 until subspaces).map { s =>
+      if (s == 0) s"JOIN lut0 l0 ON l0.cell = c.c0"
+      else s"JOIN lut$s l$s ON l$s.q_id = l0.q_id AND l$s.cell = c.c$s"
+    }.mkString(" ")
+    val adistSum = (0 until subspaces).map(s => s"l$s.f").mkString(" + ")
+    s"""WITH ${(0 until subspaces).map(subspaceCtes).mkString(",")},
+      codes AS MATERIALIZED (SELECT a0.vec_id, $codeCols FROM s0a$iters a0 $codesJoin),
+      $luts,
+      scored AS MATERIALIZED (SELECT l0.q_id, c.vec_id, $adistSum AS adist
+        FROM codes c $lutJoins WHERE c.vec_id <> l0.q_id),
+      cand AS MATERIALIZED (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+        FROM scored) t WHERE rn <= ${kTop * refine}),
+      e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings),
+      qq AS MATERIALIZED (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      re AS MATERIALIZED (SELECT cand.q_id, cand.vec_id,
+          round(list_cosine_similarity(q_emb, emb), 4) AS score
+        FROM cand JOIN e USING (vec_id) JOIN qq ON cand.q_id = qq.q_id),
+      ranked AS MATERIALIZED (SELECT q_id, vec_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+        FROM re)
+      SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= $kTop"""
+  }
+
+  private val simPq = QueryDef(
+    "sim_pq_topk",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.pqTopK(e, q, 5, subspaces = 8, kcents = 16, iters = 2,
+        refine = 4)
+    },
+    Some(pqOracleSql(subspaces = 8, subDim = 8, kc = 16, iters = 2,
+      kTop = 5, refine = 4)))
+
   /** md5(text)-derived BMP dimensions, shared by every multimodal
     * oracle (mirrors [[Multimodal.dims]]). */
   private val dimsCte =
-    """dims AS (SELECT doc_id,
+    """dims AS MATERIALIZED (SELECT doc_id,
         8 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 24 AS w,
         8 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 24 AS h
       FROM documents)"""
@@ -221,10 +304,10 @@ object SimilarityQueries {
     "multimodal_features",
     (s, d) => Multimodal.extractFeatures(s, Tables.documents(s, d)),
     Some(s"""WITH $dimsCte,
-      px AS (SELECT doc_id, w, h, xx.x AS x, yy.y AS y
+      px AS MATERIALIZED (SELECT doc_id, w, h, xx.x AS x, yy.y AS y
         FROM dims, UNNEST(generate_series(0, w - 1)) AS xx(x),
                    UNNEST(generate_series(0, h - 1)) AS yy(y)),
-      sums AS (SELECT doc_id, w, h,
+      sums AS MATERIALIZED (SELECT doc_id, w, h,
           SUM((x*31 + y*17 + doc_id*11) % 256) AS sr,
           SUM((x*13 + y*7 + doc_id*3) % 256) AS sg,
           SUM((x*5 + y*29 + doc_id*7) % 256) AS sb
@@ -246,7 +329,7 @@ object SimilarityQueries {
       .select(col("doc_id"), col("frame_idx"),
         octet_length(col("frame")).cast("bigint").as("frame_bytes")),
     Some(s"""WITH $dimsCte,
-      b AS (SELECT doc_id,
+      b AS MATERIALIZED (SELECT doc_id,
         CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n FROM dims)
       SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         CASE WHEN (i + 1) * 1024 <= n THEN 1024 ELSE n - i * 1024 END
@@ -264,10 +347,10 @@ object SimilarityQueries {
     (s, d) => Multimodal.decodeStats(s,
       Multimodal.resize(s, Tables.documents(s, d), 16, 16)),
     Some(s"""WITH $dimsCte,
-      px AS (SELECT doc_id, (xx.x * w) // 16 AS sx, (yy.y * h) // 16 AS sy
+      px AS MATERIALIZED (SELECT doc_id, (xx.x * w) // 16 AS sx, (yy.y * h) // 16 AS sy
         FROM dims, UNNEST(generate_series(0, 15)) AS xx(x),
                    UNNEST(generate_series(0, 15)) AS yy(y)),
-      s AS (SELECT doc_id,
+      s AS MATERIALIZED (SELECT doc_id,
           SUM((sx*31 + sy*17 + doc_id*11) % 256
             + (sx*13 + sy*7 + doc_id*3) % 256
             + (sx*5 + sy*29 + doc_id*7) % 256) AS ps
@@ -277,7 +360,7 @@ object SimilarityQueries {
       FROM s"""))
 
   val defs: Seq[QueryDef] =
-    Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simSq8,
+    Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simSq8, simPq,
       dedupEmbedding,
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize)

@@ -87,6 +87,52 @@ class SimilaritySpec extends SparkSpec {
     assert(sq.nonEmpty)
   }
 
+  test("fused PQ trainer is bit-identical to per-subspace kmeansCentroids") {
+    val fused = Similarity.pqCodebooks(
+      emb.select(col("vec_id"), col("emb")), 8, 16, 2)
+    for (s <- 0 until 8) {
+      val solo = Similarity.kmeansCentroids(
+        emb.select(col("vec_id"), slice(col("emb"), s * 8 + 1, 8).as("emb")),
+        16, 2)
+      assert(fused(s).size === solo.length)
+      for (c <- solo.indices) {
+        assert(fused(s)(c)._1.toSeq === solo(c)._1.toSeq,
+          s"subspace $s cell $c component sums differ")
+        assert(fused(s)(c)._2 === solo(c)._2,
+          s"subspace $s cell $c count differs")
+      }
+    }
+  }
+
+  test("pq with an exhaustive refine equals brute force exactly") {
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceTopK(emb, qs, 5).collect().toSet
+    val pq = Similarity.pqTopK(emb, qs, 5, refine = n).collect().toSet
+    assert(pq === exact)
+    assert(pq.nonEmpty)
+  }
+
+  test("pq codes quantize deterministically and ADC recall is usable") {
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val exact = Similarity.bruteForceTopK(emb, qs, 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val run1 = Similarity.pqTopK(emb, qs, 5, refine = 4).collect().toSet
+    val run2 = Similarity.pqTopK(emb, qs, 5, refine = 4).collect().toSet
+    assert(run1 === run2, "PQ training + search must be deterministic")
+    val got = run1.map(r => (r.getLong(0), r.getLong(2)))
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"pq recall@5 over ${exact.size} truth pairs: $recall")
+    // 4-bit-per-subspace codes on iid synthetic vectors: coarse (0.3
+    // observed on the current corpus — real embeddings have subspace
+    // structure PQ exploits; iid noise is its worst case). The floor
+    // leaves margin for driver-side testdata regeneration.
+    assert(recall >= 0.2, s"pq recall@5 $recall below 0.2")
+  }
+
   test("sq8 at refine=3 reaches high recall against brute force") {
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
