@@ -133,6 +133,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"pq recall@5 $recall below 0.2")
   }
 
+  test("quantizers fail loudly on degenerate inputs") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Similarity.sq8Quantize(col("emb"), 0.0)
+    }
+    val bad = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "emb")
+    intercept[IllegalArgumentException] {
+      // dim 3 not divisible into 8 subspaces
+      Similarity.pqTopK(bad,
+        bad.select(col("vec_id").as("q_id"), col("emb").as("q_emb")), 1)
+    }
+  }
+
   test("sq8 at refine=3 reaches high recall against brute force") {
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
