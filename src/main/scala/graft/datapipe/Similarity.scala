@@ -382,6 +382,53 @@ object Similarity {
     refineStage(approx, emb, queries, k, refine)
   }
 
+  /** IVF-PQ — the two quantizers composed the way production ANN
+    * engines ship them: the k-means coarse quantizer prunes the
+    * search to each query's `nprobe` nearest cells, and PQ's ADC
+    * lookup tables score only the surviving candidates. (Codebooks
+    * are trained on the full vectors, not per-cell residuals —
+    * residuals need fractional centroids, which would break the
+    * exact-integer arithmetic both engines replay.) Cells partition
+    * the corpus, so a candidate is scored at most once; at the
+    * 100 TB layout the cell is the table's partition key and the
+    * probe filter becomes scan-level partition pruning, with the
+    * scan touching 4-byte PQ codes instead of 512-byte vectors —
+    * the two levers multiply.
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                coarseCells: Int = 8, coarseIters: Int = 3, nprobe: Int = 3,
+                subspaces: Int = 8, kcents: Int = 16, iters: Int = 2,
+                refine: Int = 4): DataFrame = {
+    val dim = emb.select(size(col("emb")).as("d")).head().getInt(0)
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+    val subDim = dim / subspaces
+    def subEmb(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
+    val coarse = kmeansCentroids(
+      emb.select(col("vec_id"), col("emb")), coarseCells, coarseIters).toSeq
+    val cents = pqCodebooks(emb.select(col("vec_id"), col("emb")),
+      subspaces, kcents, iters)
+    val codes = emb.select(col("vec_id"),
+      kmeansAssignCol(quantize(col("emb")), coarse).as("cell"),
+      array((0 until subspaces).map(s =>
+        kmeansAssignCol(quantize(subEmb(col("emb"), s)), cents(s))): _*)
+        .as("code"))
+    val qLuts = queries.select(
+      Seq(col("q_id"),
+        explode(kmeansProbesCol(quantize(col("q_emb")), coarse, nprobe))
+          .as("q_cell")) ++
+        (0 until subspaces).map(s =>
+          kmeansObjectivesCol(quantize(subEmb(col("q_emb"), s)), cents(s))
+            .as(s"lut_$s")): _*)
+    val adist = (0 until subspaces).map(s =>
+      element_at(col(s"lut_$s"), (col("code").getItem(s) + 1).cast("int")))
+      .reduce(_ + _)
+    val approx = codes
+      .join(broadcast(qLuts),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("ascore", -adist)
+    refineStage(approx, emb, queries, k, refine)
+  }
+
   /** Random-hyperplane sign bits (SimHash for dense vectors): bit i is
     * the sign of <emb, r_i> where r_i is a deterministic pseudo-random
     * hyperplane derived from xxhash64(i, dim-index). One fused

@@ -202,37 +202,52 @@ object SimilarityQueries {
     * subspace order, candidate selection, and exact rescore. A hash
     * match certifies training, codes, LUTs, and both ranking stages.
     */
-  private def pqOracleSql(subspaces: Int, subDim: Int, kc: Int, iters: Int,
-                          kTop: Int, refine: Int): String = {
-    def iterCte(s: Int, i: Int) = s"""
-      s${s}p$i AS MATERIALIZED (SELECT v.vec_id, v.q, c.cell,
+  /** One k-means training chain as CTEs: quantized vectors `$v`,
+    * md5-ranked seeds `$seeds`, and `iters` unrolled Lloyd's rounds
+    * named `${p}p/a/u/n/c$i` — the [[kmeansOracleSql]] unrolling with
+    * parameterized names, so one query can carry several codebooks
+    * (PQ subspaces, IVF-PQ's coarse + fine). All MATERIALIZED:
+    * DuckDB 1.0 inlines CTEs by default and a multi-chain DAG makes
+    * planning explode exponentially.
+    */
+  private def kmChainCtes(v: String, seeds: String, p: String,
+                          sliceSql: String, kc: Int, iters: Int,
+                          dim: Int): String = {
+    def iterCte(i: Int) = s"""
+      ${p}p$i AS MATERIALIZED (SELECT v.vec_id, v.q, c.cell,
          CAST(list_sum(list_transform(list_zip(v.q, c.s),
               z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS DOUBLE)
            / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) AS f
-       FROM v$s v, s${s}c${i - 1} c),
-      s${s}a$i AS MATERIALIZED (SELECT vec_id, q, cell FROM (
+       FROM $v v, ${p}c${i - 1} c),
+      ${p}a$i AS MATERIALIZED (SELECT vec_id, q, cell FROM (
          SELECT vec_id, q, cell,
            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
-         FROM s${s}p$i) t WHERE rn = 1),
-      s${s}u$i AS MATERIALIZED (SELECT a.cell, g.i, SUM(a.q[g.i]) AS s_i, COUNT(*) AS cnt
-       FROM s${s}a$i a, generate_series(1, $subDim) AS g(i) GROUP BY a.cell, g.i),
-      s${s}n$i AS MATERIALIZED (SELECT cell, LIST(s_i ORDER BY i) AS s, MAX(cnt) AS n
-       FROM s${s}u$i GROUP BY cell),
-      s${s}c$i AS MATERIALIZED (SELECT p.cell, COALESCE(n_.s, p.s) AS s, COALESCE(n_.n, p.n) AS n
-       FROM s${s}c${i - 1} p LEFT JOIN s${s}n$i n_ ON p.cell = n_.cell)"""
+         FROM ${p}p$i) t WHERE rn = 1),
+      ${p}u$i AS MATERIALIZED (SELECT a.cell, g.i, SUM(a.q[g.i]) AS s_i, COUNT(*) AS cnt
+       FROM ${p}a$i a, generate_series(1, $dim) AS g(i) GROUP BY a.cell, g.i),
+      ${p}n$i AS MATERIALIZED (SELECT cell, LIST(s_i ORDER BY i) AS s, MAX(cnt) AS n
+       FROM ${p}u$i GROUP BY cell),
+      ${p}c$i AS MATERIALIZED (SELECT pp.cell, COALESCE(n_.s, pp.s) AS s, COALESCE(n_.n, pp.n) AS n
+       FROM ${p}c${i - 1} pp LEFT JOIN ${p}n$i n_ ON pp.cell = n_.cell)"""
+    s"""$v AS MATERIALIZED (SELECT vec_id,
+        list_transform($sliceSql,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       FROM embeddings),
+     $seeds AS MATERIALIZED (SELECT
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cell, q
+       FROM $v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kc),
+     ${p}c0 AS MATERIALIZED (SELECT cell, q AS s, CAST(1 AS BIGINT) AS n FROM $seeds),
+     ${(1 to iters).map(iterCte).mkString(",")}"""
+  }
+
+  private def pqOracleSql(subspaces: Int, subDim: Int, kc: Int, iters: Int,
+                          kTop: Int, refine: Int): String = {
     def subspaceCtes(s: Int) = {
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
-      s"""v$s AS MATERIALIZED (SELECT vec_id,
-          list_transform(embedding[$lo:$hi],
-            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-         FROM embeddings),
-       seeds$s AS MATERIALIZED (SELECT
-           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
-             AS cell, q
-         FROM v$s ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kc),
-       s${s}c0 AS MATERIALIZED (SELECT cell, q AS s, CAST(1 AS BIGINT) AS n FROM seeds$s),
-       ${(1 to iters).map(i => iterCte(s, i)).mkString(",")}"""
+      kmChainCtes(s"v$s", s"seeds$s", s"s$s", s"embedding[$lo:$hi]",
+        kc, iters, subDim)
     }
     val codesJoin = (1 until subspaces)
       .map(s => s"JOIN s${s}a$iters a$s USING (vec_id)").mkString(" ")
@@ -277,6 +292,74 @@ object SimilarityQueries {
     },
     Some(pqOracleSql(subspaces = 8, subDim = 8, kc = 16, iters = 2,
       kTop = 5, refine = 4)))
+
+  /** IVF-PQ oracle: the coarse chain (full vectors) plus the 8 PQ
+    * subspace chains, probes from the coarse objective rows ranked
+    * (f, cell) per query, ADC only where the candidate's coarse cell
+    * matches a probe, then the shared exact-rescore tail.
+    */
+  private def ivfPqOracleSql(coarseCells: Int, coarseIters: Int, nprobe: Int,
+                             subspaces: Int, subDim: Int, kc: Int,
+                             iters: Int, kTop: Int, refine: Int): String = {
+    val dim = subspaces * subDim
+    val chains = (0 until subspaces).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      kmChainCtes(s"v$s", s"seeds$s", s"s$s", s"embedding[$lo:$hi]",
+        kc, iters, subDim)
+    }.mkString(",")
+    val coarseChain = kmChainCtes("gv", "gseeds", "g", "embedding",
+      coarseCells, coarseIters, dim)
+    val codesJoin = (1 until subspaces)
+      .map(s => s"JOIN s${s}a$iters a$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until subspaces).map(s => s"a$s.cell AS c$s").mkString(", ")
+    val luts = (0 until subspaces).map(s =>
+      s"lut$s AS MATERIALIZED (SELECT vec_id AS q_id, cell, f FROM s${s}p$iters WHERE vec_id < 10)")
+      .mkString(",\n      ")
+    val lutJoins = (0 until subspaces).map(s =>
+      s"JOIN lut$s l$s ON l$s.q_id = pr.q_id AND l$s.cell = c.c$s").mkString(" ")
+    val adistSum = (0 until subspaces).map(s => s"l$s.f").mkString(" + ")
+    s"""WITH $coarseChain,
+      $chains,
+      gcell AS MATERIALIZED (SELECT vec_id, cell AS gc FROM ga$coarseIters),
+      probes AS MATERIALIZED (SELECT q_id, cell FROM (
+          SELECT vec_id AS q_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+          FROM gp$coarseIters WHERE vec_id < 10) t WHERE rn <= $nprobe),
+      codes AS MATERIALIZED (SELECT a0.vec_id, $codeCols FROM s0a$iters a0 $codesJoin),
+      $luts,
+      scored AS MATERIALIZED (SELECT pr.q_id, c.vec_id, $adistSum AS adist
+        FROM codes c
+        JOIN gcell g ON g.vec_id = c.vec_id
+        JOIN probes pr ON pr.cell = g.gc
+        $lutJoins
+        WHERE c.vec_id <> pr.q_id),
+      cand AS MATERIALIZED (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+        FROM scored) t WHERE rn <= ${kTop * refine}),
+      e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings),
+      qq AS MATERIALIZED (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      re AS MATERIALIZED (SELECT cand.q_id, cand.vec_id,
+          round(list_cosine_similarity(q_emb, emb), 4) AS score
+        FROM cand JOIN e USING (vec_id) JOIN qq ON cand.q_id = qq.q_id),
+      ranked AS MATERIALIZED (SELECT q_id, vec_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+        FROM re)
+      SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= $kTop"""
+  }
+
+  private val simIvfPq = QueryDef(
+    "sim_ivfpq_topk",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.ivfPqTopK(e, q, 5)
+    },
+    Some(ivfPqOracleSql(coarseCells = 8, coarseIters = 3, nprobe = 3,
+      subspaces = 8, subDim = 8, kc = 16, iters = 2, kTop = 5, refine = 4)))
 
   /** md5(text)-derived BMP dimensions, shared by every multimodal
     * oracle (mirrors [[Multimodal.dims]]). */
@@ -361,7 +444,7 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simSq8, simPq,
-      dedupEmbedding,
+      simIvfPq, dedupEmbedding,
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize)
 }

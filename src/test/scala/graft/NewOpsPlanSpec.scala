@@ -32,6 +32,17 @@ class NewOpsPlanSpec extends SparkSpec {
       "no un-broadcast cartesian anywhere")
   }
 
+  test("pq: stage 1 is broadcast LUTs over the code scan, fused objectives") {
+    val plan = Similarity.pqTopK(emb.select(col("vec_id"), col("emb")), qs, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("kmeans_objectives"),
+      "assignment/LUTs must use the fused expression")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the LUT side must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("spans: no cartesian product; the pair join is an equi-join") {
     val plan = Dedup.sharedSpans(
       docs.select(col("doc_id").as("id"), col("text")), "id", "text",

@@ -133,6 +133,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"pq recall@5 $recall below 0.2")
   }
 
+  test("ivf-pq with all cells probed and exhaustive refine equals brute force") {
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceTopK(emb, qs, 5).collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, qs, 5,
+      coarseCells = 8, nprobe = 8, refine = n).collect().toSet
+    assert(ivfpq === exact)
+    assert(ivfpq.nonEmpty)
+  }
+
+  test("ivf-pq recall is reported against brute force") {
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val exact = Similarity.bruteForceTopK(emb, qs, 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfPqTopK(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"ivf-pq recall@5 over ${exact.size} truth pairs: $recall")
+    // coarse pruning (3/8 cells) stacked on 4-bit PQ codes over iid
+    // noise — both quantizers' worst case; the floor only guards
+    // against the machinery silently returning junk
+    assert(recall >= 0.1, s"ivf-pq recall@5 $recall below 0.1")
+  }
+
   test("quantizers fail loudly on degenerate inputs") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
