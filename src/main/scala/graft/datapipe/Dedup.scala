@@ -564,6 +564,9 @@ object Dedup {
                   maxDf: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
+    // persist(): the window table feeds the hot-hash aggregation and
+    // both sides of the self-join — unpersisted, the text pipeline
+    // runs three times (session-scoped cache, as in ngramJaccardPairs).
     val windows = positionalWindows(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = windows.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -614,6 +617,8 @@ object Dedup {
                 k: Int = 5, minWindows: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
+    // persist(): both sides of the (hash, id) self-join read this
+    // table (session-scoped cache, as in ngramJaccardPairs).
     val windows = positionalWindows(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val matches = windows.select(col("h"), col("id"), col("pos").as("pa"))
