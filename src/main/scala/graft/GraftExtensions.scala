@@ -57,14 +57,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PackSignedBytes].getName, "pack_signed_bytes"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "pack_signed_bytes(arr)")
-        PackSignedBytes(children.head)
+        // cast like the Column API does: the expression reads LONG
+        // array slots, and SQL's array(1,2,3) is array<int> — raw
+        // children would read 8 bytes across two 4-byte slots
+        PackSignedBytes(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("byte_dot_product"),
       new ExpressionInfo(classOf[ByteDotProduct].getName, "byte_dot_product"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "byte_dot_product(a, b)")
-        ByteDotProduct(children(0), children(1))
+        ByteDotProduct(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children(0), org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children(1), org.apache.spark.sql.types.BinaryType))
       }))
     ext.injectFunction((
       new FunctionIdentifier("hyperplane_bits"),
@@ -72,7 +82,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2,
           "hyperplane_bits(emb, bits) — bits a literal int")
-        HyperplaneBitsExpr(children.head, literalInt(children(1), "bits"))
+        HyperplaneBitsExpr(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children.head,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)),
+          literalInt(children(1), "bits"))
       }))
   }
 }

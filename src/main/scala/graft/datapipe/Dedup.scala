@@ -493,8 +493,18 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
 
-    val key = xxhash64(TextAnalysis.normalize(col(textCol)))
+    // xxhash64(null) is the SEED, not null — an unguarded key would
+    // make every null-text new doc collide with every null-text
+    // corpus doc and be wrongly dropped. A null key never equals
+    // anything in the anti join, which is exactly the documented
+    // null semantics.
+    val key = when(col(textCol).isNotNull,
+      xxhash64(TextAnalysis.normalize(col(textCol))))
+    // persist(): newKeys feeds both the bloom-build action and the
+    // anti join — without it the batch's normalize+hash pipeline
+    // runs twice (session-scoped cache, as the other staging tables).
     val newKeys = newDocs.select(col(idCol), key.as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One pass over the (small) new side builds the filter on the
     // driver: bounded by the filter's bit array, not by row count.
     // putLong/mightContainLong share BloomFilterImpl's hashing, so

@@ -217,7 +217,13 @@ object Similarity {
     */
   def sq8Quantize(emb: Column, maxAbs: Double): Column = {
     require(maxAbs > 0.0, s"sq8 needs a positive scale, got $maxAbs")
-    transform(emb, x => round(x * lit(127.0) / lit(maxAbs)).cast("long"))
+    // Clamp to the code range: corpus components never exceed it by
+    // construction of M, but QUERY vectors are quantized with the
+    // corpus-trained scale and an out-of-range query component would
+    // otherwise round to ±128 and crash the pack stage. Saturation
+    // is the standard SQ behavior, and the oracle replays the clamp.
+    transform(emb, x => least(lit(127L), greatest(lit(-127L),
+      round(x * lit(127.0) / lit(maxAbs)).cast("long"))))
   }
 
   /** Two-stage scalar-quantized top-k (the SQ tier of the usual ANN
@@ -357,28 +363,48 @@ object Similarity {
     } finally q.unpersist()
   }
 
+  /** Subspace width, validated. */
+  private def pqSubDim(emb: DataFrame, subspaces: Int): Int = {
+    val dim = emb.select(size(col("emb")).as("d")).head().getInt(0)
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+    dim / subspaces
+  }
+
+  /** The ONE definition of PQ's code/LUT/ADC columns, shared by
+    * [[pqTopK]] and [[ivfPqTopK]] so the engine-portability-critical
+    * parts (LUT indexing, the literal-order adist sum) cannot drift
+    * between the tiers. Column-name contract: `emb` on the corpus
+    * side, `q_emb` on the query side, `code`/`lut_s` downstream.
+    */
+  private def pqCodeCol(cents: IndexedSeq[Seq[(Array[Long], Long)]],
+                        subDim: Int): Column =
+    array(cents.indices.map(s => kmeansAssignCol(
+      quantize(slice(col("emb"), s * subDim + 1, subDim)), cents(s))): _*)
+
+  private def pqLutCols(cents: IndexedSeq[Seq[(Array[Long], Long)]],
+                        subDim: Int): Seq[Column] =
+    cents.indices.map(s => kmeansObjectivesCol(
+      quantize(slice(col("q_emb"), s * subDim + 1, subDim)), cents(s))
+      .as(s"lut_$s"))
+
+  private def pqAdistCol(subspaces: Int): Column =
+    (0 until subspaces).map(s =>
+      element_at(col(s"lut_$s"), (col("code").getItem(s) + 1).cast("int")))
+      .reduce(_ + _)
+
   def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
              subspaces: Int = 8, kcents: Int = 16, iters: Int = 2,
              refine: Int = 4): DataFrame = {
-    val dim = emb.select(size(col("emb")).as("d")).head().getInt(0)
-    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
-    val subDim = dim / subspaces
-    def subEmb(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
+    val subDim = pqSubDim(emb, subspaces)
     val cents = pqCodebooks(emb.select(col("vec_id"), col("emb")),
       subspaces, kcents, iters)
-    val codes = emb.select(col("vec_id"), array((0 until subspaces).map(s =>
-      kmeansAssignCol(quantize(subEmb(col("emb"), s)), cents(s))): _*).as("code"))
-    val qLuts = queries.select(col("q_id") +: (0 until subspaces).map(s =>
-      kmeansObjectivesCol(quantize(subEmb(col("q_emb"), s)), cents(s))
-        .as(s"lut_$s")): _*)
-    val adist = (0 until subspaces).map(s =>
-      element_at(col(s"lut_$s"), (col("code").getItem(s) + 1).cast("int")))
-      .reduce(_ + _)
+    val codes = emb.select(col("vec_id"), pqCodeCol(cents, subDim).as("code"))
+    val qLuts = queries.select(col("q_id") +: pqLutCols(cents, subDim): _*)
     // TopK keeps the HIGHEST score; ADC is a distance, so negate —
     // IEEE negation is exact, and ties still break by vec_id.
     val approx = codes
       .join(broadcast(qLuts), col("vec_id") =!= col("q_id"))
-      .withColumn("ascore", -adist)
+      .withColumn("ascore", -pqAdistCol(subspaces))
     refineStage(approx, emb, queries, k, refine)
   }
 
@@ -399,33 +425,22 @@ object Similarity {
                 coarseCells: Int = 8, coarseIters: Int = 3, nprobe: Int = 3,
                 subspaces: Int = 8, kcents: Int = 16, iters: Int = 2,
                 refine: Int = 4): DataFrame = {
-    val dim = emb.select(size(col("emb")).as("d")).head().getInt(0)
-    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
-    val subDim = dim / subspaces
-    def subEmb(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
+    val subDim = pqSubDim(emb, subspaces)
     val coarse = kmeansCentroids(
       emb.select(col("vec_id"), col("emb")), coarseCells, coarseIters).toSeq
     val cents = pqCodebooks(emb.select(col("vec_id"), col("emb")),
       subspaces, kcents, iters)
     val codes = emb.select(col("vec_id"),
       kmeansAssignCol(quantize(col("emb")), coarse).as("cell"),
-      array((0 until subspaces).map(s =>
-        kmeansAssignCol(quantize(subEmb(col("emb"), s)), cents(s))): _*)
-        .as("code"))
+      pqCodeCol(cents, subDim).as("code"))
     val qLuts = queries.select(
       Seq(col("q_id"),
         explode(kmeansProbesCol(quantize(col("q_emb")), coarse, nprobe))
-          .as("q_cell")) ++
-        (0 until subspaces).map(s =>
-          kmeansObjectivesCol(quantize(subEmb(col("q_emb"), s)), cents(s))
-            .as(s"lut_$s")): _*)
-    val adist = (0 until subspaces).map(s =>
-      element_at(col(s"lut_$s"), (col("code").getItem(s) + 1).cast("int")))
-      .reduce(_ + _)
+          .as("q_cell")) ++ pqLutCols(cents, subDim): _*)
     val approx = codes
       .join(broadcast(qLuts),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-      .withColumn("ascore", -adist)
+      .withColumn("ascore", -pqAdistCol(subspaces))
     refineStage(approx, emb, queries, k, refine)
   }
 

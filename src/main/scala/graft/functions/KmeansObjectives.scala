@@ -29,6 +29,8 @@ case class KmeansObjectivesExpr(child: Expression,
 
   require(sums.length == counts.length && sums.nonEmpty,
     "one (sums, count) pair per cell")
+  require(sums.map(_.length).distinct.size == 1,
+    "every cell's component-sum vector must have the same dimension")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "kmeans_objectives"
@@ -41,6 +43,10 @@ case class KmeansObjectivesExpr(child: Expression,
     val q = a.asInstanceOf[ArrayData]
     val d = q.numElements()
     val k = countsArr.length
+    if (d != sumsArr(0).length)
+      throw new IllegalArgumentException(
+        s"kmeans_objectives: vector dim $d != codebook dim ${sumsArr(0).length}" +
+          " — a prefix-only objective would assign cells silently wrong")
     val out = new Array[Double](k)
     var c = 0
     while (c < k) {
@@ -48,8 +54,7 @@ case class KmeansObjectivesExpr(child: Expression,
       val s = sumsArr(c)
       var big = 0L
       var i = 0
-      val lim = math.min(d, s.length)
-      while (i < lim) {
+      while (i < d) {
         val diff = n * q.getLong(i) - s(i)
         big += diff * diff
         i += 1
@@ -72,16 +77,19 @@ case class KmeansObjectivesExpr(child: Expression,
       val big = ctx.freshName("big")
       val diff = ctx.freshName("diff")
       val out = ctx.freshName("out")
-      val lim = ctx.freshName("lim")
       s"""
         int $d = $q.numElements();
+        if ($d != $sumsRef[0].length) {
+          throw new IllegalArgumentException(
+            "kmeans_objectives: vector dim " + $d + " != codebook dim " +
+            $sumsRef[0].length);
+        }
         double[] $out = new double[$countsRef.length];
         for (int $c = 0; $c < $countsRef.length; $c++) {
           long $n = $countsRef[$c];
           long[] $s = $sumsRef[$c];
           long $big = 0L;
-          int $lim = java.lang.Math.min($d, $s.length);
-          for (int $i = 0; $i < $lim; $i++) {
+          for (int $i = 0; $i < $d; $i++) {
             long $diff = $n * $q.getLong($i) - $s[$i];
             $big += $diff * $diff;
           }

@@ -127,7 +127,10 @@ case class PackSignedBytes(child: Expression) extends UnaryExpression {
   * [[CosineSimilarity]]: this runs once per (query, candidate) pair,
   * so it must be one codegen'd loop over primitive bytes with no
   * intermediate allocation. Integer accumulation is exact, hence
-  * order-portable across engines.
+  * order-portable across engines. Mismatched code lengths throw —
+  * a truncated dot product would rank candidates plausibly but
+  * wrongly, the same silent corruption [[PackSignedBytes]] guards
+  * against.
   */
 case class ByteDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -138,21 +141,26 @@ case class ByteDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"byte_dot_product: code lengths differ (${x.length} vs ${y.length})")
     var dot = 0L; var i = 0
-    while (i < n) { dot += x(i).toLong * y(i).toLong; i += 1 }
+    while (i < x.length) { dot += x(i).toLong * y(i).toLong; i += 1 }
     dot
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-        int $n = java.lang.Math.min($a.length, $b.length);
+        if ($a.length != $b.length) {
+          throw new IllegalArgumentException(
+            "byte_dot_product: code lengths differ (" + $a.length +
+            " vs " + $b.length + ")");
+        }
         long $dot = 0L;
-        for (int $i = 0; $i < $n; $i++) {
+        for (int $i = 0; $i < $a.length; $i++) {
           $dot += ((long) $a[$i]) * ((long) $b[$i]);
         }
         ${ev.value} = $dot;

@@ -160,8 +160,9 @@ object SimilarityQueries {
       m AS MATERIALIZED (SELECT MAX(list_max(list_transform(emb, x -> abs(x)))) AS mx
             FROM e),
       c AS MATERIALIZED (SELECT vec_id,
-          list_transform(emb, x -> CAST(round(x * 127.0 / m.mx) AS BIGINT))
-            AS code
+          list_transform(emb, x -> LEAST(CAST(127 AS BIGINT),
+            GREATEST(CAST(-127 AS BIGINT),
+              CAST(round(x * 127.0 / m.mx) AS BIGINT)))) AS code
         FROM e, m),
       c2 AS MATERIALIZED (SELECT vec_id, code,
           list_sum(list_transform(list_zip(code, code), z -> z[1] * z[2]))
