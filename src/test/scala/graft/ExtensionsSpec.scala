@@ -56,6 +56,12 @@ class ExtensionsSpec extends SparkSpec {
         |                        pack_signed_bytes(array(3L, 4L, -1L)))""".stripMargin)
       .as[Long].head()
     assert(viaSql === (1 * 3 + -2 * 4 + 127 * -1).toLong)
+    // SQL's default array(1,2,3) is array<int>: the registration must
+    // cast to long slots, not read 8 bytes across two int slots
+    val viaIntLits = spark.sql(
+      "SELECT byte_dot_product(pack_signed_bytes(array(1, 2, 3)), " +
+        "pack_signed_bytes(array(4, 5, 6)))").as[Long].head()
+    assert(viaIntLits === (4 + 10 + 18).toLong)
   }
 
   test("hyperplane_bits is callable from SQL and matches the Column API") {
