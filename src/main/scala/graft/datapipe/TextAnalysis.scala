@@ -104,6 +104,21 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Corpus vocabulary: the `topN` most frequent normalized tokens
+    * with their counts — the input a tokenizer trainer (BPE seed
+    * vocab, subword frequency tables) consumes. One explode + one
+    * partial-aggregated count shuffle; the global cut runs as
+    * TakeOrderedAndProject (per-partition top-N, merged on the
+    * driver), so no single reducer ever sees the full vocabulary.
+    * Ordering is (freq desc, token asc) — fully deterministic, so
+    * the cut boundary is engine-portable.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, topN: Int): DataFrame =
+    docs.select(explode(split(normalize(col(textCol)), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topN)
+
   /** Within-document repetition metrics — the Gopher/RefinedWeb-style
     * quality signals that catch boilerplate loops and degenerate
     * generations BEFORE they reach pretraining:

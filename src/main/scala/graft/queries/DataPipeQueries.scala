@@ -142,6 +142,18 @@ object DataPipeQueries {
       FROM toks t LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
         LEFT JOIN tw USING (doc_id)"""))
 
+  /** Top-100 corpus vocabulary with deterministic (freq desc, token)
+    * ordering. The driver's compare sorts rows, so the LIMIT boundary
+    * is the only order-sensitive part — and the tie-break pins it.
+    */
+  private val textVocab = QueryDef(
+    "text_vocab",
+    (s, d) => TextAnalysis.vocabulary(Tables.documents(s, d), "text", 100),
+    Some("""SELECT u.t AS token, COUNT(*) AS freq
+      FROM (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+            FROM documents), UNNEST(w) AS u(t)
+      GROUP BY u.t ORDER BY freq DESC, token LIMIT 100"""))
+
   /** BM25 over three vocabulary terms of differing rarity. The oracle
     * replays the formula with the SAME expression tree (literal
     * arithmetic like (1.2 + 1.0) constant-folds to the identical
@@ -747,7 +759,7 @@ object DataPipeQueries {
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
-    textRepetition,
+    textRepetition, textVocab,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, dedupSelfSpans, sampleStratified, a1Salted,

@@ -53,6 +53,17 @@ class RelevanceSpec extends SparkSpec {
     }
   }
 
+  test("vocabulary: deterministic top-N with tie-break, TakeOrdered plan") {
+    val corpus = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
+    val out = graft.datapipe.TextAnalysis.vocabulary(corpus, "text", 3)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1)))
+    // a and b tie at 3 → token asc puts a first; c/d tie at 1 → c cut in
+    assert(rows.toSeq === Seq(("a", 3L), ("b", 3L), ("c", 1L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the global cut must be per-partition top-N, not a full sort; plan:\n${plan.take(1500)}")
+  }
+
   test("repetition metrics match hand counts") {
     val rep = Seq(
       (1L, "a b a b a"),   // 2-grams: ab ba ab ba → 4 total 2 distinct
