@@ -33,6 +33,7 @@ object Bench {
     // timed queries likewise keeps each number self-contained instead
     // of "incremental cost given whatever ran before it".
     def dropAllCaches(): Unit = {
+      graft.datapipe.Staging.releaseAll() // also drains the registry
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }

@@ -9,12 +9,18 @@ package graft
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.builder(cpus = "32").appName("time-one").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
     val name = args(0); val sf = args(1)
+    // warm-up dir and parallelism are overridable so the harness is
+    // not tied to this sandbox's testdata layout or core count
+    val warmDir = args.lift(2)
+      .orElse(sys.env.get("SPARK_GRAFT_WARM_DIR"))
+      .getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(cpus = cpus).appName("time-one").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
     // warm
-    fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    fn(spark, warmDir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     for (_ <- 1 to 3) {

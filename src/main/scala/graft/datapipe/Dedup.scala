@@ -1,5 +1,7 @@
 package graft.datapipe
 
+import graft.datapipe.Staging.Staged
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -158,7 +160,7 @@ object Dedup {
     // merge instead of building a hash set per candidate pair
     val hhTable = docs.select(col(idCol).as("id"),
       array_sort(hashedShingles(col(textCol), 3)).as("hh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .stage()
     // Staged projections: hh and sig are each materialized ONCE per
     // row before the stages that reference them repeatedly — inlining
     // would multiply the work by the reference count (Catalyst's
@@ -252,7 +254,7 @@ object Dedup {
     val codes = docs
       .select(col(idCol).as("id"), hashPipeline(col(textCol), k).as("hh"))
       .select(col("id"), simhashFromHashes(col("hh")).as("code"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .stage()
     val buckets = codes.select(col("id"), col("code"),
       explode(simhashBands(col("code"), bands)).as("bb"))
     buckets.select(col("bb"), col("id").as("a_id"), col("code").as("a_code"))
@@ -412,7 +414,7 @@ object Dedup {
     // order shared by all documents (the hash value is that order).
     val hhTable = docs.select(col(idCol).as("id"),
       array_sort(hashedShingles(col(textCol), k)).as("hh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .stage()
     // Prefix filtering (AllPairs/PPJoin): J(a,b) >= t implies
     // |a∩b| >= ceil(t*max(|a|,|b|)), and any two sets sharing alpha
     // elements must intersect within their (n - alpha + 1)-prefixes
@@ -424,7 +426,7 @@ object Dedup {
       ceil(lit(threshold) * size(col("hh"))) + 1).cast("int")
     val posts = hhTable.select(col("id"),
       explode(slice(col("hh"), lit(1), prefLen)).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .stage()
     val hot = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).select(col("h"))
     val pruned = posts.join(broadcast(hot), Seq("h"), "left_anti")
@@ -504,7 +506,7 @@ object Dedup {
     // anti join — without it the batch's normalize+hash pipeline
     // runs twice (session-scoped cache, as the other staging tables).
     val newKeys = newDocs.select(col(idCol), key.as("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .stage()
     // One pass over the (small) new side builds the filter on the
     // driver: bounded by the filter's bit array, not by row count.
     // putLong/mightContainLong share BloomFilterImpl's hashing, so
@@ -578,8 +580,13 @@ object Dedup {
     // both sides of the self-join — unpersisted, the text pipeline
     // runs three times (session-scoped cache, as in ngramJaccardPairs).
     val windows = positionalWindows(docs, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = windows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .stage()
+    // TRUE document frequency (distinct docs containing the window),
+    // not occurrence count: a window repeated inside one long document
+    // has df=1 and must survive the cap — it fans out linearly there,
+    // not quadratically. The oracle replays countDistinct identically.
+    val hot = windows.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("df"))
       .filter(col("df") > maxDf).select(col("h"))
     val pruned = windows.join(broadcast(hot), Seq("h"), "left_anti")
     // (a_id, pos) is unique, so per (pair, diagonal) each a_pos
@@ -630,7 +637,7 @@ object Dedup {
     // persist(): both sides of the (hash, id) self-join read this
     // table (session-scoped cache, as in ngramJaccardPairs).
     val windows = positionalWindows(docs, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .stage()
     val matches = windows.select(col("h"), col("id"), col("pos").as("pa"))
       .hint("shuffle_hash")
       .join(windows.select(col("h"), col("id"), col("pos").as("pb")),

@@ -1,5 +1,7 @@
 package graft.datapipe
 
+import graft.datapipe.Staging.Staged
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -52,7 +54,7 @@ object Relevance {
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .stage()
     val dfs = matched.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val stats = base.agg(count(lit(1)).as("n_docs"),

@@ -1,5 +1,7 @@
 package graft.datapipe
 
+import graft.datapipe.Staging.Staged
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -493,7 +495,7 @@ object Similarity {
     // rationale incl. the inferred-filter pathology).
     val hbTable = vecs
       .select(col("vec_id"), hyperplaneBits(col("emb"), bits).as("hb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .stage()
     val buckets = hbTable
       .select(col("vec_id"),
         explode(hyperplaneBuckets(col("hb"), bits, bands)).as("bb"))

@@ -47,6 +47,14 @@ case class KmeansObjectivesExpr(child: Expression,
       throw new IllegalArgumentException(
         s"kmeans_objectives: vector dim $d != codebook dim ${sumsArr(0).length}" +
           " — a prefix-only objective would assign cells silently wrong")
+    var j = 0
+    while (j < d) {
+      if (q.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"kmeans_objectives: null component at index $j — scoring it " +
+            "as 0 would assign cells silently wrong")
+      j += 1
+    }
     val out = new Array[Double](k)
     var c = 0
     while (c < k) {
@@ -83,6 +91,12 @@ case class KmeansObjectivesExpr(child: Expression,
           throw new IllegalArgumentException(
             "kmeans_objectives: vector dim " + $d + " != codebook dim " +
             $sumsRef[0].length);
+        }
+        for (int $i = 0; $i < $d; $i++) {
+          if ($q.isNullAt($i)) {
+            throw new IllegalArgumentException(
+              "kmeans_objectives: null component at index " + $i);
+          }
         }
         double[] $out = new double[$countsRef.length];
         for (int $c = 0; $c < $countsRef.length; $c++) {

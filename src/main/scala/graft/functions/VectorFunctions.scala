@@ -86,6 +86,10 @@ case class PackSignedBytes(child: Expression) extends UnaryExpression {
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"pack_signed_bytes: null element at index $i — a null code " +
+            "component has no byte representation")
       val v = x.getLong(i)
       if (v < -128L || v > 127L)
         throw new IllegalArgumentException(
@@ -106,6 +110,10 @@ case class PackSignedBytes(child: Expression) extends UnaryExpression {
         int $n = $a.numElements();
         byte[] $out = new byte[$n];
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) {
+            throw new IllegalArgumentException(
+              "pack_signed_bytes: null element at index " + $i);
+          }
           long $v = $a.getLong($i);
           if ($v < -128L || $v > 127L) {
             throw new IllegalArgumentException(

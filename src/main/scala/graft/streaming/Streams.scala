@@ -372,12 +372,16 @@ object Streams {
     val overlap = left.columns.toSet & right.columns.toSet
     require(overlap.isEmpty,
       s"left/right column names must be disjoint, both have: $overlap")
+    // Column ops, not an interpolated expr() string: col() treats the
+    // names as identifiers, so keys containing spaces or SQL keywords
+    // reference the right columns instead of parsing as SQL. Only
+    // `lookback` (an interval literal, validated by the parser) goes
+    // through expr().
+    val cond = col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+      col(rightTs) <= col(leftTs)
     left.withWatermark(leftTs, watermark)
-      .join(right.withWatermark(rightTs, watermark),
-        expr(s"""$leftKey = $rightKey AND
-                 $rightTs >= $leftTs - INTERVAL $lookback AND
-                 $rightTs <= $leftTs"""),
-        joinType)
+      .join(right.withWatermark(rightTs, watermark), cond, joinType)
   }
 
   /** U5: batched side-output — the reference's size-OR-timeout git

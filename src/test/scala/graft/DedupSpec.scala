@@ -140,4 +140,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.sharedSpans(hotDocs, "id", "text",
       k = 3, minWindows = 2, maxDf = 3).collect().isEmpty)
   }
+
+  test("shared spans: df cap counts distinct docs, not occurrences") {
+    // the 5-token block recurs 5x inside doc 1 and once in doc 2:
+    // 6 occurrences of every block window, but df = 2 docs <= maxDf=3
+    // — the doc1/doc2 shared span must survive (under an
+    // occurrence-frequency cap it would vanish)
+    val block = (0 to 4).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, Seq.fill(5)(block).mkString(" ")),
+      (2L, s"e1 e2 $block e3")).toDF("id", "text")
+    val spans = Dedup.sharedSpans(docs, "id", "text",
+      k = 3, minWindows = 2, maxDf = 3).collect()
+    assert(spans.nonEmpty, "df=2 windows must survive a maxDf=3 cap")
+  }
 }
