@@ -512,4 +512,58 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select(col("a_id"), col("b_id"), col("score"))
   }
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the
+    * exact-integer k-means coarse quantizer, then mark every vector
+    * that has a same-cell neighbour with cosine >= `threshold` and a
+    * smaller id as a semantic duplicate. Returns one row per vector:
+    * (vec_id, cell, keep) — `keep = false` means "drop: a
+    * lower-ranked near-twin survives in this cluster".
+    *
+    * Why clustering first (the published shape): within-cluster
+    * all-pairs is quadratic in CELL size, not corpus size. Per-cell
+    * cost is (n/k)² — at 100 TB you raise k so cells stay bounded
+    * (SemDeDup used 50k clusters for LAION), and the pair join is an
+    * equi-join on `cell`, i.e. one shuffle co-partitioning each
+    * cluster. Exact duplicates can never be split across cells (equal
+    * vectors have equal objectives, and the argmin tie-break is
+    * deterministic), so exact-dup recall is structural; near-dups
+    * split across a cell boundary are the technique's documented
+    * recall trade — raise `iters`/lower k to trade cost for recall.
+    *
+    * Keeper rank is min vec_id (deterministic, engine-portable);
+    * scores compare on `round(cos, 4)` so the threshold decision is
+    * replayable bit-identically from any engine's float sum (the
+    * [[nearDupPairs]] recipe). The keep-rule is greedy per-pair
+    * domination, not transitive closure: a vector is dropped iff ANY
+    * smaller-id vector in its cell is within τ — the standard
+    * SemDeDup implementation of "keep one representative per ε-ball"
+    * (for transitive duplicate CLUSTERS compose [[Dedup.clusters]]
+    * over [[nearDupPairs]] output instead).
+    */
+  def semanticDedup(emb: DataFrame, k: Int, iters: Int,
+                    threshold: Double): DataFrame = {
+    val vecs = emb.select(col("vec_id"), col("emb"))
+    val cents = kmeansCentroids(vecs, k, iters)
+    // id→(cell, emb): feeds both sides of the within-cell pair join
+    val assigned = vecs
+      .select(col("vec_id"),
+        kmeansAssignCol(quantize(col("emb")), cents.toSeq).as("cell"),
+        col("emb"))
+      .stage()
+    // a_id dominated by any smaller-id b in the same cell within τ
+    val dominated = assigned.select(col("vec_id").as("a_id"),
+        col("cell"), col("emb").as("a_emb"))
+      .hint("shuffle_hash")
+      .join(assigned.select(col("vec_id").as("b_id"), col("cell"),
+        col("emb").as("b_emb")), Seq("cell"))
+      .filter(col("b_id") < col("a_id"))
+      .filter(round(cosineSimilarity(col("a_emb"), col("b_emb")), 4)
+        >= threshold)
+      .select(col("a_id")).distinct()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dominated.withColumn("dom", lit(true)),
+        col("vec_id") === col("a_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dom").isNull.as("keep"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.datapipe.{Contamination, Dedup, Packing, Relevance, Sampling, TextAnalysis}
+import graft.datapipe.{Contamination, Dedup, LanguageModel, Packing, Relevance, Sampling, TextAnalysis}
 import graft.functions.PromHistogram
 
 /** Queries for the training-data-pipeline operators (dedup, text
@@ -191,6 +191,72 @@ object DataPipeQueries {
         round(COALESCE(w0, 0.0) + COALESCE(w1, 0.0) + COALESCE(w2, 0.0), 4)
           AS score
       FROM base b LEFT JOIN p USING (doc_id)"""))
+
+  /** Bigram-LM perplexity (the CCNet-style model-based quality
+    * filter). The oracle retrains the same add-one bigram model in
+    * SQL and replays the per-document ordered ln-fold via
+    * list_reduce — a hash match certifies counts, smoothing, and the
+    * fold. Engine-parity notes: every ln term is rounded to 8 dp on
+    * both sides (Math.log vs a C log may differ in the last ulp), and
+    * the fold is position-ordered, so the float sum is deterministic.
+    */
+  private val textPerplexity = QueryDef(
+    "text_perplexity",
+    (s, d) => LanguageModel.perplexity(Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      bg AS (SELECT doc_id, i - 1 AS pos, w[i] AS w1, w[i+1] AS w2
+             FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+             WHERE len(w) >= 2),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      vc AS (SELECT COUNT(DISTINCT u.tk) AS v FROM toks, UNNEST(w) AS u(tk)),
+      lps AS (SELECT doc_id, pos,
+          round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vc.v AS DOUBLE)), 8) AS lp
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vc),
+      s AS (SELECT doc_id,
+          list_reduce(LIST(lp ORDER BY pos), (a, b) -> a + b) AS slp,
+          COUNT(*) AS n_bigrams
+        FROM lps GROUP BY doc_id)
+      SELECT t.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        round(exp(-s.slp / s.n_bigrams), 4) AS ppl
+      FROM toks t LEFT JOIN s USING (doc_id)"""))
+
+  /** DSIR importance resampling toward the English slice: hashed-
+    * unigram (md5-portable, 64 buckets) likelihood ratio of
+    * lang='en' documents against the whole corpus, deterministic
+    * top-100 selection. The oracle retrains both bucket
+    * distributions and replays the ordered fold + ranking.
+    */
+  private val sampleImportance = QueryDef(
+    "sample_importance",
+    (s, d) => LanguageModel.importanceWeights(Tables.documents(s, d),
+      "doc_id", "text", col("lang") === "en", buckets = 64, topN = 100),
+    Some("""WITH toks AS (SELECT doc_id, lang,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      tk AS (SELECT doc_id, lang, i - 1 AS pos,
+          CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) % 64 AS b
+        FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)),
+      rawc AS (SELECT b, COUNT(*) AS cr FROM tk GROUP BY 1),
+      tgtc AS (SELECT b, COUNT(*) AS ct FROM tk WHERE lang = 'en' GROUP BY 1),
+      tot AS (SELECT (SELECT SUM(cr) FROM rawc) AS tr,
+                     (SELECT SUM(ct) FROM tgtc) AS tt),
+      lrs AS (SELECT rawc.b,
+          round(ln(CAST(COALESCE(tgtc.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + 64 AS DOUBLE))
+              - ln(CAST(rawc.cr + 1 AS DOUBLE) / CAST(tot.tr + 64 AS DOUBLE)), 8) AS lr
+        FROM rawc LEFT JOIN tgtc USING (b), tot),
+      wsum AS (SELECT doc_id,
+          round(list_reduce(LIST(lr ORDER BY pos), (a, b) -> a + b), 4) AS wt,
+          COUNT(*) AS n_tokens
+        FROM tk JOIN lrs USING (b) GROUP BY doc_id),
+      allw AS (SELECT t.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+          COALESCE(wt, 0.0) AS weight
+        FROM toks t LEFT JOIN wsum USING (doc_id))
+      SELECT doc_id, n_tokens, weight,
+        (row_number() OVER (ORDER BY weight DESC, doc_id) <= 100) AS selected
+      FROM allw"""))
 
   // --- dedup ------------------------------------------------------
 
@@ -759,7 +825,7 @@ object DataPipeQueries {
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
-    textRepetition, textVocab,
+    textRepetition, textVocab, textPerplexity, sampleImportance,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, dedupSelfSpans, sampleStratified, a1Salted,

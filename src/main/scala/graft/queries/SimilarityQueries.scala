@@ -102,6 +102,40 @@ object SimilarityQueries {
         FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id)
       SELECT a_id, b_id, score FROM pairs WHERE score >= 0.999"""))
 
+  /** SemDeDup end-to-end: coarse k-means clustering (the sim_ivf_kmeans
+    * trainer, replayed in full by the oracle) + within-cell greedy
+    * domination. Near-twins are planted by shifting every component
+    * +0.01 (cosine ≈ 0.997 against the original on this data — above
+    * the 0.995 threshold, while unrelated pairs top out near 0.51),
+    * so every twin whose cell matches its original's must be dropped
+    * and the oracle certifies training, assignment, AND the keep
+    * decision in one hash.
+    */
+  private val dedupSemantic = QueryDef(
+    "dedup_semantic",
+    (s, d) => {
+      // repartition: the test parquet is one split; see withTwins note
+      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val twins = e.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("emb"), x => x + lit(0.01)).as("emb"))
+      Similarity.semanticDedup(e.unionByName(twins),
+        k = 8, iters = 3, threshold = 0.995)
+    },
+    Some(s"""WITH eu AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        UNION ALL SELECT vec_id + 1000000,
+          list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+        FROM embeddings),
+      ${kmChainCtes("sv", "svseeds", "sd", "emb", 8, 3, 64, from = "eu")},
+      ec AS MATERIALIZED (SELECT a.vec_id, a.cell, e.emb
+        FROM sda3 a JOIN eu e USING (vec_id)),
+      dup AS (SELECT DISTINCT a.vec_id FROM ec a JOIN ec b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+        AND round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.995)
+      SELECT ec.vec_id, ec.cell, (dup.vec_id IS NULL) AS keep
+      FROM ec LEFT JOIN dup ON ec.vec_id = dup.vec_id"""))
+
   /** DuckDB replay of the ENTIRE k-means trainer ([[Similarity
     * .kmeansCentroids]]): quantized vectors, md5-ranked seeds, and
     * `iters` unrolled Lloyd's rounds (assign by exact-integer
@@ -213,7 +247,7 @@ object SimilarityQueries {
     */
   private def kmChainCtes(v: String, seeds: String, p: String,
                           sliceSql: String, kc: Int, iters: Int,
-                          dim: Int): String = {
+                          dim: Int, from: String = "embeddings"): String = {
     def iterCte(i: Int) = s"""
       ${p}p$i AS MATERIALIZED (SELECT v.vec_id, v.q, c.cell,
          CAST(list_sum(list_transform(list_zip(v.q, c.s),
@@ -233,7 +267,7 @@ object SimilarityQueries {
     s"""$v AS MATERIALIZED (SELECT vec_id,
         list_transform($sliceSql,
           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-       FROM embeddings),
+       FROM $from),
      $seeds AS MATERIALIZED (SELECT
          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cell, q
@@ -445,7 +479,7 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simSq8, simPq,
-      simIvfPq, dedupEmbedding,
+      simIvfPq, dedupEmbedding, dedupSemantic,
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize)
 }

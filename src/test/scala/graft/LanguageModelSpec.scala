@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.datapipe.LanguageModel
+
+/** Hand-computed oracles for the corpus-statistics quality scorers:
+  * the bigram-LM perplexity and the DSIR importance weights.
+  */
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r8(x: Double) = BigDecimal(x)
+    .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r4(x: Double) = BigDecimal(x)
+    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("perplexity matches the hand-trained add-one bigram model") {
+    // corpus: "a b a b" + "a b"  →  c2(a,b)=3, c2(b,a)=1,
+    // c1(a)=3, c1(b)=1, V=2
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = LanguageModel.perplexity(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val lpAB = r8(math.log(4.0 / 5.0)) // (3+1)/(3+2)
+    val lpBA = r8(math.log(2.0 / 3.0)) // (1+1)/(1+2)
+    // doc 1 bigrams in order: (a,b),(b,a),(a,b)
+    val ppl1 = r4(math.exp(-(lpAB + lpBA + lpAB) / 3.0))
+    val ppl2 = r4(math.exp(-lpAB / 1.0))
+    assert(out(1L) === ((3L, ppl1)))
+    assert(out(2L) === ((1L, ppl2)))
+  }
+
+  test("perplexity: sub-bigram documents get n_bigrams=0 and null ppl") {
+    val docs = Seq((1L, "solo"), (2L, "x y")).toDF("doc_id", "text")
+    val out = LanguageModel.perplexity(docs, "doc_id", "text")
+    val solo = out.filter(col("doc_id") === 1).collect().head
+    assert(solo.getLong(1) === 0L && solo.isNullAt(2))
+    assert(out.count() === 2)
+  }
+
+  test("a common phrase scores lower perplexity than a rare one") {
+    val common = (1L to 9L).map(i => (i, "the quick fox"))
+    val docs = (common :+ (10L -> "zebra quantum xylophone"))
+      .toDF("doc_id", "text")
+    val ppl = LanguageModel.perplexity(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ppl(1L) < ppl(10L),
+      s"common ${ppl(1L)} must beat rare ${ppl(10L)}")
+  }
+
+  test("importance weights favor target-domain vocabulary and select top-N") {
+    // target rows use 'alpha beta', raw-only rows use 'gamma delta':
+    // alpha/beta buckets have high target mass → positive log ratio
+    val docs = (
+      (1L to 4L).map(i => (i, "alpha beta alpha", true)) ++
+      (5L to 8L).map(i => (i, "gamma delta gamma", false)) :+
+      ((9L, "alpha beta", false))).toDF("doc_id", "text", "tgt")
+    val out = LanguageModel.importanceWeights(docs, "doc_id", "text",
+      col("tgt"), buckets = 16, topN = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.length === 9)
+    val byId = out.map(t => t._1 -> t).toMap
+    // doc 9 shares the target vocabulary without being in the target
+    // slice — DSIR must rank it with the target-like docs
+    assert(byId(9L)._3 > byId(5L)._3,
+      "target-vocab doc must outweigh raw-only doc")
+    assert(out.count(_._4) === 5, "exactly topN selected")
+    // the 5 selected are the 5 target-vocab docs (1..4 and 9)
+    assert(out.filter(_._4).map(_._1).toSet === Set(1L, 2L, 3L, 4L, 9L))
+  }
+
+  test("importance weight replays as the ordered fold of bucket ratios") {
+    val docs = Seq((1L, "u v w", true), (2L, "x y", false))
+      .toDF("doc_id", "text", "tgt")
+    val B = 8
+    // replicate: bucket = md5-60(token) % B over the token stream
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % B
+    }
+    val stream = Seq(("u", true), ("v", true), ("w", true),
+      ("x", false), ("y", false)).map { case (t, tg) => (bucket(t), tg) }
+    val cr = stream.groupBy(_._1).view.mapValues(_.size).toMap
+    val ct = stream.filter(_._2).groupBy(_._1).view.mapValues(_.size).toMap
+    val (tr, tt) = (stream.size, stream.count(_._2))
+    def lr(b: Long): Double = r8(
+      math.log((ct.getOrElse(b, 0) + 1.0) / (tt + B)) -
+        math.log((cr(b) + 1.0) / (tr + B)))
+    val w1 = r4(Seq("u", "v", "w").map(t => lr(bucket(t))).foldLeft(0.0)(_ + _))
+    val out = LanguageModel.importanceWeights(docs, "doc_id", "text",
+      col("tgt"), buckets = B, topN = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) === w1)
+  }
+}

@@ -187,4 +187,25 @@ class SimilaritySpec extends SparkSpec {
     // 8-bit codes preserve cosine order well; the floor documents it
     assert(recall >= 0.8, s"sq8 recall@5 $recall below 0.8")
   }
+
+  test("semantic dedup drops exactly the higher-id member of each twin pair") {
+    import spark.implicits._
+    // three well-separated base vectors, each with an exact twin at
+    // id+100; τ=0.99 pairs each twin with its base only
+    val base = Seq(
+      1L -> Array(1.0, 0.0, 0.0, 0.0),
+      2L -> Array(0.0, 1.0, 0.0, 0.0),
+      3L -> Array(0.0, 0.0, 1.0, 0.0))
+    val rows = (base ++ base.map { case (id, v) => (id + 100) -> v })
+      .toDF("vec_id", "emb")
+    val out = Similarity.semanticDedup(rows, k = 3, iters = 2,
+      threshold = 0.99).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 101L, 102L, 103L))
+    // every base survives, every twin is dropped…
+    assert(Seq(1L, 2L, 3L).forall(out(_)._2), s"bases must keep: $out")
+    assert(Seq(101L, 102L, 103L).forall(!out(_)._2), s"twins must drop: $out")
+    // …and an exact twin always lands in its base's cell
+    assert(Seq(1L, 2L, 3L).forall(id => out(id)._1 === out(id + 100)._1))
+  }
 }
