@@ -120,14 +120,14 @@ object SimilarityQueries {
       val twins = e.select((col("vec_id") + 1000000).as("vec_id"),
         transform(col("emb"), x => x + lit(0.01)).as("emb"))
       Similarity.semanticDedup(e.unionByName(twins),
-        k = 8, iters = 3, threshold = 0.995)
+        k = 16, iters = 3, threshold = 0.995)
     },
     Some(s"""WITH eu AS MATERIALIZED (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
         UNION ALL SELECT vec_id + 1000000,
           list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
         FROM embeddings),
-      ${kmChainCtes("sv", "svseeds", "sd", "emb", 8, 3, 64, from = "eu")},
+      ${kmChainCtes("sv", "svseeds", "sd", "emb", 16, 3, 64, from = "eu")},
       ec AS MATERIALIZED (SELECT a.vec_id, a.cell, e.emb
         FROM sda3 a JOIN eu e USING (vec_id)),
       dup AS (SELECT DISTINCT a.vec_id FROM ec a JOIN ec b
