@@ -69,4 +69,33 @@ class NewOpsPlanSpec extends SparkSpec {
     // the only nested-loop is the broadcast of the 1-row stats side
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("importance: top-N plans as TakeOrderedAndProject, ratio side broadcasts") {
+    val plan = graft.datapipe.LanguageModel.importanceWeights(
+      docs, "doc_id", "text", col("lang") === "en", buckets = 64,
+      topN = 100).queryExecution.executedPlan.toString
+    // the selection cut must be per-partition heaps + driver merge,
+    // never a global single-partition ranking window
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject; plan:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      "no ranking window may survive in the selection path")
+    // the B-row ratio model joins onto the token stream broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bucket-ratio model must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("perplexity: the bigram model joins are equi-joins, stream staged once") {
+    val plan = graft.datapipe.LanguageModel.perplexity(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // scoring co-partitions with the count tables on the bigram key
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian; plan:\n${plan.take(3000)}")
+    // the bigram stream is persisted: training (c2 + c1) and scoring
+    // all read the same staged table instead of re-running the
+    // tokenize+zip pipeline three times
+    assert(plan.contains("InMemoryTableScan"),
+      "bigram staging should be cache-backed")
+  }
 }
