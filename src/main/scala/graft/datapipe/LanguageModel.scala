@@ -175,4 +175,55 @@ object LanguageModel {
       .select(col("doc_id"), col("n_tokens"), col("weight"),
         coalesce(col("sel"), lit(false)).as("selected"))
   }
+
+  /** Train the [[importanceWeights]] bucket model and return it as a
+    * dense B-length array (index = bucket, value = 8-dp log ratio) —
+    * the offline half of train-offline/score-inline. Buckets absent
+    * from the corpus get the smoothed zero-count ratio, so a stream
+    * token hashing to an unseen bucket still scores. Driver traffic
+    * is B doubles, independent of corpus size.
+    */
+  def bucketRatios(docs: DataFrame, idCol: String, textCol: String,
+                   isTarget: Column, buckets: Int = 64): Array[Double] = {
+    val tokens = docs
+      .select(isTarget.as("is_target"), explode(toks(col(textCol))).as("t"))
+      .select(col("is_target"),
+        pmod(TextAnalysis.md5Long60(col("t").cast("binary")),
+          lit(buckets.toLong)).as("b"))
+    val counts = tokens.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      count(when(col("is_target"), 1)).as("ct"))
+      .collect().map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val tr = counts.valuesIterator.map(_._1).sum
+    val tt = counts.valuesIterator.map(_._2).sum
+    Array.tabulate(buckets) { b =>
+      val (cr, ct) = counts.getOrElse(b, (0L, 0L))
+      val lr = math.log((ct + 1.0) / (tt + buckets)) -
+        math.log((cr + 1.0) / (tr + buckets))
+      BigDecimal(lr).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  /** Score rows with a PRE-TRAINED [[bucketRatios]] model as one
+    * stateless per-row expression: hash each token, index the literal
+    * ratio array, fold in token order. No shuffle, no state — this is
+    * the inline-filter shape a streaming ingest pipeline runs (train
+    * offline on a corpus snapshot, score every arriving document),
+    * and it streams through Structured Streaming untouched. On the
+    * training corpus itself it reproduces [[importanceWeights]]'
+    * weight column exactly (same rounded ratios, same ordered fold).
+    */
+  def importanceScore(docs: DataFrame, idCol: String, textCol: String,
+                      ratios: Array[Double]): DataFrame = {
+    val lrArr = array(ratios.map(lit): _*)
+    val w = toks(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      size(w).cast("bigint").as("n_tokens"),
+      round(aggregate(
+        transform(w, t => element_at(lrArr,
+          pmod(TextAnalysis.md5Long60(t.cast("binary")),
+            lit(ratios.length.toLong)).cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x), 4).as("weight"))
+  }
 }

@@ -383,6 +383,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("a pre-trained importance model scores a stream to the batch weights") {
+    // train offline (bucketRatios), score inline (importanceScore) —
+    // the stateless expression streams untouched and must reproduce
+    // the batch importanceWeights weight column on the same corpus
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.LanguageModel
+    val texts = Seq((1L, "alpha beta alpha", true),
+      (2L, "gamma delta", false), (3L, "alpha beta", false))
+    val batchDf = texts.toDF("doc_id", "text", "tgt")
+    val model = LanguageModel.bucketRatios(batchDf, "doc_id", "text",
+      col("tgt"), buckets = 16)
+    val in = MemoryStream[(Long, String)]
+    val q = LanguageModel.importanceScore(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("imp_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts.map(t3 => (t3._1, t3._2)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("imp_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = LanguageModel.importanceWeights(batchDf, "doc_id", "text",
+      col("tgt"), buckets = 16, topN = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed === batch)
+  }
+
   test("stream-stream interval join matches only inside the lookback") {
     implicit val sqlCtx = spark.sqlContext
     val trades = MemoryStream[(Timestamp, String, Double)]
