@@ -1,0 +1,178 @@
+package graft.datapipe
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Byte-pair-encoding tokenizer training (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the vocabulary-learning stage of a training
+  * -data pipeline, run as a distributed loop over the WORD VOCABULARY
+  * (never the corpus):
+  *
+  *  1. one corpus pass builds (word, count, symbol-sequence) — after
+  *     which every training round touches only the vocab table, whose
+  *     size is the distinct-word count, not the corpus;
+  *  2. each round counts adjacent symbol pairs weighted by word
+  *     count (explode → sum shuffle on the pair key), takes the
+  *     argmax via orderBy+limit(1) (TakeOrderedAndProject — one row
+  *     to the driver per round), and applies the merge to every word
+  *     with a left-to-right non-overlapping fold;
+  *  3. rounds stage through persist/unpersist pairs (the label-prop
+  *     loop pattern) so lineage stays flat and Catalyst never inlines
+  *     round r's fold into round r+1 (a nested inline would grow the
+  *     expression tree 3^rounds).
+  *
+  * Simplifications vs production BPE, documented: symbols start as
+  * single characters with no end-of-word marker, and merges apply
+  * within words only (the standard word-boundary assumption).
+  *
+  * Determinism/portability: pair counts are exact integer sums; the
+  * argmax tie-break is (count DESC, left ASC, right ASC) on binary
+  * string order; the merge fold is position-ordered. The oracle
+  * unrolls the SAME rounds in SQL (list_reduce fold, chr(1)
+  * separator), so merges, vocabulary state, and encoded counts replay
+  * bit-identically.
+  *
+  * Symbol sequences travel as ONE separator-joined string (U+0001,
+  * never in real text), not an array: the per-round fold then runs on
+  * a flat string with endswith/concat — cheap codegen'd built-ins.
+  */
+object BpeTokenizer {
+
+  /** Symbol separator inside a word's symbol string. */
+  val Sep = "\u0001"
+
+  private def normTokens(textCol: Column): Column =
+    split(TextAnalysis.normalize(textCol), " ")
+
+  /** Initial symbol string: the word's characters Sep-joined. */
+  private def initSyms(w: Column): Column =
+    array_join(transform(sequence(lit(1), length(w)),
+      i => substr(w, i, lit(1))), Sep)
+
+  /** Greedy left-to-right non-overlapping application of merge (a,b)
+    * to a symbol string: fold symbols, merging when the accumulated
+    * tail symbol is exactly `a` (Sep-boundary checked, so a longer
+    * symbol merely ENDING in `a` never matches) and the next is `b`.
+    * A tail just produced by this round's merge is `a||b`, which can
+    * never equal `a` again — exactly the non-overlap rule.
+    */
+  def applyMerge(syms: Column, a: String, b: String): Column = {
+    val arr = split(syms, Sep)
+    aggregate(
+      slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+      element_at(arr, 1),
+      (acc, x) => when(
+        (acc === lit(a) || endswith(acc, lit(Sep + a))) && x === lit(b),
+        concat(acc, lit(b))).otherwise(concat(acc, lit(Sep), x)))
+  }
+
+  /** (word, cnt, syms) vocabulary after `merges` training rounds —
+    * the loop shared by training and encoding. Returns a PERSISTED
+    * frame; the caller unpersists (or lets Staging/clearCache).
+    */
+  private def vocabAfter(words: DataFrame,
+                         merges: Seq[(String, String)]): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    var vocab = words.persist(lvl)
+    vocab.count()
+    for ((a, b) <- merges) {
+      val next = vocab.select(col("w"), col("cnt"),
+        applyMerge(col("syms"), a, b).as("syms")).persist(lvl)
+      next.count()
+      vocab.unpersist(false)
+      vocab = next
+    }
+    Staging.register(vocab)
+  }
+
+  /** The corpus word vocabulary with initial symbol strings. */
+  private def initialVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(normTokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"), initSyms(col("w")).as("syms"))
+
+  /** Adjacent symbol pairs of the current vocab, weighted by word
+    * count: (a, b, c). zip_with pads the shifted copy with null; the
+    * null-b row (each word's final symbol) is dropped.
+    */
+  private def pairCounts(vocab: DataFrame): DataFrame = {
+    val arr = split(col("syms"), Sep)
+    vocab.select(col("cnt"), explode(zip_with(
+        arr, slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .filter(col("p.b").isNotNull)
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("c"))
+  }
+
+  /** Learn up to `numMerges` merges from the corpus, rank order.
+    * Stops early when no adjacent pair remains (every word fully
+    * merged). Driver traffic: one (a, b) row per round.
+    */
+  def trainMerges(docs: DataFrame, textCol: String,
+                  numMerges: Int): Seq[(String, String)] = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    var vocab = initialVocab(docs, textCol).persist(lvl)
+    vocab.count()
+    val merges = ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val top = pairCounts(vocab)
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val next = vocab.select(col("w"), col("cnt"),
+          applyMerge(col("syms"), a, b).as("syms")).persist(lvl)
+        next.count()
+        vocab.unpersist(false)
+        vocab = next
+      }
+    }
+    vocab.unpersist(false)
+    merges.toSeq
+  }
+
+  /** Encode every document with a learned merge list: (doc_id,
+    * n_words, n_bpe_tokens). Dictionary-encoded — the merge fold runs
+    * once per DISTINCT word (the vocab loop), then the per-document
+    * counts are one broadcast join of the (word → symbol count) dict
+    * onto the token stream plus an exact integer sum. The corpus is
+    * never folded row-by-row, so encoding cost is
+    * O(vocab · merges + corpus tokens), the production shape.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      normTokens(col(textCol)).as("ws"))
+    val tokens = base.select(col("doc_id"), explode(col("ws")).as("w"))
+      .filter(length(col("w")) > 0)
+    val dict0 = tokens.select(col("w")).distinct()
+      .select(col("w"), lit(1L).as("cnt"), initSyms(col("w")).as("syms"))
+    val dict = vocabAfter(dict0, merges)
+      .select(col("w"), size(split(col("syms"), Sep)).cast("bigint").as("n_sym"))
+    val counts = tokens.join(broadcast(dict), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+    base.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** The learned merge table as a DataFrame: (merge_rank, lhs, rhs). */
+  def mergeTable(docs: DataFrame, textCol: String,
+                 numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMerges(docs, textCol, numMerges).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong + 1, a, b) }
+      .toDF("merge_rank", "lhs", "rhs")
+  }
+}

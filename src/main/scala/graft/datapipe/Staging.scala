@@ -58,6 +58,12 @@ object Staging {
     while (df != null) { df.unpersist(false); df = live.poll() }
   }
 
+  /** Register an ALREADY-persisted frame for [[releaseAll]] — for
+    * loop operators that persist per-round and hand back the final
+    * round's frame (BPE's vocab loop).
+    */
+  def register(df: DataFrame): DataFrame = { live.add(df); df }
+
   /** `.stage()` chain syntax for [[persist]]. */
   implicit class Staged(private val df: DataFrame) extends AnyVal {
     def stage(): DataFrame = Staging.persist(df)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.datapipe.{Contamination, Dedup, LanguageModel, Packing, Relevance, Sampling, TextAnalysis}
+import graft.datapipe.{BpeTokenizer, Contamination, Dedup, LanguageModel, Packing, Relevance, Sampling, TextAnalysis}
 import graft.functions.PromHistogram
 
 /** Queries for the training-data-pipeline operators (dedup, text
@@ -257,6 +257,66 @@ object DataPipeQueries {
       SELECT doc_id, n_tokens, weight,
         (row_number() OVER (ORDER BY weight DESC, doc_id) <= 100) AS selected
       FROM allw"""))
+
+  // --- BPE tokenizer training -------------------------------------
+
+  private val bpeM = 10
+
+  /** One unrolled BPE training round as DuckDB CTEs: weighted pair
+    * counts from the round's vocab, argmax with the engine's exact
+    * tie-break, and the same greedy left-to-right merge fold
+    * (list_reduce over chr(1)-separated symbols). An empty round
+    * (vocabulary fully merged) carries the vocab forward unchanged
+    * via the LEFT JOIN's null pair.
+    */
+  private def bpeRound(r: Int): String = s"""
+    p$r AS MATERIALIZED (SELECT arr[i] AS a, arr[i+1] AS b, SUM(cnt) AS c
+      FROM (SELECT cnt, string_split(syms, chr(1)) AS arr FROM v$r) t,
+           UNNEST(generate_series(1, len(arr) - 1)) AS g(i)
+      GROUP BY 1, 2),
+    m$r AS MATERIALIZED (SELECT a, b FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+    v${r + 1} AS MATERIALIZED (SELECT v.w, v.cnt,
+      CASE WHEN m.a IS NULL THEN v.syms ELSE
+        list_reduce(string_split(v.syms, chr(1)), (acc, x) ->
+          CASE WHEN (acc = m.a OR ends_with(acc, chr(1) || m.a)) AND x = m.b
+               THEN acc || m.b ELSE acc || chr(1) || x END) END AS syms
+      FROM v$r v LEFT JOIN m$r m ON TRUE)"""
+
+  private def bpeTrainCtes: String = s"""toks AS (SELECT doc_id,
+      string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    tok AS MATERIALIZED (SELECT doc_id, u.t AS w
+      FROM toks, UNNEST(w) AS u(t) WHERE len(u.t) > 0),
+    v0 AS MATERIALIZED (SELECT w, COUNT(*) AS cnt,
+        array_to_string(list_transform(generate_series(1, len(w)),
+          i -> substr(w, i, 1)), chr(1)) AS syms
+      FROM tok GROUP BY w),
+    ${(0 until bpeM).map(bpeRound).mkString(",")}"""
+
+  private val bpeMerges = QueryDef(
+    "bpe_merges",
+    (s, d) => BpeTokenizer.mergeTable(Tables.documents(s, d), "text", bpeM),
+    Some(s"""WITH $bpeTrainCtes
+      SELECT * FROM (${(0 until bpeM).map(r =>
+        s"SELECT CAST(${r + 1} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs FROM m$r")
+        .mkString(" UNION ALL ")})"""))
+
+  private val bpeEncode = QueryDef(
+    "bpe_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      BpeTokenizer.encode(docs, "doc_id", "text",
+        BpeTokenizer.trainMerges(docs, "text", bpeM))
+    },
+    Some(s"""WITH $bpeTrainCtes,
+      enc AS MATERIALIZED (SELECT w,
+          CAST(len(string_split(syms, chr(1))) AS BIGINT) AS n_sym
+        FROM v$bpeM),
+      agg AS (SELECT tok.doc_id, COUNT(*) AS n_words, SUM(e.n_sym) AS n_bpe
+        FROM tok JOIN enc e USING (w) GROUP BY tok.doc_id)
+      SELECT t.doc_id, CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+        CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+      FROM toks t LEFT JOIN agg a USING (doc_id)"""))
 
   // --- dedup ------------------------------------------------------
 
@@ -826,6 +886,7 @@ object DataPipeQueries {
     a2PromHistogram, q6PayloadHeatmap,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textRepetition, textVocab, textPerplexity, sampleImportance,
+    bpeMerges, bpeEncode,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, dedupSelfSpans, sampleStratified, a1Salted,

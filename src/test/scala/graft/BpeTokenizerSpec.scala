@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.datapipe.BpeTokenizer
+
+/** Hand-verified BPE training on the classic low/lower/lowest corpus
+  * (Sennrich et al.'s running example shape), plus the greedy-fold
+  * edge cases that make merge application exact.
+  */
+class BpeTokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "low low lower lowest"),
+    (2L, "new newer newest new")).toDF("doc_id", "text")
+
+  test("merges replay the weighted-argmax training rounds in rank order") {
+    // pair counts round 1: (l,o)=4, (o,w)=4, (e,w)=4 (new x2 + newer
+    // + newest), … tie at 4 broken lexicographically: (e,w) < (l,o) < (o,w)
+    val merges = BpeTokenizer.trainMerges(corpus, "text", 6)
+    assert(merges === Seq(("e", "w"), ("l", "o"), ("lo", "w"),
+      ("n", "ew"), ("e", "r"), ("e", "s")))
+  }
+
+  test("encoding counts symbols per word through the learned merges") {
+    // after 6 merges: low=[low], lower=[low,er], lowest=[low,es,t],
+    // new=[new], newer=[new,er], newest=[new,es,t]
+    val merges = BpeTokenizer.trainMerges(corpus, "text", 6)
+    val out = BpeTokenizer.encode(corpus, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((4L, 1 + 1 + 2 + 3)), "low low lower lowest")
+    assert(out(2L) === ((4L, 1 + 2 + 3 + 1)), "new newer newest new")
+  }
+
+  test("merge application is greedy left-to-right non-overlapping") {
+    val S = BpeTokenizer.Sep
+    val df = Seq(Seq("a", "a", "a", "a"), Seq("a", "a", "a"))
+      .map(_.mkString(S)).toDF("syms")
+    val merged = df.select(
+      BpeTokenizer.applyMerge(col("syms"), "a", "a").as("m")).as[String]
+      .collect().map(_.split(S).toSeq)
+    assert(merged(0) === Seq("aa", "aa"), "aaaa -> [aa, aa]")
+    assert(merged(1) === Seq("aa", "a"), "aaa -> [aa, a]")
+  }
+
+  test("a longer symbol merely ending in the left part never matches") {
+    // symbols [xa, b]: merging (a, b) must NOT fire on the 'a' inside 'xa'
+    val S = BpeTokenizer.Sep
+    val df = Seq(Seq("xa", "b").mkString(S)).toDF("syms")
+    val out = df.select(BpeTokenizer.applyMerge(col("syms"), "a", "b"))
+      .as[String].collect().head
+    assert(out.split(S).toSeq === Seq("xa", "b"))
+  }
+
+  test("training stops early once the vocabulary is fully merged") {
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // round 1 merges (a,b); afterwards every word is one symbol
+    val merges = BpeTokenizer.trainMerges(tiny, "text", 10)
+    assert(merges === Seq(("a", "b")))
+  }
+}
