@@ -69,23 +69,41 @@ object BpeTokenizer {
         concat(acc, lit(b))).otherwise(concat(acc, lit(Sep), x)))
   }
 
-  /** (word, cnt, syms) vocabulary after `merges` training rounds —
-    * the loop shared by training and encoding. Returns a PERSISTED
-    * frame; the caller unpersists (or lets Staging/clearCache).
+  /** Materialization cadence for the merge-fold loops: Catalyst
+    * substitutes a fold's input into its 3 reference sites, so an
+    * unmaterialized chain of d rounds grows the expression tree 3^d —
+    * but 3³ = 27 copies of a cheap string fold is nothing, while a
+    * persist barrier per round costs a full Spark job. Persisting
+    * every 3rd round keeps plans bounded at a third of the jobs.
+    */
+  private val PersistEvery = 3
+
+  /** (word, cnt, syms) vocabulary after applying `merges` in order —
+    * the fold loop shared by training and encoding, with persist
+    * barriers every [[PersistEvery]] rounds. Returns a PERSISTED
+    * frame registered with [[Staging]].
     */
   private def vocabAfter(words: DataFrame,
                          merges: Seq[(String, String)]): DataFrame = {
     val lvl = StorageLevel.MEMORY_AND_DISK
-    var vocab = words.persist(lvl)
-    vocab.count()
-    for ((a, b) <- merges) {
-      val next = vocab.select(col("w"), col("cnt"),
-        applyMerge(col("syms"), a, b).as("syms")).persist(lvl)
-      next.count()
-      vocab.unpersist(false)
-      vocab = next
+    var last = words.persist(lvl)
+    last.count()
+    var cur = last
+    var since = 0
+    def materialize(): Unit = {
+      val p = cur.persist(lvl)
+      p.count()
+      last.unpersist(false)
+      last = p; cur = p; since = 0
     }
-    Staging.register(vocab)
+    for ((a, b) <- merges) {
+      cur = cur.select(col("w"), col("cnt"),
+        applyMerge(col("syms"), a, b).as("syms"))
+      since += 1
+      if (since == PersistEvery) materialize()
+    }
+    if (since > 0) materialize()
+    Staging.register(last)
   }
 
   /** The corpus word vocabulary with initial symbol strings. */
@@ -109,33 +127,57 @@ object BpeTokenizer {
       .agg(sum(col("cnt")).as("c"))
   }
 
+  /** A trained tokenizer: the merge list in rank order plus the final
+    * training-vocabulary state (word, cnt, syms) — persisted, so
+    * encoding the training corpus reuses it instead of re-running the
+    * fold loop.
+    */
+  final case class BpeModel(merges: Seq[(String, String)], vocab: DataFrame)
+
   /** Learn up to `numMerges` merges from the corpus, rank order.
     * Stops early when no adjacent pair remains (every word fully
-    * merged). Driver traffic: one (a, b) row per round.
+    * merged). Driver traffic: one (a, b) row per round. Per round:
+    * one TakeOrderedAndProject argmax job; the merge-fold state
+    * materializes only every [[PersistEvery]] rounds (the argmax re-
+    * runs at most that many pending folds over the small vocab).
     */
-  def trainMerges(docs: DataFrame, textCol: String,
-                  numMerges: Int): Seq[(String, String)] = {
+  def train(docs: DataFrame, textCol: String, numMerges: Int): BpeModel = {
     val lvl = StorageLevel.MEMORY_AND_DISK
-    var vocab = initialVocab(docs, textCol).persist(lvl)
-    vocab.count()
+    var last = initialVocab(docs, textCol).persist(lvl)
+    last.count()
+    var cur = last
+    var since = 0
+    def materialize(): Unit = {
+      val p = cur.persist(lvl)
+      p.count()
+      last.unpersist(false)
+      last = p; cur = p; since = 0
+    }
     val merges = ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.length < numMerges && !done) {
-      val top = pairCounts(vocab)
+      val top = pairCounts(cur)
         .orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()
       if (top.isEmpty) done = true
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        val next = vocab.select(col("w"), col("cnt"),
-          applyMerge(col("syms"), a, b).as("syms")).persist(lvl)
-        next.count()
-        vocab.unpersist(false)
-        vocab = next
+        cur = cur.select(col("w"), col("cnt"),
+          applyMerge(col("syms"), a, b).as("syms"))
+        since += 1
+        if (since == PersistEvery) materialize()
       }
     }
-    vocab.unpersist(false)
-    merges.toSeq
+    if (since > 0) materialize()
+    BpeModel(merges.toSeq, Staging.register(last))
+  }
+
+  /** Merge list only (the model's vocab is released). */
+  def trainMerges(docs: DataFrame, textCol: String,
+                  numMerges: Int): Seq[(String, String)] = {
+    val m = train(docs, textCol, numMerges)
+    m.vocab.unpersist(false)
+    m.merges
   }
 
   /** Encode every document with a learned merge list: (doc_id,
@@ -147,15 +189,40 @@ object BpeTokenizer {
     * O(vocab · merges + corpus tokens), the production shape.
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-             merges: Seq[(String, String)]): DataFrame = {
+             merges: Seq[(String, String)]): DataFrame =
+    encodeTokens(docs, idCol, textCol, None, merges)
+
+  /** Encode with a trained model: words already in the model's
+    * vocabulary reuse its fold state outright; only UNSEEN words (a
+    * corpus differing from the training one) run the merge loop, and
+    * when there are none the loop is skipped entirely — encoding the
+    * training corpus costs two joins beyond the model.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             model: BpeModel): DataFrame =
+    encodeTokens(docs, idCol, textCol, Some(model.vocab), model.merges)
+
+  private def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
+                           vocab: Option[DataFrame],
+                           merges: Seq[(String, String)]): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
       normTokens(col(textCol)).as("ws"))
     val tokens = base.select(col("doc_id"), explode(col("ws")).as("w"))
       .filter(length(col("w")) > 0)
-    val dict0 = tokens.select(col("w")).distinct()
-      .select(col("w"), lit(1L).as("cnt"), initSyms(col("w")).as("syms"))
-    val dict = vocabAfter(dict0, merges)
-      .select(col("w"), size(split(col("syms"), Sep)).cast("bigint").as("n_sym"))
+    val words = tokens.select(col("w")).distinct()
+    def folded(ws: DataFrame): DataFrame = vocabAfter(
+      ws.select(col("w"), lit(1L).as("cnt"), initSyms(col("w")).as("syms")),
+      merges)
+    val symTable = vocab match {
+      case None => folded(words)
+      case Some(v) =>
+        val missing = words.join(v.select(col("w")), Seq("w"), "left_anti")
+        if (missing.isEmpty) v
+        else v.select(col("w"), col("cnt"), col("syms"))
+          .unionByName(folded(missing))
+    }
+    val dict = symTable.select(col("w"),
+      size(split(col("syms"), Sep)).cast("bigint").as("n_sym"))
     val counts = tokens.join(broadcast(dict), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
@@ -175,4 +242,9 @@ object BpeTokenizer {
       .map { case ((a, b), i) => (i.toLong + 1, a, b) }
       .toDF("merge_rank", "lhs", "rhs")
   }
+
+  /** Train-then-encode over one corpus, sharing the vocab state. */
+  def trainAndEncode(docs: DataFrame, idCol: String, textCol: String,
+                     numMerges: Int): DataFrame =
+    encode(docs, idCol, textCol, train(docs, textCol, numMerges))
 }

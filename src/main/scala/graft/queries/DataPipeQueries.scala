@@ -303,11 +303,8 @@ object DataPipeQueries {
 
   private val bpeEncode = QueryDef(
     "bpe_encode",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      BpeTokenizer.encode(docs, "doc_id", "text",
-        BpeTokenizer.trainMerges(docs, "text", bpeM))
-    },
+    (s, d) => BpeTokenizer.trainAndEncode(
+      Tables.documents(s, d), "doc_id", "text", bpeM),
     Some(s"""WITH $bpeTrainCtes,
       enc AS MATERIALIZED (SELECT w,
           CAST(len(string_split(syms, chr(1))) AS BIGINT) AS n_sym

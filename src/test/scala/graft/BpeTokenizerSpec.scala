@@ -53,6 +53,16 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(out.split(S).toSeq === Seq("xa", "b"))
   }
 
+  test("a trained model encodes unseen words through the merge chain") {
+    val model = BpeTokenizer.train(corpus, "text", 6)
+    // "slow" was never seen: s·l·o·w → (l,o) → (lo,w) → [s, low]
+    val other = Seq((9L, "low slow")).toDF("doc_id", "text")
+    val out = BpeTokenizer.encode(other, "doc_id", "text", model).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 2L, "n_words")
+    assert(out.head.getLong(2) === 1L + 2L, "low=[low], slow=[s,low]")
+  }
+
   test("training stops early once the vocabulary is fully merged") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // round 1 merges (a,b); afterwards every word is one symbol
