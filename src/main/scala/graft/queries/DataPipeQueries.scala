@@ -269,18 +269,18 @@ object DataPipeQueries {
     * (vocabulary fully merged) carries the vocab forward unchanged
     * via the LEFT JOIN's null pair.
     */
-  private def bpeRound(r: Int): String = s"""
-    p$r AS MATERIALIZED (SELECT arr[i] AS a, arr[i+1] AS b, SUM(cnt) AS c
-      FROM (SELECT cnt, string_split(syms, chr(1)) AS arr FROM v$r) t,
+  private def bpeRound(r: Int, pfx: String = ""): String = s"""
+    ${pfx}p$r AS MATERIALIZED (SELECT arr[i] AS a, arr[i+1] AS b, SUM(cnt) AS c
+      FROM (SELECT cnt, string_split(syms, chr(1)) AS arr FROM ${pfx}v$r) t,
            UNNEST(generate_series(1, len(arr) - 1)) AS g(i)
       GROUP BY 1, 2),
-    m$r AS MATERIALIZED (SELECT a, b FROM p$r ORDER BY c DESC, a, b LIMIT 1),
-    v${r + 1} AS MATERIALIZED (SELECT v.w, v.cnt,
+    ${pfx}m$r AS MATERIALIZED (SELECT a, b FROM ${pfx}p$r ORDER BY c DESC, a, b LIMIT 1),
+    ${pfx}v${r + 1} AS MATERIALIZED (SELECT v.w, v.cnt,
       CASE WHEN m.a IS NULL THEN v.syms ELSE
         list_reduce(string_split(v.syms, chr(1)), (acc, x) ->
           CASE WHEN (acc = m.a OR ends_with(acc, chr(1) || m.a)) AND x = m.b
                THEN acc || m.b ELSE acc || chr(1) || x END) END AS syms
-      FROM v$r v LEFT JOIN m$r m ON TRUE)"""
+      FROM ${pfx}v$r v LEFT JOIN ${pfx}m$r m ON TRUE)"""
 
   private def bpeTrainCtes: String = s"""toks AS (SELECT doc_id,
       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
@@ -291,7 +291,7 @@ object DataPipeQueries {
         array_to_string(list_transform(generate_series(1, len(w)),
           i -> substr(w, i, 1)), chr(1)) AS syms
       FROM tok GROUP BY w),
-    ${(0 until bpeM).map(bpeRound).mkString(",")}"""
+    ${(0 until bpeM).map(bpeRound(_)).mkString(",")}"""
 
   private val bpeMerges = QueryDef(
     "bpe_merges",
@@ -879,6 +879,86 @@ object DataPipeQueries {
       FROM c, UNNEST(generate_series(CAST(s // 256 AS BIGINT),
         CAST((s + n - 1) // 256 AS BIGINT))) AS u(b)"""))
 
+  /** Composed curation flow over the NEW model-based operators — the
+    * "shrink a raw corpus to a training set" pipeline: LM-perplexity
+    * gate (keep ppl <= 30, the CCNet head/middle cut on this data's
+    * 26–37 range) → DSIR top-100 selection toward the English slice,
+    * with the importance model RETRAINED on the gated corpus → BPE
+    * tokenizer trained on the 100 selected documents and their
+    * encoded token counts reported. The oracle replays all three
+    * stages — LM training, both bucket distributions, 6 unrolled
+    * merge rounds — in one SQL chain, so the composition's hash
+    * certifies every stage boundary (which docs passed the gate,
+    * which were selected, and their exact token counts).
+    */
+  private val e2eCuration = QueryDef(
+    "e2e_curation",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = docs.join(
+        LanguageModel.perplexity(docs, "doc_id", "text")
+          .filter(col("ppl").isNotNull && col("ppl") <= 30.0)
+          .select(col("doc_id")), Seq("doc_id"))
+      val selected = docs.join(
+        LanguageModel.importanceWeights(kept, "doc_id", "text",
+            col("lang") === "en", buckets = 64, topN = 100)
+          .filter(col("selected")).select(col("doc_id")), Seq("doc_id"))
+      BpeTokenizer.trainAndEncode(selected, "doc_id", "text", 6)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, lang,
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      bg AS (SELECT doc_id, i - 1 AS pos, w[i] AS w1, w[i+1] AS w2
+             FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+             WHERE len(w) >= 2),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      vc AS (SELECT COUNT(DISTINCT u.tk) AS v FROM toks, UNNEST(w) AS u(tk)),
+      lps AS (SELECT doc_id, pos,
+          round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vc.v AS DOUBLE)), 8) AS lp
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vc),
+      psum AS (SELECT doc_id,
+          list_reduce(LIST(lp ORDER BY pos), (a, b) -> a + b) AS slp,
+          COUNT(*) AS nb
+        FROM lps GROUP BY doc_id),
+      kept AS MATERIALIZED (SELECT doc_id FROM psum
+        WHERE round(exp(-slp / nb), 4) <= 30.0),
+      ktok AS MATERIALIZED (SELECT t.doc_id, t.lang, i - 1 AS pos,
+          CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) % 64 AS b
+        FROM toks t JOIN kept USING (doc_id),
+             UNNEST(generate_series(1, len(w))) AS g(i)),
+      rawc AS (SELECT b, COUNT(*) AS cr FROM ktok GROUP BY 1),
+      tgtc AS (SELECT b, COUNT(*) AS ct FROM ktok WHERE lang = 'en' GROUP BY 1),
+      tot AS (SELECT (SELECT SUM(cr) FROM rawc) AS tr,
+                     (SELECT SUM(ct) FROM tgtc) AS tt),
+      lrs AS (SELECT rawc.b,
+          round(ln(CAST(COALESCE(tgtc.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + 64 AS DOUBLE))
+              - ln(CAST(rawc.cr + 1 AS DOUBLE) / CAST(tot.tr + 64 AS DOUBLE)), 8) AS lr
+        FROM rawc LEFT JOIN tgtc USING (b), tot),
+      wsum AS (SELECT doc_id,
+          round(list_reduce(LIST(lr ORDER BY pos), (a, b) -> a + b), 4) AS wt
+        FROM ktok JOIN lrs USING (b) GROUP BY doc_id),
+      allw AS (SELECT k.doc_id, COALESCE(wt, 0.0) AS weight
+        FROM kept k LEFT JOIN wsum USING (doc_id)),
+      sel AS MATERIALIZED (SELECT doc_id FROM allw
+        ORDER BY weight DESC, doc_id LIMIT 100),
+      ctok AS MATERIALIZED (SELECT t.doc_id, u.t AS w
+        FROM toks t JOIN sel USING (doc_id), UNNEST(w) AS u(t)
+        WHERE len(u.t) > 0),
+      cv0 AS MATERIALIZED (SELECT w, COUNT(*) AS cnt,
+          array_to_string(list_transform(generate_series(1, len(w)),
+            i -> substr(w, i, 1)), chr(1)) AS syms
+        FROM ctok GROUP BY w),
+      ${(0 until 6).map(bpeRound(_, "c")).mkString(",")},
+      cenc AS MATERIALIZED (SELECT w,
+          CAST(len(string_split(syms, chr(1))) AS BIGINT) AS n_sym
+        FROM cv6),
+      cagg AS (SELECT ctok.doc_id, COUNT(*) AS n_words, SUM(e.n_sym) AS n_bpe
+        FROM ctok JOIN cenc e USING (w) GROUP BY ctok.doc_id)
+      SELECT s.doc_id, CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+        CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+      FROM sel s LEFT JOIN cagg a USING (doc_id)"""))
+
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
@@ -888,5 +968,5 @@ object DataPipeQueries {
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, dedupSelfSpans, sampleStratified, a1Salted,
     packChunks, decontaminate, mixtureUpsample, shuffleRank,
-    textRedact, e2eDataPipeline, e2eQualityGate)
+    textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration)
 }

@@ -70,6 +70,22 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("semantic dedup: cell-key equi-join over the staged assignment") {
+    val plan = Similarity.semanticDedup(
+      emb.select(col("vec_id"), col("emb")), k = 4, iters = 2,
+      threshold = 0.99).queryExecution.executedPlan.toString
+    // the within-cell pair join must shuffle on the cell key — a
+    // cartesian over vectors would be the all-pairs shape the
+    // clustering exists to avoid
+    assert(!plan.contains("CartesianProduct"),
+      s"no all-pairs cartesian; plan:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin"),
+      "the shuffle_hash hint on the within-cell join must hold")
+    // the id→(cell, emb) assignment is staged once for both join sides
+    assert(plan.contains("InMemoryTableScan"),
+      "assignment staging should be cache-backed")
+  }
+
   test("importance: top-N plans as TakeOrderedAndProject, ratio side broadcasts") {
     val plan = graft.datapipe.LanguageModel.importanceWeights(
       docs, "doc_id", "text", col("lang") === "en", buckets = 64,
