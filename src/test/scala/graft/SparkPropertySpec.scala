@@ -148,6 +148,58 @@ class SparkPropertySpec extends SparkSpec {
       "the genuinely-new docs all survive")
   }
 
+  test("importance weights vanish when the target IS the corpus") {
+    // target == raw → identical counts and totals, so every bucket's
+    // log ratio is exactly 0 and every document weighs exactly 0.0
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = graft.datapipe.LanguageModel.importanceWeights(
+      docs, "doc_id", "text", lit(true), buckets = 32, topN = 10)
+    assert(out.filter(col("weight") =!= 0.0).isEmpty,
+      "all weights must be exactly 0.0")
+    assert(out.filter(col("selected")).count() === 10)
+  }
+
+  test("perplexity is bounded by the smoothed-vocabulary worst case") {
+    // p(w2|w1) >= 1/(c1+V) >= 1/(total bigrams + V), so per-doc
+    // perplexity can never exceed total_bigrams + V; and ppl >= 1
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = graft.datapipe.LanguageModel.perplexity(docs, "doc_id", "text")
+      .filter(col("ppl").isNotNull)
+    val toksAll = docs.select(
+      split(graft.datapipe.TextAnalysis.normalize(col("text")), " ").as("w"))
+    val v = toksAll.select(explode(col("w")).as("t"))
+      .agg(count_distinct(col("t"))).as[Long].head()
+    val totalBigrams = toksAll
+      .agg(sum(greatest(size(col("w")) - 1, lit(0)))).as[Long].head()
+    val mx = out.agg(max(col("ppl"))).as[Double].head()
+    val mn = out.agg(min(col("ppl"))).as[Double].head()
+    assert(mx <= totalBigrams + v, s"ppl $mx exceeds ${totalBigrams + v}")
+    assert(mn >= 1.0, s"ppl $mn below 1")
+  }
+
+  test("bpe token counts sit between word and character counts") {
+    val docs = graft.sources.Tables.documents(spark, sf).limit(200)
+    val enc = graft.datapipe.BpeTokenizer.trainAndEncode(
+      docs, "doc_id", "text", 8)
+    val chars = docs.select(col("doc_id"),
+      aggregate(split(graft.datapipe.TextAnalysis.normalize(col("text")), " "),
+        lit(0L), (acc, w) => acc + length(w)).as("n_chars_tok"))
+    val joined = enc.join(chars, "doc_id")
+      .filter(!(col("n_bpe_tokens") >= col("n_words") &&
+        col("n_bpe_tokens") <= col("n_chars_tok")))
+    assert(joined.isEmpty,
+      "every doc must satisfy n_words <= n_bpe_tokens <= n_token_chars")
+  }
+
+  test("semantic dedup keeps everything at an unreachable threshold") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val out = graft.datapipe.Similarity.semanticDedup(
+      emb, k = 4, iters = 2, threshold = 1.1)
+    assert(out.filter(!col("keep")).isEmpty, "nothing can exceed cos 1.1")
+    assert(out.count() === emb.count())
+  }
+
   test("sq8 dequantization error stays within half a quantization step") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id"),
