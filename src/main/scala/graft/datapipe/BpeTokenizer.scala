@@ -8,21 +8,27 @@ import org.apache.spark.storage.StorageLevel
 
 /** Byte-pair-encoding tokenizer training (Sennrich et al. 2016,
   * arXiv:1508.07909) — the vocabulary-learning stage of a training
-  * -data pipeline, run as a distributed loop over the WORD VOCABULARY
-  * (never the corpus):
+  * -data pipeline. The corpus is touched by exactly ONE distributed
+  * pass (word counts); training then runs over the WORD-COUNT TABLE,
+  * whose size is the distinct-word count, not the data volume:
   *
-  *  1. one corpus pass builds (word, count, symbol-sequence) — after
-  *     which every training round touches only the vocab table, whose
-  *     size is the distinct-word count, not the corpus;
-  *  2. each round counts adjacent symbol pairs weighted by word
-  *     count (explode → sum shuffle on the pair key), takes the
-  *     argmax via orderBy+limit(1) (TakeOrderedAndProject — one row
-  *     to the driver per round), and applies the merge to every word
-  *     with a left-to-right non-overlapping fold;
-  *  3. rounds stage through persist/unpersist pairs (the label-prop
-  *     loop pattern) so lineage stays flat and Catalyst never inlines
-  *     round r's fold into round r+1 (a nested inline would grow the
-  *     expression tree 3^rounds).
+  *  1. under [[MaxDriverVocab]] the table collects and the merge loop
+  *     runs in driver memory ([[trainInMemory]]) — what tokenizer
+  *     trainers everywhere do, since even a 100 TB corpus's word
+  *     table is usually tens of MB. Spark-side per-round jobs would
+  *     pay ~1 s of plan analysis/codegen per merge REGARDLESS of data
+  *     size — pure overhead at every scale, because the loop's data
+  *     is always vocabulary-sized;
+  *  2. over the cap, [[trainDistributed]] runs the same rounds as
+  *     Spark jobs: weighted pair counts (explode → sum shuffle on the
+  *     pair key), argmax via orderBy+limit(1) (TakeOrderedAndProject,
+  *     one row to the driver per round), and the merge fold applied
+  *     vocabulary-wide, staged through persist barriers so lineage
+  *     stays flat ([[PersistEvery]]).
+  *
+  * Both paths produce bit-identical merges: same integer pair
+  * counts, same (count DESC, pair ASC) tie-break in UTF-8 byte order
+  * (BpeTokenizerSpec pins the equivalence).
   *
   * Simplifications vs production BPE, documented: symbols start as
   * single characters with no end-of-word marker, and merges apply
@@ -141,7 +147,132 @@ object BpeTokenizer {
     * materializes only every [[PersistEvery]] rounds (the argmax re-
     * runs at most that many pending folds over the small vocab).
     */
+  /** Unsigned UTF-8 byte order — the order Spark compares UTF8String
+    * columns and DuckDB compares VARCHAR in, so the driver trainer's
+    * tie-break matches the distributed argmax and the SQL oracle
+    * byte-for-byte (Java's String.compareTo is UTF-16 order, which
+    * diverges outside the BMP).
+    */
+  private val utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
+  /** Exact in-memory trainer over a collected (word, count) table:
+    * the same weighted pair counts, (count DESC, pair ASC) argmax,
+    * and greedy merge application as the distributed loop, in plain
+    * Scala. Words split to Unicode code points (what substr-based
+    * [[initSyms]] produces).
+    */
+  private def trainInMemory(words: Array[(String, Long)], numMerges: Int)
+      : (Seq[(String, String)], Array[(String, Long, Array[String])]) = {
+    val vocab = words.map { case (w, c) =>
+      val syms = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      (w, c, syms)
+    }
+    val merges = ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((_, c, syms) <- vocab; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(p => Some(p.getOrElse(0L) + c))
+      if (counts.isEmpty) done = true
+      else {
+        val (a, b) = counts.keysIterator.reduce { (p, q) =>
+          val cp = counts(p); val cq = counts(q)
+          if (cp != cq) { if (cp > cq) p else q }
+          else {
+            val c1 = utf8Order.compare(p._1, q._1)
+            if (c1 != 0) { if (c1 < 0) p else q }
+            else if (utf8Order.compare(p._2, q._2) < 0) p else q
+          }
+        }
+        merges += ((a, b))
+        var vi = 0
+        while (vi < vocab.length) {
+          val (w, c, syms) = vocab(vi)
+          if (syms.length > 1) {
+            val out = ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            vocab(vi) = (w, c, out.toArray)
+          }
+          vi += 1
+        }
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** Apply an already-learned merge list to words in driver memory —
+    * the encode-side twin of [[trainInMemory]] for unseen words.
+    */
+  private def applyMergesInMemory(words: Array[String],
+                                  merges: Seq[(String, String)])
+      : Array[(String, String)] =
+    words.map { w =>
+      var syms = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      for ((a, b) <- merges if syms.length > 1) {
+        val out = ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+      (w, syms.mkString(Sep))
+    }
+
+  /** Word-count tables larger than this train with the distributed
+    * fold loop instead of in driver memory. 2^21 words × ~30 bytes is
+    * ~60 MB of driver heap — the word-count table (NOT the corpus) is
+    * what tokenizer trainers everywhere collect; its size grows with
+    * vocabulary, not data volume, so even a 100 TB corpus usually
+    * fits. The distributed path stays for the ones that don't.
+    */
+  val MaxDriverVocab: Int = 1 << 21
+
   def train(docs: DataFrame, textCol: String, numMerges: Int): BpeModel = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE distributed corpus pass builds (word, count); the driver
+    // sees at most MaxDriverVocab+1 rows of it
+    val wc = docs.select(explode(normTokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val head = wc.limit(MaxDriverVocab + 1).as[(String, Long)].collect()
+    if (head.length > MaxDriverVocab) return trainDistributed(docs, textCol, numMerges)
+    val (merges, vocab) = trainInMemory(head, numMerges)
+    val vocabDf = vocab.toSeq
+      .map { case (w, c, syms) => (w, c, syms.mkString(Sep)) }
+      .toDF("w", "cnt", "syms")
+    BpeModel(merges, Staging.persist(vocabDf))
+  }
+
+  /** The fully-distributed training loop — the over-cap path. Each
+    * round is one argmax job; the per-round PLANNING cost (~1 s of
+    * analysis+codegen per round regardless of data size) is why the
+    * in-memory trainer is the default below the cap.
+    */
+  def trainDistributed(docs: DataFrame, textCol: String,
+                       numMerges: Int): BpeModel = {
     val lvl = StorageLevel.MEMORY_AND_DISK
     var last = initialVocab(docs, textCol).persist(lvl)
     last.count()
@@ -205,14 +336,23 @@ object BpeTokenizer {
   private def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
                            vocab: Option[DataFrame],
                            merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val base = docs.select(col(idCol).as("doc_id"),
       normTokens(col(textCol)).as("ws"))
     val tokens = base.select(col("doc_id"), explode(col("ws")).as("w"))
       .filter(length(col("w")) > 0)
     val words = tokens.select(col("w")).distinct()
-    def folded(ws: DataFrame): DataFrame = vocabAfter(
-      ws.select(col("w"), lit(1L).as("cnt"), initSyms(col("w")).as("syms")),
-      merges)
+    // same hybrid as train(): fold word sets under the cap in driver
+    // memory; beyond it run the distributed loop
+    def folded(ws: DataFrame): DataFrame = {
+      val head = ws.limit(MaxDriverVocab + 1).as[String].collect()
+      if (head.length > MaxDriverVocab)
+        vocabAfter(ws.select(col("w"), lit(1L).as("cnt"),
+          initSyms(col("w")).as("syms")), merges)
+      else applyMergesInMemory(head, merges).toSeq
+        .map { case (w, s) => (w, 1L, s) }.toDF("w", "cnt", "syms")
+    }
     val symTable = vocab match {
       case None => folded(words)
       case Some(v) =>

@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   *
   * Engine-portability conventions shared with the rest of the
   * catalog: all model statistics are exact integer counts (portable
-  * under any aggregation order); per-document float scores are built
-  * as a LEFT-TO-RIGHT fold over the document's token positions (never
-  * a shuffle-order `sum()`), so any engine that replays the fold gets
-  * bit-identical doubles; final scores round to 4 dp.
+  * under any aggregation order); every per-token log term is rounded
+  * to 8 dp and then summed as DECIMAL(28,8) — an EXACT sum,
+  * order-independent by construction (the catalog's long-cents
+  * convention applied to log space) — so any engine reproduces the
+  * per-document score bit-identically without pinning a fold order;
+  * final scores round to 4 dp.
   */
 object LanguageModel {
 
@@ -48,23 +50,23 @@ object LanguageModel {
     * sides shuffle on the bigram key, so scoring co-partitions with
     * the model — the standard "join the n-gram table" shape that
     * scales to any corpus since the model table is bounded by
-    * distinct bigrams, not document count. The per-doc ln-sum is an
-    * ordered fold over (pos, lp) structs — deterministic and
-    * engine-replayable, unlike a float `sum()` whose partial-agg
-    * order Spark does not define.
+    * distinct bigrams, not document count. The per-doc ln-sum runs as
+    * an exact DECIMAL(28,8) aggregation of the 8-dp-rounded terms —
+    * order-independent, so an ordinary partial-aggregated `sum()`
+    * reproduces bit-identically in any engine.
     *
     * Output: (doc_id, n_bigrams, ppl) — ppl rounded to 4 dp.
     */
   def perplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("w"))
-    // (doc_id, pos, w1, w2) bigram stream; persists because it feeds
-    // the count training AND the scoring join (see Staging)
+    // (doc_id, w1, w2) bigram stream; persists because it feeds the
+    // count training AND the scoring join (see Staging)
     val bigrams = base.filter(size(col("w")) >= 2)
-      .select(col("doc_id"), posexplode(
+      .select(col("doc_id"), explode(
         zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
           slice(col("w"), lit(2), size(col("w")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))))
-      .select(col("doc_id"), col("pos"), col("col.w1"), col("col.w2"))
+      .select(col("doc_id"), col("col.w1"), col("col.w2"))
       .stage()
     val c2 = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
@@ -78,17 +80,17 @@ object LanguageModel {
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       // round(…, 8): Math.log and a C library's log may disagree in
-      // the last ulp on identical inputs; quantizing each term to 8 dp
-      // before the fold makes the sum engine-portable outright
+      // the last ulp on identical inputs; quantizing each term to
+      // 8 dp makes the decimal sum engine-portable outright
       .withColumn("lp",
         round(log((col("c2") + lit(1)).cast("double") /
           (col("c1") + col("v")).cast("double")), 8))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("ps"),
+      .agg(sum(col("lp").cast("decimal(28,8)")).as("slp"),
         count(lit(1)).as("n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(exp(-aggregate(col("ps"), lit(0.0),
-          (acc, x) => acc + x("lp")) / col("n_bigrams")), 4).as("ppl"))
+        round(exp(-col("slp").cast("double") / col("n_bigrams")), 4)
+          .as("ppl"))
     base.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -101,7 +103,7 @@ object LanguageModel {
     *
     *   b(tok)  = md5_60(tok) mod `buckets`   (engine-portable hash)
     *   lr_b    = ln((ct_b + 1)/(Tt + B)) − ln((cr_b + 1)/(Tr + B))
-    *   w(doc)  = Σ_i lr_{b(tok_i)}           (ordered fold)
+    *   w(doc)  = Σ_i lr_{b(tok_i)}           (exact decimal sum)
     *
     * where ct/cr are per-bucket token counts over the target slice /
     * whole corpus and Tt/Tr their totals (add-one smoothing over B
@@ -131,12 +133,12 @@ object LanguageModel {
                         topN: Int = 100): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("w"),
       isTarget.as("is_target"))
-    // (doc_id, pos, bucket) token stream: feeds both count trainings
-    // and the scoring fold (see Staging)
+    // (doc_id, bucket) token stream: feeds both count trainings and
+    // the scoring sum (see Staging)
     val tokens = base
-      .select(col("doc_id"), col("is_target"), posexplode(col("w")))
-      .select(col("doc_id"), col("is_target"), col("pos"),
-        pmod(TextAnalysis.md5Long60(col("col").cast("binary")),
+      .select(col("doc_id"), col("is_target"), explode(col("w")).as("t"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(TextAnalysis.md5Long60(col("t").cast("binary")),
           lit(buckets.toLong)).as("b"))
       .stage()
     val raw = tokens.groupBy(col("b")).agg(count(lit(1)).as("cr"))
@@ -156,16 +158,19 @@ object LanguageModel {
     val weights = tokens
       .join(broadcast(ratios), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("lr")))).as("ps"),
+      .agg(sum(col("lr").cast("decimal(28,8)")).as("wsum"),
         count(lit(1)).as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
-        round(aggregate(col("ps"), lit(0.0), (acc, x) => acc + x("lr")), 4)
-          .as("weight"))
+        round(col("wsum").cast("double"), 4).as("weight"))
+    // stage(): the skinny (doc_id, n_tokens, weight) table feeds both
+    // the top-N cut and the final output join — unstaged, the whole
+    // token-fold pipeline runs twice
     val all = base.select(col("doc_id"))
       .join(weights, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("weight"), lit(0.0)).as("weight"))
+      .stage()
     // orderBy+limit plans as TakeOrderedAndProject: per-partition
     // top-N heaps merged on the driver, bounded by N — never a
     // global one-partition ranking window
@@ -218,12 +223,17 @@ object LanguageModel {
                       ratios: Array[Double]): DataFrame = {
     val lrArr = array(ratios.map(lit): _*)
     val w = toks(col(textCol))
+    // the same exact-decimal accumulation as the batch scorer, as a
+    // per-row fold (each term is an 8-dp-rounded double, so the
+    // decimal sum is exact and matches bit-identically)
     docs.select(col(idCol).as("doc_id"),
       size(w).cast("bigint").as("n_tokens"),
       round(aggregate(
         transform(w, t => element_at(lrArr,
           pmod(TextAnalysis.md5Long60(t.cast("binary")),
             lit(ratios.length.toLong)).cast("int") + 1)),
-        lit(0.0), (acc, x) => acc + x), 4).as("weight"))
+        lit(0).cast("decimal(28,8)"),
+        (acc, x) => (acc + x.cast("decimal(28,8)")).cast("decimal(28,8)"),
+        acc => acc.cast("double")), 4).as("weight"))
   }
 }

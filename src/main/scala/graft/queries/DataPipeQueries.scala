@@ -206,21 +206,21 @@ object DataPipeQueries {
     Some("""WITH toks AS (SELECT doc_id,
         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
         FROM documents),
-      bg AS (SELECT doc_id, i - 1 AS pos, w[i] AS w1, w[i+1] AS w2
+      bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
              FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
              WHERE len(w) >= 2),
       c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
       c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
       vc AS (SELECT COUNT(DISTINCT u.tk) AS v FROM toks, UNNEST(w) AS u(tk)),
-      lps AS (SELECT doc_id, pos,
+      lps AS (SELECT doc_id,
           round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vc.v AS DOUBLE)), 8) AS lp
         FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vc),
       s AS (SELECT doc_id,
-          list_reduce(LIST(lp ORDER BY pos), (a, b) -> a + b) AS slp,
+          SUM(CAST(lp AS DECIMAL(28,8))) AS slp,
           COUNT(*) AS n_bigrams
         FROM lps GROUP BY doc_id)
       SELECT t.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        round(exp(-s.slp / s.n_bigrams), 4) AS ppl
+        round(exp(-CAST(s.slp AS DOUBLE) / s.n_bigrams), 4) AS ppl
       FROM toks t LEFT JOIN s USING (doc_id)"""))
 
   /** DSIR importance resampling toward the English slice: hashed-
@@ -236,7 +236,7 @@ object DataPipeQueries {
     Some("""WITH toks AS (SELECT doc_id, lang,
         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
         FROM documents),
-      tk AS (SELECT doc_id, lang, i - 1 AS pos,
+      tk AS (SELECT doc_id, lang,
           CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) % 64 AS b
         FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)),
       rawc AS (SELECT b, COUNT(*) AS cr FROM tk GROUP BY 1),
@@ -248,7 +248,7 @@ object DataPipeQueries {
               - ln(CAST(rawc.cr + 1 AS DOUBLE) / CAST(tot.tr + 64 AS DOUBLE)), 8) AS lr
         FROM rawc LEFT JOIN tgtc USING (b), tot),
       wsum AS (SELECT doc_id,
-          round(list_reduce(LIST(lr ORDER BY pos), (a, b) -> a + b), 4) AS wt,
+          round(CAST(SUM(CAST(lr AS DECIMAL(28,8))) AS DOUBLE), 4) AS wt,
           COUNT(*) AS n_tokens
         FROM tk JOIN lrs USING (b) GROUP BY doc_id),
       allw AS (SELECT t.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
@@ -894,36 +894,41 @@ object DataPipeQueries {
   private val e2eCuration = QueryDef(
     "e2e_curation",
     (s, d) => {
+      import graft.datapipe.Staging.Staged
       val docs = Tables.documents(s, d)
-      val kept = docs.join(
-        LanguageModel.perplexity(docs, "doc_id", "text")
-          .filter(col("ppl").isNotNull && col("ppl") <= 30.0)
-          .select(col("doc_id")), Seq("doc_id"))
-      val selected = docs.join(
-        LanguageModel.importanceWeights(kept, "doc_id", "text",
-            col("lang") === "en", buckets = 64, topN = 100)
-          .filter(col("selected")).select(col("doc_id")), Seq("doc_id"))
-      BpeTokenizer.trainAndEncode(selected, "doc_id", "text", 6)
+      // stage each stage's surviving ID SET (skinny: one long per
+      // row): the downstream stage reads its predecessor many times
+      // (BPE alone scans its corpus 3-4x), and without the barrier
+      // every read re-runs the whole upstream model pipeline
+      val keptIds = LanguageModel.perplexity(docs, "doc_id", "text")
+        .filter(col("ppl").isNotNull && col("ppl") <= 30.0)
+        .select(col("doc_id")).stage()
+      val kept = docs.join(keptIds, Seq("doc_id"))
+      val selIds = LanguageModel.importanceWeights(kept, "doc_id", "text",
+          col("lang") === "en", buckets = 64, topN = 100)
+        .filter(col("selected")).select(col("doc_id")).stage()
+      BpeTokenizer.trainAndEncode(docs.join(selIds, Seq("doc_id")),
+        "doc_id", "text", 6)
     },
     Some(s"""WITH toks AS (SELECT doc_id, lang,
         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
         FROM documents),
-      bg AS (SELECT doc_id, i - 1 AS pos, w[i] AS w1, w[i+1] AS w2
+      bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
              FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
              WHERE len(w) >= 2),
       c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
       c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
       vc AS (SELECT COUNT(DISTINCT u.tk) AS v FROM toks, UNNEST(w) AS u(tk)),
-      lps AS (SELECT doc_id, pos,
+      lps AS (SELECT doc_id,
           round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vc.v AS DOUBLE)), 8) AS lp
         FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vc),
       psum AS (SELECT doc_id,
-          list_reduce(LIST(lp ORDER BY pos), (a, b) -> a + b) AS slp,
+          SUM(CAST(lp AS DECIMAL(28,8))) AS slp,
           COUNT(*) AS nb
         FROM lps GROUP BY doc_id),
       kept AS MATERIALIZED (SELECT doc_id FROM psum
-        WHERE round(exp(-slp / nb), 4) <= 30.0),
-      ktok AS MATERIALIZED (SELECT t.doc_id, t.lang, i - 1 AS pos,
+        WHERE round(exp(-CAST(slp AS DOUBLE) / nb), 4) <= 30.0),
+      ktok AS MATERIALIZED (SELECT t.doc_id, t.lang,
           CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) % 64 AS b
         FROM toks t JOIN kept USING (doc_id),
              UNNEST(generate_series(1, len(w))) AS g(i)),
@@ -936,7 +941,7 @@ object DataPipeQueries {
               - ln(CAST(rawc.cr + 1 AS DOUBLE) / CAST(tot.tr + 64 AS DOUBLE)), 8) AS lr
         FROM rawc LEFT JOIN tgtc USING (b), tot),
       wsum AS (SELECT doc_id,
-          round(list_reduce(LIST(lr ORDER BY pos), (a, b) -> a + b), 4) AS wt
+          round(CAST(SUM(CAST(lr AS DECIMAL(28,8))) AS DOUBLE), 4) AS wt
         FROM ktok JOIN lrs USING (b) GROUP BY doc_id),
       allw AS (SELECT k.doc_id, COALESCE(wt, 0.0) AS weight
         FROM kept k LEFT JOIN wsum USING (doc_id)),

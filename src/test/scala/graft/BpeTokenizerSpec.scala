@@ -53,6 +53,16 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(out.split(S).toSeq === Seq("xa", "b"))
   }
 
+  test("in-memory and distributed training agree on merges and vocab state") {
+    val mem = BpeTokenizer.train(corpus, "text", 6)
+    val dist = BpeTokenizer.trainDistributed(corpus, "text", 6)
+    assert(mem.merges === dist.merges)
+    def state(m: BpeTokenizer.BpeModel) = m.vocab
+      .select(col("w"), col("cnt"), col("syms")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(state(mem) === state(dist))
+  }
+
   test("a trained model encodes unseen words through the merge chain") {
     val model = BpeTokenizer.train(corpus, "text", 6)
     // "slow" was never seen: s·l·o·w → (l,o) → (lo,w) → [s, low]

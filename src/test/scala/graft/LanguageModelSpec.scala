@@ -14,6 +14,12 @@ class LanguageModelSpec extends SparkSpec {
     .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
   private def r4(x: Double) = BigDecimal(x)
     .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  /** The engine's exact-decimal accumulation: each 8-dp-rounded
+    * double becomes its DECIMAL(28,8) value, summed exactly.
+    */
+  private def decSum(xs: Seq[Double]): Double =
+    xs.map(BigDecimal(_).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
 
   test("perplexity matches the hand-trained add-one bigram model") {
     // corpus: "a b a b" + "a b"  →  c2(a,b)=3, c2(b,a)=1,
@@ -23,9 +29,9 @@ class LanguageModelSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     val lpAB = r8(math.log(4.0 / 5.0)) // (3+1)/(3+2)
     val lpBA = r8(math.log(2.0 / 3.0)) // (1+1)/(1+2)
-    // doc 1 bigrams in order: (a,b),(b,a),(a,b)
-    val ppl1 = r4(math.exp(-(lpAB + lpBA + lpAB) / 3.0))
-    val ppl2 = r4(math.exp(-lpAB / 1.0))
+    // doc 1 bigrams: (a,b),(b,a),(a,b)
+    val ppl1 = r4(math.exp(-decSum(Seq(lpAB, lpBA, lpAB)) / 3.0))
+    val ppl2 = r4(math.exp(-decSum(Seq(lpAB)) / 1.0))
     assert(out(1L) === ((3L, ppl1)))
     assert(out(2L) === ((1L, ppl2)))
   }
@@ -69,7 +75,7 @@ class LanguageModelSpec extends SparkSpec {
     assert(out.filter(_._4).map(_._1).toSet === Set(1L, 2L, 3L, 4L, 9L))
   }
 
-  test("importance weight replays as the ordered fold of bucket ratios") {
+  test("importance weight replays as the exact decimal sum of bucket ratios") {
     val docs = Seq((1L, "u v w", true), (2L, "x y", false))
       .toDF("doc_id", "text", "tgt")
     val B = 8
@@ -87,7 +93,7 @@ class LanguageModelSpec extends SparkSpec {
     def lr(b: Long): Double = r8(
       math.log((ct.getOrElse(b, 0) + 1.0) / (tt + B)) -
         math.log((cr(b) + 1.0) / (tr + B)))
-    val w1 = r4(Seq("u", "v", "w").map(t => lr(bucket(t))).foldLeft(0.0)(_ + _))
+    val w1 = r4(decSum(Seq("u", "v", "w").map(t => lr(bucket(t)))))
     val out = LanguageModel.importanceWeights(docs, "doc_id", "text",
       col("tgt"), buckets = B, topN = 1).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
