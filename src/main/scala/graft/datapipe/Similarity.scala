@@ -566,4 +566,29 @@ object Similarity {
         col("vec_id") === col("a_id"), "left")
       .select(col("vec_id"), col("cell"), col("dom").isNull.as("keep"))
   }
+
+  /** Cluster-balanced sampling: cap the number of documents kept per
+    * semantic cluster (the diversity-curation sibling of
+    * [[semanticDedup]], as in SSL-curation/DataComp pipelines —
+    * over-represented regions of embedding space are downsampled
+    * instead of letting corpus-frequency decide the mixture).
+    * Returns (vec_id, cell, keep): within each k-means cell the
+    * `maxPerCell` survivors are chosen by the deterministic
+    * (md5(vec_id), vec_id) order — a data-derived shuffle, so the
+    * same rows survive on any cluster layout or engine.
+    *
+    * The ranking window partitions BY CELL — group sizes are cell
+    * populations, never the corpus, so no single-partition window
+    * exists at any scale.
+    */
+  def clusterCap(emb: DataFrame, k: Int, iters: Int,
+                 maxPerCell: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    kmeansAssign(emb, k, iters)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(
+          md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))))
+      .select(col("vec_id"), col("cell"),
+        (col("rn") <= maxPerCell).as("keep"))
+  }
 }

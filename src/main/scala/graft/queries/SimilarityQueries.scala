@@ -230,6 +230,25 @@ object SimilarityQueries {
       embDouble(s, d).select(col("vec_id"), col("emb")), 8, 3),
     Some(kmeansOracleSql(8, 3, 64)))
 
+  /** Cluster-balanced sampling: keep at most 40 vectors per k-means
+    * cell (cells average ~60 at the oracle SF, so some cells cap and
+    * some don't — both branches of the predicate are exercised). The
+    * oracle replays training, assignment, and the md5-ordered
+    * within-cell ranking.
+    */
+  private val sampleClusterCap = QueryDef(
+    "sample_cluster_cap",
+    (s, d) => Similarity.clusterCap(
+      embDouble(s, d).select(col("vec_id"), col("emb")),
+      k = 8, iters = 3, maxPerCell = 40),
+    Some(s"""WITH ${kmChainCtes("ccv", "ccseeds", "cc", "embedding", 8, 3, 64)},
+      ranked AS (SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY cell
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM cca3)
+      SELECT vec_id, CAST(cell AS BIGINT) AS cell, (rn <= 40) AS keep
+      FROM ranked"""))
+
   /** DuckDB replay of the ENTIRE PQ pipeline: per-subspace codebook
     * training (the [[kmeansOracleSql]] unrolling, once per subspace
     * over the sliced quantized vectors), code assignment, ADC scoring
@@ -479,7 +498,7 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simSq8, simPq,
-      simIvfPq, dedupEmbedding, dedupSemantic,
+      simIvfPq, dedupEmbedding, dedupSemantic, sampleClusterCap,
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize)
 }

@@ -188,6 +188,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"sq8 recall@5 $recall below 0.8")
   }
 
+  test("cluster cap keeps at most N per cell and drops only above the cap") {
+    val out = Similarity.clusterCap(
+      emb.select(col("vec_id"), col("emb")), k = 4, iters = 2,
+      maxPerCell = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === emb.count())
+    val perCell = out.groupBy(_._2)
+    for ((cell, rows) <- perCell) {
+      val kept = rows.count(_._3)
+      assert(kept <= 10, s"cell $cell keeps $kept > 10")
+      // a cell only drops rows once it is full
+      if (rows.exists(!_._3)) assert(kept === 10,
+        s"cell $cell drops rows while below the cap")
+    }
+  }
+
   test("semantic dedup drops exactly the higher-id member of each twin pair") {
     import spark.implicits._
     // three well-separated base vectors, each with an exact twin at
