@@ -387,4 +387,47 @@ object BpeTokenizer {
   def trainAndEncode(docs: DataFrame, idCol: String, textCol: String,
                      numMerges: Int): DataFrame =
     encode(docs, idCol, textCol, train(docs, textCol, numMerges))
+
+  /** Stream-deployable token counter with a FROZEN tokenizer: same
+    * (doc_id, n_words, n_bpe_tokens) as [[encode]], but computed as
+    * one stateless per-row pass so it runs unchanged on a Structured
+    * Streaming source — the ingest-path "how many tokens is this
+    * document" scorer. Known words hit the broadcast dictionary;
+    * UNSEEN words apply the merge chain in-process, so the counts
+    * equal a batch [[encode]] over the same rows exactly
+    * (StreamingSpec pins it).
+    *
+    * This is the one operator in the tokenizer family implemented
+    * with a UDF, and deliberately: greedy iterative merge application
+    * over an unseen word is sequential state Catalyst expressions
+    * cannot express, and the call happens only on dictionary MISSES.
+    * The dictionary itself ships once per executor via a broadcast
+    * variable (bounded by [[MaxDriverVocab]] — a model trained above
+    * the cap is rejected here rather than silently collected).
+    */
+  def countTokensStream(docs: DataFrame, idCol: String, textCol: String,
+                        model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val head = model.vocab.select(col("w"), col("syms"))
+      .limit(MaxDriverVocab + 1).as[(String, String)].collect()
+    require(head.length <= MaxDriverVocab,
+      s"countTokensStream needs the model dictionary under $MaxDriverVocab words")
+    val dictB = spark.sparkContext.broadcast(
+      head.map { case (w, s) => w -> s.split(Sep).length }.toMap)
+    val mergesB = spark.sparkContext.broadcast(model.merges.toList)
+    val countAll = udf { ws: Seq[String] =>
+      val dict = dictB.value
+      val ms = mergesB.value
+      var n = 0L
+      for (w <- ws if w.nonEmpty)
+        n += dict.getOrElse(w,
+          applyMergesInMemory(Array(w), ms).head._2.split(Sep).length).toLong
+      n
+    }
+    val w = normTokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      size(filter(w, t => length(t) > 0)).cast("bigint").as("n_words"),
+      countAll(w).as("n_bpe_tokens"))
+  }
 }

@@ -410,6 +410,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("the frozen BPE tokenizer counts a stream exactly like batch encode") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.BpeTokenizer
+    val corpus = Seq((1L, "low low lower lowest"), (2L, "new newer newest new"))
+      .toDF("doc_id", "text")
+    val model = BpeTokenizer.train(corpus, "text", 6)
+    // doc 11 mixes known words with the unseen "slow" (dict miss path)
+    val incoming = Seq((11L, "low slow newest"), (12L, "lower lower"))
+    val in = MemoryStream[(Long, String)]
+    val q = BpeTokenizer.countTokensStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(incoming: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bpe_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = BpeTokenizer.encode(incoming.toDF("doc_id", "text"),
+      "doc_id", "text", model).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed === batch)
+    // hand check: low=[low](1) slow=[s,low](2) newest=[new,es,t](3)
+    assert(streamed(11L) === ((3L, 6L)))
+  }
+
   test("stream-stream interval join matches only inside the lookback") {
     implicit val sqlCtx = spark.sqlContext
     val trades = MemoryStream[(Timestamp, String, Double)]
