@@ -333,9 +333,19 @@ object BpeTokenizer {
              model: BpeModel): DataFrame =
     encodeTokens(docs, idCol, textCol, Some(model.vocab), model.merges)
 
+  /** [[encode]] when the caller KNOWS every word is in the model's
+    * vocabulary (encoding the training corpus itself): skips the
+    * dictionary-miss probe, saving one corpus pass.
+    */
+  private def encodeCovered(docs: DataFrame, idCol: String, textCol: String,
+                            model: BpeModel): DataFrame =
+    encodeTokens(docs, idCol, textCol, Some(model.vocab), model.merges,
+      assumeCovered = true)
+
   private def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
                            vocab: Option[DataFrame],
-                           merges: Seq[(String, String)]): DataFrame = {
+                           merges: Seq[(String, String)],
+                           assumeCovered: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col(idCol).as("doc_id"),
@@ -355,6 +365,7 @@ object BpeTokenizer {
     }
     val symTable = vocab match {
       case None => folded(words)
+      case Some(v) if assumeCovered => v
       case Some(v) =>
         val missing = words.join(v.select(col("w")), Seq("w"), "left_anti")
         if (missing.isEmpty) v
@@ -383,10 +394,13 @@ object BpeTokenizer {
       .toDF("merge_rank", "lhs", "rhs")
   }
 
-  /** Train-then-encode over one corpus, sharing the vocab state. */
+  /** Train-then-encode over one corpus, sharing the vocab state (the
+    * training vocabulary covers every word by construction, so the
+    * dictionary-miss probe is skipped).
+    */
   def trainAndEncode(docs: DataFrame, idCol: String, textCol: String,
                      numMerges: Int): DataFrame =
-    encode(docs, idCol, textCol, train(docs, textCol, numMerges))
+    encodeCovered(docs, idCol, textCol, train(docs, textCol, numMerges))
 
   /** Stream-deployable token counter with a FROZEN tokenizer: same
     * (doc_id, n_words, n_bpe_tokens) as [[encode]], but computed as

@@ -903,6 +903,9 @@ object DataPipeQueries {
       val keptIds = LanguageModel.perplexity(docs, "doc_id", "text")
         .filter(col("ppl").isNotNull && col("ppl") <= 30.0)
         .select(col("doc_id")).stage()
+      // only the skinny ID SETS stage between stages: caching the
+      // joined text slices was measured slower (wide-row cache writes
+      // cost more than re-planning the cheap id join per action)
       val kept = docs.join(keptIds, Seq("doc_id"))
       val selIds = LanguageModel.importanceWeights(kept, "doc_id", "text",
           col("lang") === "en", buckets = 64, topN = 100)
