@@ -97,4 +97,31 @@ object Chunker {
       }
       .toDF()
   }
+
+  /** Sliding-window training samples: fixed-size token windows with a
+    * stride — THE standard next-token-prediction sample layout
+    * (stride < window gives overlapping context, stride = window
+    * tiles exactly). Content-defined chunking above finds STABLE
+    * boundaries for dedup; this one cuts FIXED training samples.
+    * Windows start at 0, stride, 2·stride, … while tokens remain; the
+    * last window of a document may be shorter than `window` (never
+    * empty). Output: (doc_id, win_id, start_tok, n_tokens, chunk),
+    * one row per window — pure per-row generator arithmetic, no
+    * shuffle, no state, and the same rows from any engine.
+    */
+  def slidingWindows(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val start = (col("win_id") * stride).cast("bigint")
+    val len = least(lit(window).cast("bigint"), size(col("w")) - start)
+    docs.select(col(idCol).as("doc_id"), toks.as("w"))
+      .select(col("doc_id"), col("w"), explode(sequence(lit(0L),
+        floor((size(col("w")) - lit(1)).cast("double") / stride)
+          .cast("bigint"))).as("win_id"))
+      .select(col("doc_id"), col("win_id"), start.as("start_tok"),
+        len.as("n_tokens"),
+        array_join(slice(col("w"), (start + 1).cast("int"), len.cast("int")),
+          " ").as("chunk"))
+  }
 }

@@ -103,4 +103,37 @@ object Sampling {
       .agg(count(lit(1)).as("partial_n"))
       .groupBy(col("key"))
       .agg(sum(col("partial_n")).as("n"))
+
+  /** Temperature-scaled source mixture (the T5/multilingual-LM
+    * recipe): target sampling probability p_i ∝ n_i^α per source —
+    * α = 1 reproduces natural proportions, α → 0 flattens toward
+    * uniform, boosting under-represented sources. Returns one row
+    * per source: (source, n_docs, p_raw, p_temp, boost) with
+    * boost = p_temp/p_raw, the upsample factor to feed [[upsample]].
+    *
+    * Portability: n^α computes as exp(α·ln n) rounded to 8 dp; the
+    * normalizer sums those as exact DECIMAL(28,8) (the catalog's
+    * log-space convention), so every ratio derives from
+    * bit-identical inputs in any engine. Output probabilities round
+    * to 6 dp. Cost: one count shuffle over sources — rows equal the
+    * source count, never the corpus.
+    */
+  def temperatureWeights(df: DataFrame, stratum: Column,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0, "temperature exponent must be positive")
+    val counts = df.groupBy(stratum.as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val powed = counts.withColumn("na",
+      round(exp(lit(alpha) * log(col("n_docs").cast("double"))), 8))
+    val tot = powed.agg(
+      sum(col("na").cast("decimal(28,8)")).as("z"),
+      sum(col("n_docs")).as("n_total"))
+    val pRaw = col("n_docs").cast("double") / col("n_total").cast("double")
+    val pTemp = col("na") / col("z").cast("double")
+    powed.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(pRaw, 6).as("p_raw"),
+        round(pTemp, 6).as("p_temp"),
+        round(pTemp / pRaw, 6).as("boost"))
+  }
 }

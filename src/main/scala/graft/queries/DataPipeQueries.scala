@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.datapipe.{BpeTokenizer, Contamination, Dedup, LanguageModel, Packing, Relevance, Sampling, TextAnalysis}
+import graft.datapipe.{BpeTokenizer, Chunker, Contamination, Dedup, LanguageModel, Packing, Relevance, Sampling, TextAnalysis}
 import graft.functions.PromHistogram
 
 /** Queries for the training-data-pipeline operators (dedup, text
@@ -711,6 +711,45 @@ object DataPipeQueries {
       FROM n, UNNEST(generate_series(1::BIGINT, n_copies)) u(copy)
       WHERE n_copies > 0"""))
 
+  /** Temperature-scaled mixture weights at α=0.7: under-represented
+    * sources get boost > 1, over-represented < 1. The oracle replays
+    * exp/ln with the 8-dp quantization and exact-decimal normalizer.
+    */
+  private val mixtureTemperature = QueryDef(
+    "mixture_temperature",
+    (s, d) => Sampling.temperatureWeights(
+      Tables.documents(s, d), col("source"), alpha = 0.7),
+    Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs
+        FROM documents GROUP BY source),
+      p AS (SELECT source, n_docs,
+        round(exp(0.7 * ln(CAST(n_docs AS DOUBLE))), 8) AS na FROM c),
+      t AS (SELECT SUM(CAST(na AS DECIMAL(28,8))) AS z,
+        SUM(n_docs) AS n_total FROM p)
+      SELECT source, n_docs,
+        round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS p_raw,
+        round(na / CAST(z AS DOUBLE), 6) AS p_temp,
+        round((na / CAST(z AS DOUBLE)) /
+          (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS boost
+      FROM p, t"""))
+
+  /** Sliding-window samples at window=64, stride=48 (overlapping):
+    * every row's chunk text rides the compare, so window arithmetic,
+    * slicing, and the short-final-window rule are all hash-checked.
+    */
+  private val chunkSliding = QueryDef(
+    "chunk_sliding",
+    (s, d) => Chunker.slidingWindows(Tables.documents(s, d),
+      "doc_id", "text", window = 64, stride = 48),
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents)
+      SELECT doc_id, CAST(i AS BIGINT) AS win_id,
+        CAST(i * 48 AS BIGINT) AS start_tok,
+        CAST(LEAST(64, len(w) - i * 48) AS BIGINT) AS n_tokens,
+        array_to_string(w[i * 48 + 1 : i * 48 + LEAST(64, len(w) - i * 48)], ' ')
+          AS chunk
+      FROM toks, UNNEST(generate_series(0, (len(w) - 1) // 48)) AS g(i)"""))
+
   /** PII redaction: the corpus is synthetic word salad, so a
     * deterministic email + long digit run is INJECTED per row (both
     * engines build the same string) — the regexes exercise on every
@@ -975,6 +1014,7 @@ object DataPipeQueries {
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, dedupSelfSpans, sampleStratified, a1Salted,
-    packChunks, decontaminate, mixtureUpsample, shuffleRank,
+    packChunks, decontaminate, mixtureUpsample, mixtureTemperature,
+    chunkSliding, shuffleRank,
     textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration)
 }

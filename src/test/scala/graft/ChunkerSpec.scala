@@ -54,4 +54,40 @@ class ChunkerSpec extends SparkSpec {
       .filter(col("n") % 2 =!= 0)
     assert(odd.count() === 0)
   }
+
+  test("sliding windows tile with stride and a short final window") {
+    import spark.implicits._
+    // 10 tokens, window 4, stride 3 → starts 0,3,6,9 with the last
+    // window holding 1 token
+    val doc = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Chunker.slidingWindows(doc, "doc_id", "text", 4, 3)
+      .orderBy("win_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.length === 4)
+    assert(out(0) === ((0L, 0L, 4L, "t0 t1 t2 t3")))
+    assert(out(1) === ((1L, 3L, 4L, "t3 t4 t5 t6")))
+    assert(out(3) === ((3L, 9L, 1L, "t9")), "short final window")
+    // every token is covered by at least one window
+    assert(out.flatMap(_._4.split(" ")).toSet === (0 until 10).map(i => s"t$i").toSet)
+  }
+
+  test("temperature weights flatten the mixture and preserve mass") {
+    import spark.implicits._
+    import graft.datapipe.Sampling
+    val docs = (Seq.fill(80)("big") ++ Seq.fill(20)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "source")
+    // α=1 is the identity: p_temp == p_raw, boost == 1
+    val id = Sampling.temperatureWeights(docs, col("source"), 1.0)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    for ((_, (praw, ptemp, boost)) <- id) {
+      assert(praw === ptemp); assert(boost === 1.0)
+    }
+    // α<1 boosts the small source and shrinks the big one; mass ~1
+    val t = Sampling.temperatureWeights(docs, col("source"), 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(t("small")._2 > 1.0 && t("big")._2 < 1.0)
+    assert(math.abs(t.values.map(_._1).sum - 1.0) < 1e-4)
+  }
 }

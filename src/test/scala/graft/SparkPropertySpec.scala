@@ -200,6 +200,26 @@ class SparkPropertySpec extends SparkSpec {
     assert(out.count() === emb.count())
   }
 
+  test("bpe: both training paths agree on adversarial generated corpora") {
+    // a 4-letter alphabet forces dense pair-count ties, stressing the
+    // (count DESC, pair ASC) tie-break in both substrates
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val words = Seq.fill(30)(
+        Seq.fill(1 + rnd.nextInt(6))("abcd"(rnd.nextInt(4))).mkString)
+      val docs = words.grouped(5).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+      val mem = graft.datapipe.BpeTokenizer.train(docs, "text", 5)
+      val dist = graft.datapipe.BpeTokenizer.trainDistributed(docs, "text", 5)
+      assert(mem.merges === dist.merges, s"trial $trial merges diverge")
+      def st(m: graft.datapipe.BpeTokenizer.BpeModel) =
+        m.vocab.select(col("w"), col("cnt"), col("syms")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(st(mem) === st(dist), s"trial $trial vocab states diverge")
+    }
+  }
+
   test("sq8 dequantization error stays within half a quantization step") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id"),
