@@ -410,6 +410,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("sliding-window chunking streams statelessly and matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.Chunker
+    val texts = Seq((1L, (0 until 10).map(i => s"a$i").mkString(" ")),
+      (2L, "just three tokens"))
+    val in = MemoryStream[(Long, String)]
+    val q = Chunker.slidingWindows(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+      .writeStream.format("memory").queryName("slide_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("slide_stream").collect()
+      .map(_.toSeq).toSet
+    val batch = Chunker.slidingWindows(texts.toDF("doc_id", "text"),
+      "doc_id", "text", 4, 3).collect().map(_.toSeq).toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("the frozen BPE tokenizer counts a stream exactly like batch encode") {
     implicit val sqlCtx = spark.sqlContext
     import graft.datapipe.BpeTokenizer
