@@ -630,6 +630,46 @@ object Dedup {
     * Output: (doc_id, a_start, b_start, n_windows, span_tokens) with
     * a_start < b_start, 0-based.
     */
+  /** Remove intra-document repeated blocks — the CONSUMER of
+    * [[selfSpans]]: every later occurrence that selfSpans reports is
+    * cut, keeping the first. Returns (doc_id, n_tokens, n_removed,
+    * trimmed_text) with trimmed_text over NORMALIZED tokens (the
+    * token space the spans are computed in).
+    *
+    * Shape: spans explode into removed-position rows (bounded by
+    * span lengths, never corpus size), distinct-ed per (doc, pos)
+    * since overlapping spans from different diagonals can claim the
+    * same token; surviving tokens rebuild the document with one
+    * per-doc ordered collect — group size is document length, the
+    * operator's natural unit. Every piece (the span detector, the
+    * interval union, the rebuild) replays in SQL, so the oracle
+    * checks the repaired text itself.
+    */
+  def trimSelfSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, minWindows: Int = 2): DataFrame = {
+    val removed = selfSpans(docs, idCol, textCol, k, minWindows)
+      .select(col("doc_id"), explode(sequence(col("b_start"),
+        col("b_start") + col("span_tokens") - 1)).as("pos"))
+      .distinct()
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        split(TextAnalysis.normalize(col(textCol)), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("bigint").as("n_tokens"),
+        posexplode(col("w")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("bigint").as("pos"), col("col").as("tok"))
+    toks.join(removed, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok")), " ").as("trimmed_text"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"),
+        col("trimmed_text"))
+  }
+
   def selfSpans(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 5, minWindows: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -463,6 +463,56 @@ object DataPipeQueries {
         n_windows + 4 AS span_tokens
       FROM sp WHERE n_windows >= 2"""))
 
+  /** Trim the planted self-repeats back out: the oracle replays span
+    * detection, the interval union over later occurrences, and the
+    * token-level rebuild — the repaired text itself is hash-checked.
+    */
+  private val dedupTrimSpans = QueryDef(
+    "dedup_trim_spans",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val toks = split(TextAnalysis.normalize(col("text")), " ")
+      val planted = docs.select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          array_join(slice(toks, 1, 10), " ")).as("text"))
+      Dedup.trimSelfSpans(planted, "doc_id", "text", k = 5, minWindows = 2)
+    },
+    Some("""WITH base AS (SELECT doc_id, text,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      docs3 AS (SELECT doc_id,
+        text || ' ' || array_to_string(w[1:10], ' ') AS text FROM base),
+      toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM docs3),
+      win AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS sh
+              FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+              WHERE len(w) >= 5),
+      m AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+            FROM win a JOIN win b
+            ON a.sh = b.sh AND a.doc_id = b.doc_id AND a.pos < b.pos),
+      isl AS (SELECT doc_id, pb - pa AS d, pa, pb,
+          pa - row_number() OVER (PARTITION BY doc_id, pb - pa ORDER BY pa) AS g
+        FROM m),
+      sp AS (SELECT doc_id, d, MIN(pa) AS a_start, MIN(pb) AS b_start,
+          COUNT(*) AS n_windows
+        FROM isl GROUP BY doc_id, d, g),
+      spans AS (SELECT doc_id, b_start, n_windows + 4 AS span_tokens
+        FROM sp WHERE n_windows >= 2),
+      rem AS (SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS pos
+        FROM spans,
+             UNNEST(generate_series(b_start, b_start + span_tokens - 1)) u(p)),
+      tk AS (SELECT doc_id, len(w) AS n_tokens, i - 1 AS pos, w[i] AS tok
+        FROM toks, UNNEST(generate_series(1, len(w))) g(i)),
+      kept AS (SELECT t.doc_id, t.n_tokens, t.pos, t.tok
+        FROM tk t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+        WHERE r.doc_id IS NULL)
+      SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(MAX(n_tokens) - COUNT(*) AS BIGINT) AS n_removed,
+        array_to_string(LIST(tok ORDER BY pos), ' ') AS trimmed_text
+      FROM kept GROUP BY doc_id"""))
+
   private val dedupNgramJaccard = QueryDef(
     "dedup_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(withTwins(s, d), "id", "text",
@@ -1013,7 +1063,7 @@ object DataPipeQueries {
     bpeMerges, bpeEncode,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
-    dedupSpans, dedupSelfSpans, sampleStratified, a1Salted,
+    dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
     packChunks, decontaminate, mixtureUpsample, mixtureTemperature,
     chunkSliding, shuffleRank,
     textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration)

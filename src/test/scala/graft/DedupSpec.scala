@@ -141,6 +141,19 @@ class DedupSpec extends SparkSpec {
       k = 3, minWindows = 2, maxDf = 3).collect().isEmpty)
   }
 
+  test("trimming self spans removes a full duplicated block exactly") {
+    val orig = (0 until 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, s"$orig $orig"), (2L, "u1 u2 u3")).toDF("doc_id", "text")
+    val out = Dedup.trimSelfSpans(docs, "doc_id", "text",
+      k = 5, minWindows = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // the appended copy [10, 20) is cut, recovering the original
+    assert(out(1L) === ((20L, 10L, orig)))
+    // a doc without repeats passes through untouched
+    assert(out(2L) === ((3L, 0L, "u1 u2 u3")))
+  }
+
   test("shared spans: df cap counts distinct docs, not occurrences") {
     // the 5-token block recurs 5x inside doc 1 and once in doc 2:
     // 6 occurrences of every block window, but df = 2 docs <= maxDf=3
