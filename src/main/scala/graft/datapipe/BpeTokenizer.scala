@@ -84,40 +84,54 @@ object BpeTokenizer {
     */
   private val PersistEvery = 3
 
-  /** (word, cnt, syms) vocabulary after applying `merges` in order —
-    * the fold loop shared by training and encoding, with persist
-    * barriers every [[PersistEvery]] rounds. Returns a PERSISTED
-    * frame registered with [[Staging]].
+  /** The persist-barrier machinery shared by every merge-fold loop:
+    * advance() chains one round's projection, materializing (and
+    * releasing the previous barrier) every [[PersistEvery]] rounds;
+    * finish() materializes any pending rounds and registers the final
+    * frame with [[Staging]]. One implementation, so the training and
+    * encoding loops cannot drift.
     */
-  private def vocabAfter(words: DataFrame,
-                         merges: Seq[(String, String)]): DataFrame = {
-    val lvl = StorageLevel.MEMORY_AND_DISK
-    var last = words.persist(lvl)
-    last.count()
-    var cur = last
-    var since = 0
-    def materialize(): Unit = {
-      val p = cur.persist(lvl)
+  private final class BarrierLoop(start: DataFrame) {
+    private val lvl = StorageLevel.MEMORY_AND_DISK
+    private var last = { val p = start.persist(lvl); p.count(); p }
+    private var current = last
+    private var since = 0
+    def cur: DataFrame = current
+    private def materialize(): Unit = {
+      val p = current.persist(lvl)
       p.count()
       last.unpersist(false)
-      last = p; cur = p; since = 0
+      last = p; current = p; since = 0
     }
-    for ((a, b) <- merges) {
-      cur = cur.select(col("w"), col("cnt"),
-        applyMerge(col("syms"), a, b).as("syms"))
+    def advance(next: DataFrame): Unit = {
+      current = next
       since += 1
       if (since == PersistEvery) materialize()
     }
-    if (since > 0) materialize()
-    Staging.register(last)
+    def finish(): DataFrame = {
+      if (since > 0) materialize()
+      Staging.register(last)
+    }
   }
 
-  /** The corpus word vocabulary with initial symbol strings. */
-  private def initialVocab(docs: DataFrame, textCol: String): DataFrame =
+  /** (word, cnt, syms) vocabulary after applying `merges` in order —
+    * the fold loop shared by training and encoding. Returns a
+    * PERSISTED frame registered with [[Staging]].
+    */
+  private def vocabAfter(words: DataFrame,
+                         merges: Seq[(String, String)]): DataFrame = {
+    val loop = new BarrierLoop(words)
+    for ((a, b) <- merges)
+      loop.advance(loop.cur.select(col("w"), col("cnt"),
+        applyMerge(col("syms"), a, b).as("syms")))
+    loop.finish()
+  }
+
+  /** The ONE distributed corpus pass: (word, count). */
+  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(normTokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("w"), col("cnt"), initSyms(col("w")).as("syms"))
 
   /** Adjacent symbol pairs of the current vocab, weighted by word
     * count: (a, b, c). zip_with pads the shifted copy with null; the
@@ -252,18 +266,22 @@ object BpeTokenizer {
   def train(docs: DataFrame, textCol: String, numMerges: Int): BpeModel = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // ONE distributed corpus pass builds (word, count); the driver
-    // sees at most MaxDriverVocab+1 rows of it
-    val wc = docs.select(explode(normTokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val head = wc.limit(MaxDriverVocab + 1).as[(String, Long)].collect()
-    if (head.length > MaxDriverVocab) return trainDistributed(docs, textCol, numMerges)
-    val (merges, vocab) = trainInMemory(head, numMerges)
-    val vocabDf = vocab.toSeq
-      .map { case (w, c, syms) => (w, c, syms.mkString(Sep)) }
-      .toDF("w", "cnt", "syms")
-    BpeModel(merges, Staging.persist(vocabDf))
+    // the ONE corpus pass materializes the (word, count) table; BOTH
+    // the cap probe and (if over-cap) the distributed loop read the
+    // cache instead of re-scanning the corpus
+    val wc = wordCounts(docs, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = wc.limit(MaxDriverVocab + 1).as[(String, Long)].collect()
+      if (head.length > MaxDriverVocab) trainDistributedFrom(wc, numMerges)
+      else {
+        val (merges, vocab) = trainInMemory(head, numMerges)
+        val vocabDf = vocab.toSeq
+          .map { case (w, c, syms) => (w, c, syms.mkString(Sep)) }
+          .toDF("w", "cnt", "syms")
+        BpeModel(merges, Staging.persist(vocabDf))
+      }
+    } finally wc.unpersist(false)
   }
 
   /** The fully-distributed training loop — the over-cap path. Each
@@ -272,35 +290,26 @@ object BpeTokenizer {
     * in-memory trainer is the default below the cap.
     */
   def trainDistributed(docs: DataFrame, textCol: String,
-                       numMerges: Int): BpeModel = {
-    val lvl = StorageLevel.MEMORY_AND_DISK
-    var last = initialVocab(docs, textCol).persist(lvl)
-    last.count()
-    var cur = last
-    var since = 0
-    def materialize(): Unit = {
-      val p = cur.persist(lvl)
-      p.count()
-      last.unpersist(false)
-      last = p; cur = p; since = 0
-    }
+                       numMerges: Int): BpeModel =
+    trainDistributedFrom(wordCounts(docs, textCol), numMerges)
+
+  private def trainDistributedFrom(wc: DataFrame, numMerges: Int): BpeModel = {
+    val loop = new BarrierLoop(
+      wc.select(col("w"), col("cnt"), initSyms(col("w")).as("syms")))
     val merges = ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.length < numMerges && !done) {
-      val top = pairCounts(cur)
+      val top = pairCounts(loop.cur)
         .orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()
       if (top.isEmpty) done = true
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        cur = cur.select(col("w"), col("cnt"),
-          applyMerge(col("syms"), a, b).as("syms"))
-        since += 1
-        if (since == PersistEvery) materialize()
+        loop.advance(loop.cur.select(col("w"), col("cnt"),
+          applyMerge(col("syms"), a, b).as("syms")))
       }
     }
-    if (since > 0) materialize()
-    BpeModel(merges.toSeq, Staging.register(last))
+    BpeModel(merges.toSeq, loop.finish())
   }
 
   /** Merge list only (the model's vocab is released). */
@@ -314,9 +323,10 @@ object BpeTokenizer {
   /** Encode every document with a learned merge list: (doc_id,
     * n_words, n_bpe_tokens). Dictionary-encoded — the merge fold runs
     * once per DISTINCT word (the vocab loop), then the per-document
-    * counts are one broadcast join of the (word → symbol count) dict
-    * onto the token stream plus an exact integer sum. The corpus is
-    * never folded row-by-row, so encoding cost is
+    * counts are one equi-join of the (word → symbol count) dict onto
+    * the token stream plus an exact integer sum (AQE broadcasts the
+    * dict when it is actually small; an over-cap dict shuffle-joins).
+    * The corpus is never folded row-by-row, so encoding cost is
     * O(vocab · merges + corpus tokens), the production shape.
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
@@ -354,7 +364,9 @@ object BpeTokenizer {
       .filter(length(col("w")) > 0)
     val words = tokens.select(col("w")).distinct()
     // same hybrid as train(): fold word sets under the cap in driver
-    // memory; beyond it run the distributed loop
+    // memory; beyond it run the distributed loop. ONE action decides
+    // both emptiness and the cap (a separate isEmpty probe would run
+    // the tokenize→distinct→anti-join pipeline twice).
     def folded(ws: DataFrame): DataFrame = {
       val head = ws.limit(MaxDriverVocab + 1).as[String].collect()
       if (head.length > MaxDriverVocab)
@@ -368,13 +380,23 @@ object BpeTokenizer {
       case Some(v) if assumeCovered => v
       case Some(v) =>
         val missing = words.join(v.select(col("w")), Seq("w"), "left_anti")
-        if (missing.isEmpty) v
+        val head = missing.limit(MaxDriverVocab + 1).as[String].collect()
+        if (head.isEmpty) v
+        else if (head.length <= MaxDriverVocab)
+          v.select(col("w"), col("cnt"), col("syms")).unionByName(
+            applyMergesInMemory(head, merges).toSeq
+              .map { case (w, s) => (w, 1L, s) }.toDF("w", "cnt", "syms"))
         else v.select(col("w"), col("cnt"), col("syms"))
-          .unionByName(folded(missing))
+          .unionByName(vocabAfter(missing.select(col("w"),
+            lit(1L).as("cnt"), initSyms(col("w")).as("syms")), merges))
     }
     val dict = symTable.select(col("w"),
       size(split(col("syms"), Sep)).cast("bigint").as("n_sym"))
-    val counts = tokens.join(broadcast(dict), Seq("w"))
+    // no broadcast() hint: the dict is bounded by the DISTINCT-WORD
+    // count, which in the over-cap regime exceeds what a broadcast
+    // may ship — AQE broadcasts at runtime exactly when the dict is
+    // actually small, and falls back to a shuffle join when not
+    val counts = tokens.join(dict, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
     base.select(col("doc_id"))
@@ -431,17 +453,23 @@ object BpeTokenizer {
       head.map { case (w, s) => w -> s.split(Sep).length }.toMap)
     val mergesB = spark.sparkContext.broadcast(model.merges.toList)
     val countAll = udf { ws: Seq[String] =>
-      val dict = dictB.value
-      val ms = mergesB.value
-      var n = 0L
-      for (w <- ws if w.nonEmpty)
-        n += dict.getOrElse(w,
-          applyMergesInMemory(Array(w), ms).head._2.split(Sep).length).toLong
-      n
+      // null-safe: a null text tokenizes to null, and batch encode
+      // reports (0, 0) for such rows — the stream twin must agree
+      if (ws == null) 0L
+      else {
+        val dict = dictB.value
+        val ms = mergesB.value
+        var n = 0L
+        for (w <- ws if w.nonEmpty)
+          n += dict.getOrElse(w,
+            applyMergesInMemory(Array(w), ms).head._2.split(Sep).length).toLong
+        n
+      }
     }
     val w = normTokens(col(textCol))
     docs.select(col(idCol).as("doc_id"),
-      size(filter(w, t => length(t) > 0)).cast("bigint").as("n_words"),
+      coalesce(size(filter(w, t => length(t) > 0)), lit(0))
+        .cast("bigint").as("n_words"),
       countAll(w).as("n_bpe_tokens"))
   }
 }

@@ -573,7 +573,7 @@ object Dedup {
 
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, minWindows: Int = 4,
-                  maxDf: Int = 50): DataFrame = {
+                  maxDf: Int = 50, maxOccurrences: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     // persist(): the window table feeds the hot-hash aggregation and
@@ -581,13 +581,18 @@ object Dedup {
     // runs three times (session-scoped cache, as in ngramJaccardPairs).
     val windows = positionalWindows(docs, idCol, textCol, k)
       .stage()
-    // TRUE document frequency (distinct docs containing the window),
-    // not occurrence count: a window repeated inside one long document
-    // has df=1 and must survive the cap — it fans out linearly there,
-    // not quadratically. The oracle replays countDistinct identically.
+    // Two caps, both replayed by the oracle: TRUE document frequency
+    // (distinct docs containing the window) > maxDf drops cross-doc
+    // stop-phrase noise without penalizing a window repeated inside
+    // one long document (df = 1); total occurrences > maxOccurrences
+    // separately bounds the join fan-out — the candidate join keys on
+    // `h` alone, so a window repeated R times ANYWHERE (even one
+    // degenerate generated document) materializes R² joined rows
+    // before the a<b filter. df alone would re-open that blowup.
     val hot = windows.groupBy(col("h"))
-      .agg(count_distinct(col("id")).as("df"))
-      .filter(col("df") > maxDf).select(col("h"))
+      .agg(count_distinct(col("id")).as("df"), count(lit(1)).as("occ"))
+      .filter(col("df") > maxDf || col("occ") > maxOccurrences)
+      .select(col("h"))
     val pruned = windows.join(broadcast(hot), Seq("h"), "left_anti")
     // (a_id, pos) is unique, so per (pair, diagonal) each a_pos
     // appears at most once and row_number needs no extra tie-break.

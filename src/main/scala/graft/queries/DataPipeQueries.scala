@@ -407,7 +407,8 @@ object DataPipeQueries {
       win AS (SELECT id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS sh
               FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
               WHERE len(w) >= 5),
-      keep AS (SELECT sh FROM win GROUP BY sh HAVING COUNT(DISTINCT id) <= 50),
+      keep AS (SELECT sh FROM win GROUP BY sh
+        HAVING COUNT(DISTINCT id) <= 50 AND COUNT(*) <= 1000),
       w2 AS (SELECT win.* FROM win JOIN keep USING (sh)),
       m AS (SELECT a.id AS a_id, b.id AS b_id, a.pos AS pa, b.pos AS pb
             FROM w2 a JOIN w2 b ON a.sh = b.sh AND a.id < b.id),

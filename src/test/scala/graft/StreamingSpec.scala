@@ -436,8 +436,10 @@ class StreamingSpec extends SparkSpec {
     val corpus = Seq((1L, "low low lower lowest"), (2L, "new newer newest new"))
       .toDF("doc_id", "text")
     val model = BpeTokenizer.train(corpus, "text", 6)
-    // doc 11 mixes known words with the unseen "slow" (dict miss path)
-    val incoming = Seq((11L, "low slow newest"), (12L, "lower lower"))
+    // doc 11 mixes known words with the unseen "slow" (dict miss
+    // path); doc 13's null text must count (0, 0) like batch encode
+    val incoming = Seq((11L, "low slow newest"), (12L, "lower lower"),
+      (13L, null: String))
     val in = MemoryStream[(Long, String)]
     val q = BpeTokenizer.countTokensStream(
         in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
