@@ -315,6 +315,36 @@ object DataPipeQueries {
         CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
       FROM toks t LEFT JOIN agg a USING (doc_id)"""))
 
+  /** Tokenizer fertility (BPE tokens per word) by language — the
+    * standard tokenizer-quality readout: a tokenizer trained on the
+    * corpus fragments under-represented languages into more pieces.
+    * Exact integer sums; one division per language, rounded 6 dp.
+    */
+  private val bpeFertility = QueryDef(
+    "bpe_fertility",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val enc = BpeTokenizer.trainAndEncode(docs, "doc_id", "text", bpeM)
+      docs.select(col("doc_id"), col("lang")).join(enc, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") /
+            col("n_words").cast("double"), 6).as("fertility"))
+    },
+    Some(s"""WITH $bpeTrainCtes,
+      enc AS MATERIALIZED (SELECT w,
+          CAST(len(string_split(syms, chr(1))) AS BIGINT) AS n_sym
+        FROM v$bpeM),
+      ag AS (SELECT d.lang, COUNT(*) AS n_words, SUM(e.n_sym) AS n_bpe
+        FROM tok t JOIN enc e USING (w) JOIN documents d USING (doc_id)
+        GROUP BY d.lang)
+      SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+        CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+        round(CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS fertility
+      FROM ag"""))
+
   // --- dedup ------------------------------------------------------
 
   private val dedupExact = QueryDef(
@@ -1061,7 +1091,7 @@ object DataPipeQueries {
     a2PromHistogram, q6PayloadHeatmap,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textRepetition, textVocab, textPerplexity, sampleImportance,
-    bpeMerges, bpeEncode,
+    bpeMerges, bpeEncode, bpeFertility,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
