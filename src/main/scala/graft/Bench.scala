@@ -93,6 +93,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"failed":$failed,"n_failed":${results.count(_._3.nonEmpty)},"sf":"$sfDir","reps":$REPS}""")
+    // The full line above grows with the catalog (97+ queries × stats)
+    // and the driver archives only the output TAIL — r6's artifact
+    // kept ~18 alphabetically-last queries and lost the total. This
+    // second compact line (total + failures + the 10 slowest medians)
+    // is small enough to always survive the tail window, so every
+    // round's headline is comparable even if the full line truncates.
+    val slowest = results.sortBy(r => -median(r._2)).take(10)
+      .map { case (k, v, _) => s"${jstr(k)}:${median(v)}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._3.nonEmpty)},"slowest":$slowest,"sf":"$sfDir","reps":$REPS}""")
     spark.stop()
   }
 }

@@ -112,10 +112,16 @@ object Chunker {
   def slidingWindows(docs: DataFrame, idCol: String, textCol: String,
                      window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
-    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    // filter the empty token a split of "" produces: an empty /
+    // whitespace-only document has NO tokens and emits NO windows
+    // (the other token operators apply the same length>0 filter).
+    // The size>0 guard below also keeps the sequence() ascending.
+    val toks = filter(split(TextAnalysis.normalize(col(textCol)), " "),
+      t => length(t) > 0)
     val start = (col("win_id") * stride).cast("bigint")
     val len = least(lit(window).cast("bigint"), size(col("w")) - start)
     docs.select(col(idCol).as("doc_id"), toks.as("w"))
+      .filter(size(col("w")) > 0)
       .select(col("doc_id"), col("w"), explode(sequence(lit(0L),
         floor((size(col("w")) - lit(1)).cast("double") / stride)
           .cast("bigint"))).as("win_id"))

@@ -1,0 +1,168 @@
+package graft.datapipe
+
+import graft.datapipe.Staging.Staged
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classification — the third leg of the quality
+  * stack after the rule-based features ([[TextAnalysis.qualityScore]],
+  * [[TextAnalysis.repetition]]) and the corpus-statistics models
+  * ([[LanguageModel.perplexity]], [[LanguageModel.importanceWeights]]):
+  * a hashed-feature Naive-Bayes classifier scoring "looks like
+  * reference text", the role the fastText classifier plays in
+  * published pretraining pipelines (e.g. the GPT-3/LLaMA quality
+  * filters, Brown et al. 2020 arXiv:2005.14165 App. A; fastText
+  * itself is Joulin et al. 2016 arXiv:1607.01759).
+  *
+  * Closed-form training — class-conditional token counts, no
+  * gradient loop — keeps the model exact-integer and the whole
+  * operator oracle-replayable:
+  *
+  *   b(tok)    = md5_60(tok) mod B              (engine-portable hash)
+  *   lr_b      = ln((np_b+1)/(Tp+B)) − ln((nn_b+1)/(Tn+B))
+  *   prior     = ln((Dp+1)/(D+2)) − ln((Dn+1)/(D+2))
+  *   score(doc)= prior + Σ_i lr_{b(tok_i)}      (exact decimal sum)
+  *   predicted = score > 0
+  *
+  * where np/nn are per-bucket token counts over the positive /
+  * negative class, Tp/Tn their totals, Dp/Dn the class document
+  * counts (add-one smoothing over B buckets; add-one over the two
+  * classes for the prior). Every log term is rounded to 8 dp and
+  * summed as DECIMAL(28,8) — the catalog's order-independent float
+  * convention — and the final score rounds to 4 dp.
+  */
+object Classifier {
+
+  private def toks(textCol: Column): Column =
+    split(TextAnalysis.normalize(textCol), " ")
+
+  private def bucketOf(t: Column, buckets: Int): Column =
+    pmod(TextAnalysis.md5Long60(t.cast("binary")), lit(buckets.toLong))
+
+  /** Train on the labeled corpus and score every document:
+    * (doc_id, n_tokens, score, predicted). `isPositive` marks the
+    * reference-text class (e.g. a curated slice); everything else is
+    * the negative class.
+    *
+    * Scale shape — identical to [[LanguageModel.importanceWeights]]:
+    * the model is 2×B token counts plus two document counts (the
+    * corpus shuffles only (bucket, count) partials), scoring is a
+    * broadcast join of the B-row log-ratio table onto the token
+    * stream plus one exact-decimal fold per document. Nothing is ever
+    * O(corpus²) and the model size is independent of data volume.
+    * A class with ZERO documents degrades to the smoothed prior
+    * (coalesced counts), never a NULL-propagated all-zero output.
+    */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                 isPositive: Column, buckets: Int = 256): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("w"),
+      isPositive.as("is_pos"))
+    // (doc_id, is_pos, bucket) token stream: feeds the count training
+    // AND the scoring fold (see Staging)
+    val tokens = base
+      .select(col("doc_id"), col("is_pos"), explode(col("w")).as("t"))
+      .select(col("doc_id"), col("is_pos"),
+        bucketOf(col("t"), buckets).as("b"))
+      .stage()
+    val cls = tokens.groupBy(col("b")).agg(
+      count(when(col("is_pos"), 1)).as("np"),
+      count(when(!col("is_pos"), 1)).as("nn"))
+    val totals = cls.agg(
+      coalesce(sum(col("np")), lit(0L)).as("tp"),
+      coalesce(sum(col("nn")), lit(0L)).as("tn"))
+    // round(…, 8): the same ulp-portability quantization as the other
+    // log-space models
+    val lrs = cls.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log((col("np") + lit(1)).cast("double") /
+            (col("tp") + lit(buckets)).cast("double")) -
+          log((col("nn") + lit(1)).cast("double") /
+            (col("tn") + lit(buckets)).cast("double")), 8).as("lr"))
+    val prior = base.agg(
+      count(when(col("is_pos"), 1)).as("dp"),
+      count(when(!col("is_pos"), 1)).as("dn"))
+      .select(round(
+        log((col("dp") + lit(1)).cast("double") /
+          (col("dp") + col("dn") + lit(2)).cast("double")) -
+        log((col("dn") + lit(1)).cast("double") /
+          (col("dp") + col("dn") + lit(2)).cast("double")), 8).as("prior"))
+    val sums = tokens
+      .join(broadcast(lrs), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lr").cast("decimal(28,8)")).as("ssum"),
+        count(lit(1)).as("n_tokens"))
+    base.select(col("doc_id"))
+      .join(sums, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round((col("prior").cast("decimal(28,8)") +
+          coalesce(col("ssum"), lit(0).cast("decimal(28,8)")))
+          .cast("double"), 4).as("score"))
+      .withColumn("predicted", col("score") > 0)
+  }
+
+  /** A trained NB model extracted to the driver: the dense B-length
+    * per-bucket log-ratio array plus the prior log-ratio — the
+    * offline half of train-offline/score-inline, mirroring
+    * [[LanguageModel.bucketRatios]]. Driver traffic is B+2 numbers,
+    * independent of corpus size.
+    */
+  final case class NbModel(bucketLr: Array[Double], prior: Double)
+
+  def nbModel(docs: DataFrame, textCol: String, isPositive: Column,
+              buckets: Int = 256): NbModel = {
+    val base = docs.select(toks(col(textCol)).as("w"), isPositive.as("is_pos"))
+    val counts = base
+      .select(col("is_pos"), explode(col("w")).as("t"))
+      .select(col("is_pos"), bucketOf(col("t"), buckets).as("b"))
+      .groupBy(col("b")).agg(
+        count(when(col("is_pos"), 1)).as("np"),
+        count(when(!col("is_pos"), 1)).as("nn"))
+      .collect().map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val tp = counts.valuesIterator.map(_._1).sum
+    val tn = counts.valuesIterator.map(_._2).sum
+    def r8(x: Double): Double =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lrs = Array.tabulate(buckets) { b =>
+      val (np, nn) = counts.getOrElse(b, (0L, 0L))
+      r8(math.log((np + 1.0) / (tp + buckets)) -
+        math.log((nn + 1.0) / (tn + buckets)))
+    }
+    val Array(dp, dn) = {
+      val r = base.agg(count(when(col("is_pos"), 1)),
+        count(when(!col("is_pos"), 1))).collect()(0)
+      Array(r.getLong(0), r.getLong(1))
+    }
+    NbModel(lrs,
+      r8(math.log((dp + 1.0) / (dp + dn + 2.0)) -
+        math.log((dn + 1.0) / (dp + dn + 2.0))))
+  }
+
+  /** Score rows with a PRE-TRAINED [[nbModel]] as one stateless
+    * per-row expression — hash each token, index the literal ratio
+    * array, fold in token order starting from the prior. No shuffle,
+    * no state, no UDF: it streams through Structured Streaming
+    * untouched, and on the training corpus reproduces [[naiveBayes]]'
+    * score column exactly (same rounded ratios, same exact decimal
+    * accumulation — StreamingSpec pins it).
+    */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+              model: NbModel): DataFrame = {
+    val lrArr = array(model.bucketLr.map(lit): _*)
+    // NULL text folds over an empty array → prior-only score with
+    // n_tokens 0, exactly what the batch twin's left join produces
+    val w = coalesce(toks(col(textCol)), typedlit(Seq.empty[String]))
+    docs.select(col(idCol).as("doc_id"),
+      size(w).cast("bigint").as("n_tokens"),
+      round(aggregate(
+        transform(w, t => element_at(lrArr,
+          bucketOf(t, model.bucketLr.length).cast("int") + 1)),
+        lit(model.prior).cast("decimal(28,8)"),
+        (acc, x) => (acc + x.cast("decimal(28,8)")).cast("decimal(28,8)"),
+        acc => acc.cast("double")), 4).as("score"))
+      .withColumn("predicted", col("score") > 0)
+  }
+}

@@ -663,7 +663,7 @@ object Dedup {
         posexplode(col("w")))
       .select(col("doc_id"), col("n_tokens"),
         col("pos").cast("bigint").as("pos"), col("col").as("tok"))
-    toks.join(removed, Seq("doc_id", "pos"), "left_anti")
+    val trimmed = toks.join(removed, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(max(col("n_tokens")).as("n_tokens"),
         count(lit(1)).as("n_kept"),
@@ -672,6 +672,16 @@ object Dedup {
           s => s("tok")), " ").as("trimmed_text"))
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - col("n_kept")).as("n_removed"),
+        col("trimmed_text"))
+    // join back onto the full id set: a NULL-text document produces no
+    // posexplode rows and would silently vanish — the sibling
+    // operators (perplexity, BPE encode) preserve every doc_id with
+    // zero counts, and so does this one (trimmed_text stays NULL)
+    docs.select(col(idCol).as("doc_id"))
+      .join(trimmed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         col("trimmed_text"))
   }
 

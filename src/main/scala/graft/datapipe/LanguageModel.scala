@@ -131,6 +131,53 @@ object LanguageModel {
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, buckets: Int = 64,
                         topN: Int = 100): DataFrame = {
+    val all = weightTable(docs, idCol, textCol, isTarget, buckets)
+    // orderBy+limit plans as TakeOrderedAndProject: per-partition
+    // top-N heaps merged on the driver, bounded by N — never a
+    // global one-partition ranking window
+    val top = all.orderBy(col("weight").desc, col("doc_id")).limit(topN)
+      .select(col("doc_id"), lit(true).as("sel"))
+    all.join(broadcast(top), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("weight"),
+        coalesce(col("sel"), lit(false)).as("selected"))
+  }
+
+  /** DSIR's SOFT selection (Xie et al. 2023 §2: Gumbel top-k sampling
+    * without replacement): add Gumbel noise g = −ln(−ln u) to each
+    * document's log-ratio weight and take the top N by the noisy
+    * score. The uniform u derives from the document KEY via the
+    * engine-portable md5 hash — u = (md5_60(doc_id) + 0.5) / 2^60,
+    * never exactly 0 or 1 — so the "random" draw is a deterministic
+    * function of the data: the same documents are sampled in every
+    * run, on every cluster layout, and in the oracle's replay.
+    * The noise is quantized to 8 dp (the log-space convention) and
+    * the noisy weight to 4 dp; ties break by doc_id.
+    *
+    * Output: (doc_id, n_tokens, weight, noisy_weight, selected).
+    * Same scale shape as the hard variant: the top-N cut is one
+    * TakeOrderedAndProject over the per-document weight table.
+    */
+  def importanceWeightsSoft(docs: DataFrame, idCol: String, textCol: String,
+                            isTarget: Column, buckets: Int = 64,
+                            topN: Int = 100): DataFrame = {
+    val all = weightTable(docs, idCol, textCol, isTarget, buckets)
+    val u = (TextAnalysis.md5Long60(col("doc_id").cast("string"))
+      .cast("double") + lit(0.5)) / lit(math.pow(2, 60))
+    val noisy = all.withColumn("noisy_weight",
+      round(col("weight") + round(-log(-log(u)), 8), 4))
+    val top = noisy.orderBy(col("noisy_weight").desc, col("doc_id"))
+      .limit(topN).select(col("doc_id"), lit(true).as("sel"))
+    noisy.join(broadcast(top), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("weight"),
+        col("noisy_weight"), coalesce(col("sel"), lit(false)).as("selected"))
+  }
+
+  /** The shared (doc_id, n_tokens, weight) pipeline behind both
+    * [[importanceWeights]] selection variants — staged, because the
+    * top-N cut and the final output join both read it.
+    */
+  private def weightTable(docs: DataFrame, idCol: String, textCol: String,
+                          isTarget: Column, buckets: Int): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("w"),
       isTarget.as("is_target"))
     // (doc_id, bucket) token stream: feeds both count trainings and
@@ -146,8 +193,13 @@ object LanguageModel {
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
     // B-row model: bucket → log ratio (missing target buckets get the
     // smoothed zero-count mass)
+    // coalesce: an isTarget predicate matching ZERO rows makes
+    // sum(ct) NULL, which would null-propagate through every lr and
+    // silently zero all weights — with tt = 0 the smoothed ratio
+    // computes instead (matching what bucketRatios' driver arithmetic
+    // already does on an empty target slice)
     val totals = raw.agg(sum(col("cr")).as("tr")).crossJoin(
-      tgt.agg(sum(col("ct")).as("tt")))
+      tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
     // round(…, 8): same ulp-portability quantization as perplexity's lp
     val ratios = raw.join(tgt, Seq("b"), "left").crossJoin(totals)
       .select(col("b"),
@@ -171,14 +223,109 @@ object LanguageModel {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("weight"), lit(0.0)).as("weight"))
       .stage()
-    // orderBy+limit plans as TakeOrderedAndProject: per-partition
-    // top-N heaps merged on the driver, bounded by N — never a
-    // global one-partition ranking window
-    val top = all.orderBy(col("weight").desc, col("doc_id")).limit(topN)
-      .select(col("doc_id"), lit(true).as("sel"))
-    all.join(broadcast(top), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"), col("weight"),
-        coalesce(col("sel"), lit(false)).as("selected"))
+    all
+  }
+
+  /** A trained add-one bigram LM extracted to driver memory — the
+    * frozen-model half of train-offline/score-inline for the CCNet
+    * perplexity gate (the DSIR analogue is [[bucketRatios]]):
+    * `c2` maps Sep-joined "w1␁w2" to its corpus count, `c1` the
+    * context counts, `v` the distinct-token vocabulary size.
+    */
+  final case class BigramLm(c2: Map[String, Long], c1: Map[String, Long],
+                            v: Long) {
+    /** 8-dp-rounded ln p(w2|w1) with add-one smoothing — bit-identical
+      * to the batch scorer's `round(log(...), 8)` term (same
+      * Math.log, same HALF_UP quantization via BigDecimal.valueOf).
+      * Unseen bigrams/contexts take the smoothed zero-count mass, so
+      * a stream document full of new text still scores.
+      */
+    def logProb(w1: String, w2: String): Double = {
+      val num = c2.getOrElse(w1 + BpeTokenizer.Sep + w2, 0L) + 1.0
+      val den = (c1.getOrElse(w1, 0L) + v).toDouble
+      BigDecimal(math.log(num / den))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  /** Word-count tables and bucket models collect to the driver under
+    * a cap; the bigram table follows the same convention (see
+    * [[BpeTokenizer.MaxDriverVocab]]): distinct-BIGRAM count grows
+    * with vocabulary, not corpus volume, so even huge corpora usually
+    * fit — and an over-cap model is rejected loudly rather than
+    * silently collected.
+    */
+  val MaxDriverBigrams: Int = 1 << 21
+
+  /** Train the [[perplexity]] bigram model OFFLINE and extract it for
+    * inline scoring: one corpus pass for the (w1, w2) counts (the c1
+    * context counts derive from c2 on the driver — no second shuffle)
+    * plus one distinct-token count. Driver traffic is the distinct-
+    * bigram table, capped at [[MaxDriverBigrams]].
+    */
+  def bigramLm(docs: DataFrame, textCol: String): BigramLm = {
+    val base = docs.select(toks(col(textCol)).as("w"))
+    val rows = base.filter(size(col("w")) >= 2)
+      .select(explode(
+        zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))))
+      .groupBy(col("col.w1"), col("col.w2"))
+      .agg(count(lit(1)).as("c2"))
+      .limit(MaxDriverBigrams + 1)
+      .collect()
+    require(rows.length <= MaxDriverBigrams,
+      s"bigramLm needs the distinct-bigram table under $MaxDriverBigrams rows")
+    val c2 = rows.map(r =>
+      (r.getString(0) + BpeTokenizer.Sep + r.getString(1)) -> r.getLong(2)).toMap
+    val c1 = rows.groupBy(_.getString(0))
+      .map { case (w1, rs) => w1 -> rs.map(_.getLong(2)).sum }
+    val v = base.select(explode(col("w")).as("t"))
+      .agg(count_distinct(col("t"))).collect()(0).getLong(0)
+    BigramLm(c2, c1, v)
+  }
+
+  /** Score rows with a PRE-TRAINED [[bigramLm]] as one stateless
+    * per-row pass — the inline twin of [[perplexity]] (train offline
+    * on a corpus snapshot, gate every arriving document), mirroring
+    * [[importanceScore]]. No shuffle, no state: it runs unchanged on
+    * a Structured Streaming source. On the training corpus itself it
+    * reproduces [[perplexity]] exactly (same 8-dp terms, same exact
+    * decimal sum, same final rounding — StreamingSpec pins it).
+    *
+    * Like [[BpeTokenizer.countTokensStream]], this is deliberately a
+    * UDF: the model is a broadcast dictionary of up to
+    * [[MaxDriverBigrams]] entries, far past what a literal Catalyst
+    * expression tolerates, and the per-document fold is a dictionary
+    * walk Catalyst cannot express over a map that size. The UDF is
+    * per-row and side-effect-free, so codegen fusion around it is
+    * preserved and the operator stays scan-speed.
+    */
+  def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
+                      model: BigramLm): DataFrame = {
+    val spark = docs.sparkSession
+    val modelB = spark.sparkContext.broadcast(model)
+    val score = udf { ws: Seq[String] =>
+      if (ws == null || ws.length < 2) (0L, Option.empty[Double])
+      else {
+        val m = modelB.value
+        var slp = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < ws.length - 1) {
+          slp = slp.add(java.math.BigDecimal.valueOf(
+            m.logProb(ws(i), ws(i + 1))))
+          i += 1
+        }
+        val n = (ws.length - 1).toLong
+        val ppl = BigDecimal(math.exp(-slp.doubleValue / n))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (n, Some(ppl))
+      }
+    }
+    docs.select(col(idCol).as("doc_id"),
+      score(toks(col(textCol))).as("s"))
+      .select(col("doc_id"), col("s._1").as("n_bigrams"),
+        col("s._2").as("ppl"))
   }
 
   /** Train the [[importanceWeights]] bucket model and return it as a
@@ -222,7 +369,9 @@ object LanguageModel {
   def importanceScore(docs: DataFrame, idCol: String, textCol: String,
                       ratios: Array[Double]): DataFrame = {
     val lrArr = array(ratios.map(lit): _*)
-    val w = toks(col(textCol))
+    // NULL text folds over an empty array → (0, 0.0), exactly what
+    // the batch twin's left-join coalesce produces for such rows
+    val w = coalesce(toks(col(textCol)), typedlit(Seq.empty[String]))
     // the same exact-decimal accumulation as the batch scorer, as a
     // per-row fold (each term is an 8-dp-rounded double, so the
     // decimal sum is exact and matches bit-identically)

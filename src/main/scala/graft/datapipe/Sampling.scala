@@ -74,6 +74,15 @@ object Sampling {
     val w = weights.foldLeft(lit(defaultWeight)) {
       case (acc, (s, x)) => when(stratum === s, lit(x)).otherwise(acc)
     }
+    replicate(df, key, w)
+  }
+
+  /** The fractional-replication kernel shared by [[upsample]] (literal
+    * weight map) and [[upsampleWeighted]] (weight table): floor(w)
+    * copies plus one extra for a deterministic (w − floor(w)) percent
+    * of keys.
+    */
+  private def replicate(df: DataFrame, key: Column, w: Column): DataFrame = {
     val fracPct = round((w - floor(w)) * 100).cast("bigint")
     val copies = floor(w).cast("bigint") +
       when(hashBucket(key) < fracPct, lit(1L)).otherwise(lit(0L))
@@ -83,6 +92,26 @@ object Sampling {
       // case must never reach it — the filter above guarantees 1..n.
       .select(col("*"), explode(sequence(lit(1L), col("n_copies"))).as("copy"))
       .drop("n_copies")
+  }
+
+  /** [[upsample]] driven by a WEIGHT TABLE instead of a literal map —
+    * the composition a mixture pipeline actually runs: feed
+    * [[temperatureWeights]]' (source, boost) rows straight in, no
+    * driver round-trip. `weights` must carry `stratumCol` and
+    * `weightCol`; it is broadcast (one row per source, never
+    * corpus-scale), and sources absent from it are dropped (the
+    * weight-0 analogue). Replication stays pure per-row arithmetic,
+    * so the whole composed flow adds ONE broadcast join to the
+    * corpus scan.
+    */
+  def upsampleWeighted(df: DataFrame, key: Column, stratum: Column,
+                       weights: DataFrame, stratumCol: String = "source",
+                       weightCol: String = "boost"): DataFrame = {
+    val w = weights.select(col(stratumCol).as("__stratum"),
+      col(weightCol).cast("double").as("__w"))
+    replicate(df.join(broadcast(w), stratum === col("__stratum")),
+      key, col("__w"))
+      .drop("__stratum", "__w")
   }
 
   /** Two-stage salted aggregation: a groupBy whose key distribution

@@ -52,10 +52,31 @@ object Staging {
     * call at any time: an already-unpersisted frame is a no-op, and a
     * staged frame still referenced by a live lazy result merely loses
     * its cache (the result recomputes, still correct).
+    *
+    * Concurrency hazard, documented for library adopters: the
+    * registry is PROCESS-global, so a releaseAll() from one thread
+    * also drops caches another thread's in-flight query is still
+    * reading (correct but recomputed). Multi-tenant apps sharing one
+    * JVM should release per session ([[releaseAll(session)]]) at
+    * their own quiesce points. Strong refs are deliberate: an
+    * unpersist needs the frame, so a weak registry would strand
+    * caches in the session's CacheManager once the frame is GC'd.
     */
   def releaseAll(): Unit = {
     var df = live.poll()
     while (df != null) { df.unpersist(false); df = live.poll() }
+  }
+
+  /** Unpersist only the staged frames belonging to `session` —
+    * the bound a long-lived multi-session app needs so one tenant's
+    * release never forces another tenant's recompute.
+    */
+  def releaseAll(session: org.apache.spark.sql.SparkSession): Unit = {
+    val it = live.iterator()
+    while (it.hasNext) {
+      val df = it.next()
+      if (df.sparkSession eq session) { df.unpersist(false); it.remove() }
+    }
   }
 
   /** Register an ALREADY-persisted frame for [[releaseAll]] — for

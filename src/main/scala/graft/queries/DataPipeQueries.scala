@@ -223,6 +223,23 @@ object DataPipeQueries {
         round(exp(-CAST(s.slp AS DOUBLE) / s.n_bigrams), 4) AS ppl
       FROM toks t LEFT JOIN s USING (doc_id)"""))
 
+  /** The train-offline/score-inline twin of text_perplexity: the
+    * bigram model is EXTRACTED to the driver (capped dictionary, the
+    * [[graft.datapipe.BpeTokenizer.MaxDriverVocab]] convention) and
+    * every document is scored by one stateless per-row fold — the
+    * shape a streaming ingest gate runs. On the training corpus the
+    * frozen scorer must reproduce the batch retrain bit-for-bit, so
+    * the SAME retrain oracle certifies it.
+    */
+  private val textPerplexityInline = QueryDef(
+    "text_perplexity_inline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      LanguageModel.perplexityScore(docs, "doc_id", "text",
+        LanguageModel.bigramLm(docs, "text"))
+    },
+    textPerplexity.oracle)
+
   /** DSIR importance resampling toward the English slice: hashed-
     * unigram (md5-portable, 64 buckets) likelihood ratio of
     * lang='en' documents against the whole corpus, deterministic
@@ -242,7 +259,7 @@ object DataPipeQueries {
       rawc AS (SELECT b, COUNT(*) AS cr FROM tk GROUP BY 1),
       tgtc AS (SELECT b, COUNT(*) AS ct FROM tk WHERE lang = 'en' GROUP BY 1),
       tot AS (SELECT (SELECT SUM(cr) FROM rawc) AS tr,
-                     (SELECT SUM(ct) FROM tgtc) AS tt),
+                     COALESCE((SELECT SUM(ct) FROM tgtc), 0) AS tt),
       lrs AS (SELECT rawc.b,
           round(ln(CAST(COALESCE(tgtc.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + 64 AS DOUBLE))
               - ln(CAST(rawc.cr + 1 AS DOUBLE) / CAST(tot.tr + 64 AS DOUBLE)), 8) AS lr
@@ -257,6 +274,118 @@ object DataPipeQueries {
       SELECT doc_id, n_tokens, weight,
         (row_number() OVER (ORDER BY weight DESC, doc_id) <= 100) AS selected
       FROM allw"""))
+
+  /** DSIR Gumbel-top-k soft sampling: the same importance weights
+    * with hash-derived Gumbel noise (−ln(−ln u), u from md5 of the
+    * doc_id) added before the top-N cut — sampling without
+    * replacement that is still a pure function of the data, so the
+    * oracle replays the draw exactly.
+    */
+  private val sampleImportanceSoft = QueryDef(
+    "sample_importance_soft",
+    (s, d) => LanguageModel.importanceWeightsSoft(Tables.documents(s, d),
+      "doc_id", "text", col("lang") === "en", buckets = 64, topN = 100),
+    Some("""WITH toks AS (SELECT doc_id, lang,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      tk AS (SELECT doc_id, lang,
+          CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) % 64 AS b
+        FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)),
+      rawc AS (SELECT b, COUNT(*) AS cr FROM tk GROUP BY 1),
+      tgtc AS (SELECT b, COUNT(*) AS ct FROM tk WHERE lang = 'en' GROUP BY 1),
+      tot AS (SELECT (SELECT SUM(cr) FROM rawc) AS tr,
+                     COALESCE((SELECT SUM(ct) FROM tgtc), 0) AS tt),
+      lrs AS (SELECT rawc.b,
+          round(ln(CAST(COALESCE(tgtc.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + 64 AS DOUBLE))
+              - ln(CAST(rawc.cr + 1 AS DOUBLE) / CAST(tot.tr + 64 AS DOUBLE)), 8) AS lr
+        FROM rawc LEFT JOIN tgtc USING (b), tot),
+      wsum AS (SELECT doc_id,
+          round(CAST(SUM(CAST(lr AS DECIMAL(28,8))) AS DOUBLE), 4) AS wt,
+          COUNT(*) AS n_tokens
+        FROM tk JOIN lrs USING (b) GROUP BY doc_id),
+      allw AS (SELECT t.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+          COALESCE(wt, 0.0) AS weight
+        FROM toks t LEFT JOIN wsum USING (doc_id)),
+      gw AS (SELECT doc_id, n_tokens, weight,
+          round(weight + round(-ln(-ln(
+            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              + 0.5) / 1152921504606846976.0)), 8), 4) AS noisy_weight
+        FROM allw)
+      SELECT doc_id, n_tokens, weight, noisy_weight,
+        (row_number() OVER (ORDER BY noisy_weight DESC, doc_id) <= 100) AS selected
+      FROM gw"""))
+
+  /** Hashed-feature Naive-Bayes quality classifier (the fastText-
+    * classifier role): class = "language-IDs as English" — a label
+    * derivable in BOTH engines — over 256 md5-hashed unigram buckets.
+    * The oracle retrains the class-conditional counts, prior, and
+    * per-document fold in SQL, so the hash certifies the whole
+    * closed-form training, not just the scores.
+    */
+  private val nbLabelSql = """
+      ls AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+        len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS s_es,
+        len(regexp_extract_all(lower(text), '\b(le|la|de|et|les)\b')) AS s_fr,
+        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de
+        FROM documents),
+      lab AS (SELECT doc_id,
+        (s_en > 0 AND s_en >= greatest(s_en, s_es, s_fr, s_de)) AS is_pos
+        FROM ls),
+      toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      tk AS (SELECT t.doc_id, lab.is_pos,
+          CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) % 256 AS b
+        FROM toks t JOIN lab USING (doc_id),
+             UNNEST(generate_series(1, len(w))) AS g(i)),
+      cls AS (SELECT b,
+          COUNT(*) FILTER (WHERE is_pos) AS np,
+          COUNT(*) FILTER (WHERE NOT is_pos) AS nn
+        FROM tk GROUP BY b),
+      tot AS (SELECT COALESCE(SUM(np), 0) AS tp,
+                     COALESCE(SUM(nn), 0) AS tn FROM cls),
+      lrs AS (SELECT b,
+          round(ln(CAST(np + 1 AS DOUBLE) / CAST(tp + 256 AS DOUBLE))
+              - ln(CAST(nn + 1 AS DOUBLE) / CAST(tn + 256 AS DOUBLE)), 8) AS lr
+        FROM cls, tot),
+      pri AS (SELECT round(
+          ln(CAST(dp + 1 AS DOUBLE) / CAST(dp + dn + 2 AS DOUBLE))
+        - ln(CAST(dn + 1 AS DOUBLE) / CAST(dp + dn + 2 AS DOUBLE)), 8) AS prior
+        FROM (SELECT COUNT(*) FILTER (WHERE is_pos) AS dp,
+                     COUNT(*) FILTER (WHERE NOT is_pos) AS dn FROM lab)),
+      ssum AS (SELECT doc_id,
+          SUM(CAST(lr AS DECIMAL(28,8))) AS s, COUNT(*) AS n_tokens
+        FROM tk JOIN lrs USING (b) GROUP BY doc_id)
+      SELECT t.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+        round(CAST(CAST(prior AS DECIMAL(28,8))
+          + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) AS score,
+        (round(CAST(CAST(prior AS DECIMAL(28,8))
+          + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) > 0) AS predicted
+      FROM toks t LEFT JOIN ssum USING (doc_id), pri"""
+
+  private def nbLabel = TextAnalysis.predictLang(col("text")) === "en"
+
+  private val textClassifier = QueryDef(
+    "text_classifier",
+    (s, d) => graft.datapipe.Classifier.naiveBayes(
+      Tables.documents(s, d), "doc_id", "text", nbLabel, buckets = 256),
+    Some(s"WITH $nbLabelSql"))
+
+  /** The train-offline/score-inline twin of text_classifier: the
+    * B+2-number model extracts to the driver and every document is
+    * scored by one pure-Column fold (no UDF, no shuffle) — the same
+    * retrain oracle certifies that frozen == batch on the training
+    * corpus.
+    */
+  private val textClassifierInline = QueryDef(
+    "text_classifier_inline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.datapipe.Classifier.nbScore(docs, "doc_id", "text",
+        graft.datapipe.Classifier.nbModel(docs, "text", nbLabel, 256))
+    },
+    Some(s"WITH $nbLabelSql"))
 
   // --- BPE tokenizer training -------------------------------------
 
@@ -323,26 +452,46 @@ object DataPipeQueries {
   private val bpeFertility = QueryDef(
     "bpe_fertility",
     (s, d) => {
+      import s.implicits._
+      // plant a language whose only document tokenizes to ZERO words:
+      // the zero-word aggregation path (n_words 0, fertility NULL) is
+      // exercised and hash-checked on both engines, instead of being
+      // an unreachable edge the two sides silently disagree on
       val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .unionByName(Seq((9000000L, "zz", "")).toDF("doc_id", "lang", "text"))
       val enc = BpeTokenizer.trainAndEncode(docs, "doc_id", "text", bpeM)
       docs.select(col("doc_id"), col("lang")).join(enc, Seq("doc_id"))
         .groupBy(col("lang"))
         .agg(sum(col("n_words")).as("n_words"),
           sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
         .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
-          round(col("n_bpe_tokens").cast("double") /
-            col("n_words").cast("double"), 6).as("fertility"))
+          when(col("n_words") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_bpe_tokens").cast("double") /
+              col("n_words").cast("double"), 6)).as("fertility"))
     },
+    // the planted doc contributes no words, so the TRAINING chain
+    // (v0..vN) over `documents` is untouched; only the per-language
+    // aggregation unions it in, via a per-doc LEFT JOIN that emits
+    // zero-count rows exactly like the engine's encode coalesce
     Some(s"""WITH $bpeTrainCtes,
       enc AS MATERIALIZED (SELECT w,
           CAST(len(string_split(syms, chr(1))) AS BIGINT) AS n_sym
         FROM v$bpeM),
-      ag AS (SELECT d.lang, COUNT(*) AS n_words, SUM(e.n_sym) AS n_bpe
-        FROM tok t JOIN enc e USING (w) JOIN documents d USING (doc_id)
+      d2 AS (SELECT doc_id, lang FROM documents
+             UNION ALL SELECT 9000000, 'zz'),
+      agg AS (SELECT t.doc_id, COUNT(*) AS n_words, SUM(e.n_sym) AS n_bpe
+        FROM tok t JOIN enc e USING (w) GROUP BY t.doc_id),
+      ag AS (SELECT d.lang,
+          SUM(COALESCE(a.n_words, 0)) AS n_words,
+          SUM(COALESCE(a.n_bpe, 0)) AS n_bpe
+        FROM d2 d LEFT JOIN agg a USING (doc_id)
         GROUP BY d.lang)
       SELECT lang, CAST(n_words AS BIGINT) AS n_words,
         CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
-        round(CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS fertility
+        CASE WHEN n_words = 0 THEN NULL
+             ELSE round(CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        END AS fertility
       FROM ag"""))
 
   // --- dedup ------------------------------------------------------
@@ -538,11 +687,14 @@ object DataPipeQueries {
         FROM toks, UNNEST(generate_series(1, len(w))) g(i)),
       kept AS (SELECT t.doc_id, t.n_tokens, t.pos, t.tok
         FROM tk t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
-        WHERE r.doc_id IS NULL)
-      SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+        WHERE r.doc_id IS NULL),
+      agg AS (SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
         CAST(MAX(n_tokens) - COUNT(*) AS BIGINT) AS n_removed,
         array_to_string(LIST(tok ORDER BY pos), ' ') AS trimmed_text
-      FROM kept GROUP BY doc_id"""))
+      FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+        COALESCE(a.n_removed, 0) AS n_removed, a.trimmed_text
+      FROM docs3 d LEFT JOIN agg a USING (doc_id)"""))
 
   private val dedupNgramJaccard = QueryDef(
     "dedup_ngram_jaccard",
@@ -822,14 +974,16 @@ object DataPipeQueries {
     (s, d) => Chunker.slidingWindows(Tables.documents(s, d),
       "doc_id", "text", window = 64, stride = 48),
     Some("""WITH toks AS (SELECT doc_id,
-        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          t -> len(t) > 0) AS w
         FROM documents)
       SELECT doc_id, CAST(i AS BIGINT) AS win_id,
         CAST(i * 48 AS BIGINT) AS start_tok,
         CAST(LEAST(64, len(w) - i * 48) AS BIGINT) AS n_tokens,
         array_to_string(w[i * 48 + 1 : i * 48 + LEAST(64, len(w) - i * 48)], ' ')
           AS chunk
-      FROM toks, UNNEST(generate_series(0, (len(w) - 1) // 48)) AS g(i)"""))
+      FROM toks, UNNEST(generate_series(0, (len(w) - 1) // 48)) AS g(i)
+      WHERE len(w) > 0"""))
 
   /** PII redaction: the corpus is synthetic word salad, so a
     * deterministic email + long digit run is INJECTED per row (both
@@ -1058,7 +1212,7 @@ object DataPipeQueries {
       rawc AS (SELECT b, COUNT(*) AS cr FROM ktok GROUP BY 1),
       tgtc AS (SELECT b, COUNT(*) AS ct FROM ktok WHERE lang = 'en' GROUP BY 1),
       tot AS (SELECT (SELECT SUM(cr) FROM rawc) AS tr,
-                     (SELECT SUM(ct) FROM tgtc) AS tt),
+                     COALESCE((SELECT SUM(ct) FROM tgtc), 0) AS tt),
       lrs AS (SELECT rawc.b,
           round(ln(CAST(COALESCE(tgtc.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + 64 AS DOUBLE))
               - ln(CAST(rawc.cr + 1 AS DOUBLE) / CAST(tot.tr + 64 AS DOUBLE)), 8) AS lr
@@ -1090,7 +1244,9 @@ object DataPipeQueries {
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
-    textRepetition, textVocab, textPerplexity, sampleImportance,
+    textRepetition, textVocab, textPerplexity, textPerplexityInline,
+    textClassifier, textClassifierInline, sampleImportance,
+    sampleImportanceSoft,
     bpeMerges, bpeEncode, bpeFertility,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,

@@ -99,4 +99,28 @@ class LanguageModelSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(out(1L) === w1)
   }
+
+  test("soft sampling adds the hash-derived Gumbel noise and selects top-N") {
+    val docs = (
+      (1L to 4L).map(i => (i, "alpha beta alpha", true)) ++
+      (5L to 8L).map(i => (i, "gamma delta gamma", false)) :+
+      ((9L, "alpha beta", false))).toDF("doc_id", "text", "tgt")
+    val out = LanguageModel.importanceWeightsSoft(docs, "doc_id", "text",
+      col("tgt"), buckets = 16, topN = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.length === 9)
+    assert(out.count(_._4) === 3, "exactly topN selected")
+    // the noise is the deterministic per-doc Gumbel: replay it
+    def gumbel(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.take(15), 16)
+      r8(-math.log(-math.log((h + 0.5) / math.pow(2, 60))))
+    }
+    for ((id, w, nw, _) <- out)
+      assert(nw === r4(w + gumbel(id)), s"doc $id noisy weight")
+    // selection follows the NOISY ranking, tie-broken by id
+    val expect = out.sortBy(t => (-t._3, t._1)).take(3).map(_._1).toSet
+    assert(out.filter(_._4).map(_._1).toSet === expect)
+  }
 }

@@ -178,7 +178,10 @@ class SparkPropertySpec extends SparkSpec {
   }
 
   test("bpe token counts sit between word and character counts") {
-    val docs = graft.sources.Tables.documents(spark, sf).limit(200)
+    // pinned sample: enc and chars below are separate actions over
+    // this plan, so an unordered limit could hand them different rows
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .orderBy(col("doc_id")).limit(200)
     val enc = graft.datapipe.BpeTokenizer.trainAndEncode(
       docs, "doc_id", "text", 8)
     val chars = docs.select(col("doc_id"),

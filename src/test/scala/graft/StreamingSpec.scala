@@ -410,6 +410,72 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("a frozen NB classifier scores a stream to the batch scores") {
+    // train offline (nbModel), score inline (nbScore) — the pure-
+    // Column fold streams untouched and must reproduce the batch
+    // naiveBayes (n_tokens, score, predicted) on the same corpus
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.Classifier
+    val texts = Seq((1L, "the cat is on the mat", true),
+      (2L, "el gato y la casa", false), (3L, "the dog and the fox", true),
+      (4L, null.asInstanceOf[String], false))
+    val batchDf = texts.toDF("doc_id", "text", "pos")
+    val model = Classifier.nbModel(batchDf, "text", col("pos"), buckets = 32)
+    val in = MemoryStream[(Long, String)]
+    val q = Classifier.nbScore(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("nb_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts.map(t3 => (t3._1, t3._2)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("nb_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    val batch = Classifier.naiveBayes(batchDf, "doc_id", "text", col("pos"),
+      buckets = 32).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(streamed === batch)
+  }
+
+  test("a frozen bigram LM scores a stream to the batch perplexities") {
+    // train offline (bigramLm), score inline (perplexityScore) — the
+    // per-row UDF fold streams untouched and must reproduce the batch
+    // retrain's (n_bigrams, ppl) on the same corpus; docs 4 and 5
+    // exercise the too-short (ppl NULL) and null-text paths, and doc 6
+    // arrives with UNSEEN bigrams (the smoothed zero-count mass)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.LanguageModel
+    val texts = Seq((1L, "alpha beta alpha beta gamma"),
+      (2L, "gamma delta gamma"), (3L, "alpha beta"),
+      (4L, "single"), (5L, null.asInstanceOf[String]))
+    val batchDf = texts.toDF("doc_id", "text")
+    val model = LanguageModel.bigramLm(batchDf, "text")
+    val in = MemoryStream[(Long, String)]
+    val q = LanguageModel.perplexityScore(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("ppl_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts: _*)
+    in.addData((6L, "epsilon zeta"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ppl_stream").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    val batch = LanguageModel.perplexity(batchDf, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert((streamed - 6L) === batch)
+    // the unseen-bigram doc scores finitely via add-one smoothing:
+    // p = 1/V for both unknown contexts, so ppl = V exactly
+    assert(streamed(6L)._1 === 1L)
+    assert(streamed(6L)._2.get === model.v.toDouble)
+  }
+
   test("sliding-window chunking streams statelessly and matches batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.datapipe.Chunker
