@@ -1,5 +1,7 @@
 package graft.datapipe
 
+import graft.datapipe.Staging.Staged
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -107,8 +109,22 @@ object Sampling {
   def upsampleWeighted(df: DataFrame, key: Column, stratum: Column,
                        weights: DataFrame, stratumCol: String = "source",
                        weightCol: String = "boost"): DataFrame = {
+    require(!df.columns.contains("__stratum") && !df.columns.contains("__w"),
+      "upsampleWeighted reserves the __stratum/__w column names")
+    // stage(): the weight table is source-count-sized but may derive
+    // from a corpus aggregation (temperatureWeights); the uniqueness
+    // guard below is an action, so without the stage the upstream
+    // pipeline would run once for the guard and again for the join
     val w = weights.select(col(stratumCol).as("__stratum"),
       col(weightCol).cast("double").as("__w"))
+      .distinct().stage()
+    // a stratum with two CONFLICTING weights would silently multiply
+    // every row of that source via join fan-out — reject loudly
+    // (exact-duplicate rows are folded by the distinct above)
+    val dup = w.groupBy(col("__stratum")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count()
+    require(dup == 0,
+      "upsampleWeighted needs exactly one weight per stratum")
     replicate(df.join(broadcast(w), stratum === col("__stratum")),
       key, col("__w"))
       .drop("__stratum", "__w")

@@ -965,6 +965,47 @@ object DataPipeQueries {
           (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS boost
       FROM p, t"""))
 
+  /** The composed mixture pipeline a pretraining run actually
+    * executes: temperature-scaled source weights (α=0.7) drive
+    * fractional per-source replication — [[Sampling.temperatureWeights]]'
+    * (source, boost) rows feed [[Sampling.upsampleWeighted]]'s
+    * broadcast weight join, no driver round-trip. The oracle replays
+    * the α-normalizer, the per-source boost, and the deterministic
+    * md5-bucket fractional replication in one SQL chain, so the
+    * composition's hash certifies the stage boundary: which boost
+    * each source got AND which documents drew the extra copy.
+    */
+  private val e2eMixture = QueryDef(
+    "e2e_mixture",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val wts = Sampling.temperatureWeights(
+        Tables.documents(s, d), col("source"), alpha = 0.7)
+        .select(col("source"), col("boost"))
+      Sampling.upsampleWeighted(docs, col("doc_id"), col("source"), wts)
+    },
+    Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs
+        FROM documents GROUP BY source),
+      p AS (SELECT source, n_docs,
+        round(exp(0.7 * ln(CAST(n_docs AS DOUBLE))), 8) AS na FROM c),
+      t AS (SELECT SUM(CAST(na AS DECIMAL(28,8))) AS z,
+        SUM(n_docs) AS n_total FROM p),
+      wts AS (SELECT source,
+        round((na / CAST(z AS DOUBLE)) /
+          (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS w
+        FROM p, t),
+      j AS (SELECT d.doc_id, d.source, w.w,
+        ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        FROM documents d JOIN wts w USING (source)),
+      n AS (SELECT doc_id, source,
+        CAST(FLOOR(w) AS BIGINT) +
+          CASE WHEN b < CAST(ROUND((w - FLOOR(w)) * 100) AS BIGINT)
+               THEN 1 ELSE 0 END AS n_copies
+        FROM j)
+      SELECT doc_id, source, u.copy
+      FROM n, UNNEST(generate_series(1::BIGINT, n_copies)) u(copy)
+      WHERE n_copies > 0"""))
+
   /** Sliding-window samples at window=64, stride=48 (overlapping):
     * every row's chunk text rides the compare, so window arithmetic,
     * slicing, and the short-final-window rule are all hash-checked.
@@ -1252,6 +1293,6 @@ object DataPipeQueries {
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
     packChunks, decontaminate, mixtureUpsample, mixtureTemperature,
-    chunkSliding, shuffleRank,
+    e2eMixture, chunkSliding, shuffleRank,
     textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration)
 }

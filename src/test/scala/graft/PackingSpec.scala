@@ -73,6 +73,37 @@ class PackingSpec extends SparkSpec {
     assert(n2 > 400 && n2 < 600, s"extra-copy fraction off: $n2/1000")
   }
 
+  test("upsampleWeighted mirrors the literal map and drops absent sources") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "source")
+    val wts = Seq(("a", 3.0), ("b", 0.0)).toDF("source", "boost")
+    val out = graft.datapipe.Sampling.upsampleWeighted(
+      df, col("doc_id"), col("source"), wts)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    // weight 3 → three numbered copies; weight 0 → dropped; source c
+    // is absent from the table → dropped (the weight-0 analogue)
+    assert(out === Seq((1L, "a", 1L), (1L, "a", 2L), (1L, "a", 3L)))
+    // parity with the literal-map kernel on the covered strata
+    val viaMap = graft.datapipe.Sampling.upsample(
+      df.filter(col("source") =!= "c"), col("doc_id"), col("source"),
+      Map("a" -> 3.0, "b" -> 0.0), defaultWeight = 0.0)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(out === viaMap)
+  }
+
+  test("upsampleWeighted rejects conflicting duplicate stratum weights") {
+    val df = Seq((1L, "a")).toDF("doc_id", "source")
+    val wts = Seq(("a", 2.0), ("a", 3.0)).toDF("source", "boost")
+    intercept[IllegalArgumentException] {
+      graft.datapipe.Sampling.upsampleWeighted(
+        df, col("doc_id"), col("source"), wts)
+    }
+    // exact-duplicate rows fold instead of fanning out
+    val dup = Seq(("a", 2.0), ("a", 2.0)).toDF("source", "boost")
+    val out = graft.datapipe.Sampling.upsampleWeighted(
+      df, col("doc_id"), col("source"), dup).collect()
+    assert(out.length === 2, "weight 2.0 applied once, not join-doubled")
+  }
+
   test("shuffle ranks are a permutation of 0..n-1 and differ from id order") {
     val ranks = graft.datapipe.ShuffleOrder.shuffleRank(docs, col("doc_id"))
       .as[(Long, Long)].collect().sortBy(_._1)
