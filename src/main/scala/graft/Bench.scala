@@ -99,10 +99,13 @@ object Bench {
     // second compact line (total + failures + the 10 slowest medians)
     // is small enough to always survive the tail window, so every
     // round's headline is comparable even if the full line truncates.
+    // Named "total_compact", NOT "total": a consumer keying records by
+    // metric must never see two conflicting "total" objects with
+    // different shapes (prefer this one when both survive).
     val slowest = results.sortBy(r => -median(r._2)).take(10)
       .map { case (k, v, _) => s"${jstr(k)}:${median(v)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._3.nonEmpty)},"slowest":$slowest,"sf":"$sfDir","reps":$REPS}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._3.nonEmpty)},"slowest":$slowest,"sf":"$sfDir","reps":$REPS}""")
     spark.stop()
   }
 }

@@ -147,9 +147,15 @@ object LanguageModel {
     * document's log-ratio weight and take the top N by the noisy
     * score. The uniform u derives from the document KEY via the
     * engine-portable md5 hash — u = (md5_60(doc_id) + 0.5) / 2^60,
-    * never exactly 0 or 1 — so the "random" draw is a deterministic
-    * function of the data: the same documents are sampled in every
-    * run, on every cluster layout, and in the oracle's replay.
+    * clamped to at most 1 − 1e-12 — so the "random" draw is a
+    * deterministic function of the data: the same documents are
+    * sampled in every run, on every cluster layout, and in the
+    * oracle's replay. The clamp exists because the hash-to-double
+    * cast rounds (double spacing at 2^60 is 256): a hash within 128
+    * of 2^60 rounds UP to exactly 2^60, making u = 1.0 — where
+    * Spark's log(0) yields NULL but DuckDB's ln(0) yields -inf, so
+    * the engines would diverge on ~2^-53 of documents. Both sides
+    * compute the identical IEEE expression least(u, 1.0 - 1e-12).
     * The noise is quantized to 8 dp (the log-space convention) and
     * the noisy weight to 4 dp; ties break by doc_id.
     *
@@ -161,8 +167,9 @@ object LanguageModel {
                             isTarget: Column, buckets: Int = 64,
                             topN: Int = 100): DataFrame = {
     val all = weightTable(docs, idCol, textCol, isTarget, buckets)
-    val u = (TextAnalysis.md5Long60(col("doc_id").cast("string"))
-      .cast("double") + lit(0.5)) / lit(math.pow(2, 60))
+    val u = least((TextAnalysis.md5Long60(col("doc_id").cast("string"))
+      .cast("double") + lit(0.5)) / lit(math.pow(2, 60)),
+      lit(1.0 - 1e-12))
     val noisy = all.withColumn("noisy_weight",
       round(col("weight") + round(-log(-log(u)), 8), 4))
     val top = noisy.orderBy(col("noisy_weight").desc, col("doc_id"))

@@ -307,9 +307,9 @@ object DataPipeQueries {
           COALESCE(wt, 0.0) AS weight
         FROM toks t LEFT JOIN wsum USING (doc_id)),
       gw AS (SELECT doc_id, n_tokens, weight,
-          round(weight + round(-ln(-ln(
+          round(weight + round(-ln(-ln(least(
             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-              + 0.5) / 1152921504606846976.0)), 8), 4) AS noisy_weight
+              + 0.5) / 1152921504606846976.0, 1.0 - 1e-12))), 8), 4) AS noisy_weight
         FROM allw)
       SELECT doc_id, n_tokens, weight, noisy_weight,
         (row_number() OVER (ORDER BY noisy_weight DESC, doc_id) <= 100) AS selected
@@ -320,7 +320,11 @@ object DataPipeQueries {
     * derivable in BOTH engines — over 256 md5-hashed unigram buckets.
     * The oracle retrains the class-conditional counts, prior, and
     * per-document fold in SQL, so the hash certifies the whole
-    * closed-form training, not just the scores.
+    * closed-form training, not just the scores. The label COALESCEs to
+    * FALSE on NULL text: Spark's predictLang(NULL) is 'und' (the when-
+    * chain's otherwise), so `=== "en"` is false, and the oracle must
+    * count such docs in the negative class the same way rather than
+    * excluding NULL is_pos rows from both classes.
     */
   private val nbLabelSql = """
       ls AS (SELECT doc_id,
@@ -330,7 +334,8 @@ object DataPipeQueries {
         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de
         FROM documents),
       lab AS (SELECT doc_id,
-        (s_en > 0 AND s_en >= greatest(s_en, s_es, s_fr, s_de)) AS is_pos
+        COALESCE(s_en > 0 AND s_en >= greatest(s_en, s_es, s_fr, s_de),
+          FALSE) AS is_pos
         FROM ls),
       toks AS (SELECT doc_id,
         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
@@ -459,12 +464,21 @@ object DataPipeQueries {
       // an unreachable edge the two sides silently disagree on
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("text"))
-        .unionByName(Seq((9000000L, "zz", "")).toDF("doc_id", "lang", "text"))
+      // a sentinel colliding with a real id would fan out the per-doc
+      // join below and double-count that document's tokens — reject
+      // loudly (one pushed-filter scan of the id column)
+      require(docs.filter(col("doc_id") === 9000000L).isEmpty,
+        "bpe_fertility sentinel doc_id 9000000 collides with the corpus")
+      // train on bare `documents` — textually identical to the
+      // oracle's training input; the planted row joins ONLY the
+      // per-language aggregation via the left join's zero-fill
       val enc = BpeTokenizer.trainAndEncode(docs, "doc_id", "text", bpeM)
-      docs.select(col("doc_id"), col("lang")).join(enc, Seq("doc_id"))
+      docs.select(col("doc_id"), col("lang"))
+        .unionByName(Seq((9000000L, "zz")).toDF("doc_id", "lang"))
+        .join(enc, Seq("doc_id"), "left")
         .groupBy(col("lang"))
-        .agg(sum(col("n_words")).as("n_words"),
-          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .agg(sum(coalesce(col("n_words"), lit(0L))).as("n_words"),
+          sum(coalesce(col("n_bpe_tokens"), lit(0L))).as("n_bpe_tokens"))
         .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
           when(col("n_words") === 0, lit(null).cast("double"))
             .otherwise(round(col("n_bpe_tokens").cast("double") /
