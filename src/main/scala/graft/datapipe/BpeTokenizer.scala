@@ -30,9 +30,16 @@ import org.apache.spark.storage.StorageLevel
   * counts, same (count DESC, pair ASC) tie-break in UTF-8 byte order
   * (BpeTokenizerSpec pins the equivalence).
   *
-  * Simplifications vs production BPE, documented: symbols start as
-  * single characters with no end-of-word marker, and merges apply
-  * within words only (the standard word-boundary assumption).
+  * Word-boundary handling follows Sennrich's learn_bpe: the final
+  * character of every word carries an end-of-word marker ([[Eow]],
+  * appended to the last symbol, not emitted as its own symbol — so
+  * initial symbol counts stay equal to character counts), which makes
+  * merges boundary-aware: a (t, h) merge learned word-internally
+  * never fires on a word-final "t h␂", word-final subwords learn as
+  * their own vocabulary entries, and fertility numbers on
+  * multilingual text are honest rather than flattered by
+  * position-blind merging. Merges apply within words only (the
+  * standard word-boundary assumption).
   *
   * Determinism/portability: pair counts are exact integer sums; the
   * argmax tie-break is (count DESC, left ASC, right ASC) on binary
@@ -50,13 +57,23 @@ object BpeTokenizer {
   /** Symbol separator inside a word's symbol string. */
   val Sep = "\u0001"
 
+  /** End-of-word marker, appended to each word's FINAL symbol (the
+    * Sennrich convention). U+0002: like [[Sep]], never in real text,
+    * and one byte below every printable character in UTF-8 order so
+    * the argmax tie-break stays engine-portable (the oracle replays
+    * it as chr(2)).
+    */
+  val Eow = "\u0002"
+
   private def normTokens(textCol: Column): Column =
     split(TextAnalysis.normalize(textCol), " ")
 
-  /** Initial symbol string: the word's characters Sep-joined. */
+  /** Initial symbol string: the word's characters Sep-joined, with
+    * [[Eow]] attached to the last character's symbol.
+    */
   private def initSyms(w: Column): Column =
-    array_join(transform(sequence(lit(1), length(w)),
-      i => substr(w, i, lit(1))), Sep)
+    concat(array_join(transform(sequence(lit(1), length(w)),
+      i => substr(w, i, lit(1))), Sep), lit(Eow))
 
   /** Greedy left-to-right non-overlapping application of merge (a,b)
     * to a symbol string: fold symbols, merging when the accumulated
@@ -192,6 +209,7 @@ object BpeTokenizer {
     val vocab = words.map { case (w, c) =>
       val syms = w.codePoints().toArray
         .map(cp => new String(Character.toChars(cp)))
+      syms(syms.length - 1) += Eow // words are non-empty by contract
       (w, c, syms)
     }
     val merges = ArrayBuffer.empty[(String, String)]
@@ -241,6 +259,7 @@ object BpeTokenizer {
     words.map { w =>
       var syms = w.codePoints().toArray
         .map(cp => new String(Character.toChars(cp)))
+      syms(syms.length - 1) += Eow // words are non-empty by contract
       for ((a, b) <- merges if syms.length > 1) {
         val out = ArrayBuffer.empty[String]
         var i = 0

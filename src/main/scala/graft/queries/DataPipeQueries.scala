@@ -423,7 +423,7 @@ object DataPipeQueries {
       FROM toks, UNNEST(w) AS u(t) WHERE len(u.t) > 0),
     v0 AS MATERIALIZED (SELECT w, COUNT(*) AS cnt,
         array_to_string(list_transform(generate_series(1, len(w)),
-          i -> substr(w, i, 1)), chr(1)) AS syms
+          i -> substr(w, i, 1)), chr(1)) || chr(2) AS syms
       FROM tok GROUP BY w),
     ${(0 until bpeM).map(bpeRound(_)).mkString(",")}"""
 
@@ -1284,7 +1284,7 @@ object DataPipeQueries {
         WHERE len(u.t) > 0),
       cv0 AS MATERIALIZED (SELECT w, COUNT(*) AS cnt,
           array_to_string(list_transform(generate_series(1, len(w)),
-            i -> substr(w, i, 1)), chr(1)) AS syms
+            i -> substr(w, i, 1)), chr(1)) || chr(2) AS syms
         FROM ctok GROUP BY w),
       ${(0 until 6).map(bpeRound(_, "c")).mkString(",")},
       cenc AS MATERIALIZED (SELECT w,

@@ -520,8 +520,8 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", model).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(streamed === batch)
-    // hand check: low=[low](1) slow=[s,low](2) newest=[new,es,t](3)
-    assert(streamed(11L) === ((3L, 6L)))
+    // hand check: low=[low␂](1) slow=[s,low␂](2) newest=[ne,we,s,t␂](4)
+    assert(streamed(11L) === ((3L, 7L)))
   }
 
   test("stream-stream interval join matches only inside the lookback") {
