@@ -204,6 +204,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup recall and precision against brute-force truth") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cosineSimilarity
+    // plant NEAR-dups (cos < 1, not exact twins): every even-id vector
+    // gets a copy at id+1000000 with its first component scaled 1.001
+    // — close enough that round(cos, 4) clears τ, far enough that the
+    // structural exact-duplicate guarantee does not apply
+    val vecs = emb.select(col("vec_id"), col("emb"))
+    val twins = vecs.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("emb"),
+          (x, i) => when(i === 0, x * 1.001).otherwise(x)).as("emb"))
+    val corpus = vecs.unionByName(twins)
+    val tau = 0.999
+    // GLOBAL ground truth, no cells: drop a iff any smaller id is
+    // within τ — exactly semanticDedup's rule minus the clustering
+    val shouldDrop = corpus.select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+      .crossJoin(corpus.select(col("vec_id").as("b_id"), col("emb").as("b_emb")))
+      .filter(col("b_id") < col("a_id"))
+      .filter(round(cosineSimilarity(col("a_emb"), col("b_emb")), 4) >= tau)
+      .select(col("a_id")).distinct().as[Long].collect().toSet
+    assert(shouldDrop.nonEmpty, "fixture must plant at least one near-dup")
+    val out = Similarity.semanticDedup(corpus, k = 4, iters = 2,
+      threshold = tau).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val dropped = out.filter(!_._2).keySet
+    // precision is structural: a within-cell drop always has a global
+    // witness pair, so no drop may lack one
+    assert((dropped -- shouldDrop).isEmpty,
+      s"drops without a global witness: ${(dropped -- shouldDrop).take(5)}")
+    // recall: only pairs split across a k-means cell boundary may be
+    // missed — the technique's documented trade. Near-identical
+    // vectors virtually always share a cell, so the floor is high.
+    val recall = (dropped & shouldDrop).size.toDouble / shouldDrop.size
+    info(s"semantic-dedup drop recall over ${shouldDrop.size} truth drops: $recall")
+    assert(recall >= 0.9, s"cell-boundary recall $recall below 0.9")
+  }
+
   test("semantic dedup drops exactly the higher-id member of each twin pair") {
     import spark.implicits._
     // three well-separated base vectors, each with an exact twin at
