@@ -244,18 +244,31 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, bands: Int = 4, maxHamming: Int = 3,
                    hashPipeline: (Column, Int) => Column = hashedShingles)
+      : DataFrame =
+    codePairs(docs
+      .select(col(idCol).as("id"), hashPipeline(col(textCol), k).as("hh"))
+      .select(col("id"), simhashFromHashes(col("hh")).as("code")),
+      bands, maxHamming)
+
+  /** The banded-hamming pair join behind [[simhashPairs]], over ANY
+    * (id, 64-bit code) table — text simhash, image aHash
+    * ([[Multimodal.aHash64]]), any locality-sensitive 64-bit code.
+    * Exact-complete for hamming <= `maxHamming` by the [[simhashBands]]
+    * pigeonhole argument. Returns (a_id, b_id, hamming).
+    *
+    * Scale shape: the 16-byte id→code table is staged (it feeds both
+    * sides of the band self-join; without it each side re-runs the
+    * upstream code pipeline and the inferred isnotnull(<pipeline>)
+    * join-key predicate lands below any repartition, serializing onto
+    * the scan's splits), the code itself rides the band join so
+    * verification needs no join-back, and the whole operator is one
+    * self-join on a primitive (band, slice) key plus a distinct.
+    */
+  def codePairs(codes: DataFrame, bands: Int = 4, maxHamming: Int = 3)
       : DataFrame = {
     require(maxHamming < bands, "pigeonhole completeness needs maxHamming < bands")
-    // persist(): same rationale as minhashPairs — the 16-byte
-    // id→code table feeds both sides of the band self-join; without
-    // it each side re-runs the text pipeline and the inferred
-    // isnotnull(simhash64(...)) join-key predicate lands below the
-    // repartition on the scan's few splits.
-    val codes = docs
-      .select(col(idCol).as("id"), hashPipeline(col(textCol), k).as("hh"))
-      .select(col("id"), simhashFromHashes(col("hh")).as("code"))
-      .stage()
-    val buckets = codes.select(col("id"), col("code"),
+    val staged = codes.select(col("id"), col("code")).stage()
+    val buckets = staged.select(col("id"), col("code"),
       explode(simhashBands(col("code"), bands)).as("bb"))
     buckets.select(col("bb"), col("id").as("a_id"), col("code").as("a_code"))
       .hint("shuffle_hash")

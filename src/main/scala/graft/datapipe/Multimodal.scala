@@ -242,6 +242,97 @@ object Multimodal {
       .toDF()
   }
 
+  /** Deterministic NEAR-duplicate image corpus: every document's BMP
+    * plus a perturbed twin at doc_id+1000000 — same dimensions, same
+    * pixel rules, except the red channel of the (x < 2, y < 2) corner
+    * shifts by +16 mod 256. A handful of changed pixels leaves the
+    * perceptual hash within a few bits of the original (measured
+    * hamming 0-2 on this corpus), which is exactly the near-dup
+    * signature [[aHash64]] + banded hamming pairing must catch. The
+    * twin rule is closed-form so the external oracle rebuilds both
+    * rasters by independent arithmetic.
+    */
+  def imageCorpusWithTwins(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val (w, h) = dims(text)
+          val orig = encodeBmp(w, h,
+            (x, y) => (pixR(id, x, y), pixG(id, x, y), pixB(id, x, y)))
+          val twin = encodeBmp(w, h, (x, y) => {
+            val r = if (x < 2 && y < 2) (pixR(id, x, y) + 16) % 256
+                    else pixR(id, x, y)
+            (r, pixG(id, x, y), pixB(id, x, y))
+          })
+          Iterator((id, orig), (id + 1000000L, twin))
+        }
+      }
+      .toDF("doc_id", "img")
+  }
+
+  /** 64-bit average-hash (aHash) of a DECODED raster — the standard
+    * perceptual image fingerprint: map each pixel to one cell of an
+    * 8×8 grid (bx = x·8/w, integer floor), sum integer luminance
+    * (r+g+b) per cell, and set bit (by·8+bx) iff the cell's mean
+    * luminance exceeds the image's mean. The threshold compares by
+    * integer CROSS-MULTIPLICATION (cellSum·nPixels > totalSum·cellCnt)
+    * so the code is exact in any engine — no float division, no
+    * summation-order surface. Overflows only past ~1e8 pixels per
+    * image (765·n² vs 2^63); production gigapixel inputs should
+    * downscale first, as every published aHash pipeline does anyway.
+    */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val l = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+        val c = by * 8 + x * 8 / w
+        cellSum(c) += l
+        cellCnt(c) += 1
+        total += l
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var code = 0L
+    var c = 0
+    while (c < 64) {
+      if (cellCnt(c) > 0 && cellSum(c) * n > total * cellCnt(c))
+        code |= 1L << c
+      c += 1
+    }
+    code
+  }
+
+  /** (id, code) perceptual-hash table over ANY (id, bmp-bytes) media
+    * frame: real `javax.imageio` decode per row, partition-batched
+    * like every operator here. The output feeds the banded-hamming
+    * pair machinery ([[Dedup.codePairs]]) unchanged — image near-dup
+    * detection is text simhash with a different code generator.
+    */
+  def aHashTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val Seq(idCol, byteCol) = media.columns.take(2).toSeq
+    media.select(col(idCol), col(byteCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, payload) => (id, aHash64(decodeBmp(payload))) }
+      }
+      .toDF("id", "code")
+  }
+
   /** Real resize: decode the BMP, nearest-neighbour scale to w × h
     * (srcX = dstX * srcW / w, integer floor), re-encode as BMP. The
     * output column is decodable media again — MultimodalSpec decodes

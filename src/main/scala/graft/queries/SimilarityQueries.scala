@@ -496,9 +496,70 @@ object SimilarityQueries {
         CAST(54 + 16 * 48 AS BIGINT) AS n_bytes, CAST(ps AS BIGINT) AS pix_sum
       FROM s"""))
 
+  /** Perceptual-hash image dedup — the multimodal member of the
+    * near-dup family: every document's REAL decoded bitmap plus a
+    * corner-perturbed twin ([[Multimodal.imageCorpusWithTwins]]) is
+    * reduced to a 64-bit average-hash ([[Multimodal.aHash64]]:
+    * 8×8 block means vs image mean, integer cross-multiplied), and
+    * the generic banded-hamming join ([[Dedup.codePairs]], the
+    * simhash machinery with a different code generator) surfaces
+    * pairs within hamming 3 — twins measure 0-2, unrelated images
+    * ~32. The oracle rebuilds both rasters arithmetically, replays
+    * downscale+threshold+pack (as two 32-bit halves — DuckDB checks
+    * 64-bit shift overflow), and brute-forces all pairs, so the hash
+    * certifies decode, blocking, thresholding, AND the banded join's
+    * pigeonhole completeness in one compare.
+    */
+  private val multimodalPhashPairs = QueryDef(
+    "multimodal_phash_pairs",
+    (s, d) => {
+      // repartition: the test parquet is one split; see withTwins note
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val codes = Multimodal.aHashTable(s,
+        Multimodal.imageCorpusWithTwins(s, docs))
+      graft.datapipe.Dedup.codePairs(codes, bands = 4, maxHamming = 3)
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast("bigint").as("hamming"))
+    },
+    Some("""WITH m AS MATERIALIZED (
+        SELECT doc_id AS id, doc_id AS seed, FALSE AS tweaked,
+          8 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 24 AS w,
+          8 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 24 AS h
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, doc_id, TRUE,
+          8 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 24,
+          8 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 24
+        FROM documents),
+      px AS MATERIALIZED (SELECT id,
+          ((yy.y * 8) // h) * 8 + (xx.x * 8) // w AS cell,
+          (CASE WHEN tweaked AND xx.x < 2 AND yy.y < 2
+                THEN (xx.x*31 + yy.y*17 + seed*11 + 16) % 256
+                ELSE (xx.x*31 + yy.y*17 + seed*11) % 256 END)
+          + (xx.x*13 + yy.y*7 + seed*3) % 256
+          + (xx.x*5 + yy.y*29 + seed*7) % 256 AS l
+        FROM m, UNNEST(generate_series(0, w - 1)) AS xx(x),
+                UNNEST(generate_series(0, h - 1)) AS yy(y)),
+      cells AS MATERIALIZED (SELECT id, cell, SUM(l) AS cs, COUNT(*) AS cc
+        FROM px GROUP BY id, cell),
+      tot AS MATERIALIZED (SELECT id, SUM(cs) AS ts, SUM(cc) AS n
+        FROM cells GROUP BY id),
+      code AS MATERIALIZED (SELECT c.id,
+          COALESCE(SUM(CASE WHEN c.cell < 32 AND c.cs * t.n > t.ts * c.cc
+                            THEN 1::BIGINT << c.cell END), 0) AS lo,
+          COALESCE(SUM(CASE WHEN c.cell >= 32 AND c.cs * t.n > t.ts * c.cc
+                            THEN 1::BIGINT << (c.cell - 32) END), 0) AS hi
+        FROM cells c JOIN tot t USING (id) GROUP BY c.id)
+      SELECT a.id AS a_id, b.id AS b_id,
+        CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT)
+          AS hamming
+      FROM code a JOIN code b ON a.id < b.id
+      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""))
+
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simSq8, simPq,
       simIvfPq, dedupEmbedding, dedupSemantic, sampleClusterCap,
       multimodalDecode, multimodalFeatures, multimodalFrames,
-      multimodalResize)
+      multimodalResize, multimodalPhashPairs)
 }

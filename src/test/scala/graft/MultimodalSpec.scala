@@ -103,4 +103,24 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("f0") < 0 || col("f0") >= 1 || col("f3") < 0 || col("f3") >= 1)
     assert(bad.count() === 0)
   }
+
+  test("perceptual-hash pairs catch every planted twin at tiny hamming") {
+    val codes = Multimodal.aHashTable(spark,
+      Multimodal.imageCorpusWithTwins(spark, docs))
+    val pairs = graft.datapipe.Dedup.codePairs(codes, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = docs.as[(Long, String)].collect().map(_._1)
+    // completeness: a corner perturbation moves at most a couple of
+    // 8x8-block means, so every (doc, doc+1000000) twin must surface
+    val twinPairs = pairs.filter { case (a, b, _) => b == a + 1000000L }
+    assert(twinPairs.map(_._1).toSet === ids.toSet,
+      "every planted twin pair must be found")
+    // the hash is a pure function of the decoded raster: re-running
+    // the decode+hash yields identical codes
+    val again = Multimodal.aHashTable(spark,
+      Multimodal.imageCorpusWithTwins(spark, docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = codes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first === again)
+  }
 }
