@@ -151,18 +151,28 @@ object Classifier {
     */
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
               model: NbModel): DataFrame = {
-    val lrArr = array(model.bucketLr.map(lit): _*)
     // NULL text folds over an empty array → prior-only score with
     // n_tokens 0, exactly what the batch twin's left join produces
     val w = coalesce(toks(col(textCol)), typedlit(Seq.empty[String]))
     docs.select(col(idCol).as("doc_id"),
       size(w).cast("bigint").as("n_tokens"),
-      round(aggregate(
-        transform(w, t => element_at(lrArr,
-          bucketOf(t, model.bucketLr.length).cast("int") + 1)),
-        lit(model.prior).cast("decimal(28,8)"),
-        (acc, x) => (acc + x.cast("decimal(28,8)")).cast("decimal(28,8)"),
-        acc => acc.cast("double")), 4).as("score"))
+      nbScoreCol(w, model).as("score"))
       .withColumn("predicted", col("score") > 0)
+  }
+
+  /** The frozen-model scoring fold as a bare Column over a token
+    * array — the piece [[nbScore]] and composed gates
+    * ([[StreamGate.score]]) share: hash each token, index the literal
+    * ratio array, accumulate exact decimals from the prior, round to
+    * 4 dp.
+    */
+  def nbScoreCol(w: Column, model: NbModel): Column = {
+    val lrArr = array(model.bucketLr.map(lit): _*)
+    round(aggregate(
+      transform(w, t => element_at(lrArr,
+        bucketOf(t, model.bucketLr.length).cast("int") + 1)),
+      lit(model.prior).cast("decimal(28,8)"),
+      (acc, x) => (acc + x.cast("decimal(28,8)")).cast("decimal(28,8)"),
+      acc => acc.cast("double")), 4)
   }
 }

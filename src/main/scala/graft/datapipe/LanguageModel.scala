@@ -310,9 +310,23 @@ object LanguageModel {
     */
   def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
                       model: BigramLm): DataFrame = {
-    val spark = docs.sparkSession
+    val score = perplexityUdf(docs.sparkSession, model)
+    docs.select(col(idCol).as("doc_id"),
+      score(toks(col(textCol))).as("s"))
+      .select(col("doc_id"), col("s._1").as("n_bigrams"),
+        col("s._2").as("ppl"))
+  }
+
+  /** The frozen-LM scoring UDF behind [[perplexityScore]], exposed so
+    * composed gates ([[StreamGate.score]]) can evaluate it inside one
+    * shared projection: token array → struct(_1 = n_bigrams,
+    * _2 = ppl), null/sub-bigram input → (0, null).
+    */
+  def perplexityUdf(spark: org.apache.spark.sql.SparkSession,
+                    model: BigramLm)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val modelB = spark.sparkContext.broadcast(model)
-    val score = udf { ws: Seq[String] =>
+    udf { ws: Seq[String] =>
       if (ws == null || ws.length < 2) (0L, Option.empty[Double])
       else {
         val m = modelB.value
@@ -329,10 +343,6 @@ object LanguageModel {
         (n, Some(ppl))
       }
     }
-    docs.select(col(idCol).as("doc_id"),
-      score(toks(col(textCol))).as("s"))
-      .select(col("doc_id"), col("s._1").as("n_bigrams"),
-        col("s._2").as("ppl"))
   }
 
   /** Train the [[importanceWeights]] bucket model and return it as a
@@ -375,21 +385,28 @@ object LanguageModel {
     */
   def importanceScore(docs: DataFrame, idCol: String, textCol: String,
                       ratios: Array[Double]): DataFrame = {
-    val lrArr = array(ratios.map(lit): _*)
     // NULL text folds over an empty array → (0, 0.0), exactly what
     // the batch twin's left-join coalesce produces for such rows
     val w = coalesce(toks(col(textCol)), typedlit(Seq.empty[String]))
-    // the same exact-decimal accumulation as the batch scorer, as a
-    // per-row fold (each term is an 8-dp-rounded double, so the
-    // decimal sum is exact and matches bit-identically)
     docs.select(col(idCol).as("doc_id"),
       size(w).cast("bigint").as("n_tokens"),
-      round(aggregate(
-        transform(w, t => element_at(lrArr,
-          pmod(TextAnalysis.md5Long60(t.cast("binary")),
-            lit(ratios.length.toLong)).cast("int") + 1)),
-        lit(0).cast("decimal(28,8)"),
-        (acc, x) => (acc + x.cast("decimal(28,8)")).cast("decimal(28,8)"),
-        acc => acc.cast("double")), 4).as("weight"))
+      importanceScoreCol(w, ratios).as("weight"))
+  }
+
+  /** The frozen-ratio scoring fold as a bare Column over a token
+    * array — shared by [[importanceScore]] and composed gates
+    * ([[StreamGate.score]]): the same exact-decimal accumulation as
+    * the batch scorer (each term is an 8-dp-rounded double, so the
+    * decimal sum is exact and matches bit-identically), rounded 4 dp.
+    */
+  def importanceScoreCol(w: Column, ratios: Array[Double]): Column = {
+    val lrArr = array(ratios.map(lit): _*)
+    round(aggregate(
+      transform(w, t => element_at(lrArr,
+        pmod(TextAnalysis.md5Long60(t.cast("binary")),
+          lit(ratios.length.toLong)).cast("int") + 1)),
+      lit(0).cast("decimal(28,8)"),
+      (acc, x) => (acc + x.cast("decimal(28,8)")).cast("decimal(28,8)"),
+      acc => acc.cast("double")), 4)
   }
 }

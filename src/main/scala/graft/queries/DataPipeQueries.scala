@@ -392,6 +392,106 @@ object DataPipeQueries {
     },
     Some(s"WITH $nbLabelSql"))
 
+  /** The composed frozen-model STREAM GATE ([[graft.datapipe.StreamGate]]):
+    * all three trained quality models — NB classifier, bigram-LM
+    * perplexity, DSIR importance — scoring every document in ONE
+    * stateless projection and deciding keep/drop together, the
+    * composition an ingest pipeline actually deploys (each model solo
+    * is certified by text_classifier_inline / text_perplexity_inline /
+    * the StreamingSpec importance twin; this entry certifies the
+    * COMPOSITION). The oracle retrains all three models in SQL and
+    * replays the decision, so one hash covers every stage boundary.
+    * Run on the training corpus the frozen scorers must reproduce the
+    * batch retrains bit-for-bit.
+    */
+  private val e2eStreamGate = QueryDef(
+    "e2e_stream_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val nb = graft.datapipe.Classifier.nbModel(docs, "text", nbLabel, 256)
+      val lm = LanguageModel.bigramLm(docs, "text")
+      val ratios = LanguageModel.bucketRatios(docs, "doc_id", "text",
+        col("lang") === "en", 64)
+      graft.datapipe.StreamGate.score(docs, "doc_id", "text", nb, lm, ratios,
+        maxPpl = 30.0, minWeight = 0.0)
+    },
+    Some("""WITH toks AS (SELECT doc_id, lang,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      ls AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+        len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS s_es,
+        len(regexp_extract_all(lower(text), '\b(le|la|de|et|les)\b')) AS s_fr,
+        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de
+        FROM documents),
+      lab AS (SELECT doc_id,
+        COALESCE(s_en > 0 AND s_en >= greatest(s_en, s_es, s_fr, s_de),
+          FALSE) AS is_pos
+        FROM ls),
+      ntk AS (SELECT t.doc_id, lab.is_pos,
+          CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) % 256 AS b
+        FROM toks t JOIN lab USING (doc_id),
+             UNNEST(generate_series(1, len(w))) AS g(i)),
+      ncls AS (SELECT b,
+          COUNT(*) FILTER (WHERE is_pos) AS np,
+          COUNT(*) FILTER (WHERE NOT is_pos) AS nn
+        FROM ntk GROUP BY b),
+      ntot AS (SELECT COALESCE(SUM(np), 0) AS tp,
+                      COALESCE(SUM(nn), 0) AS tn FROM ncls),
+      nlrs AS (SELECT b,
+          round(ln(CAST(np + 1 AS DOUBLE) / CAST(tp + 256 AS DOUBLE))
+              - ln(CAST(nn + 1 AS DOUBLE) / CAST(tn + 256 AS DOUBLE)), 8) AS lr
+        FROM ncls, ntot),
+      npri AS (SELECT round(
+          ln(CAST(dp + 1 AS DOUBLE) / CAST(dp + dn + 2 AS DOUBLE))
+        - ln(CAST(dn + 1 AS DOUBLE) / CAST(dp + dn + 2 AS DOUBLE)), 8) AS prior
+        FROM (SELECT COUNT(*) FILTER (WHERE is_pos) AS dp,
+                     COUNT(*) FILTER (WHERE NOT is_pos) AS dn FROM lab)),
+      nsum AS (SELECT doc_id, SUM(CAST(lr AS DECIMAL(28,8))) AS s
+        FROM ntk JOIN nlrs USING (b) GROUP BY doc_id),
+      nbsc AS (SELECT t.doc_id,
+          round(CAST(CAST(prior AS DECIMAL(28,8))
+            + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) AS nb_score
+        FROM toks t LEFT JOIN nsum USING (doc_id), npri),
+      bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+             FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+             WHERE len(w) >= 2),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      vc AS (SELECT COUNT(DISTINCT u.tk) AS v FROM toks, UNNEST(w) AS u(tk)),
+      lps AS (SELECT doc_id,
+          round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vc.v AS DOUBLE)), 8) AS lp
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vc),
+      psum AS (SELECT doc_id,
+          SUM(CAST(lp AS DECIMAL(28,8))) AS slp, COUNT(*) AS nb
+        FROM lps GROUP BY doc_id),
+      pscore AS (SELECT t.doc_id,
+          CAST(COALESCE(psum.nb, 0) AS BIGINT) AS n_bigrams,
+          round(exp(-CAST(slp AS DOUBLE) / psum.nb), 4) AS ppl
+        FROM toks t LEFT JOIN psum USING (doc_id)),
+      itk AS (SELECT doc_id, lang,
+          CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) % 64 AS b
+        FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)),
+      rawc AS (SELECT b, COUNT(*) AS cr FROM itk GROUP BY 1),
+      tgtc AS (SELECT b, COUNT(*) AS ct FROM itk WHERE lang = 'en' GROUP BY 1),
+      itot AS (SELECT (SELECT SUM(cr) FROM rawc) AS tr,
+                     COALESCE((SELECT SUM(ct) FROM tgtc), 0) AS tt),
+      ilrs AS (SELECT rawc.b,
+          round(ln(CAST(COALESCE(tgtc.ct, 0) + 1 AS DOUBLE) / CAST(itot.tt + 64 AS DOUBLE))
+              - ln(CAST(rawc.cr + 1 AS DOUBLE) / CAST(itot.tr + 64 AS DOUBLE)), 8) AS lr
+        FROM rawc LEFT JOIN tgtc USING (b), itot),
+      wsum AS (SELECT doc_id,
+          round(CAST(SUM(CAST(lr AS DECIMAL(28,8))) AS DOUBLE), 4) AS wt
+        FROM itk JOIN ilrs USING (b) GROUP BY doc_id),
+      iw AS (SELECT t.doc_id, COALESCE(wt, 0.0) AS weight
+        FROM toks t LEFT JOIN wsum USING (doc_id))
+      SELECT t.doc_id, CAST(COALESCE(len(w), 0) AS BIGINT) AS n_tokens,
+        nb_score, n_bigrams, ppl, weight,
+        (nb_score > 0 AND COALESCE(ppl <= 30.0, FALSE) AND weight >= 0.0)
+          AS kept
+      FROM toks t JOIN nbsc USING (doc_id) JOIN pscore USING (doc_id)
+        JOIN iw USING (doc_id)"""))
+
   // --- BPE tokenizer training -------------------------------------
 
   private val bpeM = 10
@@ -1308,5 +1408,6 @@ object DataPipeQueries {
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
     packChunks, decontaminate, mixtureUpsample, mixtureTemperature,
     e2eMixture, chunkSliding, shuffleRank,
-    textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration)
+    textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration,
+    e2eStreamGate)
 }

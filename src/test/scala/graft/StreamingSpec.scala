@@ -439,6 +439,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("the composed frozen-model gate streams to the batch decision") {
+    // all three frozen scorers in StreamGate's ONE projection must
+    // produce on a stream exactly what they produce in batch — incl.
+    // the composed keep/drop decision; doc 4 (no bigrams → NULL ppl)
+    // and doc 5 (null text) must fail the gate, never error
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.{Classifier, LanguageModel, StreamGate}
+    val texts = Seq(
+      (1L, "the cat is on the mat the cat", true),
+      (2L, "el gato y la casa", false),
+      (3L, "the dog and the fox", true),
+      (4L, "single", false),
+      (5L, null.asInstanceOf[String], false))
+    val batchDf = texts.toDF("doc_id", "text", "tgt")
+    val nb = Classifier.nbModel(batchDf, "text", col("tgt"), buckets = 32)
+    val lm = LanguageModel.bigramLm(batchDf, "text")
+    val ratios = LanguageModel.bucketRatios(batchDf, "doc_id", "text",
+      col("tgt"), buckets = 16)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      StreamGate.score(df, "doc_id", "text", nb, lm, ratios,
+        maxPpl = 50.0, minWeight = 0.0)
+    def rows(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getDouble(5), r.getBoolean(6)))).toMap
+    val in = MemoryStream[(Long, String)]
+    val q = gate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gate_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts.map(t3 => (t3._1, t3._2)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rows(spark.table("gate_stream").collect())
+    val batch = rows(gate(batchDf.select(col("doc_id"), col("text"))).collect())
+    assert(streamed === batch)
+    // sub-bigram and null-text docs fail the ppl gate via the
+    // null→false coalesce instead of erroring
+    assert(!streamed(4L)._6 && !streamed(5L)._6)
+    assert(streamed(5L)._4.isEmpty, "null text has no ppl")
+  }
+
   test("a frozen bigram LM scores a stream to the batch perplexities") {
     // train offline (bigramLm), score inline (perplexityScore) — the
     // per-row UDF fold streams untouched and must reproduce the batch
