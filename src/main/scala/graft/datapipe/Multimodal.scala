@@ -333,6 +333,145 @@ object Multimodal {
       .toDF("id", "code")
   }
 
+  // --- audio (WAV/PCM16) ------------------------------------------
+
+  /** Canonical 44-byte RIFF/WAVE PCM header + 16-bit LE mono samples. */
+  val WavHeaderBytes = 44
+
+  /** Audio corpus sample rate (Hz). */
+  val WavRate = 8000
+
+  /** Corpus length rule: md5(text) hex nibbles 9-12 → 800..2399
+    * samples (0.1-0.3 s at 8 kHz) — small enough for the oracle's
+    * per-sample generate_series replay at verification scale.
+    */
+  def wavSamples(text: String): Int = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    800 + (java.lang.Long.parseLong(hex.substring(8, 12), 16) % 1600).toInt
+  }
+
+  /** Per-sample rule (doc_id-seeded, 12-bit amplitude): closed-form
+    * so the oracle recomputes every sample by independent arithmetic.
+    */
+  def wavSample(id: Long, i: Int): Short =
+    (((i * 37L + id * 11L) % 4096L) - 2048L).toShort
+
+  /** Manual PCM16 mono WAV encoder (little-endian, canonical 44-byte
+    * header) — the audio twin of [[encodeBmp]].
+    */
+  def encodeWav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(WavHeaderBytes + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { b.putShort(samples(i)); i += 1 }
+    b.array()
+  }
+
+  /** Decode WAV bytes with the JDK's REAL audio reader
+    * (javax.sound.sampled) — sample rate from the parsed format,
+    * samples from the decoded frame bytes, nothing from the
+    * generation rule.
+    */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    val raw = ais.readAllBytes()
+    ais.close()
+    val out = new Array[Short](raw.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, out)
+  }
+
+  /** Deterministic audio corpus: (doc_id, wav) with real PCM16 WAV
+    * bytes — the generator stands in for reading an audio bytes
+    * column from storage, like [[imageCorpus]] for images.
+    */
+  def audioCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val n = wavSamples(text)
+          (id, encodeWav(WavRate, Array.tabulate(n)(wavSample(id, _))))
+        }
+      }
+      .toDF("doc_id", "wav")
+  }
+
+  final case class AudioStats(doc_id: Long, n_samples: Long,
+                              sample_rate: Long, duration_ms: Long,
+                              sum_sq: Long, zero_crossings: Long,
+                              peak: Long)
+
+  /** Decode ANY (id, wav-bytes) table to real sample-level stats —
+    * the audio analogue of [[decodeStats]]: rate and frame count from
+    * the parsed header, energy (exact integer Σ s²), sign-change
+    * count, and peak amplitude from the decoded samples. All integer,
+    * so any engine replays them bit-identically.
+    */
+  def audioStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val Seq(idCol, byteCol) = media.columns.take(2).toSeq
+    media.select(col(idCol), col(byteCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (rate, s) = decodeWav(payload)
+          var sumSq = 0L; var zc = 0L; var peak = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            sumSq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+            i += 1
+          }
+          AudioStats(id, s.length.toLong, rate.toLong,
+            s.length.toLong * 1000L / rate, sumSq, zc, peak)
+        }
+      }
+      .toDF()
+  }
+
+  /** Real decimating resample: decode, keep every `factor`-th sample,
+    * re-encode at rate/factor. The output column is decodable audio
+    * again — the entry feeds it back through [[audioStats]] so the
+    * decode→resample→encode→decode roundtrip is checked at sample
+    * level (the audio twin of [[resize]]).
+    */
+  def audioResample(spark: SparkSession, media: DataFrame,
+                    factor: Int): DataFrame = {
+    require(factor > 0, "decimation factor must be positive")
+    import spark.implicits._
+    val Seq(idCol, byteCol) = media.columns.take(2).toSeq
+    media.select(col(idCol), col(byteCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (rate, s) = decodeWav(payload)
+          val dec = Array.tabulate((s.length + factor - 1) / factor)(
+            j => s(j * factor))
+          (id, encodeWav(rate / factor, dec))
+        }
+      }
+      .toDF("doc_id", "wav")
+  }
+
   /** Real resize: decode the BMP, nearest-neighbour scale to w × h
     * (srcX = dstX * srcW / w, integer floor), re-encode as BMP. The
     * output column is decodable media again — MultimodalSpec decodes

@@ -557,9 +557,73 @@ object SimilarityQueries {
       FROM code a JOIN code b ON a.id < b.id
       WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""))
 
+  /** Audio path: the Spark side DECODES real PCM16 WAV bytes with the
+    * JDK's actual audio reader (javax.sound.sampled) — rate from the
+    * parsed header, samples from the decoded frames — while the
+    * oracle replays the closed-form generation rule arithmetically.
+    * Every stat is integer-exact (Σ s², sign changes, peak), so the
+    * hash certifies the real decode at sample level.
+    */
+  private val multimodalAudioStats = QueryDef(
+    "multimodal_audio_stats",
+    (s, d) => Multimodal.audioStats(s,
+      Multimodal.audioCorpus(s, Tables.documents(s, d))),
+    Some("""WITH a AS MATERIALIZED (SELECT doc_id,
+        800 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 1600 AS n
+        FROM documents),
+      s AS MATERIALIZED (SELECT doc_id, n, g.i,
+          ((g.i*37 + doc_id*11) % 4096) - 2048 AS v,
+          CASE WHEN g.i > 0
+               THEN (((g.i-1)*37 + doc_id*11) % 4096) - 2048 END AS pv
+        FROM a, UNNEST(generate_series(0, n - 1)) AS g(i)),
+      agg AS (SELECT doc_id, MAX(n) AS n, SUM(v*v) AS sum_sq,
+          MAX(abs(v)) AS peak,
+          SUM(CASE WHEN i > 0 AND ((v >= 0) <> (pv >= 0))
+              THEN 1 ELSE 0 END) AS zc
+        FROM s GROUP BY doc_id)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        CAST(8000 AS BIGINT) AS sample_rate,
+        CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+        CAST(sum_sq AS BIGINT) AS sum_sq,
+        CAST(zc AS BIGINT) AS zero_crossings,
+        CAST(peak AS BIGINT) AS peak
+      FROM agg"""))
+
+  /** Decode → decimate by 2 → re-encode at half rate → decode AGAIN:
+    * the stats of the resampled audio replay on v(2j), proving the
+    * full roundtrip at sample level (the audio twin of
+    * multimodal_resize).
+    */
+  private val multimodalAudioResample = QueryDef(
+    "multimodal_audio_resample",
+    (s, d) => Multimodal.audioStats(s, Multimodal.audioResample(s,
+      Multimodal.audioCorpus(s, Tables.documents(s, d)), 2)),
+    Some("""WITH a AS MATERIALIZED (SELECT doc_id,
+        800 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 1600 AS n
+        FROM documents),
+      d AS MATERIALIZED (SELECT doc_id, (n + 1) // 2 AS n2 FROM a),
+      s AS MATERIALIZED (SELECT doc_id, n2, g.j,
+          ((2*g.j*37 + doc_id*11) % 4096) - 2048 AS v,
+          CASE WHEN g.j > 0
+               THEN ((2*(g.j-1)*37 + doc_id*11) % 4096) - 2048 END AS pv
+        FROM d, UNNEST(generate_series(0, n2 - 1)) AS g(j)),
+      agg AS (SELECT doc_id, MAX(n2) AS n2, SUM(v*v) AS sum_sq,
+          MAX(abs(v)) AS peak,
+          SUM(CASE WHEN j > 0 AND ((v >= 0) <> (pv >= 0))
+              THEN 1 ELSE 0 END) AS zc
+        FROM s GROUP BY doc_id)
+      SELECT doc_id, CAST(n2 AS BIGINT) AS n_samples,
+        CAST(4000 AS BIGINT) AS sample_rate,
+        CAST((n2 * 1000) // 4000 AS BIGINT) AS duration_ms,
+        CAST(sum_sq AS BIGINT) AS sum_sq,
+        CAST(zc AS BIGINT) AS zero_crossings,
+        CAST(peak AS BIGINT) AS peak
+      FROM agg"""))
+
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simSq8, simPq,
       simIvfPq, dedupEmbedding, dedupSemantic, sampleClusterCap,
       multimodalDecode, multimodalFeatures, multimodalFrames,
-      multimodalResize, multimodalPhashPairs)
+      multimodalResize, multimodalPhashPairs, multimodalAudioStats,
+      multimodalAudioResample)
 }

@@ -123,4 +123,29 @@ class MultimodalSpec extends SparkSpec {
     val first = codes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(first === again)
   }
+
+  test("WAV roundtrip is sample-exact through the real JDK decoder") {
+    val (id, text) = docs.as[(Long, String)].head()
+    val n = Multimodal.wavSamples(text)
+    val samples = Array.tabulate(n)(Multimodal.wavSample(id, _))
+    val bytes = Multimodal.encodeWav(Multimodal.WavRate, samples)
+    assert(bytes.length === Multimodal.WavHeaderBytes + 2 * n)
+    val (rate, decoded) = Multimodal.decodeWav(bytes)
+    assert(rate === Multimodal.WavRate)
+    assert(decoded.toSeq === samples.toSeq, "decoded PCM must equal the rule")
+  }
+
+  test("audio decimation keeps every 2nd sample at half the rate") {
+    import org.apache.spark.sql.functions.col
+    val one = docs.limit(1)
+    val media = Multimodal.audioCorpus(spark, one)
+    val (id, text) = one.as[(Long, String)].head()
+    val resampled = Multimodal.audioResample(spark, media, 2)
+      .as[(Long, Array[Byte])].head()
+    val (rate, decoded) = Multimodal.decodeWav(resampled._2)
+    assert(rate === Multimodal.WavRate / 2)
+    val n = Multimodal.wavSamples(text)
+    val expect = (0 until (n + 1) / 2).map(j => Multimodal.wavSample(id, 2 * j))
+    assert(decoded.toSeq === expect)
+  }
 }
