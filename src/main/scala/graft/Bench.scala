@@ -49,6 +49,27 @@ object Bench {
     // emitting min alongside median makes residual noise visible in
     // the artifact instead of silently polluting cross-round diffs.
     val REPS = 3
+    // Calibration for the measured hot-JVM drift (r7 judge audit: the
+    // same code reads ~1.5-1.7x slower late in a 100-query run from
+    // codegen-class and GC accumulation, polluting cross-round
+    // artifact diffs): time ONE fixed reference query now (clean
+    // post-warmup state) and again after the main loop, and record
+    // end/start as this run's inflation factor — consumers can
+    // normalize late-alphabet queries without a fresh-JVM re-measure.
+    val CalQuery = "q1_pricing_summary"
+    def timeCal(): Double = {
+      val fn = SparkEntry.queries(CalQuery)
+      val runs = Vector.tabulate(REPS) { _ =>
+        dropAllCaches()
+        System.gc()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.sorted.apply(runs.size / 2)
+    }
+    val calStart = timeCal()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = Vector.newBuilder[Double]
       var err: Option[String] = None
@@ -105,7 +126,9 @@ object Bench {
     val slowest = results.sortBy(r => -median(r._2)).take(10)
       .map { case (k, v, _) => s"${jstr(k)}:${median(v)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._3.nonEmpty)},"slowest":$slowest,"sf":"$sfDir","reps":$REPS}""")
+    val calEnd = timeCal()
+    val inflation = if (calStart > 0) calEnd / calStart else 1.0
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._3.nonEmpty)},"slowest":$slowest,"calibration":{"query":${jstr(CalQuery)},"start_sec":$calStart,"end_sec":$calEnd,"hot_jvm_inflation":$inflation},"sf":"$sfDir","reps":$REPS}""")
     spark.stop()
   }
 }

@@ -101,6 +101,20 @@ object TextAnalysis {
   /** Normalization used by fingerprint/dedup: lower, collapse
     * whitespace, trim.
     */
+  /** THE tokenization convention, documented once (round-7 review
+    * asked for one rule): `split(normalize(text), " ")` on empty or
+    * whitespace-only text yields `[""]` — ONE phantom empty token.
+    * The hashed-bag model operators (Classifier, LanguageModel's
+    * importance weights) COUNT that token: their oracles replay
+    * `len(w)`/`generate_series(1, len(w))` over the same split, so
+    * the phantom hashes into a bucket on both engines identically and
+    * n_tokens agrees. The WORD-level operators (BpeTokenizer's word
+    * counts, Chunker's windows) FILTER `length > 0`: a zero-length
+    * word is not a word, and their oracles filter identically. Both
+    * camps are internally consistent with their oracles; unifying
+    * them would change every hash for no semantic gain — keep the
+    * rule per-family, per this note.
+    */
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 

@@ -102,6 +102,21 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("stream gate: one stateless projection, no exchange anywhere") {
+    val nb = graft.datapipe.Classifier.nbModel(docs, "text",
+      graft.datapipe.TextAnalysis.predictLang(col("text")) === "en", 32)
+    val lm = graft.datapipe.LanguageModel.bigramLm(docs, "text")
+    val ratios = graft.datapipe.LanguageModel.bucketRatios(
+      docs, "doc_id", "text", col("lang") === "en", 16)
+    val plan = graft.datapipe.StreamGate.score(docs, "doc_id", "text",
+      nb, lm, ratios, 30.0, 0.0).queryExecution.executedPlan.toString
+    // the deployed ingest gate must stay scan-shaped: any Exchange
+    // would mean a shuffle snuck into the per-row scoring path
+    assert(!plan.contains("Exchange"),
+      s"gate must not shuffle; plan:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), "gate must not join")
+  }
+
   test("perplexity: the bigram model joins are equi-joins, stream staged once") {
     val plan = graft.datapipe.LanguageModel.perplexity(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
