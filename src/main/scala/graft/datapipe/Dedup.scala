@@ -281,6 +281,57 @@ object Dedup {
       .distinct()
   }
 
+  /** Corpus-level duplicated n-gram coverage (the RefinedWeb/Gopher
+    * "fraction of content in duplicated n-grams" quality signal,
+    * Penedo et al. 2023 arXiv:2306.01116 §G / Rae et al. 2021
+    * arXiv:2112.11446): for each document, the fraction of its k-gram
+    * POSITIONS whose k-gram also appears in at least one OTHER
+    * document. Complements [[graft.datapipe.TextAnalysis.repetition]]
+    * (within-document repeats) and [[sharedSpans]] (pairwise
+    * alignment) — this is the corpus-frequency view a curation
+    * pipeline thresholds on before pairwise work is affordable.
+    *
+    * Scale shape: one explode to (doc, gram-hash) positions; the
+    * duplicated-gram set is a groupBy on the 8-byte gram hash whose
+    * shuffle carries (hash, doc) pairs deduped map-side — bounded by
+    * distinct k-grams, never corpus volume; the count-back is an
+    * equi-join on the hash (AQE broadcasts the dup set when small).
+    * Documents with fewer than k tokens report (0, 0, NULL).
+    *
+    * Output: (doc_id, n_grams, n_dup, dup_frac) — frac rounded 6 dp.
+    */
+  def dupNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("w"))
+    // per-POSITION window hashes (deliberately not the distinct
+    // ShingleHashes: coverage counts positions, and a doc repeating a
+    // corpus-duplicated gram five times has five duplicated positions)
+    val wins = when(size(col("w")) < k, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), size(col("w")) - k),
+        i => xxhash64(array_join(slice(col("w"), i + lit(1), lit(k)), " "))))
+    // (doc_id, h) position stream feeds the dup-set training AND the
+    // count-back join (see Staging)
+    val positions = base.select(col("doc_id"), explode(wins).as("h")).stage()
+    val dup = positions.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val counts = positions.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val dupCounts = positions.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    base.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(dupCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_grams").cast("double"), 6)).as("dup_frac"))
+  }
+
   /** Near-dup CLUSTERS from a pair list: connected components by
     * iterative min-label propagation — each round every vertex
     * adopts the smallest label among itself and its neighbours, so a

@@ -142,6 +142,37 @@ object DataPipeQueries {
       FROM toks t LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
         LEFT JOIN tw USING (doc_id)"""))
 
+  /** Corpus-level duplicated 5-gram coverage: the corpus-frequency
+    * quality signal ([[Dedup.dupNgramCoverage]]). The oracle groups
+    * by the gram STRING where Spark groups by its xxhash64 — equal
+    * counts under the same collision-free-at-64-bit assumption the
+    * ngram/minhash oracles document.
+    */
+  private val textDupNgrams = QueryDef(
+    "text_dup_ngrams",
+    (s, d) => Dedup.dupNgramCoverage(
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text", k = 5),
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      g AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gm
+            FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+            WHERE len(w) >= 5),
+      dup AS (SELECT gm FROM
+        (SELECT gm, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gm)
+        WHERE nd >= 2),
+      cnt AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+      dcnt AS (SELECT doc_id, COUNT(*) AS n_dup
+        FROM g JOIN dup USING (gm) GROUP BY doc_id)
+      SELECT t.doc_id, CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+        CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+        CASE WHEN COALESCE(n_grams, 0) = 0 THEN NULL
+             ELSE round(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_grams, 6)
+        END AS dup_frac
+      FROM toks t LEFT JOIN cnt USING (doc_id) LEFT JOIN dcnt USING (doc_id)"""))
+
   /** Top-100 corpus vocabulary with deterministic (freq desc, token)
     * ordering. The driver's compare sorts rows, so the LIMIT boundary
     * is the only order-sensitive part — and the tie-break pins it.
@@ -1399,7 +1430,8 @@ object DataPipeQueries {
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
-    textRepetition, textVocab, textPerplexity, textPerplexityInline,
+    textRepetition, textDupNgrams, textVocab, textPerplexity,
+    textPerplexityInline,
     textClassifier, textClassifierInline, sampleImportance,
     sampleImportanceSoft,
     bpeMerges, bpeEncode, bpeFertility,

@@ -620,10 +620,79 @@ object SimilarityQueries {
         CAST(peak AS BIGINT) AS peak
       FROM agg"""))
 
+  /** Composed CROSS-MODALITY curation gate: every document judged by
+    * all three of its modalities at once — decoded image size (real
+    * BMP header), decoded audio duration (real WAV header), and the
+    * corpus-level text signals (duplicated-5-gram coverage + word
+    * count) — with per-stage booleans carried so the oracle certifies
+    * each modality's decision, not just the final AND. This is the
+    * multimodal sibling of `e2e_quality_gate`/`e2e_stream_gate`: the
+    * decision a multimodal corpus pipeline runs before any pairwise
+    * dedup work is affordable.
+    */
+  private val e2eMultimodalGate = QueryDef(
+    "e2e_multimodal_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val img = Multimodal.decodeMetadata(s, docs)
+        .select(col("doc_id"), (col("width") * col("height")).as("n_pixels"))
+      val aud = Multimodal.audioStats(s, Multimodal.audioCorpus(s, docs))
+        .select(col("doc_id"), col("duration_ms"))
+      val txt = graft.datapipe.Dedup.dupNgramCoverage(docs, "doc_id", "text", 5)
+        .select(col("doc_id"), col("dup_frac"))
+      val qw = graft.datapipe.TextAnalysis.qualityFeatures(docs, col("text"))
+        .select(col("doc_id"), col("q_words"))
+      img.join(aud, "doc_id").join(txt, "doc_id").join(qw, "doc_id")
+        .select(col("doc_id"), col("n_pixels"), col("duration_ms"),
+          col("dup_frac"), col("q_words"),
+          (col("n_pixels") >= 200).as("kept_image"),
+          (col("duration_ms") >= 150).as("kept_audio"),
+          (coalesce(col("dup_frac") <= 0.5, lit(false)) &&
+            col("q_words") >= 20).as("kept_text"))
+        .withColumn("kept",
+          col("kept_image") && col("kept_audio") && col("kept_text"))
+    },
+    Some("""WITH dims AS (SELECT doc_id,
+        8 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 24 AS w,
+        8 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 24 AS h,
+        800 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 1600 AS n
+        FROM documents),
+      toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      g AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gm
+            FROM toks, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+            WHERE len(w) >= 5),
+      dup AS (SELECT gm FROM
+        (SELECT gm, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gm)
+        WHERE nd >= 2),
+      cnt AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+      dcnt AS (SELECT doc_id, COUNT(*) AS n_dup
+        FROM g JOIN dup USING (gm) GROUP BY doc_id),
+      df AS (SELECT t.doc_id,
+          CASE WHEN COALESCE(n_grams, 0) = 0 THEN NULL
+               ELSE round(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_grams, 6)
+          END AS dup_frac
+        FROM toks t LEFT JOIN cnt USING (doc_id) LEFT JOIN dcnt USING (doc_id)),
+      qw AS (SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS q_words
+        FROM documents)
+      SELECT d.doc_id, CAST(d.w * d.h AS BIGINT) AS n_pixels,
+        CAST((d.n * 1000) // 8000 AS BIGINT) AS duration_ms,
+        df.dup_frac, qw.q_words,
+        (d.w * d.h >= 200) AS kept_image,
+        ((d.n * 1000) // 8000 >= 150) AS kept_audio,
+        (COALESCE(df.dup_frac <= 0.5, FALSE) AND qw.q_words >= 20) AS kept_text,
+        ((d.w * d.h >= 200) AND ((d.n * 1000) // 8000 >= 150)
+          AND (COALESCE(df.dup_frac <= 0.5, FALSE) AND qw.q_words >= 20))
+          AS kept
+      FROM dims d JOIN df ON d.doc_id = df.doc_id
+        JOIN qw ON d.doc_id = qw.doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simSq8, simPq,
       simIvfPq, dedupEmbedding, dedupSemantic, sampleClusterCap,
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,
-      multimodalAudioResample)
+      multimodalAudioResample, e2eMultimodalGate)
 }
