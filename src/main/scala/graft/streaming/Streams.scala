@@ -297,6 +297,92 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("a_id", "b_id")
 
+  /** Per-band ring state for [[codeDupStream]] — the 64-bit-code
+    * sibling of [[BucketState]]: one long per member instead of a
+    * signature array, so a bucket's state is 16·maxPerBucket bytes.
+    */
+  final case class CodeBucketState(ids: Array[Long], codes: Array[Long],
+                                   pos: Int)
+
+  /** Streaming near-dup detection over 64-BIT CODES — the streaming
+    * twin of [[graft.datapipe.Dedup.codePairs]], serving any code
+    * generator (text simhash, image aHash via
+    * [[graft.datapipe.Multimodal.aHash64]]): arrivals are banded by
+    * [[graft.datapipe.Dedup.simhashBands]] slices, each band bucket
+    * keeps a bounded ring of recent (id, code), and an arrival pairs
+    * with every ring member within `maxHamming`. Same bounded-state
+    * contract as [[nearDupStream]] (ring cap + optional TTL = recent-
+    * horizon semantics; the pigeonhole completeness argument applies
+    * to every pair whose earlier member is still in some shared
+    * band's ring). Input: (id, code [, tsCol]). Output: (a_id, b_id,
+    * hamming [, ts]); a pair sharing several bands can emit per band —
+    * compose `dropDuplicatesWithinWatermark` exactly like
+    * [[nearDupStreamExactOnce]] when exact-once matters.
+    */
+  def codeDupStream(codes: DataFrame, bands: Int = 4, maxHamming: Int = 3,
+                    maxPerBucket: Int = 64,
+                    stateTtl: Option[String] = None,
+                    tsCol: Option[String] = None): DataFrame = {
+    require(maxHamming < bands,
+      "pigeonhole completeness needs maxHamming < bands")
+    require(maxPerBucket > 0,
+      s"maxPerBucket ($maxPerBucket) must be positive")
+    import codes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val banded = codes.select(col("id").cast("long").as("id"),
+      col("code").cast("long").as("code"),
+      tsCol.map(col).getOrElse(lit(null)).cast("timestamp").as("ts"))
+      .filter(col("id").isNotNull && col("code").isNotNull)
+      .select(col("id"), col("code"), col("ts"),
+        explode(graft.datapipe.Dedup.simhashBands(col("code"), bands))
+          .as("bb"))
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    val pairs = banded.as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[CodeBucketState, (Long, Long, Int, java.sql.Timestamp)](
+        OutputMode.Append, timeoutConf) { (_, rows, state) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption
+            .getOrElse(CodeBucketState(Array.emptyLongArray,
+              Array.emptyLongArray, 0))
+          val out = Seq.newBuilder[(Long, Long, Int, java.sql.Timestamp)]
+          rows.foreach { case (id, code, ts, _) =>
+            var j = 0
+            while (j < st.ids.length) {
+              val cid = st.ids(j)
+              if (cid != id) {
+                val ham = java.lang.Long.bitCount(code ^ st.codes(j))
+                if (ham <= maxHamming)
+                  out += ((math.min(id, cid), math.max(id, cid), ham, ts))
+              }
+              j += 1
+            }
+            st = if (st.ids.length < maxPerBucket) {
+              val n = st.ids.length
+              val ids2 = java.util.Arrays.copyOf(st.ids, n + 1)
+              val codes2 = java.util.Arrays.copyOf(st.codes, n + 1)
+              ids2(n) = id
+              codes2(n) = code
+              CodeBucketState(ids2, codes2, 0)
+            } else {
+              st.ids(st.pos) = id
+              st.codes(st.pos) = code
+              CodeBucketState(st.ids, st.codes, (st.pos + 1) % maxPerBucket)
+            }
+          }
+          state.update(st)
+          stateTtl.foreach(state.setTimeoutDuration)
+          out.result().iterator
+        }
+      }
+      .toDF("a_id", "b_id", "hamming", "ts")
+    if (tsCol.isDefined) pairs else pairs.drop("ts")
+  }
+
   /** J2 streaming twin: per-DID resolution cache as EXPLICIT stream
     * state via mapGroupsWithState — where the batch path uses an
     * executor-local LRU (graft.identity.LruCache), the streaming

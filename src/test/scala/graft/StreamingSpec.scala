@@ -439,6 +439,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming code dedup finds the batch pair set on planted twins") {
+    // image-phash codes (real decoded BMPs, corner-perturbed twins)
+    // streamed through the banded ring state must surface exactly the
+    // pairs the batch codePairs join finds — the multimodal member of
+    // the streaming near-dup family
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.{Dedup, Multimodal}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(20)
+    val codes = Multimodal.aHashTable(spark,
+      Multimodal.imageCorpusWithTwins(spark, docs))
+    val batch = Dedup.codePairs(codes, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = codes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val in = MemoryStream[(Long, Long)]
+    val q = Streams.codeDupStream(in.toDF().toDF("id", "code"),
+        bands = 4, maxHamming = 3)
+      .writeStream.format("memory").queryName("code_dup")
+      .outputMode(OutputMode.Append).start()
+    in.addData(rows.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("code_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "the planted twins must produce pairs")
+  }
+
   test("the composed frozen-model gate streams to the batch decision") {
     // all three frozen scorers in StreamGate's ONE projection must
     // produce on a stream exactly what they produce in batch — incl.
