@@ -682,6 +682,64 @@ object Dedup {
         (col("n_windows") + (k - 1)).as("span_tokens"))
   }
 
+  /** Span-level benchmark decontamination — [[sharedSpans]]'
+    * CROSS-CORPUS form, and the surgical sibling of
+    * [[Contamination.score]]: where score reports "how much does this
+    * training doc overlap ANY benchmark", this reports WHICH
+    * benchmark document's text appears WHERE — (train doc, bench doc,
+    * both 0-based token offsets, span length) for every maximal run
+    * of >= `minWindows` consecutive shared k-token windows. That
+    * position-level readout is what a trim/repair pass (the
+    * [[trimSelfSpans]] shape) consumes.
+    *
+    * Same islands machinery as sharedSpans, but the candidate join is
+    * two-sided (train windows x bench windows on the window hash) —
+    * no a<b self-join filter, and train-train / bench-bench matches
+    * are never materialized at all. The df + occurrence caps compute
+    * over the UNION of both sides (callers must pass disjoint id
+    * spaces) and drop stop-phrase noise exactly as in sharedSpans.
+    *
+    * Output: (train_id, bench_id, train_start, bench_start,
+    * n_windows, span_tokens).
+    */
+  def contaminationSpans(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 5, minWindows: Int = 2,
+                         maxDf: Int = 50, maxOccurrences: Int = 1000)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persist(): each window table feeds the union'd hot-hash
+    // aggregation and its side of the join (see sharedSpans).
+    val wt = positionalWindows(train, idCol, textCol, k).stage()
+    val wb = positionalWindows(bench, idCol, textCol, k).stage()
+    val hot = wt.unionByName(wb).groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("df"), count(lit(1)).as("occ"))
+      .filter(col("df") > maxDf || col("occ") > maxOccurrences)
+      .select(col("h"))
+    val pt = wt.join(broadcast(hot), Seq("h"), "left_anti")
+    val pb = wb.join(broadcast(hot), Seq("h"), "left_anti")
+    val matches = pt
+      .select(col("h"), col("id").as("train_id"), col("pos").as("pt"))
+      .hint("shuffle_hash")
+      .join(pb.select(col("h"), col("id").as("bench_id"), col("pos").as("pb")),
+        Seq("h"))
+      .select(col("train_id"), col("bench_id"), col("pt"), col("pb"))
+    val diag = col("pt") - col("pb")
+    matches
+      .withColumn("g", col("pt") - row_number().over(
+        Window.partitionBy(col("train_id"), col("bench_id"), diag)
+          .orderBy(col("pt"))))
+      .groupBy(col("train_id"), col("bench_id"), diag.as("d"), col("g"))
+      .agg(min(col("pt")).as("t0"), min(col("pb")).as("b0"),
+        count(lit(1)).as("n_windows"))
+      .filter(col("n_windows") >= minWindows)
+      .select(col("train_id"), col("bench_id"),
+        col("t0").cast("bigint").as("train_start"),
+        col("b0").cast("bigint").as("bench_start"),
+        col("n_windows"),
+        (col("n_windows") + (k - 1)).as("span_tokens"))
+  }
+
   /** Intra-document repeated blocks — [[sharedSpans]]' within-doc
     * twin: every maximal run of >= `minWindows` consecutive k-token
     * windows that recurs LATER in the SAME document, reported with

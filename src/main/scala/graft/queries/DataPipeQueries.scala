@@ -1067,6 +1067,75 @@ object DataPipeQueries {
       LEFT JOIN sizes z ON d.doc_id = z.doc_id
       LEFT JOIN shared ON d.doc_id = shared.doc_id"""))
 
+  /** Span-level decontamination over PLANTED contamination: training
+    * docs with doc_id % 5 == 1 get the first 10 normalized tokens of
+    * a deterministically-chosen benchmark doc (id 17·((doc_id % 13)+1),
+    * when it exists) appended, so [[Dedup.contaminationSpans]] must
+    * report each planted (train, bench) span at the train doc's end
+    * and the bench doc's start — plus any natural overlaps. The
+    * oracle replays the planting join, the union'd df/occurrence
+    * caps, the two-sided window join, and the islands, so positions
+    * and lengths are hash-checked.
+    */
+  private val decontaminateSpans = QueryDef(
+    "decontaminate_spans",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val toksDf = docs.select(col("doc_id"),
+        split(TextAnalysis.normalize(col("text")), " ").as("w"))
+      val bench = toksDf.filter(col("doc_id") % 17 === 0)
+      val bsel = bench.select(col("doc_id").as("bid"),
+        slice(col("w"), 1, 10).as("bw"))
+      val train = toksDf.filter(col("doc_id") % 17 =!= 0)
+        .join(broadcast(bsel),
+          col("bid") === lit(17) * ((col("doc_id") % 13) + 1), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 1 && col("bid").isNotNull,
+            concat(col("w"), col("bw"))).otherwise(col("w")).as("w"))
+      Dedup.contaminationSpans(
+        train.select(col("doc_id"), array_join(col("w"), " ").as("text")),
+        bench.select(col("doc_id"), array_join(col("w"), " ").as("text")),
+        "doc_id", "text", k = 5, minWindows = 2)
+    },
+    Some("""WITH toks0 AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      bsel AS (SELECT doc_id AS bid, w FROM toks0 WHERE doc_id % 17 = 0),
+      tr AS (SELECT t.doc_id,
+          CASE WHEN t.doc_id % 5 = 1 AND b.bid IS NOT NULL
+               THEN t.w || b.w[1:10] ELSE t.w END AS w
+        FROM toks0 t LEFT JOIN bsel b ON b.bid = 17 * ((t.doc_id % 13) + 1)
+        WHERE t.doc_id % 17 <> 0),
+      be AS (SELECT doc_id, w FROM toks0 WHERE doc_id % 17 = 0),
+      wint AS (SELECT doc_id AS id, i - 1 AS pos,
+          array_to_string(w[i:i+4], ' ') AS sh
+        FROM tr, UNNEST(generate_series(1, len(w) - 4)) AS g(i)
+        WHERE len(w) >= 5),
+      winb AS (SELECT doc_id AS id, i - 1 AS pos,
+          array_to_string(w[i:i+4], ' ') AS sh
+        FROM be, UNNEST(generate_series(1, len(w) - 4)) AS g(i)
+        WHERE len(w) >= 5),
+      keep AS (SELECT sh FROM
+        (SELECT sh, COUNT(DISTINCT id) AS df, COUNT(*) AS occ
+         FROM (SELECT * FROM wint UNION ALL SELECT * FROM winb)
+         GROUP BY sh)
+        WHERE df <= 50 AND occ <= 1000),
+      m AS (SELECT a.id AS train_id, b.id AS bench_id,
+            a.pos AS pt, b.pos AS pb
+        FROM wint a JOIN keep USING (sh) JOIN winb b ON a.sh = b.sh),
+      isl AS (SELECT train_id, bench_id, pt - pb AS d, pt, pb,
+          pt - row_number() OVER (PARTITION BY train_id, bench_id, pt - pb
+            ORDER BY pt) AS g
+        FROM m),
+      sp AS (SELECT train_id, bench_id, d, MIN(pt) AS t0, MIN(pb) AS b0,
+          COUNT(*) AS n_windows
+        FROM isl GROUP BY train_id, bench_id, d, g)
+      SELECT train_id, bench_id, CAST(t0 AS BIGINT) AS train_start,
+        CAST(b0 AS BIGINT) AS bench_start, n_windows,
+        n_windows + 4 AS span_tokens
+      FROM sp WHERE n_windows >= 2"""))
+
   /** Mixture replication: src0 2.5 epochs, src1 0.3 epochs, 1.0
     * elsewhere — floor(w) copies each plus a hash-chosen fractional
     * extra, numbered so replicas stay distinguishable. */
@@ -1438,7 +1507,8 @@ object DataPipeQueries {
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
-    packChunks, decontaminate, mixtureUpsample, mixtureTemperature,
+    packChunks, decontaminate, decontaminateSpans, mixtureUpsample,
+    mixtureTemperature,
     e2eMixture, chunkSliding, shuffleRank,
     textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration,
     e2eStreamGate)

@@ -154,6 +154,38 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === ((3L, 0L, "u1 u2 u3")))
   }
 
+  test("contamination spans report planted benchmark text positionally") {
+    // train doc 1 embeds bench doc 10's 6-token prefix at offset 2;
+    // train doc 2 is clean. With k=3, minWindows=2 the planted run is
+    // 4 consecutive windows starting at train pos 2 / bench pos 0.
+    val benchText = "b0 b1 b2 b3 b4 b5 b6 b7"
+    val train = Seq(
+      (1L, "t0 t1 b0 b1 b2 b3 b4 b5 t2"),
+      (2L, "u0 u1 u2 u3 u4 u5")).toDF("doc_id", "text")
+    val bench = Seq((10L, benchText)).toDF("doc_id", "text")
+    val out = Dedup.contaminationSpans(train, bench, "doc_id", "text",
+      k = 3, minWindows = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq((1L, 10L, 2L, 0L, 4L, 6L)))
+  }
+
+  test("dup-ngram coverage counts positions duplicated across docs") {
+    // docs 1 and 2 share their full 6-token text (all 4 trigram
+    // positions duplicated); doc 3 is unique; doc 4 is too short for
+    // any trigram
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "p q r s t u"), (4L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.dupNgramCoverage(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(1L) === ((4L, 4L, Some(1.0))))
+    assert(out(2L) === ((4L, 4L, Some(1.0))))
+    assert(out(3L) === ((4L, 0L, Some(0.0))))
+    assert(out(4L) === ((0L, 0L, None)))
+  }
+
   test("shared spans: df cap counts distinct docs, not occurrences") {
     // the 5-token block recurs 5x inside doc 1 and once in doc 2:
     // 6 occurrences of every block window, but df = 2 docs <= maxDf=3
