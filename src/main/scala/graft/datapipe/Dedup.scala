@@ -740,6 +740,59 @@ object Dedup {
         (col("n_windows") + (k - 1)).as("span_tokens"))
   }
 
+  /** Remove benchmark-contaminated spans from training documents —
+    * the CONSUMER of [[contaminationSpans]], exactly as
+    * [[trimSelfSpans]] consumes [[selfSpans]]: every reported span's
+    * token positions in the TRAINING doc are cut (interval union
+    * across overlapping spans from different benchmark docs), and the
+    * survivors rebuild the document. This is the repair mode of
+    * decontamination — drop the leaked benchmark text, keep the rest
+    * of the document — where [[Contamination.score]]-based filtering
+    * drops whole documents.
+    *
+    * Output: (doc_id, n_tokens, n_removed, trimmed_text) over the
+    * TRAINING side; same shape, same scale argument as trimSelfSpans
+    * (removed positions bounded by span lengths; the rebuild groups
+    * by document).
+    */
+  def trimContamination(train: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 5, minWindows: Int = 2,
+                        maxDf: Int = 50, maxOccurrences: Int = 1000)
+      : DataFrame = {
+    val removed = contaminationSpans(train, bench, idCol, textCol,
+      k, minWindows, maxDf, maxOccurrences)
+      .select(col("train_id").as("doc_id"),
+        explode(sequence(col("train_start"),
+          col("train_start") + col("span_tokens") - 1)).as("pos"))
+      .distinct()
+    val toks = train
+      .select(col(idCol).as("doc_id"),
+        split(TextAnalysis.normalize(col(textCol)), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("bigint").as("n_tokens"),
+        posexplode(col("w")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("bigint").as("pos"), col("col").as("tok"))
+    val trimmed = toks.join(removed, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok")), " ").as("trimmed_text"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"),
+        col("trimmed_text"))
+    // preserve every training doc_id (NULL-text docs produce no
+    // posexplode rows), as trimSelfSpans does
+    train.select(col(idCol).as("doc_id"))
+      .join(trimmed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        col("trimmed_text"))
+  }
+
   /** Intra-document repeated blocks — [[sharedSpans]]' within-doc
     * twin: every maximal run of >= `minWindows` consecutive k-token
     * windows that recurs LATER in the SAME document, reported with

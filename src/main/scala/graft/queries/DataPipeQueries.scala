@@ -1077,28 +1077,34 @@ object DataPipeQueries {
     * caps, the two-sided window join, and the islands, so positions
     * and lengths are hash-checked.
     */
-  private val decontaminateSpans = QueryDef(
-    "decontaminate_spans",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-      val toksDf = docs.select(col("doc_id"),
-        split(TextAnalysis.normalize(col("text")), " ").as("w"))
-      val bench = toksDf.filter(col("doc_id") % 17 === 0)
-      val bsel = bench.select(col("doc_id").as("bid"),
-        slice(col("w"), 1, 10).as("bw"))
-      val train = toksDf.filter(col("doc_id") % 17 =!= 0)
-        .join(broadcast(bsel),
-          col("bid") === lit(17) * ((col("doc_id") % 13) + 1), "left")
-        .select(col("doc_id"),
-          when(col("doc_id") % 5 === 1 && col("bid").isNotNull,
-            concat(col("w"), col("bw"))).otherwise(col("w")).as("w"))
-      Dedup.contaminationSpans(
-        train.select(col("doc_id"), array_join(col("w"), " ").as("text")),
-        bench.select(col("doc_id"), array_join(col("w"), " ").as("text")),
-        "doc_id", "text", k = 5, minWindows = 2)
-    },
-    Some("""WITH toks0 AS (SELECT doc_id,
+  /** The planted-contamination fixture shared by the spans and trim
+    * entries: training docs with doc_id % 5 == 1 get the first 10
+    * normalized tokens of bench doc 17·((doc_id % 13)+1) appended
+    * (when that bench doc exists).
+    */
+  private def contamFixture(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+    val toksDf = docs.select(col("doc_id"),
+      split(TextAnalysis.normalize(col("text")), " ").as("w"))
+    val bench = toksDf.filter(col("doc_id") % 17 === 0)
+    val bsel = bench.select(col("doc_id").as("bid"),
+      slice(col("w"), 1, 10).as("bw"))
+    val train = toksDf.filter(col("doc_id") % 17 =!= 0)
+      .join(broadcast(bsel),
+        col("bid") === lit(17) * ((col("doc_id") % 13) + 1), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 1 && col("bid").isNotNull,
+          concat(col("w"), col("bw"))).otherwise(col("w")).as("w"))
+    (train.select(col("doc_id"), array_join(col("w"), " ").as("text")),
+      bench.select(col("doc_id"), array_join(col("w"), " ").as("text")))
+  }
+
+  /** The oracle CTE chain for the planted fixture through the span
+    * table `sp` — shared by decontaminate_spans and decontaminate_trim.
+    */
+  private val contamSpanCtes = """toks0 AS (SELECT doc_id,
         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
         FROM documents),
       bsel AS (SELECT doc_id AS bid, w FROM toks0 WHERE doc_id % 17 = 0),
@@ -1130,11 +1136,52 @@ object DataPipeQueries {
         FROM m),
       sp AS (SELECT train_id, bench_id, d, MIN(pt) AS t0, MIN(pb) AS b0,
           COUNT(*) AS n_windows
-        FROM isl GROUP BY train_id, bench_id, d, g)
+        FROM isl GROUP BY train_id, bench_id, d, g)"""
+
+  private val decontaminateSpans = QueryDef(
+    "decontaminate_spans",
+    (s, d) => {
+      val (train, bench) = contamFixture(s, d)
+      Dedup.contaminationSpans(train, bench, "doc_id", "text",
+        k = 5, minWindows = 2)
+    },
+    Some(s"""WITH $contamSpanCtes
       SELECT train_id, bench_id, CAST(t0 AS BIGINT) AS train_start,
         CAST(b0 AS BIGINT) AS bench_start, n_windows,
         n_windows + 4 AS span_tokens
       FROM sp WHERE n_windows >= 2"""))
+
+  /** Repair mode: the planted benchmark prefixes are CUT back out of
+    * the training docs — the repaired text itself is hash-checked, so
+    * the interval union and the token-level rebuild replay exactly
+    * (the cross-corpus sibling of dedup_trim_spans).
+    */
+  private val decontaminateTrim = QueryDef(
+    "decontaminate_trim",
+    (s, d) => {
+      val (train, bench) = contamFixture(s, d)
+      Dedup.trimContamination(train, bench, "doc_id", "text",
+        k = 5, minWindows = 2)
+    },
+    Some(s"""WITH $contamSpanCtes,
+      spans AS (SELECT train_id AS doc_id, t0 AS a_start,
+          n_windows + 4 AS span_tokens
+        FROM sp WHERE n_windows >= 2),
+      rem AS (SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS pos
+        FROM spans,
+             UNNEST(generate_series(a_start, a_start + span_tokens - 1)) u(p)),
+      tk AS (SELECT doc_id, len(w) AS n_tokens, i - 1 AS pos, w[i] AS tok
+        FROM tr, UNNEST(generate_series(1, len(w))) g(i)),
+      kept AS (SELECT t.doc_id, t.n_tokens, t.pos, t.tok
+        FROM tk t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+        WHERE r.doc_id IS NULL),
+      agg AS (SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(MAX(n_tokens) - COUNT(*) AS BIGINT) AS n_removed,
+        array_to_string(LIST(tok ORDER BY pos), ' ') AS trimmed_text
+      FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+        COALESCE(a.n_removed, 0) AS n_removed, a.trimmed_text
+      FROM (SELECT doc_id FROM tr) d LEFT JOIN agg a USING (doc_id)"""))
 
   /** Mixture replication: src0 2.5 epochs, src1 0.3 epochs, 1.0
     * elsewhere — floor(w) copies each plus a hash-chosen fractional
@@ -1507,8 +1554,8 @@ object DataPipeQueries {
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
-    packChunks, decontaminate, decontaminateSpans, mixtureUpsample,
-    mixtureTemperature,
+    packChunks, decontaminate, decontaminateSpans, decontaminateTrim,
+    mixtureUpsample, mixtureTemperature,
     e2eMixture, chunkSliding, shuffleRank,
     textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration,
     e2eStreamGate)

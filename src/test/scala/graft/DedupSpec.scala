@@ -170,6 +170,20 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 10L, 2L, 0L, 4L, 6L)))
   }
 
+  test("trimming contamination recovers the pre-plant training text") {
+    val orig = "t0 t1 t2 t3 t4 t5 t6 t7"
+    val planted = orig + " b0 b1 b2 b3 b4 b5"
+    val train = Seq((1L, planted), (2L, "u0 u1 u2 u3 u4 u5"))
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, "b0 b1 b2 b3 b4 b5 b6 b7")).toDF("doc_id", "text")
+    val out = Dedup.trimContamination(train, bench, "doc_id", "text",
+      k = 3, minWindows = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) === ((14L, 6L, orig)), "planted bench text must be cut")
+    assert(out(2L) === ((6L, 0L, "u0 u1 u2 u3 u4 u5")), "clean doc untouched")
+  }
+
   test("dup-ngram coverage counts positions duplicated across docs") {
     // docs 1 and 2 share their full 6-token text (all 4 trigram
     // positions duplicated); doc 3 is unique; doc 4 is too short for
