@@ -48,6 +48,39 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Margin-based alignment mining (the CCMatrix/LASER bitext recipe,
+    * Schwenk et al. 2019 arXiv:1911.04944; Artetxe & Schwenk 2018
+    * arXiv:1811.01136): for every source vector, its best and
+    * second-best neighbours in the TARGET corpus decide the pair —
+    * keep (src, best) iff the best cosine clears `simFloor` AND the
+    * margin over the runner-up clears `marginFloor`. The margin is
+    * the thing: a vector whose two nearest targets score alike has no
+    * confident alignment no matter how high the raw cosine, which is
+    * why published bitext pipelines mine on margin, not similarity.
+    *
+    * Pass src/tgt with DISJOINT id spaces (the entry offsets one
+    * side). Scale shape: one broadcast(src) × tgt scan and the
+    * rankTopK two-stage heap, exactly [[bruteForceTopK]]; at corpus
+    * scale swap the scoring stage for the IVF/PQ candidate
+    * generators — the margin arithmetic downstream is unchanged.
+    *
+    * Output: (src_id, tgt_id, score, margin) for the kept pairs;
+    * margin = score − runner-up score (a src with only one candidate
+    * gets margin = score − (−1), the cosine floor).
+    */
+  def marginPairs(src: DataFrame, tgt: DataFrame,
+                  simFloor: Double, marginFloor: Double): DataFrame = {
+    val top2 = bruteForceTopK(tgt, src, 2)
+    top2.groupBy(col("q_id"))
+      .agg(max(when(col("rnk") === 1, col("vec_id"))).as("tgt_id"),
+        max(when(col("rnk") === 1, col("score"))).as("score"),
+        max(when(col("rnk") === 2, col("score"))).as("score2"))
+      .select(col("q_id").as("src_id"), col("tgt_id"), col("score"),
+        round(col("score") - coalesce(col("score2"), lit(-1.0)), 4)
+          .as("margin"))
+      .filter(col("score") >= simFloor && col("margin") >= marginFloor)
+  }
+
   /** IVF with the `label` column as coarse cell: candidates are
     * pruned to the query's cell before scoring.
     */

@@ -620,6 +620,54 @@ object SimilarityQueries {
         CAST(peak AS BIGINT) AS peak
       FROM agg"""))
 
+  /** Margin-based bitext mining ([[Similarity.marginPairs]]): label-0
+    * vectors play the source language, the rest (ids offset) the
+    * target pool, and every 3rd source vector gets a planted
+    * "translation" (+0.01 shift, cos ≈ 0.997) in the pool. With
+    * simFloor 0.9 the mined set must be exactly the planted pairs —
+    * unrelated iid vectors top out near 0.5 — and each survives the
+    * margin test because its runner-up is unrelated. The oracle
+    * replays scoring, the top-2 ranking with the vec_id tie-break,
+    * the margin arithmetic, and both thresholds.
+    */
+  private val simBitextMargin = QueryDef(
+    "sim_bitext_margin",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val src = e.filter(col("label") === 0)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val tgt = e.filter(col("label") =!= 0)
+        .select((col("vec_id") + 2000000).as("vec_id"), col("emb"))
+        .unionByName(e.filter(col("label") === 0 && col("vec_id") % 3 === 0)
+          .select((col("vec_id") + 3000000).as("vec_id"),
+            transform(col("emb"), x => x + lit(0.01)).as("emb")))
+      Similarity.marginPairs(src, tgt, simFloor = 0.9, marginFloor = 0.1)
+    },
+    Some(s"""WITH $embSqlCte,
+      src AS MATERIALIZED (SELECT vec_id AS q_id, emb AS q_emb
+        FROM e WHERE label = 0),
+      tgt AS MATERIALIZED (
+        SELECT vec_id + 2000000 AS vec_id, emb FROM e WHERE label <> 0
+        UNION ALL
+        SELECT vec_id + 3000000, list_transform(emb, x -> x + 0.01)
+        FROM e WHERE label = 0 AND vec_id % 3 = 0),
+      scored AS MATERIALIZED (SELECT q_id, vec_id,
+          round(list_cosine_similarity(q_emb, emb), 4) AS score
+        FROM src, tgt),
+      ranked AS (SELECT q_id, vec_id, score,
+          row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+            AS rnk
+        FROM scored),
+      p AS (SELECT q_id,
+          MAX(CASE WHEN rnk = 1 THEN vec_id END) AS tgt_id,
+          MAX(CASE WHEN rnk = 1 THEN score END) AS score,
+          MAX(CASE WHEN rnk = 2 THEN score END) AS score2
+        FROM ranked WHERE rnk <= 2 GROUP BY q_id)
+      SELECT q_id AS src_id, tgt_id, score,
+        round(score - COALESCE(score2, -1.0), 4) AS margin
+      FROM p WHERE score >= 0.9
+        AND round(score - COALESCE(score2, -1.0), 4) >= 0.1"""))
+
   /** Composed CROSS-MODALITY curation gate: every document judged by
     * all three of its modalities at once — decoded image size (real
     * BMP header), decoded audio duration (real WAV header), and the
@@ -694,5 +742,5 @@ object SimilarityQueries {
       simIvfPq, dedupEmbedding, dedupSemantic, sampleClusterCap,
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,
-      multimodalAudioResample, e2eMultimodalGate)
+      multimodalAudioResample, e2eMultimodalGate, simBitextMargin)
 }
