@@ -357,7 +357,7 @@ object DataPipeQueries {
     * count such docs in the negative class the same way rather than
     * excluding NULL is_pos rows from both classes.
     */
-  private val nbLabelSql = """
+  private val nbLabelCtes = """
       ls AS (SELECT doc_id,
         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
         len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS s_es,
@@ -392,7 +392,9 @@ object DataPipeQueries {
                      COUNT(*) FILTER (WHERE NOT is_pos) AS dn FROM lab)),
       ssum AS (SELECT doc_id,
           SUM(CAST(lr AS DECIMAL(28,8))) AS s, COUNT(*) AS n_tokens
-        FROM tk JOIN lrs USING (b) GROUP BY doc_id)
+        FROM tk JOIN lrs USING (b) GROUP BY doc_id)"""
+
+  private val nbLabelSql = s"""$nbLabelCtes
       SELECT t.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
         round(CAST(CAST(prior AS DECIMAL(28,8))
           + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) AS score,
@@ -407,6 +409,50 @@ object DataPipeQueries {
     (s, d) => graft.datapipe.Classifier.naiveBayes(
       Tables.documents(s, d), "doc_id", "text", nbLabel, buckets = 256),
     Some(s"WITH $nbLabelSql"))
+
+  /** Classifier quality readout — the confusion matrix + derived
+    * precision/recall every trained quality filter ships with: the NB
+    * classifier's predictions against its own training labels (the
+    * resubstitution view; a held-out split is the same query over a
+    * hash-split corpus). One row: exact integer confusion counts plus
+    * two divisions rounded 6 dp. The oracle retrains the classifier
+    * (same CTE chain as text_classifier) and recomputes the matrix.
+    */
+  private val textClassifierEval = QueryDef(
+    "text_classifier_eval",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = graft.datapipe.Classifier.naiveBayes(
+        docs, "doc_id", "text", nbLabel, buckets = 256)
+      val labeled = docs.select(col("doc_id"), nbLabel.as("is_pos"))
+      scored.join(labeled, "doc_id")
+        .agg(
+          count(when(col("predicted") && col("is_pos"), 1)).as("tp"),
+          count(when(col("predicted") && !col("is_pos"), 1)).as("fp"),
+          count(when(!col("predicted") && col("is_pos"), 1)).as("fn"),
+          count(when(!col("predicted") && !col("is_pos"), 1)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+            .as("precision"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6)
+            .as("recall"))
+    },
+    Some(s"""WITH $nbLabelCtes,
+      pred AS (SELECT t.doc_id,
+          (round(CAST(CAST(prior AS DECIMAL(28,8))
+            + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) > 0)
+            AS predicted
+        FROM toks t LEFT JOIN ssum USING (doc_id), pri),
+      cm AS (SELECT
+          COUNT(*) FILTER (WHERE predicted AND is_pos) AS tp,
+          COUNT(*) FILTER (WHERE predicted AND NOT is_pos) AS fp,
+          COUNT(*) FILTER (WHERE NOT predicted AND is_pos) AS fn,
+          COUNT(*) FILTER (WHERE NOT predicted AND NOT is_pos) AS tn
+        FROM pred JOIN lab USING (doc_id))
+      SELECT tp, fp, fn, tn,
+        round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+        round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall
+      FROM cm"""))
 
   /** The train-offline/score-inline twin of text_classifier: the
     * B+2-number model extracts to the driver and every document is
@@ -1548,7 +1594,8 @@ object DataPipeQueries {
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textRepetition, textDupNgrams, textVocab, textPerplexity,
     textPerplexityInline,
-    textClassifier, textClassifierInline, sampleImportance,
+    textClassifier, textClassifierInline, textClassifierEval,
+    sampleImportance,
     sampleImportanceSoft,
     bpeMerges, bpeEncode, bpeFertility,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
