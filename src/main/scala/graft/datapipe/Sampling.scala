@@ -130,6 +130,36 @@ object Sampling {
       .drop("__stratum", "__w")
   }
 
+  /** Token-budget corpus selection — the step that turns a RANKED
+    * pool into a fixed-token training mixture: within each source,
+    * take documents in (priority desc, doc_id asc) order while the
+    * running token total (inclusive) stays within `budget`. The
+    * greedy prefix is fully deterministic — priority ties break on
+    * doc_id, NULL priorities sort last explicitly (engines disagree
+    * on the DESC default), and the cumulative frame is ROWS, not
+    * RANGE, so peer rows never share a running total.
+    *
+    * Scale shape: ONE shuffle keyed on source, then a single
+    * sort+running-sum pass per source partition. A mega-source
+    * serializes into one task under any engine's window operator;
+    * the escape hatch at that scale is the two-pass distributed
+    * prefix sum [[Packing.packChunks]] demonstrates (per-partition
+    * subtotals broadcast back as offsets), which composes here
+    * unchanged because the running sum is associative.
+    */
+  def tokenBudget(docs: DataFrame, idCol: String, sourceCol: String,
+                  tokens: Column, priority: Column,
+                  budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc_nulls_last, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        tokens.cast("bigint").as("n_tokens"), priority.as("priority"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Two-stage salted aggregation: a groupBy whose key distribution
     * is heavily skewed (one hot key ≫ partition capacity) funnels the
     * hot key's rows through one reducer. Salting splits every key

@@ -133,6 +133,63 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(topN)
 
+  /** Gopher-style composite quality filter (the "document filters" of
+    * the Gopher corpus paper, arXiv:2112.11446 §A1.1): per-document
+    * rule features, one boolean per rule, and the joint keep decision
+    * an ingest pipeline actually applies. Rules covered:
+    *
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [3, 10] characters;
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - ≥ 2 stopword hits (the "stop word" sanity check);
+    *  - symbol-to-word ratio (`#` and `...`) below 0.1.
+    *
+    * The two line-shape rules (bullet-line and ellipsis-line
+    * fractions) require line structure this corpus does not have (no
+    * newlines) and are intentionally out of scope. ZERO shuffles —
+    * every feature is a per-row codegen'd expression over the word
+    * array, so at 100 TB the cost is the scan itself; the keep
+    * decision composes downstream (filter + count) without ever
+    * materializing the features. All fractions are exact integer
+    * counts divided once, so an external engine reproduces the
+    * doubles (and the rule booleans) bit-for-bit. Word-level
+    * tokenization follows the word camp of the convention note on
+    * [[normalize]]: zero-length tokens are not words.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val norm = normalize(col(textCol))
+    val toks = filter(split(norm, " "), w => length(w) > 0)
+    val nWords = size(toks).cast("bigint")
+    val nW = nWords.cast("double")
+    val meanLen = when(nWords > 0,
+      length(translate(norm, " ", "")).cast("double") / nW)
+    val alphaFrac = when(nWords > 0,
+      size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / nW)
+    val stops = stopwordCount(col(textCol))
+    val symbols = (length(col(textCol))
+      - length(translate(col(textCol), "#", ""))).cast("bigint") +
+      regexp_count(col(textCol), lit("\\.\\.\\.")).cast("bigint")
+    val symbolRatio = when(nWords > 0, symbols.cast("double") / nW)
+    val rWordCount = nWords >= minWords && nWords <= maxWords
+    val rMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val rAlpha = alphaFrac >= 0.8
+    val rStops = stops >= 2
+    val rSymbol = symbolRatio < 0.1
+    docs.select(col(idCol).as("doc_id"),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_word_frac"),
+      stops.as("stopword_hits"),
+      symbolRatio.as("symbol_word_ratio"),
+      rWordCount.as("r_word_count"),
+      rMeanLen.as("r_mean_word_len"),
+      rAlpha.as("r_alpha_words"),
+      rStops.as("r_stopwords"),
+      rSymbol.as("r_symbol_ratio"),
+      (rWordCount && rMeanLen && rAlpha && rStops && rSymbol).as("keep"))
+  }
+
   /** Within-document repetition metrics — the Gopher/RefinedWeb-style
     * quality signals that catch boilerplate loops and degenerate
     * generations BEFORE they reach pretraining:

@@ -110,6 +110,105 @@ object DataPipeQueries {
       ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fingerprint
       FROM documents"""))
 
+  /** Gopher composite document filter: rule features + per-rule
+    * booleans + the joint keep decision, all zero-shuffle per-row
+    * expressions. The oracle recomputes every feature from scratch
+    * (word array, exact integer counts divided once) so the rule
+    * booleans — including the three-valued NULL propagation on empty
+    * documents — must agree bit-for-bit.
+    */
+  private val textGopherRules = QueryDef(
+    "text_gopher_rules",
+    (s, d) => TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH t AS (SELECT doc_id, text,
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+      f AS (SELECT doc_id,
+        CAST(len(list_filter(string_split(norm, ' '), x -> len(x) > 0)) AS BIGINT) AS n_words,
+        length(replace(norm, ' ', '')) AS n_wchars,
+        len(list_filter(string_split(norm, ' '),
+          x -> len(x) > 0 AND regexp_matches(x, '[a-z]'))) AS n_alpha,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS stopword_hits,
+        length(text) - length(replace(text, '#', ''))
+          + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols
+      FROM t),
+      g AS (SELECT doc_id, n_words,
+        CASE WHEN n_words > 0 THEN CAST(n_wchars AS DOUBLE) / n_words END AS mean_word_len,
+        CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words END AS alpha_word_frac,
+        stopword_hits,
+        CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / n_words END AS symbol_word_ratio
+      FROM f)
+      SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stopword_hits,
+        symbol_word_ratio,
+        n_words >= 50 AND n_words <= 100000 AS r_word_count,
+        mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_mean_word_len,
+        alpha_word_frac >= 0.8 AS r_alpha_words,
+        stopword_hits >= 2 AS r_stopwords,
+        symbol_word_ratio < 0.1 AS r_symbol_ratio,
+        (n_words >= 50 AND n_words <= 100000)
+          AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+          AND alpha_word_frac >= 0.8 AND stopword_hits >= 2
+          AND symbol_word_ratio < 0.1 AS keep
+      FROM g"""))
+
+  /** Per-source corpus card — the datasheet readout (docs, token
+    * totals and extremes, mean doc length, language spread) every
+    * curated corpus ships with. One partial-aggregated shuffle keyed
+    * on source; the exact distinct-language count expands rows by one
+    * grouping set, still source-granularity. Means are exact integer
+    * sums divided once, so the doubles are engine-portable.
+    */
+  private val corpusStats = QueryDef(
+    "corpus_stats",
+    (s, d) => {
+      val toks = TextAnalysis.tokenCount(col("text"))
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(toks).as("n_tokens"),
+          min(toks).as("min_tokens"),
+          max(toks).as("max_tokens"),
+          (sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+      SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS n_tokens,
+      MIN(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS min_tokens,
+      MAX(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS max_tokens,
+      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents GROUP BY source"""))
+
+  /** Token-budget selection over a quality-ranked pool: per source,
+    * keep documents in (stopword-density desc, doc_id) order while
+    * the inclusive running token total stays within 500. The oracle
+    * replays the ranking, the ROWS-frame cumulative sum, and the
+    * greedy cut; the kept set and every running total must agree
+    * exactly, so the window semantics (tie order, NULL placement,
+    * frame) are pinned engine-portably.
+    */
+  private val sampleTokenBudget = QueryDef(
+    "sample_token_budget",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Sampling.tokenBudget(docs, "doc_id", "source",
+        TextAnalysis.tokenCount(col("text")),
+        TextAnalysis.stopwordCount(col("text")).cast("double") /
+          TextAnalysis.tokenCount(col("text")).cast("double"),
+        budget = 500L)
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+          / len(regexp_split_to_array(trim(text), '\s+')) AS priority
+      FROM documents),
+      c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+          ORDER BY priority DESC NULLS LAST, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM t)
+      SELECT doc_id, source, n_tokens, priority, cum_tokens
+      FROM c WHERE cum_tokens <= 500"""))
+
   /** Gopher-style repetition quality metrics: duplicate 2-/3-gram
     * fractions (pure per-row expressions) plus the top token's share
     * (one tf-shaped aggregation). Fractions are exact integer counts
@@ -1590,13 +1689,13 @@ object DataPipeQueries {
       FROM sel s LEFT JOIN cagg a USING (doc_id)"""))
 
   val defs: Seq[QueryDef] = Seq(
-    a2PromHistogram, q6PayloadHeatmap,
+    a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
-    textRepetition, textDupNgrams, textVocab, textPerplexity,
+    textRepetition, textGopherRules, textDupNgrams, textVocab, textPerplexity,
     textPerplexityInline,
     textClassifier, textClassifierInline, textClassifierEval,
     sampleImportance,
-    sampleImportanceSoft,
+    sampleImportanceSoft, sampleTokenBudget,
     bpeMerges, bpeEncode, bpeFertility,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,

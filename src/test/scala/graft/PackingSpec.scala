@@ -90,6 +90,32 @@ class PackingSpec extends SparkSpec {
     assert(out === viaMap)
   }
 
+  test("tokenBudget: greedy prefix per source, inclusive cumsum, null priority last") {
+    val df = Seq(
+      (1L, "a", 40L, Some(0.9)), // a: taken (cum 40)
+      (2L, "a", 50L, Some(0.5)), // a: taken (cum 90)
+      (3L, "a", 20L, Some(0.4)), // a: cum 110 > 100 → dropped
+      (4L, "a", 5L, None),       // null priority sorts last → cum 115 dropped
+      (5L, "b", 100L, Some(0.1)) // b: exactly the budget → taken
+    ).toDF("doc_id", "source", "n", "prio")
+    val out = graft.datapipe.Sampling.tokenBudget(
+        df, "doc_id", "source", col("n"), col("prio"), budget = 100L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 40L, 2L -> 90L, 5L -> 100L))
+  }
+
+  test("tokenBudget: priority ties break on doc_id, greedy not knapsack") {
+    val df = Seq(
+      (10L, "s", 60L, 1.0), (11L, "s", 60L, 1.0), (12L, "s", 30L, 0.5))
+      .toDF("doc_id", "source", "n", "prio")
+    // ties: doc 10 before 11; 11 overflows (120 > 100) and greedy does
+    // NOT backtrack to fit 12 (cum stays past the budget afterwards)
+    val out = graft.datapipe.Sampling.tokenBudget(
+        df, "doc_id", "source", col("n"), col("prio"), budget = 100L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out === Seq(10L))
+  }
+
   test("upsampleWeighted rejects conflicting duplicate stratum weights") {
     val df = Seq((1L, "a")).toDF("doc_id", "source")
     val wts = Seq(("a", 2.0), ("a", 3.0)).toDF("source", "boost")

@@ -64,6 +64,28 @@ class RelevanceSpec extends SparkSpec {
       s"the global cut must be per-partition top-N, not a full sort; plan:\n${plan.take(1500)}")
   }
 
+  test("gopher rules: hand-checked features and keep decision") {
+    // 55 words, mean word length exactly 4.0, 22 stopword hits
+    val longGood = ("the and alpha beta gamma " * 11).trim
+    val docs = Seq(
+      (1L, longGood),            // passes every rule
+      (2L, "the a short doc"),   // fails word count (4 < 50)
+      (3L, ("x1 " * 60).trim),   // alpha ok (x1 has a letter) but 0 stopwords
+      (4L, ""))                  // empty: n_words 0, NULL fractions, keep false
+      .toDF("doc_id", "text")
+    val got = graft.datapipe.TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) === 55L)
+    assert(got(1L).getBoolean(11), "doc 1 must pass the composite gate")
+    assert(!got(2L).getBoolean(6) && !got(2L).getBoolean(11),
+      "4 words fails the [50,100000] rule and therefore keep")
+    assert(got(3L).getLong(4) === 0L && !got(3L).getBoolean(9),
+      "no stopwords fails r_stopwords")
+    assert(got(4L).getLong(1) === 0L && got(4L).isNullAt(2) &&
+      !got(4L).getBoolean(11),
+      "empty doc: zero words, NULL mean length, keep=false via rule 1")
+  }
+
   test("repetition metrics match hand counts") {
     val rep = Seq(
       (1L, "a b a b a"),   // 2-grams: ab ba ab ba → 4 total 2 distinct
