@@ -229,6 +229,43 @@ object Similarity {
     ivfTopKPruned(e, q, k)
   }
 
+  /** Corpus kNN GRAPH — every vector's top-k neighbours in the same
+    * corpus, the backbone structure of embedding-space curation
+    * (SemDeDup's ε-balls, density estimation, graph-based diversity
+    * sampling all consume it). Candidate generation is multi-probe
+    * IVF turned inward: the k-means coarse quantizer assigns each
+    * vector ONE cell as a candidate, and each vector AS A QUERY
+    * probes its `nprobe` nearest cells (probe 1 is always its own
+    * cell — the argmin — so an exact twin is structurally always a
+    * candidate). Unlike [[ivfTopKKmeans]], the query side here IS
+    * the corpus, so broadcasting it would ship the whole corpus to
+    * every executor: instead both sides co-partition on `cell` via a
+    * shuffle-hash equi-join. Per-cell work is (n/cells)·nprobe·
+    * (n/cells) — quadratic in CELL size only, `cells` is the scale
+    * lever exactly as in [[semanticDedup]]. Each (query, candidate)
+    * pair arises at most once (cells partition the corpus; probe
+    * cells are distinct), so no pair dedup is needed. Ranking is the
+    * two-stage [[rankTopK]] heap — no corpus-wide window anywhere.
+    * Cell-boundary misses are the technique's documented recall
+    * trade; raise `nprobe` to buy recall (SimilaritySpec quantifies
+    * it against brute force).
+    */
+  def knnGraph(emb: DataFrame, k: Int, cells: Int = 8, iters: Int = 3,
+               nprobe: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(emb.select(col("vec_id"), col("emb")),
+      cells, iters)
+    val assigned = emb.select(col("vec_id"), col("emb"),
+      kmeansAssignCol(quantize(col("emb")), cents.toSeq).as("cell"))
+    val probes = emb.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+      explode(kmeansProbesCol(quantize(col("emb")), cents.toSeq, nprobe))
+        .as("cell"))
+    val scored = probes.hint("shuffle_hash")
+      .join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", round(cosineSimilarity(col("q_emb"), col("emb")), 4))
+    rankTopK(scored, k)
+  }
+
   /** Global max-|component| of the corpus — the scalar quantizer's
     * one training statistic. Order-independent (max of exact
     * comparisons), so any engine derives the identical double. One

@@ -230,6 +230,40 @@ object SimilarityQueries {
       embDouble(s, d).select(col("vec_id"), col("emb")), 8, 3),
     Some(kmeansOracleSql(8, 3, 64)))
 
+  /** Corpus kNN graph: every vector's top-5 neighbours via inward
+    * multi-probe IVF. The oracle replays the whole trainer
+    * ([[kmChainCtes]]), the per-vector probe ranking (f, cell) from
+    * the final objective rows, the cell-equi candidate join with
+    * self-exclusion, the exact rescore, and the ranking — a hash
+    * match certifies the graph edge set exactly, cell-boundary
+    * recall trade included (recall itself is quantified in
+    * SimilaritySpec against brute force).
+    */
+  private val simKnnGraph = QueryDef(
+    "sim_knn_graph",
+    (s, d) => Similarity.knnGraph(
+      embDouble(s, d).select(col("vec_id"), col("emb")),
+      k = 5, cells = 8, iters = 3, nprobe = 2),
+    Some(s"""WITH ${kmChainCtes("knv", "knseeds", "kn", "embedding", 8, 3, 64)},
+      gcell AS MATERIALIZED (SELECT vec_id, cell FROM kna3),
+      probes AS MATERIALIZED (SELECT q_id, cell FROM (
+          SELECT vec_id AS q_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+          FROM knp3) t WHERE rn <= 2),
+      e AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      scored AS MATERIALIZED (SELECT pr.q_id, g.vec_id,
+          round(list_cosine_similarity(qe.emb, ce.emb), 4) AS score
+        FROM probes pr
+        JOIN gcell g ON g.cell = pr.cell AND g.vec_id <> pr.q_id
+        JOIN e qe ON qe.vec_id = pr.q_id
+        JOIN e ce ON ce.vec_id = g.vec_id),
+      ranked AS MATERIALIZED (SELECT q_id, vec_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
+
   /** Cluster-balanced sampling: keep at most 40 vectors per k-means
     * cell (cells average ~60 at the oracle SF, so some cells cap and
     * some don't — both branches of the predicate are exercised). The
@@ -738,7 +772,8 @@ object SimilarityQueries {
         JOIN qw ON d.doc_id = qw.doc_id"""))
 
   val defs: Seq[QueryDef] =
-    Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simSq8, simPq,
+    Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simKnnGraph,
+      simSq8, simPq,
       simIvfPq, dedupEmbedding, dedupSemantic, sampleClusterCap,
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,

@@ -62,6 +62,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 $recall below 0.5")
   }
 
+  test("knn graph: shape, self-exclusion, twin edge, recall vs brute force") {
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("emb"))
+    // plant one exact twin: probe 1 is always the own cell, so the
+    // twin is structurally a candidate and must be the rank-1 edge
+    val twin = vecs.filter(col("vec_id") === 0)
+      .select(lit(1000000L).as("vec_id"), col("emb"))
+    val corpus = vecs.unionByName(twin)
+    val g = Similarity.knnGraph(corpus, k = 5, cells = 8, iters = 3,
+      nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val n = corpus.count()
+    // every vector is a node; ranks are contiguous 1..k'; no self edges
+    assert(g.map(_._1).distinct.length === n)
+    assert(g.forall(e => e._1 !== e._3))
+    g.groupBy(_._1).foreach { case (q, es) =>
+      assert(es.map(_._2).sorted.toSeq === (1L to es.length).toSeq,
+        s"ranks not contiguous for $q")
+      assert(es.length <= 5)
+    }
+    val byRank = g.filter(_._1 === 0L).sortBy(_._2)
+    assert(byRank.head._3 === 1000000L && byRank.head._4 === 1.0,
+      s"vec 0's rank-1 edge must be its exact twin: ${byRank.head}")
+    // recall@5 against brute force over all nodes — the cell-boundary
+    // trade quantified (2 probes over 8 cells)
+    val qs = corpus.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val exact = Similarity.bruteForceTopK(corpus, qs, 5)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val got = g.map(e => (e._1, e._3)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"knn-graph recall@5 over ${exact.size} truth edges: $recall")
+    assert(recall >= 0.5, s"recall@5 $recall below 0.5")
+  }
+
   test("sq8 codes are in [-127,127] and the scale element hits a rail") {
     import spark.implicits._
     val m = Similarity.sq8MaxAbs(emb.select(col("emb")))
