@@ -339,6 +339,63 @@ object Similarity {
     refineStage(approx, emb, queries, k, refine)
   }
 
+  /** The deterministic ±1 sign matrix behind [[rpTopK]]: entry (j, i)
+    * is +1 iff the first hex digit of md5("rp:j:i") is below 8 (i is
+    * 1-based to match SQL list indexing). md5-derived so any engine
+    * regenerates the identical matrix from the string contract alone
+    * — the projection needs no shipped model artifact. Driver-side
+    * and outDim·inDim-sized (a literal in the plan), never data.
+    */
+  def rpSigns(outDim: Int, inDim: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(inDim) { i0 =>
+        val h = md.digest(s"rp:$j:${i0 + 1}".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+      }
+    }
+  }
+
+  /** Two-stage random-projection top-k — the Johnson–Lindenstrauss
+    * tier of the ANN stack: stage 1 ranks candidates by cosine in a
+    * `outDim`-dimensional SKETCH (each sketch component is a ±1
+    * sign-weighted sum of the exact-integer quantized vector — the
+    * Achlioptas database-friendly projection, arXiv-era classic),
+    * keeps `refine·k` per query, and stage 2 rescores only those
+    * exactly. The sketch is all integer arithmetic (sums of ±q_i,
+    * exact under any order), so codes are engine-portable and the
+    * approximate score is the same few correctly-rounded IEEE ops as
+    * [[sq8TopK]]. At 100 TB the stage-1 inner loop touches outDim
+    * components instead of the full dimension — compute shrinks by
+    * d/outDim (4× here) on every (query, candidate) pair, the JL
+    * trade: distance distortion bounded w.h.p., quantified against
+    * brute force in SimilaritySpec. The sign matrix regenerates
+    * anywhere from the md5 contract ([[rpSigns]]), so the "model" is
+    * a string convention, not state.
+    */
+  def rpTopK(emb: DataFrame, queries: DataFrame, k: Int,
+             outDim: Int = 16, refine: Int = 4): DataFrame = {
+    val inDim = emb.select(size(col("emb"))).head().getInt(0)
+    val signs = rpSigns(outDim, inDim)
+    def codeCol(e: Column): Column = array((0 until outDim).map { j =>
+      aggregate(zip_with(quantize(e), typedlit(signs(j).toSeq),
+        (x, s) => x * s), lit(0L), (a, x) => a + x)
+    }: _*)
+    def sumSq(c: Column): Column = aggregate(c, lit(0L), (a, x) => a + x * x)
+    val codes = emb.select(col("vec_id"), codeCol(col("emb")).as("rc"))
+      .withColumn("n2", sumSq(col("rc")))
+    val qCodes = queries.select(col("q_id"), codeCol(col("q_emb")).as("q_rc"))
+      .withColumn("na2", sumSq(col("q_rc")))
+    val approx = codes
+      .join(broadcast(qCodes), col("vec_id") =!= col("q_id"))
+      .withColumn("ascore",
+        when(col("na2") === 0 || col("n2") === 0, lit(0.0)).otherwise(
+          aggregate(zip_with(col("rc"), col("q_rc"), (a, b) => a * b),
+            lit(0L), (a, x) => a + x).cast("double") /
+            (sqrt(col("na2").cast("double")) * sqrt(col("n2").cast("double")))))
+    refineStage(approx, emb, queries, k, refine)
+  }
+
   /** Shared stage 2 of the quantized tiers: keep the `refine·k` best
     * stage-1 candidates per query (bounded TopK shuffle), rescore
     * ONLY those with exact cosine against the full vectors, emit the

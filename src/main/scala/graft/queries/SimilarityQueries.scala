@@ -230,6 +230,58 @@ object SimilarityQueries {
       embDouble(s, d).select(col("vec_id"), col("emb")), 8, 3),
     Some(kmeansOracleSql(8, 3, 64)))
 
+  /** Random-projection two-stage top-k: the oracle regenerates the
+    * ±1 sign matrix from the md5 string contract, projects the same
+    * quantized integers, replays the integer-exact sketch scoring,
+    * the refine·k candidate cut, and the exact rescore — a hash
+    * match certifies the whole JL tier including the sign matrix
+    * convention itself.
+    */
+  private val simRpTopK = QueryDef(
+    "sim_rp_topk",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.rpTopK(e, q, 5, outDim = 16, refine = 4)
+    },
+    Some(s"""WITH $embSqlCte,
+      qv AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings),
+      sgn AS MATERIALIZED (SELECT j.j, i.i,
+          CASE WHEN substr(md5('rp:' || j.j || ':' || i.i), 1, 1) < '8'
+               THEN 1 ELSE -1 END AS s
+        FROM generate_series(0, 15) j(j), generate_series(1, 64) i(i)),
+      rc AS MATERIALIZED (SELECT v.vec_id, sgn.j,
+          CAST(SUM(sgn.s * v.q[sgn.i]) AS BIGINT) AS c
+        FROM qv v, sgn GROUP BY v.vec_id, sgn.j),
+      rcv AS MATERIALIZED (SELECT vec_id, LIST(c ORDER BY j) AS rc,
+          CAST(SUM(c * c) AS BIGINT) AS n2
+        FROM rc GROUP BY vec_id),
+      qq AS MATERIALIZED (SELECT vec_id AS q_id, rc AS q_rc, n2 AS na2
+            FROM rcv WHERE vec_id < 10),
+      ap AS MATERIALIZED (SELECT q_id, r.vec_id,
+          CASE WHEN na2 = 0 OR r.n2 = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(list_zip(r.rc, q.q_rc),
+                      z -> z[1] * z[2])) AS DOUBLE)
+                    / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(r.n2 AS DOUBLE)))
+          END AS ascore
+        FROM qq q, rcv r WHERE r.vec_id <> q_id),
+      cand AS MATERIALIZED (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id) AS rn
+          FROM ap) t WHERE rn <= 20),
+      qe AS MATERIALIZED (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      re AS MATERIALIZED (SELECT cand.q_id, cand.vec_id,
+          round(list_cosine_similarity(q_emb, emb), 4) AS score
+        FROM cand JOIN e USING (vec_id) JOIN qe ON cand.q_id = qe.q_id),
+      ranked AS MATERIALIZED (SELECT q_id, vec_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+        FROM re)
+      SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
+
   /** Corpus kNN graph: every vector's top-5 neighbours via inward
     * multi-probe IVF. The oracle replays the whole trainer
     * ([[kmChainCtes]]), the per-vector probe ranking (f, cell) from
@@ -773,7 +825,7 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simKnnGraph,
-      simSq8, simPq,
+      simSq8, simRpTopK, simPq,
       simIvfPq, dedupEmbedding, dedupSemantic, sampleClusterCap,
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,

@@ -96,6 +96,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 $recall below 0.5")
   }
 
+  test("rp sign matrix is deterministic, ±1-only, and near-balanced") {
+    val s1 = Similarity.rpSigns(16, 64)
+    val s2 = Similarity.rpSigns(16, 64)
+    assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
+    assert(s1.flatten.forall(v => v == 1L || v == -1L))
+    val pos = s1.flatten.count(_ == 1L)
+    // md5 first-hex-digit < 8 is a fair coin: 1024 draws stay well
+    // inside ±4σ of 512
+    assert(pos > 448 && pos < 576, s"sign balance off: $pos/1024 positive")
+  }
+
+  test("rp top-k: exact twin found at rank 1, recall vs brute force reported") {
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("emb"))
+    val twin = vecs.filter(col("vec_id") === 0)
+      .select(lit(1000000L).as("vec_id"), col("emb"))
+    val corpus = vecs.unionByName(twin)
+    val qs = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val got = Similarity.rpTopK(corpus, qs, 5, outDim = 16, refine = 4)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // an exact twin has the identical sketch → identical ascore → it
+    // survives stage 1 and wins stage 2 at cosine 1.0
+    val q0 = rows.filter(r => r._1 === 0L).minBy(_._2)
+    assert(q0._3 === 1000000L && q0._4 === 1.0,
+      s"query 0's rank-1 must be its exact twin: $q0")
+    val exact = Similarity.bruteForceTopK(corpus, qs, 5)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val approx = rows.map(r => (r._1, r._3)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"rp recall@5 over ${exact.size} truth pairs: $recall")
+    // 16-of-64 dims on near-random vectors: JL noise (σ ≈ 1/√16)
+    // swamps the small true-neighbour cosine gap, so recall sits low
+    // here by construction — the same regime as the PQ tier (0.3).
+    // Raise outDim/refine to buy recall; the floor documents the bar.
+    assert(recall >= 0.15, s"rp recall@5 $recall below 0.15")
+  }
+
   test("sq8 codes are in [-127,127] and the scale element hits a rail") {
     import spark.implicits._
     val m = Similarity.sq8MaxAbs(emb.select(col("emb")))
