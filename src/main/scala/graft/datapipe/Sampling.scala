@@ -160,6 +160,37 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** [[tokenBudget]] with PER-SOURCE budgets from a TABLE — the
+    * composition a mixture builder actually runs: feed
+    * [[temperatureWeights]]' allocations straight in (budget_s =
+    * round(total · p_temp)) and select each source's greedy prefix
+    * under its own allocation. `budgets` must carry (`source`,
+    * `budget`) rows; it is broadcast (source-count-sized, never
+    * corpus-scale), duplicate-source tables are rejected loudly
+    * (join fan-out would double-select), and sources absent from it
+    * are dropped — the allocation-0 analogue, mirroring
+    * [[upsampleWeighted]]'s contract.
+    */
+  def tokenBudgetWeighted(docs: DataFrame, idCol: String, sourceCol: String,
+                          tokens: Column, priority: Column,
+                          budgets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = budgets.select(col("source"), col("budget").cast("long")
+      .as("budget")).distinct().stage()
+    val dup = b.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count()
+    require(dup == 0,
+      "tokenBudgetWeighted needs exactly one budget per source")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc_nulls_last, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        tokens.cast("bigint").as("n_tokens"), priority.as("priority"))
+      .join(broadcast(b), Seq("source"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("budget"))
+  }
+
   /** Two-stage salted aggregation: a groupBy whose key distribution
     * is heavily skewed (one hot key ≫ partition capacity) funnels the
     * hot key's rows through one reducer. Salting splits every key

@@ -266,6 +266,24 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** kNN-density (prototypicality) score: each vector's mean cosine
+    * to its [[knnGraph]] top-k neighbours. Dense regions (high mean)
+    * mark redundant/prototypical examples, sparse ones outliers —
+    * the selection signal behind SemDeDup-style prototype pruning
+    * and DataComp/SSL density-balanced curation. One additional
+    * aggregation keyed on the graph's query id; the mean is a
+    * DECIMAL(28,8) exact sum of the 4-dp edge scores divided once,
+    * so any engine reproduces the double bit-for-bit.
+    */
+  def knnDensity(emb: DataFrame, k: Int, cells: Int = 8, iters: Int = 3,
+                 nprobe: Int = 2): DataFrame =
+    knnGraph(emb, k, cells, iters, nprobe)
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_edges"),
+        round(sum(col("score").cast("decimal(28,8)")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("density"))
+      .select(col("q_id").as("vec_id"), col("n_edges"), col("density"))
+
   /** Global max-|component| of the corpus — the scalar quantizer's
     * one training statistic. Order-independent (max of exact
     * comparisons), so any engine derives the identical double. One

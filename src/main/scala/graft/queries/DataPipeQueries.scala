@@ -1412,6 +1412,50 @@ object DataPipeQueries {
       FROM n, UNNEST(generate_series(1::BIGINT, n_copies)) u(copy)
       WHERE n_copies > 0"""))
 
+  /** The token-BUDGETED mixture composition: temperature weights
+    * (α=0.5) allocate a 10k-token global budget across sources
+    * (budget_s = round(total · p_temp)), then each source's greedy
+    * quality-ranked prefix is selected under its own allocation —
+    * [[Sampling.temperatureWeights]] feeding
+    * [[Sampling.tokenBudgetWeighted]]'s broadcast budget join. The
+    * oracle replays normalizer, allocation rounding, ranking, and
+    * the per-source cumulative cut in one chain, so the hash
+    * certifies both stage boundaries.
+    */
+  private val e2eTokenMixture = QueryDef(
+    "e2e_token_mixture",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val budgets = Sampling.temperatureWeights(docs, col("source"), alpha = 0.5)
+        .select(col("source"),
+          round(lit(10000.0) * col("p_temp")).cast("long").as("budget"))
+      Sampling.tokenBudgetWeighted(docs, "doc_id", "source",
+        TextAnalysis.tokenCount(col("text")),
+        TextAnalysis.stopwordCount(col("text")).cast("double") /
+          TextAnalysis.tokenCount(col("text")).cast("double"),
+        budgets)
+    },
+    Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs
+        FROM documents GROUP BY source),
+      p AS (SELECT source, n_docs,
+        round(exp(0.5 * ln(CAST(n_docs AS DOUBLE))), 8) AS na FROM c),
+      t AS (SELECT SUM(CAST(na AS DECIMAL(28,8))) AS z FROM p),
+      bud AS (SELECT source,
+        CAST(ROUND(10000 * round(na / CAST(z AS DOUBLE), 6)) AS BIGINT) AS budget
+        FROM p, t),
+      dtok AS (SELECT doc_id, source,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+          / len(regexp_split_to_array(trim(text), '\s+')) AS priority
+        FROM documents),
+      j AS (SELECT d.*, b.budget FROM dtok d JOIN bud b USING (source)),
+      cum AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+          ORDER BY priority DESC NULLS LAST, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM j)
+      SELECT doc_id, source, n_tokens, priority, budget, cum_tokens
+      FROM cum WHERE cum_tokens <= budget"""))
+
   /** Sliding-window samples at window=64, stride=48 (overlapping):
     * every row's chunk text rides the compare, so window arithmetic,
     * slicing, and the short-final-window rule are all hash-checked.
@@ -1702,7 +1746,7 @@ object DataPipeQueries {
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
     packChunks, decontaminate, decontaminateSpans, decontaminateTrim,
     mixtureUpsample, mixtureTemperature,
-    e2eMixture, chunkSliding, shuffleRank,
+    e2eMixture, e2eTokenMixture, chunkSliding, shuffleRank,
     textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration,
     e2eStreamGate)
 }

@@ -291,12 +291,11 @@ object SimilarityQueries {
     * recall trade included (recall itself is quantified in
     * SimilaritySpec against brute force).
     */
-  private val simKnnGraph = QueryDef(
-    "sim_knn_graph",
-    (s, d) => Similarity.knnGraph(
-      embDouble(s, d).select(col("vec_id"), col("emb")),
-      k = 5, cells = 8, iters = 3, nprobe = 2),
-    Some(s"""WITH ${kmChainCtes("knv", "knseeds", "kn", "embedding", 8, 3, 64)},
+  /** The kNN-graph oracle chain through `ranked` — shared by the
+    * graph entry and the density readout built on its edges.
+    */
+  private val knnRankedCtes =
+    s"""${kmChainCtes("knv", "knseeds", "kn", "embedding", 8, 3, 64)},
       gcell AS MATERIALIZED (SELECT vec_id, cell FROM kna3),
       probes AS MATERIALIZED (SELECT q_id, cell FROM (
           SELECT vec_id AS q_id, cell,
@@ -313,8 +312,31 @@ object SimilarityQueries {
         JOIN e ce ON ce.vec_id = g.vec_id),
       ranked AS MATERIALIZED (SELECT q_id, vec_id, score,
           CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
-        FROM scored)
+        FROM scored)"""
+
+  private val simKnnGraph = QueryDef(
+    "sim_knn_graph",
+    (s, d) => Similarity.knnGraph(
+      embDouble(s, d).select(col("vec_id"), col("emb")),
+      k = 5, cells = 8, iters = 3, nprobe = 2),
+    Some(s"""WITH $knnRankedCtes
       SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
+
+  /** kNN-density (prototypicality) readout over the graph edges: the
+    * mean top-k neighbour cosine per vector, DECIMAL(28,8)-summed so
+    * the mean is engine-portable. High density = redundant/prototype
+    * region, low = outlier — both tails drive published curation.
+    */
+  private val simKnnDensity = QueryDef(
+    "sim_knn_density",
+    (s, d) => Similarity.knnDensity(
+      embDouble(s, d).select(col("vec_id"), col("emb")),
+      k = 5, cells = 8, iters = 3, nprobe = 2),
+    Some(s"""WITH $knnRankedCtes
+      SELECT q_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+        round(CAST(SUM(CAST(score AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 4)
+          AS density
+      FROM ranked WHERE rnk <= 5 GROUP BY q_id"""))
 
   /** Cluster-balanced sampling: keep at most 40 vectors per k-means
     * cell (cells average ~60 at the oracle SF, so some cells cap and
@@ -825,7 +847,7 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simKnnGraph,
-      simSq8, simRpTopK, simPq,
+      simKnnDensity, simSq8, simRpTopK, simPq,
       simIvfPq, dedupEmbedding, dedupSemantic, sampleClusterCap,
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,

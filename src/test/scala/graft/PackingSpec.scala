@@ -116,6 +116,24 @@ class PackingSpec extends SparkSpec {
     assert(out === Seq(10L))
   }
 
+  test("tokenBudgetWeighted: per-source budgets, absent source dropped, dup rejected") {
+    val df = Seq(
+      (1L, "a", 40L, 0.9), (2L, "a", 50L, 0.5), (3L, "a", 20L, 0.4),
+      (4L, "b", 30L, 0.9), (5L, "c", 10L, 0.9))
+      .toDF("doc_id", "source", "n", "prio")
+    val buds = Seq(("a", 100L), ("b", 10L)).toDF("source", "budget")
+    val out = graft.datapipe.Sampling.tokenBudgetWeighted(
+        df, "doc_id", "source", col("n"), col("prio"), buds)
+      .select("doc_id").as[Long].collect().toSet
+    // a: 40+50 fit the 100 budget; b's 30 > 10 → nothing; c absent → dropped
+    assert(out === Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      graft.datapipe.Sampling.tokenBudgetWeighted(
+        df, "doc_id", "source", col("n"), col("prio"),
+        Seq(("a", 100L), ("a", 200L)).toDF("source", "budget"))
+    }
+  }
+
   test("upsampleWeighted rejects conflicting duplicate stratum weights") {
     val df = Seq((1L, "a")).toDF("doc_id", "source")
     val wts = Seq(("a", 2.0), ("a", 3.0)).toDF("source", "boost")

@@ -96,6 +96,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 $recall below 0.5")
   }
 
+  test("knn density: one row per node, bounded, twin node densest") {
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("emb"))
+    val twin = vecs.filter(col("vec_id") === 0)
+      .select(lit(1000000L).as("vec_id"), col("emb"))
+    val corpus = vecs.unionByName(twin)
+    val d = Similarity.knnDensity(corpus, k = 5, cells = 8, iters = 3,
+      nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(d.length === corpus.count())
+    assert(d.forall(r => r._3 >= -1.0 && r._3 <= 1.0 && r._2 >= 1 && r._2 <= 5))
+    // the twin pair's rank-1 edge scores 1.0, lifting both members'
+    // means above any no-twin node's possible mean only in expectation
+    // — assert the weaker structural fact: vec 0 includes a 1.0 edge,
+    // so its density exceeds the all-edges-below-1 lower bound of its
+    // remaining edges alone
+    val d0 = d.find(_._1 === 0L).get
+    val dMed = d.map(_._3).sorted.apply(d.length / 2)
+    assert(d0._3 > dMed, s"twin node density ${d0._3} not above median $dMed")
+  }
+
   test("rp sign matrix is deterministic, ±1-only, and near-balanced") {
     val s1 = Similarity.rpSigns(16, 64)
     val s2 = Similarity.rpSigns(16, 64)

@@ -383,6 +383,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("gopher rules stream statelessly and match the batch twin") {
+    // every rule feature is a per-row expression with no corpus state,
+    // so the composite document gate deploys unchanged on an ingest
+    // stream — the frozen-gate property this test pins
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val texts = Seq(
+      (1L, ("the and alpha beta gamma " * 11).trim),
+      (2L, "the a short doc"),
+      (3L, ("x1 " * 60).trim),
+      (4L, ""))
+    val q = graft.datapipe.TextAnalysis
+      .gopherRules(in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gopher_stream").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val batch = graft.datapipe.TextAnalysis
+      .gopherRules(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("a pre-trained importance model scores a stream to the batch weights") {
     // train offline (bucketRatios), score inline (importanceScore) —
     // the stateless expression streams untouched and must reproduce
