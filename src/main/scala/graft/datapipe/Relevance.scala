@@ -84,4 +84,37 @@ object Relevance {
       .join(perTerm, Seq("doc_id"), "left")
       .select(col("doc_id"), round(total, 4).as("score"))
   }
+
+  /** Per-document TF-IDF keyword extraction: the top-k terms of every
+    * document by tf·ln(N/df), the topic-tagging/selection signal next
+    * to [[bm25]]'s fixed-query scoring. Unlike BM25 the full token
+    * stream is the subject, so the tf table (doc, term, count) is the
+    * one corpus-scale shuffle, with map-side partial counts; document
+    * frequency is a window count over the term partitioning (no
+    * second table, no join), and the final ranking windows per doc —
+    * groups are per-doc vocabularies, so no corpus-wide partition
+    * exists at any scale. Ranking compares the 4-dp ROUNDED score
+    * (ties on term asc), making the cut deterministic and
+    * engine-portable; idf is one exact-long division + ln. Word-camp
+    * tokenization (zero-length tokens are not words).
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(TextAnalysis.normalize(col(textCol)), " "),
+      w => length(w) > 0)
+    val tf = docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")), 4))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+  }
 }

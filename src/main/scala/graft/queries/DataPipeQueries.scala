@@ -110,6 +110,108 @@ object DataPipeQueries {
       ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fingerprint
       FROM documents"""))
 
+  /** Shared oracle CTE chain for the WordPiece family: normalized
+    * word counts, windowed substring counts, the top-V cut, the
+    * single-char closure, and a 16-step greedy longest-match unroll
+    * over the distinct-word table (corpus max word length is 8 at
+    * the oracle SF; a fully-consumed word passes through later steps
+    * unchanged). Step k advances one piece: the longest of the ≤4-,
+    * 3-, 2-char vocab probes, else the single-char fallback — the
+    * exact ELSE branch [[graft.datapipe.WordPiece.greedyCount]]
+    * takes.
+    */
+  private val wordPieceCtes: String = {
+    def step(k: Int) = s"""
+      wg$k AS (SELECT g.w,
+        CASE WHEN g.pos > len(g.w) THEN g.pos
+             WHEN v4.piece IS NOT NULL THEN g.pos + 4
+             WHEN v3.piece IS NOT NULL THEN g.pos + 3
+             WHEN v2.piece IS NOT NULL THEN g.pos + 2
+             ELSE g.pos + 1 END AS pos,
+        CASE WHEN g.pos > len(g.w) THEN g.n ELSE g.n + 1 END AS n
+       FROM wg${k - 1} g
+       LEFT JOIN wvoc v4 ON len(g.w) >= g.pos + 3
+         AND v4.piece = substr(g.w, CAST(g.pos AS INTEGER), 4)
+       LEFT JOIN wvoc v3 ON len(g.w) >= g.pos + 2
+         AND v3.piece = substr(g.w, CAST(g.pos AS INTEGER), 3)
+       LEFT JOIN wvoc v2 ON len(g.w) >= g.pos + 1
+         AND v2.piece = substr(g.w, CAST(g.pos AS INTEGER), 2))"""
+    s"""wtok AS (SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0) AS w
+        FROM documents),
+      wwords AS (SELECT u.t AS w, COUNT(*) AS freq
+        FROM wtok, UNNEST(w) u(t) GROUP BY u.t),
+      wpieces AS (SELECT substr(ww.w, i.i, l.l) AS piece,
+          CAST(SUM(ww.freq) AS BIGINT) AS cnt
+        FROM wwords ww,
+          UNNEST(generate_series(1, len(ww.w))) i(i),
+          UNNEST(generate_series(1, LEAST(4, len(ww.w) - i.i + 1))) l(l)
+        GROUP BY 1),
+      wvtop AS (SELECT piece, cnt FROM wpieces
+        ORDER BY cnt DESC, piece LIMIT 120),
+      wchars AS (SELECT DISTINCT substr(ww.w, i.i, 1) AS piece
+        FROM wwords ww, UNNEST(generate_series(1, len(ww.w))) i(i)),
+      wvoc AS (SELECT piece FROM wvtop UNION SELECT piece FROM wchars),
+      wg0 AS (SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n
+        FROM wwords),
+      ${(1 to 16).map(step).mkString(",")}"""
+  }
+
+  /** WordPiece vocabulary: the top-120 substrings (lengths 1-4) by
+    * word-frequency-weighted occurrence count, cut on (cnt desc,
+    * piece). The oracle replays windowing, weighting, and the cut.
+    */
+  private val wordPieceVocab = QueryDef(
+    "wordpiece_vocab",
+    (s, d) => graft.datapipe.WordPiece.vocabTable(
+      Tables.documents(s, d), "text", maxPieceLen = 4, topV = 120),
+    Some(s"""WITH $wordPieceCtes
+      SELECT piece, cnt FROM wvtop"""))
+
+  /** WordPiece encoding counts per document under the same
+    * vocabulary + single-char closure; the oracle walks the greedy
+    * longest-match loop step by step, so a hash match certifies the
+    * segmentation rule itself, not just totals.
+    */
+  private val wordPieceEncode = QueryDef(
+    "wordpiece_encode",
+    (s, d) => graft.datapipe.WordPiece.encodeCounts(
+      Tables.documents(s, d), "doc_id", "text", maxPieceLen = 4, topV = 120),
+    Some(s"""WITH $wordPieceCtes,
+      wctok AS (SELECT doc_id, u.t AS w FROM wtok, UNNEST(w) u(t)),
+      wagg AS (SELECT c.doc_id, COUNT(*) AS n_words,
+          CAST(SUM(e.n) AS BIGINT) AS n_pieces
+        FROM wctok c JOIN wg16 e USING (w) GROUP BY c.doc_id)
+      SELECT d.doc_id, CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+        CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces
+      FROM documents d LEFT JOIN wagg a USING (doc_id)"""))
+
+  /** TF-IDF keywords: every document's top-5 terms by tf·ln(N/df),
+    * ranked on the 4-dp rounded score with term tie-break. The
+    * oracle replays tf, the window df, idf, and the cut.
+    */
+  private val textKeywords = QueryDef(
+    "text_keywords",
+    (s, d) => Relevance.tfidfKeywords(Tables.documents(s, d),
+      "doc_id", "text", k = 5),
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0) AS w
+        FROM documents),
+      tf AS (SELECT doc_id, u.t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks, UNNEST(w) u(t) GROUP BY doc_id, u.t),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      sc AS (SELECT doc_id, term,
+        round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE)
+          / CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE)), 4) AS score
+        FROM tf, n),
+      ranked AS (SELECT doc_id, term, score,
+        CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term) AS BIGINT) AS rnk
+        FROM sc)
+      SELECT doc_id, rnk, term, score FROM ranked WHERE rnk <= 5"""))
+
   /** Gopher composite document filter: rule features + per-rule
     * booleans + the joint keep decision, all zero-shuffle per-row
     * expressions. The oracle recomputes every feature from scratch
@@ -552,6 +654,43 @@ object DataPipeQueries {
         round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
         round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall
       FROM cm"""))
+
+  /** Classifier calibration readout — the reliability histogram next
+    * to [[textClassifierEval]]'s confusion matrix: documents bucketed
+    * by clamped integer score bin, with the empirical positive rate
+    * per bin. Fixed bins keep this scale-honest (zero shuffle until
+    * the ≤11-row groupBy — a global ntile would sort the corpus);
+    * rates are exact counts divided once.
+    */
+  private val textClassifierCalibration = QueryDef(
+    "text_classifier_calibration",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = graft.datapipe.Classifier.naiveBayes(
+        docs, "doc_id", "text", nbLabel, buckets = 256)
+      val labeled = docs.select(col("doc_id"), nbLabel.as("is_pos"))
+      scored.join(labeled, "doc_id")
+        .withColumn("bin",
+          least(lit(5L), greatest(lit(-5L), floor(col("score")))))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("is_pos"), 1)).as("n_pos"))
+        .withColumn("pos_rate",
+          round(col("n_pos").cast("double") / col("n").cast("double"), 6))
+    },
+    Some(s"""WITH $nbLabelCtes,
+      pred AS (SELECT t.doc_id,
+          round(CAST(CAST(prior AS DECIMAL(28,8))
+            + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) AS score
+        FROM toks t LEFT JOIN ssum USING (doc_id), pri),
+      binned AS (SELECT LEAST(CAST(5 AS BIGINT), GREATEST(CAST(-5 AS BIGINT),
+          CAST(FLOOR(score) AS BIGINT))) AS bin, is_pos
+        FROM pred JOIN lab USING (doc_id))
+      SELECT bin, COUNT(*) AS n,
+        COUNT(*) FILTER (WHERE is_pos) AS n_pos,
+        round(CAST(COUNT(*) FILTER (WHERE is_pos) AS DOUBLE) / COUNT(*), 6)
+          AS pos_rate
+      FROM binned GROUP BY bin"""))
 
   /** The train-offline/score-inline twin of text_classifier: the
     * B+2-number model extracts to the driver and every document is
@@ -1735,12 +1874,15 @@ object DataPipeQueries {
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
+    textKeywords,
     textRepetition, textGopherRules, textDupNgrams, textVocab, textPerplexity,
     textPerplexityInline,
     textClassifier, textClassifierInline, textClassifierEval,
+    textClassifierCalibration,
     sampleImportance,
     sampleImportanceSoft, sampleTokenBudget,
     bpeMerges, bpeEncode, bpeFertility,
+    wordPieceVocab, wordPieceEncode,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,

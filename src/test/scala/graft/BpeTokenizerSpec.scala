@@ -84,4 +84,40 @@ class BpeTokenizerSpec extends SparkSpec {
     val merges = BpeTokenizer.trainMerges(tiny, "text", 10)
     assert(merges === Seq(("a", "b" + BpeTokenizer.Eow)))
   }
+
+  test("wordpiece greedy kernel: longest match first, closure fallback") {
+    import graft.datapipe.WordPiece.greedyCount
+    val vocab = Set("abcd", "ab", "cd", "x")
+    assert(greedyCount("abcd", vocab, 4) === 1L, "whole-word piece wins")
+    assert(greedyCount("abcd", vocab, 2) === 2L, "cap limits probe length")
+    assert(greedyCount("abcx", vocab, 4) === 3L, "ab + c(fallback) + x")
+    assert(greedyCount("zzz", vocab, 4) === 3L,
+      "absent chars consume one position each")
+    // greedy is NOT optimal: vocab {aa, ab, b} on 'aab' → aa + b = 2,
+    // but greedy from the left also finds aa first — use 'aab' with
+    // {a, ab} instead: greedy a + ab = 2 pieces (optimal here too);
+    // the pinned property is determinism of the left-greedy rule
+    assert(greedyCount("aab", Set("a", "ab"), 4) === 2L)
+  }
+
+  test("wordpiece vocab: deterministic weighted cut; encode matches kernel") {
+    val docs = Seq((1L, "abab abab cd"), (2L, "abab")).toDF("doc_id", "text")
+    val v = graft.datapipe.WordPiece.vocabTable(docs, "text", 4, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // 'abab' freq 3, 'cd' freq 1; windows of 'abab' len<=4:
+    // a×2,b×2,ab×2,ba,aba,bab,abab per occurrence → ab cnt 6, a cnt 6...
+    // cut is (cnt desc, piece asc) — top-5 must start with the cnt-6 ties
+    assert(v.length === 5)
+    assert(v.head._1 === "a" && v.head._2 === 6L,
+      s"tie at 6 breaks on piece asc: ${v.toSeq}")
+    val enc = graft.datapipe.WordPiece.encodeCounts(docs, "doc_id", "text", 4, 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // vocab top-5 ∪ chars decides the piece counts; cross-check with
+    // the kernel on the same set
+    val top = v.map(_._1).toSet ++ Set("a", "b", "c", "d")
+    val expAbab = graft.datapipe.WordPiece.greedyCount("abab", top, 4)
+    val expCd = graft.datapipe.WordPiece.greedyCount("cd", top, 4)
+    assert(enc(1L) === ((3L, 2 * expAbab + expCd)))
+    assert(enc(2L) === ((1L, expAbab)))
+  }
 }

@@ -64,6 +64,21 @@ class RelevanceSpec extends SparkSpec {
       s"the global cut must be per-partition top-N, not a full sort; plan:\n${plan.take(1500)}")
   }
 
+  test("tfidf keywords match hand computation, ties break on term") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian durian durian")).toDF("doc_id", "text")
+    val got = graft.datapipe.Relevance.tfidfKeywords(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).sortBy(r => (r._1, r._2))
+    // idf: ln(3/1)=1.0986, ln(3/2)=0.4055 (4 dp)
+    assert(got === Seq(
+      (1L, 1L, "apple", 2.1972), (1L, 2L, "banana", 0.4055),
+      (2L, 1L, "banana", 0.4055), (2L, 2L, "cherry", 0.4055),
+      (3L, 1L, "durian", 3.2958), (3L, 2L, "cherry", 0.4055)))
+  }
+
   test("gopher rules: hand-checked features and keep decision") {
     // 55 words, mean word length exactly 4.0, 22 stopword hits
     val longGood = ("the and alpha beta gamma " * 11).trim
