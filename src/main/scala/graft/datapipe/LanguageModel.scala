@@ -97,6 +97,95 @@ object LanguageModel {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("ppl"))
   }
 
+  /** Trigram stupid-backoff scoring (Brants et al. 2007,
+    * arXiv:0706.03418-era "Large LMs in MT" recipe — the web-scale
+    * LM that skips normalization entirely): a TRAIN corpus builds
+    * raw trigram/bigram/unigram count tables, a SCORE corpus is
+    * scored per trigram position by
+    *
+    *   S(w3|w1w2) = c(w1w2w3)/c(w1w2)                   if trigram seen
+    *              = 0.4 · c(w2w3)/c(w2)                 else if bigram seen
+    *              = 0.16 · (c(w3)+1)/(N+V)              else (add-one unigram,
+    *                                                     open-vocabulary floor)
+    *
+    * and ppl-like score = exp(−Σ ln S / n_trigrams), 4 dp. Separate
+    * train/score inputs make this the held-out shape (train on a
+    * split, score everything) — scoring the training corpus alone
+    * never leaves the first branch. Scale shape mirrors
+    * [[perplexity]]: the model is three count tables bounded by
+    * distinct n-grams (shuffles carry (gram, count) partials), and
+    * scoring joins co-partition the position stream with each table
+    * on its gram key; the backoff decision is a per-row CASE, so the
+    * whole chain is joins + one fold. Every branch is exact integer
+    * counts through one or two IEEE ops in a pinned order, each ln
+    * term rounds to 8 dp before the exact DECIMAL(28,8) sum — the
+    * catalog's engine-portability convention.
+    *
+    * Output: (doc_id, n_trigrams, ppl) over `docs`; < 3 tokens →
+    * (0, NULL).
+    */
+  def perplexityBackoff(train: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    def grams(df: DataFrame, keep: Seq[String]): DataFrame = {
+      val w = toks(col(textCol))
+      val n = size(w)
+      df.filter(n >= 3)
+        .select((keep.map(col) :+ explode(zip_with(
+          zip_with(slice(w, lit(1), n - 2), slice(w, lit(2), n - 2),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          slice(w, lit(3), n - 2),
+          (p, c) => struct(p.getField("w1").as("w1"),
+            p.getField("w2").as("w2"), c.as("w3")))).as("g")): _*)
+        .select(keep.map(col) :+ col("g.w1") :+ col("g.w2") :+ col("g.w3"): _*)
+    }
+    val tb = train.select(toks(col(textCol)).as("w"))
+    val tuni = tb.select(explode(col("w")).as("t"))
+    val cu = tuni.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val nv = tuni.agg(count(lit(1)).as("n_tok"),
+      count_distinct(col("t")).as("v"))
+    val cb = tb.filter(size(col("w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val ct = grams(train, Seq.empty)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val pos = grams(docs.select(col(idCol).as("doc_id"), col(textCol)),
+      Seq("doc_id"))
+    val scored = pos
+      .join(ct, Seq("w1", "w2", "w3"), "left")
+      .join(cb.select(col("w1"), col("w2"), col("cb").as("cb12")),
+        Seq("w1", "w2"), "left")
+      .join(cb.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb").as("cb23")), Seq("w2", "w3"), "left")
+      .join(cu.select(col("t").as("w2"), col("cu").as("cu2")),
+        Seq("w2"), "left")
+      .join(cu.select(col("t").as("w3"), col("cu").as("cu3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("lp", round(log(
+        when(col("c3").isNotNull,
+          col("c3").cast("double") / col("cb12").cast("double"))
+        .when(col("cb23").isNotNull,
+          lit(0.4) * (col("cb23").cast("double") / col("cu2").cast("double")))
+        .otherwise(lit(0.16) *
+          ((coalesce(col("cu3"), lit(0L)) + lit(1)).cast("double") /
+            (col("n_tok") + col("v")).cast("double")))), 8))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp").cast("decimal(28,8)")).as("slp"),
+        count(lit(1)).as("n_trigrams"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(exp(-col("slp").cast("double") / col("n_trigrams")), 4)
+          .as("ppl"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("ppl"))
+  }
+
   /** DSIR-style importance weights: hashed-unigram log-likelihood
     * ratio of a target domain against the raw corpus, with a
     * deterministic top-N selection.

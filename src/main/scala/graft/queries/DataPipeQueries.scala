@@ -455,6 +455,57 @@ object DataPipeQueries {
         round(exp(-CAST(s.slp AS DOUBLE) / s.n_bigrams), 4) AS ppl
       FROM toks t LEFT JOIN s USING (doc_id)"""))
 
+  /** Trigram stupid-backoff perplexity in the HELD-OUT shape: the
+    * model trains on doc_id % 7 != 0 and scores every document, so
+    * the %7 slice genuinely exercises the backoff chain (unseen
+    * trigram → bigram → add-one unigram floor). The oracle rebuilds
+    * all three count tables from the same split and replays the CASE
+    * chain branch by branch.
+    */
+  private val textPerplexityBackoff = QueryDef(
+    "text_perplexity_backoff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      LanguageModel.perplexityBackoff(
+        docs.filter(col("doc_id") % 7 =!= 0), docs, "doc_id", "text")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      tr AS (SELECT w FROM toks WHERE doc_id % 7 <> 0),
+      tuni AS (SELECT u.t AS t FROM tr, UNNEST(w) u(t)),
+      cu AS (SELECT t, COUNT(*) AS cu FROM tuni GROUP BY t),
+      nv AS (SELECT COUNT(*) AS n_tok, COUNT(DISTINCT t) AS v FROM tuni),
+      tbg AS (SELECT w[i] AS w1, w[i+1] AS w2
+        FROM tr, UNNEST(generate_series(1, len(w) - 1)) t(i)
+        WHERE len(w) >= 2),
+      cb AS (SELECT w1, w2, COUNT(*) AS cb FROM tbg GROUP BY 1, 2),
+      ttg AS (SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        FROM tr, UNNEST(generate_series(1, len(w) - 2)) t(i)
+        WHERE len(w) >= 3),
+      ct AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM ttg GROUP BY 1, 2, 3),
+      pos AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+        WHERE len(w) >= 3),
+      sc AS (SELECT doc_id, round(ln(
+          CASE WHEN ct.c3 IS NOT NULL
+                 THEN CAST(ct.c3 AS DOUBLE) / CAST(b12.cb AS DOUBLE)
+               WHEN b23.cb IS NOT NULL
+                 THEN 0.4 * (CAST(b23.cb AS DOUBLE) / CAST(cu2.cu AS DOUBLE))
+               ELSE 0.16 * (CAST(COALESCE(cu3.cu, 0) + 1 AS DOUBLE)
+                 / CAST(nv.n_tok + nv.v AS DOUBLE)) END), 8) AS lp
+        FROM pos
+        LEFT JOIN ct ON ct.w1 = pos.w1 AND ct.w2 = pos.w2 AND ct.w3 = pos.w3
+        LEFT JOIN cb b12 ON b12.w1 = pos.w1 AND b12.w2 = pos.w2
+        LEFT JOIN cb b23 ON b23.w1 = pos.w2 AND b23.w2 = pos.w3
+        LEFT JOIN cu cu2 ON cu2.t = pos.w2
+        LEFT JOIN cu cu3 ON cu3.t = pos.w3, nv),
+      s AS (SELECT doc_id, SUM(CAST(lp AS DECIMAL(28,8))) AS slp,
+          COUNT(*) AS n FROM sc GROUP BY doc_id)
+      SELECT t.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_trigrams,
+        round(exp(-CAST(s.slp AS DOUBLE) / s.n), 4) AS ppl
+      FROM toks t LEFT JOIN s USING (doc_id)"""))
+
   /** The train-offline/score-inline twin of text_perplexity: the
     * bigram model is EXTRACTED to the driver (capped dictionary, the
     * [[graft.datapipe.BpeTokenizer.MaxDriverVocab]] convention) and
@@ -1876,7 +1927,7 @@ object DataPipeQueries {
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textKeywords,
     textRepetition, textGopherRules, textDupNgrams, textVocab, textPerplexity,
-    textPerplexityInline,
+    textPerplexityInline, textPerplexityBackoff,
     textClassifier, textClassifierInline, textClassifierEval,
     textClassifierCalibration,
     sampleImportance,

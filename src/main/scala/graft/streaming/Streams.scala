@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -484,6 +484,49 @@ object Streams {
     * The per-batch window is driver-light (no collect): the chunk
     * assignment is a row_number window written straight back out.
     */
+  /** Streaming per-source token QUOTA gate — the arrival-order twin
+    * of [[graft.datapipe.Sampling.tokenBudget]]. The batch operator
+    * ranks a finished pool by priority and takes the greedy prefix;
+    * an ingest stream cannot see the future, so the deployed quota
+    * admits each ARRIVAL iff it still fits the source's remaining
+    * allowance (cum + n ≤ budget) — an over-weight arrival is
+    * skipped, a later smaller one may still fit. That semantic
+    * difference from the batch prefix is the point of the twin, not
+    * an approximation, and the spec pins both it and the cross-batch
+    * state carry.
+    *
+    * State per source is ONE long (the running admitted-token
+    * total) — the smallest possible stateful footprint, bounded by
+    * the source count forever, so no TTL is needed. One shuffle
+    * keyed on source; emitted rows are the admitted documents only.
+    */
+  def tokenBudgetStream(docs: DataFrame, idCol: String, sourceCol: String,
+                        tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs.select(col(idCol).cast("long").as("id"),
+        col(sourceCol).cast("string").as("source"),
+        tokens.cast("long").as("n"))
+      .filter(col("id").isNotNull && col("n").isNotNull)
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        var cum = state.getOption.getOrElse(0L)
+        val out = Seq.newBuilder[(Long, String, Long, Long)]
+        rows.foreach { case (id, src, n) =>
+          if (cum + n <= budget) {
+            cum += n
+            out += ((id, src, n, cum))
+          }
+        }
+        state.update(cum)
+        out.result().iterator
+      }
+      .toDF("doc_id", "source", "n_tokens", "cum_tokens")
+  }
+
   def batchedSideOutput(df: DataFrame, outPath: String, checkpoint: String,
                         batchSize: Int = 10, orderCol: String = "event_id",
                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

@@ -54,6 +54,26 @@ class LanguageModelSpec extends SparkSpec {
       s"common ${ppl(1L)} must beat rare ${ppl(10L)}")
   }
 
+  test("trigram stupid backoff hits all three branches with hand values") {
+    // train "a b c a b c": c3(abc)=2, c3(bca)=1, c3(cab)=1;
+    // cb(ab)=2, cb(bc)=2, cb(ca)=1; cu(a)=cu(b)=cu(c)=2, N=6, V=3
+    val train = Seq((10L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c"),  // trigram seen: S = 2/2 = 1   → ppl 1.0
+      (2L, "a a b"),  // aab unseen, (a,b) seen: S = 0.4·2/2 = 0.4 → ppl 2.5
+      (3L, "b c b"),  // bcb unseen, (c,b) unseen: S = 0.16·(2+1)/9 → ppl 18.75
+      (4L, "a b"))    // too short: n 0, ppl NULL
+      .toDF("doc_id", "text")
+    val got = LanguageModel.perplexityBackoff(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) === ((1L, Some(1.0))))
+    assert(got(2L) === ((1L, Some(2.5))))
+    assert(got(3L)._1 === 1L)
+    assert(math.abs(got(3L)._2.get - 18.75) < 1e-3, s"unigram floor: ${got(3L)}")
+    assert(got(4L) === ((0L, None)))
+  }
+
   test("importance weights favor target-domain vocabulary and select top-N") {
     // target rows use 'alpha beta', raw-only rows use 'gamma delta':
     // alpha/beta buckets have high target mass → positive log ratio

@@ -383,6 +383,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("token-budget quota admits per arrival and carries state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.Streams.tokenBudgetStream(
+        in.toDF().toDF("doc_id", "source", "n"),
+        "doc_id", "source", col("n"), budget = 100L)
+      .writeStream.format("memory").queryName("quota_stream")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: a admits 40+50=90; 20 would overflow (110) and is
+    // skipped, but the later 5 still fits (95) — quota, not prefix
+    in.addData((1L, "a", 40L), (2L, "a", 50L), (3L, "a", 20L), (4L, "a", 5L))
+    q.processAllAvailable()
+    // batch 2: state carried — 10 overflows (105); b starts fresh
+    in.addData((5L, "a", 10L), (6L, "b", 80L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("quota_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      1L -> (("a", 40L, 40L)),
+      2L -> (("a", 50L, 90L)),
+      4L -> (("a", 5L, 95L)),
+      6L -> (("b", 80L, 80L))))
+  }
+
   test("gopher rules stream statelessly and match the batch twin") {
     // every rule feature is a per-row expression with no corpus state,
     // so the composite document gate deploys unchanged on an ingest
