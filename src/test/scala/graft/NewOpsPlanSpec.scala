@@ -129,4 +129,45 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"),
       "bigram staging should be cache-backed")
   }
+
+  test("knn graph: cell-key shuffle join, never a corpus broadcast") {
+    val plan = Similarity.knnGraph(emb.select(col("vec_id"), col("emb")),
+      k = 5, cells = 8, iters = 2, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // the query side IS the corpus — broadcasting it would ship the
+    // whole corpus to every executor; the candidate join must be a
+    // shuffled equi-join on cell
+    assert(plan.contains("ShuffledHashJoin") ||
+      plan.contains("SortMergeJoin"),
+      s"cell join must shuffle-co-partition; plan:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("wordpiece vocab: the global cut is TakeOrderedAndProject") {
+    val plan = graft.datapipe.WordPiece.vocabTable(docs, "text", 4, 120)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-V must be per-partition heaps, not a full sort; plan:\n${plan.take(2000)}")
+  }
+
+  test("trigram backoff: all model joins are equi-joins, no cartesian blowup") {
+    val plan = graft.datapipe.LanguageModel.perplexityBackoff(
+      docs.filter(col("doc_id") % 7 =!= 0), docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian; plan:\n${plan.take(3000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "only the 1-row (N,V) table may broadcast")
+  }
+
+  test("tfidf keywords: no join — df is a window over the term partitioning") {
+    val plan = Relevance.tfidfKeywords(docs, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    // the df side must NOT materialize as a second table joined back:
+    // the window count shares the term exchange
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"df must be a window, not a join; plan:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
