@@ -87,16 +87,26 @@ object WordPiece {
     * by the PARAMETERS, not the data — and broadcast; the greedy
     * loop runs per distinct word on the executors.
     */
-  def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
-                   maxPieceLen: Int, topV: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** The frozen model: the top-V piece table plus the single-char
+    * closure, extracted to the driver — bounded by the PARAMETERS
+    * plus the corpus alphabet, never the data volume.
+    */
+  def frozenVocab(docs: DataFrame, textCol: String,
+                  maxPieceLen: Int, topV: Int): Set[String] = {
     val top = vocabTable(docs, textCol, maxPieceLen, topV)
       .collect().map(_.getString(0))
     val chars = words(docs, textCol)
       .select(explode(split(col("w"), "")).as("c"))
       .filter(length(col("c")) > 0).distinct()
       .collect().map(_.getString(0))
-    val bc = spark.sparkContext.broadcast((top ++ chars).toSet)
+    (top ++ chars).toSet
+  }
+
+  def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
+                   maxPieceLen: Int, topV: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      frozenVocab(docs, textCol, maxPieceLen, topV))
     val nPieces = udf((w: String) => greedyCount(w, bc.value, maxPieceLen))
     val dict = words(docs, textCol)
       .select(col("w"), nPieces(col("w")).as("n_sub"))
@@ -112,5 +122,30 @@ object WordPiece {
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
+  /** Frozen-tokenizer stream counter — the WordPiece mirror of
+    * [[BpeTokenizer.countTokensStream]]: a pre-trained vocabulary
+    * (broadcast once per executor) counts pieces per document in one
+    * STATELESS projection, so the same expression deploys unchanged
+    * on an ingest stream. Null text counts (0, 0) like the batch
+    * twin's zero-fill; StreamingSpec pins stream == batch.
+    */
+  def countPiecesStream(docs: DataFrame, idCol: String, textCol: String,
+                        vocab: Set[String], maxPieceLen: Int): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(vocab)
+    val countAll = udf { ws: Seq[String] =>
+      if (ws == null) 0L
+      else {
+        var n = 0L
+        for (w <- ws if w.nonEmpty) n += greedyCount(w, bc.value, maxPieceLen)
+        n
+      }
+    }
+    val w = split(TextAnalysis.normalize(col(textCol)), " ")
+    docs.select(col(idCol).as("doc_id"),
+      coalesce(size(filter(w, t => length(t) > 0)), lit(0))
+        .cast("bigint").as("n_words"),
+      countAll(w).as("n_pieces"))
   }
 }

@@ -187,6 +187,50 @@ object DataPipeQueries {
         CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces
       FROM documents d LEFT JOIN wagg a USING (doc_id)"""))
 
+  /** Count-min-sketch heavy hitters: the exact top-20 tokens probed
+    * against a 4×1024 CMS built from the same stream — (token,
+    * exact_cnt, cms_est), est ≥ exact structurally. The oracle
+    * rebuilds the sketch cell-for-cell from the md5 hash contract
+    * and replays the min-over-rows probe, so the hash certifies the
+    * sketch itself, not just the readout.
+    */
+  private val textHeavyHitters = QueryDef(
+    "text_heavy_hitters",
+    (s, d) => {
+      val tk = Tables.documents(s, d).select(explode(filter(
+        split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)).as("t"))
+      val top = tk.groupBy(col("t")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("t").asc).limit(20)
+        .select(col("t").as("token"), col("exact_cnt"))
+      val cms = graft.datapipe.Sketches.cmsCounts(tk, "t",
+        depth = 4, width = 1024)
+      graft.datapipe.Sketches.cmsEstimate(cms, top, "token",
+        depth = 4, width = 1024)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0) AS w
+        FROM documents),
+      tk AS (SELECT u.t AS t FROM toks, UNNEST(w) u(t)),
+      cnts AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM tk GROUP BY t),
+      top AS (SELECT t AS token, exact_cnt FROM cnts
+        ORDER BY exact_cnt DESC, t LIMIT 20),
+      rb AS (SELECT r.r,
+          ('0x' || substr(md5('cms:' || CAST(r.r AS VARCHAR) || ':' || tk.t), 1, 15))::BIGINT
+            % 1024 AS b
+        FROM tk, generate_series(0, 3) r(r)),
+      cms AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM rb GROUP BY r, b),
+      est AS (SELECT top.token, top.exact_cnt, MIN(cms.cnt) AS cms_est
+        FROM top, generate_series(0, 3) r(r)
+        JOIN cms ON cms.r = r.r
+          AND cms.b = ('0x' || substr(md5('cms:' || CAST(r.r AS VARCHAR)
+            || ':' || top.token), 1, 15))::BIGINT % 1024
+        GROUP BY 1, 2)
+      SELECT token, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est FROM est"""))
+
   /** TF-IDF keywords: every document's top-5 terms by tf·ln(N/df),
     * ranked on the 4-dp rounded score with term tie-break. The
     * oracle replays tf, the window df, idf, and the cut.
@@ -742,6 +786,26 @@ object DataPipeQueries {
         round(CAST(COUNT(*) FILTER (WHERE is_pos) AS DOUBLE) / COUNT(*), 6)
           AS pos_rate
       FROM binned GROUP BY bin"""))
+
+  /** Active-learning selection: the 50 MOST UNCERTAIN documents by
+    * classifier margin (|score| nearest 0) — the batch a labeling
+    * loop sends for annotation. orderBy+limit plans as
+    * TakeOrderedAndProject; ties break on doc_id so the cut is
+    * engine-portable.
+    */
+  private val textClassifierUncertain = QueryDef(
+    "text_classifier_uncertain",
+    (s, d) => graft.datapipe.Classifier.naiveBayes(
+        Tables.documents(s, d), "doc_id", "text", nbLabel, buckets = 256)
+      .select(col("doc_id"), col("score"), abs(col("score")).as("margin"))
+      .orderBy(col("margin").asc, col("doc_id").asc).limit(50),
+    Some(s"""WITH $nbLabelCtes,
+      pred AS (SELECT t.doc_id,
+          round(CAST(CAST(prior AS DECIMAL(28,8))
+            + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) AS score
+        FROM toks t LEFT JOIN ssum USING (doc_id), pri)
+      SELECT doc_id, score, abs(score) AS margin FROM pred
+      ORDER BY margin, doc_id LIMIT 50"""))
 
   /** The train-offline/score-inline twin of text_classifier: the
     * B+2-number model extracts to the driver and every document is
@@ -1929,7 +1993,7 @@ object DataPipeQueries {
     textRepetition, textGopherRules, textDupNgrams, textVocab, textPerplexity,
     textPerplexityInline, textPerplexityBackoff,
     textClassifier, textClassifierInline, textClassifierEval,
-    textClassifierCalibration,
+    textClassifierCalibration, textClassifierUncertain, textHeavyHitters,
     sampleImportance,
     sampleImportanceSoft, sampleTokenBudget,
     bpeMerges, bpeEncode, bpeFertility,

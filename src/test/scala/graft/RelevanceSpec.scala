@@ -79,6 +79,30 @@ class RelevanceSpec extends SparkSpec {
       (3L, 1L, "durian", 3.2958), (3L, 2L, "cherry", 0.4055)))
   }
 
+  test("cms: estimates are exact without collisions, never undercount with them") {
+    import graft.datapipe.Sketches
+    val tk = (Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma"))
+      .toDF("t")
+    val probes = Seq(("alpha", 7L), ("beta", 3L), ("gamma", 1L))
+      .toDF("token", "exact_cnt")
+    // width 1024, 3 tokens: collision odds ~ 4·3²/2048 — this fixture
+    // is collision-free for the pinned hash contract, so est == exact
+    val wide = Sketches.cmsEstimate(
+      Sketches.cmsCounts(tk, "t", 4, 1024), probes, "token", 4, 1024)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wide("alpha") === ((7L, 7L)) && wide("beta") === ((3L, 3L)) &&
+      wide("gamma") === ((1L, 1L)))
+    // width 2: collisions guaranteed; the estimate may only overcount
+    val tight = Sketches.cmsEstimate(
+      Sketches.cmsCounts(tk, "t", 2, 2), probes, "token", 2, 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    tight.foreach { case (t, (exact, est)) =>
+      assert(est >= exact, s"$t undercounted: est $est < exact $exact")
+    }
+    assert(tight.values.map(_._2).sum > tight.values.map(_._1).sum,
+      "width 2 must actually collide somewhere in this fixture")
+  }
+
   test("gopher rules: hand-checked features and keep decision") {
     // 55 words, mean word length exactly 4.0, 22 stopword hits
     val longGood = ("the and alpha beta gamma " * 11).trim

@@ -409,6 +409,27 @@ class StreamingSpec extends SparkSpec {
       6L -> (("b", 80L, 80L))))
   }
 
+  test("a frozen wordpiece vocab counts a stream to the batch totals") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.WordPiece
+    val texts = Seq((1L, "abab abab cd"), (2L, "abab"), (3L, ""))
+    val batchDf = texts.toDF("doc_id", "text")
+    val vocab = WordPiece.frozenVocab(batchDf, "text", 4, 5)
+    val in = MemoryStream[(Long, String)]
+    val q = WordPiece.countPiecesStream(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", vocab, 4)
+      .writeStream.format("memory").queryName("wp_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wp_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = WordPiece.encodeCounts(batchDf, "doc_id", "text", 4, 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed === batch)
+  }
+
   test("gopher rules stream statelessly and match the batch twin") {
     // every rule feature is a per-row expression with no corpus state,
     // so the composite document gate deploys unchanged on an ingest
