@@ -1710,6 +1710,91 @@ object DataPipeQueries {
       SELECT doc_id, source, n_tokens, priority, budget, cum_tokens
       FROM cum WHERE cum_tokens <= budget"""))
 
+  /** The four-stage training-prep composition a pretraining run
+    * actually executes end-to-end: Gopher rule gate → exact-dedup
+    * keep-one (min doc_id per fingerprint) → temperature-budgeted
+    * per-source selection (α=0.7, 5k-token global budget) → capacity-
+    * 256 sequence packing. Every stage boundary is replayed by the
+    * oracle in one SQL chain, so the final chunk table's hash
+    * certifies gate decisions, dedup survivors, budget allocations,
+    * the greedy cuts, AND the distributed prefix-sum offsets at
+    * once. Each stage is the already-certified operator — this entry
+    * pins their composition.
+    */
+  private val e2eTrainPrep = QueryDef(
+    "e2e_train_prep",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id"))
+      val gated = docs.join(kept, Seq("doc_id"))
+      val uniqIds = gated
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val survivors = gated.join(uniqIds, Seq("doc_id"))
+      val budgets = Sampling
+        .temperatureWeights(survivors, col("source"), alpha = 0.7)
+        .select(col("source"),
+          round(lit(5000.0) * col("p_temp")).cast("long").as("budget"))
+      val sel = Sampling.tokenBudgetWeighted(survivors, "doc_id", "source",
+        TextAnalysis.tokenCount(col("text")),
+        TextAnalysis.stopwordCount(col("text")).cast("double") /
+          TextAnalysis.tokenCount(col("text")).cast("double"),
+        budgets)
+      Packing.packChunks(sel, col("doc_id"), col("n_tokens"), capacity = 256)
+    },
+    Some("""WITH t0 AS (SELECT doc_id, text, source,
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+      f0 AS (SELECT doc_id,
+        CAST(len(list_filter(string_split(norm, ' '), x -> len(x) > 0)) AS BIGINT) AS n_words,
+        length(replace(norm, ' ', '')) AS n_wchars,
+        len(list_filter(string_split(norm, ' '),
+          x -> len(x) > 0 AND regexp_matches(x, '[a-z]'))) AS n_alpha,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS sw,
+        length(text) - length(replace(text, '#', ''))
+          + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols
+      FROM t0),
+      keepids AS (SELECT doc_id FROM f0 WHERE
+        (n_words >= 50 AND n_words <= 100000)
+        AND (CASE WHEN n_words > 0 THEN CAST(n_wchars AS DOUBLE) / n_words END
+          BETWEEN 3.0 AND 10.0)
+        AND (CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words END) >= 0.8
+        AND sw >= 2
+        AND (CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / n_words END) < 0.1),
+      gated AS (SELECT d.* FROM documents d JOIN keepids USING (doc_id)),
+      uq AS (SELECT MIN(doc_id) AS doc_id FROM (SELECT doc_id,
+          ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp
+        FROM gated) GROUP BY fp),
+      sv AS (SELECT g.* FROM gated g JOIN uq USING (doc_id)),
+      c AS (SELECT source, COUNT(*) AS n_docs FROM sv GROUP BY source),
+      p AS (SELECT source, n_docs,
+        round(exp(0.7 * ln(CAST(n_docs AS DOUBLE))), 8) AS na FROM c),
+      tz AS (SELECT SUM(CAST(na AS DECIMAL(28,8))) AS z FROM p),
+      bud AS (SELECT source,
+        CAST(ROUND(5000 * round(na / CAST(z AS DOUBLE), 6)) AS BIGINT) AS budget
+        FROM p, tz),
+      dtok AS (SELECT doc_id, source,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+          / len(regexp_split_to_array(trim(text), '\s+')) AS priority
+        FROM sv),
+      j AS (SELECT d.*, b.budget FROM dtok d JOIN bud b USING (source)),
+      cum AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+          ORDER BY priority DESC NULLS LAST, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM j),
+      selq AS (SELECT doc_id, n_tokens FROM cum WHERE cum_tokens <= budget),
+      pk AS (SELECT doc_id, n_tokens AS n,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        FROM selq WHERE n_tokens > 0)
+      SELECT doc_id, b AS chunk_id,
+        CAST(least(s + n, (b + 1) * 256) - greatest(s, b * 256) AS BIGINT)
+          AS n_tokens
+      FROM pk, UNNEST(generate_series(CAST(s // 256 AS BIGINT),
+        CAST((s + n - 1) // 256 AS BIGINT))) AS u(b)"""))
+
   /** Sliding-window samples at window=64, stride=48 (overlapping):
     * every row's chunk text rides the compare, so window arithmetic,
     * slicing, and the short-final-window rule are all hash-checked.
@@ -2003,7 +2088,7 @@ object DataPipeQueries {
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
     packChunks, decontaminate, decontaminateSpans, decontaminateTrim,
     mixtureUpsample, mixtureTemperature,
-    e2eMixture, e2eTokenMixture, chunkSliding, shuffleRank,
+    e2eMixture, e2eTokenMixture, e2eTrainPrep, chunkSliding, shuffleRank,
     textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration,
     e2eStreamGate)
 }
