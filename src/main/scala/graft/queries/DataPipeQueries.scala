@@ -187,6 +187,26 @@ object DataPipeQueries {
         CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces
       FROM documents d LEFT JOIN wagg a USING (doc_id)"""))
 
+  /** Per-source exact-duplication rate — the dedup observability
+    * readout next to [[corpusStats]]: documents, distinct
+    * fingerprints, and the duplicate fraction per source. Exact
+    * counts divided once.
+    */
+  private val dedupStats = QueryDef(
+    "dedup_stats",
+    (s, d) => Tables.documents(s, d)
+      .select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"))
+      .withColumn("dup_rate", round(lit(1.0) -
+        col("n_unique").cast("double") / col("n_docs").cast("double"), 6)),
+    Some("""SELECT source, COUNT(*) AS n_docs,
+      CAST(COUNT(DISTINCT ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT) AS BIGINT) AS n_unique,
+      round(1.0 - CAST(COUNT(DISTINCT ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT) AS DOUBLE)
+        / COUNT(*), 6) AS dup_rate
+      FROM documents GROUP BY source"""))
+
   /** Count-min-sketch heavy hitters: the exact top-20 tokens probed
     * against a 4×1024 CMS built from the same stream — (token,
     * exact_cnt, cms_est), est ≥ exact structurally. The oracle
@@ -2083,6 +2103,7 @@ object DataPipeQueries {
     sampleImportanceSoft, sampleTokenBudget,
     bpeMerges, bpeEncode, bpeFertility,
     wordPieceVocab, wordPieceEncode,
+    dedupStats,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,

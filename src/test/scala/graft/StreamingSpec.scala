@@ -409,6 +409,30 @@ class StreamingSpec extends SparkSpec {
       6L -> (("b", 80L, 80L))))
   }
 
+  test("cms builds incrementally on a stream to the batch sketch") {
+    // the sketch is a plain (r, b) count aggregation, so Structured
+    // Streaming maintains it with bounded state (≤ depth·width rows)
+    // forever — the property that makes CMS the streaming frequency
+    // primitive. Complete mode: the memory table IS the sketch.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.Sketches
+    val tokens = Seq.fill(5)("alpha") ++ Seq.fill(2)("beta") ++ Seq("gamma")
+    val in = MemoryStream[String]
+    val q = Sketches.cmsCounts(in.toDF().toDF("t"), "t", depth = 2, width = 8)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete).start()
+    in.addData(tokens.take(4): _*)
+    q.processAllAvailable()
+    in.addData(tokens.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketches.cmsCounts(tokens.toDF("t"), "t", 2, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
   test("a frozen wordpiece vocab counts a stream to the batch totals") {
     implicit val sqlCtx = spark.sqlContext
     import graft.datapipe.WordPiece
