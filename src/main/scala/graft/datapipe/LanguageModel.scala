@@ -97,9 +97,9 @@ object LanguageModel {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("ppl"))
   }
 
-  /** Trigram stupid-backoff scoring (Brants et al. 2007,
-    * arXiv:0706.03418-era "Large LMs in MT" recipe — the web-scale
-    * LM that skips normalization entirely): a TRAIN corpus builds
+  /** Trigram stupid-backoff scoring (Brants et al., "Large Language
+    * Models in Machine Translation", EMNLP 2007 — the web-scale LM
+    * recipe that skips normalization entirely): a TRAIN corpus builds
     * raw trigram/bigram/unigram count tables, a SCORE corpus is
     * scored per trigram position by
     *

@@ -110,6 +110,39 @@ object Packing {
       () => { sorted.unpersist(false); () })
   }
 
+  /** Length-bucketed inference batching — the other packing shape:
+    * where [[packChunks]] concatenates for TRAINING, an inference
+    * pipeline pads each sequence to a bucket length and groups
+    * `batchSize` same-bucket sequences per batch, trading padding
+    * waste for kernel-shape uniformity. Buckets are the fixed
+    * power-of-two CASE chain 16/32/64/128/256/512 (a float log2
+    * would put exact powers on a rounding knife-edge between
+    * engines); batch ids come from a row_number window PARTITIONED
+    * BY BUCKET ordered by doc_id — groups are bucket populations,
+    * never the corpus, so no single-partition window exists at any
+    * scale. Output: (doc_id, n_tokens, bucket, batch_id, pad) with
+    * pad = bucket − n_tokens, the per-doc padding cost the readout
+    * aggregates. Zero-token documents are dropped like
+    * [[packChunks]]; docs beyond 512 tokens saturate into the top
+    * bucket (pad 0 floor via greatest).
+    */
+  def lengthBuckets(docs: DataFrame, idCol: Column, nTokensCol: Column,
+                    batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    import org.apache.spark.sql.expressions.Window
+    val n = col("n_tokens")
+    val bucket = when(n <= 16, 16L).when(n <= 32, 32L).when(n <= 64, 64L)
+      .when(n <= 128, 128L).when(n <= 256, 256L).otherwise(512L)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id").asc)
+    docs.select(idCol.cast("long").as("doc_id"),
+        nTokensCol.cast("long").as("n_tokens"))
+      .filter(n > 0)
+      .withColumn("bucket", bucket)
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1) / batchSize).cast("long"))
+      .withColumn("pad", greatest(col("bucket") - n, lit(0L)))
+  }
+
   /** One row per (doc, chunk) overlap: (doc_id, chunk_id, n_tokens).
     * Documents with zero tokens occupy no chunk and are dropped.
     */

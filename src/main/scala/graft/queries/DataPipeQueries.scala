@@ -1448,6 +1448,28 @@ object DataPipeQueries {
       FROM c, UNNEST(generate_series(CAST(s // 512 AS BIGINT),
         CAST((s + n - 1) // 512 AS BIGINT))) AS u(b)"""))
 
+  /** Length-bucketed inference batches of 8 same-bucket sequences;
+    * the oracle replays the CASE bucket chain, the per-bucket
+    * row_number batching, and the padding arithmetic.
+    */
+  private val packLengthBuckets = QueryDef(
+    "pack_length_buckets",
+    (s, d) => Packing.lengthBuckets(Tables.documents(s, d), col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), batchSize = 8),
+    Some("""WITH t AS (SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      b AS (SELECT doc_id, n_tokens,
+        CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+             WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+             WHEN n_tokens <= 256 THEN 256 ELSE 512 END AS bucket
+        FROM t WHERE n_tokens > 0)
+      SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+        CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8
+          AS BIGINT) AS batch_id,
+        CAST(greatest(bucket - n_tokens, 0) AS BIGINT) AS pad
+      FROM b"""))
+
   /** Benchmark decontamination: docs with doc_id % 17 == 0 play the
     * benchmark corpus, the rest are training docs scored by shared
     * k-shingle fraction. Spark joins on xxhash64 longs, the oracle
@@ -2107,7 +2129,8 @@ object DataPipeQueries {
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
-    packChunks, decontaminate, decontaminateSpans, decontaminateTrim,
+    packChunks, packLengthBuckets, decontaminate, decontaminateSpans,
+    decontaminateTrim,
     mixtureUpsample, mixtureTemperature,
     e2eMixture, e2eTokenMixture, e2eTrainPrep, chunkSliding, shuffleRank,
     textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration,

@@ -90,6 +90,27 @@ class PackingSpec extends SparkSpec {
     assert(out === viaMap)
   }
 
+  test("lengthBuckets: power-of-two buckets, 8-per-batch, padding arithmetic") {
+    val out = graft.datapipe.Packing.lengthBuckets(
+        (1L to 20L).map(i => (i, if (i <= 10) 20L else 100L))
+          .toDF("doc_id", "n"), col("doc_id"), col("n"), batchSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // 20-token docs → bucket 32 (pad 12); 100-token docs → 128 (pad 28)
+    assert(out.forall(r => if (r._2 == 20L) r._3 == 32L && r._5 == 12L
+      else r._3 == 128L && r._5 == 28L))
+    // 10 docs per bucket at batchSize 8 → batches 0 (8 docs) and 1 (2)
+    val b32 = out.filter(_._3 == 32L).map(_._4).groupBy(x => x)
+      .view.mapValues(_.size).toMap
+    assert(b32 === Map(0L -> 8, 1L -> 2))
+    // saturation + drop rules
+    val edge = graft.datapipe.Packing.lengthBuckets(
+        Seq((1L, 9999L), (2L, 0L)).toDF("doc_id", "n"),
+        col("doc_id"), col("n"), batchSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(edge.toSeq === Seq((1L, 512L, 0L)), "overlong saturates, empty drops")
+  }
+
   test("tokenBudget: greedy prefix per source, inclusive cumsum, null priority last") {
     val df = Seq(
       (1L, "a", 40L, Some(0.9)), // a: taken (cum 40)
