@@ -59,6 +59,51 @@ object Dedup {
     graft.functions.ShingleHashes.ofTokens(
       split(TextAnalysis.normalize(text), " "), k)
 
+  /** Inter-source k-gram overlap matrix — the leakage/redundancy
+    * diagnostic mixture design consumes (how much of source A's
+    * content also lives in source B, BEFORE deciding their weights):
+    * each source's DISTINCT k-gram set, pairwise intersections via a
+    * gram-keyed self-join, and Jaccard from the per-source totals.
+    * Pairs with an empty intersection are absent (the matrix is
+    * sparse by construction).
+    *
+    * Scale shape: the corpus reduces to distinct (source, gram)
+    * rows FIRST — the shuffle carries gram-set partials, never
+    * text — and the intersection join is an equi-join on the gram
+    * hash whose per-gram fan-out is bounded by the SOURCE count
+    * squared, not documents. Documents shorter than k tokens
+    * contribute no grams (the positional-window rule the oracle
+    * mirrors); gram identity is the standard collision-free 64-bit
+    * assumption, with the oracle counting distinct gram strings.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String, sourceCol: String,
+                    k: Int): DataFrame = {
+    val w = split(TextAnalysis.normalize(col(textCol)), " ")
+    // stage(): the distinct gram-set table feeds the sizes aggregate
+    // AND both sides of the pair join
+    val sg = docs.filter(size(w) >= k)
+      .select(col(sourceCol).as("source"),
+        explode(hashedShingles(col(textCol), k)).as("g"))
+      .distinct().stage()
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sg.select(col("g"), col("source").as("src_a"))
+      .hint("shuffle_hash")
+      .join(sg.select(col("g"), col("source").as("src_b")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val unionN = col("n_a") + col("n_b") - col("inter")
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"),
+        unionN.as("union_n"),
+        round(col("inter").cast("double") / unionN.cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Engine-portable shingle hashing: 60-bit longs from the leading
     * 15 hex chars of md5, computable bit-identically in any engine
     * with an md5() (e.g. `('0x' || substr(md5(s), 1, 15))::BIGINT`).

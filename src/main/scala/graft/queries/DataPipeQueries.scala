@@ -1470,6 +1470,33 @@ object DataPipeQueries {
         CAST(greatest(bucket - n_tokens, 0) AS BIGINT) AS pad
       FROM b"""))
 
+  /** Inter-source 3-gram overlap matrix (Jaccard over distinct gram
+    * sets, zero-intersection pairs absent). The oracle rebuilds
+    * every source's gram set from strings and replays intersection,
+    * union, and the division.
+    */
+  private val sourceOverlap = QueryDef(
+    "source_overlap",
+    (s, d) => Dedup.sourceOverlap(Tables.documents(s, d),
+      "text", "source", k = 3),
+    Some("""WITH toks AS (SELECT source,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      sg AS (SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sizes AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+      inter AS (SELECT a.source AS src_a, b.source AS src_b,
+          CAST(COUNT(*) AS BIGINT) AS inter
+        FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, inter,
+        CAST(sa.n + sb.n - inter AS BIGINT) AS union_n,
+        round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.source = src_a
+      JOIN sizes sb ON sb.source = src_b"""))
+
   /** Benchmark decontamination: docs with doc_id % 17 == 0 play the
     * benchmark corpus, the rest are training docs scored by shared
     * k-shingle fraction. Spark joins on xxhash64 longs, the oracle
@@ -2129,7 +2156,8 @@ object DataPipeQueries {
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
-    packChunks, packLengthBuckets, decontaminate, decontaminateSpans,
+    packChunks, packLengthBuckets, sourceOverlap,
+    decontaminate, decontaminateSpans,
     decontaminateTrim,
     mixtureUpsample, mixtureTemperature,
     e2eMixture, e2eTokenMixture, e2eTrainPrep, chunkSliding, shuffleRank,

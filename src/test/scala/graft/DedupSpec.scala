@@ -200,6 +200,23 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, None)))
   }
 
+  test("source overlap: exact jaccard, short docs and empty pairs absent") {
+    // sources A and B share exactly one trigram ("c d e"); C shares
+    // nothing; the 2-token doc in A contributes no grams
+    val docs = Seq(
+      (1L, "A", "a b c d e"),   // grams: {a b c, b c d, c d e}
+      (2L, "A", "x y"),          // too short for k=3 → no grams
+      (3L, "B", "c d e f"),      // grams: {c d e, d e f}
+      (4L, "C", "p q r s")).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs, "text", "source", k = 3).collect()
+    assert(out.length == 1, "only the A/B pair intersects")
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == (("A", "B")))
+    // |A|=3, |B|=2, inter=1 → union=4, jaccard=0.25
+    assert(r.getLong(2) == 1L && r.getLong(3) == 4L)
+    assert(r.getDouble(4) == 0.25)
+  }
+
   test("shared spans: df cap counts distinct docs, not occurrences") {
     // the 5-token block recurs 5x inside doc 1 and once in doc 2:
     // 6 occurrences of every block window, but df = 2 docs <= maxDf=3
