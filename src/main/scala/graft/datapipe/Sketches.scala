@@ -55,4 +55,67 @@ object Sketches {
       .groupBy(probes.columns.map(col): _*)
       .agg(min(col("cnt")).as("cms_est"))
   }
+
+  /** HyperLogLog registers (Flajolet et al. 2007) per group — the
+    * distinct-count primitive for when the distinct set does NOT fit
+    * anywhere: state is m registers per group no matter how many
+    * distinct items exist, and the whole build is one max-aggregation
+    * (so Structured Streaming maintains it incrementally, like the
+    * CMS above).
+    *
+    * Hash contract: h = md5_60("hll:" + item); register j = h mod m;
+    * rho = (60 - p) - bitlength(h >> p) + 1 with p = log2(m), where
+    * bitlength is `length(bin(v))` — `bin` (minimal binary string, no
+    * padding, "0" for zero) exists identically in Spark and e.g.
+    * DuckDB, so an external engine rebuilds the registers
+    * bit-for-bit with no shipped state.
+    *
+    * Output: (groupCols…, j, rho_max).
+    */
+  def hllRegisters(items: DataFrame, itemCol: String, m: Int,
+                   groupCols: Seq[String]): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16: $m")
+    val p = Integer.numberOfTrailingZeros(m)
+    val w = 60 - p
+    val h = TextAnalysis.md5Long60(concat(lit("hll:"), col(itemCol)))
+    val v = shiftright(h, p)
+    items
+      .select(groupCols.map(col) :+ (h % m).as("j") :+
+        when(v === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(v))).cast("long").as("rho"): _*)
+      .groupBy((groupCols :+ "j").map(col): _*)
+      .agg(max(col("rho")).as("rho_max"))
+  }
+
+  /** The HLL estimate from a register table: raw = alpha_m·m²/Z with
+    * Z = Σ_j 2^(−M_j) (absent registers count M_j = 0), switching to
+    * linear counting m·ln(m/V) when raw ≤ 2.5m and V = m − hits > 0.
+    *
+    * Engine-portability: Z is carried as the EXACT integer
+    * S = Σ_j 2^(max_rho − M_j) (each addend a shiftleft, summed as
+    * BIGINT — order-independent), so the only floating-point work is
+    * one fixed-shape expression over two exact integers — identical
+    * IEEE ops in any engine. Output: (groupCols…, n_registers_hit,
+    * max_rho, hll_est) with the estimate rounded to 4 dp.
+    */
+  def hllEstimate(regs: DataFrame, m: Int, groupCols: Seq[String]): DataFrame = {
+    val heads = regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("hits"), max(col("rho_max")).as("mmax"))
+    val sTouched = regs.join(broadcast(heads), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(mmax - rho_max AS INT))"))
+        .as("s_touched"), first(col("hits")).as("hits"),
+        first(col("mmax")).as("mmax"))
+    val mD = lit(m.toDouble)
+    val s = col("s_touched") +
+      (lit(m.toLong) - col("hits")) * expr("shiftleft(CAST(1 AS BIGINT), CAST(mmax AS INT))")
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / mD) * mD * mD *
+      pow(lit(2.0), col("mmax").cast("double")) / s.cast("double")
+    val vEmpty = lit(m.toLong) - col("hits")
+    sTouched.select(groupCols.map(col) :+
+      col("hits").as("n_registers_hit") :+ col("mmax").as("max_rho") :+
+      round(when(raw <= lit(2.5 * m) && vEmpty > 0,
+        mD * log(mD / vEmpty.cast("double"))).otherwise(raw), 4)
+        .as("hll_est"): _*)
+  }
 }

@@ -251,6 +251,66 @@ object DataPipeQueries {
         GROUP BY 1, 2)
       SELECT token, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est FROM est"""))
 
+  /** HLL distinct-trigram estimate per source, next to the exact
+    * count it approximates (the error readout is the point of the
+    * entry). m = 128 registers, p = 7, W = 53. The oracle rebuilds
+    * every register from the md5/bin string contract and replays the
+    * exact-integer estimate expression, including the
+    * linear-counting switch.
+    */
+  private val textDistinctHll = QueryDef(
+    "text_distinct_hll",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = split(TextAnalysis.normalize(col("text")), " ")
+      val grams = docs.filter(size(w) >= 3)
+        .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("g"))
+      val regs = graft.datapipe.Sketches.hllRegisters(
+        grams, "g", m = 128, groupCols = Seq("source"))
+      val est = graft.datapipe.Sketches.hllEstimate(
+        regs, m = 128, groupCols = Seq("source"))
+      val exact = grams.groupBy(col("source"))
+        .agg(count_distinct(col("g")).as("n_distinct_exact"))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("n_distinct_exact"),
+          col("n_registers_hit"), col("max_rho"), col("hll_est"))
+    },
+    Some("""WITH toks AS (SELECT source,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      sg AS (SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      hash AS (SELECT source, g,
+          ('0x' || substr(md5('hll:' || g), 1, 15))::BIGINT AS h FROM sg),
+      reg AS (SELECT source, h % 128 AS j,
+          CASE WHEN (h // 128) = 0 THEN 54
+               ELSE 54 - length(bin(h // 128)) END AS rho
+        FROM hash),
+      regs AS (SELECT source, j, MAX(rho) AS rho_max FROM reg GROUP BY 1, 2),
+      heads AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS hits,
+          MAX(rho_max) AS mmax FROM regs GROUP BY 1),
+      s AS (SELECT regs.source,
+          SUM((CAST(1 AS BIGINT) << CAST(heads.mmax - regs.rho_max AS INT)))
+            AS s_touched
+        FROM regs JOIN heads ON heads.source = regs.source GROUP BY 1),
+      est AS (SELECT heads.source, heads.hits, heads.mmax,
+          s.s_touched + (128 - heads.hits) *
+            (CAST(1 AS BIGINT) << CAST(heads.mmax AS INT)) AS big_s
+        FROM heads JOIN s ON s.source = heads.source),
+      fin AS (SELECT source, hits, mmax,
+          0.7213 / (1.0 + 1.079 / 128.0) * 128.0 * 128.0 *
+            pow(2.0, CAST(mmax AS DOUBLE)) / CAST(big_s AS DOUBLE) AS raw
+        FROM est),
+      exact AS (SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT)
+          AS n_distinct_exact FROM sg GROUP BY 1)
+      SELECT fin.source, exact.n_distinct_exact,
+        fin.hits AS n_registers_hit, CAST(fin.mmax AS BIGINT) AS max_rho,
+        round(CASE WHEN raw <= 320.0 AND (128 - hits) > 0
+          THEN 128.0 * ln(128.0 / CAST(128 - hits AS DOUBLE))
+          ELSE raw END, 4) AS hll_est
+      FROM fin JOIN exact ON exact.source = fin.source"""))
+
   /** TF-IDF keywords: every document's top-5 terms by tf·ln(N/df),
     * ranked on the 4-dp rounded score with term tie-break. The
     * oracle replays tf, the window df, idf, and the cut.
@@ -2148,6 +2208,7 @@ object DataPipeQueries {
     textPerplexityInline, textPerplexityBackoff,
     textClassifier, textClassifierInline, textClassifierEval,
     textClassifierCalibration, textClassifierUncertain, textHeavyHitters,
+    textDistinctHll,
     sampleImportance,
     sampleImportanceSoft, sampleTokenBudget,
     bpeMerges, bpeEncode, bpeFertility,

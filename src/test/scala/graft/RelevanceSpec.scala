@@ -103,6 +103,29 @@ class RelevanceSpec extends SparkSpec {
       "width 2 must actually collide somewhere in this fixture")
   }
 
+  test("hll: linear-counting is exact-ish at low cardinality, raw within 15%") {
+    import graft.datapipe.Sketches
+    // 10 distinct items, heavy duplication — HLL must dedup: with
+    // m=128 mostly-empty registers the linear-counting branch fires
+    // and m·ln(m/V) is within ~5% at this V
+    val small = (0 until 10).flatMap(i => Seq.fill(i + 1)(s"item$i"))
+      .map(("g1", _)).toDF("grp", "t")
+    val estS = Sketches.hllEstimate(
+      Sketches.hllRegisters(small, "t", 128, Seq("grp")), 128, Seq("grp"))
+      .collect().head
+    assert(estS.getLong(1) <= 10, "at most one register per distinct item")
+    assert(math.abs(estS.getDouble(3) - 10.0) <= 1.0,
+      s"linear-counting estimate ${estS.getDouble(3)} far from 10")
+    // 5000 distinct items: raw-formula regime, standard error
+    // 1.04/sqrt(128) ≈ 9% — assert a loose 15% band
+    val big = (0 until 5000).map(i => ("g2", s"uniq$i")).toDF("grp", "t")
+    val estB = Sketches.hllEstimate(
+      Sketches.hllRegisters(big, "t", 128, Seq("grp")), 128, Seq("grp"))
+      .collect().head
+    assert(math.abs(estB.getDouble(3) - 5000.0) / 5000.0 <= 0.15,
+      s"hll estimate ${estB.getDouble(3)} off by >15% from 5000")
+  }
+
   test("gopher rules: hand-checked features and keep decision") {
     // 55 words, mean word length exactly 4.0, 22 stopword hits
     val longGood = ("the and alpha beta gamma " * 11).trim

@@ -433,6 +433,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("hll registers build incrementally on a stream to the batch sketch") {
+    // like the CMS: the register table is a plain max-aggregation, so
+    // Structured Streaming maintains it with ≤ m rows per group of
+    // state forever — distinct counting never needs the distinct set
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.Sketches
+    val items = (0 until 40).map(i => ("s" + (i % 2), s"item${i % 25}"))
+    val in = MemoryStream[(String, String)]
+    val q = Sketches.hllRegisters(in.toDF().toDF("grp", "t"), "t", 32, Seq("grp"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Complete).start()
+    in.addData(items.take(15): _*)
+    q.processAllAvailable()
+    in.addData(items.drop(15): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketches.hllRegisters(items.toDF("grp", "t"), "t", 32, Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
   test("a frozen wordpiece vocab counts a stream to the batch totals") {
     implicit val sqlCtx = spark.sqlContext
     import graft.datapipe.WordPiece
