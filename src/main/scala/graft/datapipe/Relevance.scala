@@ -117,4 +117,54 @@ object Relevance {
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"), col("score"))
   }
+
+  /** Top-n ranked list of one quality signal: the global cut runs as
+    * TakeOrderedAndProject (per-partition top-n, merged on the
+    * driver), and only the n SURVIVORS see a window — so the
+    * single-partition row_number is bounded by n, never the corpus.
+    * NULL scores sort last; doc-id tie-break pins every rank.
+    * Output: (idCol, r) with r in 1..n as bigint.
+    */
+  def topRanks(scored: DataFrame, idCol: String, scoreCol: String,
+               ascending: Boolean, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord =
+      if (ascending) Seq(col(scoreCol).asc_nulls_last, col(idCol).asc)
+      else Seq(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    scored.orderBy(ord: _*).limit(n)
+      .select(col(idCol),
+        row_number().over(Window.orderBy(ord: _*)).cast("bigint").as("r"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of
+    * top-n lists: rrf(d) = Σ_lists 1/(k + r_list(d)), contributions
+    * from lists that did not retrieve d are 0. The curation ensemble
+    * an ingest pipeline runs over its quality signals — rank-space
+    * fusion needs no score calibration across signals.
+    *
+    * Scale shape: every input is already a bounded n-row list, so the
+    * union, the rank pivot, and the fusion arithmetic all run over at
+    * most |lists|·n rows. Portability: ranks are exact integers and
+    * the fusion sum is a FIXED-ORDER chain of |lists| double terms
+    * (written identically in the oracle), rounded to 6 dp.
+    *
+    * Output: (idCol, r_<name>… nullable bigint, rrf).
+    */
+  def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
+              k: Int): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one list")
+    val tagged = lists.map { case (nm, df) =>
+      df.select(col(idCol), lit(nm).as("sig"), col("r"))
+    }.reduce(_ unionByName _)
+    val rankCols = lists.map { case (nm, _) =>
+      min(when(col("sig") === nm, col("r"))).as(s"r_$nm")
+    }
+    val pivoted = tagged.groupBy(col(idCol))
+      .agg(rankCols.head, rankCols.tail: _*)
+    val rrf = lists.map { case (nm, _) =>
+      coalesce(lit(1.0) / (lit(k.toDouble) + col(s"r_$nm").cast("double")),
+        lit(0.0))
+    }.reduce(_ + _)
+    pivoted.withColumn("rrf", round(rrf, 6))
+  }
 }

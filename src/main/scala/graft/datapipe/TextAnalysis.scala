@@ -3,6 +3,8 @@ package graft.datapipe
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.datapipe.Staging.Staged
+
 /** Text-analysis operators for a large-scale training-data pipeline:
   * token counting, quality scoring, language-ID heuristic, document
   * fingerprinting. All pure column expressions (codegen'd, no UDFs),
@@ -132,6 +134,54 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token").asc)
       .limit(topN)
+
+  /** Per-source unigram KL divergence to the corpus distribution —
+    * the distribution-shift readout mixture design reads next to the
+    * overlap matrix ([[Dedup.sourceOverlap]]): sources whose word
+    * distribution sits far from the mixture are the ones a
+    * temperature weight actually moves.
+    *
+    *   KL(p_s ‖ q) = Σ_w p_s(w) · ln(p_s(w) / q(w))
+    *
+    * with p_s the source's unigram distribution and q the whole
+    * corpus's. No smoothing is needed: every source word is a corpus
+    * word, so q(w) > 0 wherever p_s(w) > 0.
+    *
+    * Scale shape: ONE partial-aggregated count shuffle over the token
+    * stream to (source, word) rows; everything downstream is
+    * vocab-sized — the corpus marginal is a re-aggregation of those
+    * partials (keyed on word, co-partitioned with the term join) and
+    * the per-source totals broadcast. Portability: counts are exact
+    * integers; each KL term rounds to 8 dp then sums as DECIMAL(28,8)
+    * (exact, order-independent — the catalog's log-space convention);
+    * the readout rounds to 6 dp. Word-camp tokenization (zero-length
+    * tokens are not words — see the [[normalize]] note).
+    *
+    * Output: (source, n_tokens, n_distinct, kl).
+    */
+  def sourceDivergence(docs: DataFrame, textCol: String,
+                       sourceCol: String): DataFrame = {
+    val tk = docs.select(col(sourceCol).as("source"), explode(filter(
+      split(normalize(col(textCol)), " "), t => length(t) > 0)).as("t"))
+    val csw = tk.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c_sw")).stage()
+    val cw = csw.groupBy(col("t")).agg(sum(col("c_sw")).as("c_w"))
+    val ns = csw.groupBy(col("source")).agg(
+      sum(col("c_sw")).as("n_s"), count(lit(1)).as("n_distinct"))
+    val n = csw.agg(sum(col("c_sw")).as("n"))
+    val p = col("c_sw").cast("double") / col("n_s").cast("double")
+    val q = col("c_w").cast("double") / col("n").cast("double")
+    csw.join(cw, Seq("t"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("term", round(p * log(p / q), 8))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_tokens"),
+        first(col("n_distinct")).as("n_distinct"),
+        sum(col("term").cast("decimal(28,8)")).as("klsum"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        round(col("klsum").cast("double"), 6).as("kl"))
+  }
 
   /** Gopher-style composite quality filter (the "document filters" of
     * the Gopher corpus paper, arXiv:2112.11446 §A1.1): per-document

@@ -311,6 +311,106 @@ object DataPipeQueries {
           ELSE raw END, 4) AS hll_est
       FROM fin JOIN exact ON exact.source = fin.source"""))
 
+  /** Per-source unigram KL divergence to the corpus distribution.
+    * The oracle rebuilds both distributions from exact counts and
+    * replays the 8-dp term rounding + exact decimal sum.
+    */
+  private val textSourceKl = QueryDef(
+    "text_source_kl",
+    (s, d) => TextAnalysis.sourceDivergence(
+      Tables.documents(s, d), "text", "source"),
+    Some("""WITH tk AS (SELECT source, u.t AS t
+        FROM (SELECT source,
+          list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+            x -> len(x) > 0) AS w FROM documents), UNNEST(w) u(t)),
+      csw AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c_sw
+        FROM tk GROUP BY 1, 2),
+      cw AS (SELECT t, SUM(c_sw) AS c_w FROM csw GROUP BY 1),
+      ns AS (SELECT source, SUM(c_sw) AS n_s,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct FROM csw GROUP BY 1),
+      n AS (SELECT SUM(c_sw) AS n FROM csw),
+      terms AS (SELECT csw.source,
+          round((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+            ln((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE)) /
+               (CAST(c_w AS DOUBLE) / CAST(n.n AS DOUBLE))), 8) AS term,
+          n_s, n_distinct
+        FROM csw JOIN cw ON cw.t = csw.t
+        JOIN ns ON ns.source = csw.source, n)
+      SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+        MIN(n_distinct) AS n_distinct,
+        round(CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE), 6) AS kl
+      FROM terms GROUP BY source"""))
+
+  /** Reciprocal-rank fusion of three quality signals' top-100 lists:
+    * stopword ratio (desc — the natural-language signal), bigram-LM
+    * perplexity (asc), top-word repetition share (asc). The oracle
+    * rebuilds all three signals, replays each ranked cut (NULLS LAST
+    * + doc-id tie-break), and the fixed-order fusion sum.
+    */
+  private val qualityRankFusion = QueryDef(
+    "quality_rank_fusion",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = TextAnalysis.qualityFeatures(docs, col("text"))
+        .select(col("doc_id"), col("q_stopword_ratio"))
+      val p = LanguageModel.perplexity(docs, "doc_id", "text")
+        .select(col("doc_id"), col("ppl"))
+      val r = TextAnalysis.repetition(docs, "doc_id", "text")
+        .select(col("doc_id"), col("top_word_frac"))
+      Relevance.rrfFuse(Seq(
+        "quality" -> Relevance.topRanks(q, "doc_id", "q_stopword_ratio",
+          ascending = false, n = 100),
+        "ppl" -> Relevance.topRanks(p, "doc_id", "ppl",
+          ascending = true, n = 100),
+        "rep" -> Relevance.topRanks(r, "doc_id", "top_word_frac",
+          ascending = true, n = 100)), "doc_id", k = 60)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      q AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\s+')) AS s
+        FROM documents),
+      qr AS (SELECT doc_id, CAST(row_number()
+          OVER (ORDER BY s DESC NULLS LAST, doc_id) AS BIGINT) AS r
+        FROM q QUALIFY r <= 100),
+      bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+             FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+             WHERE len(w) >= 2),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      vc AS (SELECT COUNT(DISTINCT u.tk) AS v FROM toks, UNNEST(w) AS u(tk)),
+      lps AS (SELECT doc_id,
+          round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vc.v AS DOUBLE)), 8) AS lp
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vc),
+      ppl AS (SELECT doc_id,
+          round(exp(-CAST(SUM(CAST(lp AS DECIMAL(28,8))) AS DOUBLE)
+            / COUNT(*)), 4) AS ppl
+        FROM lps GROUP BY doc_id),
+      pr AS (SELECT doc_id, CAST(row_number()
+          OVER (ORDER BY ppl ASC NULLS LAST, doc_id) AS BIGINT) AS r
+        FROM toks LEFT JOIN ppl USING (doc_id) QUALIFY r <= 100),
+      tw AS (SELECT doc_id, MAX(c) AS top_c FROM (
+               SELECT doc_id, u.t AS word, COUNT(*) AS c
+               FROM toks, UNNEST(w) AS u(t) GROUP BY doc_id, u.t)
+             GROUP BY doc_id),
+      rep AS (SELECT t.doc_id,
+          CAST(top_c AS DOUBLE) / CAST(len(w) AS DOUBLE) AS s
+        FROM toks t JOIN tw USING (doc_id)),
+      rr AS (SELECT doc_id, CAST(row_number()
+          OVER (ORDER BY s ASC NULLS LAST, doc_id) AS BIGINT) AS r
+        FROM rep QUALIFY r <= 100),
+      ids AS (SELECT doc_id FROM qr UNION
+              SELECT doc_id FROM pr UNION
+              SELECT doc_id FROM rr)
+      SELECT ids.doc_id, qr.r AS r_quality, pr.r AS r_ppl, rr.r AS r_rep,
+        round(COALESCE(1.0 / (60.0 + CAST(qr.r AS DOUBLE)), 0.0)
+            + COALESCE(1.0 / (60.0 + CAST(pr.r AS DOUBLE)), 0.0)
+            + COALESCE(1.0 / (60.0 + CAST(rr.r AS DOUBLE)), 0.0), 6) AS rrf
+      FROM ids LEFT JOIN qr USING (doc_id) LEFT JOIN pr USING (doc_id)
+        LEFT JOIN rr USING (doc_id)"""))
+
   /** TF-IDF keywords: every document's top-5 terms by tf·ln(N/df),
     * ranked on the 4-dp rounded score with term tie-break. The
     * oracle replays tf, the window df, idf, and the cut.
@@ -2208,7 +2308,7 @@ object DataPipeQueries {
     textPerplexityInline, textPerplexityBackoff,
     textClassifier, textClassifierInline, textClassifierEval,
     textClassifierCalibration, textClassifierUncertain, textHeavyHitters,
-    textDistinctHll,
+    textDistinctHll, textSourceKl, qualityRankFusion,
     sampleImportance,
     sampleImportanceSoft, sampleTokenBudget,
     bpeMerges, bpeEncode, bpeFertility,

@@ -126,6 +126,42 @@ class RelevanceSpec extends SparkSpec {
       s"hll estimate ${estB.getDouble(3)} off by >15% from 5000")
   }
 
+  test("source kl: hand-checked divergences, disjoint source largest") {
+    import graft.datapipe.TextAnalysis
+    // corpus counts: x:4, y:2, z:2, N=8 → q(x)=1/2, q(y)=1/4, q(z)=1/4
+    // A = B = {x:2/3, y:1/3}: KL = 2/3·ln(4/3) + 1/3·ln(4/3) = ln(4/3)
+    // C = {z:1}: KL = ln(4)
+    val docs = Seq(
+      (1L, "A", "x x y"), (2L, "B", "x x y"),
+      (3L, "C", "z z")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceDivergence(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("A") === ((3L, 2L, 0.287682)))
+    assert(out("B") === out("A"), "identical sources must score identically")
+    assert(out("C") === ((2L, 1L, 1.386294)))
+  }
+
+  test("rrf fusion: hand-checked sums, absent lists contribute zero") {
+    import graft.datapipe.Relevance
+    // doc 1 tops both lists, doc 2 only the first, doc 3 only the
+    // second; n=2 cuts doc 3 from list a entirely
+    val a = Seq((1L, 0.9), (2L, 0.5), (3L, 0.1)).toDF("doc_id", "s")
+    val b = Seq((1L, 1.0), (3L, 2.0)).toDF("doc_id", "s")
+    val fused = Relevance.rrfFuse(Seq(
+      "a" -> Relevance.topRanks(a, "doc_id", "s", ascending = false, n = 2),
+      "b" -> Relevance.topRanks(b, "doc_id", "s", ascending = true, n = 2)),
+      "doc_id", k = 60)
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3)))).toMap
+    // 1/61 + 1/61 = 0.032787; 1/62 alone = 0.016129
+    assert(fused(1L) === ((Some(1L), Some(1L), 0.032787)))
+    assert(fused(2L) === ((Some(2L), None, 0.016129)))
+    assert(fused(3L) === ((None, Some(2L), 0.016129)))
+  }
+
   test("gopher rules: hand-checked features and keep decision") {
     // 55 words, mean word length exactly 4.0, 22 stopword hits
     val longGood = ("the and alpha beta gamma " * 11).trim
