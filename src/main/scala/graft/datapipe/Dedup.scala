@@ -377,6 +377,64 @@ object Dedup {
             col("n_grams").cast("double"), 6)).as("dup_frac"))
   }
 
+  /** Corpus-level duplicated-LINE removal (the line-wise exact-dedup
+    * stage of CCNet, Wenzek et al. 2020 arXiv:1911.00359 §3, and
+    * RefinedWeb, Penedo et al. 2023 arXiv:2306.01116: boilerplate
+    * lines repeat across pages — drop every occurrence after the
+    * corpus-global first). The driver corpus has no newlines, so the
+    * certifiable "line" convention here is tumbling `w`-token windows
+    * of the normalized text (a corpus WITH newlines would split on
+    * them first and feed each physical line through the same
+    * keep-first machinery unchanged).
+    *
+    * Keep policy: a line survives iff its (doc_id, line_no) is the
+    * lexicographic minimum over all occurrences of that line text —
+    * the corpus-global first occurrence, which also removes intra-
+    * document repeats. The document is then rebuilt from its
+    * surviving lines in order.
+    *
+    * Scale shape: lines are built per-row (zero shuffle — a
+    * transform over an index sequence); first-occurrence election is
+    * ONE window over the 60-bit line hash (dup groups are small, so
+    * the per-key sort is trivial; the shuffle carries (hash, ids,
+    * line) — line text only rides along to avoid re-building it for
+    * the rebuild pass); the rebuild is one groupBy(doc_id). Nothing
+    * is ever all-pairs and no key exceeds line cardinality.
+    *
+    * Output: (doc_id, n_lines, n_kept, text_kept) — text_kept is ''
+    * for a document with no tokens or no surviving lines.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 w: Int = 4): DataFrame = {
+    val toks = filter(split(TextAnalysis.normalize(col(textCol)), " "),
+      t => length(t) > 0)
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("w"))
+    val lines = base.filter(size(col("w")) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), ((size(col("w")) - 1) / w).cast("int")),
+          i => array_join(slice(col("w"), i * w + lit(1), lit(w)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("line_no"),
+        col("col").as("line"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextAnalysis.md5Long60(col("line")))
+      .orderBy(col("doc_id"), col("line_no"))
+    val marked = lines
+      .withColumn("rn", row_number().over(win))
+    val agg = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(
+          collect_list(when(col("rn") === 1,
+            struct(col("line_no"), col("line"))))),
+          s => s.getField("line")), " ").as("text_kept"))
+    base.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Near-dup CLUSTERS from a pair list: connected components by
     * iterative min-label propagation — each round every vertex
     * adopts the smallest label among itself and its neighbours, so a

@@ -186,6 +186,46 @@ object LanguageModel {
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("ppl"))
   }
 
+  /** CCNet's head/middle/tail partitioning (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3): per-language perplexity terciles under
+    * the corpus-trained bigram LM ([[perplexity]]). CCNet keeps the
+    * head (lowest-perplexity — most in-domain) and usually the
+    * middle, and drops the tail; emitting the tier as data lets the
+    * caller pick any policy.
+    *
+    * Determinism: the tile order is (ppl ASC NULLS LAST, doc_id) — a
+    * total order, so the tercile boundaries are exact and
+    * engine-portable (NTILE's first-(n mod k)-tiles-get-one-extra
+    * distribution is SQL-standard in both Spark and DuckDB).
+    *
+    * Scale shape: scoring is [[perplexity]]'s join-the-count-table
+    * chain; the tiling is ONE window sorted per language partition —
+    * the per-group sort is the honest cost. At 100 TB with few
+    * languages the documented escape hatch is approximate tercile
+    * THRESHOLDS (percentile_approx per language, broadcast back, tier
+    * by comparison) which trades exact tile sizes for a scan — the
+    * exact NTILE stays the certifiable contract.
+    *
+    * Output: (doc_id, <groupCol>, ppl, bucket ∈ 1..n, tier).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, buckets: Int = 3): DataFrame = {
+    val ppl = perplexity(docs, idCol, textCol)
+      .select(col("doc_id"), col("ppl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("ppl").asc_nulls_last, col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"))
+      .join(ppl, Seq("doc_id"))
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .withColumn("tier",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === buckets, "tail")
+          .otherwise("middle"))
+      .select(col("doc_id"), col("grp").as(groupCol), col("ppl"),
+        col("bucket"), col("tier"))
+  }
+
   /** DSIR-style importance weights: hashed-unigram log-likelihood
     * ratio of a target domain against the raw corpus, with a
     * deterministic top-N selection.

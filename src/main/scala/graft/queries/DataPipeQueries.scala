@@ -730,6 +730,42 @@ object DataPipeQueries {
         round(exp(-CAST(s.slp AS DOUBLE) / s.n), 4) AS ppl
       FROM toks t LEFT JOIN s USING (doc_id)"""))
 
+  /** CCNet head/middle/tail tiering: per-language perplexity
+    * terciles under the corpus bigram LM. The oracle replays the
+    * whole retrain plus the NTILE over the same total order
+    * (ppl ASC NULLS LAST, doc_id), so a hash match certifies the
+    * model, the ranking, and the tercile boundaries.
+    */
+  private val samplePplBuckets = QueryDef(
+    "sample_ppl_buckets",
+    (s, d) => LanguageModel.perplexityBuckets(
+      Tables.documents(s, d), "doc_id", "text", "lang", buckets = 3),
+    Some("""WITH toks AS (SELECT doc_id, lang,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+             FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+             WHERE len(w) >= 2),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      vc AS (SELECT COUNT(DISTINCT u.tk) AS v FROM toks, UNNEST(w) AS u(tk)),
+      lps AS (SELECT doc_id,
+          round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vc.v AS DOUBLE)), 8) AS lp
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vc),
+      ppl AS (SELECT doc_id,
+          round(exp(-CAST(SUM(CAST(lp AS DECIMAL(28,8))) AS DOUBLE)
+            / COUNT(*)), 4) AS ppl
+        FROM lps GROUP BY doc_id),
+      b AS (SELECT t.doc_id, t.lang, p.ppl,
+          CAST(ntile(3) OVER (PARTITION BY t.lang
+            ORDER BY p.ppl ASC NULLS LAST, t.doc_id) AS BIGINT) AS bucket
+        FROM toks t LEFT JOIN ppl p USING (doc_id))
+      SELECT doc_id, lang, ppl, bucket,
+        CASE WHEN bucket = 1 THEN 'head'
+             WHEN bucket = 3 THEN 'tail'
+             ELSE 'middle' END AS tier
+      FROM b"""))
+
   /** The train-offline/score-inline twin of text_perplexity: the
     * bigram model is EXTRACTED to the driver (capped dictionary, the
     * [[graft.datapipe.BpeTokenizer.MaxDriverVocab]] convention) and
@@ -1285,6 +1321,40 @@ object DataPipeQueries {
         FROM documents WHERE doc_id % 26 = 0)
       SELECT doc_id FROM nd
       WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.t = nd.t)"""))
+
+  /** Corpus-level duplicated-line removal over 4-token tumbling
+    * "lines" (~6% of lines at the oracle SF are corpus-duplicated,
+    * so the drop path genuinely fires). The oracle replays the line
+    * build, the keep-first election over the same (doc_id, line_no)
+    * order, and the in-order rebuild — the repaired text itself is
+    * hash-checked.
+    */
+  private val dedupLines = QueryDef(
+    "dedup_lines",
+    (s, d) => Dedup.dedupLines(Tables.documents(s, d), "doc_id", "text",
+      w = 4),
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0) AS w
+        FROM documents),
+      ln AS (SELECT doc_id, CAST((i - 1) // 4 AS BIGINT) AS line_no,
+          string_agg(w[i], ' ' ORDER BY i) AS line
+        FROM toks, UNNEST(generate_series(1, len(w))) t(i)
+        GROUP BY doc_id, (i - 1) // 4),
+      k AS (SELECT doc_id, line_no, line, row_number() OVER (
+          PARTITION BY ('0x' || substr(md5(line), 1, 15))::BIGINT
+          ORDER BY doc_id, line_no) AS rn
+        FROM ln),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_no)
+            AS text_kept
+        FROM k GROUP BY doc_id)
+      SELECT t.doc_id,
+        CAST(COALESCE(agg.n_lines, 0) AS BIGINT) AS n_lines,
+        CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        COALESCE(agg.text_kept, '') AS text_kept
+      FROM toks t LEFT JOIN agg USING (doc_id)"""))
 
   /** Maximal shared token runs over the twin corpus: each truncated
     * twin shares its full (len-1)-token prefix with its original, so
@@ -2310,12 +2380,13 @@ object DataPipeQueries {
     textClassifierCalibration, textClassifierUncertain, textHeavyHitters,
     textDistinctHll, textSourceKl, qualityRankFusion,
     sampleImportance,
-    sampleImportanceSoft, sampleTokenBudget,
+    sampleImportanceSoft, sampleTokenBudget, samplePplBuckets,
     bpeMerges, bpeEncode, bpeFertility,
     wordPieceVocab, wordPieceEncode,
     dedupStats,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
+    dedupLines,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
     packChunks, packLengthBuckets, sourceOverlap,
     decontaminate, decontaminateSpans,

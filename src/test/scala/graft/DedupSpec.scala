@@ -230,4 +230,34 @@ class DedupSpec extends SparkSpec {
       k = 3, minWindows = 2, maxDf = 3).collect()
     assert(spans.nonEmpty, "df=2 windows must survive a maxDf=3 cap")
   }
+
+  test("line dedup keeps only the corpus-global first occurrence") {
+    // w=2 lines: doc1 = [a b][c d][a b] (intra-doc repeat), doc2 =
+    // [c d][x y] (cross-doc repeat of doc1's line 1), doc3 = empty
+    val docs = Seq(
+      (1L, "a b c d a b"),
+      (2L, "c d x y"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", w = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc1 keeps [a b][c d] (its own later [a b] drops), doc2 keeps
+    // only [x y] ([c d] first occurred at doc1 line 1)
+    assert(out(1L) === ((3L, 2L, "a b c d")))
+    assert(out(2L) === ((2L, 1L, "x y")))
+    assert(out(3L) === ((0L, 0L, "")))
+  }
+
+  test("line dedup: a short tail line dedups like any other line") {
+    // 5 tokens at w=2 → lines [a b][c d][e]; the singleton tail [e]
+    // also appears as doc2's full text and must keep-first there too
+    val docs = Seq(
+      (1L, "e"),
+      (2L, "a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", w = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((1L, 1L, "e")))
+    assert(out(2L) === ((3L, 2L, "a b c d")))
+  }
 }

@@ -143,4 +143,32 @@ class LanguageModelSpec extends SparkSpec {
     val expect = out.sortBy(t => (-t._3, t._1)).take(3).map(_._1).toSet
     assert(out.filter(_._4).map(_._1).toSet === expect)
   }
+
+  test("perplexity buckets tile each language by ppl with head=lowest") {
+    // 7 'en' docs with monotone-distinct perplexities + 2 'de' docs;
+    // 7 % 3 = 1 extra row → en tiles sized (3, 2, 2); de → (1, 1, 0)
+    // so with 2 rows the de tail tier never fires.
+    val docs = (
+      (1L to 6L).map(i => (i, ("w " * i.toInt) + "rare" + i, "en")) ++
+      Seq((7L, "w w", "en"), (8L, "x y x", "de"), (9L, "x z", "de")))
+      .toDF("doc_id", "text", "lang")
+    val out = LanguageModel.perplexityBuckets(docs, "doc_id", "text",
+      "lang", buckets = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getString(4)))
+    assert(out.length === 9)
+    val en = out.filter(_._2 == "en")
+    assert(en.groupBy(_._4).view.mapValues(_.size).toMap
+      === Map(1L -> 3, 2L -> 2, 3L -> 2), "SQL-standard NTILE sizes")
+    // the tile order follows (ppl asc, doc_id): every head ppl ≤
+    // every middle ppl ≤ every tail ppl
+    val byB = en.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+    assert(byB(1L).max <= byB(2L).min && byB(2L).max <= byB(3L).min)
+    assert(en.filter(_._4 == 1L).forall(_._5 == "head"))
+    assert(en.filter(_._4 == 2L).forall(_._5 == "middle"))
+    assert(en.filter(_._4 == 3L).forall(_._5 == "tail"))
+    // a 2-row language occupies tiles 1 and 2, no tail
+    assert(out.filter(_._2 == "de").map(_._5).sorted
+      === Array("head", "middle"))
+  }
 }
