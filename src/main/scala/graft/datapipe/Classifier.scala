@@ -103,6 +103,84 @@ object Classifier {
       .withColumn("predicted", col("score") > 0)
   }
 
+  /** Multiclass NB — the trained language-identification shape
+    * (the role fastText langid, Joulin et al. 2016 arXiv:1607.01759,
+    * plays in CCNet-style pipelines) generalizing [[naiveBayes]]'s
+    * two-class log-ratio to an argmax over per-class log posteriors:
+    *
+    *   lp_{c,b} = ln((n_{c,b}+1)/(T_c+B))     (add-one over B buckets)
+    *   prior_c  = ln((D_c+1)/(D+L))           (add-one over L classes)
+    *   score(doc,c) = prior_c + Σ_i lp_{c,b(tok_i)}
+    *   predicted = argmax_c score   (ties → lexicographically first)
+    *
+    * All counts exact integers; each log term rounds to 8 dp and the
+    * fold is an exact DECIMAL(28,8) sum; scores round to 4 dp BEFORE
+    * the argmax so the winner is engine-portable.
+    *
+    * Scale shape: the model is L×B rows (L = distinct labels) built
+    * from one (label, bucket) count shuffle and broadcast; scoring
+    * joins the token stream to it on the bucket key with a
+    * deliberate ×L fan-out (bounded by class count — for large L
+    * pivot the model to a B-row array and fold per class instead);
+    * the argmax is a row_number window over N×L rows partitioned by
+    * doc_id. Nothing scales worse than corpus × classes.
+    *
+    * Output: (doc_id, label, predicted, score) — label the true
+    * class, predicted the argmax class, score its 4-dp posterior.
+    */
+  def naiveBayesMulti(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, buckets: Int = 64): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(labelCol).as("label"), toks(col(textCol)).as("w"))
+    // (doc_id, label, bucket) token stream: feeds count training AND
+    // the scoring fold (see Staging)
+    val tokens = base
+      .select(col("doc_id"), col("label"), explode(col("w")).as("t"))
+      .select(col("doc_id"), col("label"),
+        bucketOf(col("t"), buckets).as("b"))
+      .stage()
+    val counts = tokens.groupBy(col("label"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("label"))
+      .agg(sum(col("n")).as("tc"))
+    // dense L×B grid so unseen (class, bucket) cells carry the
+    // smoothed floor instead of vanishing from the model
+    val bRange = docs.sparkSession.range(buckets).select(col("id").as("b"))
+    val model = base.select(col("label")).distinct()
+      .crossJoin(bRange)
+      .join(counts, Seq("label", "b"), "left")
+      .join(totals, Seq("label"), "left")
+      .select(col("label"), col("b"),
+        round(log((coalesce(col("n"), lit(0L)) + lit(1)).cast("double") /
+          (coalesce(col("tc"), lit(0L)) + lit(buckets)).cast("double")), 8)
+          .as("lp"))
+    val nd = base.agg(count(lit(1)).as("d"),
+      count_distinct(col("label")).as("l"))
+    val prior = base.groupBy(col("label")).agg(count(lit(1)).as("dc"))
+      .crossJoin(broadcast(nd))
+      .select(col("label"), round(log(
+        (col("dc") + lit(1)).cast("double") /
+          (col("d") + col("l")).cast("double")), 8).as("prior"))
+    val sums = tokens.select(col("doc_id"), col("b"))
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("lp").cast("decimal(28,8)")).as("ssum"))
+    val scores = base.select(col("doc_id"))
+      .crossJoin(broadcast(prior))
+      .join(sums, Seq("doc_id", "label"), "left")
+      .select(col("doc_id"), col("label"),
+        round((col("prior").cast("decimal(28,8)") +
+          coalesce(col("ssum"), lit(0).cast("decimal(28,8)")))
+          .cast("double"), 4).as("score"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label"))
+    val top = scores.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("predicted"), col("score"))
+    base.select(col("doc_id"), col("label")).join(top, Seq("doc_id"))
+  }
+
   /** A trained NB model extracted to the driver: the dense B-length
     * per-bucket log-ratio array plus the prior log-ratio — the
     * offline half of train-offline/score-inline, mirroring

@@ -922,6 +922,58 @@ object DataPipeQueries {
       Tables.documents(s, d), "doc_id", "text", nbLabel, buckets = 256),
     Some(s"WITH $nbLabelSql"))
 
+  /** Trained multiclass language ID: the 5-language NB argmax over
+    * hashed-token buckets — the learned sibling of text_langid's
+    * stopword heuristic. The oracle retrains the dense L×B model,
+    * replays the per-class exact-decimal folds, and re-runs the
+    * argmax over the same (score desc, lang) order, so a hash match
+    * certifies counts, smoothing, priors, fold, and tie-break.
+    */
+  private val textLangIdNb = QueryDef(
+    "text_langid_nb",
+    (s, d) => graft.datapipe.Classifier.naiveBayesMulti(
+      Tables.documents(s, d), "doc_id", "text", "lang", buckets = 64)
+      .select(col("doc_id"), col("label").as("lang"),
+        col("predicted").as("predicted_lang"), col("score")),
+    Some("""WITH toks AS (SELECT doc_id, lang,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      tkl AS (SELECT t.doc_id, t.lang,
+          CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) % 64 AS b
+        FROM toks t, UNNEST(generate_series(1, len(w))) AS g(i)),
+      cls AS (SELECT lang, b, COUNT(*) AS n FROM tkl GROUP BY 1, 2),
+      tot AS (SELECT lang, SUM(n) AS tc FROM cls GROUP BY 1),
+      grid AS (SELECT l.lang, g.b
+        FROM (SELECT DISTINCT lang FROM documents) l,
+             (SELECT UNNEST(generate_series(0, 63)) AS b) g),
+      model AS (SELECT grid.lang, grid.b,
+          round(ln(CAST(COALESCE(cls.n, 0) + 1 AS DOUBLE)
+            / CAST(COALESCE(tot.tc, 0) + 64 AS DOUBLE)), 8) AS lp
+        FROM grid
+        LEFT JOIN cls ON cls.lang = grid.lang AND cls.b = grid.b
+        LEFT JOIN tot ON tot.lang = grid.lang),
+      pri AS (SELECT dc.lang,
+          round(ln(CAST(dc.dc + 1 AS DOUBLE)
+            / CAST(dl.d + dl.l AS DOUBLE)), 8) AS prior
+        FROM (SELECT lang, COUNT(*) AS dc FROM documents GROUP BY 1) dc,
+             (SELECT COUNT(*) AS d, COUNT(DISTINCT lang) AS l
+              FROM documents) dl),
+      sc AS (SELECT tkl.doc_id, m.lang,
+          SUM(CAST(lp AS DECIMAL(28,8))) AS s
+        FROM tkl JOIN model m ON m.b = tkl.b GROUP BY 1, 2),
+      allp AS (SELECT t.doc_id, p.lang,
+          round(CAST(CAST(p.prior AS DECIMAL(28,8))
+            + COALESCE(sc.s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4)
+            AS score
+        FROM (SELECT doc_id FROM documents) t CROSS JOIN pri p
+        LEFT JOIN sc ON sc.doc_id = t.doc_id AND sc.lang = p.lang),
+      top AS (SELECT doc_id, lang AS predicted_lang, score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, lang) AS rn
+        FROM allp)
+      SELECT d.doc_id, d.lang, top.predicted_lang, top.score
+      FROM documents d JOIN top ON top.doc_id = d.doc_id AND top.rn = 1"""))
+
   /** Classifier quality readout — the confusion matrix + derived
     * precision/recall every trained quality filter ships with: the NB
     * classifier's predictions against its own training labels (the
@@ -2376,7 +2428,7 @@ object DataPipeQueries {
     textKeywords,
     textRepetition, textGopherRules, textDupNgrams, textVocab, textPerplexity,
     textPerplexityInline, textPerplexityBackoff,
-    textClassifier, textClassifierInline, textClassifierEval,
+    textClassifier, textClassifierInline, textClassifierEval, textLangIdNb,
     textClassifierCalibration, textClassifierUncertain, textHeavyHitters,
     textDistinctHll, textSourceKl, qualityRankFusion,
     sampleImportance,
