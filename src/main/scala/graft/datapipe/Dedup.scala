@@ -435,6 +435,39 @@ object Dedup {
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
+  /** Content-addressed snapshot diff — the corpus-versioning readout
+    * a periodically-recrawled training corpus ships with: which
+    * content was added, removed, or carried over between two corpus
+    * versions, keyed by the 60-bit normalized-text fingerprint
+    * ([[TextAnalysis.fingerprint]]) so renames/re-ids don't read as
+    * churn. Duplicate contents within a snapshot collapse to one row
+    * (min doc_id representative + multiplicity), so the diff is over
+    * CONTENT, with the dup counts preserved for the dedup-rate view.
+    *
+    * Scale shape: each side is one map-side-hashed groupBy on the
+    * 8-byte fingerprint; the diff is a full-outer shuffle join on the
+    * same key — both sides co-partition, nothing carries text past
+    * the first projection.
+    *
+    * Output: (fingerprint, status ∈ added|removed|unchanged,
+    * old_id, new_id, n_old, n_new) — ids NULL on the absent side.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    def side(df: DataFrame, id: String, n: String): DataFrame =
+      df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+        .agg(min(col(idCol)).as(id), count(lit(1)).as(n))
+    side(oldDocs, "old_id", "n_old")
+      .join(side(newDocs, "new_id", "n_new"), Seq("fingerprint"), "full_outer")
+      .select(col("fingerprint"),
+        when(col("n_old").isNull, "added")
+          .when(col("n_new").isNull, "removed")
+          .otherwise("unchanged").as("status"),
+        col("old_id"), col("new_id"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+  }
+
   /** Near-dup CLUSTERS from a pair list: connected components by
     * iterative min-label propagation — each round every vertex
     * adopts the smallest label among itself and its neighbours, so a

@@ -1408,6 +1408,39 @@ object DataPipeQueries {
         COALESCE(agg.text_kept, '') AS text_kept
       FROM toks t LEFT JOIN agg USING (doc_id)"""))
 
+  /** Content-addressed snapshot diff between two id-slice "corpus
+    * versions" (old = doc_id%4≠0, new = doc_id%4≠3, so all three
+    * statuses fire: %4∈{1,2} unchanged, 3 removed, 0 added). The
+    * oracle replays both fingerprint rollups and the full-outer
+    * classification.
+    */
+  private val corpusDiff = QueryDef(
+    "corpus_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.snapshotDiff(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 =!= 3),
+        "doc_id", "text")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+        ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fingerprint
+        FROM documents),
+      o AS (SELECT fingerprint, MIN(doc_id) AS old_id,
+          CAST(COUNT(*) AS BIGINT) AS n_old
+        FROM f WHERE doc_id % 4 <> 0 GROUP BY 1),
+      n AS (SELECT fingerprint, MIN(doc_id) AS new_id,
+          CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM f WHERE doc_id % 4 <> 3 GROUP BY 1)
+      SELECT COALESCE(o.fingerprint, n.fingerprint) AS fingerprint,
+        CASE WHEN o.fingerprint IS NULL THEN 'added'
+             WHEN n.fingerprint IS NULL THEN 'removed'
+             ELSE 'unchanged' END AS status,
+        o.old_id, n.new_id,
+        CAST(COALESCE(o.n_old, 0) AS BIGINT) AS n_old,
+        CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new
+      FROM o FULL OUTER JOIN n ON o.fingerprint = n.fingerprint"""))
+
   /** Maximal shared token runs over the twin corpus: each truncated
     * twin shares its full (len-1)-token prefix with its original, so
     * every twin pair must surface as one long diagonal-0 span (unless
@@ -2438,7 +2471,7 @@ object DataPipeQueries {
     dedupStats,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
-    dedupLines,
+    dedupLines, corpusDiff,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
     packChunks, packLengthBuckets, sourceOverlap,
     decontaminate, decontaminateSpans,

@@ -338,6 +338,55 @@ object SimilarityQueries {
           AS density
       FROM ranked WHERE rnk <= 5 GROUP BY q_id"""))
 
+  /** PageRank centrality over the kNN graph's directed edges: 3
+    * unrolled damped rounds from the uniform start. The oracle
+    * rebuilds the graph (shared `knnRankedCtes` chain) and replays
+    * every round's 8-dp contribution rounding, decimal sums, and the
+    * (1−d) teleport EXPRESSION (1.0 − 0.85 computed in IEEE, not a
+    * folded 0.15 literal — the two differ in the last ulp).
+    */
+  private val simGraphPagerank = QueryDef(
+    "sim_graph_pagerank",
+    (s, d) => {
+      val emb = embDouble(s, d).select(col("vec_id"), col("emb"))
+      val edges = Similarity.knnGraph(emb, k = 5, cells = 8, iters = 3,
+        nprobe = 2).select(col("q_id").as("src"), col("vec_id").as("dst"))
+      graft.datapipe.GraphOps.pagerank(
+        emb.select(col("vec_id").as("vid")), edges, rounds = 3,
+        damping = 0.85)
+        .select(col("vid").as("vec_id"), col("out_deg"), col("pr"))
+    },
+    Some {
+      def round_(i: Int) = s"""
+      sm$i AS MATERIALIZED (SELECT eg.dst,
+          SUM(CAST(round(p.r / CAST(dg.deg AS DOUBLE), 8)
+            AS DECIMAL(28,8))) AS s
+        FROM eg JOIN pr${i - 1} p ON p.vec_id = eg.src
+        JOIN dg ON dg.src = eg.src GROUP BY eg.dst),
+      pr$i AS MATERIALIZED (SELECT v.vec_id,
+          round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+              / CAST(nn.n AS DOUBLE)
+            + CAST(0.85 AS DOUBLE)
+              * CAST(COALESCE(sm$i.s, CAST(0 AS DECIMAL(28,8)))
+                AS DOUBLE), 8) AS r
+        FROM vtx v LEFT JOIN sm$i ON sm$i.dst = v.vec_id, nn)"""
+      s"""WITH $knnRankedCtes,
+      vtx AS MATERIALIZED (SELECT vec_id FROM embeddings),
+      nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vtx),
+      eg AS MATERIALIZED (SELECT q_id AS src, vec_id AS dst
+        FROM ranked WHERE rnk <= 5),
+      dg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM eg GROUP BY 1),
+      pr0 AS MATERIALIZED (SELECT vec_id,
+          round(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE), 8) AS r
+        FROM vtx, nn),
+      ${round_(1)}, ${round_(2)}, ${round_(3)}
+      SELECT v.vec_id, CAST(COALESCE(dg.deg, 0) AS BIGINT) AS out_deg,
+        round(pr3.r, 6) AS pr
+      FROM vtx v LEFT JOIN dg ON dg.src = v.vec_id
+      JOIN pr3 ON pr3.vec_id = v.vec_id"""
+    })
+
   /** Cluster-balanced sampling: keep at most 40 vectors per k-means
     * cell (cells average ~60 at the oracle SF, so some cells cap and
     * some don't — both branches of the predicate are exercised). The
@@ -847,7 +896,7 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simKnnGraph,
-      simKnnDensity, simSq8, simRpTopK, simPq,
+      simKnnDensity, simGraphPagerank, simSq8, simRpTopK, simPq,
       simIvfPq, dedupEmbedding, dedupSemantic, sampleClusterCap,
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,

@@ -260,4 +260,23 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) === ((1L, 1L, "e")))
     assert(out(2L) === ((3L, 2L, "a b c d")))
   }
+
+  test("snapshot diff classifies content by fingerprint, not id") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "beta"), (4L, "gone"))
+      .toDF("doc_id", "text")
+    // 'alpha' re-ids to 9 (unchanged), 'beta' dedups 2→1 copy,
+    // 'gone' vanishes, 'fresh' appears
+    val neu = Seq((9L, "alpha"), (10L, "beta"), (11L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(old, neu, "doc_id", "text").collect()
+      .map(r => (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(out === Set(
+      ("unchanged", 1L, 9L, 1L, 1L),   // alpha: re-id is not churn
+      ("unchanged", 2L, 10L, 2L, 1L),  // beta: dup count 2 → 1
+      ("removed", 4L, -1L, 1L, 0L),
+      ("added", -1L, 11L, 0L, 1L)))
+  }
 }
