@@ -267,6 +267,56 @@ object TextAnalysis {
     * includes. Every fraction is exact-integer-counts divided once,
     * so any engine reproduces the doubles bit-for-bit.
     */
+  /** Per-document token Shannon entropy — the distribution-shape
+    * quality signal next to [[repetition]]'s duplication fractions
+    * (low-entropy documents are keyword stuffing / boilerplate even
+    * when no single n-gram repeats; entropy thresholds appear in the
+    * C4/Gopher-era filter stacks as "too repetitive to train on"):
+    *
+    *   H(doc) = −Σ_t round8((c_t/n)·ln(c_t/n))   (exact decimal sum)
+    *
+    * Scale shape: ZERO shuffle — the per-token-type counts are the
+    * run lengths of the per-row SORTED token array, folded in one
+    * `aggregate` (same local-sort trick as [[repetition]]'s topRun;
+    * an explode + groupBy(doc, token) would shuffle the entire token
+    * stream to compute a per-row number). The fold accumulates the
+    * 8-dp-rounded entropy terms as exact DECIMAL(28,8) in sorted-run
+    * order; since the sum is exact, any engine computing the same
+    * terms in ANY order (the oracle uses a count groupBy) lands on
+    * the identical double.
+    *
+    * Output: (doc_id, n_tokens, n_distinct, entropy) — entropy −Σ
+    * rounded to 4 dp; a single-type document scores 0.
+    */
+  def entropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = sort_array(split(normalize(col(textCol)), " "))
+    val n = size(w).cast("double")
+    def term(run: Column): Column =
+      round((run.cast("double") / n) * log(run.cast("double") / n), 8)
+        .cast("decimal(28,8)")
+    val zero = lit(0).cast("decimal(28,8)")
+    def closeRun(acc: Column): Column =
+      (acc.getField("acc") + when(acc.getField("run") > 0,
+        term(acc.getField("run"))).otherwise(zero)).cast("decimal(28,8)")
+    val h = aggregate(
+      w,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        zero.as("acc")),
+      (acc, x) => {
+        val same = x.eqNullSafe(acc.getField("prev"))
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + lit(1L)).otherwise(lit(1L))
+            .as("run"),
+          when(same, acc.getField("acc")).otherwise(closeRun(acc))
+            .as("acc"))
+      },
+      acc => round(-closeRun(acc).cast("double"), 4))
+    docs.select(col(idCol).as("doc_id"),
+      size(w).cast("bigint").as("n_tokens"),
+      size(array_distinct(w)).cast("bigint").as("n_distinct"),
+      h.as("entropy"))
+  }
+
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(normalize(col(textCol)), " ")
     def dupFrac(w: Column, k: Int): Column = {

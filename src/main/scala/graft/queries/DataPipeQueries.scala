@@ -922,6 +922,32 @@ object DataPipeQueries {
       Tables.documents(s, d), "doc_id", "text", nbLabel, buckets = 256),
     Some(s"WITH $nbLabelSql"))
 
+  /** Token Shannon entropy per document: the fold runs over per-row
+    * sorted runs, the oracle over a count groupBy — the exact
+    * decimal-sum convention makes the two term orders land on the
+    * identical double.
+    */
+  private val textEntropy = QueryDef(
+    "text_entropy",
+    (s, d) => TextAnalysis.entropy(Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      tc AS (SELECT doc_id, u.t AS t, COUNT(*) AS c
+        FROM toks, UNNEST(w) u(t) GROUP BY 1, 2),
+      nn AS (SELECT doc_id, len(w) AS n FROM toks),
+      terms AS (SELECT tc.doc_id,
+          round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+            * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 8) AS t8
+        FROM tc JOIN nn USING (doc_id)),
+      agg AS (SELECT doc_id, SUM(CAST(t8 AS DECIMAL(28,8))) AS s
+        FROM terms GROUP BY 1),
+      dst AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM tc GROUP BY 1)
+      SELECT n.doc_id, CAST(n.n AS BIGINT) AS n_tokens, dst.n_distinct,
+        round(-CAST(agg.s AS DOUBLE), 4) AS entropy
+      FROM nn n JOIN dst USING (doc_id) JOIN agg USING (doc_id)"""))
+
   /** Trained multiclass language ID: the 5-language NB argmax over
     * hashed-token buckets — the learned sibling of text_langid's
     * stopword heuristic. The oracle retrains the dense L×B model,
@@ -1054,6 +1080,52 @@ object DataPipeQueries {
         round(CAST(COUNT(*) FILTER (WHERE is_pos) AS DOUBLE) / COUNT(*), 6)
           AS pos_rate
       FROM binned GROUP BY bin"""))
+
+  /** Quality-vs-quantity selection curve — the readout a data-budget
+    * decision reads before picking a classifier threshold: per
+    * clamped integer score bin, the docs/tokens in the bin plus the
+    * CUMULATIVE docs/tokens a threshold at that bin floor would
+    * keep. The cumsum window is global but runs over ≤ 11 bin rows
+    * (the corpus was already reduced by the groupBy), so the
+    * single-partition sort is a non-issue at any scale.
+    */
+  private val textSelectionCurve = QueryDef(
+    "text_selection_curve",
+    (s, d) => {
+      val scored = graft.datapipe.Classifier.naiveBayes(
+        Tables.documents(s, d), "doc_id", "text", nbLabel, buckets = 256)
+      val binned = scored
+        .withColumn("bin",
+          least(lit(5L), greatest(lit(-5L), floor(col("score")))))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bin").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      binned.select(col("bin"), col("n_docs"), col("n_tokens"),
+        sum(col("n_docs")).over(w).as("cum_docs"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"))
+    },
+    Some(s"""WITH $nbLabelCtes,
+      sc AS (SELECT t.doc_id,
+          round(CAST(CAST(prior AS DECIMAL(28,8))
+            + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) AS score,
+          COALESCE(ssum.n_tokens, 0) AS n_tokens
+        FROM toks t LEFT JOIN ssum USING (doc_id), pri),
+      b AS (SELECT LEAST(CAST(5 AS BIGINT), GREATEST(CAST(-5 AS BIGINT),
+          CAST(FLOOR(score) AS BIGINT))) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM sc GROUP BY 1)
+      SELECT bin, n_docs, n_tokens,
+        CAST(SUM(n_docs) OVER (ORDER BY bin DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_docs,
+        CAST(SUM(n_tokens) OVER (ORDER BY bin DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_tokens
+      FROM b"""))
 
   /** Active-learning selection: the 50 MOST UNCERTAIN documents by
     * classifier margin (|score| nearest 0) — the batch a labeling
@@ -2462,7 +2534,8 @@ object DataPipeQueries {
     textRepetition, textGopherRules, textDupNgrams, textVocab, textPerplexity,
     textPerplexityInline, textPerplexityBackoff,
     textClassifier, textClassifierInline, textClassifierEval, textLangIdNb,
-    textClassifierCalibration, textClassifierUncertain, textHeavyHitters,
+    textClassifierCalibration, textClassifierUncertain, textSelectionCurve,
+    textEntropy, textHeavyHitters,
     textDistinctHll, textSourceKl, qualityRankFusion,
     sampleImportance,
     sampleImportanceSoft, sampleTokenBudget, samplePplBuckets,

@@ -199,4 +199,25 @@ class RelevanceSpec extends SparkSpec {
     assert(got(2L) === ((3L, Some(0.0), Some(0.0), 1.0 / 3.0)))
     assert(got(3L) === ((1L, None, None, 1.0)))
   }
+
+  test("token entropy matches hand computation across run shapes") {
+    def r8(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    def r4(x: BigDecimal) = x
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq(
+      (1L, "a b a b a"),  // p(a)=3/5, p(b)=2/5
+      (2L, "x x x"),      // single type → H = 0
+      (3L, "q w e r"))    // uniform over 4 → H = ln 4
+      .toDF("doc_id", "text")
+    val got = graft.datapipe.TextAnalysis.entropy(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val h1 = r4(-(r8(0.6 * math.log(0.6)) + r8(0.4 * math.log(0.4))))
+    val h3 = r4(-(BigDecimal(0) + r8(0.25 * math.log(0.25)) * 4))
+    assert(got(1L) === ((5L, 2L, h1)))
+    assert(got(2L) === ((3L, 1L, 0.0)))
+    assert(got(3L) === ((4L, 4L, h3)))
+  }
 }
