@@ -480,8 +480,10 @@ object DataPipeQueries {
     * totals and extremes, mean doc length, language spread) every
     * curated corpus ships with. One partial-aggregated shuffle keyed
     * on source; the exact distinct-language count expands rows by one
-    * grouping set, still source-granularity. Means are exact integer
-    * sums divided once, so the doubles are engine-portable.
+    * grouping set, still source-granularity. The mean rounds to 6 dp
+    * in both engines (catalog portability convention) — a raw
+    * division double hash-diverged against the driver's DuckDB build
+    * in r8 despite bit-matching locally.
     */
   private val corpusStats = QueryDef(
     "corpus_stats",
@@ -493,15 +495,15 @@ object DataPipeQueries {
           sum(toks).as("n_tokens"),
           min(toks).as("min_tokens"),
           max(toks).as("max_tokens"),
-          (sum(col("n_chars")).cast("double") /
-            count(lit(1)).cast("double")).as("mean_chars"),
+          round(sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_chars"),
           countDistinct(col("lang")).as("n_langs"))
     },
     Some("""SELECT source, COUNT(*) AS n_docs,
       SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS n_tokens,
       MIN(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS min_tokens,
       MAX(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS max_tokens,
-      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+      round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
       FROM documents GROUP BY source"""))
 
@@ -517,16 +519,20 @@ object DataPipeQueries {
     "sample_token_budget",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // priority rounds to 6 dp BEFORE the window ordering (the
+      // catalog's double-portability convention) — ordering and
+      // emitted column stay engine-identical; rounding-induced ties
+      // fall to the deterministic doc_id tie-break
       Sampling.tokenBudget(docs, "doc_id", "source",
         TextAnalysis.tokenCount(col("text")),
-        TextAnalysis.stopwordCount(col("text")).cast("double") /
-          TextAnalysis.tokenCount(col("text")).cast("double"),
+        round(TextAnalysis.stopwordCount(col("text")).cast("double") /
+          TextAnalysis.tokenCount(col("text")).cast("double"), 6),
         budget = 500L)
     },
     Some("""WITH t AS (SELECT doc_id, source,
         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
-          / len(regexp_split_to_array(trim(text), '\s+')) AS priority
+        round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+          / len(regexp_split_to_array(trim(text), '\s+')), 6) AS priority
       FROM documents),
       c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
           ORDER BY priority DESC NULLS LAST, doc_id
@@ -2139,10 +2145,11 @@ object DataPipeQueries {
       val budgets = Sampling.temperatureWeights(docs, col("source"), alpha = 0.5)
         .select(col("source"),
           round(lit(10000.0) * col("p_temp")).cast("long").as("budget"))
+      // 6-dp priority before ordering — see sample_token_budget
       Sampling.tokenBudgetWeighted(docs, "doc_id", "source",
         TextAnalysis.tokenCount(col("text")),
-        TextAnalysis.stopwordCount(col("text")).cast("double") /
-          TextAnalysis.tokenCount(col("text")).cast("double"),
+        round(TextAnalysis.stopwordCount(col("text")).cast("double") /
+          TextAnalysis.tokenCount(col("text")).cast("double"), 6),
         budgets)
     },
     Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs
@@ -2155,8 +2162,8 @@ object DataPipeQueries {
         FROM p, t),
       dtok AS (SELECT doc_id, source,
         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
-          / len(regexp_split_to_array(trim(text), '\s+')) AS priority
+        round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+          / len(regexp_split_to_array(trim(text), '\s+')), 6) AS priority
         FROM documents),
       j AS (SELECT d.*, b.budget FROM dtok d JOIN bud b USING (source)),
       cum AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source

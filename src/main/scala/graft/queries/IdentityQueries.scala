@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.identity.{CredentialOps, DidResolver}
+import graft.identity.{CredentialOps, DidBootstrap, DidResolver}
 import graft.ops.EventOps
 
 /** Queries for the identity/credential operators (SURVEY.md §2.4-2.5:
@@ -200,7 +200,37 @@ object IdentityQueries {
         COUNT(*) AS n_resolutions
       FROM r GROUP BY 1, 2"""))
 
+  /** U3: the DID-bootstrap readout. The driver-side parallel init
+    * ([[DidBootstrap.bootstrap]]: getOrCreate DID → hosting ∥
+    * authz-VC, veramo_create_protected_did.ts:88-270) runs over the
+    * customer DIM (bounded driver traffic — the credential registry
+    * is dimension-sized by construction, never the fact stream), and
+    * the resulting broadcast dim is certified by its observable
+    * contract: one DID per entity, every document hosted, every
+    * issued VC verifying, split by the deterministic provider rule
+    * the dashboard panels replay (even → did:key, odd → did:web).
+    */
+  private val u3BootstrapDim = QueryDef(
+    "u3_bootstrap_dim",
+    (s, d) => {
+      import s.implicits._
+      // dim-bounded collect: the entity universe IS the registry
+      val ids = Tables.customer(s, d)
+        .select(col("c_custkey")).as[Long].collect().toSeq
+      DidBootstrap.bootstrapDim(s, ids)
+        .withColumn("vc_ok", CredentialOps.verifyJwt(col("vc_jwt")))
+        .groupBy(col("did_provider"))
+        .agg(count(lit(1)).as("n_dids"),
+          count(when(col("hosted"), 1)).as("n_hosted"),
+          count(when(col("vc_ok"), 1)).as("n_vc_ok"))
+    },
+    Some("""SELECT
+      CASE WHEN c_custkey % 2 = 0 THEN 'did:key' ELSE 'did:web' END
+        AS did_provider,
+      COUNT(*) AS n_dids, COUNT(*) AS n_hosted, COUNT(*) AS n_vc_ok
+      FROM customer GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
-    Seq(u1Sign, u2Verify, u4GrantCheck, j2CachedResolution,
+    Seq(u1Sign, u2Verify, u3BootstrapDim, u4GrantCheck, j2CachedResolution,
       q2P95Verification, q3P95Resolution)
 }

@@ -62,16 +62,28 @@ object Streams {
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.types._
+    // `events.ts` has shipped both as INT64 nanos and TIMESTAMP(MICROS)
+    // (see Tables.table); a file-stream needs an explicit schema, so
+    // probe the batch footer once for the physical ts dtype and build
+    // the matching stream schema + normalization.
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // file-stream sources need a directory; glob-filter to the events
     // table inside the sf dir
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** A3 streaming twin: tumbling event-time window with watermark;

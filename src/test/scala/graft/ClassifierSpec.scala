@@ -53,6 +53,39 @@ class ClassifierSpec extends SparkSpec {
     assert(rerun === out.toSet, "argmax must be run-to-run deterministic")
   }
 
+  test("binary NB: NULL text lands in the negative class with a " +
+    "prior-only score (oracle parity)") {
+    // the catalog label is predictLang(text) === "en"; on NULL text
+    // predictLang falls through its when-chain to 'und', so the label
+    // is FALSE (not NULL) and the doc must count toward dn — the
+    // oracle mirrors this with COALESCE(..., FALSE). A NULL label
+    // would instead drop the doc from BOTH class counts and shift
+    // every score.
+    val docs = Seq(
+      (1L, "the cat and the dog is here"),
+      (2L, "el perro y la casa que"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val label = graft.datapipe.TextAnalysis.predictLang(col("text")) === "en"
+    // the label itself must be false (never NULL) on the NULL row
+    val labRow = docs.select(col("doc_id"), label.as("is_pos"))
+      .filter(col("doc_id") === 3L).collect()(0)
+    assert(!labRow.isNullAt(1), "NULL text must not yield a NULL label")
+    assert(labRow.getBoolean(1) === false)
+    val out = Classifier.naiveBayes(docs, "doc_id", "text", label,
+      buckets = 16).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.size === 3, "the NULL-text doc still appears in the output")
+    assert(out(3L)._1 === 0L, "NULL text tokenizes to zero tokens")
+    // prior-only score replay: dp=1, dn=2 (NULL-text doc in dn)
+    def r8(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val prior = BigDecimal(r8(
+      math.log(2.0 / 5.0) - math.log(3.0 / 5.0)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(3L)._2 === prior,
+      "NULL-text score must equal the dn-inclusive prior")
+  }
+
   test("multiclass NB matches a driver-side replay of the full model") {
     // replay the exact contract (md5-bucket counts, add-one
     // smoothing, 8-dp log rounding, decimal fold, 4-dp argmax) in

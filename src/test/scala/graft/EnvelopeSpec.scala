@@ -13,9 +13,7 @@ import graft.ops.{EnvelopeOps, TradeAvroOps}
 class EnvelopeSpec extends SparkSpec {
   import spark.implicits._
 
-  private def sample = spark.read.parquet(s"$sf/events.parquet")
-    .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    .limit(200)
+  private def sample = graft.sources.Tables.events(spark, sf).limit(200)
 
   private def envelope = EnvelopeOps.envelope(
     tradeEventId = concat(lit("trade-"), col("event_id")),

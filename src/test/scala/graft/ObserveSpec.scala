@@ -11,8 +11,7 @@ import graft.streaming.{ObservedMetricsListener, Streams}
   */
 class ObserveSpec extends SparkSpec {
 
-  private def events = spark.read.parquet(s"$sf/events.parquet")
-    .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  private def events = graft.sources.Tables.events(spark, sf)
 
   test("P1 drop counters match the explicit counts (batch)") {
     val keep = Seq("click", "view", "purchase", "signup")

@@ -12,8 +12,7 @@ import org.apache.spark.sql.functions._
 class WriteLayoutSpec extends SparkSpec {
   import spark.implicits._
 
-  private def events = spark.read.parquet(s"$sf/events.parquet")
-    .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  private def events = graft.sources.Tables.events(spark, sf)
 
   test("partitionBy layout prunes non-matching partitions at the scan") {
     val dir = Files.createTempDirectory("graft-part").toString

@@ -36,7 +36,10 @@ def main() -> int:
     n_pass = n_fail = 0
     import os
     for name in sorted(os.listdir(out_dir)):
-        if name != "oracle_sql.json" and name not in oracle:
+        # skip sidecar files (oracle_sql.json, _errors.json) — only
+        # query output DIRECTORIES are rows-only candidates
+        if (name != "oracle_sql.json" and not name.startswith("_")
+                and name not in oracle):
             try:
                 n = con.execute(
                     f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'"
