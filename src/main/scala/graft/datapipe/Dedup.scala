@@ -1024,4 +1024,47 @@ object Dedup {
         col("n_windows"),
         (col("n_windows") + (k - 1)).as("span_tokens"))
   }
+
+  /** Marginal-novelty scoring (the selection signal of D4, Tirumala
+    * et al. 2023 arXiv:2308.12284, and SlimPajama-style curation
+    * readouts): processing documents in a fixed corpus order (doc_id
+    * asc — the deterministic stand-in for arrival order), score each
+    * document by the fraction of its DISTINCT word k-shingles no
+    * earlier document contained. High-novelty docs carry new content;
+    * a near-zero score marks a doc whose material is already covered
+    * — the complement of [[dupNgramCoverage]], which counts repeated
+    * POSITIONS regardless of who saw them first.
+    *
+    * Scale shape: first-owner election is one groupBy(shingle) →
+    * min(doc_id) — the same partial-aggregated shuffle as exact
+    * dedup, no windows, no ordering barrier (min() IS the "earliest
+    * doc" semantics, so the corpus order never has to be sorted).
+    * The count-back is one co-partitioned join on the shingle plus a
+    * groupBy(doc_id). Nothing is all-pairs; no key exceeds shingle
+    * cardinality.
+    *
+    * Output: (doc_id, n_shingles, n_novel, novel_frac) — novel_frac
+    * NULL only for a doc with zero shingles (cannot happen under
+    * [[shingles]]' short-text fallback, kept for contract symmetry
+    * with [[dupNgramCoverage]]).
+    */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), k)).as("gm"))
+    val first = base.groupBy(col("gm")).agg(min(col("doc_id")).as("first_doc"))
+    val per = base.join(first, Seq("gm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double"), 6)).as("novel_frac"))
+  }
 }

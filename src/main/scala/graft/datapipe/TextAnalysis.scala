@@ -135,6 +135,55 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(topN)
 
+  /** Per-group Zipf-slope diagnostic: the least-squares slope of
+    * ln(freq) on ln(rank) over each group's `topN` most frequent
+    * words. Natural text sits near −1 (Zipf 1949; Piantadosi 2014
+    * doi:10.3758/s13423-014-0585-6); a much flatter slope flags
+    * boilerplate/template sources and a much steeper one flags
+    * degenerate repetition — the corpus-composition readout mixture
+    * design reads next to [[sourceDivergence]].
+    *
+    * Scale shape: ONE partial-aggregated (group, word) count shuffle
+    * over the token stream; the per-group top-N cut is a rank window
+    * over the vocab-sized count table (bounded per-group state, no
+    * global sort); the fit is a single exact aggregation over ≤ topN
+    * rows per group.
+    *
+    * Portability: the only inexact surface is ln(), so both engines
+    * round ln(rank)/ln(freq) to 8 dp and accumulate the regression
+    * sums as exact DECIMALs (order-independent); the closed-form
+    * slope then divides two exactly-equal doubles, rounded to 6 dp.
+    *
+    * Output: (group, n_words, zipf_slope) — slope NULL for a group
+    * whose top-N has a single distinct rank (var = 0, degenerate fit).
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, groupCol: String,
+                topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col(groupCol).as("grp"), explode(filter(
+      split(normalize(col(textCol)), " "), t => length(t) > 0)).as("t"))
+    val ranked = tk.groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("freq").desc, col("t").asc)))
+      .filter(col("rnk") <= topN)
+    val x = round(log(col("rnk").cast("double")), 8).cast("decimal(18,8)")
+    val y = round(log(col("freq").cast("double")), 8).cast("decimal(18,8)")
+    val agg = ranked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+    val n = col("n_words").cast("double")
+    def d(c: Column): Column = c.cast("double")
+    val denom = n * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    agg.select(col("grp").as(groupCol), col("n_words"),
+      when(denom === 0.0, lit(null).cast("double"))
+        .otherwise(round(
+          (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / denom, 6))
+        .as("zipf_slope"))
+  }
+
   /** Per-source unigram KL divergence to the corpus distribution —
     * the distribution-shift readout mixture design reads next to the
     * overlap matrix ([[Dedup.sourceOverlap]]): sources whose word

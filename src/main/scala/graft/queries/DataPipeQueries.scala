@@ -604,6 +604,74 @@ object DataPipeQueries {
         END AS dup_frac
       FROM toks t LEFT JOIN cnt USING (doc_id) LEFT JOIN dcnt USING (doc_id)"""))
 
+  /** D4-style marginal novelty in doc_id order: per doc, the share
+    * of its distinct 3-shingles no earlier doc contained. The oracle
+    * replays the min-doc_id first-owner election, the short-text
+    * whole-doc-shingle fallback included.
+    */
+  private val textNovelty = QueryDef(
+    "text_novelty",
+    (s, d) => Dedup.noveltyScores(
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text", k = 3),
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      g0 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gm
+          FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+          WHERE len(w) >= 3
+        UNION ALL
+        SELECT doc_id, array_to_string(w, ' ') AS gm FROM toks
+          WHERE len(w) < 3),
+      g AS (SELECT DISTINCT doc_id, gm FROM g0),
+      f AS (SELECT gm, MIN(doc_id) AS first_doc FROM g GROUP BY gm),
+      per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+          COUNT(*) FILTER (WHERE first_doc = doc_id) AS n_novel
+        FROM g JOIN f USING (gm) GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+        CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+        CASE WHEN COALESCE(n_shingles, 0) = 0 THEN NULL
+             ELSE round(CAST(n_novel AS DOUBLE) / n_shingles, 6)
+        END AS novel_frac
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)"""))
+
+  /** Per-source Zipf slope over the top-100 vocabulary. Both engines
+    * round the logs to 8 dp and accumulate the regression sums as
+    * exact decimals, so the closed-form slope divides identical
+    * doubles (see [[TextAnalysis.zipfSlope]]).
+    */
+  private val corpusZipf = QueryDef(
+    "corpus_zipf",
+    (s, d) => TextAnalysis.zipfSlope(
+      Tables.documents(s, d), "text", "source", topN = 100),
+    Some("""WITH tok AS (SELECT source, u.t AS t
+        FROM (SELECT source,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents), UNNEST(w) AS u(t)
+        WHERE len(u.t) > 0),
+      f AS (SELECT source, t, COUNT(*) AS freq FROM tok GROUP BY 1, 2),
+      r AS (SELECT source, freq, CAST(row_number() OVER
+          (PARTITION BY source ORDER BY freq DESC, t) AS BIGINT) AS rnk
+        FROM f QUALIFY rnk <= 100),
+      v AS (SELECT source,
+          CAST(round(ln(CAST(rnk AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+          CAST(round(ln(CAST(freq AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+        FROM r),
+      a AS (SELECT source, COUNT(*) AS n_words,
+          SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM v GROUP BY source)
+      SELECT source, CAST(n_words AS BIGINT) AS n_words,
+        CASE WHEN CAST(n_words AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+          ELSE round((CAST(n_words AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n_words AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        END AS zipf_slope
+      FROM a"""))
+
   /** Top-100 corpus vocabulary with deterministic (freq desc, token)
     * ordering. The driver's compare sorts rows, so the LIMIT boundary
     * is the only order-sensitive part — and the tie-break pins it.
@@ -2538,7 +2606,8 @@ object DataPipeQueries {
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textKeywords,
-    textRepetition, textGopherRules, textDupNgrams, textVocab, textPerplexity,
+    textRepetition, textGopherRules, textDupNgrams, textNovelty,
+    corpusZipf, textVocab, textPerplexity,
     textPerplexityInline, textPerplexityBackoff,
     textClassifier, textClassifierInline, textClassifierEval, textLangIdNb,
     textClassifierCalibration, textClassifierUncertain, textSelectionCurve,

@@ -279,4 +279,34 @@ class DedupSpec extends SparkSpec {
       ("removed", 4L, -1L, 1L, 0L),
       ("added", -1L, 11L, 0L, 1L)))
   }
+
+  test("novelty: first owner by min doc_id, repeats score zero") {
+    // doc 1 introduces {a b c, b c d}; doc 2 repeats 'a b c' and adds
+    // 'c d e'-family grams; doc 3 is a verbatim copy of doc 1 → 0.0;
+    // doc 4 is short (whole-text shingle, unseen → 1.0)
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c x"),
+      (3L, "a b c d"),
+      (4L, "q r")).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(docs, "doc_id", "text", k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 2L, 1.0)))       // a b c, b c d — both new
+    assert(out(2L) === ((2L, 1L, 0.5)))       // a b c seen; b c x new
+    assert(out(3L) === ((2L, 0L, 0.0)))       // verbatim copy
+    assert(out(4L) === ((1L, 1L, 1.0)))       // short-doc fallback gram
+  }
+
+  test("novelty: the election is order-free (min, not a sorted scan)") {
+    // same corpus content under permuted ids must re-elect owners by
+    // the NEW id order — certifying min() carries the semantics with
+    // no ordering barrier in the plan
+    val docs = Seq((10L, "a b c d"), (5L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(docs, "doc_id", "text", k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(5L) === 2L, "lower id owns every shingle")
+    assert(out(10L) === 0L)
+  }
 }

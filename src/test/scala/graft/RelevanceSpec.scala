@@ -220,4 +220,19 @@ class RelevanceSpec extends SparkSpec {
     assert(got(2L) === ((3L, 1L, 0.0)))
     assert(got(3L) === ((4L, 4L, h3)))
   }
+
+  test("zipf slope: exact -1 on a perfect Zipf corpus, NULL degenerate") {
+    import graft.datapipe.TextAnalysis
+    // freq = 12/rank → ln(freq) = ln 12 − ln(rank): slope exactly −1
+    // (the 8-dp log rounding perturbs it by ~1e-8, under the 6-dp cut)
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val docs = Seq((1L, "zipf", text), (2L, "mono", "w w w"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.zipfSlope(docs, "text", "source", topN = 100)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out("zipf") === ((4L, Some(-1.0))))
+    assert(out("mono") === ((1L, None)), "one-word vocab has no slope")
+  }
 }
