@@ -187,6 +187,65 @@ object DataPipeQueries {
         CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces
       FROM documents d LEFT JOIN wagg a USING (doc_id)"""))
 
+  /** Unigram-LM (SentencePiece-family) Viterbi encoding under the
+    * frequency-seeded maxPieceLen=2 model: per doc, word count,
+    * Viterbi piece count, and the exact-decimal segmentation score.
+    * The oracle replays the WHOLE pipeline — seed distribution,
+    * 8-dp log-probs, and the lookback-2 Viterbi DP as a recursive
+    * CTE over exact decimals with the same prefer-bigram tie-break —
+    * so a hash match certifies the dynamic program itself.
+    */
+  private val unigramEncode = QueryDef(
+    "unigram_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.datapipe.UnigramLM.encodeCounts(docs, "doc_id", "text",
+        graft.datapipe.UnigramLM.seedModel(docs, "text", maxPieceLen = 2))
+    },
+    Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w0
+        FROM documents),
+      occ AS (SELECT doc_id, u.t AS w FROM toks, UNNEST(w0) AS u(t)
+        WHERE len(u.t) > 0),
+      wf AS (SELECT w, COUNT(*) AS freq FROM occ GROUP BY w),
+      pc AS (SELECT substr(w, i, l) AS p, SUM(freq) AS cnt
+        FROM wf, UNNEST(generate_series(1, length(w))) AS g(i),
+             UNNEST(generate_series(1, 2)) AS h(l)
+        WHERE i + l - 1 <= length(w)
+        GROUP BY 1),
+      tot AS (SELECT SUM(cnt) AS t FROM pc),
+      lps AS (SELECT p,
+          CAST(round(ln(CAST(cnt AS DOUBLE) / t), 8) AS DECIMAL(18,8)) AS plp
+        FROM pc, tot),
+      wl AS (SELECT w, length(w) AS n FROM wf),
+      r AS (
+        SELECT wl.w, wl.n, 1 AS i,
+            CAST(0 AS DECIMAL(28,8)) AS dp0,
+            CAST(l1.plp AS DECIMAL(28,8)) AS dp1,
+            CAST(0 AS BIGINT) AS nt0, CAST(1 AS BIGINT) AS nt1
+          FROM wl JOIN lps l1 ON l1.p = substr(wl.w, 1, 1)
+        UNION ALL
+        SELECT r.w, r.n, r.i + 1, r.dp1,
+            CASE WHEN r.dp0 + l2.plp >= r.dp1 + l1.plp
+                 THEN CAST(r.dp0 + l2.plp AS DECIMAL(28,8))
+                 ELSE CAST(r.dp1 + l1.plp AS DECIMAL(28,8)) END,
+            r.nt1,
+            CASE WHEN r.dp0 + l2.plp >= r.dp1 + l1.plp
+                 THEN r.nt0 + 1 ELSE r.nt1 + 1 END
+          FROM r
+          JOIN lps l1 ON l1.p = substr(r.w, r.i + 1, 1)
+          JOIN lps l2 ON l2.p = substr(r.w, r.i, 2)
+          WHERE r.i < r.n),
+      seg AS (SELECT w, dp1 AS wlp, nt1 AS wnt FROM r WHERE i = n),
+      agg AS (SELECT o.doc_id, COUNT(*) AS n_words,
+          CAST(SUM(s.wnt) AS BIGINT) AS n_pieces,
+          SUM(CAST(s.wlp AS DECIMAL(28,8))) AS slp
+        FROM occ o JOIN seg s USING (w) GROUP BY o.doc_id)
+      SELECT d.doc_id, CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+        CAST(COALESCE(n_pieces, 0) AS BIGINT) AS n_pieces,
+        round(CAST(COALESCE(slp, 0) AS DOUBLE), 6) AS total_lp
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)"""))
+
   /** Per-source exact-duplication rate — the dedup observability
     * readout next to [[corpusStats]]: documents, distinct
     * fingerprints, and the duplicate fraction per source. Exact
@@ -2616,7 +2675,7 @@ object DataPipeQueries {
     sampleImportance,
     sampleImportanceSoft, sampleTokenBudget, samplePplBuckets,
     bpeMerges, bpeEncode, bpeFertility,
-    wordPieceVocab, wordPieceEncode,
+    wordPieceVocab, wordPieceEncode, unigramEncode,
     dedupStats,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,

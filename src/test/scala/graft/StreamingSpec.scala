@@ -477,6 +477,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("a frozen unigram-LM model counts a stream to the batch counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.UnigramLM
+    val texts = Seq((1L, "abab abab cd"), (2L, "abab"), (3L, ""))
+    val batchDf = texts.toDF("doc_id", "text")
+    val model = UnigramLM.train(batchDf, "text", maxPieceLen = 2, rounds = 1)
+    val in = MemoryStream[(Long, String)]
+    val q = UnigramLM.countPiecesStream(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .writeStream.format("memory").queryName("uni_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("uni_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = UnigramLM.encodeCounts(batchDf, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed === batch)
+  }
+
   test("gopher rules stream statelessly and match the batch twin") {
     // every rule feature is a per-row expression with no corpus state,
     // so the composite document gate deploys unchanged on an ingest
