@@ -1050,8 +1050,11 @@ object Dedup {
     */
   def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
+    // staged: both the election and the count-back join read the
+    // exploded shingle table (session-scoped cache, as in
+    // ngramJaccardPairs / dupNgramCoverage)
     val base = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), k)).as("gm"))
+      explode(shingles(col(textCol), k)).as("gm")).stage()
     val first = base.groupBy(col("gm")).agg(min(col("doc_id")).as("first_doc"))
     val per = base.join(first, Seq("gm"))
       .groupBy(col("doc_id"))

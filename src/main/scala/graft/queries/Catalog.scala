@@ -509,6 +509,40 @@ object Catalog {
         COUNT(*) AS n_events
       FROM sess GROUP BY user_id, sid"""))
 
+  /** Z-order layout key over (user_id, value) — the multi-column
+    * file-skipping sort key ([[graft.datapipe.Layout]]). The oracle
+    * replays min/max linear binning (the identical IEEE chain) and
+    * the bit interleave as exact integer arithmetic, so a hash match
+    * certifies the Morton contract bit for bit.
+    */
+  private val qLayoutZorder = QueryDef(
+    "layout_zorder",
+    (s, d) => graft.datapipe.Layout.zOrderKey(
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+          col("value")),
+        Seq(col("user_id") -> "user", col("value") -> "value"), bits = 8)
+      .select(col("event_id"), col("user_bucket"), col("value_bucket"),
+        col("zkey")),
+    Some("""WITH s AS (SELECT
+        MIN(CAST(user_id AS DOUBLE)) AS mnu, MAX(CAST(user_id AS DOUBLE)) AS mxu,
+        MIN(value) AS mnv, MAX(value) AS mxv FROM events),
+      u AS (SELECT event_id,
+          CASE WHEN mxu = mnu THEN 0 ELSE LEAST(255, GREATEST(0,
+            CAST(floor((CAST(user_id AS DOUBLE) - mnu) / (mxu - mnu) * 255.0)
+              AS BIGINT))) END AS user_bucket,
+          CASE WHEN mxv = mnv THEN 0 ELSE LEAST(255, GREATEST(0,
+            CAST(floor((value - mnv) / (mxv - mnv) * 255.0)
+              AS BIGINT))) END AS value_bucket
+        FROM events, s)
+      SELECT event_id, CAST(user_bucket AS BIGINT) AS user_bucket,
+        CAST(value_bucket AS BIGINT) AS value_bucket,
+        CAST(list_sum([CAST((user_bucket // (1 << b)) % 2 AS BIGINT)
+              * (CAST(1 AS BIGINT) << (2 * b))
+            + CAST((value_bucket // (1 << b)) % 2 AS BIGINT)
+              * (CAST(1 AS BIGINT) << (2 * b + 1))
+          FOR b IN generate_series(0, 7)]) AS BIGINT) AS zkey
+      FROM u"""))
+
   private val q1P95Latency = QueryDef(
     "q1_p95_latency",
     (s, d) =>
@@ -686,7 +720,7 @@ object Catalog {
     p10Latency, p11MsgSize, p12DidWeb,
     j1BroadcastLookup, j1JoinMiss,
     a1GroupedCounters, a3TumblingThroughput, a4LagGauge,
-    qSessionize,
+    qSessionize, qLayoutZorder,
     q1P95Latency, q1P95LatencyBucketed, q1P95Prometheus,
     q4Throughput, q5MaxLag) ++
     JoinQueries.defs ++
