@@ -118,4 +118,48 @@ object Sketches {
         mD * log(mD / vEmpty.cast("double"))).otherwise(raw), 4)
         .as("hll_est"): _*)
   }
+
+  /** Bloom filter (Bloom 1970) — the membership primitive for when
+    * even a distinct-hash set is too big to ship: state is at most
+    * `mBits` set-bit rows no matter how many items were inserted, an
+    * absent probe can still hit (false positive, rate ≈
+    * (1−e^(−k·n/m))^k), but a present probe ALWAYS hits — the
+    * no-false-negative guarantee decontamination pre-filters rely on
+    * (probe the 100 TB corpus against a broadcast kilobyte-scale
+    * filter; only flagged survivors reach any exact check).
+    *
+    * Hash contract: position i of item t is
+    * `md5_60("bloom:" + i + ":" + t) mod mBits` — the catalog's
+    * engine-portable md5 convention, so an external engine rebuilds
+    * the identical bit set with no shipped state.
+    */
+  def bloomBit(item: Column, i: Int, mBits: Int): Column =
+    TextAnalysis.md5Long60(concat(lit(s"bloom:$i:"), item)) % mBits
+
+  /** The filter itself: distinct (bit,) rows — one partial-aggregated
+    * shuffle bounded by `mBits` cells.
+    */
+  def bloomBits(items: DataFrame, itemCol: String, k: Int,
+                mBits: Int): DataFrame = {
+    require(k >= 1 && mBits >= 2, s"bad filter shape: $k x $mBits")
+    items.select(explode(array((0 until k).map(i =>
+        bloomBit(col(itemCol), i, mBits)): _*)).as("bit"))
+      .distinct()
+  }
+
+  /** Membership probe: `member` is true iff ALL k positions of the
+    * item are set. The FILTER side broadcasts (mBits-bounded); the
+    * probe side is the corpus — the join is map-side, and the only
+    * shuffle is the partial-aggregated regroup to one row per probe.
+    */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, itemCol: String,
+                 k: Int, mBits: Int): DataFrame = {
+    val keep = probes.columns.map(col).toSeq
+    probes.select(keep :+ explode(array((0 until k).map(i =>
+        bloomBit(col(itemCol), i, mBits)): _*)).as("bit"): _*)
+      .join(broadcast(bits.select(col("bit"), lit(1).as("hit"))),
+        Seq("bit"), "left")
+      .groupBy(keep: _*)
+      .agg((count(col("hit")) === k).as("member"))
+  }
 }

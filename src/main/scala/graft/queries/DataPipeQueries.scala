@@ -2171,6 +2171,74 @@ object DataPipeQueries {
         COALESCE(a.n_removed, 0) AS n_removed, a.trimmed_text
       FROM (SELECT doc_id FROM tr) d LEFT JOIN agg a USING (doc_id)"""))
 
+  /** T13's scale pre-filter: probe every training 3-shingle against
+    * a Bloom filter of the benchmark shingles (k=3, m=32768 bits —
+    * kilobytes broadcast, vs the full distinct-hash set the exact
+    * scorer ships). No false negatives: every truly-shared shingle
+    * is flagged, so filtering on flag_frac=0 is SAFE and only the
+    * flagged survivors need the exact [[Contamination.score]] pass.
+    * The oracle rebuilds the filter bit-for-bit from the md5
+    * contract and replays the all-k-positions membership rule.
+    */
+  private val decontaminateBloom = QueryDef(
+    "decontaminate_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val train = docs.filter(col("doc_id") % 17 =!= 0)
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      val bits = graft.datapipe.Sketches.bloomBits(
+        bench.select(explode(Dedup.shingles(col("text"), 3)).as("gm")),
+        "gm", k = 3, mBits = 32768)
+      val probes = train.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("gm"))
+      val per = graft.datapipe.Sketches.bloomProbe(bits, probes, "gm",
+        k = 3, mBits = 32768)
+      val agg = per.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("member"), 1)).as("n_flagged"))
+      train.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+          when(coalesce(col("n_shingles"), lit(0L)) === 0,
+            lit(null).cast("double"))
+            .otherwise(round(col("n_flagged").cast("double") /
+              col("n_shingles").cast("double"), 6)).as("flag_frac"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      g0 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gm
+          FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+          WHERE len(w) >= 3
+        UNION ALL
+        SELECT doc_id, array_to_string(w, ' ') AS gm FROM toks
+          WHERE len(w) < 3),
+      g AS (SELECT DISTINCT doc_id, gm FROM g0),
+      bits AS (SELECT DISTINCT
+          ('0x' || substr(md5('bloom:' || i || ':' || gm), 1, 15))::BIGINT
+            % 32768 AS bit
+        FROM (SELECT DISTINCT gm FROM g WHERE doc_id % 17 = 0),
+             UNNEST(generate_series(0, 2)) AS t(i)),
+      probe AS (SELECT doc_id, gm, COUNT(b.bit) AS nbits
+        FROM (SELECT doc_id, gm,
+            ('0x' || substr(md5('bloom:' || i || ':' || gm), 1, 15))::BIGINT
+              % 32768 AS bit
+          FROM g, UNNEST(generate_series(0, 2)) AS t(i)
+          WHERE doc_id % 17 <> 0) p
+        LEFT JOIN bits b USING (bit) GROUP BY doc_id, gm),
+      agg AS (SELECT doc_id, COUNT(*) AS n_shingles,
+          COUNT(*) FILTER (WHERE nbits = 3) AS n_flagged
+        FROM probe GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+        CAST(COALESCE(n_flagged, 0) AS BIGINT) AS n_flagged,
+        CASE WHEN n_shingles IS NULL THEN NULL
+             ELSE round(CAST(n_flagged AS DOUBLE) / n_shingles, 6)
+        END AS flag_frac
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+      LEFT JOIN agg USING (doc_id)"""))
+
   /** Mixture replication: src0 2.5 epochs, src1 0.3 epochs, 1.0
     * elsewhere — floor(w) copies each plus a hash-chosen fractional
     * extra, numbered so replicas stay distinguishable. */
@@ -2683,7 +2751,7 @@ object DataPipeQueries {
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
     packChunks, packLengthBuckets, sourceOverlap,
     decontaminate, decontaminateSpans,
-    decontaminateTrim,
+    decontaminateTrim, decontaminateBloom,
     mixtureUpsample, mixtureTemperature,
     e2eMixture, e2eTokenMixture, e2eTrainPrep, chunkSliding, shuffleRank,
     textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration,

@@ -221,6 +221,38 @@ class RelevanceSpec extends SparkSpec {
     assert(got(3L) === ((4L, 4L, h3)))
   }
 
+  test("bloom: no false negatives; members match a driver replay") {
+    import graft.datapipe.Sketches
+    val inserted = (0 until 50).map(i => s"item$i")
+    val absent = (0 until 50).map(i => s"other$i")
+    val items = inserted.toDF("t")
+    val bits = Sketches.bloomBits(items, "t", k = 3, mBits = 1 << 16)
+    val probes = (inserted ++ absent).toDF("t")
+    val out = Sketches.bloomProbe(bits, probes, "t", k = 3, mBits = 1 << 16)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    for (t <- inserted)
+      assert(out(t), s"inserted '$t' must always be a member")
+    // replay the md5 contract on the driver: member iff all 3 bits
+    // of the probe are in the inserted items' bit set
+    def bit(i: Int, t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bloom:$i:$t".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16)) % (1 << 16)
+    }
+    val set = inserted.flatMap(t => (0 until 3).map(bit(_, t))).toSet
+    for (t <- absent)
+      assert(out(t) === (0 until 3).forall(i => set.contains(bit(i, t))),
+        s"'$t' membership must equal the replayed bit test")
+  }
+
+  test("bloom: the filter state is bounded by mBits, not the items") {
+    import graft.datapipe.Sketches
+    val many = (0 until 5000).map(i => s"x$i").toDF("t")
+    val n = Sketches.bloomBits(many, "t", k = 3, mBits = 64).count()
+    assert(n <= 64, "set-bit rows can never exceed the bit-space")
+  }
+
   test("zipf slope: exact -1 on a perfect Zipf corpus, NULL degenerate") {
     import graft.datapipe.TextAnalysis
     // freq = 12/rank → ln(freq) = ln 12 − ln(rank): slope exactly −1
