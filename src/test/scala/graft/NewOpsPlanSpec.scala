@@ -170,4 +170,44 @@ class NewOpsPlanSpec extends SparkSpec {
       s"df must be a window, not a join; plan:\n${plan.take(3000)}")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("bloom probe: the filter side broadcasts; no sort anywhere") {
+    import graft.datapipe.Sketches
+    val items = docs.select(col("text").as("t"))
+    val bits = Sketches.bloomBits(items, "t", k = 3, mBits = 1 << 14)
+    val plan = Sketches.bloomProbe(bits,
+        docs.select(col("doc_id"), col("text").as("t")), "t",
+        k = 3, mBits = 1 << 14)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the mBits-bounded filter must broadcast; plan:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Sort "),
+      "the corpus probe must never sort")
+  }
+
+  test("zorder key: one tiny stats broadcast, zero corpus shuffles") {
+    import graft.datapipe.Layout
+    val plan = Layout.zOrderKey(
+        docs.select(col("doc_id"), col("n_chars")),
+        Seq(col("doc_id") -> "a", col("n_chars") -> "b"), bits = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"min/max stats must broadcast back; plan:\n${plan.take(3000)}")
+    // the only exchange allowed is the 1-row stats aggregation —
+    // the corpus side computes the key in place
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin")
+      && !plan.contains("CartesianProduct"))
+  }
+
+  test("novelty: election and count-back stay equi-joins, no window sort") {
+    val plan = Dedup.noveltyScores(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"shingle join must be an equi-join; plan:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      "first-owner election is min(), never an ordering window")
+  }
 }
