@@ -349,7 +349,8 @@ object LanguageModel {
       .agg(sum(col("lr").cast("decimal(28,8)")).as("wsum"),
         count(lit(1)).as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("wsum").cast("double"), 4).as("weight"))
+        // decimal round before the cast — exact-half portability
+        round(col("wsum"), 4).cast("double").as("weight"))
     // stage(): the skinny (doc_id, n_tokens, weight) table feeds both
     // the top-N cut and the final output join — unstaged, the whole
     // token-fold pipeline runs twice

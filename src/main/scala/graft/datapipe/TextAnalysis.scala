@@ -229,7 +229,9 @@ object TextAnalysis {
         first(col("n_distinct")).as("n_distinct"),
         sum(col("term").cast("decimal(28,8)")).as("klsum"))
       .select(col("source"), col("n_tokens"), col("n_distinct"),
-        round(col("klsum").cast("double"), 6).as("kl"))
+        // round ON the decimal, then cast (a double round diverges
+        // between engines on exact-half sums — see UnigramLM readout)
+        round(col("klsum"), 6).cast("double").as("kl"))
   }
 
   /** Gopher-style composite quality filter (the "document filters" of

@@ -181,8 +181,12 @@ object UnigramLM {
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
-        round(coalesce(col("slp"), lit(0)).cast("double"), 6)
-          .as("total_lp"))
+        // round to 6 dp ON THE DECIMAL (exact; HALF_UP == half-away
+        // in both engines' decimal round) BEFORE the double cast —
+        // rounding the double instead diverges on exact-half sums
+        // like x.xxxxxx50, and a decimal CAST truncates in DuckDB
+        round(coalesce(col("slp"), lit(0)).cast("decimal(28,8)"), 6)
+          .cast("double").as("total_lp"))
   }
 
   /** One hard-EM round: Viterbi-segment every distinct word under

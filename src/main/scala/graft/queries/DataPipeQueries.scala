@@ -243,7 +243,8 @@ object DataPipeQueries {
         FROM occ o JOIN seg s USING (w) GROUP BY o.doc_id)
       SELECT d.doc_id, CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
         CAST(COALESCE(n_pieces, 0) AS BIGINT) AS n_pieces,
-        round(CAST(COALESCE(slp, 0) AS DOUBLE), 6) AS total_lp
+        CAST(round(CAST(COALESCE(slp, 0) AS DECIMAL(28,8)), 6) AS DOUBLE)
+          AS total_lp
       FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)"""))
 
   /** Per-source exact-duplication rate — the dedup observability
@@ -397,7 +398,7 @@ object DataPipeQueries {
         JOIN ns ON ns.source = csw.source, n)
       SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_tokens,
         MIN(n_distinct) AS n_distinct,
-        round(CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE), 6) AS kl
+        CAST(round(SUM(CAST(term AS DECIMAL(28,8))), 6) AS DOUBLE) AS kl
       FROM terms GROUP BY source"""))
 
   /** Reciprocal-rank fusion of three quality signals' top-100 lists:
@@ -941,7 +942,7 @@ object DataPipeQueries {
               - ln(CAST(rawc.cr + 1 AS DOUBLE) / CAST(tot.tr + 64 AS DOUBLE)), 8) AS lr
         FROM rawc LEFT JOIN tgtc USING (b), tot),
       wsum AS (SELECT doc_id,
-          round(CAST(SUM(CAST(lr AS DECIMAL(28,8))) AS DOUBLE), 4) AS wt,
+          CAST(round(SUM(CAST(lr AS DECIMAL(28,8))), 4) AS DOUBLE) AS wt,
           COUNT(*) AS n_tokens
         FROM tk JOIN lrs USING (b) GROUP BY doc_id),
       allw AS (SELECT t.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
@@ -976,7 +977,7 @@ object DataPipeQueries {
               - ln(CAST(rawc.cr + 1 AS DOUBLE) / CAST(tot.tr + 64 AS DOUBLE)), 8) AS lr
         FROM rawc LEFT JOIN tgtc USING (b), tot),
       wsum AS (SELECT doc_id,
-          round(CAST(SUM(CAST(lr AS DECIMAL(28,8))) AS DOUBLE), 4) AS wt,
+          CAST(round(SUM(CAST(lr AS DECIMAL(28,8))), 4) AS DOUBLE) AS wt,
           COUNT(*) AS n_tokens
         FROM tk JOIN lrs USING (b) GROUP BY doc_id),
       allw AS (SELECT t.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
@@ -1384,7 +1385,7 @@ object DataPipeQueries {
               - ln(CAST(rawc.cr + 1 AS DOUBLE) / CAST(itot.tr + 64 AS DOUBLE)), 8) AS lr
         FROM rawc LEFT JOIN tgtc USING (b), itot),
       wsum AS (SELECT doc_id,
-          round(CAST(SUM(CAST(lr AS DECIMAL(28,8))) AS DOUBLE), 4) AS wt
+          CAST(round(SUM(CAST(lr AS DECIMAL(28,8))), 4) AS DOUBLE) AS wt
         FROM itk JOIN ilrs USING (b) GROUP BY doc_id),
       iw AS (SELECT t.doc_id, COALESCE(wt, 0.0) AS weight
         FROM toks t LEFT JOIN wsum USING (doc_id))
@@ -2706,7 +2707,7 @@ object DataPipeQueries {
               - ln(CAST(rawc.cr + 1 AS DOUBLE) / CAST(tot.tr + 64 AS DOUBLE)), 8) AS lr
         FROM rawc LEFT JOIN tgtc USING (b), tot),
       wsum AS (SELECT doc_id,
-          round(CAST(SUM(CAST(lr AS DECIMAL(28,8))) AS DOUBLE), 4) AS wt
+          CAST(round(SUM(CAST(lr AS DECIMAL(28,8))), 4) AS DOUBLE) AS wt
         FROM ktok JOIN lrs USING (b) GROUP BY doc_id),
       allw AS (SELECT k.doc_id, COALESCE(wt, 0.0) AS weight
         FROM kept k LEFT JOIN wsum USING (doc_id)),
