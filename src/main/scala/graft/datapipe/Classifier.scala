@@ -97,9 +97,15 @@ object Classifier {
       .crossJoin(broadcast(prior))
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        round((col("prior").cast("decimal(28,8)") +
-          coalesce(col("ssum"), lit(0).cast("decimal(28,8)")))
-          .cast("double"), 4).as("score"))
+        // ssum (a decimal(38,8) sum) must be capped back to (28,8)
+        // before the addition: (28,8)+(38,8) overflows precision 38
+        // and Spark REDUCES THE SCALE to 7, silently rounding the
+        // exact sum one digit early (DuckDB keeps scale 8 — found as
+        // a 1e-4 oracle divergence on exact-half scores at sf0.1)
+        round(col("prior").cast("decimal(28,8)") +
+          coalesce(col("ssum"), lit(0).cast("decimal(28,8)"))
+            .cast("decimal(28,8)"), 4)
+          .cast("double").as("score"))
       .withColumn("predicted", col("score") > 0)
   }
 
@@ -169,9 +175,15 @@ object Classifier {
       .crossJoin(broadcast(prior))
       .join(sums, Seq("doc_id", "label"), "left")
       .select(col("doc_id"), col("label"),
-        round((col("prior").cast("decimal(28,8)") +
-          coalesce(col("ssum"), lit(0).cast("decimal(28,8)")))
-          .cast("double"), 4).as("score"))
+        // ssum (a decimal(38,8) sum) must be capped back to (28,8)
+        // before the addition: (28,8)+(38,8) overflows precision 38
+        // and Spark REDUCES THE SCALE to 7, silently rounding the
+        // exact sum one digit early (DuckDB keeps scale 8 — found as
+        // a 1e-4 oracle divergence on exact-half scores at sf0.1)
+        round(col("prior").cast("decimal(28,8)") +
+          coalesce(col("ssum"), lit(0).cast("decimal(28,8)"))
+            .cast("decimal(28,8)"), 4)
+          .cast("double").as("score"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("label"))
@@ -246,11 +258,12 @@ object Classifier {
     */
   def nbScoreCol(w: Column, model: NbModel): Column = {
     val lrArr = array(model.bucketLr.map(lit): _*)
-    round(aggregate(
+    aggregate(
       transform(w, t => element_at(lrArr,
         bucketOf(t, model.bucketLr.length).cast("int") + 1)),
       lit(model.prior).cast("decimal(28,8)"),
       (acc, x) => (acc + x.cast("decimal(28,8)")).cast("decimal(28,8)"),
-      acc => acc.cast("double")), 4)
+      // decimal round before the cast — exact-half portability
+      acc => round(acc, 4).cast("double"))
   }
 }

@@ -43,6 +43,47 @@ object TextAnalysis {
       .withColumn("q_alnum_ratio",
         regexp_count(lower(text), lit("[a-z0-9]")).cast("double") / col("q_chars"))
 
+  /** Readability scoring (Flesch 1948; Kincaid et al. 1975) — the
+    * audience-level quality signal edu-style corpus filters rank on,
+    * next to [[qualityFeatures]]' surface ratios. Syllables are the
+    * standard heuristic: maximal vowel-group runs per word, floored
+    * at one. ZERO shuffle — sentences, words, and the syllable fold
+    * are per-row codegen'd expressions; the formulas are fixed IEEE
+    * chains over exact integer counts (written operand-for-operand
+    * in the oracle), rounded to 6 dp.
+    *
+    * Output: (doc_id, n_words, n_sentences, n_syllables, fk_grade,
+    * flesch_ease) — grades NULL for a wordless document; a text with
+    * no terminator counts as one sentence.
+    */
+  def readability(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val words = filter(split(normalize(col(textCol)), " "),
+      w => length(w) > 0)
+    val syl = (w: Column) => greatest(lit(1L),
+      size(filter(split(w, "[^aeiouy]+"), x => length(x) > 0)).cast("long"))
+    val sentences = greatest(lit(1L),
+      size(filter(split(col(textCol), "[.!?]+"),
+        s => length(trim(s)) > 0)).cast("long"))
+    val nW = col("n_words"); val nS = col("n_sentences")
+    val nSyl = col("n_syllables")
+    docs.select(col(idCol).as("doc_id"),
+        coalesce(size(words), lit(0)).cast("bigint").as("n_words"),
+        sentences.as("n_sentences"),
+        coalesce(aggregate(words, lit(0L), (acc, w) => acc + syl(w)),
+          lit(0L)).as("n_syllables"))
+      .select(col("doc_id"), nW, nS, nSyl,
+        when(nW === 0, lit(null).cast("double")).otherwise(round(
+          lit(0.39) * (nW.cast("double") / nS.cast("double")) +
+            lit(11.8) * (nSyl.cast("double") / nW.cast("double")) -
+            lit(15.59), 6)).as("fk_grade"),
+        when(nW === 0, lit(null).cast("double")).otherwise(round(
+          lit(206.835) -
+            lit(1.015) * (nW.cast("double") / nS.cast("double")) -
+            lit(84.6) * (nSyl.cast("double") / nW.cast("double")), 6))
+          .as("flesch_ease"))
+  }
+
   /** Language-ID by stopword-profile heuristic: per-language marker
     * words, predict the best-scoring language, 'und' when no marker
     * hits. (A real model swaps in here; the Spark plumbing — one
@@ -361,7 +402,8 @@ object TextAnalysis {
           when(same, acc.getField("acc")).otherwise(closeRun(acc))
             .as("acc"))
       },
-      acc => round(-closeRun(acc).cast("double"), 4))
+      // decimal round before the cast — exact-half portability
+      acc => round(-closeRun(acc), 4).cast("double"))
     docs.select(col(idCol).as("doc_id"),
       size(w).cast("bigint").as("n_tokens"),
       size(array_distinct(w)).cast("bigint").as("n_distinct"),

@@ -664,6 +664,40 @@ object DataPipeQueries {
         END AS dup_frac
       FROM toks t LEFT JOIN cnt USING (doc_id) LEFT JOIN dcnt USING (doc_id)"""))
 
+  /** Flesch-Kincaid grade + Flesch reading ease per document. The
+    * oracle replays the vowel-group syllable heuristic and the
+    * formulas operand-for-operand (fixed IEEE chains over exact
+    * counts).
+    */
+  private val textReadability = QueryDef(
+    "text_readability",
+    (s, d) => TextAnalysis.readability(
+      Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH t AS (SELECT doc_id, text,
+        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          w -> len(w) > 0) AS wl
+        FROM documents),
+      c AS (SELECT doc_id,
+        CAST(len(wl) AS BIGINT) AS n_words,
+        CAST(GREATEST(1, len(list_filter(
+          regexp_split_to_array(text, '[.!?]+'), s -> len(trim(s)) > 0)))
+          AS BIGINT) AS n_sentences,
+        CAST(COALESCE(list_sum([GREATEST(1, len(list_filter(
+            regexp_split_to_array(w, '[^aeiouy]+'), x -> len(x) > 0)))
+          FOR w IN wl]), 0) AS BIGINT) AS n_syllables
+        FROM t)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        CASE WHEN n_words = 0 THEN NULL ELSE round(
+          0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) +
+          11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) -
+          15.59, 6) END AS fk_grade,
+        CASE WHEN n_words = 0 THEN NULL ELSE round(
+          206.835 -
+          1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+          84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+          6) END AS flesch_ease
+      FROM c"""))
+
   /** D4-style marginal novelty in doc_id order: per doc, the share
     * of its distinct 3-shingles no earlier doc contained. The oracle
     * replays the min-doc_id first-owner election, the short-text
@@ -1042,10 +1076,10 @@ object DataPipeQueries {
 
   private val nbLabelSql = s"""$nbLabelCtes
       SELECT t.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
-        round(CAST(CAST(prior AS DECIMAL(28,8))
-          + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) AS score,
-        (round(CAST(CAST(prior AS DECIMAL(28,8))
-          + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) > 0) AS predicted
+        CAST(round(CAST(prior AS DECIMAL(28,8))
+          + COALESCE(s, CAST(0 AS DECIMAL(28,8))), 4) AS DOUBLE) AS score,
+        (CAST(round(CAST(prior AS DECIMAL(28,8))
+          + COALESCE(s, CAST(0 AS DECIMAL(28,8))), 4) AS DOUBLE) > 0) AS predicted
       FROM toks t LEFT JOIN ssum USING (doc_id), pri"""
 
   private def nbLabel = TextAnalysis.predictLang(col("text")) === "en"
@@ -1079,7 +1113,7 @@ object DataPipeQueries {
       dst AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct
         FROM tc GROUP BY 1)
       SELECT n.doc_id, CAST(n.n AS BIGINT) AS n_tokens, dst.n_distinct,
-        round(-CAST(agg.s AS DOUBLE), 4) AS entropy
+        CAST(round(-agg.s, 4) AS DOUBLE) AS entropy
       FROM nn n JOIN dst USING (doc_id) JOIN agg USING (doc_id)"""))
 
   /** Trained multiclass language ID: the 5-language NB argmax over
@@ -1122,8 +1156,8 @@ object DataPipeQueries {
           SUM(CAST(lp AS DECIMAL(28,8))) AS s
         FROM tkl JOIN model m ON m.b = tkl.b GROUP BY 1, 2),
       allp AS (SELECT t.doc_id, p.lang,
-          round(CAST(CAST(p.prior AS DECIMAL(28,8))
-            + COALESCE(sc.s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4)
+          CAST(round(CAST(p.prior AS DECIMAL(28,8))
+            + COALESCE(sc.s, CAST(0 AS DECIMAL(28,8))), 4) AS DOUBLE)
             AS score
         FROM (SELECT doc_id FROM documents) t CROSS JOIN pri p
         LEFT JOIN sc ON sc.doc_id = t.doc_id AND sc.lang = p.lang),
@@ -1163,8 +1197,8 @@ object DataPipeQueries {
     },
     Some(s"""WITH $nbLabelCtes,
       pred AS (SELECT t.doc_id,
-          (round(CAST(CAST(prior AS DECIMAL(28,8))
-            + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) > 0)
+          (CAST(round(CAST(prior AS DECIMAL(28,8))
+            + COALESCE(s, CAST(0 AS DECIMAL(28,8))), 4) AS DOUBLE) > 0)
             AS predicted
         FROM toks t LEFT JOIN ssum USING (doc_id), pri),
       cm AS (SELECT
@@ -1203,8 +1237,8 @@ object DataPipeQueries {
     },
     Some(s"""WITH $nbLabelCtes,
       pred AS (SELECT t.doc_id,
-          round(CAST(CAST(prior AS DECIMAL(28,8))
-            + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) AS score
+          CAST(round(CAST(prior AS DECIMAL(28,8))
+            + COALESCE(s, CAST(0 AS DECIMAL(28,8))), 4) AS DOUBLE) AS score
         FROM toks t LEFT JOIN ssum USING (doc_id), pri),
       binned AS (SELECT LEAST(CAST(5 AS BIGINT), GREATEST(CAST(-5 AS BIGINT),
           CAST(FLOOR(score) AS BIGINT))) AS bin, is_pos
@@ -1243,8 +1277,8 @@ object DataPipeQueries {
     },
     Some(s"""WITH $nbLabelCtes,
       sc AS (SELECT t.doc_id,
-          round(CAST(CAST(prior AS DECIMAL(28,8))
-            + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) AS score,
+          CAST(round(CAST(prior AS DECIMAL(28,8))
+            + COALESCE(s, CAST(0 AS DECIMAL(28,8))), 4) AS DOUBLE) AS score,
           COALESCE(ssum.n_tokens, 0) AS n_tokens
         FROM toks t LEFT JOIN ssum USING (doc_id), pri),
       b AS (SELECT LEAST(CAST(5 AS BIGINT), GREATEST(CAST(-5 AS BIGINT),
@@ -1275,8 +1309,8 @@ object DataPipeQueries {
       .orderBy(col("margin").asc, col("doc_id").asc).limit(50),
     Some(s"""WITH $nbLabelCtes,
       pred AS (SELECT t.doc_id,
-          round(CAST(CAST(prior AS DECIMAL(28,8))
-            + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) AS score
+          CAST(round(CAST(prior AS DECIMAL(28,8))
+            + COALESCE(s, CAST(0 AS DECIMAL(28,8))), 4) AS DOUBLE) AS score
         FROM toks t LEFT JOIN ssum USING (doc_id), pri)
       SELECT doc_id, score, abs(score) AS margin FROM pred
       ORDER BY margin, doc_id LIMIT 50"""))
@@ -1354,8 +1388,8 @@ object DataPipeQueries {
       nsum AS (SELECT doc_id, SUM(CAST(lr AS DECIMAL(28,8))) AS s
         FROM ntk JOIN nlrs USING (b) GROUP BY doc_id),
       nbsc AS (SELECT t.doc_id,
-          round(CAST(CAST(prior AS DECIMAL(28,8))
-            + COALESCE(s, CAST(0 AS DECIMAL(28,8))) AS DOUBLE), 4) AS nb_score
+          CAST(round(CAST(prior AS DECIMAL(28,8))
+            + COALESCE(s, CAST(0 AS DECIMAL(28,8))), 4) AS DOUBLE) AS nb_score
         FROM toks t LEFT JOIN nsum USING (doc_id), npri),
       bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
              FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
@@ -2735,7 +2769,7 @@ object DataPipeQueries {
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textKeywords,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,
-    corpusZipf, textVocab, textPerplexity,
+    textReadability, corpusZipf, textVocab, textPerplexity,
     textPerplexityInline, textPerplexityBackoff,
     textClassifier, textClassifierInline, textClassifierEval, textLangIdNb,
     textClassifierCalibration, textClassifierUncertain, textSelectionCurve,
