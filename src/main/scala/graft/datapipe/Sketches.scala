@@ -147,6 +147,47 @@ object Sketches {
       .distinct()
   }
 
+  /** Ordered seen-before scoring with Bloom semantics (the
+    * streaming-dedup rule of Dolma-style bloom dedupers, replayed in
+    * batch): processing documents in doc_id order within `shards`
+    * independent filters, a document is `seen_before` iff EVERY one
+    * of its k content-hash bit positions was set by some STRICTLY
+    * earlier document of its shard. Exact dedup flags only true
+    * content twins; this flags them PLUS the bloom's false-positive
+    * margin — the price of kilobyte state per shard, and exactly the
+    * production trade a streaming gate makes
+    * ([[graft.streaming.Streams]] carries the stateful twin; this
+    * batch form is its deterministic certificate).
+    *
+    * No floating point anywhere: fingerprints, shard ids, and bit
+    * positions are all md5-contract integers, so the oracle replay
+    * is exact by construction. Scale shape: first-setter election is
+    * one groupBy((shard, bit)) → min(doc_id) (key space ≤
+    * shards·mBits), then one co-partitioned join back and a per-doc
+    * max — the same two-shuffle shape as exact dedup, state bounded
+    * by the PARAMETERS.
+    *
+    * Output: (doc_id, shard, seen_before).
+    */
+  def bloomSeenScores(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, mBits: Int, shards: Int): DataFrame = {
+    require(k >= 1 && mBits >= 2 && shards >= 1, "bad gate shape")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).cast("string").as("fp"))
+    val keyed = base.select(col("doc_id"),
+      pmod(TextAnalysis.md5Long60(concat(lit("shard:"), col("fp"))),
+        lit(shards.toLong)).as("shard"),
+      explode(array((0 until k).map(i =>
+        bloomBit(col("fp"), i, mBits)): _*)).as("bit"))
+    val first = keyed.groupBy(col("shard"), col("bit"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    keyed.join(first, Seq("shard", "bit"))
+      .groupBy(col("doc_id"), col("shard"))
+      .agg(max(col("first_doc")).as("mf"))
+      .select(col("doc_id"), col("shard"),
+        (col("mf") < col("doc_id")).as("seen_before"))
+  }
+
   /** Membership probe: `member` is true iff ALL k positions of the
     * item are set. The FILTER side broadcasts (mBits-bounded); the
     * probe side is the corpus — the join is map-side, and the only

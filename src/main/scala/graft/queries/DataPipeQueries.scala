@@ -2274,6 +2274,33 @@ object DataPipeQueries {
       FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
       LEFT JOIN agg USING (doc_id)"""))
 
+  /** Bloom seen-before gate, batch certificate ([[graft.streaming
+    * .Streams.bloomSeenStream]] is the stateful twin): in doc_id
+    * order within 4 sharded filters (k=3, m=4096 bits), flag every
+    * doc whose content-hash bits were all set by an earlier doc.
+    * Integer-only md5 contract — the oracle replay is exact.
+    */
+  private val dedupBloomSeen = QueryDef(
+    "dedup_bloom_seen",
+    (s, d) => graft.datapipe.Sketches.bloomSeenScores(
+      Tables.documents(s, d), "doc_id", "text",
+      k = 3, mBits = 4096, shards = 4),
+    Some("""WITH fp AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT
+          AS VARCHAR) AS fp
+        FROM documents),
+      keyed AS (SELECT doc_id,
+          ('0x' || substr(md5('shard:' || fp), 1, 15))::BIGINT % 4 AS shard,
+          ('0x' || substr(md5('bloom:' || i || ':' || fp), 1, 15))::BIGINT
+            % 4096 AS bit
+        FROM fp, UNNEST(generate_series(0, 2)) AS t(i)),
+      first AS (SELECT shard, bit, MIN(doc_id) AS first_doc
+        FROM keyed GROUP BY shard, bit)
+      SELECT k.doc_id, k.shard,
+        (MAX(f.first_doc) < k.doc_id) AS seen_before
+      FROM keyed k JOIN first f USING (shard, bit)
+      GROUP BY k.doc_id, k.shard"""))
+
   /** Mixture replication: src0 2.5 epochs, src1 0.3 epochs, 1.0
     * elsewhere — floor(w) copies each plus a hash-chosen fractional
     * extra, numbered so replicas stay distinguishable. */
@@ -2786,7 +2813,7 @@ object DataPipeQueries {
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
     packChunks, packLengthBuckets, sourceOverlap,
     decontaminate, decontaminateSpans,
-    decontaminateTrim, decontaminateBloom,
+    decontaminateTrim, decontaminateBloom, dedupBloomSeen,
     mixtureUpsample, mixtureTemperature,
     e2eMixture, e2eTokenMixture, e2eTrainPrep, chunkSliding, shuffleRank,
     textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration,

@@ -562,4 +562,57 @@ object Streams {
       }
       .trigger(trigger)
       .start()
+
+  /** One shard's bloom bitset — (mBits+63)/64 longs, the ENTIRE
+    * per-shard state regardless of stream length.
+    */
+  final case class BloomShardState(bits: Array[Long])
+
+  /** Streaming bloom seen-before gate — the stateful twin of
+    * [[graft.datapipe.Sketches.bloomSeenScores]] (which is its
+    * deterministic batch certificate): `shards` independent bloom
+    * bitsets maintained via flatMapGroupsWithState keyed on the
+    * content-hash shard; a document is seen_before iff every one of
+    * its k fingerprint bit positions was already set in its shard's
+    * filter, then its bits are inserted. Within a micro-batch each
+    * shard processes its rows in doc_id order (the canonical order
+    * that makes the gate replayable — with batches arriving in
+    * doc_id order the emitted flags equal the batch twin exactly;
+    * StreamingSpec pins it across multiple batches).
+    *
+    * State per shard is (mBits+63)/64 longs — kilobytes total at any
+    * corpus size, the entire point of a bloom gate; shards scale the
+    * parallelism, not the memory.
+    */
+  def bloomSeenStream(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, mBits: Int, shards: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.datapipe.{Sketches, TextAnalysis}
+    val words = (mBits + 63) / 64
+    val keyed = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.fingerprint(col(textCol)).cast("string").as("fp"))
+      .select(col("doc_id"),
+        pmod(TextAnalysis.md5Long60(concat(lit("shard:"), col("fp"))),
+          lit(shards.toLong)).as("shard"),
+        array((0 until k).map(i =>
+          Sketches.bloomBit(col("fp"), i, mBits)): _*).as("bits"))
+    keyed.as[(Long, Long, Seq[Long])]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[BloomShardState, (Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (shard, rows, state) =>
+        val bitset = state.getOption.map(_.bits)
+          .getOrElse(new Array[Long](words))
+        val out = rows.toSeq.sortBy(_._1).map { case (docId, _, bits) =>
+          val seen = bits.forall(b =>
+            (bitset((b >> 6).toInt) & (1L << (b & 63))) != 0)
+          bits.foreach(b => bitset((b >> 6).toInt) |= (1L << (b & 63)))
+          (docId, shard, seen)
+        }
+        state.update(BloomShardState(bitset))
+        out.iterator
+      }
+      .toDF("doc_id", "shard", "seen_before")
+  }
 }

@@ -477,6 +477,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("bloom seen-before gate: stream state equals the batch twin " +
+    "across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.Sketches
+    import graft.streaming.Streams
+    // planted content twins across the batch boundary: 5↔1 and 6↔4
+    val b1 = Seq((1L, "alpha beta gamma"), (2L, "delta"), (3L, "unique one"))
+    val b2 = Seq((4L, "epsilon zeta"), (5L, "alpha  BETA gamma"),
+      (6L, "epsilon zeta"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.bloomSeenStream(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", k = 3, mBits = 4096, shards = 2)
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bloom_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val batch = Sketches.bloomSeenScores((b1 ++ b2).toDF("doc_id", "text"),
+        "doc_id", "text", k = 3, mBits = 4096, shards = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(streamed === batch)
+    assert(batch(5L)._2 && batch(6L)._2, "both twins flagged")
+    assert(!batch(1L)._2 && !batch(4L)._2, "first occurrences pass")
+  }
+
   test("a frozen unigram-LM model counts a stream to the batch counts") {
     implicit val sqlCtx = spark.sqlContext
     import graft.datapipe.UnigramLM
