@@ -176,6 +176,41 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(topN)
 
+  /** Per-group token-length quantiles (p50/p90/p99) — the
+    * length-distribution readout next to [[zipfSlope]] and
+    * `corpus_stats`' min/mean/max: packing efficiency, truncation
+    * rates, and chunker settings all key off these.
+    *
+    * Exact, not sketched, yet scale-sane: lengths first collapse to a
+    * per-group HISTOGRAM (one partial-aggregated shuffle; cardinality
+    * = distinct lengths per group, thousands at most), and the
+    * quantile rule — smallest length whose cumulative count reaches
+    * ceil(q·n) — runs as a window over that histogram, never over
+    * documents. All counts exact integers; ceil(q·n) is one identical
+    * IEEE product per group.
+    *
+    * Output: (group, n_docs, p50, p90, p99).
+    */
+  def lengthQuantiles(docs: DataFrame, textCol: String,
+                      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(col(groupCol).as("grp"), tokenCount(col(textCol)).as("len"))
+      .groupBy(col("grp"), col("len")).agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cc", sum(col("c")).over(w))
+      .join(tot, Seq("grp"))
+    def p(q: Double, nm: String) =
+      min(when(col("cc") >= ceil(col("n") * lit(q)), col("len"))).as(nm)
+    cum.groupBy(col("grp"))
+      .agg(max(col("n")).as("n_docs"),
+        p(0.5, "p50"), p(0.9, "p90"), p(0.99, "p99"))
+      .select(col("grp").as(groupCol), col("n_docs"),
+        col("p50"), col("p90"), col("p99"))
+  }
+
   /** Per-group Zipf-slope diagnostic: the least-squares slope of
     * ln(freq) on ln(rank) over each group's `topN` most frequent
     * words. Natural text sits near −1 (Zipf 1949; Piantadosi 2014

@@ -730,6 +730,29 @@ object DataPipeQueries {
         END AS novel_frac
       FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)"""))
 
+  /** Per-source token-length quantiles via the histogram-cumsum rule
+    * (exact integers end to end — the oracle replays the ceil(q·n)
+    * threshold election literally).
+    */
+  private val corpusLengthQuantiles = QueryDef(
+    "corpus_length_quantiles",
+    (s, d) => TextAnalysis.lengthQuantiles(
+      Tables.documents(s, d), "text", "source"),
+    Some("""WITH lens AS (SELECT source,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS len
+        FROM documents),
+      hist AS (SELECT source, len, COUNT(*) AS c FROM lens GROUP BY 1, 2),
+      tot AS (SELECT source, SUM(c) AS n FROM hist GROUP BY 1),
+      cum AS (SELECT h.source, len,
+          SUM(c) OVER (PARTITION BY h.source ORDER BY len
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc, n
+        FROM hist h JOIN tot USING (source))
+      SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        MIN(CASE WHEN cc >= ceil(n * 0.5) THEN len END) AS p50,
+        MIN(CASE WHEN cc >= ceil(n * 0.9) THEN len END) AS p90,
+        MIN(CASE WHEN cc >= ceil(n * 0.99) THEN len END) AS p99
+      FROM cum GROUP BY source"""))
+
   /** Per-source Zipf slope over the top-100 vocabulary. Both engines
     * round the logs to 8 dp and accumulate the regression sums as
     * exact decimals, so the closed-form slope divides identical
@@ -2796,7 +2819,8 @@ object DataPipeQueries {
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textKeywords,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,
-    textReadability, corpusZipf, textVocab, textPerplexity,
+    textReadability, corpusZipf, corpusLengthQuantiles,
+    textVocab, textPerplexity,
     textPerplexityInline, textPerplexityBackoff,
     textClassifier, textClassifierInline, textClassifierEval, textLangIdNb,
     textClassifierCalibration, textClassifierUncertain, textSelectionCurve,

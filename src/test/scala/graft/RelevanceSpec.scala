@@ -221,6 +221,20 @@ class RelevanceSpec extends SparkSpec {
     assert(got(3L) === ((4L, 4L, h3)))
   }
 
+  test("length quantiles: ceil(q*n) threshold election, hand-checked") {
+    import graft.datapipe.TextAnalysis
+    // group A: 10 docs of lengths 1..10 → n=10: p50 = smallest len
+    // with cc >= 5 → 5; p90 → cc >= 9 → 9; p99 → cc >= 10 → 10.
+    val docsA = (1 to 10).map(i => ("A", Seq.fill(i)("w").mkString(" ")))
+    // group B: one doc → every quantile is its length
+    val docs = (docsA :+ (("B", "a b c"))).toDF("source", "text")
+    val out = TextAnalysis.lengthQuantiles(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("A") === ((10L, 5L, 9L, 10L)))
+    assert(out("B") === ((1L, 3L, 3L, 3L)))
+  }
+
   test("bloom: no false negatives; members match a driver replay") {
     import graft.datapipe.Sketches
     val inserted = (0 until 50).map(i => s"item$i")
