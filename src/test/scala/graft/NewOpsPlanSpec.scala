@@ -200,6 +200,39 @@ class NewOpsPlanSpec extends SparkSpec {
       && !plan.contains("CartesianProduct"))
   }
 
+  test("readability: zero shuffles — one scan-to-project stage") {
+    import graft.datapipe.TextAnalysis
+    val plan = TextAnalysis.readability(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-row formulas must not shuffle; plan:\n${plan.take(3000)}")
+  }
+
+  test("length quantiles: the cumsum window rides the histogram, " +
+    "never the corpus") {
+    import graft.datapipe.TextAnalysis
+    val qe = TextAnalysis.lengthQuantiles(docs, "text", "source")
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    // Window input must be post-aggregation (hist), so an aggregate
+    // appears below the window in the plan; no cartesian anywhere
+    assert(plan.contains("Window"), "the quantile election is a window")
+    assert(!plan.contains("CartesianProduct"))
+    val windowIdx = plan.indexOf("Window")
+    assert(plan.indexOf("HashAggregate", windowIdx) > windowIdx,
+      s"the window must consume the length HISTOGRAM; plan:\n${plan.take(3000)}")
+  }
+
+  test("bloom seen: bounded-key equi-joins only, no sort-merge blowup") {
+    import graft.datapipe.Sketches
+    val plan = Sketches.bloomSeenScores(docs, "doc_id", "text",
+        k = 3, mBits = 4096, shards = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"(shard,bit) election join must stay equi; plan:\n${plan.take(3000)}")
+  }
+
   test("novelty: election and count-back stay equi-joins, no window sort") {
     val plan = Dedup.noveltyScores(
         docs.select(col("doc_id"), col("text")), "doc_id", "text", 3)
