@@ -2814,6 +2814,39 @@ object DataPipeQueries {
         CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
       FROM sel s LEFT JOIN cagg a USING (doc_id)"""))
 
+  /** The per-source data card — corpus composition readouts a curation
+    * run reports in one table: volume (stats), exact duplication rate,
+    * Zipf slope, distribution shift (KL to the corpus), and length
+    * quantiles. Pure composition: every column is an already-certified
+    * operator joined on source, and the oracle is assembled from the
+    * SAME component oracle SQL as subqueries — so the report's hash
+    * re-certifies each stage boundary.
+    */
+  private val corpusReport = QueryDef(
+    "corpus_report",
+    (s, d) => {
+      import org.apache.spark.sql.functions.col
+      corpusStats.run(s, d)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("mean_chars"))
+        .join(dedupStats.run(s, d).select(col("source"), col("dup_rate")),
+          Seq("source"))
+        .join(corpusZipf.run(s, d).select(col("source"), col("zipf_slope")),
+          Seq("source"))
+        .join(corpusLengthQuantiles.run(s, d)
+          .select(col("source"), col("p50"), col("p90"), col("p99")),
+          Seq("source"))
+        .join(textSourceKl.run(s, d).select(col("source"), col("kl")),
+          Seq("source"))
+    },
+    Some(s"""SELECT cs.source, cs.n_docs, cs.n_tokens, cs.mean_chars,
+        ds.dup_rate, z.zipf_slope, q.p50, q.p90, q.p99, kl.kl
+      FROM (${corpusStats.oracle.get}) cs
+      JOIN (${dedupStats.oracle.get}) ds ON cs.source = ds.source
+      JOIN (${corpusZipf.oracle.get}) z ON cs.source = z.source
+      JOIN (${corpusLengthQuantiles.oracle.get}) q ON cs.source = q.source
+      JOIN (${textSourceKl.oracle.get}) kl ON cs.source = kl.source"""))
+
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
@@ -2838,7 +2871,7 @@ object DataPipeQueries {
     packChunks, packLengthBuckets, sourceOverlap,
     decontaminate, decontaminateSpans,
     decontaminateTrim, decontaminateBloom, dedupBloomSeen,
-    mixtureUpsample, mixtureTemperature,
+    mixtureUpsample, mixtureTemperature, corpusReport,
     e2eMixture, e2eTokenMixture, e2eTrainPrep, chunkSliding, shuffleRank,
     textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration,
     e2eStreamGate)
