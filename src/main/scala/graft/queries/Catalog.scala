@@ -543,6 +543,56 @@ object Catalog {
           FOR b IN generate_series(0, 7)]) AS BIGINT) AS zkey
       FROM u"""))
 
+  /** Ordered funnel over the event stream (view → click → purchase):
+    * a user reaches stage i at the EARLIEST event of that type that
+    * strictly follows their stage-(i−1) reach time. Each stage is one
+    * filtered min-aggregation plus one equi-join on user_id — never a
+    * window over the raw stream — so the plan is three bounded
+    * (user-cardinality) shuffles at any event volume. Integer
+    * microsecond comparisons end to end (the catalog's latency
+    * convention).
+    */
+  private val qFunnel = QueryDef(
+    "q_funnel",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      def stage(prev: DataFrame, typ: String): DataFrame =
+        ev.filter(col("event_type") === typ)
+          .join(prev.select(col("user_id"), col("reach_us").as("prev_us")),
+            Seq("user_id"))
+          .filter(col("us") > col("prev_us"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("reach_us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("reach_us"))
+      val s2 = stage(s1, "click")
+      val s3 = stage(s2, "purchase")
+      def row(i: Int, nm: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i.toLong).as("stage"), lit(nm).as("stage_name"),
+            col("n_users"))
+      row(1, "view", s1).unionByName(row(2, "click", s2))
+        .unionByName(row(3, "purchase", s3))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        FROM events),
+      s1 AS (SELECT user_id, MIN(us) AS reach_us FROM e
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.us) AS reach_us
+        FROM e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.us > s1.reach_us
+        GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.us) AS reach_us
+        FROM e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.us > s2.reach_us
+        GROUP BY e.user_id)
+      SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+          COUNT(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3"""))
+
   private val q1P95Latency = QueryDef(
     "q1_p95_latency",
     (s, d) =>
@@ -720,7 +770,7 @@ object Catalog {
     p10Latency, p11MsgSize, p12DidWeb,
     j1BroadcastLookup, j1JoinMiss,
     a1GroupedCounters, a3TumblingThroughput, a4LagGauge,
-    qSessionize, qLayoutZorder,
+    qSessionize, qLayoutZorder, qFunnel,
     q1P95Latency, q1P95LatencyBucketed, q1P95Prometheus,
     q4Throughput, q5MaxLag) ++
     JoinQueries.defs ++
