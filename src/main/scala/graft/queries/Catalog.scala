@@ -543,6 +543,82 @@ object Catalog {
           FOR b IN generate_series(0, 7)]) AS BIGINT) AS zkey
       FROM u"""))
 
+  /** Single-pass table statistics (the ANALYZE TABLE shape every
+    * engine runs before planning): per column, min/max/nulls/exact
+    * NDV over lineitem in ONE scan — the aggregation computes every
+    * column's stats together (Spark expands the multi-distinct, still
+    * one pass over the data), then stacks to long format over the
+    * 1-row result. Typed aggregates canonicalize for the readout:
+    * numerics via DECIMAL(18,2) strings, timestamps via integer
+    * micros — the catalog's portability conventions.
+    *
+    * Scale note: exact NDV is the certificate; the production path at
+    * 100 TB swaps [[graft.datapipe.Sketches.hllRegisters]] per column
+    * into the same one-scan shape.
+    */
+  private val qTableStats = QueryDef(
+    "q_table_stats",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d)
+      // one fused aggregation — every column's stats in a single
+      // scan (a per-column agg would re-read the table 4 times)
+      val one = li.agg(
+        min(col("l_orderkey")).cast("string").as("ok_mn"),
+        max(col("l_orderkey")).cast("string").as("ok_mx"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("ok_nl"),
+        countDistinct(col("l_orderkey")).as("ok_nd"),
+        min(col("l_quantity")).cast("decimal(18,2)").cast("string").as("qt_mn"),
+        max(col("l_quantity")).cast("decimal(18,2)").cast("string").as("qt_mx"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("qt_nl"),
+        countDistinct(col("l_quantity")).as("qt_nd"),
+        min(col("l_returnflag")).as("rf_mn"),
+        max(col("l_returnflag")).as("rf_mx"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("rf_nl"),
+        countDistinct(col("l_returnflag")).as("rf_nd"),
+        // l_shipdate is TIMESTAMP_NTZ; cast to TIMESTAMP under the
+        // UTC session TZ is micros-identity (same rule as events.ts)
+        min(unix_micros(col("l_shipdate").cast("timestamp")))
+          .cast("string").as("sd_mn"),
+        max(unix_micros(col("l_shipdate").cast("timestamp")))
+          .cast("string").as("sd_mx"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("sd_nl"),
+        countDistinct(col("l_shipdate")).as("sd_nd"))
+      Seq(("l_orderkey", "ok"), ("l_quantity", "qt"),
+          ("l_returnflag", "rf"), ("l_shipdate", "sd"))
+        .map { case (nm, p) =>
+          one.select(lit(nm).as("column"),
+            col(s"${p}_mn").as("min_value"), col(s"${p}_mx").as("max_value"),
+            col(s"${p}_nl").as("n_nulls"), col(s"${p}_nd").as("ndv"))
+        }.reduce(_ unionByName _)
+    },
+    Some("""WITH one AS (SELECT
+        CAST(MIN(l_orderkey) AS VARCHAR) AS ok_mn,
+        CAST(MAX(l_orderkey) AS VARCHAR) AS ok_mx,
+        COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS ok_nl,
+        COUNT(DISTINCT l_orderkey) AS ok_nd,
+        CAST(CAST(MIN(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS qt_mn,
+        CAST(CAST(MAX(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS qt_mx,
+        COUNT(*) FILTER (WHERE l_quantity IS NULL) AS qt_nl,
+        COUNT(DISTINCT l_quantity) AS qt_nd,
+        MIN(l_returnflag) AS rf_mn, MAX(l_returnflag) AS rf_mx,
+        COUNT(*) FILTER (WHERE l_returnflag IS NULL) AS rf_nl,
+        COUNT(DISTINCT l_returnflag) AS rf_nd,
+        CAST(MIN(epoch_us(l_shipdate)) AS VARCHAR) AS sd_mn,
+        CAST(MAX(epoch_us(l_shipdate)) AS VARCHAR) AS sd_mx,
+        COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS sd_nl,
+        COUNT(DISTINCT l_shipdate) AS sd_nd
+      FROM lineitem)
+      SELECT 'l_orderkey' AS "column", ok_mn AS min_value,
+        ok_mx AS max_value, CAST(ok_nl AS BIGINT) AS n_nulls,
+        CAST(ok_nd AS BIGINT) AS ndv FROM one
+      UNION ALL SELECT 'l_quantity', qt_mn, qt_mx,
+        CAST(qt_nl AS BIGINT), CAST(qt_nd AS BIGINT) FROM one
+      UNION ALL SELECT 'l_returnflag', rf_mn, rf_mx,
+        CAST(rf_nl AS BIGINT), CAST(rf_nd AS BIGINT) FROM one
+      UNION ALL SELECT 'l_shipdate', sd_mn, sd_mx,
+        CAST(sd_nl AS BIGINT), CAST(sd_nd AS BIGINT) FROM one"""))
+
   /** Ordered funnel over the event stream (view → click → purchase):
     * a user reaches stage i at the EARLIEST event of that type that
     * strictly follows their stage-(i−1) reach time. Each stage is one
@@ -770,7 +846,7 @@ object Catalog {
     p10Latency, p11MsgSize, p12DidWeb,
     j1BroadcastLookup, j1JoinMiss,
     a1GroupedCounters, a3TumblingThroughput, a4LagGauge,
-    qSessionize, qLayoutZorder, qFunnel,
+    qSessionize, qLayoutZorder, qFunnel, qTableStats,
     q1P95Latency, q1P95LatencyBucketed, q1P95Prometheus,
     q4Throughput, q5MaxLag) ++
     JoinQueries.defs ++
