@@ -1990,6 +1990,28 @@ object DataPipeQueries {
     Some(s"""WITH RECURSIVE $exactPairsCte
       SELECT id, min(r) AS cluster_id FROM reach GROUP BY id"""))
 
+  /** Cluster-size histogram over the near-dup graph — the dedup
+    * observability readout next to [[dedupStats]]: how many clusters
+    * of each size exist (size 1 = unique docs). Composition over the
+    * certified T5 clustering: two further bounded aggregations; the
+    * oracle reuses the same reachability CTE.
+    */
+  private val dedupClusterSizes = QueryDef(
+    "dedup_cluster_sizes",
+    (s, d) => {
+      val corpus = withTwins(s, d)
+      Dedup.clusters(corpus, "id",
+          Dedup.minhashPairs(corpus, "id", "text", 64, 32, 0.8))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    },
+    Some(s"""WITH RECURSIVE $exactPairsCte,
+      cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      szs AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY 1)
+      SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+      FROM szs GROUP BY sz"""))
+
   /** The dedup SELECT itself: one representative per cluster. */
   private val dedupKeepOne = QueryDef(
     "dedup_keep_one",
@@ -2865,7 +2887,8 @@ object DataPipeQueries {
     wordPieceVocab, wordPieceEncode, unigramEncode,
     dedupStats,
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupClusters, dedupKeepOne, dedupCdcChunks, dedupIncremental,
+    dedupClusters, dedupClusterSizes, dedupKeepOne, dedupCdcChunks,
+    dedupIncremental,
     dedupLines, corpusDiff,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
     packChunks, packLengthBuckets, sourceOverlap,
