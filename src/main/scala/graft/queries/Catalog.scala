@@ -543,6 +543,33 @@ object Catalog {
           FOR b IN generate_series(0, 7)]) AS BIGINT) AS zkey
       FROM u"""))
 
+  /** Cohort retention over the event stream: users grouped by their
+    * first-activity hour (the cohort), counted again in each later
+    * hour they return. Two user-bounded aggregations (first-seen
+    * election, then distinct user-hours joined back to cohorts) — no
+    * raw-stream window, integer-hour arithmetic end to end.
+    * Output: (cohort_hour, offset_hours, n_users).
+    */
+  private val qRetention = QueryDef(
+    "q_retention",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("hr")).as("c0"))
+      ev.distinct()
+        .join(cohort, Seq("user_id"))
+        .groupBy(col("c0").as("cohort_hour"),
+          (col("hr") - col("c0")).as("offset_hours"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT user_id,
+        CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr FROM events),
+      c AS (SELECT user_id, MIN(hr) AS c0 FROM e GROUP BY user_id)
+      SELECT c0 AS cohort_hour, hr - c0 AS offset_hours,
+        CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      FROM e JOIN c USING (user_id) GROUP BY 1, 2"""))
+
   /** Single-pass table statistics (the ANALYZE TABLE shape every
     * engine runs before planning): per column, min/max/nulls/exact
     * NDV over lineitem in ONE scan — the aggregation computes every
@@ -846,7 +873,7 @@ object Catalog {
     p10Latency, p11MsgSize, p12DidWeb,
     j1BroadcastLookup, j1JoinMiss,
     a1GroupedCounters, a3TumblingThroughput, a4LagGauge,
-    qSessionize, qLayoutZorder, qFunnel, qTableStats,
+    qSessionize, qLayoutZorder, qFunnel, qTableStats, qRetention,
     q1P95Latency, q1P95LatencyBucketed, q1P95Prometheus,
     q4Throughput, q5MaxLag) ++
     JoinQueries.defs ++
