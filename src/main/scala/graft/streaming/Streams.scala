@@ -568,6 +568,45 @@ object Streams {
     */
   final case class BloomShardState(bits: Array[Long])
 
+  /** Per-user funnel progress: reach time (micros) per stage,
+    * Long.MaxValue = unreached. State is |stages| longs per user.
+    */
+  final case class FunnelState(reach: Seq[Long])
+
+  /** Streaming funnel — the stateful twin of the batch `q_funnel`
+    * election: per user, stage i is reached at the first event of its
+    * type processed STRICTLY after the stage-(i−1) reach time. Rows
+    * sort by event time within each micro-batch (the canonical
+    * order), so with batches arriving in event-time order the
+    * first-qualifying event IS the batch twin's min-election and the
+    * final furthest_stage per user matches it exactly (StreamingSpec
+    * pins it across batches). Emits (user_id, furthest_stage) each
+    * micro-batch — monotone, so the max per user is the final state.
+    */
+  def funnelStream(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val typed = events.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, (Long, Long)](
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        val reach = state.getOption.map(_.reach.toArray)
+          .getOrElse(Array.fill(stages.size)(Long.MaxValue))
+        for ((_, typ, us) <- rows.toSeq.sortBy(_._3)) {
+          val i = stages.indexOf(typ)
+          if (i >= 0 && reach(i) == Long.MaxValue &&
+              (i == 0 || us > reach(i - 1))) reach(i) = us
+        }
+        state.update(FunnelState(reach.toSeq))
+        (uid, (reach.lastIndexWhere(_ != Long.MaxValue) + 1).toLong)
+      }
+      .toDF("user_id", "furthest_stage")
+  }
+
   /** Streaming bloom seen-before gate — the stateful twin of
     * [[graft.datapipe.Sketches.bloomSeenScores]] (which is its
     * deterministic batch certificate): `shards` independent bloom

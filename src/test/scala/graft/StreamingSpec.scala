@@ -505,6 +505,33 @@ class StreamingSpec extends SparkSpec {
     assert(!batch(1L)._2 && !batch(4L)._2, "first occurrences pass")
   }
 
+  test("streaming funnel: stateful stage election across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams
+    // u1 completes across the batch boundary; u2 clicks before any
+    // view (no credit) then views; u3 skips click; u4 has view+click
+    // at the SAME ts (strict > excludes the click)
+    val b1 = Seq((1L, "view", 1L), (1L, "click", 2L),
+      (2L, "click", 1L), (3L, "view", 1L), (3L, "purchase", 2L),
+      (4L, "view", 10L), (4L, "click", 10L))
+    val b2 = Seq((1L, "purchase", 3L), (2L, "view", 5L),
+      (2L, "purchase", 6L))
+    val in = MemoryStream[(Long, String, Long)]
+    val src = in.toDF().toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = Streams.funnelStream(src, Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Update).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // furthest_stage is monotone per user → max = final state
+    val finalStage = spark.table("funnel_stream").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) =>
+        u -> rs.map(_.getLong(1)).max }
+    assert(finalStage === Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("a frozen unigram-LM model counts a stream to the batch counts") {
     implicit val sqlCtx = spark.sqlContext
     import graft.datapipe.UnigramLM
