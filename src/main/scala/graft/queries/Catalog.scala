@@ -696,16 +696,28 @@ object Catalog {
       UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
       UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3"""))
 
+  /** Q1 exact-certificate variant. Carries the experiment label
+    * matrix (`ssi_validation`/`cache_did`/`processing_mode`,
+    * [[graft.model.ExperimentConfig.Default]]) as literal groupBy
+    * columns, exactly like the reference attaches `_common_labels`
+    * to every latency histogram (metrics.py:28-38) — the dashboard's
+    * Q1 panels all filter on them (thesis_dashboard.json:135,247).
+    */
   private val q1P95Latency = QueryDef(
     "q1_p95_latency",
-    (s, d) =>
+    (s, d) => {
+      val labels = graft.model.ExperimentConfig.Default.labelCols
       Tables.events(s, d)
-        .select(col("event_type"),
+        .select(Seq(col("event_type"),
           EventOps.secondsBucket(col("ts"), 86400).as("bucket_ts"),
           ((lit(Now) - unix_micros(col("ts"))) / lit(1000000.0)).as("lat"))
-        .groupBy(col("bucket_ts"), col("event_type"))
-        .agg(round(expr("percentile(lat, 0.95D)"), 6).as("p95_latency_s")),
+          ++ labels: _*)
+        .groupBy(col("bucket_ts"), col("event_type"),
+          col("ssi_validation"), col("cache_did"), col("processing_mode"))
+        .agg(round(expr("percentile(lat, 0.95D)"), 6).as("p95_latency_s"))
+    },
     Some(s"""SELECT (epoch_us(ts) // 86400000000) * 86400 AS bucket_ts, event_type,
+      'true' AS ssi_validation, 'true' AS cache_did, 'sync' AS processing_mode,
       round(quantile_cont(($Now - epoch_us(ts)) / 1000000.0, 0.95), 6) AS p95_latency_s
       FROM events GROUP BY 1, 2"""))
 
@@ -841,14 +853,25 @@ object Catalog {
       FROM cum JOIN e USING (i)
       WHERE cum >= rank AND prev < rank"""))
 
+  /** Q4 throughput, with the experiment label matrix as literal
+    * groupBy columns (see [[q1P95Latency]] — the reference's
+    * throughput counters carry the same `_common_labels`,
+    * metrics.py:41-45).
+    */
   private val q4Throughput = QueryDef(
     "q4_throughput",
-    (s, d) =>
+    (s, d) => {
+      val labels = graft.model.ExperimentConfig.Default.labelCols
       Tables.events(s, d)
-        .groupBy(EventOps.secondsBucket(col("ts"), 3600).as("bucket_ts"))
+        .select(Seq(EventOps.secondsBucket(col("ts"), 3600).as("bucket_ts"))
+          ++ labels: _*)
+        .groupBy(col("bucket_ts"),
+          col("ssi_validation"), col("cache_did"), col("processing_mode"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("msgs_per_sec", col("n") / lit(3600.0)),
+        .withColumn("msgs_per_sec", col("n") / lit(3600.0))
+    },
     Some("""SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_ts,
+      'true' AS ssi_validation, 'true' AS cache_did, 'sync' AS processing_mode,
       COUNT(*) AS n, COUNT(*) / 3600.0 AS msgs_per_sec
       FROM events GROUP BY 1"""))
 

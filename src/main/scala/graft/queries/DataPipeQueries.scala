@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -11,6 +12,13 @@ import graft.functions.PromHistogram
   * §2.6 A2, §2.8 Q6).
   */
 object DataPipeQueries {
+
+  // round(a/b, 6) engine-exactly — see [[graft.functions.ExactRound]]
+  // (round(double, 6) flips on tie-region quotients; the r8/r9
+  // corpus_stats red). Oracle twin:
+  // ((2*a*1000000 + b) // (2*b)) / 1000000.0
+  private def exactRatio6(a: Column, b: Column): Column =
+    graft.functions.ExactRound.ratio6(a, b)
 
   // A2: Prometheus cumulative histogram over the event value column,
   // grouped by event_type, via the custom Aggregator.
@@ -540,10 +548,10 @@ object DataPipeQueries {
     * totals and extremes, mean doc length, language spread) every
     * curated corpus ships with. One partial-aggregated shuffle keyed
     * on source; the exact distinct-language count expands rows by one
-    * grouping set, still source-granularity. The mean rounds to 6 dp
-    * in both engines (catalog portability convention) — a raw
-    * division double hash-diverged against the driver's DuckDB build
-    * in r8 despite bit-matching locally.
+    * grouping set, still source-granularity. The mean is the
+    * [[exactRatio6]] integer-exact round — round(double, 6) here
+    * hash-diverged against the driver's DuckDB build in r8 AND r9
+    * despite bit-matching locally (tie-region quotients).
     */
   private val corpusStats = QueryDef(
     "corpus_stats",
@@ -555,15 +563,15 @@ object DataPipeQueries {
           sum(toks).as("n_tokens"),
           min(toks).as("min_tokens"),
           max(toks).as("max_tokens"),
-          round(sum(col("n_chars")).cast("double") /
-            count(lit(1)).cast("double"), 6).as("mean_chars"),
+          exactRatio6(sum(col("n_chars")), count(lit(1))).as("mean_chars"),
           countDistinct(col("lang")).as("n_langs"))
     },
     Some("""SELECT source, COUNT(*) AS n_docs,
       SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS n_tokens,
       MIN(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS min_tokens,
       MAX(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS max_tokens,
-      round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+      ((2 * CAST(SUM(n_chars) AS BIGINT) * 1000000 + COUNT(*))
+        // (2 * COUNT(*))) / 1000000.0 AS mean_chars,
       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
       FROM documents GROUP BY source"""))
 
@@ -579,20 +587,22 @@ object DataPipeQueries {
     "sample_token_budget",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      // priority rounds to 6 dp BEFORE the window ordering (the
-      // catalog's double-portability convention) — ordering and
-      // emitted column stay engine-identical; rounding-induced ties
-      // fall to the deterministic doc_id tie-break
+      // priority rounds to 6 dp BEFORE the window ordering, via the
+      // integer-exact [[exactRatio6]] — both the ordering key and the
+      // emitted column stay engine-identical (a double round flips
+      // on tie-region ratios); rounding-induced ties fall to the
+      // deterministic doc_id tie-break
       Sampling.tokenBudget(docs, "doc_id", "source",
         TextAnalysis.tokenCount(col("text")),
-        round(TextAnalysis.stopwordCount(col("text")).cast("double") /
-          TextAnalysis.tokenCount(col("text")).cast("double"), 6),
+        exactRatio6(TextAnalysis.stopwordCount(col("text")),
+          TextAnalysis.tokenCount(col("text"))),
         budget = 500L)
     },
     Some("""WITH t AS (SELECT doc_id, source,
         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
-          / len(regexp_split_to_array(trim(text), '\s+')), 6) AS priority
+        ((2 * CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 1000000
+            + CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+          // (2 * CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))) / 1000000.0 AS priority
       FROM documents),
       c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
           ORDER BY priority DESC NULLS LAST, doc_id
@@ -2447,11 +2457,12 @@ object DataPipeQueries {
       val budgets = Sampling.temperatureWeights(docs, col("source"), alpha = 0.5)
         .select(col("source"),
           round(lit(10000.0) * col("p_temp")).cast("long").as("budget"))
-      // 6-dp priority before ordering — see sample_token_budget
+      // integer-exact 6-dp priority before ordering — see
+      // sample_token_budget
       Sampling.tokenBudgetWeighted(docs, "doc_id", "source",
         TextAnalysis.tokenCount(col("text")),
-        round(TextAnalysis.stopwordCount(col("text")).cast("double") /
-          TextAnalysis.tokenCount(col("text")).cast("double"), 6),
+        exactRatio6(TextAnalysis.stopwordCount(col("text")),
+          TextAnalysis.tokenCount(col("text"))),
         budgets)
     },
     Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs
@@ -2464,8 +2475,9 @@ object DataPipeQueries {
         FROM p, t),
       dtok AS (SELECT doc_id, source,
         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
-          / len(regexp_split_to_array(trim(text), '\s+')), 6) AS priority
+        ((2 * CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 1000000
+            + CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+          // (2 * CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))) / 1000000.0 AS priority
         FROM documents),
       j AS (SELECT d.*, b.budget FROM dtok d JOIN bud b USING (source)),
       cum AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source

@@ -132,13 +132,51 @@ object IdentityQueries {
     Some("""SELECT 'did:key:z' || md5(CAST(user_id AS VARCHAR)) AS did,
       COUNT(*) AS n_records FROM events GROUP BY 1"""))
 
+  /** The shared scale-safe p95 shape for q2/q3: bucket-count + linear
+    * interpolation in the crossing bucket — the histogram_quantile
+    * semantics the reference's dashboards actually compute, and the
+    * plan whose per-group aggregation state is ONE COUNT PER BUCKET
+    * (map-side combinable) instead of exact `percentile`'s
+    * every-value-per-group buffer (the executor-OOM shape at 100×).
+    *
+    * All inputs are exact integers (ms durations, counts), so the
+    * crossing-bucket election is pure integer comparison
+    * (20·cum ≥ 19·n) and the interpolated p95 in SECONDS is the
+    * integer ratio
+    *   wMs·(20·b·cnt + 19·n − 20·prev) / (20000·cnt)
+    * rounded 6 dp via [[graft.functions.ExactRound]] — bit-identical
+    * in any engine, unlike percentile_approx's sketch.
+    */
+  private def bucketedP95(grouped: org.apache.spark.sql.DataFrame,
+                          labels: Seq[String], wMs: Long,
+                          outCol: String, nCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy(labels.map(col): _*)
+    val cum = grouped
+      .withColumn("cum", sum(col("cnt")).over(grp.orderBy(col("b"))))
+      .withColumn("n", sum(col("cnt")).over(grp))
+      .withColumn("prev", col("cum") - col("cnt"))
+    cum.filter(col("cum") * 20 >= col("n") * 19 &&
+        col("prev") * 20 < col("n") * 19)
+      .select(labels.map(col) :+
+        graft.functions.ExactRound.ratio6(
+          lit(wMs) * (lit(20L) * col("b") * col("cnt") +
+            lit(19L) * col("n") - lit(20L) * col("prev")),
+          lit(20000L) * col("cnt")).as(outCol) :+
+        col("n").as(nCol): _*)
+  }
+
   /** Q2 (thesis_dashboard.json:743): p95 credential-verification
     * duration by did_provider/result — the U2 verify path composed
     * with quantile analytics. Durations are deterministic synthetic
     * functions of the record (injected-clock rule, SURVEY §7.4):
     * integer milliseconds = fixed cost + per-record jitter + tamper
-    * penalty + provider penalty, so the DuckDB oracle reproduces the
-    * exact values and the p95 interpolation bit-for-bit.
+    * penalty + provider penalty. The p95 is the [[bucketedP95]]
+    * histogram-interpolation shape over 10 ms buckets (the
+    * histogram_quantile semantics of metrics.py:129), replacing the
+    * exact `percentile` whose per-group value buffer was the r9
+    * verdict's scale-killer flag.
     */
   private val q2P95Verification = QueryDef(
     "q2_p95_verification",
@@ -149,23 +187,34 @@ object IdentityQueries {
       val ms = lit(5L) + col("event_id") % 97 +
         when(!verified, lit(20L)).otherwise(lit(0L)) +
         when(provider === "did:web", lit(50L)).otherwise(lit(0L))
-      Tables.events(s, d)
+      val grouped = Tables.events(s, d)
         .select(provider.as("did_provider"),
           when(verified, lit("success")).otherwise(lit("failure")).as("result"),
-          (ms / lit(1000.0)).as("dur_s"))
-        .groupBy(col("did_provider"), col("result"))
-        .agg(round(expr("percentile(dur_s, 0.95D)"), 6).as("p95_verification_s"),
-          count(lit(1)).as("n"))
+          ms.as("ms"))
+        .groupBy(col("did_provider"), col("result"),
+          floor(col("ms") / lit(10.0)).cast("long").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      bucketedP95(grouped, Seq("did_provider", "result"), wMs = 10L,
+        outCol = "p95_verification_s", nCol = "n")
     },
-    Some("""SELECT
-      CASE WHEN user_id % 2 = 0 THEN 'did:key' ELSE 'did:web' END AS did_provider,
-      CASE WHEN event_id % 10 <> 0 THEN 'success' ELSE 'failure' END AS result,
-      round(quantile_cont((5 + event_id % 97
-        + CASE WHEN event_id % 10 = 0 THEN 20 ELSE 0 END
-        + CASE WHEN user_id % 2 <> 0 THEN 50 ELSE 0 END) / 1000.0, 0.95), 6)
-        AS p95_verification_s,
-      COUNT(*) AS n
-      FROM events GROUP BY 1, 2"""))
+    Some("""WITH v AS (SELECT
+        CASE WHEN user_id % 2 = 0 THEN 'did:key' ELSE 'did:web' END AS did_provider,
+        CASE WHEN event_id % 10 <> 0 THEN 'success' ELSE 'failure' END AS result,
+        (5 + event_id % 97
+          + CASE WHEN event_id % 10 = 0 THEN 20 ELSE 0 END
+          + CASE WHEN user_id % 2 <> 0 THEN 50 ELSE 0 END) AS ms
+        FROM events),
+      byb AS (SELECT did_provider, result, ms // 10 AS b, COUNT(*) AS cnt
+        FROM v GROUP BY 1, 2, 3),
+      cum AS (SELECT *,
+        CAST(SUM(cnt) OVER (PARTITION BY did_provider, result ORDER BY b) AS BIGINT) AS cum,
+        CAST(SUM(cnt) OVER (PARTITION BY did_provider, result) AS BIGINT) AS n
+        FROM byb)
+      SELECT did_provider, result,
+        ((2 * (10 * (20*b*cnt + 19*n - 20*(cum - cnt))) * 1000000
+          + 20000*cnt) // (2 * 20000 * cnt)) / 1000000.0 AS p95_verification_s,
+        n
+      FROM cum WHERE 20*cum >= 19*n AND 20*(cum - cnt) < 19*n"""))
 
   /** Q3 (thesis_dashboard.json:1455): p95 DID-resolution duration by
     * method/cached (veramo-verifier/src/server.ts:168-175 labels). The
@@ -174,7 +223,10 @@ object IdentityQueries {
     * one a hit — expressed as a row_number window over (user_id) so
     * the oracle can replay it, instead of reading the executor-local
     * LRU's nondeterministic state. Misses pay the resolver round-trip
-    * (~100 ms band), hits the cache lookup (~1 ms band).
+    * (~100 ms band), hits the cache lookup (~1 ms band). The p95 is
+    * the [[bucketedP95]] histogram-interpolation shape over 5 ms
+    * buckets — one count per bucket of aggregation state, not exact
+    * `percentile`'s per-group value buffer.
     */
   private val q3P95Resolution = QueryDef(
     "q3_p95_resolution",
@@ -183,22 +235,32 @@ object IdentityQueries {
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val ms = when(col("cached"), lit(1L) + col("user_id") % 5)
         .otherwise(lit(100L) + col("user_id") % 50)
-      Tables.events(s, d)
+      val grouped = Tables.events(s, d)
         .withColumn("cached", row_number().over(w) > 1)
-        .select(lit("key").as("method"), col("cached"),
-          (ms / lit(1000.0)).as("dur_s"))
-        .groupBy(col("method"), col("cached"))
-        .agg(round(expr("percentile(dur_s, 0.95D)"), 6).as("p95_resolution_s"),
-          count(lit(1)).as("n_resolutions"))
+        .select(lit("key").as("method"), col("cached"), ms.as("ms"))
+        .groupBy(col("method"), col("cached"),
+          floor(col("ms") / lit(5.0)).cast("long").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      bucketedP95(grouped, Seq("method", "cached"), wMs = 5L,
+        outCol = "p95_resolution_s", nCol = "n_resolutions")
     },
     Some("""WITH r AS (SELECT user_id,
         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1 AS cached
-      FROM events)
-      SELECT 'key' AS method, cached,
-        round(quantile_cont((CASE WHEN cached THEN 1 + user_id % 5
-          ELSE 100 + user_id % 50 END) / 1000.0, 0.95), 6) AS p95_resolution_s,
-        COUNT(*) AS n_resolutions
-      FROM r GROUP BY 1, 2"""))
+      FROM events),
+      v AS (SELECT 'key' AS method, cached,
+        (CASE WHEN cached THEN 1 + user_id % 5
+          ELSE 100 + user_id % 50 END) AS ms FROM r),
+      byb AS (SELECT method, cached, ms // 5 AS b, COUNT(*) AS cnt
+        FROM v GROUP BY 1, 2, 3),
+      cum AS (SELECT *,
+        CAST(SUM(cnt) OVER (PARTITION BY method, cached ORDER BY b) AS BIGINT) AS cum,
+        CAST(SUM(cnt) OVER (PARTITION BY method, cached) AS BIGINT) AS n
+        FROM byb)
+      SELECT method, cached,
+        ((2 * (5 * (20*b*cnt + 19*n - 20*(cum - cnt))) * 1000000
+          + 20000*cnt) // (2 * 20000 * cnt)) / 1000000.0 AS p95_resolution_s,
+        n AS n_resolutions
+      FROM cum WHERE 20*cum >= 19*n AND 20*(cum - cnt) < 19*n"""))
 
   /** U3: the DID-bootstrap readout. The driver-side parallel init
     * ([[DidBootstrap.bootstrap]]: getOrCreate DID → hosting ∥
