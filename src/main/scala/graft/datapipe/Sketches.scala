@@ -98,7 +98,13 @@ object Sketches {
     * IEEE ops in any engine. Output: (groupCols…, n_registers_hit,
     * max_rho, hll_est) with the estimate rounded to 4 dp.
     */
-  def hllEstimate(regs: DataFrame, m: Int, groupCols: Seq[String]): DataFrame = {
+  def hllEstimate(regs0: DataFrame, m: Int, groupCols: Seq[String]): DataFrame = {
+    import Staging.Staged
+    // stage(): the register table feeds BOTH the per-group heads and
+    // the S-sum join-back — unstaged, each branch re-runs the whole
+    // corpus→register pipeline from the scan (two corpus scans for an
+    // m×groups-row table)
+    val regs = regs0.stage()
     val heads = regs.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("hits"), max(col("rho_max")).as("mmax"))
     val sTouched = regs.join(broadcast(heads), groupCols)

@@ -574,14 +574,17 @@ object Catalog {
     * engine runs before planning): per column, min/max/nulls/exact
     * NDV over lineitem in ONE scan — the aggregation computes every
     * column's stats together (Spark expands the multi-distinct, still
-    * one pass over the data), then stacks to long format over the
-    * 1-row result. Typed aggregates canonicalize for the readout:
-    * numerics via DECIMAL(18,2) strings, timestamps via integer
-    * micros — the catalog's portability conventions.
+    * one pass over the data), then `stack`s the 1-row result to long
+    * format. (A per-column select + union here would column-prune
+    * into FOUR separate scans — the r9 shape; `stack` keeps the scan
+    * genuinely single, pinned in RoundTenPlanSpec.) Typed aggregates
+    * canonicalize for the readout: numerics via DECIMAL(18,2)
+    * strings, timestamps via integer micros — the catalog's
+    * portability conventions.
     *
     * Scale note: exact NDV is the certificate; the production path at
     * 100 TB swaps [[graft.datapipe.Sketches.hllRegisters]] per column
-    * into the same one-scan shape.
+    * into the same one-scan shape (`q_table_stats_hll`).
     */
   private val qTableStats = QueryDef(
     "q_table_stats",
@@ -611,13 +614,13 @@ object Catalog {
           .cast("string").as("sd_mx"),
         sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("sd_nl"),
         countDistinct(col("l_shipdate")).as("sd_nd"))
-      Seq(("l_orderkey", "ok"), ("l_quantity", "qt"),
-          ("l_returnflag", "rf"), ("l_shipdate", "sd"))
-        .map { case (nm, p) =>
-          one.select(lit(nm).as("column"),
-            col(s"${p}_mn").as("min_value"), col(s"${p}_mx").as("max_value"),
-            col(s"${p}_nl").as("n_nulls"), col(s"${p}_nd").as("ndv"))
-        }.reduce(_ unionByName _)
+      val cols = Seq(("l_orderkey", "ok"), ("l_quantity", "qt"),
+        ("l_returnflag", "rf"), ("l_shipdate", "sd"))
+      val stackArgs = cols.map { case (nm, p) =>
+        s"'$nm', ${p}_mn, ${p}_mx, ${p}_nl, ${p}_nd"
+      }.mkString(", ")
+      one.select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column, min_value, max_value, n_nulls, ndv)"))
     },
     Some("""WITH one AS (SELECT
         CAST(MIN(l_orderkey) AS VARCHAR) AS ok_mn,
@@ -645,6 +648,74 @@ object Catalog {
         CAST(rf_nl AS BIGINT), CAST(rf_nd AS BIGINT) FROM one
       UNION ALL SELECT 'l_shipdate', sd_mn, sd_mx,
         CAST(sd_nl AS BIGINT), CAST(sd_nd AS BIGINT) FROM one"""))
+
+  /** [[qTableStats]]' 100 TB swap-in, shipped: per-column NDV via
+    * [[graft.datapipe.Sketches.hllRegisters]] in the SAME one-scan
+    * shape — `stack` fans the four columns into (column, item) rows
+    * off a single lineitem scan (the multi-distinct Expand shape,
+    * but with m=128 registers of state per column instead of a
+    * distinct-set per aggregation buffer). Items canonicalize to the
+    * catalog's portable strings (DECIMAL(18,2) for numerics, integer
+    * micros for timestamps) BEFORE hashing, so the NDV contract is
+    * over canonical values and the oracle rebuilds every register
+    * bit-for-bit from the md5/bin contract, replaying the
+    * exact-integer estimate including the linear-counting switch.
+    */
+  private val qTableStatsHll = QueryDef(
+    "q_table_stats_hll",
+    (s, d) => {
+      import graft.datapipe.Sketches
+      val items = Tables.lineitem(s, d)
+        .select(expr("stack(4, " +
+          "'l_orderkey', CAST(l_orderkey AS STRING), " +
+          "'l_quantity', CAST(CAST(l_quantity AS DECIMAL(18,2)) AS STRING), " +
+          "'l_returnflag', l_returnflag, " +
+          "'l_shipdate', CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS STRING)" +
+          ") AS (column, item)"))
+        .filter(col("item").isNotNull)
+      val regs = Sketches.hllRegisters(items, "item", m = 128,
+        groupCols = Seq("column"))
+      Sketches.hllEstimate(regs, m = 128, groupCols = Seq("column"))
+        .select(col("column"), col("n_registers_hit"), col("max_rho"),
+          col("hll_est"))
+    },
+    Some("""WITH items AS (
+        SELECT 'l_orderkey' AS "column", CAST(l_orderkey AS VARCHAR) AS item
+          FROM lineitem WHERE l_orderkey IS NOT NULL
+        UNION ALL SELECT 'l_quantity',
+          CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+          FROM lineitem WHERE l_quantity IS NOT NULL
+        UNION ALL SELECT 'l_returnflag', l_returnflag
+          FROM lineitem WHERE l_returnflag IS NOT NULL
+        UNION ALL SELECT 'l_shipdate', CAST(epoch_us(l_shipdate) AS VARCHAR)
+          FROM lineitem WHERE l_shipdate IS NOT NULL),
+      hash AS (SELECT "column",
+          ('0x' || substr(md5('hll:' || item), 1, 15))::BIGINT AS h FROM items),
+      reg AS (SELECT "column", h % 128 AS j,
+          CASE WHEN (h // 128) = 0 THEN 54
+               ELSE 54 - length(bin(h // 128)) END AS rho
+        FROM hash),
+      regs AS (SELECT "column", j, MAX(rho) AS rho_max FROM reg GROUP BY 1, 2),
+      heads AS (SELECT "column", CAST(COUNT(*) AS BIGINT) AS hits,
+          MAX(rho_max) AS mmax FROM regs GROUP BY 1),
+      s AS (SELECT regs."column",
+          SUM((CAST(1 AS BIGINT) << CAST(heads.mmax - regs.rho_max AS INT)))
+            AS s_touched
+        FROM regs JOIN heads USING ("column") GROUP BY 1),
+      est AS (SELECT heads."column", heads.hits, heads.mmax,
+          s.s_touched + (128 - heads.hits) *
+            (CAST(1 AS BIGINT) << CAST(heads.mmax AS INT)) AS big_s
+        FROM heads JOIN s USING ("column")),
+      fin AS (SELECT "column", hits, mmax,
+          0.7213 / (1.0 + 1.079 / 128.0) * 128.0 * 128.0 *
+            pow(2.0, CAST(mmax AS DOUBLE)) / CAST(big_s AS DOUBLE) AS raw
+        FROM est)
+      SELECT "column", hits AS n_registers_hit,
+        CAST(mmax AS BIGINT) AS max_rho,
+        round(CASE WHEN raw <= 320.0 AND (128 - hits) > 0
+          THEN 128.0 * ln(128.0 / CAST(128 - hits AS DOUBLE))
+          ELSE raw END, 4) AS hll_est
+      FROM fin"""))
 
   /** Ordered funnel over the event stream (view → click → purchase):
     * a user reaches stage i at the EARLIEST event of that type that
@@ -896,7 +967,8 @@ object Catalog {
     p10Latency, p11MsgSize, p12DidWeb,
     j1BroadcastLookup, j1JoinMiss,
     a1GroupedCounters, a3TumblingThroughput, a4LagGauge,
-    qSessionize, qLayoutZorder, qFunnel, qTableStats, qRetention,
+    qSessionize, qLayoutZorder, qFunnel, qTableStats, qTableStatsHll,
+    qRetention,
     q1P95Latency, q1P95LatencyBucketed, q1P95Prometheus,
     q4Throughput, q5MaxLag) ++
     JoinQueries.defs ++

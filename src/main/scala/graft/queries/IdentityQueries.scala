@@ -176,7 +176,10 @@ object IdentityQueries {
     * histogram-interpolation shape over 10 ms buckets (the
     * histogram_quantile semantics of metrics.py:129), replacing the
     * exact `percentile` whose per-group value buffer was the r9
-    * verdict's scale-killer flag.
+    * verdict's scale-killer flag. The experiment label matrix
+    * ([[graft.model.ExperimentConfig]]) rides the groupBy as literal
+    * columns, like every reference verification histogram
+    * (metrics.py:125-130 + `_common_labels`).
     */
   private val q2P95Verification = QueryDef(
     "q2_p95_verification",
@@ -187,14 +190,18 @@ object IdentityQueries {
       val ms = lit(5L) + col("event_id") % 97 +
         when(!verified, lit(20L)).otherwise(lit(0L)) +
         when(provider === "did:web", lit(50L)).otherwise(lit(0L))
+      val labels = graft.model.ExperimentConfig.Default.labelCols
       val grouped = Tables.events(s, d)
-        .select(provider.as("did_provider"),
+        .select(Seq(provider.as("did_provider"),
           when(verified, lit("success")).otherwise(lit("failure")).as("result"),
-          ms.as("ms"))
+          ms.as("ms")) ++ labels: _*)
         .groupBy(col("did_provider"), col("result"),
+          col("ssi_validation"), col("cache_did"), col("processing_mode"),
           floor(col("ms") / lit(10.0)).cast("long").as("b"))
         .agg(count(lit(1)).as("cnt"))
-      bucketedP95(grouped, Seq("did_provider", "result"), wMs = 10L,
+      bucketedP95(grouped,
+        Seq("did_provider", "result",
+          "ssi_validation", "cache_did", "processing_mode"), wMs = 10L,
         outCol = "p95_verification_s", nCol = "n")
     },
     Some("""WITH v AS (SELECT
@@ -211,6 +218,7 @@ object IdentityQueries {
         CAST(SUM(cnt) OVER (PARTITION BY did_provider, result) AS BIGINT) AS n
         FROM byb)
       SELECT did_provider, result,
+        'true' AS ssi_validation, 'true' AS cache_did, 'sync' AS processing_mode,
         ((2 * (10 * (20*b*cnt + 19*n - 20*(cum - cnt))) * 1000000
           + 20000*cnt) // (2 * 20000 * cnt)) / 1000000.0 AS p95_verification_s,
         n

@@ -1,0 +1,81 @@
+package graft
+
+/** Physical-plan contracts for the round-9/10 catalog queries — the
+  * shapes that keep them 100 TB-safe, pinned so a refactor that
+  * silently de-optimizes fails loudly (same charter as
+  * PlanContractSpec / NewOpsPlanSpec).
+  */
+class RoundTenPlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_funnel: stage elections are aggregations + equi-joins, " +
+    "never a window over the raw stream") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Window"),
+      s"funnel must not sort/window the raw stream; plan:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "stage joins must stay equi-joins")
+    // every shuffle is keyed on user_id (user-bounded), never unkeyed
+    assert(p.contains("hashpartitioning(user_id"),
+      "stage elections shuffle on user_id")
+  }
+
+  test("q_retention: two user-bounded aggregations, no raw-stream window") {
+    val p = plan("q_retention")
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_min"),
+      "the cohort election must partial-aggregate map-side")
+  }
+
+  test("q_table_stats: ONE FileScan feeds every column's stats") {
+    val p = plan("q_table_stats")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1,
+      s"expected one lineitem scan, found $scans; plan:\n${p.take(3000)}")
+  }
+
+  test("q_table_stats_hll: one scan; state is register-bounded, " +
+    "no distinct-set aggregation") {
+    val p = plan("q_table_stats_hll")
+    // the register table is staged: every FileScan printed must sit
+    // INSIDE the cached register build (both heads and the S-sum
+    // read the same InMemoryRelation — one physical corpus scan)
+    val firstScan = p.indexOf("FileScan parquet")
+    val firstCache = p.indexOf("InMemoryRelation")
+    assert(firstCache >= 0, "the register table must be staged")
+    assert(firstScan > firstCache,
+      s"a corpus scan outside the staged register build; plan:\n${p.take(3000)}")
+    assert(!p.contains("count(distinct"),
+      "the HLL path must not expand an exact distinct aggregation")
+    assert(p.contains("partial_max"),
+      "register maxima must partial-aggregate map-side")
+  }
+
+  test("dedup_cluster_sizes: histogram rides the cluster table, " +
+    "no cartesian") {
+    val p = plan("dedup_cluster_sizes")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count"),
+      "both aggregations must partial-aggregate map-side")
+  }
+
+  test("q2/q3 bucketed p95: aggregation state is one count per bucket " +
+    "(HashAggregate strictly below the window), no exact percentile") {
+    for (name <- Seq("q2_p95_verification", "q3_p95_resolution")) {
+      val p = plan(name)
+      assert(!p.contains("percentile"),
+        s"$name must not buffer per-group values")
+      val windowIdx = p.indexOf("Window")
+      assert(windowIdx >= 0, s"$name: the crossing election is a window")
+      assert(p.indexOf("HashAggregate", windowIdx) > windowIdx,
+        s"$name: the window must consume the bucket HISTOGRAM, not raw " +
+          s"rows; plan:\n${p.take(3000)}")
+    }
+  }
+}
