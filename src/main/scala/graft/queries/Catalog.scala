@@ -973,6 +973,7 @@ object Catalog {
     q4Throughput, q5MaxLag) ++
     JoinQueries.defs ++
     EnvelopeQueries.defs ++
+    HealthQueries.defs ++
     DataPipeQueries.defs ++
     IdentityQueries.defs ++
     SimilarityQueries.defs
