@@ -34,6 +34,14 @@ object Layout {
     * the interleaved `zkey`. Bit b of column i lands at position
     * b·n + i, so the high bits of the key are the coarse quadrant
     * address — the property the locality spec pins.
+    *
+    * NULL/NaN contract (pinned in LayoutSpec): a NULL or NaN value
+    * buckets to 0 — every row gets a NON-NULL zkey, so no silent
+    * everything-in-one-range-partition collapse, and an oracle
+    * replays the rule as `COALESCE` + a NaN guard. NaN is also
+    * excluded from the min/max scale statistics (Spark sorts NaN
+    * above +Inf, other engines differ — keeping it out of the stats
+    * keeps the scale chain engine-portable).
     */
   def zOrderKey(df: DataFrame, cols: Seq[(Column, String)],
                 bits: Int = 8): DataFrame = {
@@ -42,17 +50,19 @@ object Layout {
       "need 1+ columns and bits*cols <= 62 to fit a signed long")
     val maxBucket = (1L << bits) - 1
     val aggs = cols.zipWithIndex.flatMap { case ((c, _), i) =>
-      Seq(min(c.cast("double")).as(s"__mn$i"),
-        max(c.cast("double")).as(s"__mx$i")) }
+      val cd = c.cast("double")
+      val finite = when(!isnan(cd), cd) // NULL otherwise; min/max skip
+      Seq(min(finite).as(s"__mn$i"), max(finite).as(s"__mx$i")) }
     val stats = df.agg(aggs.head, aggs.tail: _*)
     val withU = cols.zipWithIndex.foldLeft(df.crossJoin(broadcast(stats))) {
       case (acc, ((c, name), i)) =>
         val mn = col(s"__mn$i"); val mx = col(s"__mx$i")
+        val cd = c.cast("double")
         acc.withColumn(s"${name}_bucket",
-          when(mx === mn, lit(0L)).otherwise(
-            least(lit(maxBucket), greatest(lit(0L),
-              floor((c.cast("double") - mn) / (mx - mn) *
-                lit(maxBucket.toDouble))))))
+          when(cd.isNull || isnan(cd), lit(0L))
+            .when(mx === mn, lit(0L)).otherwise(
+              least(lit(maxBucket), greatest(lit(0L),
+                floor((cd - mn) / (mx - mn) * lit(maxBucket.toDouble))))))
     }
     val z = (0 until bits).foldLeft(lit(0L)) { (accB, b) =>
       cols.zipWithIndex.foldLeft(accB) { case (a2, ((_, name), i)) =>

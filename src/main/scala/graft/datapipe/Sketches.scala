@@ -195,9 +195,16 @@ object Sketches {
   }
 
   /** Membership probe: `member` is true iff ALL k positions of the
-    * item are set. The FILTER side broadcasts (mBits-bounded); the
-    * probe side is the corpus — the join is map-side, and the only
-    * shuffle is the partial-aggregated regroup to one row per probe.
+    * item are set — tested as ZERO missed positions, not an exact
+    * hit count: duplicate probe rows collapse into one group whose
+    * counts are multiples of k, and `count(hit) === k` would report
+    * a false NEGATIVE for a genuinely inserted item (violating the
+    * Bloom guarantee). A miss is a miss at any multiplicity. One
+    * output row per DISTINCT probe tuple either way.
+    *
+    * The FILTER side broadcasts (mBits-bounded); the probe side is
+    * the corpus — the join is map-side, and the only shuffle is the
+    * partial-aggregated regroup to one row per probe.
     */
   def bloomProbe(bits: DataFrame, probes: DataFrame, itemCol: String,
                  k: Int, mBits: Int): DataFrame = {
@@ -207,6 +214,6 @@ object Sketches {
       .join(broadcast(bits.select(col("bit"), lit(1).as("hit"))),
         Seq("bit"), "left")
       .groupBy(keep: _*)
-      .agg((count(col("hit")) === k).as("member"))
+      .agg((count(when(col("hit").isNull, 1)) === 0).as("member"))
   }
 }

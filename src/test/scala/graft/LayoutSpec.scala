@@ -45,6 +45,20 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("NULL and NaN bucket to 0 with a non-null zkey; stats ignore NaN") {
+    val rows = Seq[(java.lang.Long, java.lang.Double, java.lang.Double)](
+      (1L, 0.0, 0.0), (2L, 100.0, 100.0),
+      (3L, null, 50.0), (4L, Double.NaN, 50.0))
+    val df = rows.toDF("id", "x", "y")
+    val out = Layout.zOrderKey(df, Seq(col("x") -> "x", col("y") -> "y"))
+      .select(col("id"), col("x_bucket"), col("zkey")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.isNullAt(2))).toMap
+    assert(out(3L) === ((0L, false)), "NULL buckets to 0, zkey non-null")
+    assert(out(4L) === ((0L, false)), "NaN buckets to 0, zkey non-null")
+    // NaN stayed out of the scale stats: row 2 still hits the top bucket
+    assert(out(2L)._1 === 255L, "max row keeps the top bucket")
+  }
+
   test("zOrderRepartition yields contiguous, sorted zkey ranges") {
     val df = (0L until 400L).map(i =>
       (i, (i * 37 % 400).toDouble, (i * 91 % 400).toDouble))

@@ -260,6 +260,20 @@ class RelevanceSpec extends SparkSpec {
         s"'$t' membership must equal the replayed bit test")
   }
 
+  test("bloom probe: duplicate probe rows never produce a false negative") {
+    import graft.datapipe.Sketches
+    val inserted = Seq("a", "b", "c").toDF("t")
+    val bits = Sketches.bloomBits(inserted, "t", k = 3, mBits = 1 << 12)
+    // each probe value appears TWICE: the per-group hit count is 2k,
+    // which the old exact-count test (count === k) misread as a miss
+    val probes = Seq("a", "a", "b", "b", "zzz", "zzz").toDF("t")
+    val out = Sketches.bloomProbe(bits, probes, "t", k = 3, mBits = 1 << 12)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out("a") && out("b"),
+      "inserted items must be members at any probe multiplicity")
+    assert(out.size === 3, "one output row per distinct probe")
+  }
+
   test("bloom: the filter state is bounded by mBits, not the items") {
     import graft.datapipe.Sketches
     val many = (0 until 5000).map(i => s"x$i").toDF("t")
