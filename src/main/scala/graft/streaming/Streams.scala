@@ -568,6 +568,50 @@ object Streams {
     */
   final case class BloomShardState(bits: Array[Long])
 
+  /** Per-user retention progress: the cohort hour plus the hours
+    * already credited. State is O(distinct ACTIVE hours per user) —
+    * the user's own row of the retention matrix, never the event
+    * count.
+    */
+  final case class RetentionState(c0: Long, seen: Seq[Long])
+
+  /** Streaming cohort retention — the stateful twin of the batch
+    * `q_retention` election: a user's cohort is their
+    * first-activity hour, and each (user, hour) pair is credited
+    * once, at its first occurrence. Rows sort by hour within each
+    * micro-batch (the canonical order), so with batches arriving in
+    * event-time order the first row elects the SAME cohort as the
+    * batch twin's min-aggregation and the emitted rows are exactly
+    * the batch twin's distinct user-hours (StreamingSpec pins it
+    * across batches). Emits (user_id, cohort_hour, offset_hours)
+    * once per newly-credited pair — so the incremental
+    * count-per-(cohort, offset) downstream equals the batch
+    * `n_users` without a distinct.
+    */
+  def retentionStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = events.select(col("user_id"),
+        expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[RetentionState, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        val hrs = rows.map(_._2).toSeq.sorted
+        val st = state.getOption.getOrElse(RetentionState(hrs.head, Nil))
+        var seen = st.seen.toSet
+        val out = Seq.newBuilder[(Long, Long, Long)]
+        for (h <- hrs; if !seen.contains(h)) {
+          seen += h
+          out += ((uid, st.c0, h - st.c0))
+        }
+        state.update(RetentionState(st.c0, seen.toSeq))
+        out.result().iterator
+      }
+      .toDF("user_id", "cohort_hour", "offset_hours")
+  }
+
   /** Per-user funnel progress: reach time (micros) per stage,
     * Long.MaxValue = unreached. State is |stages| longs per user.
     */

@@ -532,6 +532,39 @@ class StreamingSpec extends SparkSpec {
     assert(finalStage === Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("streaming retention: cohort election and one-credit-per-hour " +
+    "across micro-batches match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams
+    val H = 3600L * 1000000 // one hour in micros
+    // u1 spans the batch boundary and revisits hour 2 (one credit);
+    // u2 appears only in batch 2; u3 is active twice in its cohort hour
+    val b1 = Seq((1L, 0L * H + 5), (1L, 2L * H + 1), (3L, 1L * H),
+      (3L, 1L * H + 10))
+    val b2 = Seq((1L, 2L * H + 30), (1L, 3L * H), (2L, 2L * H))
+    val in = MemoryStream[(Long, Long)]
+    val src = in.toDF().toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = Streams.retentionStream(src)
+      .writeStream.format("memory").queryName("retention_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("retention_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // each (user, hour) credited exactly once
+    assert(streamed.length === streamed.distinct.length)
+    val counts = streamed.groupBy(t => (t._2, t._3))
+      .map { case (k, v) => k -> v.length.toLong }
+    // batch twin on the same rows: cohort = min hr, distinct user-hours
+    val all = (b1 ++ b2).map { case (u, us) => (u, us / H) }.distinct
+    val c0 = all.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).min }
+    val expected = all.groupBy { case (u, h) => (c0(u), h - c0(u)) }
+      .map { case (k, v) => k -> v.map(_._1).distinct.length.toLong }
+    assert(counts === expected)
+  }
+
   test("a frozen unigram-LM model counts a stream to the batch counts") {
     implicit val sqlCtx = spark.sqlContext
     import graft.datapipe.UnigramLM
