@@ -95,30 +95,33 @@ object Sketches {
     * S = Σ_j 2^(max_rho − M_j) (each addend a shiftleft, summed as
     * BIGINT — order-independent), so the only floating-point work is
     * one fixed-shape expression over two exact integers — identical
-    * IEEE ops in any engine. Output: (groupCols…, n_registers_hit,
-    * max_rho, hll_est) with the estimate rounded to 4 dp.
+    * IEEE ops in any engine.
+    *
+    * Shape: ONE aggregation over the register table — hits, the rho
+    * maximum, and the ≤ m register values (`collect_list`, bounded by
+    * the PARAMETER m, never the data) come out of a single pass, and
+    * S folds over the array with `aggregate`. The r9 two-branch form
+    * (heads + join-back) consumed `regs` twice, re-running the whole
+    * corpus→register pipeline per branch; staging fixed the double
+    * scan but cost a materialization barrier (measured 5.7 s → 9.5 s
+    * on text_distinct_hll at sf0.1) — single-consumption beats both.
+    * Output: (groupCols…, n_registers_hit, max_rho, hll_est) with the
+    * estimate rounded to 4 dp.
     */
-  def hllEstimate(regs0: DataFrame, m: Int, groupCols: Seq[String]): DataFrame = {
-    import Staging.Staged
-    // stage(): the register table feeds BOTH the per-group heads and
-    // the S-sum join-back — unstaged, each branch re-runs the whole
-    // corpus→register pipeline from the scan (two corpus scans for an
-    // m×groups-row table)
-    val regs = regs0.stage()
-    val heads = regs.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("hits"), max(col("rho_max")).as("mmax"))
-    val sTouched = regs.join(broadcast(heads), groupCols)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(mmax - rho_max AS INT))"))
-        .as("s_touched"), first(col("hits")).as("hits"),
-        first(col("mmax")).as("mmax"))
+  def hllEstimate(regs: DataFrame, m: Int, groupCols: Seq[String]): DataFrame = {
+    val agg = regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("hits"), max(col("rho_max")).as("mmax"),
+        collect_list(col("rho_max")).as("rhos"))
+      .withColumn("s_touched", expr(
+        "aggregate(rhos, CAST(0 AS BIGINT), " +
+          "(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), CAST(mmax - r AS INT)))"))
     val mD = lit(m.toDouble)
     val s = col("s_touched") +
       (lit(m.toLong) - col("hits")) * expr("shiftleft(CAST(1 AS BIGINT), CAST(mmax AS INT))")
     val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / mD) * mD * mD *
       pow(lit(2.0), col("mmax").cast("double")) / s.cast("double")
     val vEmpty = lit(m.toLong) - col("hits")
-    sTouched.select(groupCols.map(col) :+
+    agg.select(groupCols.map(col) :+
       col("hits").as("n_registers_hit") :+ col("mmax").as("max_rho") :+
       round(when(raw <= lit(2.5 * m) && vEmpty > 0,
         mD * log(mD / vEmpty.cast("double"))).otherwise(raw), 4)

@@ -554,11 +554,16 @@ object Catalog {
     "q_retention",
     (s, d) => {
       import org.apache.spark.sql.functions._
+      import graft.datapipe.Staging.Staged
       val ev = Tables.events(s, d).select(col("user_id"),
         expr("unix_micros(ts) DIV 3600000000").as("hr"))
-      val cohort = ev.groupBy(col("user_id")).agg(min(col("hr")).as("c0"))
-      ev.distinct()
-        .join(cohort, Seq("user_id"))
+      // the cohort election reads the DISTINCT user-hours (min over
+      // distinct == min over all), and that table is staged: it feeds
+      // both the election and the join-back, and it is user×hour
+      // bounded — unstaged, each branch re-scanned the raw stream
+      val uh = ev.distinct().stage()
+      val cohort = uh.groupBy(col("user_id")).agg(min(col("hr")).as("c0"))
+      uh.join(cohort, Seq("user_id"))
         .groupBy(col("c0").as("cohort_hour"),
           (col("hr") - col("c0")).as("offset_hours"))
         .agg(countDistinct(col("user_id")).as("n_users"))
@@ -730,6 +735,7 @@ object Catalog {
     "q_funnel",
     (s, d) => {
       import org.apache.spark.sql.functions._
+      import graft.datapipe.Staging.Staged
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
@@ -739,9 +745,16 @@ object Catalog {
             Seq("user_id"))
           .filter(col("us") > col("prev_us"))
           .groupBy(col("user_id")).agg(min(col("us")).as("reach_us"))
+      // stage(): each reach table feeds BOTH the next stage's join and
+      // its own count row — unstaged, the s3 branch recomputed the
+      // whole s1→s2 chain (SIX event scans for a 3-stage funnel);
+      // staged, the stream is scanned once per stage, each scan
+      // type-filter-pruned at the parquet reader, and the cached
+      // tables are user-bounded
       val s1 = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("us")).as("reach_us"))
-      val s2 = stage(s1, "click")
+        .stage()
+      val s2 = stage(s1, "click").stage()
       val s3 = stage(s2, "purchase")
       def row(i: Int, nm: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).as("n_users"))

@@ -42,14 +42,13 @@ class RoundTenPlanSpec extends SparkSpec {
   test("q_table_stats_hll: one scan; state is register-bounded, " +
     "no distinct-set aggregation") {
     val p = plan("q_table_stats_hll")
-    // the register table is staged: every FileScan printed must sit
-    // INSIDE the cached register build (both heads and the S-sum
-    // read the same InMemoryRelation — one physical corpus scan)
-    val firstScan = p.indexOf("FileScan parquet")
-    val firstCache = p.indexOf("InMemoryRelation")
-    assert(firstCache >= 0, "the register table must be staged")
-    assert(firstScan > firstCache,
-      s"a corpus scan outside the staged register build; plan:\n${p.take(3000)}")
+    // single-consumption hllEstimate: the register table feeds ONE
+    // aggregation (collect_list bounded by m), so the whole query is
+    // one corpus scan with no join-back and no cache
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1,
+      s"expected one lineitem scan, found $scans; plan:\n${p.take(3000)}")
+    assert(!p.contains("Join"), "the estimate must not join back")
     assert(!p.contains("count(distinct"),
       "the HLL path must not expand an exact distinct aggregation")
     assert(p.contains("partial_max"),
