@@ -937,6 +937,35 @@ object Catalog {
       FROM cum JOIN e USING (i)
       WHERE cum >= rank AND prev < rank"""))
 
+  /** The six-configuration experiment matrix as a queryable dimension
+    * (README.md:95-145 options 1-6 in order): one row per config with
+    * the exact label strings every metric series carries — including
+    * the derived rules (boolean stringification metrics.py:35;
+    * did:ethr forces cache_did=true metrics.py:24-25; sync forced
+    * when validation is off, settings.py:35). The oracle is the
+    * hand-written VALUES table, so any drift in
+    * [[graft.model.ExperimentConfig]]'s derivation is a hash red.
+    */
+  private val qConfigMatrix = QueryDef(
+    "config_matrix",
+    (s, d) => {
+      import s.implicits._
+      graft.model.ExperimentConfig.Options.zipWithIndex.map {
+        case (c, i) =>
+          ((i + 1).toLong, c.didProvider, c.ssiValidationLabel,
+            c.cacheDidLabel, c.processingMode)
+      }.toDF("option", "did_provider", "ssi_validation", "cache_did",
+        "processing_mode")
+    },
+    Some("""SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'did:web', 'true', 'false', 'async'),
+      (2, 'did:web', 'true', 'true', 'sync'),
+      (3, 'did:key', 'true', 'false', 'sync'),
+      (4, 'did:key', 'true', 'true', 'sync'),
+      (5, 'did:key', 'false', 'false', 'sync'),
+      (6, 'did:ethr:sepolia', 'true', 'true', 'sync'))
+      t(option, did_provider, ssi_validation, cache_did, processing_mode)"""))
+
   /** Q4 throughput, with the experiment label matrix as literal
     * groupBy columns (see [[q1P95Latency]] — the reference's
     * throughput counters carry the same `_common_labels`,
@@ -983,7 +1012,7 @@ object Catalog {
     qSessionize, qLayoutZorder, qFunnel, qTableStats, qTableStatsHll,
     qRetention,
     q1P95Latency, q1P95LatencyBucketed, q1P95Prometheus,
-    q4Throughput, q5MaxLag) ++
+    q4Throughput, q5MaxLag, qConfigMatrix) ++
     JoinQueries.defs ++
     EnvelopeQueries.defs ++
     HealthQueries.defs ++

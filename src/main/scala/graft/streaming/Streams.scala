@@ -105,6 +105,22 @@ object Streams {
   def groupedCounters(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
 
+  /** Q2/A2 streaming twin: the duration-histogram COUNTER state the
+    * reference's verification p95 actually scrapes
+    * (metrics.py:125-130 Histogram + PromQL histogram_quantile) —
+    * per (label set, fixed-width ms bucket), a running count in
+    * update mode. State is one long per (labels × bucket), exactly
+    * the batch `q2_p95_verification` histogram; the crossing-bucket
+    * interpolation is a per-scrape READOUT over those counts (batch
+    * code on each snapshot), so stream and batch agree bucket-count
+    * for bucket-count — the property StreamingSpec pins.
+    */
+  def durationHistogram(rows: DataFrame, labels: Seq[String],
+                        msCol: String, wMs: Long): DataFrame =
+    rows.groupBy(labels.map(col) :+
+        floor(col(msCol) / lit(wMs.toDouble)).cast("long").as("b"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
   /** Session windows on the stream: dynamic-gap state that closes a
     * session only when the watermark passes gap beyond its last
     * event — the stream twin of the batch q_sessionize entry.

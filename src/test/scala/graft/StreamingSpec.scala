@@ -532,6 +532,32 @@ class StreamingSpec extends SparkSpec {
     assert(finalStage === Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("streaming duration histogram: bucket counters across " +
+    "micro-batches equal the batch histogram (Q2 scrape state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams
+    val b1 = Seq(("did:key", 7L), ("did:key", 12L), ("did:web", 55L))
+    val b2 = Seq(("did:key", 14L), ("did:web", 57L), ("did:web", 101L))
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.durationHistogram(
+        in.toDF().toDF("did_provider", "ms"),
+        Seq("did_provider"), "ms", wMs = 10L)
+      .writeStream.format("memory").queryName("dur_hist")
+      .outputMode(OutputMode.Update).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // update mode re-emits a (labels, bucket) row per batch; the LAST
+    // emission is the running counter value
+    val streamed = spark.table("dur_hist").collect()
+      .zipWithIndex
+      .groupBy(r => (r._1.getString(0), r._1.getLong(1)))
+      .map { case (k, rs) => k -> rs.maxBy(_._2)._1.getLong(2) }
+    val batch = (b1 ++ b2).groupBy { case (p, ms) => (p, ms / 10) }
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(streamed === batch)
+  }
+
   test("streaming retention: cohort election and one-credit-per-hour " +
     "across micro-batches match the batch twin") {
     implicit val sqlCtx = spark.sqlContext
