@@ -575,21 +575,23 @@ object Catalog {
         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
       FROM e JOIN c USING (user_id) GROUP BY 1, 2"""))
 
-  /** Single-pass table statistics (the ANALYZE TABLE shape every
-    * engine runs before planning): per column, min/max/nulls/exact
-    * NDV over lineitem in ONE scan — the aggregation computes every
-    * column's stats together (Spark expands the multi-distinct, still
-    * one pass over the data), then `stack`s the 1-row result to long
-    * format. (A per-column select + union here would column-prune
-    * into FOUR separate scans — the r9 shape; `stack` keeps the scan
-    * genuinely single, pinned in RoundTenPlanSpec.) Typed aggregates
+  /** Table statistics (the ANALYZE TABLE shape every engine runs
+    * before planning): per column, min/max/nulls/exact NDV over
+    * lineitem. The fused 1-row aggregate is projected per column and
+    * unioned, which Catalyst column-prunes into FOUR single-column
+    * scans — deliberately: parquet is columnar, so four pruned scans
+    * read the SAME bytes as one four-column scan, while the fused
+    * multi-distinct alternative pays a 5× Expand on every row before
+    * its shuffle (measured 2× slower at sf0.1 when this query briefly
+    * used `stack` in r10). RoundTenPlanSpec pins the honest contract:
+    * every scan reads exactly one column. Typed aggregates
     * canonicalize for the readout: numerics via DECIMAL(18,2)
     * strings, timestamps via integer micros — the catalog's
     * portability conventions.
     *
     * Scale note: exact NDV is the certificate; the production path at
     * 100 TB swaps [[graft.datapipe.Sketches.hllRegisters]] per column
-    * into the same one-scan shape (`q_table_stats_hll`).
+    * into one register-bounded pass (`q_table_stats_hll`).
     */
   private val qTableStats = QueryDef(
     "q_table_stats",
@@ -619,13 +621,13 @@ object Catalog {
           .cast("string").as("sd_mx"),
         sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("sd_nl"),
         countDistinct(col("l_shipdate")).as("sd_nd"))
-      val cols = Seq(("l_orderkey", "ok"), ("l_quantity", "qt"),
-        ("l_returnflag", "rf"), ("l_shipdate", "sd"))
-      val stackArgs = cols.map { case (nm, p) =>
-        s"'$nm', ${p}_mn, ${p}_mx, ${p}_nl, ${p}_nd"
-      }.mkString(", ")
-      one.select(expr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(column, min_value, max_value, n_nulls, ndv)"))
+      Seq(("l_orderkey", "ok"), ("l_quantity", "qt"),
+          ("l_returnflag", "rf"), ("l_shipdate", "sd"))
+        .map { case (nm, p) =>
+          one.select(lit(nm).as("column"),
+            col(s"${p}_mn").as("min_value"), col(s"${p}_mx").as("max_value"),
+            col(s"${p}_nl").as("n_nulls"), col(s"${p}_nd").as("ndv"))
+        }.reduce(_ unionByName _)
     },
     Some("""WITH one AS (SELECT
         CAST(MIN(l_orderkey) AS VARCHAR) AS ok_mn,

@@ -32,11 +32,19 @@ class RoundTenPlanSpec extends SparkSpec {
       "the cohort election must partial-aggregate map-side")
   }
 
-  test("q_table_stats: ONE FileScan feeds every column's stats") {
+  test("q_table_stats: every scan is pruned to exactly one column " +
+    "(columnar bytes == one four-column scan, no Expand)") {
     val p = plan("q_table_stats")
-    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
-    assert(scans == 1,
-      s"expected one lineitem scan, found $scans; plan:\n${p.take(3000)}")
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size == 4, s"expected four pruned scans, got ${scans.size}")
+    for (s <- scans) {
+      // "FileScan parquet [l_orderkey#143L] ..." — one column in the
+      // projection bracket
+      val colsRead = s.dropWhile(_ != '[').takeWhile(_ != ']').count(_ == ',')
+      assert(colsRead == 0, s"scan reads more than one column: ${s.take(160)}")
+    }
+    assert(!p.contains("Expand"),
+      "the union shape must not pay the multi-distinct Expand")
   }
 
   test("q_table_stats_hll: one scan; state is register-bounded, " +
