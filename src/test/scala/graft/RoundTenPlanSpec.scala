@@ -47,15 +47,17 @@ class RoundTenPlanSpec extends SparkSpec {
       "the union shape must not pay the multi-distinct Expand")
   }
 
-  test("q_table_stats_hll: one scan; state is register-bounded, " +
-    "no distinct-set aggregation") {
+  test("q_table_stats_hll: pruned per-column scans; state is " +
+    "register-bounded, no distinct-set aggregation") {
     val p = plan("q_table_stats_hll")
-    // single-consumption hllEstimate: the register table feeds ONE
-    // aggregation (collect_list bounded by m), so the whole query is
-    // one corpus scan with no join-back and no cache
-    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
-    assert(scans == 1,
-      s"expected one lineitem scan, found $scans; plan:\n${p.take(3000)}")
+    // per-column projections column-prune to one column per scan, and
+    // the single-consumption hllEstimate needs no join-back or cache
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size == 4, s"expected four pruned scans, got ${scans.size}")
+    for (s <- scans) {
+      val colsRead = s.dropWhile(_ != '[').takeWhile(_ != ']').count(_ == ',')
+      assert(colsRead == 0, s"scan reads more than one column: ${s.take(160)}")
+    }
     assert(!p.contains("Join"), "the estimate must not join back")
     assert(!p.contains("count(distinct"),
       "the HLL path must not expand an exact distinct aggregation")
