@@ -22,9 +22,18 @@ object HealthQueries {
   /** Deterministic health-sensor synth: one record per event row,
     * every field a pure function of (event_id, user_id, ts).
     */
-  def records(s: SparkSession, d: String): Dataset[HealthSensorRecord] = {
+  def records(s: SparkSession, d: String): Dataset[HealthSensorRecord] =
+    recordsFrom(Tables.events(s, d))
+
+  /** The synth over ANY frame carrying (event_id, user_id, ts) —
+    * shared by the batch entries and the streaming twin (the same
+    * projection runs unchanged on a stream; StreamingSpec pins
+    * stream==batch through the codec).
+    */
+  def recordsFrom(events: DataFrame): Dataset[HealthSensorRecord] = {
+    val s = events.sparkSession
     import s.implicits._
-    Tables.events(s, d).select(
+    events.select(
       struct(
         concat(lit("hs-"), col("event_id")).as("id"),
         concat(lit("patient-"), col("user_id")).as("patient_id"),

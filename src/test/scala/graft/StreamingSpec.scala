@@ -532,6 +532,41 @@ class StreamingSpec extends SparkSpec {
     assert(finalStage === Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("health stream: synth -> Avro encode -> decode on a stream " +
+    "equals the batch path (S5/S3 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.HealthAvroOps
+    import graft.queries.HealthQueries
+    val b1 = Seq((1L, 10L, 1000000L), (2L, 11L, 2000000L))
+    val b2 = Seq((3L, 10L, 3000000L), (4L, 12L, 4000000L))
+    val in = MemoryStream[(Long, Long, Long)]
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+    val q = HealthAvroOps.decode(
+        HealthAvroOps.encode(HealthQueries.recordsFrom(shape(in.toDF()))))
+      .toDF()
+      .writeStream.format("memory").queryName("health_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("health_stream").collect()
+      .map(r => r.getStruct(0).getString(0) -> r).toMap
+    val batch = HealthAvroOps.decode(HealthAvroOps.encode(
+        HealthQueries.recordsFrom(shape((b1 ++ b2)
+          .toDF("event_id", "user_id", "us")))))
+      .collect().map(r => r.data.id -> r).toMap
+    assert(streamed.keySet === batch.keySet)
+    for ((id, r) <- batch) {
+      val s = streamed(id).getStruct(0)
+      assert(s.getString(4) === r.data.sensor_type, id)
+      assert(s.getDouble(5) === r.data.temperature, id)
+      assert(s.getInt(8) === r.data.heart_rate, id)
+      assert(streamed(id).getString(3) === r.did, id)
+    }
+  }
+
   test("streaming duration histogram: bucket counters across " +
     "micro-batches equal the batch histogram (Q2 scrape state)") {
     implicit val sqlCtx = spark.sqlContext
