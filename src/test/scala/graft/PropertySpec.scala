@@ -67,6 +67,27 @@ object PropertySpec extends Properties("graft") {
       Jwt.payload(Jwt.sign(payload, "secret")).contains(payload)
     }
 
+  property("the oracle's integer round-half-up twin equals BigDecimal " +
+    "HALF_UP for every ratio and scale") =
+    // a bounded so scaled = round(a/b · 10^d) stays < 2^53, where the
+    // int→double cast is exact; beyond that the contract weakens to
+    // "engine-identical double" (both engines run the same cast+divide),
+    // which hashing parity needs but a BigDecimal compare can't witness
+    forAll(Gen.chooseNum(0L, 1000000L), Gen.chooseNum(1L, 100000000L),
+      Gen.chooseNum(0, 9)) { (a, b, d) =>
+      // ((2a*10^d + b) // (2b)) / 10^d — the DuckDB-side formula every
+      // ExactRound.ratio oracle uses (Spark side pinned in
+      // ExactRoundSpec); BigInt division truncates like `//` on
+      // non-negative operands
+      val pow = BigInt(10).pow(d)
+      val scaled = (BigInt(2) * a * pow + b) / (BigInt(2) * b)
+      val twin = scaled.toDouble / pow.toDouble
+      val want = new java.math.BigDecimal(a)
+        .divide(new java.math.BigDecimal(b), d,
+          java.math.RoundingMode.HALF_UP).doubleValue()
+      Prop(twin == want) :| s"a=$a b=$b d=$d twin=$twin want=$want"
+    }
+
   property("lru cache never exceeds its bound and expires by TTL") =
     forAll(Gen.listOf(Gen.chooseNum(0, 50)), Gen.chooseNum(1, 20)) {
       (keys, max) =>
