@@ -100,7 +100,9 @@ object Dedup {
         col("n").as("n_b"))), Seq("src_b"))
       .select(col("src_a"), col("src_b"), col("inter"),
         unionN.as("union_n"),
-        round(col("inter").cast("double") / unionN.cast("double"), 6)
+        // integer-exact 6-dp round — round(double, 6) flips on
+        // tie-region integer ratios (see ExactRound)
+        graft.functions.ExactRound.ratio6(col("inter"), unionN)
           .as("jaccard"))
   }
 
@@ -373,8 +375,9 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         when(coalesce(col("n_grams"), lit(0L)) === 0,
           lit(null).cast("double"))
-          .otherwise(round(coalesce(col("n_dup"), lit(0L)).cast("double") /
-            col("n_grams").cast("double"), 6)).as("dup_frac"))
+          .otherwise(graft.functions.ExactRound.ratio6(
+            coalesce(col("n_dup"), lit(0L)), col("n_grams")))
+          .as("dup_frac"))
   }
 
   /** Corpus-level duplicated-LINE removal (the line-wise exact-dedup
@@ -1067,7 +1070,8 @@ object Dedup {
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         when(coalesce(col("n_shingles"), lit(0L)) === 0,
           lit(null).cast("double"))
-          .otherwise(round(coalesce(col("n_novel"), lit(0L)).cast("double") /
-            col("n_shingles").cast("double"), 6)).as("novel_frac"))
+          .otherwise(graft.functions.ExactRound.ratio6(
+            coalesce(col("n_novel"), lit(0L)), col("n_shingles")))
+          .as("novel_frac"))
   }
 }

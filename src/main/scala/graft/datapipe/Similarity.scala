@@ -271,17 +271,24 @@ object Similarity {
     * mark redundant/prototypical examples, sparse ones outliers —
     * the selection signal behind SemDeDup-style prototype pruning
     * and DataComp/SSL density-balanced curation. One additional
-    * aggregation keyed on the graph's query id; the mean is a
-    * DECIMAL(28,8) exact sum of the 4-dp edge scores divided once,
-    * so any engine reproduces the double bit-for-bit.
+    * aggregation keyed on the graph's query id; the mean is
+    * integer-exact: with S = Σ score·10⁴ (an exact integer — scores
+    * are 4-dp), round(S/10⁴/n, 4) = floor((2S+n)/(2n))/10⁴, i.e.
+    * [[graft.functions.ExactRound.ratio]] at scale 0 over (S, n)
+    * then one IEEE division by 10⁴ — a round(double, 4) here is the
+    * corpus_stats tie-bomb class.
     */
   def knnDensity(emb: DataFrame, k: Int, cells: Int = 8, iters: Int = 3,
                  nprobe: Int = 2): DataFrame =
     knnGraph(emb, k, cells, iters, nprobe)
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_edges"),
-        round(sum(col("score").cast("decimal(28,8)")).cast("double") /
-          count(lit(1)).cast("double"), 4).as("density"))
+        // round(score·10⁴) recovers the exact integer each 4-dp score
+        // IS (the double sits within 1e-9 of it, so any engine's
+        // integer rounding agrees)
+        (graft.functions.ExactRound.ratio(
+          sum(round(col("score") * lit(10000)).cast("long")),
+          count(lit(1)), 0) / lit(1e4)).as("density"))
       .select(col("q_id").as("vec_id"), col("n_edges"), col("density"))
 
   /** Global max-|component| of the corpus — the scalar quantizer's

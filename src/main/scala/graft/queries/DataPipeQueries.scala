@@ -257,8 +257,10 @@ object DataPipeQueries {
 
   /** Per-source exact-duplication rate — the dedup observability
     * readout next to [[corpusStats]]: documents, distinct
-    * fingerprints, and the duplicate fraction per source. Exact
-    * counts divided once.
+    * fingerprints, and the duplicate fraction per source. The rate
+    * is the [[exactRatio6]] integer-exact round of
+    * (n_docs − n_unique)/n_docs — round(double, 6) is a latent tie
+    * bomb on integer ratios (the corpus_stats lesson).
     */
   private val dedupStats = QueryDef(
     "dedup_stats",
@@ -267,13 +269,15 @@ object DataPipeQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("fp")).as("n_unique"))
-      .withColumn("dup_rate", round(lit(1.0) -
-        col("n_unique").cast("double") / col("n_docs").cast("double"), 6)),
-    Some("""SELECT source, COUNT(*) AS n_docs,
-      CAST(COUNT(DISTINCT ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT) AS BIGINT) AS n_unique,
-      round(1.0 - CAST(COUNT(DISTINCT ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT) AS DOUBLE)
-        / COUNT(*), 6) AS dup_rate
-      FROM documents GROUP BY source"""))
+      .withColumn("dup_rate",
+        exactRatio6(col("n_docs") - col("n_unique"), col("n_docs"))),
+    Some("""WITH s AS (SELECT source, COUNT(*) AS n_docs,
+      CAST(COUNT(DISTINCT ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT) AS BIGINT) AS n_unique
+      FROM documents GROUP BY source)
+      SELECT source, n_docs, n_unique,
+      ((2 * (n_docs - n_unique) * 1000000 + n_docs)
+        // (2 * n_docs)) / 1000000.0 AS dup_rate
+      FROM s"""))
 
   /** Count-min-sketch heavy hitters: the exact top-20 tokens probed
     * against a 4×1024 CMS built from the same stream — (token,
@@ -670,7 +674,8 @@ object DataPipeQueries {
       SELECT t.doc_id, CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
         CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
         CASE WHEN COALESCE(n_grams, 0) = 0 THEN NULL
-             ELSE round(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_grams, 6)
+             ELSE ((2 * COALESCE(n_dup, 0) * 1000000 + n_grams)
+               // (2 * n_grams)) / 1000000.0
         END AS dup_frac
       FROM toks t LEFT JOIN cnt USING (doc_id) LEFT JOIN dcnt USING (doc_id)"""))
 
@@ -736,7 +741,8 @@ object DataPipeQueries {
       SELECT d.doc_id, CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
         CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
         CASE WHEN COALESCE(n_shingles, 0) = 0 THEN NULL
-             ELSE round(CAST(n_novel AS DOUBLE) / n_shingles, 6)
+             ELSE ((2 * n_novel * 1000000 + n_shingles)
+               // (2 * n_shingles)) / 1000000.0
         END AS novel_frac
       FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)"""))
 
@@ -2102,7 +2108,8 @@ object DataPipeQueries {
         GROUP BY 1, 2)
       SELECT src_a, src_b, inter,
         CAST(sa.n + sb.n - inter AS BIGINT) AS union_n,
-        round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        ((2 * inter * 1000000 + (sa.n + sb.n - inter))
+          // (2 * (sa.n + sb.n - inter))) / 1000000.0 AS jaccard
       FROM inter
       JOIN sizes sa ON sa.source = src_a
       JOIN sizes sb ON sb.source = src_b"""))

@@ -334,8 +334,8 @@ object SimilarityQueries {
       k = 5, cells = 8, iters = 3, nprobe = 2),
     Some(s"""WITH $knnRankedCtes
       SELECT q_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
-        round(CAST(SUM(CAST(score AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 4)
-          AS density
+        ((2 * SUM(CAST(round(score * 10000) AS BIGINT)) + COUNT(*))
+          // (2 * COUNT(*))) / 10000.0 AS density
       FROM ranked WHERE rnk <= 5 GROUP BY q_id"""))
 
   /** PageRank centrality over the kNN graph's directed edges: 3
