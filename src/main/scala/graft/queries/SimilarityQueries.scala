@@ -876,7 +876,8 @@ object SimilarityQueries {
         FROM g JOIN dup USING (gm) GROUP BY doc_id),
       df AS (SELECT t.doc_id,
           CASE WHEN COALESCE(n_grams, 0) = 0 THEN NULL
-               ELSE round(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_grams, 6)
+               ELSE ((2 * COALESCE(n_dup, 0) * 1000000 + n_grams)
+                 // (2 * n_grams)) / 1000000.0
           END AS dup_frac
         FROM toks t LEFT JOIN cnt USING (doc_id) LEFT JOIN dcnt USING (doc_id)),
       qw AS (SELECT doc_id,
