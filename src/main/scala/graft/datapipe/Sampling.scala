@@ -35,6 +35,34 @@ object Sampling {
   def hashSampleCond(key: Column, percent: Int): Column =
     hashSampleCond(key, lit(percent))
 
+  /** Weighted k-sampling without replacement (Efraimidis–Spirakis
+    * 2006): each row draws a deterministic uniform u from the
+    * md5 contract and the sample is the top-k by key u^(1/w) —
+    * exactly a w-weighted draw, done as ONE distributed top-k
+    * (TakeOrderedAndProject, per-partition heaps + driver merge of k
+    * rows, plan-pinned) with no corpus sort and no sequential pass.
+    * This is the weighted-subset primitive behind
+    * quality-proportional corpus selection when the budget is a ROW
+    * count (the token-budget selectors cover the token-count case).
+    *
+    * Determinism/portability: u = (md5_60("ws:" + id) mod 10⁹ + 1)/10⁹
+    * is an exact rational any engine reproduces; the key rounds to
+    * 8 dp before ordering (the catalog's transcendental convention —
+    * pow may differ in the last ulp across libm implementations) and
+    * ties fall to the id. Weights must be >= 1.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"need a positive sample size, got $k")
+    val u = (TextAnalysis.md5Long60(
+      concat(lit("ws:"), col(idCol).cast("string"))) % 1000000000L + 1L)
+      .cast("double") / lit(1e9)
+    df.select(col(idCol).as("doc_id"), weight.cast("bigint").as("w"),
+        round(pow(u, lit(1.0) / weight.cast("double")), 8).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Stratified variant: per-stratum percentages (e.g. downsample the
     * dominant language, keep all of a rare one) — the mixture-tuning
     * step of a training-data pipeline.

@@ -615,6 +615,26 @@ object DataPipeQueries {
       SELECT doc_id, source, n_tokens, priority, cum_tokens
       FROM c WHERE cum_tokens <= 500"""))
 
+  /** Efraimidis–Spirakis weighted 100-sample with w = token count —
+    * longer documents proportionally likelier, drawn WITHOUT
+    * replacement in one distributed top-k. The oracle replays the
+    * md5 uniform, the u^(1/w) key, its 8-dp rounding, and the
+    * (key desc, doc_id) cut, so the hash certifies the exact sampled
+    * SET and every key.
+    */
+  private val sampleWeighted = QueryDef(
+    "sample_weighted",
+    (s, d) => Sampling.weightedSample(
+      Tables.documents(s, d), "doc_id",
+      TextAnalysis.tokenCount(col("text")), k = 100),
+    Some("""WITH t AS (SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w,
+        (('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000000 + 1) / 1000000000.0 AS u
+      FROM documents)
+      SELECT doc_id, w, round(pow(u, 1.0 / w), 8) AS es_key
+      FROM t ORDER BY es_key DESC, doc_id LIMIT 100"""))
+
   /** Gopher-style repetition quality metrics: duplicate 2-/3-gram
     * fractions (pure per-row expressions) plus the top token's share
     * (one tf-shaped aggregation). Fractions are exact integer counts
@@ -2902,6 +2922,7 @@ object DataPipeQueries {
     textDistinctHll, textSourceKl, qualityRankFusion,
     sampleImportance,
     sampleImportanceSoft, sampleTokenBudget, samplePplBuckets,
+    sampleWeighted,
     bpeMerges, bpeEncode, bpeFertility,
     wordPieceVocab, wordPieceEncode, unigramEncode,
     dedupStats,

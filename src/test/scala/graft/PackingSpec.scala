@@ -169,6 +169,35 @@ class PackingSpec extends SparkSpec {
     assert(out.length === 2, "weight 2.0 applied once, not join-doubled")
   }
 
+  test("weightedSample: exactly k rows, the top-k by key, ES-faithful") {
+    import graft.datapipe.Sampling
+    val df = (1L to 500L).map(i => (i, if (i <= 50) 1000L else 1L))
+      .toDF("doc_id", "w")
+    val out = Sampling.weightedSample(df, "doc_id", col("w"), k = 60)
+      .collect()
+    assert(out.length === 60)
+    // the selected keys are exactly the 60 largest (desc, id tiebreak)
+    val all = Sampling.weightedSample(df, "doc_id", col("w"), k = 500)
+      .collect().map(r => (r.getDouble(2), r.getLong(0)))
+    val expect = all.sortBy { case (key, id) => (-key, id) }.take(60).toSet
+    assert(out.map(r => (r.getDouble(2), r.getLong(0))).toSet === expect)
+    // weight 1000 vs 1: the heavy minority must dominate the sample
+    // (P(u^(1/1000) > u'^(1/1)) overwhelming) — a sanity bound, not
+    // an exact distribution test
+    val heavy = out.count(_.getLong(0) <= 50)
+    assert(heavy >= 40, s"only $heavy of 50 heavy docs sampled")
+  }
+
+  test("weightedSample is deterministic and id-keyed, not order-keyed") {
+    import graft.datapipe.Sampling
+    val df = (1L to 300L).map(i => (i, i % 7 + 1)).toDF("doc_id", "w")
+    val a = Sampling.weightedSample(df, "doc_id", col("w"), 25)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Sampling.weightedSample(df.orderBy(rand(42)), "doc_id",
+      col("w"), 25).collect().map(_.getLong(0)).toSeq
+    assert(a === b, "the draw must not depend on row order")
+  }
+
   test("shuffle ranks are a permutation of 0..n-1 and differ from id order") {
     val ranks = graft.datapipe.ShuffleOrder.shuffleRank(docs, col("doc_id"))
       .as[(Long, Long)].collect().sortBy(_._1)

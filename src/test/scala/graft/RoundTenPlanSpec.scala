@@ -74,6 +74,14 @@ class RoundTenPlanSpec extends SparkSpec {
       "both aggregations must partial-aggregate map-side")
   }
 
+  test("sample_weighted: one distributed top-k, never a corpus sort") {
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the E-S draw must be a bounded top-k; plan:\n${p.take(2000)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a range-exchange would mean a full corpus sort")
+  }
+
   test("q2/q3 bucketed p95: aggregation state is one count per bucket " +
     "(HashAggregate strictly below the window), no exact percentile") {
     for (name <- Seq("q2_p95_verification", "q3_p95_resolution")) {
