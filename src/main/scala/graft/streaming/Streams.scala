@@ -584,6 +584,57 @@ object Streams {
     */
   final case class BloomShardState(bits: Array[Long])
 
+  /** One shard's weighted reservoir: the top-k (key, id, w) triples
+    * seen so far — k entries per shard regardless of stream length.
+    */
+  final case class ReservoirState(entries: Seq[(Double, Long, Long)])
+
+  /** Streaming weighted reservoir sampling — the ORIGINAL form of
+    * Efraimidis–Spirakis (their Algorithm A-Res is a streaming
+    * algorithm): maintain the top-k rows by key u^(1/w) as rows
+    * arrive. The batch twin [[graft.datapipe.Sampling.weightedSample]]
+    * is its deterministic certificate: u derives from the md5
+    * contract, so after any batch split the reservoir holds exactly
+    * the batch top-k (StreamingSpec pins it).
+    *
+    * Scale shape: `shards` independent reservoirs keyed by an id
+    * hash, k entries of state each; the global sample is the top-k
+    * of the ≤ shards·k emitted rows — a driver-trivial merge, so no
+    * single reducer ever sees the stream. Emits every shard's
+    * current reservoir each micro-batch (update semantics: latest
+    * emission per shard wins).
+    */
+  def weightedSampleStream(rows: DataFrame, idCol: String, wCol: String,
+                           k: Int, shards: Int = 8): DataFrame = {
+    require(k >= 1 && shards >= 1, "need positive k and shards")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.datapipe.TextAnalysis
+    val keyed = rows.select(
+        col(idCol).cast("long").as("id"), col(wCol).cast("long").as("w"),
+        pmod(TextAnalysis.md5Long60(
+          concat(lit("wss:"), col(idCol).cast("string"))),
+          lit(shards.toLong)).as("shard"),
+        round(pow(
+          (TextAnalysis.md5Long60(concat(lit("ws:"), col(idCol).cast("string")))
+            % 1000000000L + 1L).cast("double") / lit(1e9),
+          lit(1.0) / col(wCol).cast("double")), 8).as("es_key"))
+      .as[(Long, Long, Long, Double)]
+    keyed.groupByKey(_._3)
+      .flatMapGroupsWithState[ReservoirState, (Long, Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (shard, rs, state) =>
+        val prev = state.getOption.map(_.entries).getOrElse(Nil)
+        val merged = (prev.iterator ++
+          rs.map { case (id, w, _, key) => (key, id, w) })
+          .toSeq.sortBy { case (key, id, _) => (-key, id) }
+          .distinct.take(k)
+        state.update(ReservoirState(merged))
+        merged.iterator.map { case (key, id, w) => (shard, id, w, key) }
+      }
+      .toDF("shard", "doc_id", "w", "es_key")
+  }
+
   /** Per-user retention progress: the cohort hour plus the hours
     * already credited. State is O(distinct ACTIVE hours per user) —
     * the user's own row of the retention matrix, never the event

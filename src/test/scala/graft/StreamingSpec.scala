@@ -532,6 +532,34 @@ class StreamingSpec extends SparkSpec {
     assert(finalStage === Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("streaming weighted reservoir: merged shard samples across " +
+    "micro-batches equal the batch E-S top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams
+    import graft.datapipe.Sampling
+    val rows = (1L to 200L).map(i => (i, i % 9 + 1))
+    val (b1, b2) = rows.splitAt(120)
+    val in = MemoryStream[(Long, Long)]
+    val q = Streams.weightedSampleStream(
+        in.toDF().toDF("doc_id", "w"), "doc_id", "w", k = 15, shards = 4)
+      .writeStream.format("memory").queryName("reservoir_stream")
+      .outputMode(OutputMode.Update).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // latest emission per (shard, doc_id) is the live reservoir; the
+    // global sample is the top-15 of the shard union
+    val emitted = spark.table("reservoir_stream").collect().zipWithIndex
+    val live = emitted.groupBy(r => (r._1.getLong(0), r._1.getLong(1)))
+      .map { case (_, rs) => rs.maxBy(_._2)._1 }
+    val streamedTop = live.map(r => (r.getDouble(3), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy { case (key, id, _) => (-key, id) }.take(15)
+    val batch = Sampling.weightedSample(
+        rows.toDF("doc_id", "w"), "doc_id", col("w"), k = 15)
+      .collect().map(r => (r.getDouble(2), r.getLong(0), r.getLong(1))).toSeq
+    assert(streamedTop === batch)
+  }
+
   test("health stream: synth -> Avro encode -> decode on a stream " +
     "equals the batch path (S5/S3 twin)") {
     implicit val sqlCtx = spark.sqlContext
