@@ -52,4 +52,35 @@ object Contamination {
           .otherwise(col("n_shared").cast("double") / col("n_shingles"))
           .as("contamination"))
   }
+
+  /** [[score]] for a reference side that is ITSELF corpus-scale —
+    * the split-hygiene audit (train vs held-out), cross-snapshot
+    * contamination, corpus-vs-corpus overlap. A broadcast (or even a
+    * Bloom filter) of the reference's shingle set no longer fits when
+    * the reference is 10% of 100 TB, so both sides shuffle ONCE on
+    * the 8-byte shingle hash and meet in a co-partitioned hash join:
+    * per-reducer state is the reference partition's distinct hashes
+    * (the build side, pinned via the shuffle_hash hint — sort-merge
+    * would sort the exploded probe stream for no downstream benefit),
+    * and the probe side streams. A hot shingle skews only the
+    * streamed probe partition, never the build table, because the
+    * reference side is distinct-per-hash by construction.
+    */
+  def scoreShuffled(docs: DataFrame, ref: DataFrame, idCol: String,
+                    textCol: String, k: Int = 3): DataFrame = {
+    val refSet = ref
+      .select(explode(Dedup.hashedShingles(col(textCol), k)).as("h"))
+      .distinct()
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode_outer(Dedup.hashedShingles(col(textCol), k)).as("h"))
+      .join(refSet.select(col("h"), lit(1).as("hit")).hint("shuffle_hash"),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("h")).as("n_shingles"), count(col("hit")).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        when(col("n_shingles") === 0, lit(null).cast("double"))
+          .otherwise(col("n_shared").cast("double") / col("n_shingles"))
+          .as("contamination"))
+  }
 }

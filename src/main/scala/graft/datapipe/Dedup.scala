@@ -26,6 +26,30 @@ object Dedup {
     docs.groupBy(md5(TextAnalysis.normalize(text)).as("content_hash"))
       .agg(min(id).as("keeper_doc_id"), count(lit(1)).as("n_dups"))
 
+  /** Soft dedup: instead of DROPPING duplicates (T5's keep-one),
+    * DOWN-WEIGHT them — every copy survives with sampling weight
+    * 1/multiplicity, so each distinct CONTENT contributes one unit
+    * of expected training mass however many times it was crawled
+    * (the reweight-don't-remove arm of the dedup design space, cf.
+    * SoftDeDup, arXiv:2407.06654). Feed `weight` into
+    * [[Sampling.weightedSample]] or a loss-weighting column.
+    *
+    * Scale: same single 60-bit-fingerprint shuffle as exact dedup —
+    * the count aggregate and the join back both key on the
+    * fingerprint, so AQE co-locates them; the document body never
+    * shuffles. Weight is the engine-exact 6-dp integer ratio.
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+                       text: Column): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(text).as("fp"))
+    val mult = fp.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    fp.join(mult, Seq("fp"))
+      .select(col("doc_id"), col("n_copies"),
+        graft.functions.ExactRound.ratio6(lit(1L), col("n_copies"))
+          .as("weight"))
+  }
+
   /** Word k-shingles of the normalized text, distinct per document.
     * Pure column ops: split → sliding window via transform over an
     * index sequence → distinct.

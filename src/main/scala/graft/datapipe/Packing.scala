@@ -189,4 +189,102 @@ object ShuffleOrder {
         lit(1L).as("v")))
       .select(col("k2").as("doc_id"), col("start").as("shuffle_rank"))
   }
+
+  /** Source-interleaved epoch order: a [[shuffleRank]] that ALSO
+    * anti-clumps sources — round-robin across sources by each
+    * document's pseudorandom within-source rank, so consecutive
+    * training positions cycle through the mixture instead of
+    * serving one source's contiguous block (the gradient-noise
+    * smoothing argument behind every interleaved data loader).
+    * Position r·S + s holds source s's r-th document (for the
+    * sources still having an r-th document).
+    *
+    * Scale shape: one shuffle keyed on source for the within-source
+    * window (a mega-source serializes its OWN rank pass — the
+    * documented escape hatch is the same per-source prefix-sum that
+    * [[shuffleRank]] uses globally), a broadcast of the
+    * source-dimension index, then the distributed prefix sum over
+    * (within_rank, src_idx) — no single-partition global window.
+    * The prefix-sum tuple encodes (src_idx, doc_id) in one long, so
+    * no corpus-scale join back; the id contract (doc_id < 2^40,
+    * src_idx < 2^20) fails loudly per row via raise_error.
+    */
+  def interleaveRank(docs: DataFrame, idCol: Column,
+                     sourceCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = lit(1L << 40)
+    val srcIdx = docs.select(sourceCol.as("source")).distinct()
+      .withColumn("src_idx",
+        (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
+    val wr = Window.partitionBy(col("source"))
+      .orderBy(col("hk").asc, col("doc_id").asc)
+    val ranked = docs
+      .select(idCol.cast("long").as("doc_id"), sourceCol.as("source"))
+      .withColumn("hk", TextAnalysis.md5Long60(
+        concat(lit("il:"), col("doc_id").cast("string"))))
+      .withColumn("within_rank",
+        (row_number().over(wr) - 1).cast("long"))
+      .join(broadcast(srcIdx), Seq("source"))
+    val guarded = ranked.withColumn("doc_ok",
+      when(col("doc_id") >= 0L && col("doc_id") < enc &&
+        col("src_idx") < lit(1L << 20), col("doc_id"))
+        .otherwise(raise_error(concat(lit("interleaveRank id contract: " +
+          "need 0 <= doc_id < 2^40 and src_idx < 2^20, got doc_id="),
+          col("doc_id").cast("string"), lit(" src_idx="),
+          col("src_idx").cast("string")))))
+    Packing.exclusivePrefixSum(
+      guarded.select(col("within_rank").as("k1"),
+        (col("src_idx") * enc + col("doc_ok")).as("k2"),
+        lit(1L).as("v")))
+      // decode with bit ops — `/` on longs is DOUBLE division in
+      // Spark SQL, which both loses exactness and breaks the long
+      // equi-join on src_idx
+      .select(col("k2").bitwiseAND(lit((1L << 40) - 1)).as("doc_id"),
+        shiftright(col("k2"), 40).as("src_idx"),
+        col("k1").as("within_rank"),
+        col("start").as("interleave_rank"))
+      .join(broadcast(srcIdx), Seq("src_idx"))
+      .select(col("doc_id"), col("source"), col("within_rank"),
+        col("interleave_rank"))
+  }
+
+  /** Token-balanced contiguous shard assignment — the writeout step
+    * after the epoch shuffle: split the shuffled token stream into
+    * `nShards` output files of near-equal token mass (every shard's
+    * mass is within one document of total/nShards), so downstream
+    * data-loader workers each stream one shard at the same pace.
+    * shard_id = floor(global_start · S / total) over the
+    * pseudorandom (md5) document order — pure integer arithmetic,
+    * reproducible on any engine and any cluster layout.
+    *
+    * Scale shape: the global offsets come from the SAME distributed
+    * prefix sum as [[shuffleRank]] (no single-partition window); the
+    * token total is one scalar aggregate broadcast back. Zero-token
+    * documents occupy no shard and are dropped (exactly
+    * [[Packing.packChunks]]' contract), which also guarantees
+    * global_start < total, so shard_id ∈ [0, nShards). Overflow
+    * contract: global_start · nShards must fit a long — fine up to
+    * ~9.2e18/total tokens shards (at 2.5e13 tokens ≈ 100 TB of text,
+    * ~360k shards).
+    */
+  def shardAssign(docs: DataFrame, idCol: Column, tokens: Column,
+                  nShards: Int): DataFrame = {
+    require(nShards >= 1, s"need a positive shard count, got $nShards")
+    val hkey = TextAnalysis.md5Long60(
+      concat(lit("sd:"), idCol.cast("string")))
+    val total = docs.select(tokens.cast("long").as("t"))
+      .filter(col("t") > 0)
+      .agg(sum(col("t")).as("total_tokens"))
+    Packing.exclusivePrefixSum(
+      docs.select(hkey.as("k1"), idCol.cast("long").as("k2"),
+        tokens.cast("long").as("v"))
+        .filter(col("v") > 0))
+      .select(col("k2").as("doc_id"), col("v").as("n_tokens"),
+        col("start").as("global_start"))
+      .crossJoin(broadcast(total))
+      // `div`, not `/`: long division in Spark SQL is DOUBLE division,
+      // which loses exactness past 2^53 token·shard products
+      .select(col("doc_id"), col("n_tokens"), col("global_start"),
+        expr(s"(global_start * $nShards) div total_tokens").as("shard_id"))
+  }
 }

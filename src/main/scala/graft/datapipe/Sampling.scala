@@ -266,8 +266,114 @@ object Sampling {
     val pTemp = col("na") / col("z").cast("double")
     powed.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"),
-        round(pRaw, 6).as("p_raw"),
+        // a pure integer ratio rounds via the engine-exact integer
+        // formulation (round(double, 6) flips on tie-region
+        // quotients — the r8/r9 corpus_stats red); p_temp/boost stay
+        // double-rounded because their operands are transcendental
+        // (the 8-dp na quantization makes those chains IEEE-identical)
+        graft.functions.ExactRound.ratio6(
+          col("n_docs"), col("n_total")).as("p_raw"),
         round(pTemp, 6).as("p_temp"),
         round(pTemp / pRaw, 6).as("boost"))
+  }
+
+  /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    * spread a global token budget as uniformly as possible across
+    * sources while never repeating any source more than `epochCap`
+    * epochs. The paper's greedy (ascending by size, give each source
+    * the uniform share of the remaining budget unless its epoch cap
+    * is smaller) is exactly water-filling, which has a closed form:
+    * every source gets min(cap_i, u) where cap_i = epochCap·n_i and
+    * the common level u spends the whole budget. That closed form is
+    * what runs here — no sequential pass, no driver loop:
+    *
+    *   sort sources ascending by cap; source i is capped iff
+    *     cap_i · (N − i + 1) ≤ B − Σ_{j<i} cap_j      (pure BIGINTs)
+    *   (the condition is prefix-monotone under the ascending order:
+    *    if it holds at i it holds at i−1, since B − cumcap_{i−2} =
+    *    B − cumcap_{i−1} + cap_{i−1} ≥ cap_i(N−i+1) + cap_{i−1} ≥
+    *    cap_{i−1}(N−i+2) — so the greedy and the closed form agree,
+    *    and SamplingUnimaxSpec replays the greedy to pin it)
+    *   u = (B − Σ_capped cap_j) / (#uncapped)
+    *
+    * The budget defaults to the corpus' own token total (scale-free:
+    * meaningful at any SF). Everything up to the two emitted ratios
+    * is exact integer arithmetic; the ratios round via the
+    * engine-exact integer formulation ([[graft.functions.ExactRound]]).
+    *
+    * Scale: one count shuffle over sources; the windows run over the
+    * source-count-sized aggregate (never the corpus), so the
+    * single-partition window is bounded by the source dimension.
+    */
+  def unimaxAllocation(df: DataFrame, stratum: Column, tokens: Column,
+                       epochCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epochCap >= 1, s"epoch cap must be >= 1, got $epochCap")
+    val counts = df.groupBy(stratum.as("source"))
+      .agg(sum(tokens).cast("bigint").as("n_tokens"))
+    val tot = counts.agg(sum(col("n_tokens")).as("budget"),
+      count(lit(1)).as("n_sources"))
+    val ord = Window.orderBy(col("cap").asc, col("source").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    val ranked = counts
+      .withColumn("cap", col("n_tokens") * epochCap)
+      .crossJoin(broadcast(tot))
+      .withColumn("idx", row_number().over(
+        Window.orderBy(col("cap").asc, col("source").asc)))
+      .withColumn("cumcap", sum(col("cap")).over(ord))
+      .withColumn("capped",
+        col("cap") * (col("n_sources") - col("idx") + 1) <=
+          col("budget") - (col("cumcap") - col("cap")))
+    val level = ranked
+      .withColumn("n_capped",
+        sum(when(col("capped"), 1L).otherwise(0L)).over(all))
+      .withColumn("cap_mass",
+        sum(when(col("capped"), col("cap")).otherwise(0L)).over(all))
+    level.select(col("source"), col("n_tokens"), col("cap"), col("capped"),
+      when(col("capped"), col("cap").cast("double"))
+        .otherwise(graft.functions.ExactRound.ratio6(
+          col("budget") - col("cap_mass"),
+          col("n_sources") - col("n_capped"))).as("alloc_tokens"),
+      when(col("capped"), lit(epochCap.toDouble))
+        .otherwise(graft.functions.ExactRound.ratio6(
+          col("budget") - col("cap_mass"),
+          (col("n_sources") - col("n_capped")) * col("n_tokens")))
+        .as("epochs_used"))
+  }
+
+  /** Deterministic content-keyed train/validation/test split: the
+    * bucket is an md5 of the document's CONTENT fingerprint, not its
+    * id — so exact duplicates (re-ids, recrawls) always land in the
+    * SAME split and can never leak train text into eval. Stateless
+    * per-row projection: zero shuffles, streams unchanged, and the
+    * same document gets the same split on any cluster, any run, any
+    * engine. `trainPct`/`valPct` are integer percents; the rest is
+    * test.
+    */
+  def contentSplit(df: DataFrame, idCol: String, text: Column,
+                   trainPct: Int, valPct: Int): DataFrame = {
+    val fp = TextAnalysis.fingerprint(text)
+    val bucket = TextAnalysis.md5Long60(
+      concat(lit("split:"), fp.cast("string"))) % 100
+    df.select(col(idCol).as("doc_id"), fp.as("fingerprint"),
+      bucket.as("bucket"),
+      splitTag(text, trainPct, valPct).as("split"))
+  }
+
+  /** Just the split label of [[contentSplit]], as a column — for
+    * pipelines that tag the corpus in place (the split-hygiene audit
+    * composes this with the shuffled contamination score). Same
+    * content-keyed md5 bucket, same thresholds, zero shuffles.
+    */
+  def splitTag(text: Column, trainPct: Int, valPct: Int): Column = {
+    require(trainPct >= 1 && valPct >= 1 && trainPct + valPct <= 99,
+      s"need 1 <= trainPct, 1 <= valPct, trainPct+valPct <= 99; " +
+        s"got $trainPct/$valPct")
+    val bucket = TextAnalysis.md5Long60(concat(lit("split:"),
+      TextAnalysis.fingerprint(text).cast("string"))) % 100
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("validation"))
+      .otherwise(lit("test"))
   }
 }

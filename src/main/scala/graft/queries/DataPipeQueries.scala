@@ -635,6 +635,29 @@ object DataPipeQueries {
       SELECT doc_id, w, round(pow(u, 1.0 / w), 8) AS es_key
       FROM t ORDER BY es_key DESC, doc_id LIMIT 100"""))
 
+  /** Content-keyed 90/5/5 train/validation/test split
+    * ([[Sampling.contentSplit]]): the bucket hashes the CONTENT
+    * fingerprint, so exact duplicates co-assign and can never leak
+    * across splits. The oracle replays fingerprint, bucket, and the
+    * threshold CASE per document.
+    */
+  private val sampleSplit = QueryDef(
+    "sample_split",
+    (s, d) => Sampling.contentSplit(
+      Tables.documents(s, d), "doc_id", col("text"),
+      trainPct = 90, valPct = 5),
+    Some("""WITH f AS (SELECT doc_id,
+        ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fingerprint
+        FROM documents),
+      b AS (SELECT doc_id, fingerprint,
+        ('0x' || substr(md5('split:' || CAST(fingerprint AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        FROM f)
+      SELECT doc_id, fingerprint, bucket,
+        CASE WHEN bucket < 90 THEN 'train'
+             WHEN bucket < 95 THEN 'validation'
+             ELSE 'test' END AS split
+      FROM b"""))
+
   /** Gopher-style repetition quality metrics: duplicate 2-/3-gram
     * fractions (pure per-row expressions) plus the top token's share
     * (one tf-shaped aggregation). Fractions are exact integer counts
@@ -1615,6 +1638,39 @@ object DataPipeQueries {
       min(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups
       FROM documents GROUP BY 1"""))
 
+  /** Soft dedup ([[Dedup.softDedupWeights]]): down-weight duplicate
+    * content instead of dropping it. The corpus has no exact
+    * duplicates, so the entry plants them deterministically: every
+    * doc_id % 5 == 0 document gets an identical copy at id+2000000,
+    * every doc_id % 10 == 0 a second at id+3000000 — multiplicities
+    * 1, 2, and 3 all exercised. The oracle replays the planting, the
+    * fingerprint rollup, and the exact 1/n weight.
+    */
+  private val dedupSoftWeights = QueryDef(
+    "dedup_soft_weights",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+      Dedup.softDedupWeights(planted, "doc_id", col("text"))
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      f AS (SELECT doc_id,
+        ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp
+        FROM planted),
+      m AS (SELECT fp, COUNT(*) AS n_copies FROM f GROUP BY fp)
+      SELECT doc_id, n_copies,
+        ((2 * 1000000 + n_copies) // (2 * n_copies)) / 1000000.0 AS weight
+      FROM f JOIN m USING (fp)"""))
+
   /** The test corpus has no near-duplicates, so the near-dup queries
     * manufacture them deterministically: every document gets a twin
     * (doc_id + 1000000) with its last word dropped. Both engines
@@ -1891,6 +1947,72 @@ object DataPipeQueries {
       FROM common
       JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""))
+
+  /** Dedup threshold sweep — the tuning readout run before committing
+    * to a near-dup threshold: pair count and distinct-documents-
+    * involved at each candidate Jaccard cutoff, from ONE pass of the
+    * exact pair generator at the loosest threshold. The pair table is
+    * dup-pairs-sized (never the corpus), so the 5× threshold explode
+    * is bounded; thresholds with no qualifying pair still emit a zero
+    * row via the left join from the literal threshold dimension.
+    * Comparisons are IEEE-identical in both engines (exact integer
+    * quotients vs exact double literals), so the hash certifies the
+    * whole curve.
+    */
+  private val dedupThresholdCurve = QueryDef(
+    "dedup_threshold_curve",
+    (s, d) => {
+      import graft.datapipe.Staging.Staged
+      val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      val pairs = Dedup.ngramJaccardPairs(withTwins(s, d), "id", "text",
+        k = 3, threshold = 0.5).stage()
+      val perT = pairs
+        .select(explode(array(ts.map(lit): _*)).as("threshold"),
+          col("a_id"), col("b_id"), col("jaccard"))
+        .filter(col("jaccard") >= col("threshold"))
+        .stage()
+      val nPairs = perT.groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nDocs = perT
+        .select(col("threshold"),
+          explode(array(col("a_id"), col("b_id"))).as("id"))
+        .distinct()
+        .groupBy(col("threshold")).agg(count(lit(1)).as("n_dup_docs"))
+      val tdim = s.range(1)
+        .select(explode(array(ts.map(lit): _*)).as("threshold"))
+      tdim.join(nPairs, Seq("threshold"), "left")
+        .join(nDocs, Seq("threshold"), "left")
+        .select(col("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+    },
+    Some(s"""WITH $twinsSqlCte,
+      toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
+      sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+      common AS (SELECT x.id AS a_id, y.id AS b_id, COUNT(*) AS n_common
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+                 GROUP BY 1, 2),
+      pr AS (SELECT a_id, b_id,
+               CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+             FROM common
+             JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
+             WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+      tdim AS (SELECT CAST(t.threshold AS DOUBLE) AS threshold
+               FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) t(threshold)),
+      perT AS (SELECT t.threshold, p.a_id, p.b_id
+               FROM tdim t JOIN pr p ON p.jaccard >= t.threshold),
+      np AS (SELECT threshold, COUNT(*) AS n_pairs FROM perT GROUP BY 1),
+      nd AS (SELECT threshold, COUNT(*) AS n_dup_docs FROM
+               (SELECT DISTINCT threshold, id FROM
+                 (SELECT threshold, a_id AS id FROM perT
+                  UNION ALL SELECT threshold, b_id FROM perT))
+             GROUP BY 1)
+      SELECT t.threshold, COALESCE(np.n_pairs, 0) AS n_pairs,
+        COALESCE(nd.n_dup_docs, 0) AS n_dup_docs
+      FROM tdim t LEFT JOIN np USING (threshold)
+      LEFT JOIN nd USING (threshold)"""))
 
   /** LSH banding (32 bands × 2 rows) makes recall misses vanishingly
     * unlikely at the query threshold 0.8 — per-pair miss probability
@@ -2172,6 +2294,59 @@ object DataPipeQueries {
       LEFT JOIN sizes z ON d.doc_id = z.doc_id
       LEFT JOIN shared ON d.doc_id = shared.doc_id"""))
 
+  /** The split-hygiene audit a pretraining pipeline runs after
+    * carving train/validation/test: for every TRAIN document, the
+    * fraction of its shingles appearing anywhere in the held-out
+    * splits — [[Sampling.splitTag]] feeding
+    * [[Contamination.scoreShuffled]], the shuffle-join variant,
+    * because at 100 TB the held-out side is itself far past any
+    * broadcast or Bloom budget. Runs over the twins corpus so
+    * near-duplicates (different fingerprints → possibly different
+    * splits) create real cross-split leakage for the score to find.
+    * The oracle replays fingerprint, bucket, split CASE, shingle
+    * sets, and the join in one chain — the hash certifies the stage
+    * boundary.
+    */
+  private val e2eSplitDecontam = QueryDef(
+    "e2e_split_decontam",
+    (s, d) => {
+      import graft.datapipe.Staging.Staged
+      val tagged = withTwins(s, d)
+        .withColumn("split", Sampling.splitTag(col("text"), 90, 5))
+        .stage()
+      Contamination.scoreShuffled(
+        tagged.filter(col("split") === "train"),
+        tagged.filter(col("split") =!= "train"),
+        "id", "text", k = 3)
+    },
+    Some(s"""WITH $twinsSqlCte,
+      tag AS (SELECT id, text,
+        ('0x' || substr(md5('split:' || CAST(
+          ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
+          AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        FROM docs2),
+      sp AS (SELECT id, text,
+        CASE WHEN bucket < 90 THEN 'train'
+             WHEN bucket < 95 THEN 'validation'
+             ELSE 'test' END AS split FROM tag),
+      toks AS (SELECT id, split,
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM sp),
+      sh AS (SELECT DISTINCT id, split, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      b AS (SELECT DISTINCT shingle FROM sh WHERE split <> 'train'),
+      tr AS (SELECT id, shingle FROM sh WHERE split = 'train'),
+      sizes AS (SELECT id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
+      shared AS (SELECT tr.id, COUNT(*) AS n_shared
+                 FROM tr JOIN b USING (shingle) GROUP BY 1)
+      SELECT d.id AS doc_id, COALESCE(n_shared, 0) AS n_shared,
+        COALESCE(n_shingles, 0) AS n_shingles,
+        CASE WHEN COALESCE(n_shingles, 0) = 0 THEN NULL
+          ELSE CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_shingles END
+          AS contamination
+      FROM (SELECT id FROM sp WHERE split = 'train') d
+      LEFT JOIN sizes z ON d.id = z.id
+      LEFT JOIN shared ON d.id = shared.id"""))
+
   /** Span-level decontamination over PLANTED contamination: training
     * docs with doc_id % 5 == 1 get the first 10 normalized tokens of
     * a deterministically-chosen benchmark doc (id 17·((doc_id % 13)+1),
@@ -2420,11 +2595,107 @@ object DataPipeQueries {
       t AS (SELECT SUM(CAST(na AS DECIMAL(28,8))) AS z,
         SUM(n_docs) AS n_total FROM p)
       SELECT source, n_docs,
-        round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS p_raw,
+        ((2 * n_docs * 1000000 + n_total) // (2 * n_total)) / 1000000.0 AS p_raw,
         round(na / CAST(z AS DOUBLE), 6) AS p_temp,
         round((na / CAST(z AS DOUBLE)) /
           (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS boost
       FROM p, t"""))
+
+  /** UniMax token-budget allocation at epoch cap 2 over the corpus'
+    * own token total (scale-free budget): the closed-form
+    * water-filling in [[Sampling.unimaxAllocation]]. The oracle
+    * replays the ascending-cap ranking, the pure-BIGINT cappedness
+    * test, both full-frame mass windows, and the two engine-exact
+    * ratio roundings — the hash certifies every source's allocation
+    * and epoch count.
+    */
+  private val mixtureUnimax = QueryDef(
+    "mixture_unimax",
+    (s, d) => Sampling.unimaxAllocation(
+      Tables.documents(s, d), col("source"),
+      TextAnalysis.tokenCount(col("text")), epochCap = 2),
+    Some("""WITH c AS (SELECT source,
+        SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))::BIGINT AS n_tokens
+        FROM documents GROUP BY source),
+      t AS (SELECT SUM(n_tokens)::BIGINT AS budget, COUNT(*) AS n_sources FROM c),
+      r AS (SELECT source, n_tokens, n_tokens * 2 AS cap, budget, n_sources,
+          ROW_NUMBER() OVER (ORDER BY n_tokens * 2 ASC, source ASC) AS idx,
+          SUM(n_tokens * 2) OVER (ORDER BY n_tokens * 2 ASC, source ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumcap
+        FROM c, t),
+      f AS (SELECT *,
+          cap * (n_sources - idx + 1) <= budget - (cumcap - cap) AS capped
+        FROM r),
+      l AS (SELECT *,
+          SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()::BIGINT AS n_capped,
+          SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER ()::BIGINT AS cap_mass
+        FROM f)
+      SELECT source, n_tokens, cap, capped,
+        CASE WHEN capped THEN CAST(cap AS DOUBLE)
+             ELSE ((2 * (budget - cap_mass) * 1000000 + (n_sources - n_capped))
+               // (2 * (n_sources - n_capped))) / 1000000.0
+        END AS alloc_tokens,
+        CASE WHEN capped THEN 2.0
+             ELSE ((2 * (budget - cap_mass) * 1000000
+                 + (n_sources - n_capped) * n_tokens)
+               // (2 * (n_sources - n_capped) * n_tokens)) / 1000000.0
+        END AS epochs_used
+      FROM l"""))
+
+  /** The UniMax allocation driving an actual replication plan:
+    * [[Sampling.unimaxAllocation]]'s per-source epochs_used feeds
+    * [[Sampling.upsampleWeighted]] as the fractional replication
+    * weight — capped sources repeat exactly epochCap times, uncapped
+    * sources get the common water-level epoch count. The oracle
+    * replays the closed-form water-filling AND the md5-coin
+    * fractional replication in one chain, certifying the stage
+    * boundary the same way `e2e_mixture` does for temperature
+    * weights.
+    */
+  private val e2eUnimaxMixture = QueryDef(
+    "e2e_unimax_mixture",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val wts = Sampling.unimaxAllocation(
+        Tables.documents(s, d), col("source"),
+        TextAnalysis.tokenCount(col("text")), epochCap = 2)
+        .select(col("source"), col("epochs_used").as("boost"))
+      Sampling.upsampleWeighted(docs, col("doc_id"), col("source"), wts)
+    },
+    Some("""WITH c AS (SELECT source,
+        SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))::BIGINT AS n_tokens
+        FROM documents GROUP BY source),
+      t AS (SELECT SUM(n_tokens)::BIGINT AS budget, COUNT(*) AS n_sources FROM c),
+      r AS (SELECT source, n_tokens, n_tokens * 2 AS cap, budget, n_sources,
+          ROW_NUMBER() OVER (ORDER BY n_tokens * 2 ASC, source ASC) AS idx,
+          SUM(n_tokens * 2) OVER (ORDER BY n_tokens * 2 ASC, source ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumcap
+        FROM c, t),
+      f AS (SELECT *,
+          cap * (n_sources - idx + 1) <= budget - (cumcap - cap) AS capped
+        FROM r),
+      l AS (SELECT *,
+          SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()::BIGINT AS n_capped,
+          SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER ()::BIGINT AS cap_mass
+        FROM f),
+      wts AS (SELECT source,
+          CASE WHEN capped THEN 2.0
+               ELSE ((2 * (budget - cap_mass) * 1000000
+                   + (n_sources - n_capped) * n_tokens)
+                 // (2 * (n_sources - n_capped) * n_tokens)) / 1000000.0
+          END AS w
+        FROM l),
+      j AS (SELECT d.doc_id, d.source, w.w,
+        ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        FROM documents d JOIN wts w USING (source)),
+      n AS (SELECT doc_id, source,
+        CAST(FLOOR(w) AS BIGINT) +
+          CASE WHEN b < CAST(ROUND((w - FLOOR(w)) * 100) AS BIGINT)
+               THEN 1 ELSE 0 END AS n_copies
+        FROM j)
+      SELECT doc_id, source, u.copy
+      FROM n, UNNEST(generate_series(1::BIGINT, n_copies)) u(copy)
+      WHERE n_copies > 0"""))
 
   /** The composed mixture pipeline a pretraining run actually
     * executes: temperature-scaled source weights (α=0.7) drive
@@ -2651,6 +2922,84 @@ object DataPipeQueries {
         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
         doc_id) - 1 AS shuffle_rank
       FROM documents"""))
+
+  /** Token-balanced shard writeout ([[ShuffleOrder.shardAssign]]):
+    * 16 contiguous shards of near-equal token mass over the
+    * pseudorandom epoch order. The oracle replays the md5 order, the
+    * exclusive token cumsum the distributed prefix sum materializes,
+    * and the pure-integer floor(start·S/total) boundary rule — the
+    * hash certifies every document's shard.
+    */
+  private val shardAssign = QueryDef(
+    "shard_assign",
+    (s, d) => graft.datapipe.ShuffleOrder.shardAssign(
+      Tables.documents(s, d), col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), nShards = 16),
+    Some("""WITH t AS (SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        ('0x' || substr(md5('sd:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+        FROM documents),
+      f AS (SELECT * FROM t WHERE n_tokens > 0),
+      c AS (SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY hk, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          AS global_start,
+        SUM(n_tokens) OVER ()::BIGINT AS total FROM f)
+      SELECT doc_id, n_tokens, global_start,
+        (global_start * 16) // total AS shard_id
+      FROM c"""))
+
+  /** The shard writeout's observability readout (the `dedup_stats`
+    * analogue for T89): per-shard document count, token mass, and
+    * start offset — what a training job's manifest records per output
+    * file. One bounded aggregation (16 groups) over the certified
+    * shard assignment; the hash re-certifies the boundary rule from
+    * the aggregate side.
+    */
+  private val shardManifest = QueryDef(
+    "shard_manifest",
+    (s, d) => graft.datapipe.ShuffleOrder.shardAssign(
+      Tables.documents(s, d), col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), nShards = 16)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("global_start")).as("start_offset")),
+    Some("""WITH t AS (SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        ('0x' || substr(md5('sd:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+        FROM documents),
+      f AS (SELECT * FROM t WHERE n_tokens > 0),
+      c AS (SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY hk, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          AS global_start,
+        SUM(n_tokens) OVER ()::BIGINT AS total FROM f)
+      SELECT (global_start * 16) // total AS shard_id,
+        COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS n_tokens,
+        MIN(global_start) AS start_offset
+      FROM c GROUP BY 1"""))
+
+  /** Source-interleaved epoch order ([[ShuffleOrder.interleaveRank]]):
+    * round-robin across sources by pseudorandom within-source rank,
+    * so training positions cycle through the mixture. The oracle
+    * replays the md5 within-source ranking, the name-ordered source
+    * index, and the global (within_rank, src_idx) ordering the
+    * distributed prefix sum materializes.
+    */
+  private val shuffleInterleave = QueryDef(
+    "shuffle_interleave",
+    (s, d) => graft.datapipe.ShuffleOrder.interleaveRank(
+      Tables.documents(s, d), col("doc_id"), col("source")),
+    Some("""WITH r AS (SELECT doc_id, source,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+          ('0x' || substr(md5('il:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+          doc_id) - 1 AS within_rank,
+        DENSE_RANK() OVER (ORDER BY source) - 1 AS src_idx
+        FROM documents)
+      SELECT doc_id, source, within_rank,
+        ROW_NUMBER() OVER (ORDER BY within_rank, src_idx) - 1
+          AS interleave_rank
+      FROM r"""))
 
   /** The training-data flow end-to-end as ONE oracle-checked query:
     * minhash near-dedup keeps one doc per cluster, benchmark-overlap
@@ -2926,16 +3275,19 @@ object DataPipeQueries {
     bpeMerges, bpeEncode, bpeFertility,
     wordPieceVocab, wordPieceEncode, unigramEncode,
     dedupStats,
-    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
+    dedupExact, dedupNgramJaccard, dedupThresholdCurve,
+    dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupClusterSizes, dedupKeepOne, dedupCdcChunks,
     dedupIncremental,
     dedupLines, corpusDiff,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
     packChunks, packLengthBuckets, sourceOverlap,
-    decontaminate, decontaminateSpans,
+    decontaminate, decontaminateSpans, e2eSplitDecontam,
     decontaminateTrim, decontaminateBloom, dedupBloomSeen,
-    mixtureUpsample, mixtureTemperature, corpusReport,
-    e2eMixture, e2eTokenMixture, e2eTrainPrep, chunkSliding, shuffleRank,
+    mixtureUpsample, mixtureTemperature, mixtureUnimax, corpusReport,
+    sampleSplit, dedupSoftWeights, shuffleInterleave,
+    e2eMixture, e2eTokenMixture, e2eUnimaxMixture, e2eTrainPrep,
+    chunkSliding, shuffleRank, shardAssign, shardManifest,
     textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration,
     e2eStreamGate)
 }

@@ -82,6 +82,118 @@ class RoundTenPlanSpec extends SparkSpec {
       "a range-exchange would mean a full corpus sort")
   }
 
+  test("sample_split: one stateless codegen'd projection — zero " +
+    "exchanges, zero windows") {
+    val p = plan("sample_split")
+    assert(!p.contains("Exchange"), s"split must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Window"))
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1)
+  }
+
+  test("dedup_soft_weights: the fp rollup joins back as an equi-join, " +
+    "never a window or cartesian") {
+    val p = plan("dedup_soft_weights")
+    assert(!p.contains("Window"),
+      "multiplicity must come from an aggregate, not a corpus window")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on fp; plan:\n${p.take(2000)}")
+  }
+
+  test("mixture_unimax: windows run over the source-dimension " +
+    "aggregate, never the corpus") {
+    val p = plan("mixture_unimax")
+    // the ONE corpus-scale shuffle is the per-source count...
+    assert(p.contains("hashpartitioning(source"),
+      "token totals must aggregate by source")
+    // ...and every single-partition exchange sits ABOVE that
+    // aggregation (dimension-sized input), pinned by plan order
+    val aggIdx = p.indexOf("HashAggregate")
+    val spIdx = p.indexOf("Exchange SinglePartition")
+    assert(spIdx >= 0 && aggIdx >= 0 && spIdx < aggIdx,
+      s"single-partition exchange must consume the aggregate; " +
+        s"plan:\n${p.take(2500)}")
+  }
+
+  test("shuffle_interleave: bit-decode from the prefix sum + " +
+    "broadcast source dimension — no corpus join-back, no corpus window") {
+    val p = plan("shuffle_interleave")
+    assert(p.contains("shiftright"),
+      "src_idx must decode with bit ops, not a join back to the corpus")
+    assert(p.contains("BroadcastExchange"),
+      "the source dimension must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no shuffled corpus-scale join in the decode stage")
+    // any window in THIS plan is over the distinct-source dimension;
+    // the corpus-scale ranking happened inside the materialized
+    // prefix sum, partitioned by source
+    assert(p.contains("Scan[obj") || p.contains("ExistingRDD"),
+      "the order must materialize via the distributed prefix sum")
+  }
+
+  test("shard_assign: offsets via the distributed prefix sum (no " +
+    "corpus window), total broadcast back as one row") {
+    val p = plan("shard_assign")
+    assert(!p.contains("Window"),
+      "the cumsum must come from the prefix sum, not a window")
+    assert(p.contains("Scan[obj") || p.contains("ExistingRDD"),
+      "offsets must materialize via the distributed prefix sum")
+    assert(p.contains("BroadcastExchange"),
+      "the token total is a one-row broadcast, never a shuffle join")
+  }
+
+  test("e2e_unimax_mixture: allocation windows over the source " +
+    "dimension only; weights broadcast into the corpus join") {
+    val p = plan("e2e_unimax_mixture")
+    val spIdx = p.indexOf("Exchange SinglePartition")
+    assert(spIdx >= 0 && p.indexOf("HashAggregate", spIdx) > spIdx,
+      "single-partition exchanges must consume the per-source " +
+        "aggregate (a HashAggregate below them in the tree)")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-source weight table must broadcast into the corpus scan")
+    assert(p.contains("Generate"),
+      "replication is a generator, not a join fan-out")
+  }
+
+  test("dedup_threshold_curve: curve aggregates run over the staged " +
+    "pair table — no cartesian threshold join, no re-run of the " +
+    "pair generator per threshold") {
+    val p = plan("dedup_threshold_curve")
+    assert(!p.contains("CartesianProduct"),
+      "thresholds must explode over pairs, not theta-join")
+    assert(p.contains("InMemoryTableScan"),
+      "the pair table must be staged once and reused")
+    // both fan-outs are generators over the staged tables (threshold
+    // explode + pair-endpoint explode), never joins
+    assert(p.linesIterator.count(_.contains("Generate explode")) >= 2,
+      s"curve fan-out must be generators over staged tables:\n${p.take(2000)}")
+  }
+
+  test("shard_manifest: one bounded aggregation over the assignment — " +
+    "no window, no extra corpus pass") {
+    val p = plan("shard_manifest")
+    assert(!p.contains("Window"))
+    assert(p.contains("Scan[obj") || p.contains("ExistingRDD"),
+      "the manifest must ride the materialized prefix sum")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      p.contains("HashAggregate"),
+      "per-shard rollup must partial-aggregate map-side")
+  }
+
+  test("e2e_split_decontam: both sides shuffle on the shingle hash " +
+    "into a shuffled hash join — never a broadcast of a corpus-scale " +
+    "reference set") {
+    val p = plan("e2e_split_decontam")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the contamination probe must be a co-partitioned hash join:\n" +
+        p.take(2000))
+    assert(!p.contains("BroadcastHashJoin"),
+      "no corpus-scale broadcast anywhere in the audit")
+    assert(p.contains("InMemoryTableScan"),
+      "the tagged corpus must be staged once and read by both splits")
+  }
+
   test("q2/q3 bucketed p95: aggregation state is one count per bucket " +
     "(HashAggregate strictly below the window), no exact percentile") {
     for (name <- Seq("q2_p95_verification", "q3_p95_resolution")) {

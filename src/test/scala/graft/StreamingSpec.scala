@@ -964,4 +964,32 @@ class StreamingSpec extends SparkSpec {
     assert(tsla.length === 1 && tsla.head.isNullAt(0),
       "unmatched trade emits exactly one null-enriched row")
   }
+
+  test("content split tags a stream identically to the batch assignment") {
+    // contentSplit is one stateless projection, so it must stream
+    // UNCHANGED — same fingerprint, bucket, and split per document,
+    // with identical content co-assigned across batch and stream (the
+    // no-leakage contract survives ingestion mode)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.Sampling
+    val texts = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "alpha beta gamma"), (4L, "zeta"), (5L, "eta theta iota"))
+    val batchDf = texts.toDF("doc_id", "text")
+    def read(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val in = MemoryStream[(Long, String)]
+    val q = Sampling.contentSplit(in.toDF().toDF("doc_id", "text"),
+        "doc_id", col("text"), trainPct = 90, valPct = 5)
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = read(spark.table("split_stream").collect())
+    val batch = read(Sampling.contentSplit(batchDf, "doc_id", col("text"),
+      trainPct = 90, valPct = 5).collect())
+    assert(streamed === batch)
+    assert(streamed(1L) === streamed(3L),
+      "identical content must co-assign on the stream too")
+  }
 }
