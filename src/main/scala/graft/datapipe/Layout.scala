@@ -84,4 +84,24 @@ object Layout {
     zOrderKey(df, cols, bits)
       .repartitionByRange(numPartitions, col("zkey"))
       .sortWithinPartitions(col("zkey"))
+
+  /** The shard writeout sink: materialize a training corpus as one
+    * parquet directory per shard (`<shardCol>=<id>/`), each shard's
+    * rows sorted by `sortCols` (the epoch order key) so a data-loader
+    * worker streams its shard in training order with zero seeks.
+    * Feed [[ShuffleOrder.shardAssign]]'s output (joined back to the
+    * payload on doc_id) with sortCols = global_start.
+    *
+    * Scale shape: ONE hash exchange on the shard id, then a
+    * partition-local sort — no global sort, and `partitionBy` emits
+    * exactly one file per (shard, task) pair; because the exchange
+    * keys on the shard id, that is one file per shard. A hot shard
+    * cannot arise by construction (shardAssign bounds every shard's
+    * mass within one document of total/S).
+    */
+  def writeSharded(df: DataFrame, path: String, shardCol: String,
+                   sortCols: Seq[Column]): Unit =
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol) +: sortCols: _*)
+      .write.partitionBy(shardCol).mode("overwrite").parquet(path)
 }

@@ -195,6 +195,42 @@ object DataPipeQueries {
         CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces
       FROM documents d LEFT JOIN wagg a USING (doc_id)"""))
 
+  /** Per-source WordPiece fertility — the tokenizer-coverage readout
+    * a mixture owner checks before committing to a vocab (a source
+    * whose fertility spikes is under-served by the vocabulary and
+    * will eat a disproportionate token budget). One bounded rollup
+    * over the certified encode counts; the ratio uses the
+    * engine-exact integer rounding.
+    */
+  private val wordPieceCoverage = QueryDef(
+    "wordpiece_coverage",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.datapipe.WordPiece.encodeCounts(docs, "doc_id", "text",
+        maxPieceLen = 4, topV = 120)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"))
+        .select(col("source"), col("n_words"), col("n_pieces"),
+          exactRatio6(col("n_pieces"), col("n_words")).as("fertility"))
+    },
+    Some(s"""WITH $wordPieceCtes,
+      wctok AS (SELECT doc_id, u.t AS w FROM wtok, UNNEST(w) u(t)),
+      wagg AS (SELECT c.doc_id, COUNT(*) AS n_words,
+          CAST(SUM(e.n) AS BIGINT) AS n_pieces
+        FROM wctok c JOIN wg16 e USING (w) GROUP BY c.doc_id),
+      per AS (SELECT d.doc_id, d.source,
+          COALESCE(a.n_words, 0) AS n_words,
+          COALESCE(a.n_pieces, 0) AS n_pieces
+        FROM documents d LEFT JOIN wagg a USING (doc_id)),
+      src AS (SELECT source, SUM(n_words)::BIGINT AS n_words,
+          SUM(n_pieces)::BIGINT AS n_pieces FROM per GROUP BY source)
+      SELECT source, n_words, n_pieces,
+        ((2 * n_pieces * 1000000 + n_words) // (2 * n_words)) / 1000000.0
+          AS fertility
+      FROM src"""))
+
   /** Unigram-LM (SentencePiece-family) Viterbi encoding under the
     * frequency-seeded maxPieceLen=2 model: per doc, word count,
     * Viterbi piece count, and the exact-decimal segmentation score.
@@ -3273,7 +3309,7 @@ object DataPipeQueries {
     sampleImportanceSoft, sampleTokenBudget, samplePplBuckets,
     sampleWeighted,
     bpeMerges, bpeEncode, bpeFertility,
-    wordPieceVocab, wordPieceEncode, unigramEncode,
+    wordPieceVocab, wordPieceEncode, wordPieceCoverage, unigramEncode,
     dedupStats,
     dedupExact, dedupNgramJaccard, dedupThresholdCurve,
     dedupMinhashLsh, dedupSimhash,

@@ -82,6 +82,58 @@ object SimilarityQueries {
         FROM scored)
       SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
 
+  /** ANN quality certification: per-query recall@5 of the IVF index
+    * against the brute-force ground truth — THE readout that decides
+    * whether an approximate index is usable before pointing it at the
+    * corpus. Pure composition of the two certified top-k operators;
+    * the join is query-set-bounded (never corpus-scale), and the
+    * recall ratio uses the engine-exact integer rounding. The oracle
+    * replays BOTH ranking chains and the hit join, so the hash
+    * certifies the measurement itself.
+    */
+  private val simIvfRecall = QueryDef(
+    "sim_ivf_recall",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("emb").as("q_emb"))
+      val exact = Similarity.bruteForceTopK(
+        e, q.select(col("q_id"), col("q_emb")), 5)
+        .select(col("q_id"), col("vec_id"))
+      val approx = Similarity.ivfTopK(e, q, 5)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"), col("k"),
+          graft.functions.ExactRound.ratio6(col("n_hits"), col("k"))
+            .as("recall"))
+    },
+    Some(s"""WITH $embSqlCte,
+      q AS MATERIALIZED (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+            FROM e WHERE vec_id < 10),
+      bs AS MATERIALIZED (SELECT q_id, vec_id,
+          round(list_cosine_similarity(q_emb, emb), 4) AS score
+        FROM q, e WHERE vec_id <> q_id),
+      br AS (SELECT q_id, vec_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
+        FROM bs),
+      exact AS (SELECT q_id, vec_id FROM br WHERE rnk <= 5),
+      sc AS MATERIALIZED (SELECT q_id, vec_id,
+          round(list_cosine_similarity(q_emb, emb), 4) AS score
+        FROM q JOIN e ON label = q_label AND vec_id <> q_id),
+      ir AS (SELECT q_id, vec_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
+        FROM sc),
+      approx AS (SELECT q_id, vec_id FROM ir WHERE rnk <= 5)
+      SELECT x.q_id, COUNT(a.vec_id) AS n_hits, COUNT(*) AS k,
+        ((2 * COUNT(a.vec_id) * 1000000 + COUNT(*)) // (2 * COUNT(*)))
+          / 1000000.0 AS recall
+      FROM exact x LEFT JOIN approx a
+        ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+      GROUP BY x.q_id"""))
+
   /** The corpus has no true near-dup embeddings, so inject exact
     * twins (vec_id + 1000000) and find them back.
     */
@@ -896,7 +948,8 @@ object SimilarityQueries {
         JOIN qw ON d.doc_id = qw.doc_id"""))
 
   val defs: Seq[QueryDef] =
-    Seq(simBruteForce, simIvf, simIvfPruned, simIvfKmeans, simKnnGraph,
+    Seq(simBruteForce, simIvf, simIvfPruned, simIvfRecall, simIvfKmeans,
+      simKnnGraph,
       simKnnDensity, simGraphPagerank, simSq8, simRpTopK, simPq,
       simIvfPq, dedupEmbedding, dedupSemantic, sampleClusterCap,
       multimodalDecode, multimodalFeatures, multimodalFrames,

@@ -45,6 +45,38 @@ class WriteLayoutSpec extends SparkSpec {
       fromJson("event_type") =!= base("event_type")).count() === 0)
   }
 
+  test("sharded writeout: one directory and one file per shard, " +
+    "rows intact, and each file stores its shard in epoch order") {
+    import graft.datapipe.{Layout, ShuffleOrder, TextAnalysis}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val assigned = ShuffleOrder.shardAssign(docs, col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), nShards = 4)
+    val payload = assigned.join(docs.select(col("doc_id"), col("source")),
+      Seq("doc_id"))
+    val dir = Files.createTempDirectory("graft-shards").toString
+    Layout.writeSharded(payload, dir, "shard_id",
+      Seq(col("global_start")))
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+    assert(dirs.toSeq === (0 until 4).map(i => s"shard_id=$i"))
+    // one data file per shard — the one-exchange-one-file contract
+    for (sd <- dirs) {
+      val files = new java.io.File(s"$dir/$sd").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"$sd has ${files.length} files")
+      // within the file, rows are stored in epoch order
+      val starts = spark.read.parquet(files.head.toString)
+        .select("global_start").collect().map(_.getLong(0))
+      assert(starts.toSeq === starts.sorted.toSeq, s"$sd out of order")
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() === payload.count())
+    // partition column round-trips the assignment exactly
+    val mismatch = back.select(col("doc_id"), col("shard_id").cast("long"))
+      .exceptAll(payload.select(col("doc_id"), col("shard_id")))
+    assert(mismatch.isEmpty)
+  }
+
   test("ORC round-trips the full events table including timestamps") {
     val dir = Files.createTempDirectory("graft-orc").toString
     events.write.mode("overwrite").orc(dir)
