@@ -671,6 +671,71 @@ object DataPipeQueries {
       SELECT doc_id, w, round(pow(u, 1.0 / w), 8) AS es_key
       FROM t ORDER BY es_key DESC, doc_id LIMIT 100"""))
 
+  /** The weighted corpus selection a pretraining run actually
+    * executes, as ONE certified chain: soft-dedup weights (each
+    * distinct content contributes one unit of mass however often it
+    * was crawled) × a quality factor (the certified stopword-ratio
+    * feature, shifted to [1,2]) feed an Efraimidis–Spirakis weighted
+    * 100-draw without replacement. Duplicates planted at doc_id%5
+    * give the soft weights real work. Every stage is the
+    * engine-exact formulation of an already-certified operator
+    * (T87 × T9 → T84), so the oracle replays fingerprint rollup,
+    * exact ratios, the md5 uniform, the u^(1/w) key at 8 dp, and
+    * the cut — the hash certifies all three stage boundaries.
+    *
+    * Scale: the only corpus shuffles are the fingerprint rollup and
+    * the doc_id join of the two certified per-doc tables; the final
+    * selection is one distributed top-k (TakeOrderedAndProject).
+    */
+  private val e2eWeightedSelect = QueryDef(
+    "e2e_weighted_select",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val soft = Dedup.softDedupWeights(planted, "doc_id", col("text"))
+        .select(col("doc_id"), col("weight"))
+      val scored = planted.select(col("doc_id"),
+        (exactRatio6(TextAnalysis.stopwordCount(col("text")),
+          TextAnalysis.tokenCount(col("text"))) + lit(1.0)).as("quality"))
+      val w = soft.join(scored, Seq("doc_id"))
+        .select(col("doc_id"), (col("weight") * col("quality")).as("w"))
+      val u = (TextAnalysis.md5Long60(concat(lit("ws2:"),
+        col("doc_id").cast("string"))) % 1000000000L + 1L)
+        .cast("double") / lit(1e9)
+      w.select(col("doc_id"), col("w"),
+          round(pow(u, lit(1.0) / col("w")), 8).as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id").asc)
+        .limit(100)
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      f AS (SELECT doc_id, text,
+        ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp
+        FROM planted),
+      m AS (SELECT fp, COUNT(*) AS n_copies FROM f GROUP BY fp),
+      soft AS (SELECT doc_id, text,
+        ((2 * 1000000 + n_copies) // (2 * n_copies)) / 1000000.0 AS sw
+        FROM f JOIN m USING (fp)),
+      sc AS (SELECT doc_id, sw,
+        ((2 * CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 1000000
+            + CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+          // (2 * CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))) / 1000000.0
+          + 1.0 AS quality
+        FROM soft),
+      w AS (SELECT doc_id, sw * quality AS w FROM sc),
+      t AS (SELECT doc_id, w,
+        round(pow(
+          (('0x' || substr(md5('ws2:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000000 + 1) / 1000000000.0,
+          1.0 / w), 8) AS es_key
+        FROM w)
+      SELECT doc_id, w, es_key FROM t
+      ORDER BY es_key DESC, doc_id LIMIT 100"""))
+
   /** Content-keyed 90/5/5 train/validation/test split
     * ([[Sampling.contentSplit]]): the bucket hashes the CONTENT
     * fingerprint, so exact duplicates co-assign and can never leak
@@ -3321,7 +3386,7 @@ object DataPipeQueries {
     decontaminate, decontaminateSpans, e2eSplitDecontam,
     decontaminateTrim, decontaminateBloom, dedupBloomSeen,
     mixtureUpsample, mixtureTemperature, mixtureUnimax, corpusReport,
-    sampleSplit, dedupSoftWeights, shuffleInterleave,
+    sampleSplit, dedupSoftWeights, shuffleInterleave, e2eWeightedSelect,
     e2eMixture, e2eTokenMixture, e2eUnimaxMixture, e2eTrainPrep,
     chunkSliding, shuffleRank, shardAssign, shardManifest,
     textRedact, e2eDataPipeline, e2eQualityGate, e2eCuration,

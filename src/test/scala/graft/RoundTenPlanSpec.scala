@@ -194,6 +194,18 @@ class RoundTenPlanSpec extends SparkSpec {
       "the tagged corpus must be staged once and read by both splits")
   }
 
+  test("e2e_weighted_select: the draw is one distributed top-k " +
+    "(TakeOrderedAndProject), never a global sort, and the doc_id " +
+    "join stays an equi-join") {
+    val p = plan("e2e_weighted_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection must be per-partition heaps + merge:\n${p.take(2000)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a range exchange would mean a full corpus sort")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q2/q3 bucketed p95: aggregation state is one count per bucket " +
     "(HashAggregate strictly below the window), no exact percentile") {
     for (name <- Seq("q2_p95_verification", "q3_p95_resolution")) {
