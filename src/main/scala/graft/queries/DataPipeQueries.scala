@@ -2175,6 +2175,64 @@ object DataPipeQueries {
       FROM code a JOIN code b ON a.id < b.id
       WHERE bit_count(xor(a.c, b.c)) <= 7"""))
 
+  /** Near-dup detector quality certification — the dedup analogue of
+    * `sim_ivf_recall`: precision/recall of the SimHash detector
+    * (hamming ≤ 7 over 60-bit codes) against the exact-Jaccard ≥ 0.8
+    * ground truth, on the twins corpus. One summary row; the pair
+    * join is dup-pairs-bounded; ratios engine-exact. The oracle
+    * replays BOTH detector chains (shingle sets shared in one CTE)
+    * and the full-outer hit join, so the hash certifies the
+    * measurement, not just the counts.
+    */
+  private val dedupPairQuality = QueryDef(
+    "dedup_pair_quality",
+    (s, d) => {
+      val truth = Dedup.ngramJaccardPairs(withTwins(s, d), "id", "text",
+        k = 3, threshold = 0.8)
+        .select(col("a_id"), col("b_id"), lit(1).as("t"))
+      val found = Dedup.simhashPairs(withTwins(s, d), "id", "text",
+        k = 3, bands = 8, maxHamming = 7,
+        hashPipeline = (t, kk) => Dedup.shingleHashesPortable(Dedup.shingles(t, kk)))
+        .select(col("a_id"), col("b_id"), lit(1).as("f"))
+      truth.join(found, Seq("a_id", "b_id"), "full_outer")
+        .agg(count(col("t")).as("n_truth"), count(col("f")).as("n_found"),
+          count(when(col("t").isNotNull && col("f").isNotNull, 1))
+            .as("n_hit"))
+        .select(col("n_truth"), col("n_found"), col("n_hit"),
+          graft.functions.ExactRound.ratio6(col("n_hit"), col("n_found"))
+            .as("precision"),
+          graft.functions.ExactRound.ratio6(col("n_hit"), col("n_truth"))
+            .as("recall"))
+    },
+    Some(s"""WITH $twinsSqlCte,
+      toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
+      sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+      common AS (SELECT x.id AS a_id, y.id AS b_id, COUNT(*) AS n_common
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+                 GROUP BY 1, 2),
+      truth AS (SELECT a_id, b_id FROM common
+                JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
+                WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
+      th AS (SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+      votes AS (SELECT id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM th, UNNEST(generate_series(0, 59)) AS t(b) GROUP BY 1, 2),
+      code AS (SELECT id, COALESCE(SUM(CASE WHEN v > 0 THEN 1::BIGINT << b END), 0) AS c
+               FROM votes GROUP BY 1),
+      found AS (SELECT a.id AS a_id, b.id AS b_id
+                FROM code a JOIN code b ON a.id < b.id
+                WHERE bit_count(xor(a.c, b.c)) <= 7),
+      j AS (SELECT COUNT(t.a_id) AS n_truth, COUNT(f.a_id) AS n_found,
+              COUNT(CASE WHEN t.a_id IS NOT NULL AND f.a_id IS NOT NULL
+                    THEN 1 END) AS n_hit
+            FROM truth t FULL OUTER JOIN found f
+              ON t.a_id = f.a_id AND t.b_id = f.b_id)
+      SELECT n_truth, n_found, n_hit,
+        ((2 * n_hit * 1000000 + n_found) // (2 * n_found)) / 1000000.0 AS precision,
+        ((2 * n_hit * 1000000 + n_truth) // (2 * n_truth)) / 1000000.0 AS recall
+      FROM j"""))
+
   /** Content-defined chunking for passage-level dedup: the chunk
     * BOUNDARIES come from a rolling hash (not SQL-expressible), so
     * the oracle checks the invariant it can — per-document chunk
@@ -3376,7 +3434,7 @@ object DataPipeQueries {
     bpeMerges, bpeEncode, bpeFertility,
     wordPieceVocab, wordPieceEncode, wordPieceCoverage, unigramEncode,
     dedupStats,
-    dedupExact, dedupNgramJaccard, dedupThresholdCurve,
+    dedupExact, dedupNgramJaccard, dedupThresholdCurve, dedupPairQuality,
     dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupClusterSizes, dedupKeepOne, dedupCdcChunks,
     dedupIncremental,
