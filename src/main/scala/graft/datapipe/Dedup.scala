@@ -462,6 +462,46 @@ object Dedup {
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
+  /** Boilerplate-density readout — the line-frequency analysis that
+    * motivates [[dedupLines]] (CCNet §3 removes lines seen in many
+    * pages; this is the measurement side): per document, how many of
+    * its lines are "common" — their corpus document-frequency is at
+    * least `minDf` — and the exact common fraction. Run it before
+    * committing to the line-dedup threshold, like
+    * `dedup_threshold_curve` before near-dedup. Same tumbling
+    * `w`-token line convention as [[dedupLines]] (a newline corpus
+    * splits on newlines instead, machinery unchanged).
+    *
+    * Scale shape: lines build per-row (zero shuffle), df is one
+    * map-side-combinable groupBy on the 60-bit line hash over the
+    * DISTINCT (doc, hash) pairs, the join back keys on the same
+    * hash, and the readout is one per-doc aggregation. A boilerplate
+    * line's df-group is large but the aggregate state is one long —
+    * no skew surface; zero-token documents emit no row (they have no
+    * lines to measure).
+    */
+  def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int = 4, minDf: Int = 5): DataFrame = {
+    val toks = filter(split(TextAnalysis.normalize(col(textCol)), " "),
+      t => length(t) > 0)
+    val lines = docs.select(col(idCol).as("doc_id"), toks.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), ((size(col("w")) - 1) / w).cast("int")),
+          i => array_join(slice(col("w"), i * w + lit(1), lit(w)), " ")))
+        .as("line"))
+      .select(col("doc_id"), TextAnalysis.md5Long60(col("line")).as("lh"))
+    val df = lines.distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("df"))
+    lines.join(df, Seq("lh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_lines"), col("n_common"),
+        graft.functions.ExactRound.ratio6(col("n_common"), col("n_lines"))
+          .as("common_frac"))
+  }
+
   /** Content-addressed snapshot diff — the corpus-versioning readout
     * a periodically-recrawled training corpus ships with: which
     * content was added, removed, or carried over between two corpus

@@ -161,6 +161,28 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Plain text out of crawled HTML — the extraction step that feeds
+    * every text operator when the corpus arrives as web pages: strip
+    * tags, decode the five predefined XML entities plus nbsp
+    * (`&amp;` LAST, per the spec, so `&amp;lt;` correctly yields the
+    * literal text `&lt;`), collapse whitespace. Case is preserved
+    * (unlike [[normalize]] — extraction precedes, not replaces, the
+    * analysis normalization). One stateless codegen'd projection:
+    * zero shuffles, streams unchanged. Scope: tag stripping is the
+    * regex convention (no script/style content removal — a DOM-aware
+    * extractor plugs in at the same seam); the deterministic chain
+    * is what makes the operator certifiable engine-to-engine.
+    */
+  def stripHtml(html: Column): Column = {
+    val noTags = regexp_replace(html, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) {
+      case (c, (e, r)) => regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Corpus vocabulary: the `topN` most frequent normalized tokens
     * with their counts — the input a tokenizer trainer (BPE seed
     * vocab, subword frequency tables) consumes. One explode + one

@@ -1864,6 +1864,69 @@ object DataPipeQueries {
         COALESCE(agg.text_kept, '') AS text_kept
       FROM toks t LEFT JOIN agg USING (doc_id)"""))
 
+  /** Boilerplate-density readout ([[Dedup.boilerplateStats]]): per
+    * doc, how many of its 4-token lines have corpus document
+    * frequency ≥ 3 and the exact common fraction — the measurement
+    * run before committing to dedup_lines' removal threshold. The
+    * oracle replays line building, the distinct-doc df, and the
+    * exact ratio.
+    */
+  private val textBoilerplate = QueryDef(
+    "text_boilerplate",
+    (s, d) => Dedup.boilerplateStats(Tables.documents(s, d),
+      "doc_id", "text", w = 4, minDf = 3),
+    Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0) AS w
+        FROM documents),
+      ln AS (SELECT doc_id, CAST((i - 1) // 4 AS BIGINT) AS line_no,
+          string_agg(w[i], ' ' ORDER BY i) AS line
+        FROM toks, UNNEST(generate_series(1, len(w))) t(i)
+        GROUP BY doc_id, (i - 1) // 4),
+      lh AS (SELECT doc_id, line_no,
+          ('0x' || substr(md5(line), 1, 15))::BIGINT AS lh FROM ln),
+      df AS (SELECT lh, COUNT(*) AS df FROM
+             (SELECT DISTINCT doc_id, lh FROM lh) GROUP BY lh)
+      SELECT doc_id, COUNT(*) AS n_lines,
+        CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        ((2 * SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) * 1000000 + COUNT(*))
+          // (2 * COUNT(*))) / 1000000.0 AS common_frac
+      FROM lh JOIN df USING (lh)
+      GROUP BY doc_id"""))
+
+  /** HTML text extraction ([[TextAnalysis.stripHtml]]) over planted
+    * markup: every document is wrapped in deterministic HTML with
+    * attributes and entity escapes, and the extraction must recover
+    * the readable text — tag strip, entity decode (&amp; last),
+    * whitespace collapse — byte-for-byte in both engines. The doubly
+    * escaped `&amp;lt;3` exercises the decode ordering.
+    */
+  private val textExtractHtml = QueryDef(
+    "text_extract_html",
+    (s, d) => {
+      val html = concat(
+        lit("""<html><body><h1>Title</h1><p class="a" id='p1'>"""),
+        col("text"),
+        lit("""</p><br/><p>Tom &amp; Jerry &quot;love&quot; &amp;lt;3&nbsp;&#39;forever&#39;</p></body></html>"""))
+      Tables.documents(s, d).select(col("doc_id"),
+        length(html).cast("bigint").as("n_chars_html"),
+        TextAnalysis.stripHtml(html).as("text_extracted"))
+    },
+    Some("""WITH h AS (SELECT doc_id,
+        '<html><body><h1>Title</h1><p class="a" id=''p1''>' || text ||
+        '</p><br/><p>Tom &amp; Jerry &quot;love&quot; &amp;lt;3&nbsp;&#39;forever&#39;</p></body></html>'
+          AS html
+        FROM documents)
+      SELECT doc_id, CAST(length(html) AS BIGINT) AS n_chars_html,
+        trim(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(
+              regexp_replace(html, '<[^>]*>', ' ', 'g'),
+            '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+            '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+          '\s+', ' ', 'g')) AS text_extracted
+      FROM h"""))
+
   /** Content-addressed snapshot diff between two id-slice "corpus
     * versions" (old = doc_id%4≠0, new = doc_id%4≠3, so all three
     * statuses fire: %4∈{1,2} unchanged, 3 removed, 0 added). The
@@ -3438,7 +3501,7 @@ object DataPipeQueries {
     dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupClusterSizes, dedupKeepOne, dedupCdcChunks,
     dedupIncremental,
-    dedupLines, corpusDiff,
+    dedupLines, textBoilerplate, textExtractHtml, corpusDiff,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
     packChunks, packLengthBuckets, sourceOverlap,
     decontaminate, decontaminateSpans, e2eSplitDecontam,

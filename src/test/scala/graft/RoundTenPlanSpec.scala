@@ -206,6 +206,23 @@ class RoundTenPlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("text_extract_html: one stateless codegen'd projection — " +
+    "zero exchanges") {
+    val p = plan("text_extract_html")
+    assert(!p.contains("Exchange"), s"extraction must not shuffle:\n${p.take(1500)}")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1)
+  }
+
+  test("text_boilerplate: df election and join key on the line hash, " +
+    "no window, no cartesian") {
+    val p = plan("text_boilerplate")
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("hashpartitioning(lh"),
+      s"df must shuffle on the 60-bit line hash:\n${p.take(2000)}")
+  }
+
   test("q2/q3 bucketed p95: aggregation state is one count per bucket " +
     "(HashAggregate strictly below the window), no exact percentile") {
     for (name <- Seq("q2_p95_verification", "q3_p95_resolution")) {
