@@ -161,6 +161,20 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Unicode NFC normalization — run before fingerprinting/dedup so
+    * the same visible text in composed vs decomposed encoding hashes
+    * identically (a crawled corpus mixes both freely). UDF justified
+    * per the engine's functions-over-UDFs rule: Spark has no built-in
+    * normalizer; the kernel is `java.text.Normalizer`, which applies
+    * the same Unicode normalization tables as any conformant engine
+    * (the oracle checks it byte-for-byte against DuckDB's
+    * nfc_normalize). Null-safe; stateless, streams unchanged.
+    */
+  val nfc: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
   /** Plain text out of crawled HTML — the extraction step that feeds
     * every text operator when the corpus arrives as web pages: strip
     * tags, decode the five predefined XML entities plus nbsp

@@ -1927,6 +1927,37 @@ object DataPipeQueries {
           '\s+', ' ', 'g')) AS text_extracted
       FROM h"""))
 
+  /** Unicode NFC normalization ([[TextAnalysis.nfc]]) over planted
+    * decomposed sequences (combining acute U+0301, diaeresis U+0308):
+    * the normalized text, codepoint counts before/after, and the
+    * composed-codepoint delta, certified byte-for-byte against
+    * DuckDB's nfc_normalize — two independent Unicode implementations
+    * agreeing on the same bytes IS the portability proof a dedup
+    * pipeline needs before hashing mixed-encoding crawls.
+    */
+  private val textNormalizeUnicode = QueryDef(
+    "text_normalize_unicode",
+    (s, d) => {
+      val planted = concat(col("text"), lit(" Café naïve"))
+      Tables.documents(s, d).select(col("doc_id"),
+        length(planted).cast("bigint").as("n_cp_raw"),
+        TextAnalysis.nfc(planted).as("text_nfc"))
+        .select(col("doc_id"), col("n_cp_raw"),
+          length(col("text_nfc")).cast("bigint").as("n_cp_nfc"),
+          (col("n_cp_raw") - length(col("text_nfc")).cast("bigint"))
+            .as("n_composed"),
+          col("text_nfc"))
+    },
+    Some("""WITH h AS (SELECT doc_id,
+        text || ' Cafe' || chr(769) || ' nai' || chr(776) || 've' AS raw
+        FROM documents)
+      SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_cp_raw,
+        CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_cp_nfc,
+        CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT)
+          AS n_composed,
+        nfc_normalize(raw) AS text_nfc
+      FROM h"""))
+
   /** Content-addressed snapshot diff between two id-slice "corpus
     * versions" (old = doc_id%4≠0, new = doc_id%4≠3, so all three
     * statuses fire: %4∈{1,2} unchanged, 3 removed, 0 added). The
@@ -3501,7 +3532,8 @@ object DataPipeQueries {
     dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupClusterSizes, dedupKeepOne, dedupCdcChunks,
     dedupIncremental,
-    dedupLines, textBoilerplate, textExtractHtml, corpusDiff,
+    dedupLines, textBoilerplate, textExtractHtml, textNormalizeUnicode,
+    corpusDiff,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
     packChunks, packLengthBuckets, sourceOverlap,
     decontaminate, decontaminateSpans, e2eSplitDecontam,

@@ -965,6 +965,37 @@ class StreamingSpec extends SparkSpec {
       "unmatched trade emits exactly one null-enriched row")
   }
 
+  test("HTML extraction and NFC normalization stream to the batch bytes") {
+    // both are stateless projections — the ingest-time cleanup chain
+    // (extract → normalize) must produce byte-identical output on a
+    // stream, including null text
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.TextAnalysis
+    val texts = Seq(
+      (1L, "<p>Tom &amp; Jerry</p>"),
+      (2L, "Café <b>naïve</b>&nbsp;x"),
+      (3L, null.asInstanceOf[String]))
+    def clean(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        TextAnalysis.nfc(TextAnalysis.stripHtml(col("text"))).as("t"))
+    def read(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getString(1))))
+      .toMap
+    val in = MemoryStream[(Long, String)]
+    val q = clean(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("clean_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = read(spark.table("clean_stream").collect())
+    val batch = read(clean(texts.toDF("doc_id", "text")).collect())
+    assert(streamed === batch)
+    assert(streamed(1L) === Some("Tom & Jerry"))
+    assert(streamed(2L) === Some("Café naïve x"))
+    assert(streamed(3L).isEmpty, "null text stays null through the chain")
+  }
+
   test("content split tags a stream identically to the batch assignment") {
     // contentSplit is one stateless projection, so it must stream
     // UNCHANGED — same fingerprint, bucket, and split per document,
