@@ -163,17 +163,15 @@ object TextAnalysis {
 
   /** Unicode NFC normalization — run before fingerprinting/dedup so
     * the same visible text in composed vs decomposed encoding hashes
-    * identically (a crawled corpus mixes both freely). UDF justified
-    * per the engine's functions-over-UDFs rule: Spark has no built-in
-    * normalizer; the kernel is `java.text.Normalizer`, which applies
-    * the same Unicode normalization tables as any conformant engine
-    * (the oracle checks it byte-for-byte against DuckDB's
-    * nfc_normalize). Null-safe; stateless, streams unchanged.
+    * identically (a crawled corpus mixes both freely). Spark has no
+    * built-in normalizer; this is the native codegen expression
+    * [[graft.functions.NfcNormalize]] (ASCII fast path, stays inside
+    * whole-stage codegen — no UDF closure), checked byte-for-byte
+    * against DuckDB's independent nfc_normalize by the oracle.
+    * Null-safe; stateless, streams unchanged.
     */
-  val nfc: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((s: String) =>
-      if (s == null) null
-      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  def nfc(text: Column): Column =
+    graft.functions.NfcNormalize.column(text)
 
   /** Plain text out of crawled HTML — the extraction step that feeds
     * every text operator when the corpus arrives as web pages: strip

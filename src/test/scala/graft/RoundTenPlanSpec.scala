@@ -223,6 +223,20 @@ class RoundTenPlanSpec extends SparkSpec {
       s"df must shuffle on the 60-bit line hash:\n${p.take(2000)}")
   }
 
+  test("text_normalize_unicode: NFC runs as a native codegen " +
+    "expression — no ScalaUDF, no BatchEvalPython, zero exchanges") {
+    val p = plan("text_normalize_unicode")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEval"),
+      s"nfc must be the native expression:\n${p.take(1500)}")
+    assert(p.contains("nfc_normalize"),
+      "the native expression must appear in the projection")
+    assert(!p.contains("Exchange"))
+    // executedPlan renders codegen stages as a `*(n)` prefix
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("nfc_normalize")),
+      s"the nfc projection must sit inside a codegen stage:\n${p.take(1500)}")
+  }
+
   test("q2/q3 bucketed p95: aggregation state is one count per bucket " +
     "(HashAggregate strictly below the window), no exact percentile") {
     for (name <- Seq("q2_p95_verification", "q3_p95_resolution")) {
