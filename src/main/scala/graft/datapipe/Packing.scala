@@ -164,6 +164,59 @@ object Packing {
         (least(col("start") + col("n"), (col("chunk_id") + 1) * capacity) -
           greatest(col("start"), col("chunk_id") * capacity)).as("n_tokens"))
   }
+
+  /** Packing-strategy efficiency readout: the padding-waste
+    * comparison between [[packChunks]] (concat-and-chunk — wastes
+    * only the final partial chunk) and [[lengthBuckets]]
+    * (per-sequence padding to the bucket width) on the same corpus —
+    * the number that decides which batch assembler a training run
+    * ships with. One row per strategy: bin count, total slot
+    * capacity, tokens actually carried, and the exact waste
+    * fraction.
+    *
+    * Contracts: concat-and-chunk counts the last chunk at full
+    * capacity (the assembler pads it); length-bucket counts only
+    * per-sequence padding (partial batches are NOT padded out to
+    * `batchSize` rows), and an over-length document truncates into
+    * the top bucket (used = min(n, bucket), the inference-batcher
+    * convention — [[lengthBuckets]]' `pad` floor already encodes
+    * it).
+    *
+    * Scale shape: rides the two certified operators unchanged; the
+    * chunk rollup is one partial-aggregated reduction to a single
+    * row (bins = max chunk id + 1 — no distinct expand over the
+    * chunk table), and the bucket rollup's distinct runs over
+    * (bucket, batch) pairs — corpus/batchSize cardinality, partial-
+    * aggregated. Waste fractions are the engine-exact integer
+    * rounding.
+    *
+    * Output: (strategy, n_bins, capacity_tokens, used_tokens,
+    * waste_frac).
+    */
+  def packEfficiency(docs: DataFrame, idCol: Column, nTokensCol: Column,
+                     capacity: Long, batchSize: Int): DataFrame = {
+    val ratio6 = graft.functions.ExactRound.ratio6 _
+    val cc = packChunks(docs, idCol, nTokensCol, capacity)
+      .agg((max(col("chunk_id")) + 1L).as("n_bins"),
+        sum(col("n_tokens")).as("used"))
+      .select(lit("concat_chunk").as("strategy"),
+        col("n_bins").cast("bigint").as("n_bins"),
+        (col("n_bins") * capacity).cast("bigint").as("capacity_tokens"),
+        col("used").cast("bigint").as("used_tokens"),
+        ratio6(col("n_bins") * capacity - col("used"),
+          col("n_bins") * capacity).as("waste_frac"))
+    val lb = lengthBuckets(docs, idCol, nTokensCol, batchSize)
+      .agg(countDistinct(col("bucket"), col("batch_id")).as("n_bins"),
+        sum(least(col("n_tokens"), col("bucket"))).as("used"),
+        sum(col("bucket")).as("cap"),
+        sum(col("pad")).as("padding"))
+      .select(lit("length_bucket").as("strategy"),
+        col("n_bins").cast("bigint").as("n_bins"),
+        col("cap").cast("bigint").as("capacity_tokens"),
+        col("used").cast("bigint").as("used_tokens"),
+        ratio6(col("padding"), col("cap")).as("waste_frac"))
+    cc.unionByName(lb)
+  }
 }
 
 /** Deterministic global training-order shuffle: every epoch pipeline

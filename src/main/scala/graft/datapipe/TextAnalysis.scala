@@ -507,4 +507,138 @@ object TextAnalysis {
       (topRun(toks).cast("double") / size(toks).cast("double"))
         .as("top_word_frac"))
   }
+
+  /** Per-document lexical-diversity readout: token/type/hapax counts
+    * and their exact ratios — type-token ratio (TTR, Templin 1957)
+    * and hapax fraction, the vocabulary-richness quality signals a
+    * filter stack reads next to [[repetition]] (low TTR = template /
+    * keyword-stuffed text even when entropy looks fine; hapax-heavy
+    * text is OCR noise or codes).
+    *
+    * Scale shape: ZERO shuffle — types come from `array_distinct`
+    * per row, and the hapax count is a run-length fold over the
+    * per-row SORTED token array (the same local-sort trick as
+    * [[entropy]]/[[repetition]]; an explode + groupBy(doc, token)
+    * would shuffle the whole token stream to compute a per-row
+    * number). Both ratios are the engine-exact integer rounding
+    * ([[graft.functions.ExactRound]]); a zero-token document keeps
+    * its row with NULL ratios.
+    *
+    * Output: (doc_id, n_tokens, n_types, n_hapax, ttr, hapax_frac).
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val w = filter(split(normalize(col(textCol)), " "),
+      t => length(t) > 0)
+    // hapax = tokens of multiplicity exactly 1: +1 when a new run
+    // opens, −1 the moment it reaches length 2, 0 on longer runs.
+    val hapax = aggregate(
+      sort_array(w),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("acc")),
+      (acc, x) => {
+        val same = x.eqNullSafe(acc.getField("prev"))
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + lit(1L)).otherwise(lit(1L))
+            .as("run"),
+          (acc.getField("acc") +
+            when(same && (acc.getField("run") === lit(1L)), lit(-1L))
+              .when(!same, lit(1L)).otherwise(lit(0L))).as("acc"))
+      },
+      acc => acc.getField("acc"))
+    val nTok = size(w).cast("bigint")
+    val nTyp = size(array_distinct(w)).cast("bigint")
+    val nHap = hapax.cast("bigint")
+    docs.select(col(idCol).as("doc_id"),
+      nTok.as("n_tokens"), nTyp.as("n_types"), nHap.as("n_hapax"),
+      graft.functions.ExactRound.ratio6(nTyp, nTok).as("ttr"),
+      graft.functions.ExactRound.ratio6(nHap, nTok).as("hapax_frac"))
+  }
+
+  /** Per-group Good–Turing unseen-vocabulary mass (Good 1953,
+    * doi:10.1093/biomet/40.3-4.237): P(next token is a NEW type)
+    * ≈ f₁/N — hapax count over total tokens. The readout that says
+    * whether a source's vocabulary is saturated (low p_unseen: safe
+    * to freeze the tokenizer) or still growing (high: more data will
+    * keep minting types) — read next to [[vocabulary]] and
+    * [[zipfSlope]] when sizing a tokenizer train set.
+    *
+    * Scale shape: one partial-aggregated (group, word) count shuffle
+    * over the token stream, then one group-sized rollup — the same
+    * two-stage shape as [[zipfSlope]], vocabulary-bounded state
+    * throughout. The emitted mass is the engine-exact integer
+    * rounding.
+    *
+    * Output: (group, n_tokens, n_types, n_hapax, p_unseen).
+    */
+  def goodTuring(docs: DataFrame, textCol: String,
+                 groupCol: String): DataFrame = {
+    val tk = docs.select(col(groupCol).as("grp"), explode(filter(
+      split(normalize(col(textCol)), " "), t => length(t) > 0)).as("t"))
+    tk.groupBy(col("grp"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("c") === 1L, 1)).as("n_hapax"))
+      .select(col("grp").as(groupCol),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        col("n_types"), col("n_hapax"),
+        graft.functions.ExactRound.ratio6(col("n_hapax"), col("n_tokens"))
+          .as("p_unseen"))
+  }
+
+  /** Population-stability-index drift between two corpus snapshots
+    * over the standard token-length buckets (16/32/64/128/256/512,
+    * the [[Packing.lengthBuckets]] chain): PSI = Σ (pᵃ−pᵇ)·ln(pᵃ/pᵇ)
+    * — the between-refresh distribution-shift gate (PSI < 0.1 stable
+    * / 0.1–0.25 drifting / > 0.25 investigate, the standard bands)
+    * a pipeline checks before retraining on a new crawl.
+    *
+    * Scale shape: two map-side-combinable histogram aggregations
+    * (state = six buckets each), then everything downstream runs on
+    * the six-row bucket dimension — totals come back as a one-row
+    * broadcast, never a global window.
+    *
+    * Portability: bucket shares are the engine-exact integer
+    * rounding; each PSI term is one sub/div/ln chain over those
+    * exact doubles rounded to 6 dp (ln is the only inexact surface,
+    * the [[zipfSlope]] convention); the total sums the 6-dp terms as
+    * scaled integers — exactly order-independent. A bucket empty on
+    * either side contributes a NULL term excluded from the total
+    * (the standard no-smoothing PSI convention, documented rather
+    * than hidden by an epsilon).
+    *
+    * Output: one row per bucket present in either snapshot —
+    * (bucket, n_a, n_b, p_a, p_b, psi_term, psi) with `psi` the
+    * corpus-level total repeated per row.
+    */
+  def lengthPsi(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def hist(df: DataFrame, nm: String): DataFrame = {
+      val n = tokenCount(col(textCol))
+      val bucket = when(n <= 16, 16L).when(n <= 32, 32L).when(n <= 64, 64L)
+        .when(n <= 128, 128L).when(n <= 256, 256L).otherwise(512L)
+      df.select(bucket.as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(nm))
+    }
+    val joined = hist(a, "n_a").join(hist(b, "n_b"), Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tots = joined.agg(sum(col("n_a")).as("tot_a"),
+      sum(col("n_b")).as("tot_b"))
+    val detail = joined.crossJoin(broadcast(tots))
+      .withColumn("p_a",
+        graft.functions.ExactRound.ratio6(col("n_a"), col("tot_a")))
+      .withColumn("p_b",
+        graft.functions.ExactRound.ratio6(col("n_b"), col("tot_b")))
+      .withColumn("psi_term",
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+            col("p_a") > 0 && col("p_b") > 0,
+          round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")), 6)))
+      .drop("tot_a", "tot_b")
+    val total = detail.agg(coalesce(sum(
+        round(col("psi_term") * 1e6).cast("long")), lit(0L)).as("psi_scaled"))
+      .select((col("psi_scaled").cast("double") / 1e6).as("psi"))
+    detail.crossJoin(broadcast(total))
+  }
 }

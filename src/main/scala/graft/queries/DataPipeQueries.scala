@@ -961,6 +961,102 @@ object DataPipeQueries {
             FROM documents), UNNEST(w) AS u(t)
       GROUP BY u.t ORDER BY freq DESC, token LIMIT 100"""))
 
+  /** Per-doc lexical diversity (T100): TTR + hapax fraction, the
+    * zero-shuffle per-row fold certified against the oracle's
+    * explode/group replay — the sorted-run hapax counter must agree
+    * with a real per-(doc, token) count on every document. Zero-token
+    * documents keep their row with NULL ratios on both sides.
+    */
+  private val textTtr = QueryDef(
+    "text_ttr",
+    (s, d) => TextAnalysis.lexicalDiversity(Tables.documents(s, d),
+      "doc_id", "text"),
+    Some("""WITH base AS (SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0) AS ws
+        FROM documents),
+      w AS (SELECT doc_id, u.t FROM base, UNNEST(ws) AS u(t)),
+      c AS (SELECT doc_id, t, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_types,
+        CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+        FROM c GROUP BY 1)
+      SELECT b.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+        COALESCE(n_types, 0) AS n_types,
+        COALESCE(n_hapax, 0) AS n_hapax,
+        ((2 * n_types * 1000000 + n_tokens) // (2 * n_tokens))
+          / 1000000.0 AS ttr,
+        ((2 * n_hapax * 1000000 + n_tokens) // (2 * n_tokens))
+          / 1000000.0 AS hapax_frac
+      FROM base b LEFT JOIN a USING (doc_id)"""))
+
+  /** Per-source Good–Turing unseen-vocabulary mass (T101): f₁/N over
+    * the same normalized token stream as [[textVocab]]; the oracle
+    * replays the (source, word) rollup and the exact mass ratio.
+    */
+  private val vocabGoodTuring = QueryDef(
+    "vocab_good_turing",
+    (s, d) => TextAnalysis.goodTuring(Tables.documents(s, d),
+      "text", "source"),
+    Some("""WITH w AS (SELECT source, u.t FROM (SELECT source,
+        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0) AS ws
+        FROM documents), UNNEST(ws) AS u(t)),
+      c AS (SELECT source, t, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_types,
+        CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+        FROM c GROUP BY 1)
+      SELECT source, n_tokens, n_types, n_hapax,
+        ((2 * n_hapax * 1000000 + n_tokens) // (2 * n_tokens))
+          / 1000000.0 AS p_unseen
+      FROM a"""))
+
+  /** Snapshot-drift PSI (T103) between the even- and odd-doc_id
+    * halves of the corpus over the standard length buckets. The
+    * oracle replays histograms, exact shares, each 6-dp ln term, and
+    * the scaled-integer total — certifying the whole drift-gate
+    * chain, not just the final number.
+    */
+  private val corpusPsi = QueryDef(
+    "corpus_psi",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.lengthPsi(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        FROM documents),
+      bkt AS (SELECT doc_id,
+        CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+             WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+             WHEN n <= 256 THEN 256 ELSE 512 END AS BIGINT) AS bucket
+        FROM t),
+      ha AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a
+        FROM bkt WHERE doc_id % 2 = 0 GROUP BY 1),
+      hb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM bkt WHERE doc_id % 2 = 1 GROUP BY 1),
+      j AS (SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+        COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        FROM ha FULL JOIN hb ON ha.bucket = hb.bucket),
+      tt AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+        CAST(SUM(n_b) AS BIGINT) AS tot_b FROM j),
+      p AS (SELECT bucket, n_a, n_b,
+        ((2 * n_a * 1000000 + tot_a) // (2 * tot_a)) / 1000000.0 AS p_a,
+        ((2 * n_b * 1000000 + tot_b) // (2 * tot_b)) / 1000000.0 AS p_b
+        FROM j, tt),
+      dtl AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0
+            AND p_a > 0 AND p_b > 0
+          THEN round((p_a - p_b) * ln(p_a / p_b), 6) END AS psi_term
+        FROM p),
+      s AS (SELECT COALESCE(SUM(CAST(round(psi_term * 1000000) AS BIGINT)), 0)
+          AS ps FROM dtl WHERE psi_term IS NOT NULL)
+      SELECT bucket, n_a, n_b, p_a, p_b, psi_term,
+        ps / 1000000.0 AS psi
+      FROM dtl, s"""))
+
   /** BM25 over three vocabulary terms of differing rarity. The oracle
     * replays the formula with the SAME expression tree (literal
     * arithmetic like (1.2 + 1.0) constant-folds to the identical
@@ -2481,6 +2577,52 @@ object DataPipeQueries {
         CAST(greatest(bucket - n_tokens, 0) AS BIGINT) AS pad
       FROM b"""))
 
+  /** Packing-strategy efficiency readout (T102): concat-and-chunk vs
+    * length-bucketed padding waste on the same corpus, both replayed
+    * end-to-end by the oracle (the prefix-sum chunking AND the
+    * bucket/batch chain feed the two waste fractions), so the hash
+    * certifies the full comparison a batch-assembler decision reads.
+    */
+  private val packEfficiency = QueryDef(
+    "pack_efficiency",
+    (s, d) => Packing.packEfficiency(Tables.documents(s, d), col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), capacity = 512, batchSize = 8),
+    Some("""WITH t AS (SELECT doc_id AS id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        FROM documents),
+      c AS (SELECT id, n,
+        COALESCE(SUM(n) OVER (ORDER BY id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        FROM t WHERE n > 0),
+      ch AS (SELECT id, b,
+        least(s + n, (b + 1) * 512) - greatest(s, b * 512) AS tok
+        FROM c, UNNEST(generate_series(CAST(s // 512 AS BIGINT),
+          CAST((s + n - 1) // 512 AS BIGINT))) AS u(b)),
+      cc AS (SELECT CAST(MAX(b) + 1 AS BIGINT) AS n_bins,
+        CAST(SUM(tok) AS BIGINT) AS used FROM ch),
+      bb AS (SELECT id, n, bucket,
+        (row_number() OVER (PARTITION BY bucket ORDER BY id) - 1) // 8
+          AS batch
+        FROM (SELECT id, n,
+          CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+               WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+               WHEN n <= 256 THEN 256 ELSE 512 END AS bucket
+          FROM t WHERE n > 0)),
+      lb AS (SELECT
+        CAST(COUNT(DISTINCT bucket * 1000000 + batch) AS BIGINT) AS n_bins,
+        CAST(SUM(least(n, bucket)) AS BIGINT) AS used,
+        CAST(SUM(bucket) AS BIGINT) AS cap,
+        CAST(SUM(greatest(bucket - n, 0)) AS BIGINT) AS padding FROM bb)
+      SELECT 'concat_chunk' AS strategy, n_bins,
+        n_bins * 512 AS capacity_tokens, used AS used_tokens,
+        ((2 * (n_bins * 512 - used) * 1000000 + n_bins * 512)
+          // (2 * n_bins * 512)) / 1000000.0 AS waste_frac
+      FROM cc
+      UNION ALL
+      SELECT 'length_bucket', n_bins, cap, used,
+        ((2 * padding * 1000000 + cap) // (2 * cap)) / 1000000.0
+      FROM lb"""))
+
   /** Inter-source 3-gram overlap matrix (Jaccard over distinct gram
     * sets, zero-intersection pairs absent). The oracle rebuilds
     * every source's gram set from strings and replays intersection,
@@ -3513,7 +3655,7 @@ object DataPipeQueries {
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
-    textKeywords,
+    textKeywords, textTtr, vocabGoodTuring, corpusPsi,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,
     textReadability, corpusZipf, corpusLengthQuantiles,
     textVocab, textPerplexity,
@@ -3535,7 +3677,7 @@ object DataPipeQueries {
     dedupLines, textBoilerplate, textExtractHtml, textNormalizeUnicode,
     corpusDiff,
     dedupSpans, dedupSelfSpans, dedupTrimSpans, sampleStratified, a1Salted,
-    packChunks, packLengthBuckets, sourceOverlap,
+    packChunks, packLengthBuckets, packEfficiency, sourceOverlap,
     decontaminate, decontaminateSpans, e2eSplitDecontam,
     decontaminateTrim, decontaminateBloom, dedupBloomSeen,
     mixtureUpsample, mixtureTemperature, mixtureUnimax, corpusReport,

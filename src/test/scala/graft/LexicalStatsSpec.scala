@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.datapipe.{Packing, TextAnalysis}
+
+/** Behavioural + plan contracts for the lexical-statistics operators
+  * (T100 TTR, T101 Good–Turing, T102 pack efficiency, T103 PSI
+  * drift): the zero-shuffle folds must agree with real regroupings,
+  * the readouts must satisfy their algebraic invariants, and the
+  * physical plans must keep the shapes that make them 100 TB-safe.
+  */
+class LexicalStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  // --- T100 lexical diversity --------------------------------------
+
+  test("ttr: the sorted-run hapax fold equals an explode/groupBy " +
+    "recount on every document") {
+    val out = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_types", "n_hapax")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val words = docs.select(col("doc_id"), explode(filter(
+        split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "),
+        t => length(t) > 0)).as("t"))
+      .groupBy("doc_id", "t").count()
+    val want = words.groupBy("doc_id")
+      .agg(sum("count").as("n_tokens"), count(lit(1)).as("n_types"),
+        count(when(col("count") === 1, 1)).as("n_hapax"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == want.toSeq)
+  }
+
+  test("ttr: ratios bounded, hapax never exceeds types, and a " +
+    "zero-token document keeps its row with NULL ratios") {
+    val base = docs.select(col("doc_id"), col("text")).limit(20)
+      .unionByName(Seq((-1L, "   ")).toDF("doc_id", "text"))
+    val out = TextAnalysis.lexicalDiversity(base, "doc_id", "text")
+    val rows = out.as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect()
+    for ((id, nTok, nTyp, nHap, ttr, hap) <- rows) {
+      if (id == -1L) {
+        assert(nTok == 0 && ttr.isEmpty && hap.isEmpty,
+          "blank document must keep its row with NULL ratios")
+      } else {
+        assert(nHap <= nTyp && nTyp <= nTok)
+        assert(ttr.exists(t => t > 0 && t <= 1.0))
+        assert(hap.exists(h => h >= 0 && h <= 1.0))
+      }
+    }
+  }
+
+  test("text_ttr plan: zero exchanges — a pure per-row projection") {
+    assert(!plan("text_ttr").contains("Exchange"),
+      "lexical diversity must not shuffle")
+  }
+
+  // --- T101 Good–Turing --------------------------------------------
+
+  test("good-turing: totals tie back to the corpus and the hapax " +
+    "mass is the literal singleton fraction") {
+    val out = TextAnalysis.goodTuring(docs, "text", "source")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val corpusTokens = docs.select(
+      sum(size(filter(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")),
+        " "), t => length(t) > 0)).cast("long")))
+      .as[Long].head()
+    assert(out.map(_._2).sum == corpusTokens,
+      "per-source token totals must partition the corpus token count")
+    for ((_, n, types, hapax, p) <- out) {
+      assert(hapax <= types && types <= n)
+      assert(p >= 0 && p <= 1.0)
+      // the emitted mass IS round(f1/N, 6) half-up
+      val exact = (BigDecimal(hapax) / BigDecimal(n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(p == exact)
+    }
+  }
+
+  test("vocab_good_turing plan: partial-aggregated shuffles keyed " +
+    "only on the group (vocabulary-bounded state), no joins") {
+    spark.catalog.clearCache() // a prior suite's cache changes printing
+    val p = plan("vocab_good_turing")
+    assert(p.contains("partial_count"),
+      "the word rollup must partial-aggregate map-side")
+    // every shuffle regroups on grp (word rollup / source rollup) —
+    // nothing re-partitions the corpus on any other key
+    val keys = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_.contains("grp#")),
+      s"every shuffle must be grp-keyed, got: $keys")
+    assert(!p.contains("Join"), "no join belongs in this plan")
+  }
+
+  // --- T102 pack efficiency ----------------------------------------
+
+  test("pack efficiency: concat-and-chunk wastes less than one " +
+    "chunk; bucket capacity = used + padding; fractions bounded") {
+    val out = Packing.packEfficiency(docs, col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), capacity = 512, batchSize = 8)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, ccBins, ccCap, ccUsed, ccWaste) = out("concat_chunk")
+    assert(ccCap == ccBins * 512)
+    assert(ccCap - ccUsed < 512,
+      "concat-and-chunk can only waste the final partial chunk")
+    assert(ccWaste >= 0 && ccWaste < 1.0)
+    val (_, lbBins, lbCap, lbUsed, lbWaste) = out("length_bucket")
+    assert(lbBins > 0 && lbCap >= lbUsed)
+    assert(lbWaste >= 0 && lbWaste < 1.0)
+    // padding closes the balance exactly: cap == used + pad
+    val pad = Packing.lengthBuckets(docs, col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), 8)
+      .agg(sum("pad")).as[Long].head()
+    assert(lbCap - lbUsed == pad)
+  }
+
+  test("pack_efficiency plan: chunk bins roll up via max (no " +
+    "distinct Expand over the chunk table), no cartesian joins") {
+    val p = plan("pack_efficiency")
+    assert(p.contains("partial_max"),
+      "bin count must come from max(chunk_id), not a distinct")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // --- T103 PSI drift ----------------------------------------------
+
+  test("psi: identical snapshots read zero drift, and the statistic " +
+    "is symmetric under snapshot swap") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val same = TextAnalysis.lengthPsi(a, a, "text")
+    assert(same.select(max(abs(col("psi")))).as[Double].head() == 0.0)
+    assert(same.filter(col("psi_term").isNotNull &&
+      col("psi_term") =!= 0.0).isEmpty)
+    val ab = TextAnalysis.lengthPsi(a, b, "text")
+      .select("psi").distinct().as[Double].head()
+    val ba = TextAnalysis.lengthPsi(b, a, "text")
+      .select("psi").distinct().as[Double].head()
+    assert(ab == ba, "PSI's term is symmetric in (p_a, p_b)")
+    assert(ab >= 0.0, "PSI is a non-negative divergence")
+  }
+
+  test("psi: a bucket empty on one side yields a NULL term and is " +
+    "excluded from the total instead of an epsilon fudge") {
+    val a = docs.filter(TextAnalysis.tokenCount(col("text")) <= 128)
+    val b = docs.filter(TextAnalysis.tokenCount(col("text")) > 128)
+    val out = TextAnalysis.lengthPsi(a, b, "text")
+    val rows = out.select(col("n_a"), col("n_b"), col("psi_term"))
+      .as[(Long, Long, Option[Double])].collect()
+    assert(rows.nonEmpty && rows.forall { case (na, nb, t) =>
+      (na == 0 || nb == 0) == t.isEmpty })
+    assert(out.select(max(col("psi"))).as[Double].head() == 0.0,
+      "fully-disjoint histograms have no shared bucket => PSI total 0")
+  }
+
+  test("corpus_psi plan: histogram aggregations partial-aggregate; " +
+    "the bucket dimension joins by broadcast, never a corpus shuffle " +
+    "after the histograms") {
+    val p = plan("corpus_psi")
+    assert(p.contains("partial_count"),
+      "histograms must partial-aggregate map-side")
+    assert(p.contains("BroadcastExchange"),
+      "totals must come back as a one-row broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"),
+      "the total must not ride an unpartitioned window")
+  }
+}
