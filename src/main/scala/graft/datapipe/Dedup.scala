@@ -50,6 +50,45 @@ object Dedup {
           .as("weight"))
   }
 
+  /** Quality-by-duplication-multiplicity readout: for each content
+    * multiplicity m (how many times a document's exact content was
+    * crawled), the group/document counts and the EXACT mean quality
+    * score — the crawl-bias measurement behind "does dedup shift the
+    * quality mix?" (boilerplate is recrawled more, so dropping
+    * duplicates usually RAISES mean quality; this quantifies it
+    * before committing to keep-one vs soft weighting).
+    *
+    * Scale: the same single fingerprint-keyed shuffle as
+    * [[exactGroups]]/[[softDedupWeights]] (count + join-back both
+    * key on fp, AQE co-locates), then one multiplicity-sized rollup.
+    * The mean is exact end-to-end: each document's quality ratio is
+    * the 10^6-scaled INTEGER ([[graft.functions.ExactRound
+    * .ratioScaled]]), summed exactly (order-independent), divided
+    * once — never a float accumulation. Zero-token documents carry a
+    * NULL score and drop out of the mean (not the counts), same rule
+    * in the oracle.
+    *
+    * Output: (n_copies, n_groups, n_docs, mean_quality).
+    */
+  def qualityByMultiplicity(docs: DataFrame, idCol: String,
+                            text: Column): DataFrame = {
+    val er = graft.functions.ExactRound
+    val perDoc = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(text).as("fp"),
+      er.ratioScaled(TextAnalysis.stopwordCount(text),
+        TextAnalysis.tokenCount(text), 6).as("q_e6"))
+    val mult = perDoc.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    perDoc.join(mult, Seq("fp"))
+      .groupBy(col("n_copies"))
+      .agg(countDistinct(col("fp")).as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum(col("q_e6")).as("sum_q"),
+        count(col("q_e6")).as("n_scored"))
+      .select(col("n_copies"), col("n_groups"), col("n_docs"),
+        (er.ratio(col("sum_q"), col("n_scored"), 0) / lit(1e6))
+          .as("mean_quality"))
+  }
+
   /** Word k-shingles of the normalized text, distinct per document.
     * Pure column ops: split → sliding window via transform over an
     * index sequence → distinct.

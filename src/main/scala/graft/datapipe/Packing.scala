@@ -193,6 +193,35 @@ object Packing {
     * Output: (strategy, n_bins, capacity_tokens, used_tokens,
     * waste_frac).
     */
+  /** Truncation-loss readout for a candidate max sequence length:
+    * per group, how many documents exceed `maxLen` and what fraction
+    * of the corpus' tokens a hard truncation at `maxLen` would drop —
+    * the measurement behind every "pick the context length" decision
+    * (run it at each candidate L; the knee of lost_frac vs L is the
+    * answer). ONE map-side-combinable aggregation over per-row
+    * arithmetic — zero extra shuffles, streams statelessly. Both
+    * fractions are the engine-exact integer rounding.
+    *
+    * Output: (group, n_docs, n_tokens, trunc_docs, lost_tokens,
+    * lost_frac, trunc_frac).
+    */
+  def truncationLoss(docs: DataFrame, groupCol: String, nTokensCol: Column,
+                     maxLen: Long): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    val ratio6 = graft.functions.ExactRound.ratio6 _
+    docs.select(col(groupCol).as("grp"), nTokensCol.cast("long").as("n"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        count(when(col("n") > maxLen, 1)).as("trunc_docs"),
+        sum(greatest(col("n") - maxLen, lit(0L))).as("lost_tokens"))
+      .select(col("grp").as(groupCol), col("n_docs"),
+        col("n_tokens").cast("bigint").as("n_tokens"), col("trunc_docs"),
+        col("lost_tokens").cast("bigint").as("lost_tokens"),
+        ratio6(col("lost_tokens"), col("n_tokens")).as("lost_frac"),
+        ratio6(col("trunc_docs"), col("n_docs")).as("trunc_frac"))
+  }
+
   def packEfficiency(docs: DataFrame, idCol: Column, nTokensCol: Column,
                      capacity: Long, batchSize: Int): DataFrame = {
     val ratio6 = graft.functions.ExactRound.ratio6 _

@@ -587,6 +587,50 @@ object TextAnalysis {
           .as("p_unseen"))
   }
 
+  /** Vocabulary coverage curve: for each candidate vocabulary size k,
+    * the fraction of TOKEN OCCURRENCES the top-k most frequent words
+    * cover — the tokenizer-sizing readout next to [[goodTuring]]'s
+    * unseen mass (coverage(k) flattening is the signal that a larger
+    * word-level vocab stops paying and subwords should take over).
+    *
+    * Scale shape: one partial-aggregated (word) count shuffle; the
+    * top-max(k) cut is a distributed TakeOrderedAndProject
+    * (per-partition heaps — the vocabulary is never globally
+    * sorted); the rank window and the k fan-out then run over at
+    * most max(k) rows — a LITERAL bound independent of corpus size,
+    * so the single-partition window is dimension-sized by
+    * construction. The corpus token total comes from a separate
+    * scan-only aggregation (per-document counts partial-aggregate;
+    * the token stream itself never shuffles for it). Coverage is the
+    * engine-exact integer rounding.
+    *
+    * Output: one row per k — (k, n_vocab, covered_tokens,
+    * total_tokens, coverage), n_vocab = min(k, vocabulary size).
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), "need positive k values")
+    import org.apache.spark.sql.expressions.Window
+    val w = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    val top = docs.select(explode(w).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("t").asc).limit(ks.max)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("freq").desc, col("t").asc)).cast("long"))
+    val total = docs.agg(sum(size(w).cast("long")).as("total_tokens"))
+    val karr = array(ks.sorted.map(k => lit(k.toLong)): _*)
+    top.select(col("freq"),
+        explode(filter(karr, k => k >= col("rnk"))).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_vocab"), sum(col("freq")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_vocab"),
+        col("covered_tokens").cast("bigint").as("covered_tokens"),
+        col("total_tokens"),
+        graft.functions.ExactRound.ratio6(col("covered_tokens"),
+          col("total_tokens")).as("coverage"))
+  }
+
   /** Population-stability-index drift between two corpus snapshots
     * over the standard token-length buckets (16/32/64/128/256/512,
     * the [[Packing.lengthBuckets]] chain): PSI = Σ (pᵃ−pᵇ)·ln(pᵃ/pᵇ)

@@ -36,12 +36,29 @@ object ExactRound {
   def ratio6(a: Column, b: Column): Column = ratio(a, b, 6)
 
   /** round(a/b, `scale`) as a DOUBLE, engine-exact, scale ≤ 9. */
-  def ratio(a: Column, b: Column, scale: Int): Column = {
+  def ratio(a: Column, b: Column, scale: Int): Column =
+    scaledFloor(a, b, scale).cast("double") /
+      lit(math.pow(10, scale).toLong.toDouble)
+
+  /** The 10^scale-scaled integer numerator of [[ratio]] — i.e.
+    * round_half_up(a/b, scale)·10^scale as a LONG (same contract as
+    * [[ratio]] plus the quotient·10^scale must fit a signed long —
+    * always true for fractions a ≤ b; NULL when b is 0/NULL). The
+    * building block for exact MEANS of exact-rounded ratios: sum the
+    * scaled integers (order-independent), divide once at the end.
+    * Oracle twin: `(2*a*10^s + b) // (2*b)`.
+    */
+  def ratioScaled(a: Column, b: Column, scale: Int): Column =
+    scaledFloor(a, b, scale).cast("long")
+
+  // the exact decimal floor((2·a·10^scale + b) / (2·b)) both
+  // readouts cast from
+  private def scaledFloor(a: Column, b: Column, scale: Int): Column = {
     require(scale >= 0 && scale <= 9, s"scale $scale out of range")
     val pow = math.pow(10, scale).toLong
     val num = (a.cast("decimal(38,0)") * lit(2L * pow) +
       b.cast("decimal(38,0)")).cast("decimal(38,12)")
     val den = b.cast("decimal(38,0)") * lit(2L)
-    floor(try_divide(num, den)).cast("double") / lit(pow.toDouble)
+    floor(try_divide(num, den))
   }
 }

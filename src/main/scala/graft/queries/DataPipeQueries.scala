@@ -1057,6 +1057,93 @@ object DataPipeQueries {
         ps / 1000000.0 AS psi
       FROM dtl, s"""))
 
+  /** Vocabulary coverage curve (T105): top-k occurrence coverage at
+    * k ∈ {100, 1000, 10000}. The oracle replays the word rollup, the
+    * (freq desc, token) ranking — so the distributed top-k cut must
+    * equal a real global sort — and the exact coverage ratios.
+    */
+  private val vocabCoverage = QueryDef(
+    "vocab_coverage",
+    (s, d) => TextAnalysis.vocabCoverage(Tables.documents(s, d), "text",
+      Seq(100, 1000, 10000)),
+    Some("""WITH w AS (SELECT u.t FROM (SELECT
+        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0) AS ws
+        FROM documents), UNNEST(ws) AS u(t)),
+      c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS freq FROM w GROUP BY t),
+      tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM c),
+      r AS (SELECT t, freq,
+        CAST(row_number() OVER (ORDER BY freq DESC, t) AS BIGINT) AS rnk
+        FROM c),
+      kd AS (SELECT CAST(u.k AS BIGINT) AS k
+        FROM UNNEST([100, 1000, 10000]) AS u(k)),
+      cov AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vocab,
+        CAST(SUM(freq) AS BIGINT) AS covered_tokens
+        FROM kd JOIN r ON r.rnk <= kd.k GROUP BY k)
+      SELECT k, n_vocab, covered_tokens, total_tokens,
+        ((2 * covered_tokens * 1000000 + total_tokens)
+          // (2 * total_tokens)) / 1000000.0 AS coverage
+      FROM cov, tot"""))
+
+  /** Truncation-loss readout (T104) at candidate max length 256:
+    * per-source document and token loss under a hard truncation. One
+    * partial-aggregated rollup; the oracle replays every count and
+    * both exact fractions.
+    */
+  private val chunkTruncation = QueryDef(
+    "chunk_truncation",
+    (s, d) => Packing.truncationLoss(Tables.documents(s, d), "source",
+      TextAnalysis.tokenCount(col("text")), maxLen = 256),
+    Some("""WITH t AS (SELECT source,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) FILTER (WHERE n > 256) AS BIGINT) AS trunc_docs,
+        CAST(SUM(greatest(n - 256, 0)) AS BIGINT) AS lost_tokens,
+        ((2 * CAST(SUM(greatest(n - 256, 0)) AS BIGINT) * 1000000
+            + CAST(SUM(n) AS BIGINT))
+          // (2 * CAST(SUM(n) AS BIGINT))) / 1000000.0 AS lost_frac,
+        ((2 * COUNT(*) FILTER (WHERE n > 256) * 1000000 + COUNT(*))
+          // (2 * COUNT(*))) / 1000000.0 AS trunc_frac
+      FROM t GROUP BY source"""))
+
+  /** Quality-by-multiplicity (T106) over the planted-duplicates
+    * corpus (the dedup_soft_weights planting: multiplicities 1/2/3).
+    * The oracle replays the planting, the fingerprint rollup, each
+    * document's scaled-integer quality, and the exact mean division
+    * — certifying the whole crawl-bias chain.
+    */
+  private val dedupQualityMix = QueryDef(
+    "dedup_quality_mix",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+      Dedup.qualityByMultiplicity(planted, "doc_id", col("text"))
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      f AS (SELECT doc_id,
+        ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp,
+        ((2 * CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 1000000
+            + CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+          // (2 * CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))) AS q_e6
+        FROM planted),
+      m AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies FROM f GROUP BY fp)
+      SELECT n_copies, CAST(COUNT(DISTINCT f.fp) AS BIGINT) AS n_groups,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        (((2 * CAST(SUM(q_e6) AS BIGINT) + COUNT(q_e6))
+          // (2 * COUNT(q_e6)))) / 1000000.0 AS mean_quality
+      FROM f JOIN m USING (fp) GROUP BY n_copies"""))
+
   /** BM25 over three vocabulary terms of differing rarity. The oracle
     * replays the formula with the SAME expression tree (literal
     * arithmetic like (1.2 + 1.0) constant-folds to the identical
@@ -3655,7 +3742,8 @@ object DataPipeQueries {
   val defs: Seq[QueryDef] = Seq(
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
-    textKeywords, textTtr, vocabGoodTuring, corpusPsi,
+    textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
+    chunkTruncation, dedupQualityMix,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,
     textReadability, corpusZipf, corpusLengthQuantiles,
     textVocab, textPerplexity,

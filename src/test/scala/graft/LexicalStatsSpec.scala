@@ -130,6 +130,127 @@ class LexicalStatsSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  // --- T104 truncation loss ----------------------------------------
+
+  test("truncation loss: counts tie back to a per-row recompute and " +
+    "a huge maxLen loses nothing") {
+    val nTok = TextAnalysis.tokenCount(col("text"))
+    val out = Packing.truncationLoss(docs, "source", nTok, maxLen = 256)
+      .select("source", "n_docs", "n_tokens", "trunc_docs", "lost_tokens")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val want = docs.select(col("source"), nTok.as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)), sum("n"),
+        count(when(col("n") > 256, 1)),
+        sum(greatest(col("n") - 256, lit(0L))))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == want.toSeq)
+    val lossless = Packing.truncationLoss(docs, "source", nTok,
+      maxLen = 1000000L)
+    assert(lossless.filter(col("lost_tokens") =!= 0L ||
+      col("trunc_docs") =!= 0L || col("lost_frac") =!= 0.0).isEmpty)
+  }
+
+  test("chunk_truncation plan: one partial-aggregated rollup, one " +
+    "group-keyed shuffle, nothing else") {
+    val p = plan("chunk_truncation")
+    assert(p.contains("partial_count"))
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("grp#")),
+      s"only the group rollup may shuffle, got: $exchanges")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  // --- T105 vocabulary coverage ------------------------------------
+
+  test("vocab coverage: monotone in k, exact against a brute-force " +
+    "top-k sum, and k >= vocab covers everything") {
+    val ks = Seq(10, 100, 1000000)
+    val out = TextAnalysis.vocabCoverage(docs, "text", ks)
+      .select("k", "n_vocab", "covered_tokens", "total_tokens", "coverage")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == ks.map(_.toLong))
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._3 <= b._3 && a._5 <= b._5 })
+    // brute-force ground truth from a full collect of the vocab
+    val vocab = docs.select(explode(filter(
+        split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "),
+        t => length(t) > 0)).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect()
+      .sortBy { case (t, c) => (-c, t) }
+    val totalTokens = vocab.map(_._2).sum
+    for ((k, nVocab, covered, total, cov) <- out) {
+      val top = vocab.take(k.toInt)
+      assert(nVocab == top.length && covered == top.map(_._2).sum)
+      assert(total == totalTokens)
+      val exact = (BigDecimal(covered) / BigDecimal(total))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cov == exact)
+    }
+    val last = out.last
+    assert(last._2 == vocab.length && last._5 == 1.0,
+      "k beyond the vocabulary covers every occurrence")
+  }
+
+  test("vocab_coverage plan: the top-k cut is a distributed " +
+    "TakeOrderedAndProject — the vocabulary is never globally sorted") {
+    val p = plan("vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must run as per-partition heaps")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "no global sort of the vocabulary")
+    assert(p.contains("BroadcastExchange"),
+      "the token total joins back as a one-row broadcast")
+  }
+
+  // --- T106 quality by multiplicity --------------------------------
+
+  test("quality mix: planted multiplicities account for every " +
+    "document and the mean is the exact scaled-integer division") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val planted = base
+      .unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+    val out = graft.datapipe.Dedup
+      .qualityByMultiplicity(planted, "doc_id", col("text"))
+      .select("n_copies", "n_groups", "n_docs", "mean_quality")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L),
+      "the planting must produce exactly multiplicities 1, 2, 3")
+    for ((m, groups, docsN, _) <- out)
+      assert(docsN == m * groups,
+        s"multiplicity $m: every group contributes exactly $m docs")
+    assert(out.map(_._3).sum == planted.count())
+    // exact-mean certification on the m=2 stratum (docs planted once:
+    // %5 but NOT %10 — the latter were planted twice, multiplicity 3)
+    val er = graft.functions.ExactRound
+    val q2 = planted.filter(col("doc_id") % 5 === 0 &&
+        col("doc_id") % 10 =!= 0)
+      .select(er.ratioScaled(TextAnalysis.stopwordCount(col("text")),
+        TextAnalysis.tokenCount(col("text")), 6).as("q"))
+      .filter(col("q").isNotNull).as[Long].collect()
+    val exact = ((BigDecimal(q2.sum) / BigDecimal(q2.length))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP) / BigDecimal(1000000))
+      .toDouble
+    assert(out.find(_._1 == 2L).get._4 == exact)
+  }
+
+  test("dedup_quality_mix plan: every shuffle keys on the " +
+    "fingerprint or the multiplicity — the body never re-shuffles " +
+    "on anything else, and no cartesian appears") {
+    val p = plan("dedup_quality_mix")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    val keys = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(k =>
+      k.contains("fp#") || k.contains("n_copies#")),
+      s"shuffles must key on fp/n_copies, got: $keys")
+  }
+
   // --- T103 PSI drift ----------------------------------------------
 
   test("psi: identical snapshots read zero drift, and the statistic " +
