@@ -996,6 +996,80 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(3L).isEmpty, "null text stays null through the chain")
   }
 
+  test("lexical diversity streams the batch numbers through the " +
+    "extract chain") {
+    // extract → NFC → lexicalDiversity is stateless end-to-end (the
+    // hapax fold is per-row), so the ingest-time quality gate must
+    // emit IDENTICAL counts and exact ratios on a stream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.TextAnalysis
+    val texts = Seq(
+      (1L, "<p>the the cat</p>"),          // hapax 'cat', dup 'the'
+      (2L, "Caf\u00e9 Cafe\u0301 x"), // composed + decomposed e-acute + hapax
+      (3L, "one"),                         // single token
+      (4L, "<br/>"))                       // extracts to zero tokens
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.lexicalDiversity(
+        df.select(col("doc_id"),
+          TextAnalysis.nfc(TextAnalysis.stripHtml(col("text"))).as("text")),
+        "doc_id", "text")
+    def read(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val in = MemoryStream[(Long, String)]
+    val q = gate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lex_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = read(spark.table("lex_stream").collect())
+    val batch = read(gate(texts.toDF("doc_id", "text")).collect())
+    assert(streamed === batch)
+    assert(streamed(1L) === ((3L, 2L, 1L, Some(0.666667))),
+      "'the the cat': 3 tokens, 2 types, 1 hapax, exact 2/3 TTR")
+    assert(streamed(2L)._3 === 1L,
+      "NFC must merge the composed/decomposed pair before counting")
+    assert(streamed(4L) === ((0L, 0L, 0L, None)),
+      "a doc that extracts to nothing keeps its row with NULL TTR")
+  }
+
+  test("truncation loss: the SAME batch operator streams in complete " +
+    "mode, converging to the batch readout") {
+    // truncationLoss is one partial-aggregated rollup — Structured
+    // Streaming runs the identical DataFrame code with running state;
+    // after all batches the complete-mode table must equal the batch
+    // readout row-for-row, exact fractions included
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.{Packing, TextAnalysis}
+    val a = Seq((1L, "src_a", "one two three four five"),
+      (2L, "src_a", "one two"), (3L, "src_b", "a b c d e f g"))
+    val b = Seq((4L, "src_b", "x"), (5L, "src_a", "p q r s t u v w"))
+    def loss(df: org.apache.spark.sql.DataFrame) =
+      Packing.truncationLoss(df, "source",
+        TextAnalysis.tokenCount(col("text")), maxLen = 4)
+    val in = MemoryStream[(Long, String, String)]
+    val q = loss(in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("trunc_stream")
+      .outputMode(OutputMode.Complete).start()
+    in.addData(a: _*)
+    q.processAllAvailable()
+    in.addData(b: _*)
+    q.processAllAvailable()
+    q.stop()
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "n_docs", "n_tokens", "trunc_docs",
+        "lost_tokens", "lost_frac", "trunc_frac")
+        .as[(String, Long, Long, Long, Long, Double, Double)]
+        .collect().toSet
+    val streamed = read(spark.table("trunc_stream"))
+    val batch = read(loss((a ++ b).toDF("doc_id", "source", "text")))
+    assert(streamed === batch)
+    assert(streamed.exists(r => r._1 == "src_a" && r._2 == 3 &&
+      r._4 == 2 && r._5 == 5),
+      "src_a: docs of 5 and 8 tokens each lose past len 4")
+  }
+
   test("content split tags a stream identically to the batch assignment") {
     // contentSplit is one stateless projection, so it must stream
     // UNCHANGED — same fingerprint, bucket, and split per document,
