@@ -587,6 +587,44 @@ object TextAnalysis {
           .as("p_unseen"))
   }
 
+  /** C4 line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2): retain only lines that end in terminal punctuation, have
+    * at least three words, and do not mention javascript; flag pages
+    * carrying "lorem ipsum" or a curly brace, and gate on at least
+    * five sentences surviving — the canonical web-crawl cleanup
+    * every C4-descended corpus starts from. Lines are
+    * newline-separated; the cleaned text is the surviving lines
+    * re-joined in order.
+    *
+    * Scale shape: ZERO shuffle — line split, the per-line rule
+    * lambda, the page flags, and the rebuild are all per-row
+    * codegen'd array expressions; streams statelessly. Sentence
+    * count is the terminal-punctuation count over the CLEANED text
+    * (the usual heuristic; abbreviations over-count, documented not
+    * hidden).
+    *
+    * Output: (doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    * has_brace, kept, text_clean).
+    */
+  def c4Rules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keptLines = filter(lines, l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), "\\s+"), t => length(t) > 0)) >= 3 &&
+        !lower(l).rlike("\\bjavascript\\b"))
+    val cleaned = array_join(keptLines, "\n")
+    val nSent = regexp_count(cleaned, lit("[.!?]")).cast("bigint")
+    val hasLorem = lower(col(textCol)).contains("lorem ipsum")
+    val hasBrace = col(textCol).contains("{")
+    docs.select(col(idCol).as("doc_id"),
+      size(lines).cast("bigint").as("n_lines"),
+      size(keptLines).cast("bigint").as("n_kept_lines"),
+      nSent.as("n_sentences"),
+      hasLorem.as("has_lorem"), hasBrace.as("has_brace"),
+      (!hasLorem && !hasBrace && nSent >= 5).as("kept"),
+      cleaned.as("text_clean"))
+  }
+
   /** Vocabulary coverage curve: for each candidate vocabulary size k,
     * the fraction of TOKEN OCCURRENCES the top-k most frequent words
     * cover — the tokenizer-sizing readout next to [[goodTuring]]'s

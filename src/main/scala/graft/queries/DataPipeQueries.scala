@@ -1057,6 +1057,77 @@ object DataPipeQueries {
         ps / 1000000.0 AS psi
       FROM dtl, s"""))
 
+  /** C4 line-level cleaning (T107) over documents with planted line
+    * structure: the punctuation-free corpus becomes 6-word lines
+    * with a terminal '.' on even line numbers only (so the
+    * terminal-punctuation rule and the 3-word rule both get real
+    * work on partial tail windows), plus a javascript line on %13
+    * docs, a lorem-ipsum line on %29, a braced line on %31, and a
+    * short no-punctuation footer on every doc. The oracle replays
+    * the planting, every per-line rule, the page flags, and the
+    * rebuilt text byte-for-byte (empty survivor lists pinned to ''
+    * — DuckDB's array_to_string([]) is NULL, Spark's array_join is
+    * '', hence the COALESCE).
+    */
+  private val textC4Rules = QueryDef(
+    "text_c4_rules",
+    (s, d) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val lines = transform(
+        sequence(lit(0), ((size(toks) - lit(1)) / lit(6)).cast("int")),
+        i => concat(array_join(slice(toks, i * 6 + lit(1), lit(6)), " "),
+          when(i % 2 === 0, lit(".")).otherwise(lit(""))))
+      val lined = Tables.documents(s, d).select(col("doc_id"),
+        concat(array_join(lines, "\n"),
+          when(col("doc_id") % 13 === 0, lit("\nenable javascript now."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 29 === 0, lit("\nlorem ipsum dolor sit."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 31 === 0, lit("\ncode { x } sample."))
+            .otherwise(lit("")),
+          lit("\nread more")).as("text"))
+      TextAnalysis.c4Rules(lined, "doc_id", "text")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      wrd AS (SELECT doc_id, w[i] AS wd, i, (i - 1) // 6 AS ln_no
+        FROM toks, UNNEST(generate_series(1, len(w))) t(i)),
+      ln AS (SELECT doc_id, ln_no,
+          string_agg(wd, ' ' ORDER BY i)
+            || CASE WHEN ln_no % 2 = 0 THEN '.' ELSE '' END AS line
+        FROM wrd GROUP BY doc_id, ln_no),
+      lined AS (SELECT doc_id,
+          string_agg(line, chr(10) ORDER BY ln_no)
+          || CASE WHEN doc_id % 13 = 0
+               THEN chr(10) || 'enable javascript now.' ELSE '' END
+          || CASE WHEN doc_id % 29 = 0
+               THEN chr(10) || 'lorem ipsum dolor sit.' ELSE '' END
+          || CASE WHEN doc_id % 31 = 0
+               THEN chr(10) || 'code { x } sample.' ELSE '' END
+          || chr(10) || 'read more' AS text
+        FROM ln GROUP BY doc_id),
+      k AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+        list_filter(string_split(text, chr(10)), x ->
+          regexp_matches(rtrim(x), '[.!?"]$')
+          AND len(list_filter(regexp_split_to_array(trim(x), '\s+'),
+            y -> len(y) > 0)) >= 3
+          AND NOT regexp_matches(lower(x), '\bjavascript\b')) AS kept_ls
+        FROM lined),
+      f AS (SELECT doc_id, ls, kept_ls, text,
+        COALESCE(array_to_string(kept_ls, chr(10)), '') AS clean
+        FROM k)
+      SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        CAST(len(kept_ls) AS BIGINT) AS n_kept_lines,
+        CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT)
+          AS n_sentences,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        contains(text, '{') AS has_brace,
+        (NOT contains(lower(text), 'lorem ipsum'))
+          AND (NOT contains(text, '{'))
+          AND len(regexp_extract_all(clean, '[.!?]')) >= 5 AS kept,
+        clean AS text_clean
+      FROM f"""))
+
   /** Vocabulary coverage curve (T105): top-k occurrence coverage at
     * k ∈ {100, 1000, 10000}. The oracle replays the word rollup, the
     * (freq desc, token) ranking — so the distributed top-k cut must
@@ -3743,7 +3814,7 @@ object DataPipeQueries {
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
-    chunkTruncation, dedupQualityMix,
+    chunkTruncation, dedupQualityMix, textC4Rules,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,
     textReadability, corpusZipf, corpusLengthQuantiles,
     textVocab, textPerplexity,

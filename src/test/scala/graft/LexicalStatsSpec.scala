@@ -251,6 +251,48 @@ class LexicalStatsSpec extends SparkSpec {
       s"shuffles must key on fp/n_copies, got: $keys")
   }
 
+  // --- T107 C4 line rules ------------------------------------------
+
+  test("c4 rules: each rule drops exactly its planted line and the " +
+    "page gate composes the flags") {
+    val cases = Seq(
+      (1L, "good line with plenty of words here.\nno punctuation line\n" +
+        "tiny.\nenable javascript here today.\nanother fine line stays put."),
+      (2L, "lorem ipsum dolor sit amet sentence.\none. two. three. four." +
+        " five. six extra words for padding."),
+      (3L, "clean page one sentence here.\nsecond tidy sentence right" +
+        " here.\nthird good sentence sits here.\nfourth solid sentence" +
+        " lands here.\nfifth proper sentence ends here."),
+      (4L, "short { brace } page sentence."))
+    val out = TextAnalysis.c4Rules(cases.toDF("doc_id", "text"),
+      "doc_id", "text")
+      .as[(Long, Long, Long, Long, Boolean, Boolean, Boolean, String)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: 5 lines; 'no punctuation line' fails the terminal rule,
+    // 'tiny.' fails the 3-word rule, the javascript line is banned
+    val d1 = out(1L)
+    assert(d1._2 == 5 && d1._3 == 2)
+    assert(!d1._8.contains("javascript") && !d1._8.contains("tiny"))
+    // doc 2: lorem ipsum flags the page even though lines survive
+    assert(out(2L)._5 && !out(2L)._7)
+    // doc 3: five clean sentences => kept
+    assert(out(3L)._4 == 5 && out(3L)._7)
+    // doc 4: brace flags the page
+    assert(out(4L)._6 && !out(4L)._7)
+  }
+
+  test("text_c4_rules plan: line planting + rules stay per-row — " +
+    "the only exchanges rebuild the planted lines, and the rule " +
+    "stage itself adds none") {
+    // c4Rules on an already-lined corpus must be a pure projection
+    val lined = docs.select(col("doc_id"),
+      concat_ws("\n", col("text"), lit("read more")).as("text"))
+    val p = TextAnalysis.c4Rules(lined, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "the C4 rule stage must not shuffle")
+  }
+
   // --- T103 PSI drift ----------------------------------------------
 
   test("psi: identical snapshots read zero drift, and the statistic " +
