@@ -625,6 +625,35 @@ object TextAnalysis {
       cleaned.as("text_clean"))
   }
 
+  /** Encoding-quality (mojibake) gate: per-document counts of U+FFFD
+    * replacement characters (the residue of a wrong-charset decode)
+    * and C0 control characters (tab/newline/CR excluded) — the
+    * "was this page decoded correctly" filter that runs before any
+    * text heuristic can be trusted, since mojibake poisons
+    * tokenization, language-ID, and dedup fingerprints alike.
+    *
+    * ZERO shuffle — two codegen'd regexp counts per row; streams
+    * statelessly. The bad-character fraction is the engine-exact
+    * integer rounding; an empty document keeps its row with a NULL
+    * fraction and counts as clean.
+    *
+    * Output: (doc_id, n_chars, n_replacement, n_control, bad_frac,
+    * clean).
+    */
+  def encodingQuality(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nRepl = regexp_count(t, lit("\\x{FFFD}")).cast("bigint")
+    val nCtrl = regexp_count(t,
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("bigint")
+    docs.select(col(idCol).as("doc_id"),
+      length(t).cast("bigint").as("n_chars"),
+      nRepl.as("n_replacement"), nCtrl.as("n_control"),
+      graft.functions.ExactRound.ratio6(nRepl + nCtrl,
+        length(t).cast("bigint")).as("bad_frac"),
+      (nRepl === 0L && nCtrl === 0L).as("clean"))
+  }
+
   /** Vocabulary coverage curve: for each candidate vocabulary size k,
     * the fraction of TOKEN OCCURRENCES the top-k most frequent words
     * cover — the tokenizer-sizing readout next to [[goodTuring]]'s

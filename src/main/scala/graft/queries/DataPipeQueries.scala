@@ -1128,6 +1128,41 @@ object DataPipeQueries {
         clean AS text_clean
       FROM f"""))
 
+  /** Encoding-quality gate (T108) over planted mojibake: %7 docs get
+    * a U+FFFD replacement char, %11 docs a C0 control char (both
+    * appended identically in both engines — the clean corpus has
+    * neither). The oracle replays the planting, both regexp counts,
+    * the exact bad fraction, and the gate bit.
+    */
+  private val textMojibake = QueryDef(
+    "text_mojibake",
+    (s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" caf\uFFFD broken"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("\u0007"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.encodingQuality(planted, "doc_id", "text")
+    },
+    Some("""WITH planted AS (SELECT doc_id,
+        text
+          || CASE WHEN doc_id % 7 = 0
+               THEN ' caf' || chr(65533) || ' broken' ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END AS text
+        FROM documents),
+      f AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT)
+          AS n_replacement,
+        CAST(len(regexp_extract_all(text,
+          '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control
+        FROM planted)
+      SELECT doc_id, n_chars, n_replacement, n_control,
+        ((2 * (n_replacement + n_control) * 1000000 + n_chars)
+          // (2 * n_chars)) / 1000000.0 AS bad_frac,
+        n_replacement = 0 AND n_control = 0 AS clean
+      FROM f"""))
+
   /** Vocabulary coverage curve (T105): top-k occurrence coverage at
     * k ∈ {100, 1000, 10000}. The oracle replays the word rollup, the
     * (freq desc, token) ranking — so the distributed top-k cut must
@@ -3814,7 +3849,7 @@ object DataPipeQueries {
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
-    chunkTruncation, dedupQualityMix, textC4Rules,
+    chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,
     textReadability, corpusZipf, corpusLengthQuantiles,
     textVocab, textPerplexity,

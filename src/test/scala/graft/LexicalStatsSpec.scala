@@ -293,6 +293,38 @@ class LexicalStatsSpec extends SparkSpec {
       "the C4 rule stage must not shuffle")
   }
 
+  // --- T108 encoding quality ---------------------------------------
+
+  test("encoding quality: planted mojibake and control chars are " +
+    "counted, whitespace controls stay clean, empty text is clean " +
+    "with a NULL fraction") {
+    val cases = Seq(
+      (1L, "perfectly fine text"),
+      (2L, "bad � decode � here"),
+      (3L, "bell\u0007and\u0001controls"),
+      (4L, "tabs\tand\nnewlines\rare fine"),
+      (5L, ""))
+    val out = TextAnalysis.encodingQuality(
+        cases.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._6 && out(1L)._3 == 0 && out(1L)._4 == 0)
+    assert(out(2L)._3 == 2 && !out(2L)._6)
+    assert(out(3L)._4 == 2 && !out(3L)._6)
+    assert(out(4L)._6, "tab/newline/CR are not mojibake")
+    assert(out(5L)._6 && out(5L)._5.isEmpty,
+      "empty text: clean, NULL fraction")
+    val exact = (BigDecimal(2) / BigDecimal(out(2L)._2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L)._5.contains(exact))
+  }
+
+  test("text_mojibake plan: zero exchanges — two regexp counts per " +
+    "row") {
+    assert(!plan("text_mojibake").contains("Exchange"),
+      "the encoding gate must not shuffle")
+  }
+
   // --- T103 PSI drift ----------------------------------------------
 
   test("psi: identical snapshots read zero drift, and the statistic " +
