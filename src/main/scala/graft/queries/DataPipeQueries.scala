@@ -606,8 +606,10 @@ object DataPipeQueries {
           exactRatio6(sum(col("n_chars")), count(lit(1))).as("mean_chars"),
           countDistinct(col("lang")).as("n_langs"))
     },
+    // DuckDB SUM(BIGINT) widens to HUGEINT (int128); CAST the emitted
+    // aggregate back to BIGINT so the oracle dtype matches Spark's LongType
     Some("""SELECT source, COUNT(*) AS n_docs,
-      SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS n_tokens,
+      CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
       MIN(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS min_tokens,
       MAX(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS max_tokens,
       ((2 * CAST(SUM(n_chars) AS BIGINT) * 1000000 + COUNT(*))
@@ -644,9 +646,9 @@ object DataPipeQueries {
             + CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
           // (2 * CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))) / 1000000.0 AS priority
       FROM documents),
-      c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+      c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
           ORDER BY priority DESC NULLS LAST, doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         FROM t)
       SELECT doc_id, source, n_tokens, priority, cum_tokens
       FROM c WHERE cum_tokens <= 500"""))
@@ -3366,9 +3368,9 @@ object DataPipeQueries {
           // (2 * CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))) / 1000000.0 AS priority
         FROM documents),
       j AS (SELECT d.*, b.budget FROM dtok d JOIN bud b USING (source)),
-      cum AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+      cum AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
           ORDER BY priority DESC NULLS LAST, doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         FROM j)
       SELECT doc_id, source, n_tokens, priority, budget, cum_tokens
       FROM cum WHERE cum_tokens <= budget"""))

@@ -24,9 +24,27 @@ class CatalogSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Output-type contract (Catalog scaladoc): every emitted column is
+  // string/bigint/double/boolean. Anything else (int, decimal, raw
+  // timestamp, array) risks a driver-side dtype hash mismatch — DuckDB
+  // SUM(BIGINT) widens to HUGEINT, timestamps differ in precision — so
+  // oracle-bearing entries are held to the strict set.
+  private val AllowedTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(StringType, LongType, DoubleType, BooleanType)
+  }
+
   for (q <- Catalog.defs) {
     test(s"${q.name} runs at sf0.001 with rows > 0") {
-      assert(q.run(spark, sf).count() > 0)
+      val df = q.run(spark, sf)
+      if (q.oracle.isDefined) {
+        val bad = df.schema.fields
+          .filterNot(f => AllowedTypes.contains(f.dataType))
+          .map(f => s"${f.name}:${f.dataType.simpleString}")
+        assert(bad.isEmpty,
+          s"oracle-hashed columns outside string/bigint/double/boolean: ${bad.mkString(", ")}")
+      }
+      assert(df.count() > 0)
     }
   }
 }

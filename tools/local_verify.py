@@ -67,6 +67,25 @@ def main() -> int:
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
             n_fail += 1
             continue
+        # dtype-exact gate: DESCRIBE both sides at the SQL-type level.
+        # DuckDB SUM(BIGINT) widens to HUGEINT — a value-identical result
+        # with a HUGEINT column hash-mismatches the driver's dtype-
+        # sensitive comparator, and pandas (check_dtype=False) hides it.
+        spark_types = dict(con.execute(
+            f"SELECT column_name, column_type FROM "
+            f"(DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet')"
+        ).fetchall())
+        oracle_types = dict(con.execute(
+            f"SELECT column_name, column_type FROM (DESCRIBE {sql})"
+        ).fetchall())
+        type_mismatch = {c: (spark_types.get(c), oracle_types.get(c))
+                         for c in g.columns
+                         if spark_types.get(c) != oracle_types.get(c)}
+        if type_mismatch:
+            print(f"FAIL {name}: column dtype mismatch "
+                  f"(spark vs oracle): {type_mismatch}")
+            n_fail += 1
+            continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             n_fail += 1
