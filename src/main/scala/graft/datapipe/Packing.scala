@@ -165,34 +165,6 @@ object Packing {
           greatest(col("start"), col("chunk_id") * capacity)).as("n_tokens"))
   }
 
-  /** Packing-strategy efficiency readout: the padding-waste
-    * comparison between [[packChunks]] (concat-and-chunk — wastes
-    * only the final partial chunk) and [[lengthBuckets]]
-    * (per-sequence padding to the bucket width) on the same corpus —
-    * the number that decides which batch assembler a training run
-    * ships with. One row per strategy: bin count, total slot
-    * capacity, tokens actually carried, and the exact waste
-    * fraction.
-    *
-    * Contracts: concat-and-chunk counts the last chunk at full
-    * capacity (the assembler pads it); length-bucket counts only
-    * per-sequence padding (partial batches are NOT padded out to
-    * `batchSize` rows), and an over-length document truncates into
-    * the top bucket (used = min(n, bucket), the inference-batcher
-    * convention — [[lengthBuckets]]' `pad` floor already encodes
-    * it).
-    *
-    * Scale shape: rides the two certified operators unchanged; the
-    * chunk rollup is one partial-aggregated reduction to a single
-    * row (bins = max chunk id + 1 — no distinct expand over the
-    * chunk table), and the bucket rollup's distinct runs over
-    * (bucket, batch) pairs — corpus/batchSize cardinality, partial-
-    * aggregated. Waste fractions are the engine-exact integer
-    * rounding.
-    *
-    * Output: (strategy, n_bins, capacity_tokens, used_tokens,
-    * waste_frac).
-    */
   /** Truncation-loss readout for a candidate max sequence length:
     * per group, how many documents exceed `maxLen` and what fraction
     * of the corpus' tokens a hard truncation at `maxLen` would drop —
@@ -222,12 +194,44 @@ object Packing {
         ratio6(col("trunc_docs"), col("n_docs")).as("trunc_frac"))
   }
 
+  /** Packing-strategy efficiency readout: the padding-waste
+    * comparison between [[packChunks]] (concat-and-chunk — wastes
+    * only the final partial chunk) and [[lengthBuckets]]
+    * (per-sequence padding to the bucket width) on the same corpus —
+    * the number that decides which batch assembler a training run
+    * ships with. One row per strategy: bin count, total slot
+    * capacity, tokens actually carried, and the exact waste
+    * fraction.
+    *
+    * Contracts: concat-and-chunk counts the last chunk at full
+    * capacity (the assembler pads it); length-bucket counts only
+    * per-sequence padding (partial batches are NOT padded out to
+    * `batchSize` rows), and an over-length document truncates into
+    * the top bucket (used = min(n, bucket), the inference-batcher
+    * convention — [[lengthBuckets]]' `pad` floor already encodes
+    * it). An empty corpus (or one with no positive-token document)
+    * yields zero bins / zero tokens per strategy, with waste_frac
+    * NULL — 0/0 has no defined waste.
+    *
+    * Scale shape: rides the two certified operators unchanged; the
+    * chunk rollup is one partial-aggregated reduction to a single
+    * row (bins = max chunk id + 1 — no distinct expand over the
+    * chunk table), and the bucket rollup's distinct runs over
+    * (bucket, batch) pairs — corpus/batchSize cardinality, partial-
+    * aggregated. Waste fractions are the engine-exact integer
+    * rounding.
+    *
+    * Output: (strategy, n_bins, capacity_tokens, used_tokens,
+    * waste_frac).
+    */
   def packEfficiency(docs: DataFrame, idCol: Column, nTokensCol: Column,
                      capacity: Long, batchSize: Int): DataFrame = {
     val ratio6 = graft.functions.ExactRound.ratio6 _
     val cc = packChunks(docs, idCol, nTokensCol, capacity)
-      .agg((max(col("chunk_id")) + 1L).as("n_bins"),
-        sum(col("n_tokens")).as("used"))
+      // coalesce: an all-empty corpus has no chunks, so max(chunk_id)
+      // is NULL — the contract row is zeros, not NULLs
+      .agg(coalesce(max(col("chunk_id")) + 1L, lit(0L)).as("n_bins"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("used"))
       .select(lit("concat_chunk").as("strategy"),
         col("n_bins").cast("bigint").as("n_bins"),
         (col("n_bins") * capacity).cast("bigint").as("capacity_tokens"),
@@ -236,9 +240,10 @@ object Packing {
           col("n_bins") * capacity).as("waste_frac"))
     val lb = lengthBuckets(docs, idCol, nTokensCol, batchSize)
       .agg(countDistinct(col("bucket"), col("batch_id")).as("n_bins"),
-        sum(least(col("n_tokens"), col("bucket"))).as("used"),
-        sum(col("bucket")).as("cap"),
-        sum(col("pad")).as("padding"))
+        coalesce(sum(least(col("n_tokens"), col("bucket"))), lit(0L))
+          .as("used"),
+        coalesce(sum(col("bucket")), lit(0L)).as("cap"),
+        coalesce(sum(col("pad")), lit(0L)).as("padding"))
       .select(lit("length_bucket").as("strategy"),
         col("n_bins").cast("bigint").as("n_bins"),
         col("cap").cast("bigint").as("capacity_tokens"),

@@ -671,12 +671,18 @@ object TextAnalysis {
     * the token stream itself never shuffles for it). Coverage is the
     * engine-exact integer rounding.
     *
-    * Output: one row per k — (k, n_vocab, covered_tokens,
+    * Output: one row per DISTINCT k — (k, n_vocab, covered_tokens,
     * total_tokens, coverage), n_vocab = min(k, vocabulary size).
+    * Duplicate k values are rejected (the groupBy on k would
+    * silently collapse them). An empty corpus yields ZERO rows —
+    * there is no top-k vocabulary to fan the k values over; callers
+    * wanting a zero row per k should guard upstream.
     */
   def vocabCoverage(docs: DataFrame, textCol: String,
                     ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), "need positive k values")
+    require(ks.distinct.size == ks.size,
+      s"duplicate k values collapse in the per-k rollup: $ks")
     import org.apache.spark.sql.expressions.Window
     val w = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
     val top = docs.select(explode(w).as("t"))

@@ -6,10 +6,11 @@ import scala.concurrent.duration.Duration
 import scala.concurrent.{Await, ExecutionContext, Future}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
-/** U3: DID-create bootstrap — the driver-side parallel initialization
-  * that builds the credential dimension every identity query joins
-  * against (SURVEY.md §2.5, §3.2).
+/** U3: DID-create bootstrap — the parallel initialization that builds
+  * the credential dimension every identity query joins against
+  * (SURVEY.md §2.5, §3.2).
   *
   * Reference semantics
   * (veramo-agent/src/veramo/veramo_create_protected_did.ts:88-270,
@@ -19,13 +20,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * document HOSTING and authorization-VC issuance IN PARALLEL, and
   * only mark the entity bootstrapped when both land.
   *
-  * Spark-first shape: this is driver-side init, not a distributed
-  * operator — the entity universe is the credential registry (a
-  * DIMENSION: customers/issuers, thousands of rows), never the fact
-  * stream, so a bounded driver `Future.traverse` is the honest
-  * architecture at 100 TB too. The result ships to executors as a
-  * broadcast dim (J1 joins against it); nothing here scales with
-  * event volume.
+  * Two shapes, one mint rule:
+  *  - [[bootstrap]] / [[bootstrapDim]]: driver-side bounded
+  *    `Future.traverse` — the honest architecture when the registry
+  *    dim is thousands of rows (the reference's own bootstrap is the
+  *    same driver-side loop, bootstrap.go:30-99).
+  *  - [[bootstrapDimDistributed]]: executor-side `mapPartitions`
+  *    mint over the dim as a DataFrame — the keygen is deterministic
+  *    and pure, so at a 100× dim (~1.5 M entities) the mint
+  *    parallelizes across the cluster instead of ceiling on one
+  *    driver core. No full-dim collect anywhere on this path.
   */
 object DidBootstrap {
 
@@ -35,6 +39,46 @@ object DidBootstrap {
   final case class DidRecord(entity_id: Long, did: String,
                              did_provider: String, hosted: Boolean,
                              vc_jwt: String)
+
+  /** Deterministic provider split (the same rule the dashboard's
+    * per-provider panels and the six-config experiment matrix
+    * replay — see [[graft.model.ExperimentConfig]] row 6): entity id
+    * mod 3 → did:key / did:web / did:ethr:sepolia. */
+  def providerOf(entityId: Long): String =
+    (((entityId % 3) + 3) % 3) match {
+      case 0 => "did:key"
+      case 1 => "did:web"
+      case _ => "did:ethr:sepolia"
+    }
+
+  /** Deterministic ethr-style account address: 20 bytes of SHA-256
+    * over a namespaced seed, hex-encoded — a stand-in for the
+    * keccak256(pubkey)[12..] derivation the ethr method performs on
+    * chain (the reference resolves did:ethr:sepolia via a provider
+    * RPC; deterministic local derivation keeps the dim reproducible
+    * without network). */
+  private def ethrAddress(entityId: Long): String =
+    sha256Hex("graft-ethr:" + entityId).substring(0, 40)
+
+  /** The one mint rule all paths share: provider split + per-provider
+    * identifier derivation. did:key must equal the per-row
+    * [[CredentialOps.didKey]] fingerprint (J1 joins the dim against
+    * per-row derivations of the same key). */
+  def mintDid(entityId: Long): String = providerOf(entityId) match {
+    case "did:key" => "did:key:z" + md5Hex(entityId.toString)
+    case "did:web" => s"did:web:graft.example:u$entityId"
+    case _         => "did:ethr:sepolia:0x" + ethrAddress(entityId)
+  }
+
+  /** Mint the full record: DID + hosting receipt + authz VC. Pure and
+    * deterministic given (entityId, secret) — safe to run on any
+    * executor, any number of times. */
+  def mintRecord(entityId: Long,
+                 secret: String = CredentialOps.DefaultSecret): DidRecord = {
+    val did = mintDid(entityId)
+    DidRecord(entityId, did, providerOf(entityId), hosted = true,
+      Jwt.sign(s"""{"sub":"$did","scope":"$did/*"}""", secret))
+  }
 
   /** The getOrCreate registry (ts:96-118 `getOrCreateDid`). Keyed by
     * entity id; `computeIfAbsent` gives the same atomic
@@ -47,20 +91,10 @@ object DidBootstrap {
 
     def size: Int = dids.size
 
-    /** Deterministic provider split (the same rule the dashboard's
-      * per-provider panels replay): even entities did:key, odd
-      * did:web. */
-    def providerOf(entityId: Long): String =
-      if (entityId % 2 == 0) "did:key" else "did:web"
+    def providerOf(entityId: Long): String = DidBootstrap.providerOf(entityId)
 
     def getOrCreate(entityId: Long): String =
-      dids.computeIfAbsent(entityId, id =>
-        if (providerOf(id) == "did:key")
-          // same fingerprint rule as CredentialOps.didKey — the dim
-          // and the per-row derivations must agree on the key
-          "did:key:z" + md5Hex(id.toString)
-        else
-          s"did:web:graft.example:u$id")
+      dids.computeIfAbsent(entityId, mintDid(_))
 
     /** Hosting side effect (ts:149-186): register the DID document.
       * Idempotent — re-hosting an already-hosted DID is a no-op
@@ -72,6 +106,10 @@ object DidBootstrap {
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Bootstrap every entity: getOrCreate its DID, then host the
@@ -96,10 +134,31 @@ object DidBootstrap {
     Await.result(fut, Duration.Inf).sortBy(_.entity_id)
   }
 
-  /** The bootstrap result as the broadcast-able credential dim. */
+  /** The bootstrap result as the broadcast-able credential dim —
+    * driver path, for dims small enough that one core's keygen is
+    * fine (the reference's own shape). */
   def bootstrapDim(spark: SparkSession, entityIds: Seq[Long],
                    secret: String = CredentialOps.DefaultSecret): DataFrame = {
     import spark.implicits._
     bootstrap(entityIds, secret = secret).toDF()
+  }
+
+  /** Executor-side mint over the entity dim: `distinct` replays
+    * getOrCreate's duplicate-collapse (one DID per entity id
+    * regardless of request multiplicity), then each partition mints
+    * its slice in place — no driver collect, no ceiling on dim size.
+    * The mint is [[mintRecord]]: pure, so retried/speculative tasks
+    * produce identical rows.
+    */
+  def bootstrapDimDistributed(dim: DataFrame, idCol: String,
+                              secret: String = CredentialOps.DefaultSecret)
+                             : DataFrame = {
+    val spark = dim.sparkSession
+    import spark.implicits._
+    dim.select(col(idCol).cast("long").as("entity_id"))
+      .distinct()
+      .as[Long]
+      .mapPartitions(ids => ids.map(mintRecord(_, secret)))
+      .toDF()
   }
 }

@@ -135,4 +135,40 @@ final class AvroCodec {
     decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
     toEvent(reader.read(null, decoder))
   }
+
+  // --- Confluent Schema Registry wire format --------------------
+  // The reference serializes through the registry client
+  // (kafka_producer.py:49-62 AvroSerializer / kafka_consumer.py:44-55
+  // AvroDeserializer), whose PUBLIC wire format frames every message
+  // as: magic byte 0x0, 4-byte big-endian schema id, Avro binary
+  // payload. Plain `encode` output would fail a real Confluent
+  // consumer on the missing 5-byte header — these twins are
+  // wire-true.
+
+  /** Framed encode: 0x0 magic + big-endian schema id + Avro binary. */
+  def encodeWire(ev: TradeEvent, schemaId: Int): Array[Byte] = {
+    val payload = encode(ev)
+    val framed = new Array[Byte](5 + payload.length)
+    framed(0) = 0x0
+    framed(1) = (schemaId >>> 24).toByte
+    framed(2) = (schemaId >>> 16).toByte
+    framed(3) = (schemaId >>> 8).toByte
+    framed(4) = schemaId.toByte
+    System.arraycopy(payload, 0, framed, 5, payload.length)
+    framed
+  }
+
+  /** Framed decode: validates the magic byte (a non-registry frame
+    * fails LOUDLY, like the reference deserializer), returns
+    * (schema id, event). */
+  def decodeWire(bytes: Array[Byte]): (Int, TradeEvent) = {
+    require(bytes.length >= 5 && bytes(0) == 0x0,
+      s"not a registry-framed message (len=${bytes.length}, " +
+        s"magic=${if (bytes.isEmpty) "<empty>" else bytes(0).toString})")
+    val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+      ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+    decoder = DecoderFactory.get()
+      .binaryDecoder(bytes, 5, bytes.length - 5, decoder)
+    (id, toEvent(reader.read(null, decoder)))
+  }
 }

@@ -44,4 +44,34 @@ object TradeAvroOps {
       it.map(codec.decode)
     }
   }
+
+  /** Wire-true egress: the Confluent registry framing (0x0 magic +
+    * 4-byte schema id) the reference's producer actually puts on the
+    * topic (kafka_producer.py:49-62). Same shuffle-free
+    * per-partition map as [[encode]]. */
+  def encodeWire(ds: Dataset[TradeEvent], schemaId: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new AvroCodec
+      it.map(ev => (ev.symbol, codec.encodeWire(ev, schemaId)))
+    }.toDF("key", "value")
+  }
+
+  /** Wire-true ingress: validates the 5-byte registry header per
+    * message (and, when `expectSchemaId` is set, pins the id — a
+    * topic carrying a different schema version fails loudly instead
+    * of mis-decoding). */
+  def decodeWire(df: DataFrame,
+                 expectSchemaId: Option[Int] = None): Dataset[TradeEvent] = {
+    import df.sparkSession.implicits._
+    df.select(col("value")).as[Array[Byte]].mapPartitions { it =>
+      val codec = new AvroCodec
+      it.map { bytes =>
+        val (id, ev) = codec.decodeWire(bytes)
+        expectSchemaId.foreach(want => require(id == want,
+          s"schema id mismatch: frame has $id, expected $want"))
+        ev
+      }
+    }
+  }
 }

@@ -127,6 +127,26 @@ object EnvelopeQueries {
     },
     Some(flatSql))
 
+  /** S3/K2 wire-true: the same roundtrip THROUGH the Confluent
+    * registry framing (0x0 magic + 4-byte big-endian schema id —
+    * the public wire format the reference's AvroSerializer/
+    * AvroDeserializer emit, kafka_producer.py:49-62 /
+    * kafka_consumer.py:44-55). The decode pins the schema id, so a
+    * frame from a different schema version fails loudly; same P5
+    * oracle certifies the 5-byte header is transparent to values.
+    */
+  private val s3WireRoundtrip = QueryDef(
+    "s3_wire_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val events = envelopes(s, d).select(col("ev.*")).as[TradeEvent]
+      val decoded = TradeAvroOps.decodeWire(
+        TradeAvroOps.encodeWire(events, schemaId = 7),
+        expectSchemaId = Some(7))
+      flatten(decoded.toDF().select(struct(col("*")).as("ev")))
+    },
+    Some(flatSql))
+
   /** P8∘P7 = identity on credential values: wire `context` →
     * W3C `@context` → back, asserted field-wise (field ORDER shifts,
     * which JSON-object semantics don't observe — so the check is on
@@ -306,6 +326,6 @@ object EnvelopeQueries {
       FROM tr GROUP BY symbol"""))
 
   val defs: Seq[QueryDef] = Seq(
-    p5EnvelopeBuild, s3AvroRoundtrip, p7p8ContextRoundtrip,
+    p5EnvelopeBuild, s3AvroRoundtrip, s3WireRoundtrip, p7p8ContextRoundtrip,
     p9NestedExtract, p13VcEnvelope, p5EnvelopeValidate, e2eHotPath)
 }

@@ -270,24 +270,25 @@ object IdentityQueries {
         n AS n_resolutions
       FROM cum WHERE 20*cum >= 19*n AND 20*(cum - cnt) < 19*n"""))
 
-  /** U3: the DID-bootstrap readout. The driver-side parallel init
-    * ([[DidBootstrap.bootstrap]]: getOrCreate DID → hosting ∥
-    * authz-VC, veramo_create_protected_did.ts:88-270) runs over the
-    * customer DIM (bounded driver traffic — the credential registry
-    * is dimension-sized by construction, never the fact stream), and
-    * the resulting broadcast dim is certified by its observable
-    * contract: one DID per entity, every document hosted, every
-    * issued VC verifying, split by the deterministic provider rule
-    * the dashboard panels replay (even → did:key, odd → did:web).
+  /** U3: the DID-bootstrap readout
+    * ([[DidBootstrap]]: getOrCreate DID → hosting ∥ authz-VC,
+    * veramo_create_protected_did.ts:88-270) over the customer DIM,
+    * on the EXECUTOR-SIDE mint path
+    * ([[DidBootstrap.bootstrapDimDistributed]]): the keygen is pure
+    * and deterministic, so each partition mints its slice in place —
+    * no full-dim collect, no driver ceiling at a 100× registry. The
+    * dim is certified by its observable contract: one DID per entity,
+    * every document hosted, every issued VC verifying, split by the
+    * deterministic provider rule the dashboard panels and the
+    * six-config matrix replay (id mod 3 → did:key / did:web /
+    * did:ethr:sepolia — row 6 of [[graft.model.ExperimentConfig]] is
+    * now exercisable end-to-end).
     */
   private val u3BootstrapDim = QueryDef(
     "u3_bootstrap_dim",
     (s, d) => {
-      import s.implicits._
-      // dim-bounded collect: the entity universe IS the registry
-      val ids = Tables.customer(s, d)
-        .select(col("c_custkey")).as[Long].collect().toSeq
-      DidBootstrap.bootstrapDim(s, ids)
+      DidBootstrap.bootstrapDimDistributed(
+          Tables.customer(s, d), "c_custkey")
         .withColumn("vc_ok", CredentialOps.verifyJwt(col("vc_jwt")))
         .groupBy(col("did_provider"))
         .agg(count(lit(1)).as("n_dids"),
@@ -295,8 +296,9 @@ object IdentityQueries {
           count(when(col("vc_ok"), 1)).as("n_vc_ok"))
     },
     Some("""SELECT
-      CASE WHEN c_custkey % 2 = 0 THEN 'did:key' ELSE 'did:web' END
-        AS did_provider,
+      CASE WHEN c_custkey % 3 = 0 THEN 'did:key'
+           WHEN c_custkey % 3 = 1 THEN 'did:web'
+           ELSE 'did:ethr:sepolia' END AS did_provider,
       COUNT(*) AS n_dids, COUNT(*) AS n_hosted, COUNT(*) AS n_vc_ok
       FROM customer GROUP BY 1"""))
 

@@ -65,4 +65,42 @@ class AvroCodecSpec extends AnyFunSuite {
     val b = new AvroCodec().encode(ev)
     assert(java.util.Arrays.equals(a, b))
   }
+
+  // --- Confluent registry wire format ---------------------------
+
+  test("wire frame is magic 0x0 + big-endian schema id + avro payload") {
+    val ev = TradeEvent("2024-01-01T00:00:07Z", "SYM3", "trade-42",
+      tradeData = Some(td), tradeCredential = None)
+    val codec = new AvroCodec
+    val framed = codec.encodeWire(ev, schemaId = 0x01020304)
+    // hand-built golden frame: header bytes are the spec'd layout
+    assert(framed(0) === 0x0.toByte)
+    assert(framed.slice(1, 5).toSeq ===
+      Seq(0x01.toByte, 0x02.toByte, 0x03.toByte, 0x04.toByte))
+    assert(framed.drop(5).toSeq === codec.encode(ev).toSeq,
+      "payload after the 5-byte header is plain Avro binary")
+  }
+
+  test("hand-built golden frame decodes: header + payload → (id, event)") {
+    val ev = TradeEvent("2024-01-01T00:00:07Z", "SYM3", "trade-42",
+      tradeData = Some(td), tradeCredential = None)
+    val codec = new AvroCodec
+    val golden = Array[Byte](0x0, 0x0, 0x0, 0x0, 42) ++ codec.encode(ev)
+    val (id, got) = codec.decodeWire(golden)
+    assert(id === 42)
+    assert(got === ev)
+  }
+
+  test("unframed bytes fail loudly (wrong magic)") {
+    val ev = TradeEvent("2024-01-01T00:00:07Z", "SYM3", "trade-42",
+      tradeData = Some(td), tradeCredential = None)
+    val codec = new AvroCodec
+    val bare = codec.encode(ev)
+    // plain Avro binary of this envelope starts with a non-zero byte,
+    // so a consumer expecting registry framing must reject it
+    assertThrows[IllegalArgumentException](codec.decodeWire(bare))
+    assertThrows[IllegalArgumentException](
+      codec.decodeWire(Array[Byte](0x1, 0, 0, 0, 1)))
+    assertThrows[IllegalArgumentException](codec.decodeWire(Array.empty[Byte]))
+  }
 }

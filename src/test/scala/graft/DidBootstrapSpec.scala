@@ -28,18 +28,43 @@ class DidBootstrapSpec extends SparkSpec {
   }
 
   test("provider split and did:key fingerprint match the per-row rule") {
-    val recs = DidBootstrap.bootstrap(Seq(4L, 7L))
+    val recs = DidBootstrap.bootstrap(Seq(6L, 7L, 8L))
     val byId = recs.map(r => r.entity_id -> r).toMap
-    assert(byId(4L).did_provider === "did:key")
+    assert(byId(6L).did_provider === "did:key")
     assert(byId(7L).did_provider === "did:web")
+    assert(byId(8L).did_provider === "did:ethr:sepolia")
     // the dim's did:key fingerprint must equal CredentialOps.didKey
     // (J1 joins the dim against per-row derivations of the same key)
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val viaCol = Seq(4L).toDF("id")
+    val viaCol = Seq(6L).toDF("id")
       .select(CredentialOps.didKey(col("id"))).as[String].collect()(0)
-    assert(byId(4L).did === viaCol)
+    assert(byId(6L).did === viaCol)
     assert(byId(7L).did === "did:web:graft.example:u7")
+    // ethr DID: deterministic 20-byte hex account, ethr-shaped
+    assert(byId(8L).did.matches("did:ethr:sepolia:0x[0-9a-f]{40}"))
+  }
+
+  test("distributed mint matches the driver path and never collects the dim") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+    val dist = DidBootstrap.bootstrapDimDistributed(dim, "c_custkey")
+    // plan contract: the mint is a transformation OVER THE SCAN — a
+    // driver-side collect would plan as LocalTableScan with no file
+    // source underneath
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan") && plan.toLowerCase.contains("parquet"),
+      s"distributed mint must read the dim lazily, got:\n$plan")
+    assert(!plan.contains("LocalTableScan"),
+      "distributed mint must not materialize the dim on the driver")
+    // parity: identical records to the driver-side bootstrap
+    val ids = dim.select(col("c_custkey").cast("long")).as[Long]
+      .collect().toSeq
+    val driver = DidBootstrap.bootstrap(ids)
+    val got = dist.as[DidBootstrap.DidRecord].collect()
+      .sortBy(_.entity_id).toSeq
+    assert(got === driver)
   }
 
   test("concurrent getOrCreate under contention stays single-writer") {
