@@ -250,6 +250,49 @@ object Classifier {
       .withColumn("predicted", col("score") > 0)
   }
 
+  /** Top-k discriminative TERMS of the two-class corpus — the
+    * model-interpretation readout next to [[naiveBayes]]: which
+    * actual words carry the classifier's signal (the hashed-bucket
+    * model can't say; this per-term table can). Per term, the
+    * add-one log-odds ratio between the classes with V = distinct
+    * vocabulary size as the smoothing denominator count:
+    *
+    *   lr(t) = ln((np+1)/(tp+V)) − ln((nn+1)/(tn+V))
+    *
+    * rounded to 8 dp (the log-space portability convention), cut to
+    * the k terms with the largest |lr| (ties → term asc). `minCount`
+    * drops rare terms whose odds are smoothing noise.
+    *
+    * Scale shape: one partial-aggregated per-term count shuffle; the
+    * scalar (V, tp, tn) row broadcasts back; the cut is a
+    * distributed TakeOrderedAndProject — the vocabulary is never
+    * globally sorted.
+    *
+    * Output: (term, np, nn, lr), at most k rows.
+    */
+  def discriminativeTerms(docs: DataFrame, textCol: String,
+                          isPositive: Column, k: Int,
+                          minCount: Long = 5L): DataFrame = {
+    require(k >= 1, s"need a positive k, got $k")
+    val terms = docs.select(isPositive.as("is_pos"),
+      explode(toks(col(textCol))).as("t"))
+    val cls = terms.groupBy(col("t")).agg(
+      count(when(col("is_pos"), 1)).as("np"),
+      count(when(!col("is_pos"), 1)).as("nn"))
+    val scalars = cls.agg(count(lit(1)).as("v"),
+      coalesce(sum(col("np")), lit(0L)).as("tp"),
+      coalesce(sum(col("nn")), lit(0L)).as("tn"))
+    cls.crossJoin(broadcast(scalars))
+      .filter(col("np") + col("nn") >= minCount)
+      .select(col("t").as("term"), col("np"), col("nn"),
+        round(log((col("np") + lit(1)).cast("double") /
+            (col("tp") + col("v")).cast("double")) -
+          log((col("nn") + lit(1)).cast("double") /
+            (col("tn") + col("v")).cast("double")), 8).as("lr"))
+      .orderBy(round(abs(col("lr")), 8).desc, col("term").asc)
+      .limit(k)
+  }
+
   /** The frozen-model scoring fold as a bare Column over a token
     * array — the piece [[nbScore]] and composed gates
     * ([[StreamGate.score]]) share: hash each token, index the literal

@@ -50,6 +50,37 @@ object Dedup {
           .as("weight"))
   }
 
+  /** Keep-BEST exact dedup: per content fingerprint, survive the
+    * highest-priority copy (priority desc, doc_id asc — NULL
+    * priority sorts last, so a scoreless copy never beats a scored
+    * one) instead of [[exactGroups]]' min-id keeper. This is the
+    * dedup a quality-aware pipeline actually ships: when a crawl
+    * captured the same content at different extraction quality, the
+    * keeper should be the best-extracted copy, not the
+    * first-crawled one.
+    *
+    * Scale shape: one fingerprint-keyed shuffle; the rank and the
+    * group-size count share the same `fp` partitioning (one
+    * Exchange, two window functions over it), and groups are
+    * multiplicity-sized — no skew beyond the duplication itself.
+    *
+    * Output: (doc_id, n_copies, priority, keep) — every input row
+    * survives with its verdict, so the drop set is auditable.
+    */
+  def keepBest(docs: DataFrame, idCol: String, text: Column,
+               priority: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(text).as("fp"), priority.as("priority"))
+    val byFp = Window.partitionBy(col("fp"))
+    val best = Window.partitionBy(col("fp"))
+      .orderBy(col("priority").desc_nulls_last, col("doc_id").asc)
+    base
+      .withColumn("n_copies", count(lit(1)).over(byFp).cast("long"))
+      .withColumn("keep", row_number().over(best) === 1)
+      .select(col("doc_id"), col("n_copies"), col("priority"), col("keep"))
+  }
+
   /** Quality-by-duplication-multiplicity readout: for each content
     * multiplicity m (how many times a document's exact content was
     * crawled), the group/document counts and the EXACT mean quality

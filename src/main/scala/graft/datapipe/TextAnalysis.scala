@@ -758,4 +758,82 @@ object TextAnalysis {
       .select((col("psi_scaled").cast("double") / 1e6).as("psi"))
     detail.crossJoin(broadcast(total))
   }
+
+  /** Blocklist word-filter gate (the UT1/"bad words" pass of
+    * CCNet/RefinedWeb-style cleanups): per document, how many token
+    * occurrences and how many DISTINCT terms hit the blocklist, the
+    * exact hit fraction, and the gate bit. The gate is pure integer
+    * arithmetic (engine-portable): blocked when ≥ 2 distinct
+    * blocklisted terms appear, or when blocklisted occurrences
+    * exceed `maxHitPct`% of the tokens.
+    *
+    * Scale shape: ZERO shuffle — the blocklist is a LITERAL array in
+    * the plan (a real deployment's list is a few thousand words:
+    * still literal/broadcast-sized), and the hit counting is a
+    * per-row codegen'd array filter; streams statelessly. Token rule
+    * is the length-filtered camp ([[vocabCoverage]]'s): a zero-token
+    * document carries NULL hit_frac and is not blocked.
+    *
+    * Output: (doc_id, n_tokens, n_hits, n_distinct_hits, hit_frac,
+    * blocked).
+    */
+  def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
+                    blocklist: Seq[String], maxHitPct: Int = 5): DataFrame = {
+    require(blocklist.nonEmpty, "need a non-empty blocklist")
+    require(maxHitPct >= 0 && maxHitPct <= 100,
+      s"maxHitPct is a percentage, got $maxHitPct")
+    val bl = array(blocklist.map(lit): _*)
+    val ws = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    docs.select(col(idCol).as("doc_id"),
+        size(ws).cast("bigint").as("n_tokens"),
+        filter(ws, t => array_contains(bl, t)).as("hits"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("hits")).cast("bigint").as("n_hits"),
+        size(array_distinct(col("hits"))).cast("bigint")
+          .as("n_distinct_hits"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hits"),
+        col("n_distinct_hits"),
+        graft.functions.ExactRound.ratio6(col("n_hits"), col("n_tokens"))
+          .as("hit_frac"),
+        (col("n_distinct_hits") >= 2L ||
+          col("n_hits") * 100L > col("n_tokens") * maxHitPct)
+          .as("blocked"))
+  }
+
+  /** Top-k n-gram frequency table for each requested n — the
+    * "top bigrams/trigrams" block of a dataset card, and the raw
+    * input to phrase-level dedup lists. Tokens are the
+    * length-filtered normalized words; an n-gram is the
+    * space-joined window, counted across the corpus.
+    *
+    * Scale shape: one explode + one partial-aggregated count shuffle
+    * PER n, each cut by a distributed TakeOrderedAndProject
+    * (per-partition heaps; the n-gram table is never globally
+    * sorted) — the per-n plans union AFTER their k-bounded cuts, so
+    * the union carries ≤ Σk rows. Ordering is (freq desc, gram asc):
+    * fully deterministic, engine-portable cut boundary.
+    *
+    * Output: one row per (n, gram) — (n, gram, freq), at most k rows
+    * per n.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, ns: Seq[Int],
+                k: Int): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"need n >= 1, got $ns")
+    require(ns.distinct.size == ns.size, s"duplicate n values: $ns")
+    require(k >= 1, s"need a positive k, got $k")
+    val ws = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    val perN = ns.sorted.map { n =>
+      // guard: sequence(1, size-n+1) DESCENDS when size < n, which
+      // would fabricate grams — short documents contribute nothing
+      val grams = when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - n + 1),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      docs.select(explode(grams).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("gram").asc).limit(k)
+        .select(lit(n.toLong).as("n"), col("gram"), col("freq"))
+    }
+    perN.reduce(_ unionByName _)
+  }
 }

@@ -3847,7 +3847,142 @@ object DataPipeQueries {
       JOIN (${corpusLengthQuantiles.oracle.get}) q ON cs.source = q.source
       JOIN (${textSourceKl.oracle.get}) kl ON cs.source = kl.source"""))
 
+  /** T109: blocklist word-filter gate ([[TextAnalysis.blocklistGate]],
+    * the UT1/"bad words" pass). The blocklist mixes terms present in
+    * the synthetic vocabulary (slow, vector) with absent ones (junk,
+    * spam), so hit and no-hit paths are both exercised; the oracle
+    * replays the token filter, both hit counts, the exact fraction,
+    * and the integer-arithmetic gate.
+    */
+  private val textBlocklist = QueryDef(
+    "text_blocklist",
+    (s, d) => TextAnalysis.blocklistGate(Tables.documents(s, d),
+      "doc_id", "text", Seq("slow", "vector", "junk", "spam"),
+      maxHitPct = 5),
+    Some("""WITH base AS (SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0) AS ws
+        FROM documents),
+      h AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        list_filter(ws, t -> list_contains(['slow','vector','junk','spam'], t)) AS hits
+        FROM base)
+      SELECT doc_id, n_tokens,
+        CAST(len(hits) AS BIGINT) AS n_hits,
+        CAST(len(list_distinct(hits)) AS BIGINT) AS n_distinct_hits,
+        CASE WHEN n_tokens = 0 THEN NULL
+          ELSE ((2 * len(hits) * 1000000 + n_tokens) // (2 * n_tokens)) / 1000000.0
+          END AS hit_frac,
+        (len(list_distinct(hits)) >= 2 OR 100 * len(hits) > 5 * n_tokens)
+          AS blocked
+      FROM h"""))
+
+  /** T110: keep-BEST exact dedup ([[Dedup.keepBest]]) — per planted
+    * duplicate group (the soft-weights planting: multiplicities 1, 2,
+    * 3), survive the copy with the highest deterministic
+    * "extraction quality" (md5-derived per-copy, so copies of the
+    * SAME content genuinely differ — a content-derived score would
+    * degenerate to keep-min-id). The oracle replays the planting, the
+    * fingerprint, the per-copy priority, and the (priority desc,
+    * doc_id) pick.
+    */
+  private val dedupKeepBest = QueryDef(
+    "dedup_keep_best",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+      Dedup.keepBest(planted, "doc_id", col("text"),
+        (TextAnalysis.md5Long60(concat(lit("pq:"),
+          col("doc_id").cast("string"))) % 1000L).cast("double") / lit(1000.0))
+    },
+    Some("""WITH planted AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      f AS (SELECT doc_id,
+        ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp,
+        (('0x' || substr(md5('pq:' || doc_id), 1, 15))::BIGINT % 1000) / 1000.0 AS priority
+        FROM planted),
+      m AS (SELECT fp, COUNT(*) AS n_copies FROM f GROUP BY fp),
+      r AS (SELECT doc_id, fp, priority,
+        row_number() OVER (PARTITION BY fp
+          ORDER BY priority DESC NULLS LAST, doc_id) AS rn FROM f)
+      SELECT r.doc_id, m.n_copies, r.priority, (r.rn = 1) AS keep
+      FROM r JOIN m USING (fp)"""))
+
+  /** T111: top discriminative terms
+    * ([[graft.datapipe.Classifier.discriminativeTerms]]) of the
+    * English-vs-rest corpus — the interpretation readout the hashed
+    * NB classifier can't give. The oracle retrains the per-TERM
+    * class counts, the (V, tp, tn) scalars, the 8-dp log-odds, and
+    * the |lr|-descending cut.
+    */
+  private val textClassifierTerms = QueryDef(
+    "text_classifier_terms",
+    (s, d) => graft.datapipe.Classifier.discriminativeTerms(
+      Tables.documents(s, d), "text", nbLabel, k = 50, minCount = 5L),
+    Some("""WITH ls AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+        len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS s_es,
+        len(regexp_extract_all(lower(text), '\b(le|la|de|et|les)\b')) AS s_fr,
+        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de
+        FROM documents),
+      lab AS (SELECT doc_id,
+        COALESCE(s_en > 0 AND s_en >= greatest(s_en, s_es, s_fr, s_de),
+          FALSE) AS is_pos
+        FROM ls),
+      tw AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      tk AS (SELECT lab.is_pos, u.t
+        FROM tw JOIN lab USING (doc_id), UNNEST(w) AS u(t)),
+      cls AS (SELECT t,
+          COUNT(*) FILTER (WHERE is_pos) AS np,
+          COUNT(*) FILTER (WHERE NOT is_pos) AS nn
+        FROM tk GROUP BY t),
+      sc AS (SELECT COUNT(*) AS v,
+          COALESCE(SUM(CAST(np AS BIGINT)), 0) AS tp,
+          COALESCE(SUM(CAST(nn AS BIGINT)), 0) AS tn FROM cls)
+      SELECT t AS term, np, nn,
+        round(ln(CAST(np + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE))
+          - ln(CAST(nn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)), 8) AS lr
+      FROM cls, sc WHERE np + nn >= 5
+      ORDER BY round(abs(round(ln(CAST(np + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE))
+          - ln(CAST(nn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)), 8)), 8) DESC,
+        term LIMIT 50"""))
+
+  /** T112: top-k n-gram table ([[TextAnalysis.topNgrams]], n ∈ {2,3},
+    * k = 20) — the dataset-card "top bigrams/trigrams" block. The
+    * oracle regenerates the windows by list slicing, recounts, and
+    * replays both deterministic cuts.
+    */
+  private val corpusNgramStats = QueryDef(
+    "corpus_ngram_stats",
+    (s, d) => TextAnalysis.topNgrams(Tables.documents(s, d), "text",
+      Seq(2, 3), k = 20),
+    Some("""WITH base AS (SELECT
+        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0) AS ws
+        FROM documents),
+      g2 AS (SELECT array_to_string(ws[i:i+1], ' ') AS gram
+        FROM (SELECT ws FROM base WHERE len(ws) >= 2) b,
+          UNNEST(generate_series(1, len(ws) - 1)) AS u(i)),
+      t2 AS (SELECT CAST(2 AS BIGINT) AS n, gram, COUNT(*) AS freq
+        FROM g2 GROUP BY gram ORDER BY freq DESC, gram LIMIT 20),
+      g3 AS (SELECT array_to_string(ws[i:i+2], ' ') AS gram
+        FROM (SELECT ws FROM base WHERE len(ws) >= 3) b,
+          UNNEST(generate_series(1, len(ws) - 2)) AS u(i)),
+      t3 AS (SELECT CAST(3 AS BIGINT) AS n, gram, COUNT(*) AS freq
+        FROM g3 GROUP BY gram ORDER BY freq DESC, gram LIMIT 20)
+      SELECT * FROM t2 UNION ALL SELECT * FROM t3"""))
+
   val defs: Seq[QueryDef] = Seq(
+    textBlocklist, dedupKeepBest, textClassifierTerms, corpusNgramStats,
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
