@@ -801,6 +801,110 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-gram, slide a
+    * `window`-wide window over the hash sequence, and select each
+    * window's MINIMUM hash. The selected set is position-robust
+    * (insertions far from a match never change its fingerprints) and
+    * guarantees any shared run of `window + k - 1` tokens between two
+    * documents shares at least one fingerprint — the local
+    * containment-detection primitive a pure min-hash signature can't
+    * give. Emitting min VALUES (not positions) makes tie handling a
+    * non-issue: equal mins collapse in the distinct set.
+    *
+    * Hashes are md5-derived ([[TextAnalysis.md5Long60]] of the
+    * space-joined k-gram) rather than the xxhash64 shingle stage: the
+    * selection DEPENDS on hash ordering, so the oracle must replay
+    * the exact hash values, and md5 is the engine-portable one.
+    *
+    * Scale shape: ZERO shuffle — grams, hashes, window minima, and
+    * the distinct-set collapse are per-row codegen'd array ops
+    * (O(n·window) per document); only the final explode fans out, and
+    * the output is ≤ one row per gram. A document with fewer grams
+    * than `window` still yields its global-min fingerprint (the
+    * standard ≥1-fingerprint guarantee); an empty document yields
+    * nothing.
+    *
+    * Output: distinct (doc_id, fp) rows — the fingerprint index
+    * downstream plagiarism/containment joins consume.
+    */
+  def winnowing(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3, window: Int = 4): DataFrame = {
+    require(k >= 1 && window >= 1, s"need k, window >= 1, got $k, $window")
+    val tw = split(TextAnalysis.normalize(col(textCol)), " ")
+    val grams = when(size(tw) >= k,
+      transform(sequence(lit(1), size(tw) - k + 1),
+        i => concat_ws(" ", slice(tw, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val hs = transform(grams, g => TextAnalysis.md5Long60(g))
+    val n = size(hs)
+    val sel = when(n >= window,
+        array_distinct(transform(sequence(lit(1), n - window + 1),
+          i => array_min(slice(hs, i, lit(window))))))
+      .when(n >= 1, array(array_min(hs)))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select(col(idCol).as("doc_id"), explode(sel).as("fp"))
+  }
+
+  /** Asymmetric CONTAINMENT pairs: |A∩B| / |A| over distinct k-gram
+    * shingle sets — the "is document A substantially contained in
+    * document B" detector (quotes, excerpts, near-subset crawl
+    * copies) that symmetric Jaccard structurally under-scores (a
+    * paragraph inside a book has tiny Jaccard but containment ≈ 1).
+    * Both directions are emitted; a_id is the contained side.
+    *
+    * Exact-recall candidate generation, asymmetric prefix filter:
+    * C(a→b) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so under one global hash
+    * order the first |A| − ⌈t·|A|⌉ + 1 hashes of A must intersect B —
+    * probing A-prefixes against B's FULL posting index generates
+    * every qualifying pair (the Jaccard variant's symmetric
+    * prefix-vs-prefix join does not hold here; full-side indexing is
+    * the price of asymmetry). Same hot-hash cap as
+    * [[ngramJaccardPairs]] (documented recall cut, never a score
+    * change: scores come from the uncapped sets via join-back), same
+    * shuffled-hash join (no downstream sort order), same
+    * two-pointer sorted-intersect verification.
+    *
+    * Output: (a_id, b_id, n_common, containment) with
+    * containment ≥ `threshold`, a_id ≠ b_id.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.8,
+                       maxDocFreq: Int = 100): DataFrame = {
+    val hhTable = docs.select(col(idCol).as("id"),
+      array_sort(hashedShingles(col(textCol), k)).as("hh"))
+      .stage()
+    val prefLen = (size(col("hh")) -
+      ceil(lit(threshold) * size(col("hh"))) + 1).cast("int")
+    val probe = hhTable.select(col("id").as("a_id"),
+      explode(slice(col("hh"), lit(1), prefLen)).as("h"))
+    val full = hhTable.select(col("id").as("b_id"),
+      explode(col("hh")).as("h"))
+      .stage()
+    val hot = full.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("h"))
+    val candidates = probe.join(broadcast(hot), Seq("h"), "left_anti")
+      .hint("shuffle_hash")
+      .join(full.join(broadcast(hot), Seq("h"), "left_anti"), Seq("h"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    candidates
+      .join(hhTable.select(col("id").as("a_id"), col("hh").as("a_hh")), "a_id")
+      .join(hhTable.select(col("id").as("b_id"), col("hh").as("b_hh")), "b_id")
+      // size filter: C(a→b) ≥ t needs |B| ≥ ⌈t·|A|⌉ (the intersection
+      // fits inside B) — discard before the O(n) intersect work
+      .filter(size(col("b_hh")).cast("double") >=
+        lit(threshold) * size(col("a_hh")))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.SortedIntersectCount.column(col("a_hh"), col("b_hh"))
+          .as("n_common"),
+        size(col("a_hh")).cast("bigint").as("n_a"))
+      .select(col("a_id"), col("b_id"), col("n_common"),
+        (col("n_common").cast("double") / col("n_a")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Incremental corpus dedup: which `newDocs` are genuinely new —
     * their normalized content appears nowhere in `corpus`?
     *

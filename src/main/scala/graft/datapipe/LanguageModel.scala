@@ -186,6 +186,89 @@ object LanguageModel {
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995;
+    * Chen & Goodman 1999 §2.7) — the smoothing that made n-gram LMs
+    * competitive, and the standard scorer CCNet-style quality
+    * filters actually use (KenLM is KN). Absolute discount D = 0.75
+    * with the CONTINUATION unigram as the lower order:
+    *
+    *   P(w|u) = (max(c(uw) − D, 0) + D · N₁₊(u•) · Pc(w)) / c(u•)   if u seen
+    *          = Pc(w)                                               else
+    *   Pc(w)  = (N₁₊(•w) + 1) / (N₁₊(••) + V)    (add-one floor, so
+    *            an OOV word scores the unseen-continuation mass
+    *            instead of −∞ — the open-vocabulary convention of
+    *            [[perplexityBackoff]]'s unigram floor)
+    *
+    * where N₁₊(u•)/N₁₊(•w) are distinct right/left continuation
+    * counts, N₁₊(••) the distinct-bigram total, c(u•) the
+    * left-context token count, V the distinct vocabulary.
+    *
+    * Scale shape mirrors [[perplexityBackoff]]: the model is count
+    * tables bounded by distinct n-grams (all shuffles carry (gram,
+    * partial) rows), scoring co-partitions the position stream with
+    * each table on its gram key, and the per-position probability is
+    * one CASE of integer counts through a pinned IEEE op chain
+    * (products left-associated identically in the oracle), each ln
+    * term rounded to 8 dp before the exact DECIMAL(28,8) sum.
+    *
+    * Output: (doc_id, n_bigrams, ppl) over `docs`; < 2 tokens →
+    * (0, NULL).
+    */
+  def perplexityKneserNey(train: DataFrame, docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    def bigramsOf(df: DataFrame, keep: Seq[String]): DataFrame = {
+      val w = toks(col(textCol))
+      df.filter(size(w) >= 2)
+        .select((keep.map(col) :+ explode(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("g")): _*)
+        .select(keep.map(col) :+ col("g.w1") :+ col("g.w2"): _*)
+    }
+    val tb = bigramsOf(train, Seq.empty).stage()
+    val c2 = tb.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .stage()
+    // c(u•): tokens of u as a LEFT context = bigram occurrences
+    // starting with u; N1+(u•): distinct continuations of u
+    val left = tb.groupBy(col("w1"))
+      .agg(count(lit(1)).as("cu"), count_distinct(col("w2")).as("n1l"))
+    // N1+(•w): distinct left contexts of w
+    val right = c2.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1r"))
+    val scalars = c2.agg(count(lit(1)).as("nn")).crossJoin(
+      train.select(explode(toks(col(textCol))).as("t"))
+        .agg(count_distinct(col("t")).as("v")))
+    val pos = bigramsOf(docs.select(col(idCol).as("doc_id"), col(textCol)),
+      Seq("doc_id"))
+    val pc = (col("n1rc") + lit(1)).cast("double") /
+      (col("nn") + col("v")).cast("double")
+    val scored = pos
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(left, Seq("w1"), "left")
+      .join(right.select(col("w2"), col("n1r").as("n1rc")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      // coalesce BEFORE the arithmetic: an OOV w2 has no n1r row,
+      // and a seen-context/unseen-bigram position has no c2 row
+      .withColumn("n1rc", coalesce(col("n1rc"), lit(0L)))
+      .withColumn("lp", round(log(
+        when(col("cu").isNotNull,
+          (greatest(coalesce(col("c2"), lit(0L)).cast("double") - lit(0.75),
+            lit(0.0)) +
+            lit(0.75) * col("n1l").cast("double") * pc) /
+            col("cu").cast("double"))
+        .otherwise(pc)), 8))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp").cast("decimal(28,8)")).as("slp"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(exp(-col("slp").cast("double") / col("n_bigrams")), 4)
+          .as("ppl"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("ppl"))
+  }
+
   /** CCNet's head/middle/tail partitioning (Wenzek et al. 2020,
     * arXiv:1911.00359 §4.3): per-language perplexity terciles under
     * the corpus-trained bigram LM ([[perplexity]]). CCNet keeps the

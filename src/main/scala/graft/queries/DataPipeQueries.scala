@@ -3981,8 +3981,110 @@ object DataPipeQueries {
         FROM g3 GROUP BY gram ORDER BY freq DESC, gram LIMIT 20)
       SELECT * FROM t2 UNION ALL SELECT * FROM t3"""))
 
+  /** T113: winnowing fingerprints ([[Dedup.winnowing]], MOSS —
+    * Schleimer et al. 2003; k = 3, window = 4). The oracle replays
+    * the md5-derived gram hashes, the sliding window minima (as a
+    * per-doc ROWS-frame window), the full-window guard, the
+    * short-document global-min guarantee, and the distinct collapse.
+    */
+  private val textWinnowing = QueryDef(
+    "text_winnowing",
+    (s, d) => Dedup.winnowing(Tables.documents(s, d), "doc_id", "text",
+      k = 3, window = 4),
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      sh AS (SELECT doc_id, i,
+        ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS h
+        FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      win AS (SELECT doc_id, i,
+        min(h) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+        COUNT(*) OVER (PARTITION BY doc_id) AS ng
+        FROM sh),
+      selq AS (SELECT DISTINCT doc_id, mh AS fp FROM win WHERE i + 3 <= ng),
+      short AS (SELECT doc_id, MIN(h) AS fp FROM sh
+        GROUP BY doc_id HAVING COUNT(*) < 4)
+      SELECT doc_id, fp FROM selq
+      UNION ALL SELECT doc_id, fp FROM short"""))
+
+  /** T114: asymmetric containment pairs ([[Dedup.containmentPairs]],
+    * threshold 0.8) on the twins corpus — every twin (the document
+    * minus its last word) is CONTAINED in its original at
+    * containment 1.0 while the reverse direction scores just below,
+    * so both the symmetric-Jaccard blind spot and the direction
+    * asymmetry are exercised. The oracle recomputes every direction
+    * from the distinct string-shingle sets.
+    */
+  private val dedupContainment = QueryDef(
+    "dedup_containment",
+    (s, d) => Dedup.containmentPairs(withTwins(s, d), "id", "text",
+      k = 3, threshold = 0.8),
+    Some(s"""WITH $twinsSqlCte,
+      toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
+      sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+      common AS (SELECT x.id AS a_id, y.id AS b_id, COUNT(*) AS n_common
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id <> y.id
+                 GROUP BY 1, 2)
+      SELECT a_id, b_id, n_common,
+        CAST(n_common AS DOUBLE) / sa.n_sh AS containment
+      FROM common JOIN sizes sa ON sa.id = a_id
+      WHERE CAST(n_common AS DOUBLE) / sa.n_sh >= 0.8"""))
+
+  /** T115: interpolated Kneser–Ney bigram perplexity
+    * ([[LanguageModel.perplexityKneserNey]], D = 0.75, add-one
+    * continuation floor) with the held-out split of the backoff
+    * entry (train = doc_id % 7 ≠ 0, score everything — ~1/7 of
+    * documents exercise the unseen branches). The oracle retrains
+    * every count table (bigram, left-context, continuation), the
+    * scalars, and replays the pinned IEEE probability chain
+    * term-for-term.
+    */
+  private val textPerplexityKn = QueryDef(
+    "text_perplexity_kn",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      LanguageModel.perplexityKneserNey(
+        docs.filter(col("doc_id") % 7 =!= 0), docs, "doc_id", "text")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      tr AS (SELECT w FROM toks WHERE doc_id % 7 <> 0),
+      tb AS (SELECT w[i] AS w1, w[i+1] AS w2
+        FROM (SELECT w FROM tr WHERE len(w) >= 2),
+          UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM tb GROUP BY 1, 2),
+      lft AS (SELECT w1, COUNT(*) AS cu, COUNT(DISTINCT w2) AS n1l
+        FROM tb GROUP BY 1),
+      rgt AS (SELECT w2, COUNT(*) AS n1r FROM c2 GROUP BY 1),
+      sca AS (SELECT (SELECT COUNT(*) FROM c2) AS nn,
+        (SELECT COUNT(DISTINCT u.t) FROM tr, UNNEST(w) AS u(t)) AS v),
+      pos AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM (SELECT doc_id, w FROM toks WHERE len(w) >= 2),
+          UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+      sc AS (SELECT doc_id, round(ln(
+          CASE WHEN cu IS NOT NULL THEN
+            (greatest(CAST(COALESCE(c2, 0) AS DOUBLE) - 0.75, 0.0)
+              + 0.75 * CAST(n1l AS DOUBLE)
+                * (CAST(COALESCE(n1r, 0) + 1 AS DOUBLE)
+                  / CAST(nn + v AS DOUBLE)))
+            / CAST(cu AS DOUBLE)
+          ELSE CAST(COALESCE(n1r, 0) + 1 AS DOUBLE)
+            / CAST(nn + v AS DOUBLE) END), 8) AS lp
+        FROM pos LEFT JOIN c2 USING (w1, w2)
+          LEFT JOIN lft USING (w1) LEFT JOIN rgt USING (w2), sca),
+      agg AS (SELECT doc_id, SUM(CAST(lp AS DECIMAL(28,8))) AS slp,
+        COUNT(*) AS nb FROM sc GROUP BY 1)
+      SELECT t.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+        CAST(round(exp(-CAST(slp AS DOUBLE) / nb), 4) AS DOUBLE) AS ppl
+      FROM toks t LEFT JOIN agg USING (doc_id)"""))
+
   val defs: Seq[QueryDef] = Seq(
     textBlocklist, dedupKeepBest, textClassifierTerms, corpusNgramStats,
+    textWinnowing, dedupContainment, textPerplexityKn,
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,

@@ -153,4 +153,100 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"),
       "the n-gram table must never be globally sorted")
   }
+
+  // --- T113 winnowing -------------------------------------------
+
+  test("winnowing: the shared-run guarantee and the short-doc floor") {
+    // two documents sharing a run of window + k - 1 = 6 tokens MUST
+    // share at least one fingerprint (the winnowing guarantee)
+    val shared = "p q r s t u"
+    val docs = Seq(
+      (1L, s"a b c d $shared e f g h"),
+      (2L, s"x y z $shared w v"),
+      (3L, "one two three"),   // 1 gram < window → global-min floor
+      (4L, ""))                // no grams → nothing
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowing(docs, "doc_id", "text", k = 3, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "documents sharing a 6-token run share a fingerprint")
+    assert(byDoc(3L).size === 1,
+      "a document with fewer grams than the window keeps its global min")
+    assert(!byDoc.contains(4L), "an empty document yields nothing")
+    // fingerprints are a subset of the document's own gram hashes
+    val grams1 = "a b c d p q r s t u e f g h".split(" ").sliding(3)
+      .map(_.mkString(" ")).toSeq
+    import org.apache.spark.sql.functions.{col => c}
+    val hashes1 = grams1.toDF("g")
+      .select(TextAnalysis.md5Long60(c("g"))).as[Long].collect().toSet
+    assert(byDoc(1L).subsetOf(hashes1))
+  }
+
+  test("winnowing plan: zero exchange — per-row selection, fan-out only") {
+    val out = Dedup.winnowing(spark.read.parquet(s"$sf/documents.parquet"),
+      "doc_id", "text")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"winnowing must stream statelessly; plan:\n${p.take(1500)}")
+  }
+
+  // --- T114 containment pairs -----------------------------------
+
+  test("containmentPairs: a strict shingle-subset is contained at 1.0, " +
+    "and the relation is asymmetric") {
+    // b = a plus a distinct tail → every shingle of a appears in b
+    val docs = Seq(
+      (1L, "m1 m2 m3 m4 m5 m6"),
+      (2L, "m1 m2 m3 m4 m5 m6 z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+      (3L, "q1 q2 q3 q4 q5"))
+      .toDF("id", "text")
+    val out = Dedup.containmentPairs(docs, "id", "text",
+      k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((1L, 2L))._2 === 1.0, "subset side contains at 1.0")
+    assert(out.get((2L, 1L)).forall(_._2 < 1.0),
+      "the superset direction scores strictly lower (or below threshold)")
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      "a disjoint document pairs with nothing")
+  }
+
+  test("containmentPairs plan: shuffled-hash candidate join, " +
+    "posting lists never sort-merged") {
+    val out = Dedup.containmentPairs(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id").as("id"), col("text")), "id", "text")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"the prefix-vs-full posting join must hash, not sort; plan:\n${p.take(1500)}")
+    graft.datapipe.Staging.releaseAll()
+  }
+
+  // --- T115 Kneser-Ney perplexity -------------------------------
+
+  test("perplexityKneserNey: matches a hand-computed replay; unseen " +
+    "contexts fall to the continuation floor") {
+    import graft.datapipe.LanguageModel
+    val train = Seq("a b a c", "a b c").toDF("text")
+      .withColumn("doc_id", lit(0L))
+    // score a doc whose second bigram has an unseen context
+    val docs = Seq((1L, "a b"), (2L, "z q")).toDF("doc_id", "text")
+    val out = LanguageModel.perplexityKneserNey(train, docs,
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // train bigrams: (a,b)x2 (b,a) (a,c) (b,c); c2: ab=2, ba=1, ac=1, bc=1
+    // left: a->(cu=3,n1l=2) b->(cu=3,n1l=2); right(n1r): b=1,a=1,c=2
+    // nn=4 distinct bigrams, v=3 vocab
+    def r8(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pcB = (1.0 + 1) / (4 + 3)         // n1r(b)=1
+    val pAB = (math.max(2 - 0.75, 0) + 0.75 * 2 * pcB) / 3.0
+    assert(out(1L) === ((1L, r4(math.exp(-r8(math.log(pAB)) / 1)))))
+    // both 'z' context and 'q' continuation unseen → floor (0+1)/(4+3)
+    val pZQ = (0.0 + 1) / (4 + 3)
+    assert(out(2L) === ((1L, r4(math.exp(-r8(math.log(pZQ)) / 1)))))
+  }
 }
