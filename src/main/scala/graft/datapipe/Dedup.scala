@@ -817,13 +817,17 @@ object Dedup {
     * selection DEPENDS on hash ordering, so the oracle must replay
     * the exact hash values, and md5 is the engine-portable one.
     *
-    * Scale shape: ZERO shuffle — grams, hashes, window minima, and
+    * Scale shape: shuffle-free — grams, hashes, window minima, and
     * the distinct-set collapse are per-row codegen'd array ops
     * (O(n·window) per document); only the final explode fans out, and
-    * the output is ≤ one row per gram. A document with fewer grams
-    * than `window` still yields its global-min fingerprint (the
-    * standard ≥1-fingerprint guarantee); an empty document yields
-    * nothing.
+    * the output is ≤ one row per gram. The hash array is STAGED
+    * (materialized) before the window pass: the window-min lambda
+    * references it once per window, and CollapseProject would
+    * otherwise inline the whole gram+md5 pipeline into every window —
+    * measured 30× end-to-end (the ngramJaccardPairs trap). A document
+    * with fewer grams than `window` still yields its global-min
+    * fingerprint (the standard ≥1-fingerprint guarantee); an empty
+    * document yields nothing.
     *
     * Output: distinct (doc_id, fp) rows — the fingerprint index
     * downstream plagiarism/containment joins consume.
@@ -836,14 +840,16 @@ object Dedup {
       transform(sequence(lit(1), size(tw) - k + 1),
         i => concat_ws(" ", slice(tw, i, lit(k)))))
       .otherwise(array().cast("array<string>"))
-    val hs = transform(grams, g => TextAnalysis.md5Long60(g))
-    val n = size(hs)
+    val hashed = docs.select(col(idCol).as("doc_id"),
+      transform(grams, g => TextAnalysis.md5Long60(g)).as("hs"))
+      .stage()
+    val n = size(col("hs"))
     val sel = when(n >= window,
         array_distinct(transform(sequence(lit(1), n - window + 1),
-          i => array_min(slice(hs, i, lit(window))))))
-      .when(n >= 1, array(array_min(hs)))
+          i => array_min(slice(col("hs"), i, lit(window))))))
+      .when(n >= 1, array(array_min(col("hs"))))
       .otherwise(array().cast("array<bigint>"))
-    docs.select(col(idCol).as("doc_id"), explode(sel).as("fp"))
+    hashed.select(col("doc_id"), explode(sel).as("fp"))
   }
 
   /** Asymmetric CONTAINMENT pairs: |A∩B| / |A| over distinct k-gram
