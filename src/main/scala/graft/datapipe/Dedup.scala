@@ -852,6 +852,37 @@ object Dedup {
     hashed.select(col("doc_id"), explode(sel).as("fp"))
   }
 
+  /** Winnowing match detector — the USE of [[winnowing]]'s index:
+    * pairs of documents sharing at least `minShared` selected
+    * fingerprints (the MOSS report shape: local-overlap candidates
+    * for human/containment review). One fp-keyed self-join of the
+    * index; a fingerprint selected in more than `maxDocFreq`
+    * documents is boilerplate (a ubiquitous low-hash window) and is
+    * EXCLUDED from matching — the same hot-key cap as the posting
+    * joins, mirrored exactly by the oracle, without which one hot fp
+    * costs O(df²) on a single reducer.
+    *
+    * Output: (a_id, b_id, n_shared_fps) with a_id < b_id.
+    */
+  def winnowMatches(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, window: Int = 4, minShared: Int = 2,
+                    maxDocFreq: Int = 100): DataFrame = {
+    val fps = winnowing(docs, idCol, textCol, k, window).stage()
+    // broadcast the HOT set (tiny by construction: ≤ |fps|/maxDocFreq)
+    // into an anti join — broadcasting the keep-side would ship the
+    // whole index
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("fp"))
+    val pruned = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    pruned.select(col("fp"), col("doc_id").as("a_id"))
+      .hint("shuffle_hash")
+      .join(pruned.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
+
   /** Asymmetric CONTAINMENT pairs: |A∩B| / |A| over distinct k-gram
     * shingle sets — the "is document A substantially contained in
     * document B" detector (quotes, excerpts, near-subset crawl

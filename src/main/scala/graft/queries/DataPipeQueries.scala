@@ -4082,9 +4082,95 @@ object DataPipeQueries {
         CAST(round(exp(-CAST(slp AS DOUBLE) / nb), 4) AS DOUBLE) AS ppl
       FROM toks t LEFT JOIN agg USING (doc_id)"""))
 
+  /** T116: winnowing match report ([[Dedup.winnowMatches]]) — the
+    * MOSS report shape over the twins corpus: pairs sharing ≥ 2
+    * selected fingerprints after the hot-fingerprint boilerplate cap
+    * (df > 100 excluded, mirrored in the oracle). Every twin pairs
+    * with its original; the oracle replays the full chain — winnow
+    * selection, cap, self-join, and the min-shared cut.
+    */
+  private val dedupWinnowMatch = QueryDef(
+    "dedup_winnow_match",
+    (s, d) => Dedup.winnowMatches(withTwins(s, d), "id", "text",
+      k = 3, window = 4, minShared = 2, maxDocFreq = 100),
+    Some(s"""WITH $twinsSqlCte,
+      toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
+      sh AS (SELECT id, i,
+        ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT AS h
+        FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      win AS (SELECT id, i,
+        min(h) OVER (PARTITION BY id ORDER BY i
+          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+        COUNT(*) OVER (PARTITION BY id) AS ng FROM sh),
+      wfp AS (SELECT DISTINCT id, mh AS fp FROM win WHERE i + 3 <= ng
+        UNION ALL
+        SELECT id, MIN(h) AS fp FROM sh GROUP BY id HAVING COUNT(*) < 4),
+      hot AS (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) > 100),
+      pr AS (SELECT id, fp FROM wfp
+        WHERE fp NOT IN (SELECT fp FROM hot)),
+      j AS (SELECT x.id AS a_id, y.id AS b_id, COUNT(*) AS n_shared_fps
+        FROM pr x JOIN pr y ON x.fp = y.fp AND x.id < y.id GROUP BY 1, 2)
+      SELECT a_id, b_id, n_shared_fps FROM j WHERE n_shared_fps >= 2"""))
+
+  /** T117: per-source contamination rollup — "which sources leak the
+    * benchmark" for mixture design: per source, flagged-doc count
+    * (> 10% shared shingles, pure integer rule) and the
+    * MICRO-averaged contamination Σshared/Σshingles (exact integer
+    * sums, one [[graft.functions.ExactRound]] division — never a
+    * mean of per-doc doubles). Composes the certified T13 scorer
+    * with one dimension-sized rollup.
+    */
+  private val decontamBySource = QueryDef(
+    "decontam_by_source",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      Contamination.score(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", k = 3)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n_shared") * 10 > col("n_shingles"), 1))
+            .as("n_flagged"),
+          sum(col("n_shared")).cast("bigint").as("n_shared"),
+          sum(col("n_shingles")).cast("bigint").as("n_shingles"))
+        .select(col("source"), col("n_docs"), col("n_flagged"),
+          col("n_shared"), col("n_shingles"),
+          graft.functions.ExactRound.ratio6(col("n_shared"),
+            col("n_shingles")).as("contamination"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+      tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 <> 0),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
+      shared AS (SELECT tr.doc_id, COUNT(*) AS n_shared
+                 FROM tr JOIN b USING (shingle) GROUP BY 1),
+      doc AS (SELECT d.doc_id, d.source,
+          COALESCE(sh2.n_shared, 0) AS n_shared,
+          COALESCE(z.n_shingles, 0) AS n_shingles
+        FROM (SELECT doc_id, source FROM documents WHERE doc_id % 17 <> 0) d
+        LEFT JOIN sizes z ON d.doc_id = z.doc_id
+        LEFT JOIN shared sh2 ON d.doc_id = sh2.doc_id)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(COUNT(*) FILTER (WHERE n_shared * 10 > n_shingles) AS BIGINT)
+          AS n_flagged,
+        CAST(SUM(n_shared) AS BIGINT) AS n_shared,
+        CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+        CASE WHEN SUM(n_shingles) = 0 THEN NULL
+          ELSE ((2 * SUM(n_shared) * 1000000 + SUM(n_shingles))
+            // (2 * SUM(n_shingles))) / 1000000.0 END AS contamination
+      FROM doc GROUP BY source"""))
+
   val defs: Seq[QueryDef] = Seq(
     textBlocklist, dedupKeepBest, textClassifierTerms, corpusNgramStats,
     textWinnowing, dedupContainment, textPerplexityKn,
+    dedupWinnowMatch, decontamBySource,
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,

@@ -223,6 +223,59 @@ class RoundElevenOpsSpec extends SparkSpec {
     graft.datapipe.Staging.releaseAll()
   }
 
+  // --- T116 winnowing matches -----------------------------------
+
+  test("winnowMatches: documents sharing a long run pair up; " +
+    "disjoint documents never do; hot fingerprints are capped out") {
+    val run = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $run a4 a5"),
+      (2L, s"b1 b2 $run b3 b4 b5"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowMatches(docs, "doc_id", "text",
+      minShared = 2, maxDocFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.contains((1L, 2L)), "the shared 8-token run must pair 1-2")
+    assert(out.keySet === Set((1L, 2L)), "doc 3 pairs with nothing")
+    // with every fingerprint capped out, no pair survives
+    val capped = Dedup.winnowMatches(docs, "doc_id", "text",
+      minShared = 2, maxDocFreq = 0)
+    assert(capped.count() === 0L)
+    graft.datapipe.Staging.releaseAll()
+  }
+
+  test("winnowMatches plan: fp self-join hashes, hot set broadcasts anti") {
+    val out = Dedup.winnowMatches(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"the fp self-join must hash, not sort; plan:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "the hot-fp cap must broadcast the tiny hot set into an anti join")
+    graft.datapipe.Staging.releaseAll()
+  }
+
+  // --- T117 per-source contamination ----------------------------
+
+  test("decontam_by_source is consistent with the per-doc scorer") {
+    import graft.datapipe.Contamination
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val perDoc = Contamination.score(
+      docs.filter(col("doc_id") % 17 =!= 0),
+      docs.filter(col("doc_id") % 17 === 0), "doc_id", "text", k = 3)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val expected = perDoc.groupBy(col("source"))
+      .agg(sum(col("n_shared")).as("s"), sum(col("n_shingles")).as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val rolled = SparkEntry.queries("decontam_by_source")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(rolled === expected,
+      "the rollup's integer sums must equal the per-doc scorer's")
+  }
+
   // --- T115 Kneser-Ney perplexity -------------------------------
 
   test("perplexityKneserNey: matches a hand-computed replay; unseen " +

@@ -701,6 +701,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("blocklist gate streams statelessly and matches the batch twin") {
+    // the blocklist is a plan literal and every count is a per-row
+    // array fold, so the T109 gate deploys unchanged on an ingest
+    // stream — including the NULL/empty contract
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val texts = Seq(
+      (1L, "the bad word bad again"),
+      (2L, "bad and worse here today now"),
+      (3L, "clean text only"),
+      (4L, ""))
+    val bl = Seq("bad", "worse")
+    val q = graft.datapipe.TextAnalysis
+      .blocklistGate(in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        bl, maxHitPct = 30)
+      .writeStream.format("memory").queryName("blocklist_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("blocklist_stream").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val batch = graft.datapipe.TextAnalysis
+      .blocklistGate(texts.toDF("doc_id", "text"), "doc_id", "text",
+        bl, maxHitPct = 30)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("a pre-trained importance model scores a stream to the batch weights") {
     // train offline (bucketRatios), score inline (importanceScore) —
     // the stateless expression streams untouched and must reproduce
