@@ -4167,10 +4167,51 @@ object DataPipeQueries {
             // (2 * SUM(n_shingles))) / 1000000.0 END AS contamination
       FROM doc GROUP BY source"""))
 
+  /** T118: the ingest gate funnel — per source, how many documents
+    * survive each admission gate (encoding quality T108, blocklist
+    * T109, Gopher rules T45) and all three together: the
+    * stage-attrition readout an ingest pipeline publishes per crawl.
+    * Pure composition: each gate column comes from the already-
+    * certified entry's own query/oracle (the corpus_report pattern),
+    * so the funnel hash re-certifies every stage boundary. NULL gate
+    * verdicts (null-text documents) count as not-passing in both
+    * engines (SQL FILTER/when semantics agree).
+    */
+  private val e2eIngestGate = QueryDef(
+    "e2e_ingest_gate",
+    (s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      src
+        .join(textMojibake.run(s, d).select(col("doc_id"), col("clean")),
+          Seq("doc_id"))
+        .join(textBlocklist.run(s, d).select(col("doc_id"), col("blocked")),
+          Seq("doc_id"))
+        .join(textGopherRules.run(s, d).select(col("doc_id"), col("keep")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("clean"), 1)).as("n_clean"),
+          count(when(!col("blocked"), 1)).as("n_unblocked"),
+          count(when(col("keep"), 1)).as("n_gopher"),
+          count(when(col("clean") && !col("blocked") && col("keep"), 1))
+            .as("n_pass"))
+    },
+    Some(s"""SELECT d.source, COUNT(*) AS n_docs,
+        CAST(COUNT(*) FILTER (WHERE e.clean) AS BIGINT) AS n_clean,
+        CAST(COUNT(*) FILTER (WHERE NOT b.blocked) AS BIGINT) AS n_unblocked,
+        CAST(COUNT(*) FILTER (WHERE g.keep) AS BIGINT) AS n_gopher,
+        CAST(COUNT(*) FILTER (WHERE e.clean AND NOT b.blocked AND g.keep)
+          AS BIGINT) AS n_pass
+      FROM documents d
+      JOIN (${textMojibake.oracle.get}) e ON d.doc_id = e.doc_id
+      JOIN (${textBlocklist.oracle.get}) b ON d.doc_id = b.doc_id
+      JOIN (${textGopherRules.oracle.get}) g ON d.doc_id = g.doc_id
+      GROUP BY d.source"""))
+
   val defs: Seq[QueryDef] = Seq(
     textBlocklist, dedupKeepBest, textClassifierTerms, corpusNgramStats,
     textWinnowing, dedupContainment, textPerplexityKn,
-    dedupWinnowMatch, decontamBySource,
+    dedupWinnowMatch, decontamBySource, e2eIngestGate,
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
