@@ -274,11 +274,20 @@ object Classifier {
                           isPositive: Column, k: Int,
                           minCount: Long = 5L): DataFrame = {
     require(k >= 1, s"need a positive k, got $k")
-    val terms = docs.select(isPositive.as("is_pos"),
-      explode(toks(col(textCol))).as("t"))
+    // label BELOW the generator: naming is_pos in a pre-projection
+    // keeps its (possibly regex-heavy) expression in the Generate's
+    // CHILD — once per document. Inlining it next to explode() plans
+    // the Project ABOVE the Generate, re-evaluating the label per
+    // token row (measured 13×: the naiveBayes `base` shape).
+    val base = docs.select(isPositive.as("is_pos"),
+      toks(col(textCol)).as("w"))
+    val terms = base.select(col("is_pos"), explode(col("w")).as("t"))
+    // staged: the vocabulary-sized count table feeds BOTH the scalar
+    // (V, tp, tn) aggregate and the scored output
     val cls = terms.groupBy(col("t")).agg(
       count(when(col("is_pos"), 1)).as("np"),
       count(when(!col("is_pos"), 1)).as("nn"))
+      .stage()
     val scalars = cls.agg(count(lit(1)).as("v"),
       coalesce(sum(col("np")), lit(0L)).as("tp"),
       coalesce(sum(col("nn")), lit(0L)).as("tn"))

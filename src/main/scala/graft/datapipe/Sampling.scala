@@ -219,6 +219,43 @@ object Sampling {
       .filter(col("cum_tokens") <= col("budget"))
   }
 
+  /** Curriculum ordering (Bengio et al. 2009 applied to corpus
+    * assembly): the corpus in (difficulty asc, doc_id) order with the
+    * inclusive running token total and a warmup/main/anneal stage cut
+    * at equal TOKEN-mass thirds — the data-ordering readout a
+    * curriculum (or anti-curriculum) training run consumes.
+    * `difficulty` must be an integer-orderable column (callers pass
+    * [[graft.functions.ExactRound.ratioScaled]] outputs so the order
+    * key is engine-exact); the stage rule is pure integer arithmetic
+    * (3·cum ≤ total / 3·cum ≤ 2·total).
+    *
+    * Scale shape: the global order materializes through
+    * [[Packing.exclusivePrefixSum]]'s two-pass distributed scan — no
+    * single-partition window over the corpus; the token total is one
+    * scalar broadcast back. Zero-token documents are dropped (they
+    * occupy no training mass), same as the packing family.
+    *
+    * Output: (doc_id, difficulty, n_tokens, cum_tokens, stage).
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, tokens: Column,
+                      difficulty: Column): DataFrame = {
+    val pref = Packing.exclusivePrefixSum(
+      docs.select(difficulty.cast("long").as("k1"),
+        col(idCol).cast("long").as("k2"), tokens.cast("long").as("v"))
+        .filter(col("v") > 0))
+      .select(col("k2").as("doc_id"), col("k1").as("difficulty"),
+        col("v").as("n_tokens"), (col("start") + col("v")).as("cum_tokens"))
+    val tot = pref.agg(sum(col("n_tokens")).cast("bigint")
+      .as("total_tokens"))
+    pref.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("difficulty"), col("n_tokens"),
+        col("cum_tokens"),
+        when(col("cum_tokens") * 3 <= col("total_tokens"), lit("warmup"))
+          .when(col("cum_tokens") * 3 <= col("total_tokens") * 2,
+            lit("main"))
+          .otherwise(lit("anneal")).as("stage"))
+  }
+
   /** Two-stage salted aggregation: a groupBy whose key distribution
     * is heavily skewed (one hot key ≫ partition capacity) funnels the
     * hot key's rows through one reducer. Salting splits every key

@@ -4208,10 +4208,47 @@ object DataPipeQueries {
       JOIN (${textGopherRules.oracle.get}) g ON d.doc_id = g.doc_id
       GROUP BY d.source"""))
 
+  /** T119: curriculum ordering ([[Sampling.curriculumOrder]]) —
+    * difficulty = the 10⁶-scaled non-stopword token fraction (harder
+    * documents use fewer function words), stages cut at exact token
+    * thirds. The oracle replays the scaled-integer difficulty, the
+    * (difficulty, doc_id) running sum (proving the distributed
+    * prefix scan equals the sequential window), the total, and the
+    * integer stage rule.
+    */
+  private val sampleCurriculum = QueryDef(
+    "sample_curriculum",
+    (s, d) => {
+      val er = graft.functions.ExactRound
+      val nTok = TextAnalysis.tokenCount(col("text"))
+      Sampling.curriculumOrder(Tables.documents(s, d), "doc_id", nTok,
+        er.ratioScaled(nTok - TextAnalysis.stopwordCount(col("text")),
+          nTok, 6))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS sw
+        FROM documents),
+      d AS (SELECT doc_id, n_tokens,
+        ((2 * (n_tokens - sw) * 1000000 + n_tokens) // (2 * n_tokens))
+          AS difficulty
+        FROM t WHERE n_tokens > 0),
+      c AS (SELECT doc_id, difficulty, n_tokens,
+        CAST(SUM(n_tokens) OVER (ORDER BY difficulty, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_tokens
+        FROM d),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM d)
+      SELECT doc_id, difficulty, n_tokens, cum_tokens,
+        CASE WHEN 3 * cum_tokens <= total THEN 'warmup'
+             WHEN 3 * cum_tokens <= 2 * total THEN 'main'
+             ELSE 'anneal' END AS stage
+      FROM c, tot"""))
+
   val defs: Seq[QueryDef] = Seq(
     textBlocklist, dedupKeepBest, textClassifierTerms, corpusNgramStats,
     textWinnowing, dedupContainment, textPerplexityKn,
-    dedupWinnowMatch, decontamBySource, e2eIngestGate,
+    dedupWinnowMatch, decontamBySource, e2eIngestGate, sampleCurriculum,
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,

@@ -276,6 +276,37 @@ class RoundElevenOpsSpec extends SparkSpec {
       "the rollup's integer sums must equal the per-doc scorer's")
   }
 
+  // --- T119 curriculum ordering ---------------------------------
+
+  test("curriculumOrder: stages cut at exact token thirds in " +
+    "(difficulty, doc_id) order; zero-token docs drop") {
+    import graft.datapipe.Sampling
+    // 6 docs x 10 tokens, difficulty = doc_id → thirds are clean
+    val docs = (1L to 6L).map(i => (i, 10L, i)).toDF("doc_id", "n", "diff")
+      .union(Seq((7L, 0L, 7L)).toDF("doc_id", "n", "diff"))
+    val out = Sampling.curriculumOrder(docs, "doc_id", col("n"), col("diff"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4)))
+      .toMap
+    assert(out(1L) === ((10L, "warmup")) && out(2L) === ((20L, "warmup")))
+    assert(out(3L) === ((30L, "main")) && out(4L) === ((40L, "main")))
+    assert(out(5L) === ((50L, "anneal")) && out(6L) === ((60L, "anneal")))
+    assert(!out.contains(7L), "a zero-token document occupies no stage")
+  }
+
+  test("curriculumOrder plan: no corpus-wide window, total broadcasts") {
+    val er = graft.functions.ExactRound
+    val nTok = graft.datapipe.TextAnalysis.tokenCount(col("text"))
+    val out = graft.datapipe.Sampling.curriculumOrder(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", nTok,
+      er.ratioScaled(nTok, nTok, 6))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"the running sum must be the distributed prefix scan; plan:\n${p.take(1500)}")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "the scalar total must broadcast")
+  }
+
   // --- T115 Kneser-Ney perplexity -------------------------------
 
   test("perplexityKneserNey: matches a hand-computed replay; unseen " +
