@@ -817,17 +817,18 @@ object Dedup {
     * selection DEPENDS on hash ordering, so the oracle must replay
     * the exact hash values, and md5 is the engine-portable one.
     *
-    * Scale shape: shuffle-free — grams, hashes, window minima, and
-    * the distinct-set collapse are per-row codegen'd array ops
-    * (O(n·window) per document); only the final explode fans out, and
-    * the output is ≤ one row per gram. The hash array is STAGED
-    * (materialized) before the window pass: the window-min lambda
-    * references it once per window, and CollapseProject would
-    * otherwise inline the whole gram+md5 pipeline into every window —
-    * measured 30× end-to-end (the ngramJaccardPairs trap). A document
-    * with fewer grams than `window` still yields its global-min
-    * fingerprint (the standard ≥1-fingerprint guarantee); an empty
-    * document yields nothing.
+    * Scale shape: ZERO shuffle, ZERO state — grams, hashes, and the
+    * whole selection run per-row inside whole-stage codegen; only
+    * the final explode fans out, and the output is ≤ one row per
+    * gram. The selection is the native O(n) monotonic-deque
+    * expression [[graft.functions.WinnowSelect]] (a `transform` of
+    * `array_min(slice(...))` is O(n·window) AND re-inlines the hash
+    * pipeline into every window under CollapseProject — measured 30×
+    * end-to-end; the single expression evaluates its child array
+    * exactly once, needs no staging table, and therefore deploys
+    * unchanged on a STREAM). A document with fewer grams than
+    * `window` still yields its global-min fingerprint (the standard
+    * ≥1-fingerprint guarantee); an empty document yields nothing.
     *
     * Output: distinct (doc_id, fp) rows — the fingerprint index
     * downstream plagiarism/containment joins consume.
@@ -840,16 +841,9 @@ object Dedup {
       transform(sequence(lit(1), size(tw) - k + 1),
         i => concat_ws(" ", slice(tw, i, lit(k)))))
       .otherwise(array().cast("array<string>"))
-    val hashed = docs.select(col(idCol).as("doc_id"),
-      transform(grams, g => TextAnalysis.md5Long60(g)).as("hs"))
-      .stage()
-    val n = size(col("hs"))
-    val sel = when(n >= window,
-        array_distinct(transform(sequence(lit(1), n - window + 1),
-          i => array_min(slice(col("hs"), i, lit(window))))))
-      .when(n >= 1, array(array_min(col("hs"))))
-      .otherwise(array().cast("array<bigint>"))
-    hashed.select(col("doc_id"), explode(sel).as("fp"))
+    val hs = transform(grams, g => TextAnalysis.md5Long60(g))
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.WinnowSelect.of(hs, window)).as("fp"))
   }
 
   /** Winnowing match detector — the USE of [[winnowing]]'s index:

@@ -730,6 +730,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("winnowing fingerprints stream statelessly and match the batch twin") {
+    // the native WinnowSelect expression evaluates per row with no
+    // staging table, so the T113 fingerprint index builds on an
+    // ingest stream exactly as in batch
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val texts = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f z1 z2 z3"),
+      (3L, "xx"),
+      (4L, ""))
+    val q = graft.datapipe.Dedup
+      .winnowing(in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("winnow_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("winnow_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = graft.datapipe.Dedup
+      .winnowing(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("a pre-trained importance model scores a stream to the batch weights") {
     // train offline (bucketRatios), score inline (importanceScore) —
     // the stateless expression streams untouched and must reproduce
