@@ -136,6 +136,57 @@ object Classifier {
     */
   def naiveBayesMulti(docs: DataFrame, idCol: String, textCol: String,
                       labelCol: String, buckets: Int = 64): DataFrame = {
+    val (base, scores) = multiScores(docs, idCol, textCol, labelCol, buckets)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label"))
+    val top = scores.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("predicted"), col("score"))
+    base.select(col("doc_id"), col("label")).join(top, Seq("doc_id"))
+  }
+
+  /** [[naiveBayesMulti]]'s CONFIDENCE readout: the argmax label plus
+    * the top1−top2 log-posterior margin — the abstain signal a
+    * production language-ID deploys with (route low-margin documents
+    * to a heavier model or an "und" bucket instead of trusting a
+    * coin-flip argmax). `confident` = margin ≥ `tau`; a corpus with a
+    * single label has no runner-up, so margin/confident are NULL —
+    * the honest "nothing to compare against", not an infinite margin.
+    * Margin is the difference of the two 4-dp scores re-rounded to
+    * 4 dp (identical IEEE chain in the oracle).
+    *
+    * Scale shape: same trained model + scoring joins as
+    * [[naiveBayesMulti]]; the rank window takes rn ≤ 2 over the
+    * L-row per-document score set (label-count-sized, never the
+    * corpus).
+    *
+    * Output: (doc_id, predicted, score, margin, confident).
+    */
+  def naiveBayesMultiMargin(docs: DataFrame, idCol: String, textCol: String,
+                            labelCol: String, buckets: Int = 64,
+                            tau: Double = 1.0): DataFrame = {
+    val (_, scores) = multiScores(docs, idCol, textCol, labelCol, buckets)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label"))
+    val ranked = scores.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= 2)
+    val top1 = ranked.filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("predicted"), col("score"))
+    val top2 = ranked.filter(col("rn") === 2)
+      .select(col("doc_id"), col("score").as("second"))
+    top1.join(top2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("predicted"), col("score"),
+        round(col("score") - col("second"), 4).as("margin"))
+      .withColumn("confident", col("margin") >= tau)
+  }
+
+  /** The shared train-and-score chain of the multiclass NB: returns
+    * (base, per-(doc, label) scores). */
+  private def multiScores(docs: DataFrame, idCol: String, textCol: String,
+                          labelCol: String, buckets: Int)
+                         : (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).as("doc_id"),
       col(labelCol).as("label"), toks(col(textCol)).as("w"))
     // (doc_id, label, bucket) token stream: feeds count training AND
@@ -184,13 +235,7 @@ object Classifier {
           coalesce(col("ssum"), lit(0).cast("decimal(28,8)"))
             .cast("decimal(28,8)"), 4)
           .cast("double").as("score"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("label"))
-    val top = scores.withColumn("rn", row_number().over(win))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("label").as("predicted"), col("score"))
-    base.select(col("doc_id"), col("label")).join(top, Seq("doc_id"))
+    (base, scores)
   }
 
   /** A trained NB model extracted to the driver: the dense B-length

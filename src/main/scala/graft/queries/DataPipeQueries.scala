@@ -1603,7 +1603,42 @@ object DataPipeQueries {
       Tables.documents(s, d), "doc_id", "text", "lang", buckets = 64)
       .select(col("doc_id"), col("label").as("lang"),
         col("predicted").as("predicted_lang"), col("score")),
-    Some("""WITH toks AS (SELECT doc_id, lang,
+    Some(s"""WITH $langidNbCtes,
+      top AS (SELECT doc_id, lang AS predicted_lang, score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, lang) AS rn
+        FROM allp)
+      SELECT d.doc_id, d.lang, top.predicted_lang, top.score
+      FROM documents d JOIN top ON top.doc_id = d.doc_id AND top.rn = 1"""))
+
+  /** T121: language-ID confidence margin
+    * ([[graft.datapipe.Classifier.naiveBayesMultiMargin]], τ = 1.0) —
+    * the abstain signal next to the argmax. Oracle = the same
+    * retrained multiclass chain, ranked to rn ≤ 2, margin re-rounded
+    * identically.
+    */
+  private val textLangIdMargin = QueryDef(
+    "text_langid_margin",
+    (s, d) => graft.datapipe.Classifier.naiveBayesMultiMargin(
+      Tables.documents(s, d), "doc_id", "text", "lang", buckets = 64,
+      tau = 1.0),
+    Some(s"""WITH $langidNbCtes,
+      top AS (SELECT doc_id, lang, score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, lang) AS rn
+        FROM allp),
+      t1 AS (SELECT doc_id, lang AS predicted, score FROM top WHERE rn = 1),
+      t2 AS (SELECT doc_id, score AS second FROM top WHERE rn = 2)
+      SELECT t1.doc_id, t1.predicted, t1.score,
+        CAST(round(t1.score - t2.second, 4) AS DOUBLE) AS margin,
+        (round(t1.score - t2.second, 4) >= 1.0) AS confident
+      FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id"""))
+
+  /** The shared multiclass-langid oracle chain (train counts, dense
+    * grid model, priors, per-(doc, lang) scores `allp`) — consumed by
+    * `text_langid_nb` and `text_langid_margin`. A def (not a val):
+    * both consumers initialize before this point in the file. */
+  private def langidNbCtes = """toks AS (SELECT doc_id, lang,
         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
         FROM documents),
       tkl AS (SELECT t.doc_id, t.lang,
@@ -1634,13 +1669,7 @@ object DataPipeQueries {
             + COALESCE(sc.s, CAST(0 AS DECIMAL(28,8))), 4) AS DOUBLE)
             AS score
         FROM (SELECT doc_id FROM documents) t CROSS JOIN pri p
-        LEFT JOIN sc ON sc.doc_id = t.doc_id AND sc.lang = p.lang),
-      top AS (SELECT doc_id, lang AS predicted_lang, score,
-          row_number() OVER (PARTITION BY doc_id
-            ORDER BY score DESC, lang) AS rn
-        FROM allp)
-      SELECT d.doc_id, d.lang, top.predicted_lang, top.score
-      FROM documents d JOIN top ON top.doc_id = d.doc_id AND top.rn = 1"""))
+        LEFT JOIN sc ON sc.doc_id = t.doc_id AND sc.lang = p.lang)"""
 
   /** Classifier quality readout — the confusion matrix + derived
     * precision/recall every trained quality filter ships with: the NB
@@ -4245,10 +4274,54 @@ object DataPipeQueries {
              ELSE 'anneal' END AS stage
       FROM c, tot"""))
 
+  /** T120: epoch assembly ([[graft.datapipe.ShuffleOrder.shuffleRank]]
+    * feeding [[Packing.packChunks]] as its order key) — the
+    * composition the T17 scaladoc promises: pack the corpus into
+    * 512-token chunks IN THE EPOCH'S pseudorandom order, so the
+    * emitted chunk stream is what a data loader reads for one epoch.
+    * Both legs ride certified operators; the rank→pack join keys on
+    * the rank (unique by construction). The oracle replays the md5
+    * order, the rank-ordered exclusive cumsum, and the chunk
+    * explode — certifying the distributed prefix sum composes.
+    */
+  private val packEpoch = QueryDef(
+    "pack_epoch",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ranked = graft.datapipe.ShuffleOrder.shuffleRank(docs,
+        col("doc_id"))
+      val withToks = ranked.join(docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n")), Seq("doc_id"))
+      Packing.packChunks(withToks, col("shuffle_rank"), col("n"),
+          capacity = 512)
+        .select(col("doc_id").as("shuffle_rank"), col("chunk_id"),
+          col("n_tokens"))
+        .join(ranked, Seq("shuffle_rank"))
+        .select(col("doc_id"), col("shuffle_rank"), col("chunk_id"),
+          col("n_tokens"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
+        ROW_NUMBER() OVER (ORDER BY
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+          doc_id) - 1 AS rk
+        FROM documents),
+      c AS (SELECT doc_id, rk, n,
+        COALESCE(CAST(SUM(n) OVER (ORDER BY rk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+          AS s
+        FROM t WHERE n > 0)
+      SELECT doc_id, rk AS shuffle_rank, b AS chunk_id,
+        CAST(least(s + n, (b + 1) * 512) - greatest(s, b * 512) AS BIGINT)
+          AS n_tokens
+      FROM c, UNNEST(generate_series(CAST(s // 512 AS BIGINT),
+        CAST((s + n - 1) // 512 AS BIGINT))) AS u(b)"""))
+
   val defs: Seq[QueryDef] = Seq(
     textBlocklist, dedupKeepBest, textClassifierTerms, corpusNgramStats,
     textWinnowing, dedupContainment, textPerplexityKn,
     dedupWinnowMatch, decontamBySource, e2eIngestGate, sampleCurriculum,
+    packEpoch,
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
@@ -4258,6 +4331,7 @@ object DataPipeQueries {
     textVocab, textPerplexity,
     textPerplexityInline, textPerplexityBackoff,
     textClassifier, textClassifierInline, textClassifierEval, textLangIdNb,
+    textLangIdMargin,
     textClassifierCalibration, textClassifierUncertain, textSelectionCurve,
     textEntropy, textHeavyHitters,
     textDistinctHll, textSourceKl, qualityRankFusion,
