@@ -4317,11 +4317,64 @@ object DataPipeQueries {
       FROM c, UNNEST(generate_series(CAST(s // 512 AS BIGINT),
         CAST((s + n - 1) // 512 AS BIGINT))) AS u(b)"""))
 
+  /** T122: split report card — per (split, source): document and
+    * token mass plus the realized split fraction in exact 6-dp
+    * integer rounding, against the content-keyed splitter's 90/5/5
+    * targets. The hash-bucket split only hits its targets in
+    * expectation; this is the report a release pipeline publishes so
+    * drift (skewed sources, duplicate-heavy content collapsing into
+    * one bucket) is visible. Composes the certified T86 splitter with
+    * a dimension-sized rollup; realized fraction is docs-based,
+    * Σ per-source numerators over the source total.
+    */
+  private val splitReport = QueryDef(
+    "split_report",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val er = graft.functions.ExactRound
+      Sampling.contentSplit(docs, "doc_id", col("text"),
+          trainPct = 90, valPct = 5)
+        .join(docs.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n")), Seq("doc_id"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("bigint").as("n_tokens"))
+        .withColumn("src_docs",
+          sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))).cast("bigint"))
+        .select(col("split"), col("source"), col("n_docs"),
+          col("n_tokens"),
+          er.ratio6(col("n_docs"), col("src_docs")).as("doc_frac"))
+    },
+    Some("""WITH f AS (SELECT doc_id,
+        ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fingerprint
+        FROM documents),
+      b AS (SELECT doc_id,
+        ('0x' || substr(md5('split:' || CAST(fingerprint AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        FROM f),
+      sp AS (SELECT doc_id,
+        CASE WHEN bucket < 90 THEN 'train'
+             WHEN bucket < 95 THEN 'validation'
+             ELSE 'test' END AS split
+        FROM b),
+      t AS (SELECT d.doc_id, d.source, sp.split,
+        CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n
+        FROM documents d JOIN sp ON d.doc_id = sp.doc_id),
+      g AS (SELECT split, source, COUNT(*) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM t GROUP BY 1, 2),
+      sd AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_docs
+        FROM g GROUP BY 1)
+      SELECT g.split, g.source, g.n_docs, g.n_tokens,
+        ((2 * g.n_docs * 1000000 + sd.src_docs) // (2 * sd.src_docs))
+          / 1000000.0 AS doc_frac
+      FROM g JOIN sd ON g.source = sd.source"""))
+
   val defs: Seq[QueryDef] = Seq(
     textBlocklist, dedupKeepBest, textClassifierTerms, corpusNgramStats,
     textWinnowing, dedupContainment, textPerplexityKn,
     dedupWinnowMatch, decontamBySource, e2eIngestGate, sampleCurriculum,
-    packEpoch,
+    packEpoch, splitReport,
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
