@@ -237,4 +237,72 @@ class SparkPropertySpec extends SparkSpec {
         s"dequant error for $xi → $qi exceeds half a step")
     }
   }
+
+  // --- round-11 operator invariants -----------------------------
+
+  private val wordGen: Gen[String] =
+    Gen.oneOf("alpha", "beta", "gamma", "delta", "bad", "worse", "the")
+  private val textGen: Gen[String] =
+    Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+
+  test("blocklist gate invariants on generated corpora: " +
+    "hit counts bounded by token counts, distinct ≤ occurrences ≤ tokens") {
+    val texts = sampleN(textGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val out = graft.datapipe.TextAnalysis.blocklistGate(
+      texts.toDF("doc_id", "text"), "doc_id", "text",
+      Seq("bad", "worse"), maxHitPct = 10).collect()
+    for (r <- out if !r.isNullAt(1)) {
+      val (n, hits, dist) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dist <= hits && hits <= n && dist <= 2,
+        s"bounds violated: n=$n hits=$hits distinct=$dist")
+      if (n > 0)
+        assert(math.abs(r.getDouble(4) - hits.toDouble / n) < 1e-6 + 1e-9)
+    }
+  }
+
+  test("containment scores on generated corpora stay in [threshold, 1]") {
+    val texts = sampleN(textGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val out = graft.datapipe.Dedup.containmentPairs(
+      texts.toDF("id", "text"), "id", "text", k = 2, threshold = 0.6)
+      .collect()
+    for (r <- out) {
+      val c = r.getDouble(3)
+      assert(c >= 0.6 - 1e-12 && c <= 1.0 + 1e-12,
+        s"containment $c outside [0.6, 1]")
+    }
+    graft.datapipe.Staging.releaseAll()
+  }
+
+  test("Kneser-Ney per-position probabilities yield finite positive ppl") {
+    val texts = sampleN(textGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val out = graft.datapipe.LanguageModel.perplexityKneserNey(
+      df.filter(col("doc_id") % 3 =!= 0), df, "doc_id", "text").collect()
+    for (r <- out) {
+      if (r.getLong(1) > 0) {
+        val ppl = r.getDouble(2)
+        // the add-one continuation floor guarantees P > 0 at every
+        // position, so ppl is finite; P ≤ 1 is NOT guaranteed by
+        // interpolated KN on degenerate corpora, but positivity is
+        assert(!ppl.isNaN && !ppl.isInfinite && ppl > 0.0,
+          s"ppl must be finite positive, got $ppl")
+      } else assert(r.isNullAt(2), "a doc with no bigrams has NULL ppl")
+    }
+  }
+
+  test("winnowing index covers every document with at least one gram") {
+    val texts = sampleN(textGen, 100).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val withGrams = texts.count { case (_, t) =>
+      t.split(" ").count(_.nonEmpty) >= 3 }
+    val covered = graft.datapipe.Dedup.winnowing(df, "doc_id", "text")
+      .select(col("doc_id")).distinct().count()
+    assert(covered === withGrams.toLong,
+      "every document with ≥ 1 k-gram gets ≥ 1 fingerprint, no others")
+  }
 }
