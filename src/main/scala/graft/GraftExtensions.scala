@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ByteDotProduct, CosineSimilarity, HyperplaneBitsExpr, MinHashSignature, PackSignedBytes, ShingleHashes, SimHash64}
+import graft.functions.{ByteDotProduct, CosineSimilarity, HyperplaneBitsExpr, MinHashSignature, PackSignedBytes, ShingleHashes, SimHash64, WinnowSelect}
 
 /** SparkSessionExtensions hook: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -75,6 +75,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             children(0), org.apache.spark.sql.types.BinaryType),
           org.apache.spark.sql.catalyst.expressions.Cast(
             children(1), org.apache.spark.sql.types.BinaryType))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_select"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "winnow_select(hashes, window) — window a literal int")
+        // cast like pack_signed_bytes: SQL array(1,2,3) is array<int>
+        WinnowSelect(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)),
+          literalInt(children(1), "window"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("hyperplane_bits"),

@@ -74,4 +74,14 @@ class ExtensionsSpec extends SparkSpec {
       .as[Seq[Boolean]].head()
     assert(viaSql === viaColumn && viaSql.length === 16)
   }
+
+  test("winnow_select is callable from SQL and matches the Column API") {
+    val viaSql = spark.sql(
+      "SELECT winnow_select(array(9, 2, 5, 7, 1, 8), 4)")
+      .as[Seq[Long]].head()
+    val viaColumn = Seq(Seq(9L, 2L, 5L, 7L, 1L, 8L)).toDF("hs")
+      .select(graft.functions.WinnowSelect.of(col("hs"), 4))
+      .as[Seq[Long]].head()
+    assert(viaSql === viaColumn && viaSql === Seq(2L, 1L))
+  }
 }
