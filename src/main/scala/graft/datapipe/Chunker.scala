@@ -130,4 +130,47 @@ object Chunker {
         array_join(slice(col("w"), (start + 1).cast("int"), len.cast("int")),
           " ").as("chunk"))
   }
+
+  /** Sentence-boundary-respecting chunking — the RAG/embedding
+    * chunker people actually deploy next to fixed windows
+    * ([[slidingWindows]]) and CDC ([[cdcChunks]]): sentences are
+    * never split; each sentence lands in chunk
+    * floor(exclusive-token-cumsum / maxTokens) (the cumulative-bin
+    * rule — chunks may overrun by at most one sentence, the price of
+    * unbroken sentences, and the rule is a plain prefix sum so it is
+    * engine-replayable, unlike a greedy reset which needs a
+    * sequential fold). Sentence split: terminators [.!?] followed by
+    * a space, marked with U+0001 via a capture-group replace (RE2 ∩
+    * java.util.regex — no lookbehind, so DuckDB replays it exactly).
+    *
+    * Scale shape: one per-row split + one posexplode; the cumsum
+    * window partitions by document (sentence-count-bounded), never
+    * the corpus.
+    *
+    * Output: (doc_id, sent_idx, chunk_id, n_tokens, sentence).
+    * Whitespace-only/empty documents emit nothing.
+    */
+  def sentenceChunks(docs: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    import org.apache.spark.sql.expressions.Window
+    val norm = TextAnalysis.normalize(col(textCol))
+    val marked = regexp_replace(norm, "([.!?]) ", "$1\u0001")
+    val sents = split(marked, "\u0001")
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), posexplode(sents))
+      .select(col("doc_id"), col("pos").cast("bigint").as("sent_idx"),
+        col("col").as("sentence"))
+      .withColumn("n_tokens",
+        size(filter(split(col("sentence"), " "), t => length(t) > 0))
+          .cast("bigint"))
+      .filter(col("n_tokens") > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sent_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    exploded
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("sent_idx"),
+        expr(s"cum div ${maxTokens}L").as("chunk_id"),
+        col("n_tokens"), col("sentence"))
+  }
 }

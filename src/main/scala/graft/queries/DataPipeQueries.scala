@@ -4370,11 +4370,62 @@ object DataPipeQueries {
           / 1000000.0 AS doc_frac
       FROM g JOIN sd ON g.source = sd.source"""))
 
+  /** T123: sentence-boundary chunking
+    * ([[graft.datapipe.Chunker.sentenceChunks]], maxTokens 50) — the
+    * corpus is terminator-free word salad, so sentence structure is
+    * PLANTED deterministically ('.' appended to every 7th token,
+    * identical in both engines, the C4-entry pattern). The oracle
+    * replays the planting, the capture-group sentence split, the
+    * per-doc exclusive cumsum, and the cumulative-bin chunk rule.
+    */
+  private val chunkSentences = QueryDef(
+    "chunk_sentences",
+    (s, d) => {
+      val w = filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)
+      val planted = Tables.documents(s, d)
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"),
+          array_join(transform(sequence(lit(1), size(col("w"))),
+            i => when(i % 7 === 0,
+              concat(element_at(col("w"), i), lit(".")))
+              .otherwise(element_at(col("w"), i))), " ").as("text"))
+      graft.datapipe.Chunker.sentenceChunks(planted, "doc_id", "text",
+        maxTokens = 50)
+    },
+    Some("""WITH base AS (SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          t -> len(t) > 0) AS w
+        FROM documents),
+      planted AS (SELECT doc_id,
+        array_to_string(list_transform(generate_series(1, len(w)), i ->
+          CASE WHEN i % 7 = 0 THEN w[i] || '.' ELSE w[i] END), ' ') AS text
+        FROM base WHERE len(w) > 0),
+      m AS (SELECT doc_id,
+        string_split(regexp_replace(text, '([.!?]) ', '\1' || chr(1), 'g'),
+          chr(1)) AS ss
+        FROM planted),
+      s AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+        ss[i] AS sentence,
+        CAST(len(list_filter(string_split(ss[i], ' '), t -> len(t) > 0))
+          AS BIGINT) AS n_tokens
+        FROM m, UNNEST(generate_series(1, len(ss))) AS u(i)),
+      f AS (SELECT * FROM s WHERE n_tokens > 0),
+      c AS (SELECT doc_id, sent_idx, sentence, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id
+          ORDER BY sent_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum
+        FROM f)
+      SELECT doc_id, sent_idx, cum // 50 AS chunk_id, n_tokens, sentence
+      FROM c"""))
+
   val defs: Seq[QueryDef] = Seq(
     textBlocklist, dedupKeepBest, textClassifierTerms, corpusNgramStats,
     textWinnowing, dedupContainment, textPerplexityKn,
     dedupWinnowMatch, decontamBySource, e2eIngestGate, sampleCurriculum,
-    packEpoch, splitReport,
+    packEpoch, splitReport, chunkSentences,
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
