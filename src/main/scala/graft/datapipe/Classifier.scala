@@ -354,7 +354,7 @@ object Classifier {
     * 4 dp.
     */
   def nbScoreCol(w: Column, model: NbModel): Column = {
-    val lrArr = array(model.bucketLr.map(lit): _*)
+    val lrArr = array(model.bucketLr.toIndexedSeq.map(lit): _*)
     aggregate(
       transform(w, t => element_at(lrArr,
         bucketOf(t, model.bucketLr.length).cast("int") + 1)),

@@ -613,7 +613,7 @@ object LanguageModel {
     * decimal sum is exact and matches bit-identically), rounded 4 dp.
     */
   def importanceScoreCol(w: Column, ratios: Array[Double]): Column = {
-    val lrArr = array(ratios.map(lit): _*)
+    val lrArr = array(ratios.toIndexedSeq.map(lit): _*)
     round(aggregate(
       transform(w, t => element_at(lrArr,
         pmod(TextAnalysis.md5Long60(t.cast("binary")),

@@ -52,7 +52,7 @@ object Sketches {
       }: _*)).as("p"): _*)
       .select(keep :+ col("p.r").as("r") :+ col("p.b").as("b"): _*)
     cms.join(broadcast(probed), Seq("r", "b"))
-      .groupBy(probes.columns.map(col): _*)
+      .groupBy(probes.columns.toIndexedSeq.map(col): _*)
       .agg(min(col("cnt")).as("cms_est"))
   }
 
