@@ -60,10 +60,13 @@ object Bench {
     // overhead, but r11 observed heavy compositions inflating ~2x
     // in-bench while q1 read 1.002 — accumulated JIT/metaspace/GC
     // state taxes long multi-stage queries disproportionately. The
-    // heavy probe (a staged multi-model chain) makes that visible in
-    // the artifact instead of reading as a per-query regression.
+    // heavy probe must therefore BE a staged multi-model chain (a
+    // zero-shuffle per-row fold like text_entropy has the same JVM
+    // profile as q1 and reads ~1.0 regardless): e2e_stream_gate
+    // trains NB + bigram-LM + DSIR models and scores through all
+    // three — the shape that actually inflated.
     val CalQuery = "q1_pricing_summary"
-    val CalHeavy = "text_entropy"
+    val CalHeavy = "e2e_stream_gate"
     def timeCalQ(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val runs = Vector.tabulate(REPS) { _ =>

@@ -13,17 +13,10 @@ object TimeQueries {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .getOrCreate()
+    // the SAME session factory the engine uses everywhere — a config
+    // drift between the timing tool and the real sessions would make
+    // it measure a differently-configured engine
+    val spark = GraftSession.builder().appName("graft-time").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def drop(): Unit = {
       graft.datapipe.Staging.releaseAll()

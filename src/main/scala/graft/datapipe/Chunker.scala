@@ -154,7 +154,12 @@ object Chunker {
                      maxTokens: Long): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     import org.apache.spark.sql.expressions.Window
-    val norm = TextAnalysis.normalize(col(textCol))
+    // scrub any pre-existing U+0001 BEFORE using it as the in-band
+    // sentence marker: crawled text can carry control chars (exactly
+    // what the T108 encoding gate detects), and an unstripped one
+    // would fabricate a sentence boundary with no terminator
+    val norm = regexp_replace(TextAnalysis.normalize(col(textCol)),
+      "\u0001", "")
     val marked = regexp_replace(norm, "([.!?]) ", "$1\u0001")
     val sents = split(marked, "\u0001")
     val exploded = docs

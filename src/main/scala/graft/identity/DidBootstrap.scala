@@ -40,10 +40,14 @@ object DidBootstrap {
                              did_provider: String, hosted: Boolean,
                              vc_jwt: String)
 
-  /** Deterministic provider split (the same rule the dashboard's
-    * per-provider panels and the six-config experiment matrix
-    * replay — see [[graft.model.ExperimentConfig]] row 6): entity id
-    * mod 3 → did:key / did:web / did:ethr:sepolia. */
+  /** Deterministic provider split for the BOOTSTRAP dim: entity id
+    * mod 3 → did:key / did:web / did:ethr:sepolia, so all three
+    * providers of the six-config experiment matrix (incl.
+    * [[graft.model.ExperimentConfig]] row 6's did:ethr) mint
+    * end-to-end. NOTE: this is the registry-dim rule only — the
+    * dashboard's per-provider PANELS key on the separate per-EVENT
+    * user_id even/odd rule (IdentityQueries' q2/q3), and the two
+    * must not be "aligned": each is pinned by its own oracle. */
   def providerOf(entityId: Long): String =
     (((entityId % 3) + 3) % 3) match {
       case 0 => "did:key"

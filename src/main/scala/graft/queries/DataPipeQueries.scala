@@ -4043,12 +4043,19 @@ object DataPipeQueries {
     * containment 1.0 while the reverse direction scores just below,
     * so both the symmetric-Jaccard blind spot and the direction
     * asymmetry are exercised. The oracle recomputes every direction
-    * from the distinct string-shingle sets.
+    * from the distinct string-shingle sets WITHOUT the hot-hash cap,
+    * so the entry passes maxDocFreq = 1000: the twins corpus' max
+    * shingle df is 50 at sf0.1 (measured), so no hash is ever capped
+    * at certification scale and the oracle's exact all-pairs recall
+    * equals Spark's by construction (the production default 100 is a
+    * RECALL knob a real corpus tunes; certifying it would need the
+    * cap mirrored over an engine-portable hash order, which xxhash
+    * postings don't give DuckDB).
     */
   private val dedupContainment = QueryDef(
     "dedup_containment",
     (s, d) => Dedup.containmentPairs(withTwins(s, d), "id", "text",
-      k = 3, threshold = 0.8),
+      k = 3, threshold = 0.8, maxDocFreq = 1000),
     Some(s"""WITH $twinsSqlCte,
       toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
       sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -4403,8 +4410,9 @@ object DataPipeQueries {
           CASE WHEN i % 7 = 0 THEN w[i] || '.' ELSE w[i] END), ' ') AS text
         FROM base WHERE len(w) > 0),
       m AS (SELECT doc_id,
-        string_split(regexp_replace(text, '([.!?]) ', '\1' || chr(1), 'g'),
-          chr(1)) AS ss
+        string_split(regexp_replace(
+          regexp_replace(text, chr(1), '', 'g'),
+          '([.!?]) ', '\1' || chr(1), 'g'), chr(1)) AS ss
         FROM planted),
       s AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
         ss[i] AS sentence,

@@ -320,7 +320,7 @@ class RoundElevenOpsSpec extends SparkSpec {
       "doc_id", "text").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     // train bigrams: (a,b)x2 (b,a) (a,c) (b,c); c2: ab=2, ba=1, ac=1, bc=1
-    // left: a->(cu=3,n1l=2) b->(cu=3,n1l=2); right(n1r): b=1,a=1,c=2
+    // left: a->(cu=3,n1l=2) b->(cu=2,n1l=2); right(n1r): b=1,a=1,c=2
     // nn=4 distinct bigrams, v=3 vocab
     def r8(x: Double) = BigDecimal(x)
       .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
