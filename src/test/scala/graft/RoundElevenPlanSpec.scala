@@ -50,4 +50,30 @@ class RoundElevenPlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"),
       "a range exchange means the corpus is being globally sorted")
   }
+
+  test("chunk_sentences: the cumsum window partitions by document — " +
+    "never a corpus-wide single partition") {
+    val p = plan("chunk_sentences")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"the sentence cumsum must shuffle on doc_id; plan:\n${p.take(2000)}")
+    assert(!p.linesIterator.exists(l => l.contains("Window")
+        && l.contains("SinglePartition")),
+      "no unpartitioned window over the sentence stream")
+  }
+
+  test("e2e_ingest_gate: three gate joins stay equi-joins, " +
+    "no cartesian fan-out between the per-doc gate columns") {
+    val p = plan("e2e_ingest_gate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"gate columns must join on doc_id; plan:\n${p.take(2000)}")
+  }
+
+  test("split_report: the per-source share window rides the rollup's " +
+    "partitioning — group-table-sized, never the corpus") {
+    val p = plan("split_report")
+    assert(!p.linesIterator.exists(l => l.contains("Window")
+        && l.contains("SinglePartition")),
+      s"the share window must partition by source; plan:\n${p.take(2000)}")
+  }
 }
