@@ -902,6 +902,12 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, threshold: Double = 0.8,
                        maxDocFreq: Int = 100): DataFrame = {
+    // threshold outside (0, 1] makes prefLen negative (slice()
+    // misbehaves) or silently degenerates the prefix filter; fail
+    // loudly like the sibling winnowing entry points do.
+    require(k >= 1, s"shingle width k must be >= 1, got $k")
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
     val hhTable = docs.select(col(idCol).as("id"),
       array_sort(hashedShingles(col(textCol), k)).as("hh"))
       .stage()

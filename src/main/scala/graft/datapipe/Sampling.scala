@@ -235,13 +235,33 @@ object Sampling {
     * scalar broadcast back. Zero-token documents are dropped (they
     * occupy no training mass), same as the packing family.
     *
+    * `idCol` MUST be numeric (or a string of digits): it is cast to
+    * long to ride the prefix-sum's integer key pair, and a
+    * non-numeric id would cast to NULL and be silently dropped by the
+    * prefix sum's null filter. Guarded below — a corpus whose ids
+    * fail the cast aborts loudly instead of losing rows.
+    *
     * Output: (doc_id, difficulty, n_tokens, cum_tokens, stage).
     */
   def curriculumOrder(docs: DataFrame, idCol: String, tokens: Column,
                       difficulty: Column): DataFrame = {
+    // loud guard for the numeric-id contract: any id whose long cast
+    // is NULL (while the raw id is not) would vanish silently under
+    // ANSI-off sessions (ANSI-on would throw a generic CAST error
+    // deep in the prefix sum instead). try_cast keeps the CHECK
+    // itself from throwing so the raise_error below names the
+    // contract in both modes.
+    val badId = col(idCol).isNotNull && col(idCol).try_cast("long").isNull
+    val guarded = docs.select(
+      when(badId, raise_error(concat(
+        lit(s"curriculumOrder: non-numeric $idCol value '"),
+        col(idCol).cast("string"),
+        lit("' cannot ride the integer prefix-sum key"))))
+        .otherwise(col(idCol)).as(idCol),
+      difficulty.as("__diff"), tokens.as("__tok"))
     val pref = Packing.exclusivePrefixSum(
-      docs.select(difficulty.cast("long").as("k1"),
-        col(idCol).cast("long").as("k2"), tokens.cast("long").as("v"))
+      guarded.select(col("__diff").cast("long").as("k1"),
+        col(idCol).cast("long").as("k2"), col("__tok").cast("long").as("v"))
         .filter(col("v") > 0))
       .select(col("k2").as("doc_id"), col("k1").as("difficulty"),
         col("v").as("n_tokens"), (col("start") + col("v")).as("cum_tokens"))

@@ -26,7 +26,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *  - 0 < n < window: the single global min (the ≥1-fingerprint
   *    guarantee);
   *  - n == 0: empty. NULL elements never win a window (treated as
-  *    +∞; the md5-derived inputs are never null in practice).
+  *    +∞); a window whose elements are ALL null emits nothing rather
+  *    than fabricating the sentinel as a fingerprint. A genuine
+  *    Long.MaxValue fingerprint is conflated with the sentinel and
+  *    likewise skipped (probability 2^-64 for hash inputs).
   */
 case class WinnowSelect(child: Expression, window: Int)
     extends UnaryExpression {
@@ -80,7 +83,11 @@ object WinnowSelect {
       var m = h(0)
       var j = 1
       while (j < n) { if (h(j) < m) m = h(j); j += 1 }
-      return new GenericArrayData(Array(m))
+      // all elements null → the +∞ sentinel "won": there is no real
+      // fingerprint to select, so the document contributes none
+      // (rather than fabricating Long.MaxValue as a match key)
+      return new GenericArrayData(
+        if (m == Long.MaxValue) Array.emptyLongArray else Array(m))
     }
     val nw = n - window + 1
     // primitive open-addressing dedup set (the ShingleHashes sizing
@@ -107,7 +114,16 @@ object WinnowSelect {
       if (j >= window - 1) {
         val v = h(dq(head))
         var fresh = false
-        if (v == 0L) {
+        // v == MaxValue means EVERY element in this window was null
+        // (the +∞ sentinel only wins an all-null window): emit nothing
+        // — 'NULL elements never win a window' also covers the
+        // degenerate window with no non-null candidate. A genuine
+        // Long.MaxValue fingerprint is indistinguishable from the
+        // sentinel and is likewise skipped (documented conflation;
+        // 64-bit hash fingerprints hit it with probability 2^-64).
+        if (v == Long.MaxValue) {
+          // skip
+        } else if (v == 0L) {
           if (!hasZero) { hasZero = true; fresh = true }
         } else {
           var slot = java.lang.Long.hashCode(v) & mask

@@ -293,6 +293,34 @@ class RoundElevenOpsSpec extends SparkSpec {
     assert(!out.contains(7L), "a zero-token document occupies no stage")
   }
 
+  test("curriculumOrder: a non-numeric doc id aborts loudly instead of " +
+    "silently dropping rows") {
+    import graft.datapipe.Sampling
+    val docs = Seq(("doc-a", 10L, 1L), ("2", 10L, 2L))
+      .toDF("doc_id", "n", "diff")
+    val e = intercept[Exception] {
+      Sampling.curriculumOrder(docs, "doc_id", col("n"), col("diff"))
+        .collect()
+    }
+    assert(e.getMessage.contains("non-numeric") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-numeric")),
+      s"expected the numeric-id contract error, got: ${e.getMessage}")
+  }
+
+  test("containmentPairs: rejects out-of-range threshold and k loudly") {
+    import graft.datapipe.Dedup
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, "id", "text", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, "id", "text", threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, "id", "text", threshold = 1.5)
+    }
+  }
+
   test("curriculumOrder plan: no corpus-wide window, total broadcasts") {
     val er = graft.functions.ExactRound
     val nTok = graft.datapipe.TextAnalysis.tokenCount(col("text"))

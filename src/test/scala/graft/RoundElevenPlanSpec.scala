@@ -1,9 +1,11 @@
 package graft
 
-/** Physical-plan contracts for the round-10 operator wave not yet
-  * covered by RoundTenPlanSpec — the shapes that keep them
-  * 100 TB-safe, pinned so a refactor that silently de-optimizes
-  * fails loudly (same charter as PlanContractSpec / NewOpsPlanSpec).
+/** Physical-plan contracts for the round-10 and round-11 operator
+  * waves not covered by RoundTenPlanSpec (round-10 leftovers plus the
+  * round-11 entries: chunk_sentences, e2e_ingest_gate, split_report)
+  * — the shapes that keep them 100 TB-safe, pinned so a refactor that
+  * silently de-optimizes fails loudly (same charter as
+  * PlanContractSpec / NewOpsPlanSpec).
   */
 class RoundElevenPlanSpec extends SparkSpec {
 

@@ -57,4 +57,17 @@ class WinnowSelectSpec extends AnyFunSuite {
       Array[Any](5L, null, 3L, null))
     assert(WinnowSelect.compute(arr, 2).toLongArray().toSeq === Seq(5L, 3L))
   }
+
+  test("all-null windows emit no fingerprint (no MaxValue sentinel)") {
+    val allNull = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](null, null, null))
+    assert(WinnowSelect.compute(allNull, 2).numElements() === 0,
+      "every window all-null → empty selection")
+    assert(WinnowSelect.compute(allNull, 5).numElements() === 0,
+      "shorter-than-window all-null → empty selection")
+    val mixed = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](null, null, 4L, null, null))
+    assert(WinnowSelect.compute(mixed, 2).toLongArray().toSeq === Seq(4L),
+      "only windows containing the real value select it; all-null windows skip")
+  }
 }
