@@ -1,9 +1,70 @@
 package graft
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness. Emits the driver-contract JSON lines
+  * (`"metric":"total"` with name → median seconds, plus the compact
+  * tail-safe `"metric":"total_compact"`).
+  *
+  * JVM-state isolation (the r11 instrument defect): timing all 200
+  * queries in ONE long-lived JVM inflated heavy multi-stage
+  * compositions up to ~2× from accumulated codegen classes,
+  * metaspace, and GC debt — an independent fresh-JVM re-measure read
+  * e2e_curation at 9.9 s where the artifact said 15.5 s. The fix is
+  * structural, not statistical: the orchestrator (this main, no
+  * SparkSession of its own) FORKS one worker JVM per alphabetical
+  * query group (`SPARK_GRAFT_BENCH_GROUPS`, default 8 → ~25 queries
+  * per JVM), so no timed query ever runs in a JVM that has compiled
+  * more than its own group's generated code. After merging, a final
+  * fresh worker re-times the 10 slowest queries from scratch and the
+  * artifact reports artifact-vs-fresh ratios per query — the honesty
+  * check is IN the artifact instead of requiring an out-of-band
+  * re-measure.
+  *
+  * Worker protocol: env `SPARK_GRAFT_BENCH_WORKER=1`, args =
+  * (sfDir, comma-joined names, outFile). The worker builds the same
+  * session config the engine benches under, warms ONLY its group at
+  * sf0.001 (session init, codegen, JIT are one-time costs a
+  * long-running cluster never re-pays per query), then times each
+  * query REPS times with caches dropped and a GC between runs,
+  * writing one TSV line per query: `name<TAB>r1,r2,..<TAB>[err]`.
+  * Classpath and JDK-17 module opens are reconstructed from this
+  * JVM's own code locations, so forking works under sbt runMain and
+  * bare java alike; if forking is impossible the orchestrator falls
+  * back to in-process timing (flagged in the artifact as
+  * `"isolation":"none"`).
+  */
 object Bench {
+
+  private val REPS = 3
+
+  // Matches build.sbt / org.apache.spark.launcher.JavaModuleOptions —
+  // a bare-java child without these dies in Kryo on HeapByteBuffer
+  // (RDD label-propagation queries).
+  private val Jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    if (sys.env.contains("SPARK_GRAFT_BENCH_WORKER")) workerMain(args)
+    else orchestratorMain()
+  }
+
+  // ---------------------------------------------------------------
+  // Worker: one bounded group of queries in a fresh JVM
+  // ---------------------------------------------------------------
+
+  private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,85 +77,47 @@ object Bench {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup (untimed): run EVERY query once at sf0.001 so session
-    // init, codegen compilation, and JIT never land in a timed run —
-    // measured warm-vs-cold deltas of 3-15 s per query were pure
-    // one-time cost, not plan cost. Steady-state is the honest number
-    // for the target deployment: a long-running cluster executes each
-    // operator's generated code far more than once.
-    for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
-      try { fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save() }
+    spark
+  }
+
+  private def dropAllCaches(spark: SparkSession): Unit = {
+    // Several operators persist() staging tables session-scoped; a
+    // timed query over the same sf dir would otherwise silently read
+    // the warmup's InMemoryRelations (cache lookup matches
+    // canonicalized plans) and measure cached scans.
+    graft.datapipe.Staging.releaseAll()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
+
+  /** (name, runs-in-seconds, error). A query that dies must NOT read
+    * as a fast success.
+    */
+  private def timeGroup(spark: SparkSession, sfDir: String,
+                        names: Seq[String]): Seq[(String, Vector[Double], Option[String])] = {
+    // Warmup (untimed): run each of THIS GROUP's queries once at
+    // sf0.001 — session init, codegen compilation, and JIT never
+    // land in a timed run (measured warm-vs-cold deltas of 3-15 s
+    // were one-time cost, not plan cost), while the group bound
+    // keeps accumulated state from ever exceeding ~25 queries' worth.
+    for (n <- names; fn <- SparkEntry.queries.get(n))
+      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-    // Several operators persist() staging tables and never unpersist
-    // (session-scoped caches). Drop them all between runs: cache
-    // lookup matches canonicalized PLANS, so a timed query over the
-    // same sf dir would silently read the warmup's InMemoryRelations
-    // and measure cached scans instead of execution. Clearing between
-    // timed queries likewise keeps each number self-contained instead
-    // of "incremental cost given whatever ran before it".
-    def dropAllCaches(): Unit = {
-      graft.datapipe.Staging.releaseAll() // also drains the registry
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    }
-    dropAllCaches()
-    // (name, runs-in-seconds, error). A query that dies must NOT read
-    // as a fast success: its error is recorded and surfaced in the JSON.
-    //
-    // Each query is timed REPS times and reported as min + median:
-    // single-shot timings in a long-lived JVM that has compiled 74
-    // queries' codegen classes drift by up to 10x from GC pressure and
-    // JIT deopt (BENCH_r04 reported phantom 10x regressions on code
-    // that had not changed). Median-of-3 is robust to one bad run;
-    // emitting min alongside median makes residual noise visible in
-    // the artifact instead of silently polluting cross-round diffs.
-    val REPS = 3
-    // Calibration for the measured hot-JVM drift (r7 judge audit: the
-    // same code reads ~1.5-1.7x slower late in a 100-query run from
-    // codegen-class and GC accumulation, polluting cross-round
-    // artifact diffs): time ONE fixed reference query now (clean
-    // post-warmup state) and again after the main loop, and record
-    // end/start as this run's inflation factor — consumers can
-    // normalize late-alphabet queries without a fresh-JVM re-measure.
-    // TWO calibration probes: the light q1 tracks session/launch
-    // overhead, but r11 observed heavy compositions inflating ~2x
-    // in-bench while q1 read 1.002 — accumulated JIT/metaspace/GC
-    // state taxes long multi-stage queries disproportionately. The
-    // heavy probe must therefore BE a staged multi-model chain (a
-    // zero-shuffle per-row fold like text_entropy has the same JVM
-    // profile as q1 and reads ~1.0 regardless): e2e_stream_gate
-    // trains NB + bigram-LM + DSIR models and scores through all
-    // three — the shape that actually inflated.
-    val CalQuery = "q1_pricing_summary"
-    val CalHeavy = "e2e_stream_gate"
-    def timeCalQ(name: String): Double = {
+    dropAllCaches(spark)
+    names.map { name =>
       val fn = SparkEntry.queries(name)
-      val runs = Vector.tabulate(REPS) { _ =>
-        dropAllCaches()
-        System.gc()
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      runs.sorted.apply(runs.size / 2)
-    }
-    def timeCal(): Double = timeCalQ(CalQuery)
-    val calStart = timeCal()
-    val calHeavyStart = timeCalQ(CalHeavy)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = Vector.newBuilder[Double]
       var err: Option[String] = None
       var r = 0
       while (r < REPS && err.isEmpty) {
-        dropAllCaches()
-        // Collect garbage from the previous query's runs so its heap
-        // debt is not billed to this timing window.
+        dropAllCaches(spark)
+        // collect the previous run's heap debt outside the window
         System.gc()
         val t0 = System.nanoTime()
-        // noop sink: full materialization of every output column (a bare
-        // count() would let Catalyst prune the projections under test).
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        // noop sink: full materialization of every output column (a
+        // bare count() would let Catalyst prune the projections
+        // under test)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
@@ -103,47 +126,194 @@ object Bench {
       }
       (name, runs.result(), err)
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    def median(xs: Vector[Double]): Double = {
-      val s = xs.sorted
-      if (s.isEmpty) 0.0
-      else if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  private def workerMain(args: Array[String]): Unit = {
+    val Array(sfDir, namesCsv, outFile) = args.take(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = buildSession(cpus)
+    val rows = timeGroup(spark, sfDir, namesCsv.split(",").toSeq)
+    val tsv = rows.map { case (n, runs, err) =>
+      val clean = err.getOrElse("").map(c => if (c < ' ') ' ' else c)
+      s"$n\t${runs.mkString(",")}\t$clean"
+    }.mkString("", "\n", "\n")
+    Files.write(Paths.get(outFile), tsv.getBytes(StandardCharsets.UTF_8))
+    spark.stop()
+  }
+
+  // ---------------------------------------------------------------
+  // Orchestrator: fork workers, merge, emit the contract JSON
+  // ---------------------------------------------------------------
+
+  /** Classpath candidates for a child JVM, most-faithful first:
+    * the parent's own `java.class.path` (complete under sbt's forked
+    * `run` and under bare `java -cp`), then one reconstructed from
+    * THIS class's and SparkSession's code locations (covers an
+    * in-process launcher whose java.class.path is only a bootstrap
+    * jar). The orchestrator probes them in order on the first group
+    * and sticks with whichever works.
+    */
+  private def childClasspaths(): Seq[String] = {
+    val own = Option(System.getProperty("java.class.path")).filter(_.nonEmpty)
+    val derived =
+      try {
+        val mine = new File(
+          Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        val sparkJar = new File(
+          classOf[SparkSession].getProtectionDomain.getCodeSource.getLocation.toURI)
+        val jarsDir = sparkJar.getParentFile
+        Some(s"${mine.getPath}${File.pathSeparator}${jarsDir.getPath}/*")
+      } catch { case _: Throwable => None }
+    (own.toSeq ++ derived.toSeq).distinct
+  }
+
+  private def forkWorker(cp: String, sfDir: String, names: Seq[String],
+                         outFile: Path): Boolean = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val cmd: java.util.List[String] = new java.util.ArrayList[String]()
+    (Seq(javaBin) ++ Jdk17AddOpens ++ Seq(
+      s"-Xmx$mem", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.Bench",
+      sfDir, names.mkString(","), outFile.toString)).foreach(cmd.add)
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("SPARK_GRAFT_BENCH_WORKER", "1")
+    // worker stdout+stderr to a log file — NEVER to our stdout (the
+    // driver archives stdout's tail, reserved for the JSON lines)
+    val log = new File(s"$outFile.log")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.to(log))
+    val p = pb.start()
+    val ok = p.waitFor() == 0 && Files.exists(outFile)
+    if (!ok) {
+      val tail = try {
+        val lines = new String(Files.readAllBytes(log.toPath),
+          StandardCharsets.UTF_8).linesIterator.toSeq
+        lines.takeRight(15).mkString("\n")
+      } catch { case _: Throwable => "(no log)" }
+      System.err.println(s"[bench] worker failed (exit=${p.exitValue()}); log tail:\n$tail")
     }
-    // Driver contract: "queries" stays name -> one number (the median).
-    // "stats" carries min/median/all runs for noise auditing.
+    ok
+  }
+
+  private type Path = java.nio.file.Path
+
+  private def parseWorkerFile(f: Path): Seq[(String, Vector[Double], Option[String])] =
+    new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val parts = l.split("\t", -1)
+        val runs =
+          if (parts.length < 2 || parts(1).isEmpty) Vector.empty[Double]
+          else parts(1).split(",").map(_.toDouble).toVector
+        val err = if (parts.length < 3 || parts(2).isEmpty) None else Some(parts(2))
+        (parts(0), runs, err)
+      }.toSeq
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def median(xs: Vector[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  private def orchestratorMain(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nGroups = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUPS", "8").toInt
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val groupSize = math.max(1, math.ceil(allNames.size.toDouble / nGroups).toInt)
+    val groups = allNames.grouped(groupSize).toSeq
+
+    val tmpDir = Files.createTempDirectory("graft_bench")
+    var isolation = "per-group-jvm"
+
+    // probe classpath candidates on the FIRST group, stick with the
+    // winner for the rest; all candidates failing → in-process
+    var cpChosen: Option[String] = None
+    val merged = Vector.newBuilder[(String, Vector[Double], Option[String])]
+    var fellBack = false
+    for ((g, i) <- groups.zipWithIndex if !fellBack) {
+      val out = tmpDir.resolve(s"group_$i.tsv")
+      val ok = cpChosen match {
+        case Some(cp) => forkWorker(cp, sfDir, g, out)
+        case None =>
+          childClasspaths().exists { cp =>
+            val won = forkWorker(cp, sfDir, g, out)
+            if (won) cpChosen = Some(cp)
+            won
+          }
+      }
+      if (ok) merged ++= parseWorkerFile(out)
+      else {
+        System.err.println(s"[bench] worker fork failed for group $i; falling back in-process")
+        fellBack = true
+      }
+    }
+    val results: Seq[(String, Vector[Double], Option[String])] =
+      if (fellBack) { isolation = "none"; inProcessAll(sfDir, allNames) }
+      else merged.result()
+    val cpOpt = cpChosen
+
+    // Honesty check, in the artifact: re-time the 10 slowest queries
+    // in ONE more completely fresh worker and report artifact/fresh
+    // per query. Ratios near 1.0 certify the per-group isolation
+    // actually removed the hot-JVM inflation (r11's would have read
+    // up to ~2 on heavy compositions).
+    val slowestNames = results.sortBy(r => -median(r._2)).take(10).map(_._1)
+    val recheck: Seq[(String, Double)] = cpOpt match {
+      case Some(cp) if isolation == "per-group-jvm" =>
+        val out = tmpDir.resolve("recheck.tsv")
+        if (forkWorker(cp, sfDir, slowestNames, out))
+          parseWorkerFile(out).map { case (n, runs, _) => n -> median(runs) }
+        else Seq.empty
+      case _ => Seq.empty
+    }
+    val recheckMap = recheck.toMap
+    val mainMap = results.map(r => r._1 -> median(r._2)).toMap
+    val recheckJson = recheck.map { case (n, fresh) =>
+      val main = mainMap.getOrElse(n, 0.0)
+      val ratio = if (fresh > 0) main / fresh else 1.0
+      s"${jstr(n)}:{\"artifact\":$main,\"fresh\":$fresh,\"ratio\":$ratio}"
+    }.mkString("{", ",", "}")
+    val maxRatio =
+      if (recheck.isEmpty) 1.0
+      else recheck.map { case (n, fresh) =>
+        if (fresh > 0) mainMap.getOrElse(n, 0.0) / fresh else 1.0 }.max
+
+    // Driver contract: "queries" stays name -> one number (median).
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:${median(v)}" }
       .mkString("{", ",", "}")
     val stats = results.map { case (k, v, _) =>
-      s"""${jstr(k)}:{"min":${v.min},"median":${median(v)},"runs":[${v.mkString(",")}]}"""
+      s"""${jstr(k)}:{"min":${if (v.isEmpty) 0.0 else v.min},"median":${median(v)},"runs":[${v.mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"failed":$failed,"n_failed":${results.count(_._3.nonEmpty)},"sf":"$sfDir","reps":$REPS}""")
-    // The full line above grows with the catalog (97+ queries × stats)
-    // and the driver archives only the output TAIL — r6's artifact
-    // kept ~18 alphabetically-last queries and lost the total. This
-    // second compact line (total + failures + the 10 slowest medians)
-    // is small enough to always survive the tail window, so every
-    // round's headline is comparable even if the full line truncates.
-    // Named "total_compact", NOT "total": a consumer keying records by
-    // metric must never see two conflicting "total" objects with
-    // different shapes (prefer this one when both survive).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"failed":$failed,"n_failed":${results.count(_._3.nonEmpty)},"sf":"$sfDir","reps":$REPS,"isolation":"$isolation","n_groups":${groups.size}}""")
+    // Tail-safe second line (the driver archives only the output
+    // tail; r6 lost the total when the full line truncated). Keyed
+    // "total_compact", never a second conflicting "total".
     val slowest = results.sortBy(r => -median(r._2)).take(10)
       .map { case (k, v, _) => s"${jstr(k)}:${median(v)}" }
       .mkString("{", ",", "}")
-    val calEnd = timeCal()
-    val calHeavyEnd = timeCalQ(CalHeavy)
-    val inflation = if (calStart > 0) calEnd / calStart else 1.0
-    val inflationHeavy =
-      if (calHeavyStart > 0) calHeavyEnd / calHeavyStart else 1.0
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._3.nonEmpty)},"slowest":$slowest,"calibration":{"query":${jstr(CalQuery)},"start_sec":$calStart,"end_sec":$calEnd,"hot_jvm_inflation":$inflation,"heavy_query":${jstr(CalHeavy)},"heavy_start_sec":$calHeavyStart,"heavy_end_sec":$calHeavyEnd,"heavy_hot_jvm_inflation":$inflationHeavy},"sf":"$sfDir","reps":$REPS}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._3.nonEmpty)},"slowest":$slowest,"isolation":"$isolation","n_groups":${groups.size},"fresh_jvm_recheck":$recheckJson,"recheck_max_inflation":$maxRatio,"sf":"$sfDir","reps":$REPS}""")
+  }
+
+  /** Fallback when forking is unavailable: the pre-r12 single-JVM
+    * path (honest about it via `"isolation":"none"`).
+    */
+  private def inProcessAll(sfDir: String,
+                           names: Seq[String]): Seq[(String, Vector[Double], Option[String])] = {
+    val spark = buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val rows = timeGroup(spark, sfDir, names)
     spark.stop()
+    rows
   }
 }

@@ -65,6 +65,7 @@ object Staging {
   def releaseAll(): Unit = {
     var df = live.poll()
     while (df != null) { df.unpersist(false); df = live.poll() }
+    memos.clear()
   }
 
   /** Unpersist only the staged frames belonging to `session` —
@@ -77,6 +78,8 @@ object Staging {
       val df = it.next()
       if (df.sparkSession eq session) { df.unpersist(false); it.remove() }
     }
+    val mit = memos.keySet.iterator()
+    while (mit.hasNext) if (mit.next()._1 eq session) mit.remove()
   }
 
   /** Register an ALREADY-persisted frame for [[releaseAll]] — for
@@ -84,6 +87,38 @@ object Staging {
     * round's frame (BPE's vocab loop).
     */
   def register(df: DataFrame): DataFrame = { live.add(df); df }
+
+  private val memos =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** Session-scoped MEMOIZED staging: several independent catalog
+    * entries derive from one expensive shared intermediate (the
+    * minhash pair table feeds dedup_clusters, dedup_cluster_sizes
+    * AND dedup_keep_one — three full pair-pipeline executions per
+    * board run without sharing). `memo` returns the live staged
+    * frame for `(session, key)` when one exists, else builds,
+    * persists, and registers it. Each entry stays independently
+    * runnable — whichever runs first builds the table; a
+    * [[releaseAll]] between queries (the bench harness) voids the
+    * memo (storageLevel drops to NONE) so per-query timings still
+    * charge full cost. Callers must pick keys that capture EVERY
+    * input that changes the frame (the sf dir, parameters).
+    */
+  def memo(session: org.apache.spark.sql.SparkSession, key: String)
+          (build: => DataFrame): DataFrame = {
+    val k = (session, key)
+    val cur = memos.get(k)
+    if (cur != null && cur.storageLevel != StorageLevel.NONE) cur
+    else memos.synchronized {
+      val again = memos.get(k)
+      if (again != null && again.storageLevel != StorageLevel.NONE) again
+      else {
+        val built = persist(build)
+        memos.put(k, built)
+        built
+      }
+    }
+  }
 
   /** `.stage()` chain syntax for [[persist]]. */
   implicit class Staged(private val df: DataFrame) extends AnyVal {

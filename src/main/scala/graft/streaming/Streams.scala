@@ -86,6 +86,65 @@ object Streams {
     }
   }
 
+  /** S1 replay: deterministic WS frame JSON from a sequence number —
+    * the synthesizer's wire shape (`{"type":"trade","data":[{c,p,s,
+    * t,v},…]}` / `{"type":"ping"}`, finnhub.go:172-224,
+    * models/types.go:9-16,37-40) built with `to_json` so the
+    * generator is pure codegen'd columns. Every 10th frame is the
+    * keepalive ping the read loop discards; trade frames batch 1-3
+    * trades; every 5th trade has a null condition array (the
+    * default-fill path). ALL fields derive from `seq` alone, so a
+    * rate-source stream and a `spark.range` batch over the same seq
+    * interval produce byte-identical frames — the property the
+    * stream==batch twin spec leans on. `t` is unique per trade
+    * (base + 3·seq + i), so downstream rows are re-keyable to their
+    * frame.
+    */
+  def wsFrameJson(seq: Column): Column = {
+    def trade(i: Int): Column = {
+      val s2 = seq * 3 + i
+      struct(
+        when(s2 % 5 === 0, lit(null).cast("array<string>"))
+          .otherwise(array((s2 % 4).cast("string"))).as("c"),
+        (lit(100.0) + (s2 % 1000).cast("double") / 100.0).as("p"),
+        concat(lit("SYM"), s2 % 7).as("s"),
+        (lit(WsReplayEpochMs) + s2).as("t"),
+        ((s2 % 50).cast("double") / 10.0).as("v"))
+    }
+    when(seq % 10 === 9, lit("""{"type":"ping"}"""))
+      .otherwise(to_json(struct(lit("trade").as("type"),
+        slice(array(trade(0), trade(1), trade(2)), lit(1),
+          (seq % 3 + 1).cast("int")).as("data"))))
+  }
+
+  /** Trade timestamps start here (2024-01-01T00:00:00Z in ms) —
+    * exposed so consumers can recover `seq = (t - base) div 3`. */
+  val WsReplayEpochMs: Long = 1704067200000L
+
+  /** S1 replay twin of the live Finnhub WS connector
+    * (finnhub.go:59-169 connect/subscribe/read loop): an UNBOUNDED
+    * rate-source stream of frame JSON in the exact wire shape,
+    * feeding [[graft.ops.EventOps.parseWsFrames]] and the rest of
+    * the hot path exactly as the socket would — the closest a
+    * zero-egress harness gets to the live source, and unlike the
+    * MemoryStream twins it exercises a real continuously-producing
+    * source with backpressure and micro-batch offsets. A real
+    * deployment swaps this one `readStream` for a socket/WS
+    * connector; every downstream transform is unchanged.
+    */
+  def wsReplayStream(spark: SparkSession, rowsPerSecond: Int = 1000,
+                     numPartitions: Int = 4): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong)
+      .option("numPartitions", numPartitions.toLong)
+      .load()
+      .select(col("value").as("seq"), wsFrameJson(col("value")).as("raw"))
+
+  /** Batch twin of [[wsReplayStream]] over seq ∈ [0, n). */
+  def wsReplayBatch(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("seq"),
+      wsFrameJson(col("id")).as("raw"))
+
   /** A3 streaming twin: tumbling event-time window with watermark;
     * late data beyond the watermark is dropped (the reference has no
     * late-data policy at all — SURVEY.md §2.9 — so "drop + count"

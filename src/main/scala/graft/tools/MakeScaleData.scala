@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.sources.Tables
+
+/** Synthesize an sf1 (10×) testdata dir from the driver's sf0.1
+  * fixtures — the input for SCALE.md's measured scaling exponents
+  * (the one-decade empirical check behind the 100 TB plan-shape
+  * claims).
+  *
+  * Replication must not change the WORKLOAD SHAPE, only its size:
+  *
+  *  - `documents`: `factor` replicas with disjoint id ranges; every
+  *    replica after the first is Caesar-ciphered (`translate` over
+  *    the lowercase alphabet, rotation = replica index) so
+  *    cross-replica shingle/minhash similarity is ≈ 0. A verbatim
+  *    copy would make every document a member of a `factor`-sized
+  *    exact-dup cluster and blow the pair generators up
+  *    quadratically — measuring a DIFFERENT (duplicate-saturated)
+  *    workload, not the same workload at 10×. The cipher preserves
+  *    lengths, whitespace, and token structure, so per-document
+  *    costs (shingling, quality scores, token counts) are identical.
+  *  - `embeddings`: id-offset replicas, vectors copied verbatim
+  *    (ANN cost is driven by n and dimensionality, not values).
+  *  - `events`: id/user offsets, timestamps unchanged (10× the
+  *    traffic in the same window — what a larger deployment sees).
+  *  - dimension-ish TPC-H tables: copied as-is (the heavy entries
+  *    under scale test are all documents/events/embeddings-driven).
+  *
+  * Usage: runMain graft.tools.MakeScaleData [srcDir] [destDir] [factor]
+  */
+object MakeScaleData {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dest = args.lift(1).getOrElse("/root/repo/.scaledata/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.get()
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    val docs = Tables.documents(spark, src)
+    (0 until factor).map { i =>
+      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      docs.select(
+        // offset 10k per replica keeps every id < the 1e6 twin
+        // offset used by the dedup harness corpora
+        (col("doc_id") + lit(i.toLong * 10000)).as("doc_id"),
+        (if (i == 0) col("text") else translate(col("text"), alpha, rot))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+
+    val emb = Tables.embeddings(spark, src)
+    (0 until factor).map { i =>
+      emb.select((col("vec_id") + lit(i.toLong * 10000)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+
+    val ev = Tables.events(spark, src)
+    (0 until factor).map { i =>
+      ev.select((col("event_id") + lit(i.toLong * 1000000)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i.toLong * 10000)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dest/events.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem"))
+      Tables.table(spark, src, t)
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+
+    println(s"wrote sf-scaled tables (factor $factor) to $dest")
+    spark.stop()
+  }
+}

@@ -20,6 +20,17 @@ class CatalogSpec extends SparkSpec {
     assert(names.distinct.size == names.size)
   }
 
+  test("README's entry count matches the catalog (no doc drift)") {
+    // README.md line: "- `graft.queries.Catalog` — N query entries, ..."
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = """Catalog` — (\d+) query entries""".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README no longer states the catalog entry count")
+    assert(m.get.group(1).toInt === Catalog.defs.size,
+      s"README claims ${m.get.group(1)} entries; catalog has ${Catalog.defs.size}")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
