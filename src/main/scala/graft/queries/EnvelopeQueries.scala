@@ -270,51 +270,12 @@ object EnvelopeQueries {
     */
   private val e2eHotPath = QueryDef(
     "e2e_hot_path",
-    (s, d) => {
-      import s.implicits._
-      import graft.identity.CredentialOps
-      import graft.model.TradeEvent
-      import graft.ops.{EventOps, TradeAvroOps}
-      // P1/P3/P4 parse of the shared WS frame stream + P2
-      // default-fill (missing Trade_Id/Price/Volume)
-      val trades = EventOps.parseWsFrames(WsFrames.frames(s, d), "raw")
-        .withColumn("Trade_Id", concat(lit("T"), col("Event_Timestamp")))
-        .withColumn("Price", coalesce(col("Price"), lit(0.0)))
-        .withColumn("Volume", coalesce(col("Volume"), lit(0.0)))
-      val perTradeSsi = col("Event_Timestamp") % 2 === 1
-      val subject = concat(lit("did:key:z"), col("Event_Timestamp") % 1000)
-      val td = struct(col("Trade_Id"), col("Trade_Condition"), col("Price"),
-        col("Symbol"), col("Event_Timestamp"), col("Volume"))
-      val cred = EnvelopeOps.vcCredential(
-        vcId = concat(lit("vc:trade-"), col("Event_Timestamp")),
-        issuerDid = lit("did:web:graft.example:issuer"),
-        subjectDid = subject,
-        issuanceDate = lit("2024-01-01T00:00:00Z"),
-        claims = td,
-        jwt = CredentialOps.signJwt(to_json(struct(subject.as("sub")))))
-      val env = EnvelopeOps.envelope(
-        concat(lit("trade-"), col("Event_Timestamp")), col("Symbol"),
-        lit("2024-01-01T00:00:00Z"), perTradeSsi, td, cred)
-      // K2 egress → S3 ingress through the binary codec
-      val decoded = TradeAvroOps.decode(TradeAvroOps.encode(
-        trades.select(env.as("ev")).select(col("ev.*")).as[TradeEvent]))
-        .toDF()
-      // U2 verify + Q1 latency analytics on the decoded stream
-      decoded.select(col("symbol"),
-          col("tradeCredential").isNotNull.as("is_ssi"),
-          when(col("tradeCredential").isNotNull,
-            CredentialOps.verifyJwt(col("tradeCredential.proof.jwt")))
-            .as("verified"),
-          coalesce(col("tradeData.Event_Timestamp"),
-            col("tradeCredential.credentialSubject.claims.TradeData.Event_Timestamp"))
-            .as("t_ms"))
-        .groupBy(col("symbol"))
-        .agg(count(lit(1)).as("n_trades"),
-          count(when(col("is_ssi"), 1)).as("n_ssi"),
-          count(when(col("verified"), 1)).as("n_verified"),
-          round(expr(s"percentile((${EventOps.NowEpochMicros / 1000}" +
-            " - t_ms) / 1000.0D, 0.95D)"), 6).as("p95_latency_s"))
-    },
+    // the full composition lives in graft.ops.HotPath — the SAME
+    // function WsReplaySpec streams from the unbounded replay source
+    // (stream == batch certified there); this entry certifies the
+    // batch values against the DuckDB oracle
+    (s, d) => graft.ops.HotPath.q1Aggregate(
+      graft.ops.HotPath.perTradeReadout(s, WsFrames.frames(s, d), "raw")),
     Some(s"""WITH tr AS (
         SELECT 'SYM' || (user_id % 7) AS symbol, epoch_us(ts) // 1000 AS t_ms
         FROM events WHERE event_id % 50 <> 0)

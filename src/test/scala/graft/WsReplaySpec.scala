@@ -4,9 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.identity.CredentialOps
-import graft.model.TradeEvent
-import graft.ops.{EnvelopeOps, EventOps, TradeAvroOps}
+import graft.ops.EventOps
 import graft.streaming.Streams
 
 /** S1 live-source fidelity: the reference's hot path
@@ -21,44 +19,15 @@ import graft.streaming.Streams
 class WsReplaySpec extends SparkSpec {
   import spark.implicits._
 
-  /** The e2e hot path (same composition as the `e2e_hot_path`
-    * catalog entry minus the final aggregate): P1/P3/P4 WS parse →
-    * P2 default-fill → P5 envelope + U1 REAL signing → K2/S3 binary
-    * Avro egress+ingress → U2 verify → the per-trade readout Q1
-    * aggregates. Pure `DataFrame => DataFrame`, so the stream and
-    * the batch twin share it verbatim.
+  /** The e2e hot path — [[graft.ops.HotPath.perTradeReadout]], the
+    * SAME composition the `e2e_hot_path` catalog entry aggregates:
+    * P1/P3/P4 WS parse → P2 default-fill → P5 envelope + U1 REAL
+    * signing → K2/S3 binary Avro egress+ingress → U2 verify. Pure
+    * `DataFrame => DataFrame`, so the stream and the batch twin
+    * share it verbatim.
     */
-  private def hotPath(frames: DataFrame): DataFrame = {
-    val trades = EventOps.parseWsFrames(frames, "raw")
-      .withColumn("Trade_Id", concat(lit("T"), col("Event_Timestamp")))
-      .withColumn("Price", coalesce(col("Price"), lit(0.0)))
-      .withColumn("Volume", coalesce(col("Volume"), lit(0.0)))
-    val perTradeSsi = col("Event_Timestamp") % 2 === 1
-    val subject = concat(lit("did:key:z"), col("Event_Timestamp") % 1000)
-    val td = struct(col("Trade_Id"), col("Trade_Condition"), col("Price"),
-      col("Symbol"), col("Event_Timestamp"), col("Volume"))
-    val cred = EnvelopeOps.vcCredential(
-      vcId = concat(lit("vc:trade-"), col("Event_Timestamp")),
-      issuerDid = lit("did:web:graft.example:issuer"),
-      subjectDid = subject,
-      issuanceDate = lit("2024-01-01T00:00:00Z"),
-      claims = td,
-      jwt = CredentialOps.signJwt(to_json(struct(subject.as("sub")))))
-    val env = EnvelopeOps.envelope(
-      concat(lit("trade-"), col("Event_Timestamp")), col("Symbol"),
-      lit("2024-01-01T00:00:00Z"), perTradeSsi, td, cred)
-    val decoded = TradeAvroOps.decode(TradeAvroOps.encode(
-      trades.select(env.as("ev")).select(col("ev.*")).as[TradeEvent]))
-      .toDF()
-    decoded.select(col("symbol"),
-      col("tradeCredential").isNotNull.as("is_ssi"),
-      when(col("tradeCredential").isNotNull,
-        CredentialOps.verifyJwt(col("tradeCredential.proof.jwt")))
-        .as("verified"),
-      coalesce(col("tradeData.Event_Timestamp"),
-        col("tradeCredential.credentialSubject.claims.TradeData.Event_Timestamp"))
-        .as("t_ms"))
-  }
+  private def hotPath(frames: DataFrame): DataFrame =
+    graft.ops.HotPath.perTradeReadout(spark, frames, "raw")
 
   private def rowKey(r: org.apache.spark.sql.Row): (String, Boolean, Option[Boolean], Long) =
     (r.getString(0), r.getBoolean(1),
@@ -96,12 +65,7 @@ class WsReplaySpec extends SparkSpec {
 
     // Q1 readout equality: same p95 + counters per symbol from both
     def q1(df: DataFrame): Map[String, (Long, Long, Long, Double)] =
-      df.groupBy(col("symbol"))
-        .agg(count(lit(1)).as("n_trades"),
-          count(when(col("is_ssi"), 1)).as("n_ssi"),
-          count(when(col("verified"), 1)).as("n_verified"),
-          round(expr(s"percentile((${EventOps.NowEpochMicros / 1000}" +
-            " - t_ms) / 1000.0D, 0.95D)"), 6).as("p95_latency_s"))
+      graft.ops.HotPath.q1Aggregate(df)
         .collect()
         .map(r => r.getString(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
