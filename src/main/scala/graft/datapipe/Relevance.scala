@@ -167,4 +167,118 @@ object Relevance {
     }.reduce(_ + _)
     pivoted.withColumn("rrf", round(rrf, 6))
   }
+
+  /** Per-QUERY BM25 top-n retrieval — [[bm25]] generalized from one
+    * fixed term set scoring the whole corpus to a query TABLE
+    * (q_id, q_terms array<string>), each query retrieving its own
+    * ranked candidate list. This is the lexical half of a retrieval
+    * serving/selection stack (the other half is the dense ANN
+    * family); only documents matching ≥ 1 query term are retrieved —
+    * the zero-score corpus remainder is never emitted.
+    *
+    * Scale shape: the query table is broadcast-small by construction
+    * (a serving batch, not a corpus). The corpus is tokenized ONCE
+    * and pruned map-side to the distinct term union via a broadcast
+    * semi join — the non-matching token stream never shuffles; tf
+    * then shuffles as (doc, term) rows for matching terms only,
+    * SHARED across all queries. Per-term df and the (N, avgdl) pair
+    * are term-set/one-row bounded broadcasts; the query fan-out joins
+    * the skinny weight table to the broadcast (q_id, term) pairs; the
+    * final cut is the two-stage TopK heap — no corpus sort, no
+    * per-query window over unbounded candidates.
+    *
+    * Portability: per-(doc, term) weights follow [[bm25]]'s exact
+    * feeding aggregates; the per-query sum has no literal column
+    * order (term sets vary per query), so instead of the pivot trick
+    * each weight is rounded to 8 dp and accumulated as
+    * DECIMAL(28,8) — an order-independent EXACT sum both engines
+    * replay — then the total rounds to 4 dp on the decimal.
+    * Duplicate terms within one query count once (distinct pairs).
+    *
+    * Output: (q_id, rnk 1..n, doc_id, score) best-first, doc_id
+    * tie-break on the rounded score.
+    */
+  def bm25PerQuery(docs: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame, n: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.functions.TopK
+    val qt = queries
+      .select(col("q_id"), explode(col("q_terms")).as("term")).distinct()
+    val terms = qt.select(col("term")).distinct()
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("w"))
+    val matched = base
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        explode(col("w")).as("term"))
+      .join(broadcast(terms), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .stage()
+    val dfs = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("w"))).as("sum_dl"))
+    val wts = matched
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("wt8",
+        round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 8)
+          .cast("decimal(28,8)"))
+    val perQueryDoc = wts
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("wt8")).as("sdec"))
+      .select(col("q_id"), col("doc_id"),
+        round(col("sdec"), 4).cast("double").as("score"))
+    perQueryDoc.groupBy(col("q_id"))
+      .agg(TopK.topK(n)(col("doc_id"), col("score")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+        col("col.item").as("doc_id"), col("col.score").as("score"))
+  }
+
+  /** Per-query reciprocal-rank fusion — [[rrfFuse]] keyed by
+    * (q_id, doc_id): the HYBRID-RETRIEVAL merge that combines a
+    * dense (embedding ANN) ranked list with a lexical
+    * ([[bm25PerQuery]]) ranked list per query without score
+    * calibration — the standard two-tower serving shape.
+    *
+    * Scale shape: every input list is top-n bounded PER QUERY, so
+    * the fused candidate set is ≤ |lists|·n rows per query; the
+    * re-rank window partitions by q_id over that bounded set — never
+    * over a corpus-sized group. Portability: rrf is a FIXED-ORDER
+    * chain of |lists| IEEE terms over exact integer ranks, rounded
+    * to 6 dp; the final rank orders on the ROUNDED rrf with doc_id
+    * tie-break.
+    *
+    * Output: (q_id, rnk 1..n, doc_id, r_<name>… nullable bigint, rrf).
+    */
+  def rrfFuseQueries(lists: Seq[(String, DataFrame)], n: Int,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lists.nonEmpty, "rrfFuseQueries needs at least one list")
+    val tagged = lists.map { case (nm, df) =>
+      df.select(col("q_id"), col("doc_id"), lit(nm).as("sig"), col("rnk"))
+    }.reduce(_ unionByName _)
+    val rankCols = lists.map { case (nm, _) =>
+      min(when(col("sig") === nm, col("rnk"))).as(s"r_$nm")
+    }
+    val pivoted = tagged.groupBy(col("q_id"), col("doc_id"))
+      .agg(rankCols.head, rankCols.tail: _*)
+    val rrf = lists.map { case (nm, _) =>
+      coalesce(lit(1.0) / (lit(k.toDouble) + col(s"r_$nm").cast("double")),
+        lit(0.0))
+    }.reduce(_ + _)
+    pivoted.withColumn("rrf", round(rrf, 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)).cast("bigint"))
+      .filter(col("rnk") <= n)
+      .select(Seq(col("q_id"), col("rnk"), col("doc_id")) ++
+        lists.map { case (nm, _) => col(s"r_$nm") } :+ col("rrf"): _*)
+  }
 }

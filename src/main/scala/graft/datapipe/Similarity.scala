@@ -48,6 +48,27 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Metadata-FILTERED vector search (the vector-database serving
+    * shape: "top-k nearest among documents WHERE <predicate>"): the
+    * candidate corpus is restricted to `allowed` ids BEFORE any
+    * scoring. The filter side is a skinny id set (typically the
+    * output of a pushed-down metadata scan — the catalog entry
+    * filters the documents table on `lang` and plan-pins that the
+    * predicate reaches the parquet reader), joined as a left-semi on
+    * the vector id, so at scale the join prunes candidates with the
+    * metadata scan's selectivity and the scoring pass never touches
+    * excluded vectors. Post-filter recall caveat of real ANN systems
+    * does not arise here because the restriction happens pre-scoring
+    * (this is pre-filtering, not post-filtering).
+    *
+    * `allowed`: one column `vec_id`. Ranking/rounding contract is
+    * exactly [[bruteForceTopK]].
+    */
+  def filteredTopK(emb: DataFrame, allowed: DataFrame,
+                   queries: DataFrame, k: Int): DataFrame =
+    bruteForceTopK(emb.join(allowed, Seq("vec_id"), "left_semi"),
+      queries, k)
+
   /** Margin-based alignment mining (the CCMatrix/LASER bitext recipe,
     * Schwenk et al. 2019 arXiv:1911.04944; Artetxe & Schwenk 2018
     * arXiv:1811.01136): for every source vector, its best and

@@ -1290,6 +1290,53 @@ object DataPipeQueries {
           AS score
       FROM base b LEFT JOIN p USING (doc_id)"""))
 
+  /** Per-query BM25 retrieval: three queries whose term sets are the
+    * first 4 tokens of docs 0–2 (derived identically in both
+    * engines), top-10 each. The oracle replays the shared tf/df
+    * pass, the 8-dp-then-DECIMAL(28,8) order-independent weight sum
+    * (the per-query twin of text_bm25's literal-order pivot), and
+    * the rounded-score ranking.
+    */
+  private val textBm25Queries = QueryDef(
+    "text_bm25_queries",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_id"),
+          slice(split(TextAnalysis.normalize(col("text")), " "), 1, 4)
+            .as("q_terms"))
+      Relevance.bm25PerQuery(docs, "doc_id", "text", q, 10)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      q AS (SELECT DISTINCT doc_id AS q_id, u.t AS term
+            FROM toks, UNNEST(list_slice(w, 1, 4)) AS u(t)
+            WHERE doc_id < 3),
+      base AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+      stats AS (SELECT COUNT(*) AS n_docs, SUM(len(w)) AS sum_dl FROM toks),
+      m AS (SELECT doc_id, dl, u.t AS term
+            FROM base, UNNEST(w) AS u(t)
+            WHERE u.t IN (SELECT DISTINCT term FROM q)),
+      tfs AS (SELECT doc_id, term, MAX(dl) AS dl, COUNT(*) AS tf
+              FROM m GROUP BY 1, 2),
+      dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1),
+      wts AS (SELECT doc_id, term,
+          CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+            (tf * (1.2 + 1.0)) /
+            (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl /
+              (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 8)
+            AS DECIMAL(28,8)) AS wt8
+        FROM tfs JOIN dfs USING (term), stats),
+      sc AS (SELECT q_id, doc_id,
+          CAST(round(SUM(wt8), 4) AS DOUBLE) AS score
+        FROM wts JOIN q USING (term) GROUP BY 1, 2),
+      r AS (SELECT q_id, doc_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        FROM sc)
+      SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 10"""))
+
   /** Bigram-LM perplexity (the CCNet-style model-based quality
     * filter). The oracle retrains the same add-one bigram model in
     * SQL and replays the per-document ordered ln-fold via
@@ -4448,6 +4495,7 @@ object DataPipeQueries {
     packEpoch, splitReport, chunkSentences,
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
+    textBm25Queries,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.datapipe.{Multimodal, Similarity}
+import graft.datapipe.{Multimodal, Relevance, Similarity, TextAnalysis}
 
 /** Similarity-search and multimodal queries over the embeddings and
   * documents tables.
@@ -947,6 +947,118 @@ object SimilarityQueries {
       FROM dims d JOIN df ON d.doc_id = df.doc_id
         JOIN qw ON d.doc_id = qw.doc_id"""))
 
+  /** Metadata-filtered vector search: top-5 among the ENGLISH
+    * documents' vectors only (the candidate restriction happens
+    * pre-scoring — the vector-DB pre-filter shape). The lang
+    * predicate is a pushed-down scan filter on the documents table
+    * (plan-pinned); the oracle applies the same semi restriction.
+    */
+  private val simFilteredTopK = QueryDef(
+    "sim_filtered_topk",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val allowed = Tables.documents(s, d)
+        .filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.filteredTopK(e, allowed, q, 5)
+    },
+    Some(s"""WITH $embSqlCte,
+      allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+      c AS MATERIALIZED (SELECT e.* FROM e JOIN allowed USING (vec_id)),
+      q AS MATERIALIZED (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      scored AS MATERIALIZED (SELECT q_id, vec_id,
+          round(list_cosine_similarity(q_emb, emb), 4) AS score
+        FROM q, c WHERE vec_id <> q_id),
+      ranked AS (SELECT q_id, vec_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
+
+  /** Hybrid retrieval (the RAG/two-tower serving shape): per query,
+    * the dense cosine top-10 (embeddings side, self excluded) and
+    * the lexical BM25 top-10 (first-4-token term sets of docs 0–2)
+    * fused by reciprocal-rank fusion (k=60) into one ranked list.
+    * The asymmetry is intentional and certified: the lexical leg may
+    * retrieve the query document itself while the dense leg excludes
+    * it, and rrf handles one-sided candidates via the coalesced-0
+    * contribution. The oracle replays both legs' full chains and the
+    * fixed-order fusion arithmetic.
+    */
+  private val hybridRetrieval = QueryDef(
+    "hybrid_retrieval",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val docs = Tables.documents(s, d)
+      val qe = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val qt = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_id"),
+          slice(split(TextAnalysis.normalize(col("text")), " "), 1, 4)
+            .as("q_terms"))
+      val dense = Similarity.bruteForceTopK(e, qe, 10)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rnk"))
+      val lex = Relevance.bm25PerQuery(docs, "doc_id", "text", qt, 10)
+        .select(col("q_id"), col("doc_id"), col("rnk"))
+      Relevance.rrfFuseQueries(Seq("dense" -> dense, "lex" -> lex), 10, 60)
+    },
+    Some(s"""WITH $embSqlCte,
+      qe AS MATERIALIZED (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 3),
+      dscored AS MATERIALIZED (SELECT q_id, vec_id,
+          round(list_cosine_similarity(q_emb, emb), 4) AS score
+        FROM qe, e WHERE vec_id <> q_id),
+      dranked AS (SELECT q_id, vec_id AS doc_id,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+        FROM dscored),
+      dr AS (SELECT q_id, doc_id, rnk FROM dranked WHERE rnk <= 10),
+      toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      q AS (SELECT DISTINCT doc_id AS q_id, u.t AS term
+            FROM toks, UNNEST(list_slice(w, 1, 4)) AS u(t)
+            WHERE doc_id < 3),
+      base AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+      stats AS (SELECT COUNT(*) AS n_docs, SUM(len(w)) AS sum_dl FROM toks),
+      m AS (SELECT doc_id, dl, u.t AS term
+            FROM base, UNNEST(w) AS u(t)
+            WHERE u.t IN (SELECT DISTINCT term FROM q)),
+      tfs AS (SELECT doc_id, term, MAX(dl) AS dl, COUNT(*) AS tf
+              FROM m GROUP BY 1, 2),
+      dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1),
+      wts AS (SELECT doc_id, term,
+          CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+            (tf * (1.2 + 1.0)) /
+            (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl /
+              (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 8)
+            AS DECIMAL(28,8)) AS wt8
+        FROM tfs JOIN dfs USING (term), stats),
+      sc AS (SELECT q_id, doc_id,
+          CAST(round(SUM(wt8), 4) AS DOUBLE) AS score
+        FROM wts JOIN q USING (term) GROUP BY 1, 2),
+      lranked AS (SELECT q_id, doc_id,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        FROM sc),
+      lr AS (SELECT q_id, doc_id, rnk FROM lranked WHERE rnk <= 10),
+      u AS (SELECT q_id, doc_id,
+          MIN(CASE WHEN sig = 'dense' THEN rnk END) AS r_dense,
+          MIN(CASE WHEN sig = 'lex' THEN rnk END) AS r_lex
+        FROM (SELECT q_id, doc_id, 'dense' AS sig, rnk FROM dr
+              UNION ALL
+              SELECT q_id, doc_id, 'lex' AS sig, rnk FROM lr)
+        GROUP BY 1, 2),
+      f AS (SELECT q_id, doc_id, r_dense, r_lex,
+          round(COALESCE(1.0 / (60.0 + CAST(r_dense AS DOUBLE)), 0.0) +
+                COALESCE(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0), 6) AS rrf
+        FROM u),
+      fr AS (SELECT q_id, doc_id, r_dense, r_lex, rrf,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+        FROM f)
+      SELECT q_id, rnk, doc_id, r_dense, r_lex, rrf
+      FROM fr WHERE rnk <= 10"""))
+
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfRecall, simIvfKmeans,
       simKnnGraph,
@@ -954,5 +1066,6 @@ object SimilarityQueries {
       simIvfPq, dedupEmbedding, dedupSemantic, sampleClusterCap,
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,
-      multimodalAudioResample, e2eMultimodalGate, simBitextMargin)
+      multimodalAudioResample, e2eMultimodalGate, simBitextMargin,
+      simFilteredTopK, hybridRetrieval)
 }

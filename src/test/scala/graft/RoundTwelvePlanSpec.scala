@@ -1,0 +1,49 @@
+package graft
+
+/** Physical-plan contracts for the round-12 retrieval wave
+  * (text_bm25_queries, sim_filtered_topk, hybrid_retrieval) — the
+  * shapes that keep per-query retrieval 100 TB-safe, pinned so a
+  * refactor that silently de-optimizes fails loudly (same charter as
+  * PlanContractSpec / RoundTen/ElevenPlanSpec).
+  */
+class RoundTwelvePlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("text_bm25_queries: the corpus token stream is pruned map-side by " +
+    "a broadcast semi join before the tf shuffle; the per-query cut is " +
+    "the two-stage TopK heap, never a corpus-wide window") {
+    val p = plan("text_bm25_queries")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"the term-union prune must be a broadcast semi join; plan:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      "per-query ranking must ride the TopK aggregator, not a window")
+    assert(p.contains("ObjectHashAggregate"),
+      "the TopK UDAF plans as ObjectHashAggregate (partial per partition)")
+  }
+
+  test("sim_filtered_topk: the metadata predicate reaches the documents " +
+    "scan as a pushed filter and the candidate restriction is a " +
+    "broadcast semi join — excluded vectors are never scored") {
+    val p = plan("sim_filtered_topk")
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]")
+      || p.contains("EqualTo(lang,en)"),
+      s"lang = 'en' must be pushed to the parquet reader; plan:\n${p.take(3000)}")
+    assert(p.contains("LeftSemi"),
+      "the allowed-id restriction must plan as a semi join")
+    assert(!p.contains("SortMergeJoin"),
+      "the skinny id set must broadcast, not sort-merge")
+  }
+
+  test("hybrid_retrieval: the fusion re-rank window partitions by q_id " +
+    "over the bounded fused candidate set — never a single partition; " +
+    "both retrieval legs cut via TopK aggregates") {
+    val p = plan("hybrid_retrieval")
+    assert(!p.linesIterator.exists(l => l.contains("Window")
+        && l.contains("SinglePartition")),
+      s"the rrf re-rank must partition by q_id; plan:\n${p.take(2000)}")
+    assert(p.contains("ObjectHashAggregate"),
+      "both legs' top-10 cuts must ride the TopK aggregator")
+  }
+}
