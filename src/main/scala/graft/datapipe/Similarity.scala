@@ -69,6 +69,101 @@ object Similarity {
     bruteForceTopK(emb.join(allowed, Seq("vec_id"), "left_semi"),
       queries, k)
 
+  /** One candidate / one pairwise similarity / one pick flowing
+    * through [[mmrRerank]]'s per-query greedy.
+    */
+  case class MmrCand(q_id: Long, vec_id: Long, rel: Double)
+  case class MmrPair(q_id: Long, i: Long, j: Long, s: Double)
+  case class MmrPick(q_id: Long, rnk: Long, vec_id: Long, mmr: Double)
+
+  /** Spark's double-round semantics (catalyst Round: shortest-repr
+    * BigDecimal + HALF_UP) — the greedy below must round exactly the
+    * way the Column pipeline and the oracle do.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
+    * SIGIR 1998): from each query's dense top-`nCand` candidates,
+    * greedily pick `kFinal` maximizing
+    * `λ·rel(d) − (1−λ)·max_{p∈picked} sim(d, p)` — the diversity
+    * selection that keeps a retrieval page (or a data-selection
+    * batch) from filling with near-duplicates of one hit.
+    *
+    * Scale shape: stage 1 is [[bruteForceTopK]] (swap in the IVF/PQ
+    * generators at corpus scale — the greedy is unchanged); stage 2
+    * builds the candidate×candidate similarity table PER QUERY
+    * (≤ nCand² bounded rows, the same Column cosine the rest of the
+    * family uses); stage 3 is a typed cogroup on q_id whose groups
+    * are (nCand + nCand²)-bounded — the greedy is inherently
+    * sequential PER QUERY (each pick changes the next argmax), so
+    * per-query executor-side iteration is the correct distribution:
+    * queries parallelize, picks within one query do not.
+    *
+    * Portability: rel and pairwise sims are the 4-dp rounded
+    * doubles; each step's mmr is `round(λ·rel − λ̄·maxs, 6)` with λ̄
+    * the exact-decimal complement (so the SQL literal 0.3 and the
+    * Scala double agree bit-for-bit); argmax ties break on vec_id
+    * asc. The oracle replays the greedy as `kFinal` UNROLLED
+    * argmax-over-remaining steps.
+    *
+    * Output: (q_id, rnk 1..kFinal, vec_id, mmr) in pick order; a
+    * query with fewer than kFinal candidates emits what it has.
+    */
+  def mmrRerank(emb: DataFrame, queries: DataFrame,
+                nCand: Int, kFinal: Int, lambda: Double): DataFrame = {
+    require(nCand >= 1 && kFinal >= 1 && kFinal <= nCand,
+      s"need 1 <= kFinal <= nCand, got kFinal=$kFinal nCand=$nCand")
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1): $lambda")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val lambdaBar = java.math.BigDecimal.ONE
+      .subtract(new java.math.BigDecimal(String.valueOf(lambda))).doubleValue
+    val cand = bruteForceTopK(emb, queries, nCand)
+      .select(col("q_id"), col("vec_id"), col("score").as("rel"))
+      .stage()
+    val ce = cand.join(emb.select(col("vec_id"), col("emb")), Seq("vec_id"))
+    val pair = ce.select(col("q_id"), col("vec_id").as("i"), col("emb").as("ei"))
+      .join(ce.select(col("q_id"), col("vec_id").as("j"), col("emb").as("ej")),
+        Seq("q_id"))
+      .filter(col("i") =!= col("j"))
+      .select(col("q_id"), col("i"), col("j"),
+        round(cosineSimilarity(col("ei"), col("ej")), 4).as("s"))
+    cand.as[MmrCand].groupByKey(_.q_id)
+      .cogroup(pair.as[MmrPair].groupByKey(_.q_id)) { (q, cIt, pIt) =>
+        val remaining = cIt.toArray.sortBy(_.vec_id).toBuffer
+        val sims = pIt.map(p => (p.i, p.j) -> p.s).toMap
+        val picked = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        var step = 1L
+        while (step <= kFinal && remaining.nonEmpty) {
+          var bestIdx = -1
+          var bestMmr = 0.0
+          var idx = 0
+          while (idx < remaining.length) {
+            val c = remaining(idx)
+            // no picks yet -> the SQL COALESCE(maxs, 0.0) branch;
+            // otherwise a true MAX (cosines can be negative, so the
+            // accumulator must not floor at 0)
+            var maxs = if (picked.isEmpty) 0.0 else Double.NegativeInfinity
+            picked.foreach { p =>
+              val s = sims((c.vec_id, p.vec_id))
+              if (s > maxs) maxs = s
+            }
+            val mmr = round6(lambda * c.rel - lambdaBar * maxs)
+            // remaining is vec_id-sorted, so strict > keeps the
+            // lowest vec_id on ties — the oracle's tie-break
+            if (bestIdx < 0 || mmr > bestMmr) { bestIdx = idx; bestMmr = mmr }
+            idx += 1
+          }
+          picked += MmrPick(q, step, remaining.remove(bestIdx).vec_id, bestMmr)
+          step += 1
+        }
+        picked.iterator
+      }
+      .toDF()
+  }
+
   /** Margin-based alignment mining (the CCMatrix/LASER bitext recipe,
     * Schwenk et al. 2019 arXiv:1911.04944; Artetxe & Schwenk 2018
     * arXiv:1811.01136): for every source vector, its best and

@@ -1059,6 +1059,72 @@ object SimilarityQueries {
       SELECT q_id, rnk, doc_id, r_dense, r_lex, rrf
       FROM fr WHERE rnk <= 10"""))
 
+  /** The oracle's unrolled MMR greedy: step t picks, per query, the
+    * argmax of round(0.7·rel − 0.3·max-sim-to-picked, 6) over the
+    * candidates steps 1..t−1 did not pick (vec_id tie-break) —
+    * exactly [[graft.datapipe.Similarity.mmrRerank]]'s loop body,
+    * replayed as chained CTEs because the pick count is a literal.
+    */
+  private def mmrPrev(t: Int): String =
+    (1 until t).map(i => s"SELECT * FROM sel$i").mkString("(", " UNION ALL ", ")")
+
+  private def mmrStepSql(t: Int): String =
+    if (t == 1)
+      """sel1 AS (SELECT q_id, vec_id, mmr FROM (
+         SELECT q_id, vec_id, round(0.7 * rel, 6) AS mmr,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY round(0.7 * rel, 6) DESC, vec_id) AS rn
+         FROM cand) t1 WHERE rn = 1)"""
+    else
+      s"""sel$t AS (SELECT q_id, vec_id, mmr FROM (
+         SELECT c.q_id, c.vec_id,
+           round(0.7 * c.rel - 0.3 * COALESCE(m.maxs, 0.0), 6) AS mmr,
+           row_number() OVER (PARTITION BY c.q_id
+             ORDER BY round(0.7 * c.rel - 0.3 * COALESCE(m.maxs, 0.0), 6) DESC,
+               c.vec_id) AS rn
+         FROM cand c
+         LEFT JOIN (SELECT p.q_id, p.i AS vec_id, MAX(p.s) AS maxs
+                    FROM pair p JOIN ${mmrPrev(t)} sp
+                      ON p.q_id = sp.q_id AND p.j = sp.vec_id
+                    GROUP BY 1, 2) m
+           ON m.q_id = c.q_id AND m.vec_id = c.vec_id
+         WHERE NOT EXISTS (SELECT 1 FROM ${mmrPrev(t)} sp2
+            WHERE sp2.q_id = c.q_id AND sp2.vec_id = c.vec_id)
+         ) t$t WHERE rn = 1)"""
+
+  /** MMR diversified re-rank: each of 5 queries' dense top-10
+    * greedily re-ranked to 5 picks with λ = 0.7. Engine-parity rests
+    * on 4-dp rel/pairwise sims, the 6-dp per-step mmr, and the
+    * vec_id tie-break — the greedy's every float is replayed.
+    */
+  private val simMmrRerank = QueryDef(
+    "sim_mmr_rerank",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.mmrRerank(e, q, nCand = 10, kFinal = 5, lambda = 0.7)
+    },
+    Some(s"""WITH $embSqlCte,
+      q AS MATERIALIZED (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+      scored AS MATERIALIZED (SELECT q_id, vec_id,
+          round(list_cosine_similarity(q_emb, emb), 4) AS score
+        FROM q, e WHERE vec_id <> q_id),
+      ranked AS (SELECT q_id, vec_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored),
+      cand AS MATERIALIZED (SELECT q_id, vec_id, score AS rel
+        FROM ranked WHERE rnk <= 10),
+      pair AS MATERIALIZED (SELECT a.q_id, a.vec_id AS i, b.vec_id AS j,
+          round(list_cosine_similarity(ea.emb, eb.emb), 4) AS s
+        FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id),
+      ${(1 to 5).map(mmrStepSql).mkString(",\n      ")}
+      ${(1 to 5).map(t =>
+        s"SELECT q_id, CAST($t AS BIGINT) AS rnk, vec_id, mmr FROM sel$t")
+        .mkString("\n      UNION ALL\n      ")}"""))
+
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfRecall, simIvfKmeans,
       simKnnGraph,
@@ -1067,5 +1133,5 @@ object SimilarityQueries {
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,
       multimodalAudioResample, e2eMultimodalGate, simBitextMargin,
-      simFilteredTopK, hybridRetrieval)
+      simFilteredTopK, hybridRetrieval, simMmrRerank)
 }

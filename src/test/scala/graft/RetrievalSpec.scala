@@ -75,6 +75,50 @@ class RetrievalSpec extends SparkSpec {
       "one-sided rrf = 1/(k + r_dense) alone")
   }
 
+  test("mmrRerank: a near-duplicate of the first pick is demoted below " +
+    "a diverse lower-relevance candidate; pure relevance would keep it") {
+    // query at (1,0); c1 most relevant, c2 ≈ c1 (near-dup,
+    // sim(c1,c2) ≈ 0.999, slightly less relevant), c3 on the OTHER
+    // side of the query (sim(c1,c3) ≈ 0.24, relevance 0.75)
+    val emb = Seq(
+      (100L, Seq(1.0, 0.0)),
+      (1L, Seq(0.82, 0.57)),
+      (2L, Seq(0.80, 0.60)),
+      (3L, Seq(0.75, -0.661437))
+    ).toDF("vec_id", "emb")
+    val q = emb.filter(col("vec_id") === 100)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val rel = Similarity.bruteForceTopK(emb, q, 3)
+      .orderBy(col("rnk")).collect().map(_.getAs[Long]("vec_id")).toSeq
+    Staging.releaseAll()
+    assert(rel === Seq(1L, 2L, 3L), "relevance alone ranks the near-dup 2nd")
+    val mmr = Similarity.mmrRerank(emb, q, nCand = 3, kFinal = 3, lambda = 0.7)
+      .orderBy(col("rnk")).collect()
+    Staging.releaseAll()
+    assert(mmr.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 3L, 2L),
+      "MMR must demote the near-duplicate below the diverse candidate")
+    assert(mmr.map(_.getAs[Long]("rnk")).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("mmrRerank: a query with fewer candidates than kFinal emits what " +
+    "it has; invalid parameters fail loudly") {
+    val emb = Seq(
+      (50L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0))
+    ).toDF("vec_id", "emb")
+    val q = emb.filter(col("vec_id") === 50)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val out = Similarity.mmrRerank(emb, q, nCand = 10, kFinal = 5, lambda = 0.7)
+      .collect()
+    Staging.releaseAll()
+    assert(out.length === 2, "2 candidates -> 2 picks, not 5")
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(emb, q, nCand = 2, kFinal = 5, lambda = 0.7)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(emb, q, nCand = 5, kFinal = 2, lambda = 1.5)
+    }
+  }
+
   test("filteredTopK: every result id is allowed, and results equal " +
     "bruteForceTopK over the pre-filtered corpus") {
     val emb = Seq(

@@ -36,6 +36,16 @@ class RoundTwelvePlanSpec extends SparkSpec {
       "the skinny id set must broadcast, not sort-merge")
   }
 
+  test("sim_mmr_rerank: the candidate-pair table builds via an equi-join " +
+    "on q_id (bounded nCand² per query, never a cartesian) and the " +
+    "greedy runs as a typed cogroup — per-query groups, no driver loop") {
+    val p = plan("sim_mmr_rerank")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate pairs must join on q_id; plan:\n${p.take(2000)}")
+    assert(p.contains("CoGroup"),
+      "the per-query greedy must plan as a typed cogroup on q_id")
+  }
+
   test("hybrid_retrieval: the fusion re-rank window partitions by q_id " +
     "over the bounded fused candidate set — never a single partition; " +
     "both retrieval legs cut via TopK aggregates") {
