@@ -336,6 +336,70 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup PROBE: near-duplicate pairs between a
+    * small DELTA (today's crawl increment) and a large static INDEX
+    * (the already-deduped corpus) — the daily-ingest shape where
+    * re-pairing the whole corpus ([[minhashPairs]]) would redo
+    * O(corpus) work for an O(delta)-sized question. Same
+    * shingle→minhash→band chain and the same exact-Jaccard
+    * verification as [[minhashPairs]], but the band join is
+    * ASYMMETRIC: the delta's bucket table is broadcast and the index
+    * side streams — ZERO shuffle of the corpus. In production the
+    * index's signature/bucket table is the materialized artifact
+    * (computed once, appended per ingest); here it is derived
+    * inline, which changes cost, not semantics. Delta-internal
+    * duplicates are out of contract (run [[minhashPairs]] on the
+    * delta for those).
+    *
+    * Verification joins back only the candidate ids: the delta side
+    * broadcasts again, the index side meets the candidate set in a
+    * shuffled-hash join keyed on index_id — the corpus-scale table
+    * is shuffled only by its matched subset. A delta too large to
+    * broadcast degrades gracefully: drop the broadcast hints and
+    * both joins become ordinary shuffled-hash joins.
+    *
+    * Output: (delta_id, index_id, jaccard) with exact set Jaccard
+    * >= `threshold` (same LSH-recall argument as [[minhashPairs]]:
+    * at 32×2 banding a j >= 0.8 pair is missed with probability
+    * < 1e-14, so the exact all-cross-pairs oracle applies).
+    */
+  def minhashProbe(index: DataFrame, delta: DataFrame,
+                   idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 32,
+                   threshold: Double = 0.8): DataFrame = {
+    requireValidBanding(numHashes, bands)
+    def hhOf(df: DataFrame, name: String) = df
+      .select(col(idCol).as(name),
+        array_sort(hashedShingles(col(textCol), 3)).as(s"${name}_hh"))
+      .stage()
+    def bucketsOf(hh: DataFrame, id: String) = hh
+      .select(col(id),
+        minhashSignatureFromHashes(col(s"${id}_hh"), numHashes).as("sig"))
+      .select(col(id),
+        explode(lshBuckets(col("sig"), bands, numHashes / bands)).as("bb"))
+    val ihh = hhOf(index, "index_id")
+    val dhh = hhOf(delta, "delta_id")
+    val candidates = bucketsOf(ihh, "index_id")
+      .join(broadcast(bucketsOf(dhh, "delta_id")), Seq("bb"))
+      .select(col("delta_id"), col("index_id"))
+      .distinct()
+    candidates
+      .join(broadcast(dhh), "delta_id")
+      .hint("shuffle_hash")
+      .join(ihh, "index_id")
+      .filter(size(col("delta_id_hh")) >= lit(threshold) * size(col("index_id_hh")) &&
+        size(col("index_id_hh")) >= lit(threshold) * size(col("delta_id_hh")))
+      .select(col("delta_id"), col("index_id"),
+        graft.functions.SortedIntersectCount
+          .column(col("delta_id_hh"), col("index_id_hh")).as("n_common"),
+        (size(col("delta_id_hh")) + size(col("index_id_hh")))
+          .cast("bigint").as("n_total"))
+      .select(col("delta_id"), col("index_id"),
+        (col("n_common").cast("double") /
+          (col("n_total") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash: 64-bit locality-sensitive code over word shingles.
     * For each bit position, sum +1/-1 votes from each shingle's
     * xxhash64; bit = 1 when the vote is positive. Computed by the

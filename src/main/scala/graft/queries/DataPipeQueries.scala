@@ -2603,6 +2603,39 @@ object DataPipeQueries {
       JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8"""))
 
+  /** Incremental near-dup probe: the twins corpus split as "index =
+    * originals, delta = twins" — every delta doc is a near-dup of
+    * exactly its source (plus whatever the corpus happens to
+    * contain), so the probe must find the cross pairs WITHOUT
+    * pairing the index against itself. Same exact-Jaccard oracle
+    * shape as dedup_minhash_lsh restricted to cross pairs; the same
+    * 32×2 banding recall argument makes the exact oracle valid.
+    */
+  private val dedupMinhashProbe = QueryDef(
+    "dedup_minhash_probe",
+    (s, d) => {
+      val both = withTwins(s, d)
+      Dedup.minhashProbe(
+        both.filter(col("id") < 1000000),
+        both.filter(col("id") >= 1000000),
+        "id", "text", numHashes = 64, bands = 32, threshold = 0.8)
+        .select(col("delta_id"), col("index_id"), col("jaccard"))
+    },
+    Some(s"""WITH $twinsSqlCte,
+      toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
+      sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+      common AS (SELECT d.id AS delta_id, i.id AS index_id, COUNT(*) AS n_common
+                 FROM sh d JOIN sh i ON d.shingle = i.shingle
+                 WHERE d.id >= 1000000 AND i.id < 1000000
+                 GROUP BY 1, 2)
+      SELECT delta_id, index_id,
+        CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) AS jaccard
+      FROM common
+      JOIN sizes sd ON sd.id = delta_id JOIN sizes si ON si.id = index_id
+      WHERE CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) >= 0.8"""))
+
   /** SimHash near-dup pairs over the twins corpus, oracle-checked
     * END-TO-END: the catalog entry hashes shingles with the
     * engine-portable md5-derived 60-bit hash
@@ -4514,7 +4547,7 @@ object DataPipeQueries {
     wordPieceVocab, wordPieceEncode, wordPieceCoverage, unigramEncode,
     dedupStats,
     dedupExact, dedupNgramJaccard, dedupThresholdCurve, dedupPairQuality,
-    dedupMinhashLsh, dedupSimhash,
+    dedupMinhashLsh, dedupMinhashProbe, dedupSimhash,
     dedupClusters, dedupClusterSizes, dedupKeepOne, dedupCdcChunks,
     dedupIncremental,
     dedupLines, textBoilerplate, textExtractHtml, textNormalizeUnicode,

@@ -41,6 +41,35 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - exact) < 1e-12)
   }
 
+  test("minhashProbe == minhashPairs restricted to cross pairs: same " +
+    "pair set, same exact jaccard, and never an index-index pair") {
+    val base = (0L until 20L).map(i =>
+      (i, (0 to 30).map(j => s"w${(i * 31 + j) % 97}").mkString(" ")))
+    // delta: near-dups of docs 0 and 5, plus one novel doc
+    val delta = Seq(
+      (100L, base(0)._2.replaceFirst("w0", "zz")),
+      (105L, base(5)._2.replaceFirst("w59", "yy")),
+      (199L, (0 to 30).map(j => s"v$j").mkString(" ")))
+    val index = base.toDF("id", "text")
+    val deltaDf = delta.toDF("id", "text")
+    val probe = Dedup.minhashProbe(index, deltaDf, "id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5).collect()
+    graft.datapipe.Staging.releaseAll()
+    val full = Dedup.minhashPairs((base ++ delta).toDF("id", "text"),
+      "id", "text", numHashes = 64, bands = 16, threshold = 0.5)
+      .filter(col("a_id") < 100 && col("b_id") >= 100)
+      .collect()
+    graft.datapipe.Staging.releaseAll()
+    val probeSet = probe.map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    val fullSet = full.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probeSet === fullSet,
+      "the probe must find exactly the cross pairs the full pairing finds")
+    assert(probe.forall(r => r.getLong(0) >= 100 && r.getLong(1) < 100),
+      "delta_id/index_id sides must never swap")
+    assert(probeSet.exists(_._2 == 100L) && probeSet.exists(_._2 == 105L))
+    assert(!probeSet.exists(_._2 == 199L), "a novel doc matches nothing")
+  }
+
   test("simhash: identical docs share codes; different docs don't") {
     val codes = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
         (3L, "completely different words here now"))

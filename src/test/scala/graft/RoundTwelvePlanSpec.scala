@@ -46,6 +46,18 @@ class RoundTwelvePlanSpec extends SparkSpec {
       "the per-query greedy must plan as a typed cogroup on q_id")
   }
 
+  test("dedup_minhash_probe: the band probe broadcasts the DELTA side — " +
+    "the corpus bucket stream is never shuffled for candidate " +
+    "generation; verification meets the index in a shuffled-hash join") {
+    val p = plan("dedup_minhash_probe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the delta bucket table must broadcast; plan:\n${p.take(2000)}")
+    assert(p.contains("ShuffledHashJoin"),
+      "the candidate join-back onto the index must stay shuffled-hash")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the probe benefits from a sort")
+  }
+
   test("hybrid_retrieval: the fusion re-rank window partitions by q_id " +
     "over the bounded fused candidate set — never a single partition; " +
     "both retrieval legs cut via TopK aggregates") {
