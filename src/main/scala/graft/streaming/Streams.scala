@@ -384,6 +384,72 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("a_id", "b_id")
 
+  /** Streaming twin of [[graft.datapipe.Dedup.minhashProbe]]: the
+    * delta arrives as an UNBOUNDED stream (today's crawl, live) and
+    * probes the STATIC already-deduped index — the ingest-gate
+    * placement of the incremental near-dup probe. Unlike
+    * [[nearDupStream]] (new-vs-RECENT, bounded bucket-ring state)
+    * this is new-vs-CORPUS with ZERO stream state in the detection
+    * path: band-bucket candidates and the exact-Jaccard verification
+    * are two stream-STATIC inner joins (stateless per micro-batch —
+    * the arrival's sorted hash array rides its own rows, so no
+    * stream-stream join and no watermark is needed to verify). The
+    * only stateful stage is the exact-once pair dedup
+    * (`dropDuplicatesWithinWatermark` on (delta_id, index_id), same
+    * bounded-horizon contract as [[nearDupStreamExactOnce]]) guarding
+    * against multi-band emission and redelivery.
+    *
+    * The static side is staged (at scale it is the materialized index
+    * signature/bucket artifact, computed once and appended per
+    * ingest). Emits the same exact set Jaccard as the batch twin —
+    * `StreamingSpec` pins stream == batch values.
+    *
+    * Output: (delta_id, index_id, jaccard, ts).
+    */
+  def probeStream(delta: DataFrame, index: DataFrame,
+                  idCol: String, textCol: String, tsCol: String,
+                  watermark: String = "30 seconds",
+                  numHashes: Int = 64, bands: Int = 32,
+                  threshold: Double = 0.8): DataFrame = {
+    import graft.datapipe.Dedup
+    import graft.datapipe.Staging.Staged
+    Dedup.requireValidBanding(numHashes, bands)
+    val rowsPerBand = numHashes / bands
+    val ihh = index.select(col(idCol).cast("long").as("index_id"),
+      array_sort(Dedup.hashedShingles(col(textCol), 3)).as("index_hh"))
+      .stage()
+    val ibk = ihh.select(col("index_id"),
+      explode(Dedup.lshBuckets(
+        Dedup.minhashSignatureFromHashes(col("index_hh"), numHashes),
+        bands, rowsPerBand)).as("bb"))
+      .stage()
+    val sigged = delta.select(col(idCol).cast("long").as("delta_id"),
+      array_sort(Dedup.hashedShingles(col(textCol), 3)).as("delta_hh"),
+      col(tsCol).cast("timestamp").as("ts"))
+      .filter(col("delta_id").isNotNull && col("delta_hh").isNotNull)
+      .select(col("delta_id"), col("delta_hh"), col("ts"),
+        explode(Dedup.lshBuckets(
+          Dedup.minhashSignatureFromHashes(col("delta_hh"), numHashes),
+          bands, rowsPerBand)).as("bb"))
+    sigged
+      .join(ibk, Seq("bb"))
+      .join(ihh, Seq("index_id"))
+      .filter(size(col("delta_hh")) >= lit(threshold) * size(col("index_hh")) &&
+        size(col("index_hh")) >= lit(threshold) * size(col("delta_hh")))
+      .select(col("delta_id"), col("index_id"), col("ts"),
+        graft.functions.SortedIntersectCount
+          .column(col("delta_hh"), col("index_hh")).as("n_common"),
+        (size(col("delta_hh")) + size(col("index_hh")))
+          .cast("bigint").as("n_total"))
+      .select(col("delta_id"), col("index_id"),
+        (col("n_common").cast("double") /
+          (col("n_total") - col("n_common"))).as("jaccard"),
+        col("ts"))
+      .filter(col("jaccard") >= threshold)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("delta_id", "index_id")
+  }
+
   /** Per-band ring state for [[codeDupStream]] — the 64-bit-code
     * sibling of [[BucketState]]: one long per member instead of a
     * signature array, so a bucket's state is 16·maxPerBucket bytes.

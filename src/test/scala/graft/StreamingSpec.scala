@@ -220,6 +220,42 @@ class StreamingSpec extends SparkSpec {
     assert(pairs === Set((1L, 3L)))
   }
 
+  test("streaming incremental probe: delta stream vs static index == " +
+    "batch minhashProbe values; redelivery stays exact-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = (0L until 10L).map(i =>
+      (i, (0 to 30).map(j => s"w${(i * 31 + j) % 97}").mkString(" ")))
+      .toDF("id", "text")
+    val d1 = (100L, (0 to 30).map(j => s"w${j % 97}").mkString(" ")
+      .replaceFirst("w0", "zz"))          // near-dup of index doc 0
+    val d2 = (199L, (0 to 30).map(j => s"v$j").mkString(" ")) // novel
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.probeStream(in.toDF().toDF("id", "text", "ts"),
+      index, "id", "text", "ts", watermark = "10 minutes",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .writeStream.format("memory").queryName("probe_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData((d1._1, d1._2, t("2024-01-01 00:00:01")),
+      (d2._1, d2._2, t("2024-01-01 00:00:02")))
+    q.processAllAvailable()
+    // redelivery of the near-dup within the horizon: no new row
+    in.addData((d1._1, d1._2, t("2024-01-01 00:00:03")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("probe_stream")
+      .select(col("delta_id"), col("index_id"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    graft.datapipe.Staging.releaseAll()
+    val batch = graft.datapipe.Dedup.minhashProbe(
+      index, Seq(d1, d2).toDF("id", "text"), "id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.datapipe.Staging.releaseAll()
+    assert(got === batch, "stream values must equal the batch twin")
+    assert(got.nonEmpty && got.forall(_._1 == 100L),
+      "only the near-dup delta doc may pair, on the delta side")
+  }
+
   test("streaming near-dup exact-once: multi-band twin emits one pair row") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
