@@ -400,6 +400,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Ingest-churn classification — the observability readout over
+    * the two incremental probes: every DELTA document classified
+    * against the static INDEX as `exact_dup` (content fingerprint
+    * already present), else `near_dup` (a [[minhashProbe]] pair at
+    * `threshold`), else `novel` — the verdict table a recrawl
+    * pipeline publishes before deciding what to ingest (and the
+    * near-dup-aware sibling of the exact snapshot diff).
+    *
+    * Scale shape: both legs broadcast the DELTA side and stream the
+    * index — the exact leg is one broadcast hash join on the 60-bit
+    * fingerprint (zero corpus shuffle), the near leg is
+    * [[minhashProbe]]'s asymmetric band join; the verdict join-backs
+    * are delta-bounded broadcasts. Precedence exact > near is the
+    * classification contract (an identical copy is also a j=1.0
+    * near-dup; it reports as exact).
+    *
+    * Output: (delta_id, category) — one row per delta document.
+    */
+  def ingestChurn(index: DataFrame, delta: DataFrame,
+                  idCol: String, textCol: String,
+                  numHashes: Int = 64, bands: Int = 32,
+                  threshold: Double = 0.8): DataFrame = {
+    val dfp = delta.select(col(idCol).as("delta_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val ifp = index.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val exactIds = ifp.join(broadcast(dfp), Seq("fp"))
+      .select(col("delta_id")).distinct()
+    val nearIds = minhashProbe(index, delta, idCol, textCol,
+      numHashes, bands, threshold)
+      .select(col("delta_id")).distinct()
+    delta.select(col(idCol).as("delta_id"))
+      .join(broadcast(exactIds.withColumn("ex", lit(1))), Seq("delta_id"), "left")
+      .join(broadcast(nearIds.withColumn("nr", lit(1))), Seq("delta_id"), "left")
+      .select(col("delta_id"),
+        when(col("ex").isNotNull, "exact_dup")
+          .when(col("nr").isNotNull, "near_dup")
+          .otherwise("novel").as("category"))
+  }
+
   /** SimHash: 64-bit locality-sensitive code over word shingles.
     * For each bit position, sum +1/-1 votes from each shingle's
     * xxhash64; bit = 1 when the vote is positive. Computed by the

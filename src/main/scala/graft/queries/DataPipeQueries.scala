@@ -2636,6 +2636,63 @@ object DataPipeQueries {
       JOIN sizes sd ON sd.id = delta_id JOIN sizes si ON si.id = index_id
       WHERE CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) >= 0.8"""))
 
+  /** Ingest-churn verdicts: delta = near-dup twins of every doc +
+    * identical copies of the %7 docs + fully-rewritten (every token
+    * suffixed) %11 docs — so all three categories fire and the
+    * exact>near precedence is exercised (identical copies are also
+    * j=1.0 near pairs but must report exact_dup). The oracle replays
+    * the planting, both fingerprint legs, and the exact cross-pair
+    * Jaccard near leg.
+    */
+  private val e2eIngestChurn = QueryDef(
+    "e2e_ingest_churn",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
+      val toks = split(TextAnalysis.normalize(col("text")), " ")
+      val delta = docs
+        .select((col("id") + 1000000).as("id"),
+          array_join(slice(toks, lit(1), size(toks) - 1), " ").as("text"))
+        .unionByName(docs.filter(col("id") % 7 === 0)
+          .select((col("id") + 2000000).as("id"), col("text")))
+        .unionByName(docs.filter(col("id") % 11 === 0)
+          .select((col("id") + 3000000).as("id"),
+            array_join(transform(toks, w => concat(w, lit("x"))), " ")
+              .as("text")))
+      Dedup.ingestChurn(docs, delta, "id", "text")
+    },
+    Some("""WITH docs0 AS (SELECT doc_id AS id, text FROM documents),
+      tok AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM docs0),
+      delta AS (
+        SELECT id + 1000000 AS id, array_to_string(w[1:len(w)-1], ' ') AS text FROM tok
+        UNION ALL
+        SELECT id + 2000000 AS id, text FROM docs0 WHERE id % 7 = 0
+        UNION ALL
+        SELECT id + 3000000 AS id,
+          array_to_string(list_transform(w, x -> x || 'x'), ' ') AS text
+        FROM tok WHERE id % 11 = 0),
+      fidx AS (SELECT ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp FROM docs0),
+      fdl AS (SELECT id, ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp FROM delta),
+      ex AS (SELECT DISTINCT d.id FROM fdl d JOIN fidx i USING (fp)),
+      shI AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+              FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      tokD AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM delta),
+      shD AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+              FROM tokD, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      szI AS (SELECT id, COUNT(*) AS n_sh FROM shI GROUP BY id),
+      szD AS (SELECT id, COUNT(*) AS n_sh FROM shD GROUP BY id),
+      common AS (SELECT d.id AS delta_id, i.id AS index_id, COUNT(*) AS n_common
+                 FROM shD d JOIN shI i ON d.shingle = i.shingle GROUP BY 1, 2),
+      near AS (SELECT DISTINCT delta_id AS id
+               FROM common JOIN szD sd ON sd.id = delta_id
+               JOIN szI si ON si.id = index_id
+               WHERE CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) >= 0.8)
+      SELECT d.id AS delta_id,
+        CASE WHEN ex.id IS NOT NULL THEN 'exact_dup'
+             WHEN near.id IS NOT NULL THEN 'near_dup'
+             ELSE 'novel' END AS category
+      FROM delta d LEFT JOIN ex ON ex.id = d.id
+      LEFT JOIN near ON near.id = d.id"""))
+
   /** SimHash near-dup pairs over the twins corpus, oracle-checked
     * END-TO-END: the catalog entry hashes shingles with the
     * engine-portable md5-derived 60-bit hash
@@ -4547,7 +4604,7 @@ object DataPipeQueries {
     wordPieceVocab, wordPieceEncode, wordPieceCoverage, unigramEncode,
     dedupStats,
     dedupExact, dedupNgramJaccard, dedupThresholdCurve, dedupPairQuality,
-    dedupMinhashLsh, dedupMinhashProbe, dedupSimhash,
+    dedupMinhashLsh, dedupMinhashProbe, e2eIngestChurn, dedupSimhash,
     dedupClusters, dedupClusterSizes, dedupKeepOne, dedupCdcChunks,
     dedupIncremental,
     dedupLines, textBoilerplate, textExtractHtml, textNormalizeUnicode,

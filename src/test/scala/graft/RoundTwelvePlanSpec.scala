@@ -58,6 +58,16 @@ class RoundTwelvePlanSpec extends SparkSpec {
       "nothing in the probe benefits from a sort")
   }
 
+  test("e2e_ingest_churn: both classification legs broadcast the delta " +
+    "side — the index is never shuffled for the exact-fingerprint leg, " +
+    "and no join in the composition degrades to sort-merge") {
+    val p = plan("e2e_ingest_churn")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the delta fingerprint/verdict joins must broadcast; plan:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the churn composition benefits from a sort")
+  }
+
   test("hybrid_retrieval: the fusion re-rank window partitions by q_id " +
     "over the bounded fused candidate set — never a single partition; " +
     "both retrieval legs cut via TopK aggregates") {
