@@ -345,6 +345,48 @@ object Similarity {
     ivfTopKPruned(e, q, k)
   }
 
+  /** Simplified (centroid-based) silhouette — the clustering-quality
+    * readout over the k-means family (Rousseeuw 1987's silhouette
+    * with the standard centroid simplification): per vector,
+    * a = squared-distance objective to its OWN cell's centroid,
+    * b = min objective over the OTHER cells,
+    * silhouette = (b − a) / max(a, b) ∈ [−1, 1] — the "did the
+    * clustering actually separate anything" gate run before an IVF
+    * index, SemDeDup pass, or cluster-balanced sample trusts the
+    * cells. Full silhouette is O(cell²) per point; the centroid form
+    * is linear and is what large-scale evaluators ship.
+    *
+    * Scale shape: one trained-centroid broadcast (the [[
+    * kmeansCentroids]] driver model, k·dim longs) and ONE codegen'd
+    * projection per row — zero shuffles beyond the trainer's own.
+    * Portability: objectives are the exact-integer D/n² values (one
+    * IEEE division each, bit-identical in any engine — the
+    * sim_ivf_kmeans contract), the ratio is a fixed IEEE expression
+    * rounded at 6 dp, and a point sitting exactly on its centroid
+    * with a = b = 0 reads 0 by convention (guarded, not NaN).
+    *
+    * Output: (vec_id, cell, silhouette).
+    */
+  def silhouette(emb: DataFrame, cells: Int = 8, iters: Int = 3): DataFrame = {
+    require(cells >= 2, s"silhouette needs >= 2 cells, got $cells")
+    val cents = kmeansCentroids(emb.select(col("vec_id"), col("emb")),
+      cells, iters)
+    val withFs = emb.select(col("vec_id"),
+      kmeansObjectivesCol(quantize(col("emb")), cents.toSeq).as("fs"))
+      .select(col("vec_id"),
+        (array_position(col("fs"), array_min(col("fs"))) - 1)
+          .cast("bigint").as("cell"),
+        col("fs"))
+    withFs.select(col("vec_id"), col("cell"),
+      element_at(col("fs"), col("cell").cast("int") + 1).as("a"),
+      array_min(filter(col("fs"),
+        (_, i) => i.cast("bigint") =!= col("cell"))).as("b"))
+      .select(col("vec_id"), col("cell"),
+        when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise(round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+          .as("silhouette"))
+  }
+
   /** Corpus kNN GRAPH — every vector's top-k neighbours in the same
     * corpus, the backbone structure of embedding-space curation
     * (SemDeDup's ε-balls, density estimation, graph-based diversity

@@ -1125,6 +1125,29 @@ object SimilarityQueries {
         s"SELECT q_id, CAST($t AS BIGINT) AS rnk, vec_id, mmr FROM sel$t")
         .mkString("\n      UNION ALL\n      ")}"""))
 
+  /** Centroid-based silhouette over the 8-cell k-means clustering —
+    * the oracle replays the ENTIRE trainer via the shared km chain
+    * (seeds, 3 Lloyd's rounds) and then derives a/b from the same
+    * per-(vector, cell) objective table the final assignment uses,
+    * so one hash certifies trainer + assignment + the quality
+    * readout together.
+    */
+  private val simSilhouette = QueryDef(
+    "sim_kmeans_silhouette",
+    (s, d) => Similarity.silhouette(
+      embDouble(s, d).select(col("vec_id"), col("emb")),
+      cells = 8, iters = 3),
+    Some(s"""WITH ${kmChainCtes("v", "seeds", "s", "embedding", 8, 3, 64)},
+      own AS (SELECT vec_id, cell FROM sa3),
+      ab AS (SELECT p.vec_id, o.cell,
+          MAX(CASE WHEN p.cell = o.cell THEN p.f END) AS a,
+          MIN(CASE WHEN p.cell <> o.cell THEN p.f END) AS b
+        FROM sp3 p JOIN own o USING (vec_id) GROUP BY 1, 2)
+      SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+        CASE WHEN greatest(a, b) = 0 THEN 0.0
+             ELSE round((b - a) / greatest(a, b), 6) END AS silhouette
+      FROM ab"""))
+
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfRecall, simIvfKmeans,
       simKnnGraph,
@@ -1133,5 +1156,5 @@ object SimilarityQueries {
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,
       multimodalAudioResample, e2eMultimodalGate, simBitextMargin,
-      simFilteredTopK, hybridRetrieval, simMmrRerank)
+      simFilteredTopK, hybridRetrieval, simMmrRerank, simSilhouette)
 }

@@ -119,6 +119,36 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("silhouette: tight separated clusters score near 1, a midpoint " +
+    "scores near 0, and cells < 2 fails loudly") {
+    // two tight clusters around (10,0) and (0,10), plus one point at
+    // the midpoint (5,5) — equidistant from both centroids
+    val emb = (
+      (0 until 4).map(i => (i.toLong, Seq(10.0 + i * 0.001, 0.0))) ++
+      (0 until 4).map(i => (100L + i, Seq(0.0, 10.0 + i * 0.001))) :+
+      (999L, Seq(5.0, 5.0))
+    ).toDF("vec_id", "emb")
+    val out = Similarity.silhouette(emb, cells = 2, iters = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val clusterA = (0 until 4).map(i => out(i.toLong))
+    val clusterB = (0 until 4).map(i => out(100L + i))
+    assert(clusterA.map(_._1).distinct.size === 1 &&
+      clusterB.map(_._1).distinct.size === 1 &&
+      clusterA.head._1 != clusterB.head._1,
+      "the two planted clusters must land in different cells")
+    assert((clusterA ++ clusterB).forall(_._2 > 0.9),
+      s"tight separated clusters must score near 1: $out")
+    // the midpoint JOINS one cluster and pulls that centroid toward
+    // itself (a ≈ 32, b = 50 → s ≈ 0.36): well-separated members
+    // must outscore it decisively
+    assert(out(999L)._2 < 0.5,
+      s"the boundary point must score far below the tight members: ${out(999L)}")
+    intercept[IllegalArgumentException] {
+      Similarity.silhouette(emb, cells = 1, iters = 2)
+    }
+  }
+
   test("filteredTopK: every result id is allowed, and results equal " +
     "bruteForceTopK over the pre-filtered corpus") {
     val emb = Seq(

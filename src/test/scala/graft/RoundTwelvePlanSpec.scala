@@ -68,6 +68,15 @@ class RoundTwelvePlanSpec extends SparkSpec {
       "nothing in the churn composition benefits from a sort")
   }
 
+  test("sim_kmeans_silhouette: after the trainer, the readout is ONE " +
+    "codegen'd projection over the scan — no exchange, no join") {
+    val p = plan("sim_kmeans_silhouette")
+    assert(!p.contains("Exchange"),
+      s"the per-row a/b/ratio must not shuffle; plan:\n${p.take(2000)}")
+    assert(!p.contains("Join"),
+      "the centroid model rides as literals, never a join")
+  }
+
   test("hybrid_retrieval: the fusion re-rank window partitions by q_id " +
     "over the bounded fused candidate set — never a single partition; " +
     "both retrieval legs cut via TopK aggregates") {
