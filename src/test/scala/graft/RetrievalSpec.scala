@@ -119,6 +119,81 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25PerQuery equals an independent in-memory reference on " +
+    "random corpora (random doc/query shapes, dup terms, no-match terms)") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.scalacheck.Gen
+    val vocab = (0 until 8).map(i => s"w$i")
+    val genDoc = Gen.chooseNum(0, 14).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val genQuery = Gen.chooseNum(1, 4).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab :+ "zzz")))
+    val rnd = new scala.util.Random(12)
+    def sample[T](g: Gen[T]): T =
+      Iterator.continually(g.sample).flatten.next()
+
+    // the operator's spec, mirrored step for step: Spark's double
+    // round (shortest-repr HALF_UP), the decimal(28,8) weight cast,
+    // the exact decimal sum, and the 4-dp decimal round
+    def ref(docs: Seq[(Long, String)], queries: Seq[(Long, Seq[String])],
+            n: Int): Set[(Long, Long, Long, Double)] = {
+      val k1 = 1.2; val b = 0.75
+      if (docs.isEmpty) return Set.empty
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1).toSeq }
+      val nDocs = docs.size.toLong
+      val sumDl = toks.map(_._2.size.toLong).sum
+      val avgdl = sumDl.toDouble / nDocs.toDouble
+      val qt = queries.flatMap { case (q, ts) => ts.map(q -> _) }.distinct
+      val terms = qt.map(_._2).toSet
+      val tfs: Seq[(Long, String, Long, Long)] = toks.flatMap {
+        case (id, ws) =>
+          val dl = ws.size.toLong
+          ws.filter(terms).groupBy(w => w).toSeq
+            .map { case (t, occ) => (id, t, dl, occ.size.toLong) }
+      }
+      val dfs: Map[String, Long] =
+        tfs.groupBy(_._2).map { case (t, rs) => t -> rs.size.toLong }
+      def wt8(tf: Long, dl: Long, df: Long): JBD = {
+        val idf = math.log(1.0 + ((nDocs - df) + 0.5) / (df + 0.5))
+        val w = idf * (tf * (k1 + 1.0)) /
+          (tf + k1 * ((1 - b) + (b * dl) / avgdl))
+        val rounded = JBD.valueOf(w).setScale(8, RoundingMode.HALF_UP)
+          .doubleValue
+        JBD.valueOf(rounded).setScale(8, RoundingMode.HALF_UP)
+      }
+      val byPair: Map[(Long, Long), JBD] = qt.flatMap { case (q, t) =>
+        tfs.collect { case (id, tt, dl, tf) if tt == t =>
+          ((q, id), wt8(tf, dl, dfs(t))) }
+      }.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).reduce(_.add(_)) }
+      byPair.toSeq
+        .map { case ((q, id), s) =>
+          (q, id, s.setScale(4, RoundingMode.HALF_UP).doubleValue) }
+        .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+          rows.sortBy(r => (-r._3, r._2)).take(n).zipWithIndex
+            .map { case ((q, id, s), i) => (q, i + 1L, id, s) }
+        }.toSet
+    }
+
+    for (_ <- 1 to 8) {
+      val nDocs = rnd.nextInt(13)
+      val docs = (0L until nDocs).map(i => (i, sample(genDoc)))
+      val queries = (0L until (1 + rnd.nextInt(3)).toLong)
+        .map(q => (q, sample(genQuery)))
+      val got = Relevance.bm25PerQuery(
+        docs.toDF("doc_id", "text"),
+        "doc_id", "text", queries.toDF("q_id", "q_terms"), 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      Staging.releaseAll()
+      val want = ref(docs, queries, 5)
+      assert(got === want,
+        s"mismatch on docs=$docs queries=$queries")
+    }
+  }
+
   test("silhouette: tight separated clusters score near 1, a midpoint " +
     "scores near 0, and cells < 2 fails loudly") {
     // two tight clusters around (10,0) and (0,10), plus one point at
