@@ -387,6 +387,51 @@ object Similarity {
           .as("silhouette"))
   }
 
+  /** Per-source embedding-centroid drift — the embedding-space
+    * sibling of the unigram-KL mixture diagnostic: squared L2
+    * distance between each source's centroid and the corpus
+    * centroid over the quantized vectors, the "which source sits
+    * farthest from the pool" readout mixture design consults
+    * before weighting.
+    *
+    * Exactness: centroids are never formed as fractions — per
+    * component, sS/nS − sG/nG = (nG·sS_i − nS·sG_i)/(nS·nG) with an
+    * exact-integer numerator (exact in a double for any nG·s
+    * product < 2^53 — at quantize's ×1000 scale that holds to
+    * billions of vectors), ONE IEEE division, a square, an 8-dp
+    * round, and a DECIMAL(28,8) order-independent sum over the dim
+    * components.
+    *
+    * Scale shape: one doc↔vector equi-join, one posexplode/groupBy
+    * shuffle of dim longs per vector with map-side partial sums
+    * (the k-means update shape), then everything runs on the
+    * (source × dim)-sized rollup with the global sums broadcast.
+    *
+    * Output: (source, n_docs, drift2) — drift2 rounded at 6 dp.
+    */
+  def sourceCentroidDrift(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val j = docs.select(col("doc_id"), col("source"))
+      .join(emb.select(col("vec_id"), col("emb")),
+        col("doc_id") === col("vec_id"))
+      .select(col("source"), quantize(col("emb")).as("q"))
+    val ps = j.select(col("source"), posexplode(col("q")))
+      .groupBy(col("source"), col("pos"))
+      .agg(sum(col("col")).as("ss"), count(lit(1)).as("ns"))
+    val gs = j.select(posexplode(col("q")))
+      .groupBy(col("pos"))
+      .agg(sum(col("col")).as("sg"), count(lit(1)).as("ng"))
+    ps.join(broadcast(gs), Seq("pos"))
+      .withColumn("x", (col("ng") * col("ss") - col("ns") * col("sg"))
+        .cast("double") /
+        (col("ns").cast("double") * col("ng").cast("double")))
+      .withColumn("term",
+        round(col("x") * col("x"), 8).cast("decimal(28,8)"))
+      .groupBy(col("source"), col("ns"))
+      .agg(sum(col("term")).as("sdec"))
+      .select(col("source"), col("ns").as("n_docs"),
+        round(col("sdec"), 6).cast("double").as("drift2"))
+  }
+
   /** Corpus kNN GRAPH — every vector's top-k neighbours in the same
     * corpus, the backbone structure of embedding-space curation
     * (SemDeDup's ε-balls, density estimation, graph-based diversity

@@ -1148,6 +1148,34 @@ object SimilarityQueries {
              ELSE round((b - a) / greatest(a, b), 6) END AS silhouette
       FROM ab"""))
 
+  /** Per-source centroid drift over the documents↔embeddings join
+    * (vec_id == doc_id in the fixtures). The oracle replays the
+    * quantization, both component-sum tables, the exact-numerator
+    * distance expression, and the 8-dp/decimal fold.
+    */
+  private val simSourceDrift = QueryDef(
+    "sim_source_drift",
+    (s, d) => Similarity.sourceCentroidDrift(
+      Tables.documents(s, d),
+      embDouble(s, d).select(col("vec_id"), col("emb"))),
+    Some("""WITH j AS (SELECT d.source,
+        list_transform(e.embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      ps AS (SELECT source, g.i AS pos, SUM(q[g.i]) AS ss, COUNT(*) AS ns
+             FROM j, generate_series(1, 64) AS g(i) GROUP BY 1, 2),
+      gs AS (SELECT g.i AS pos, SUM(q[g.i]) AS sg, COUNT(*) AS ng
+             FROM j, generate_series(1, 64) AS g(i) GROUP BY 1),
+      xs AS (SELECT ps.source, ps.ns,
+          CAST(gs.ng * ps.ss - ps.ns * gs.sg AS DOUBLE) /
+            (CAST(ps.ns AS DOUBLE) * CAST(gs.ng AS DOUBLE)) AS x
+        FROM ps JOIN gs USING (pos)),
+      t AS (SELECT source, ns,
+          CAST(round(x * x, 8) AS DECIMAL(28,8)) AS term FROM xs)
+      SELECT source, CAST(ns AS BIGINT) AS n_docs,
+        CAST(round(SUM(term), 6) AS DOUBLE) AS drift2
+      FROM t GROUP BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfRecall, simIvfKmeans,
       simKnnGraph,
@@ -1156,5 +1184,6 @@ object SimilarityQueries {
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,
       multimodalAudioResample, e2eMultimodalGate, simBitextMargin,
-      simFilteredTopK, hybridRetrieval, simMmrRerank, simSilhouette)
+      simFilteredTopK, hybridRetrieval, simMmrRerank, simSilhouette,
+      simSourceDrift)
 }

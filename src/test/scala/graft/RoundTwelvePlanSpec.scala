@@ -77,6 +77,17 @@ class RoundTwelvePlanSpec extends SparkSpec {
       "the centroid model rides as literals, never a join")
   }
 
+  test("sim_source_drift: the dim-sized global sums broadcast to the " +
+    "per-source rollup — the corpus never reshuffles for the compare — " +
+    "and nothing degrades to a cartesian") {
+    val p = plan("sim_source_drift")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the global component sums must broadcast; plan:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "all joins in the drift readout are equi-joins")
+  }
+
   test("hybrid_retrieval: the fusion re-rank window partitions by q_id " +
     "over the bounded fused candidate set — never a single partition; " +
     "both retrieval legs cut via TopK aggregates") {
