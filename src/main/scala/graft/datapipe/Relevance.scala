@@ -153,6 +153,9 @@ object Relevance {
   def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
               k: Int): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one list")
+    require(lists.map(_._1).distinct.size == lists.size,
+      s"rrfFuse list names must be unique (duplicate r_<name> columns " +
+        s"fail analysis far from here); got ${lists.map(_._1).mkString(", ")}")
     val tagged = lists.map { case (nm, df) =>
       df.select(col(idCol), lit(nm).as("sig"), col("r"))
     }.reduce(_ unionByName _)
@@ -206,7 +209,12 @@ object Relevance {
       .select(col("q_id"), explode(col("q_terms")).as("term")).distinct()
     val terms = qt.select(col("term")).distinct()
     val toks = split(TextAnalysis.normalize(col(textCol)), " ")
-    val base = docs.select(col(idCol).as("doc_id"), toks.as("w"))
+    // Staged so normalize+split runs ONE pass over the corpus: both
+    // the matched-tf subtree and the (n_docs, sum_dl) stats subtree
+    // read the materialized token arrays — without the stage they
+    // are independent subtrees and each would re-tokenize every
+    // document (the dominant cost at serving scale).
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("w")).stage()
     val matched = base
       .select(col("doc_id"), size(col("w")).as("dl"),
         explode(col("w")).as("term"))
@@ -261,6 +269,9 @@ object Relevance {
                      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(lists.nonEmpty, "rrfFuseQueries needs at least one list")
+    require(lists.map(_._1).distinct.size == lists.size,
+      s"rrfFuseQueries list names must be unique (duplicate r_<name> columns " +
+        s"fail analysis far from here); got ${lists.map(_._1).mkString(", ")}")
     val tagged = lists.map { case (nm, df) =>
       df.select(col("q_id"), col("doc_id"), lit(nm).as("sig"), col("rnk"))
     }.reduce(_ unionByName _)

@@ -395,12 +395,12 @@ object Similarity {
     * before weighting.
     *
     * Exactness: centroids are never formed as fractions — per
-    * component, sS/nS − sG/nG = (nG·sS_i − nS·sG_i)/(nS·nG) with an
-    * exact-integer numerator (exact in a double for any nG·s
-    * product < 2^53 — at quantize's ×1000 scale that holds to
-    * billions of vectors), ONE IEEE division, a square, an 8-dp
-    * round, and a DECIMAL(28,8) order-independent sum over the dim
-    * components.
+    * component, sS/nS − sG/nG = (nG·sS_i − nS·sG_i)/(nS·nG), with
+    * the numerator's products formed in DOUBLE (exact for any
+    * product < 2^53 ≈ 9e15; a long multiply would instead wrap
+    * silently at ~9.2e18, reached near 1e8 vectors at quantize's
+    * ×1000 scale), ONE IEEE division, a square, an 8-dp round, and
+    * a DECIMAL(28,8) order-independent sum over the dim components.
     *
     * Scale shape: one doc↔vector equi-join, one posexplode/groupBy
     * shuffle of dim longs per vector with map-side partial sums
@@ -420,9 +420,15 @@ object Similarity {
     val gs = j.select(posexplode(col("q")))
       .groupBy(col("pos"))
       .agg(sum(col("col")).as("sg"), count(lit(1)).as("ng"))
+    // Products are formed in DOUBLE, not long: a long multiply wraps
+    // silently at ~9.2e18 (ng·ss reaches that around 1e8 vectors at
+    // quantize's ×1000 scale) while a double product stays EXACT to
+    // 2^53 and degrades gracefully (rounds) past it. The oracle
+    // mirrors the same double arithmetic.
     ps.join(broadcast(gs), Seq("pos"))
-      .withColumn("x", (col("ng") * col("ss") - col("ns") * col("sg"))
-        .cast("double") /
+      .withColumn("x",
+        (col("ng").cast("double") * col("ss").cast("double")
+          - col("ns").cast("double") * col("sg").cast("double")) /
         (col("ns").cast("double") * col("ng").cast("double")))
       .withColumn("term",
         round(col("x") * col("x"), 8).cast("decimal(28,8)"))
@@ -430,6 +436,100 @@ object Similarity {
       .agg(sum(col("term")).as("sdec"))
       .select(col("source"), col("ns").as("n_docs"),
         round(col("sdec"), 6).cast("double").as("drift2"))
+  }
+
+  /** Top principal component of the embedding set by unrolled POWER
+    * ITERATION on the covariance matrix — the decorrelation readout
+    * of embedding curation: the dominant direction's explained-
+    * variance share says whether the space is healthy (variance
+    * spread across axes) or collapsed onto one axis (anisotropy, a
+    * known failure mode of contrastive embedding stacks), and the
+    * loadings are the first whitening axis.
+    *
+    * Scale shape: the ONLY corpus-sized computation is the second-
+    * moment rollup — posexplode² fans each vector to dim² (i,j)
+    * terms that hash-aggregate map-side into ≤ dim² partials per
+    * partition (the classic distributed Gram-matrix shape: one
+    * shuffle of dim²·partitions rows). Everything downstream — the
+    * covariance assembly, all `iters` matrix-vector products, the
+    * Rayleigh quotient — runs on dim- and dim²-sized frames with the
+    * vector side broadcast; the corpus is scanned exactly once.
+    *
+    * Portability: moments are exact integer sums over [[quantize]]d
+    * vectors; covariance entries form as n·SP_ij − S_i·S_j in DOUBLE
+    * (exact to 2^53, the [[sourceCentroidDrift]] convention) with
+    * ONE division by n²·10⁶. Each matrix-vector component is an 8-dp
+    * round + DECIMAL(28,8) order-independent sum; the norm is one
+    * IEEE sqrt of the same fold over squared components; the iterate
+    * re-rounds to 6 dp — every step an operation both engines replay
+    * bit-for-bit. v₀ = e₁ (the first axis), deterministic, so no
+    * sign convention is needed.
+    *
+    * Output: (dim 1-based bigint, loading double, eigval double,
+    * var_share double) — dim rows; eigval is the Rayleigh quotient
+    * of the final iterate, var_share its share of trace(C).
+    */
+  def pcaTop(emb: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"pcaTop needs >= 1 iterations; got $iters")
+    val q = emb.select(quantize(col("emb")).as("q")).stage()
+    val s1 = q.select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy(col("i")).agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
+    val sp = q
+      .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("qi") * col("qj")).as("sp"))
+    val si = s1.select(col("i"), col("s").as("si"), col("n"))
+    val sj = s1.select(col("i").as("j"), col("s").as("sj"))
+    val g = sp.join(broadcast(si), Seq("i")).join(broadcast(sj), Seq("j"))
+      .select(col("i"), col("j"),
+        ((col("n").cast("double") * col("sp").cast("double")
+          - col("si").cast("double") * col("sj").cast("double")) /
+          (col("n").cast("double") * col("n").cast("double") * lit(1e6)))
+          .as("gv"))
+      .stage()
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var v: DataFrame = s1.select(col("i").as("j"),
+      when(col("i") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
+    for (_ <- 0 until iters) {
+      val t = g.join(broadcast(v), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(round(col("gv") * col("v"), 8).cast("decimal(28,8)"))
+          .cast("double").as("t"))
+      val nrm = t.agg(
+        sqrt(sum(round(col("t") * col("t"), 8).cast("decimal(28,8)"))
+          .cast("double")).as("nrm"))
+      // Materialize the dim-sized iterate to a LOCAL literal — the
+      // bounded-model-state barrier ([[kmeansCentroids]]'s
+      // convention, dim doubles here). Composed lazily instead, the
+      // plan doubles per step (t feeds both the norm and the
+      // iterate): 2^iters subtrees, a ~40 MB task binary, and
+      // minutes of planning by step 8. The VALUES are Spark-computed
+      // either way — the barrier changes lineage, not arithmetic.
+      val iterate: Array[(Int, Double)] = t.crossJoin(broadcast(nrm))
+        .select(col("i"), round(col("t") / col("nrm"), 6))
+        .as[(Int, Double)].collect()
+      v = iterate.toSeq.toDF("j", "v")
+    }
+    val gvFinal = g.join(broadcast(v), Seq("j"))
+      .groupBy(col("i"))
+      .agg(sum(round(col("gv") * col("v"), 8).cast("decimal(28,8)"))
+        .cast("double").as("t"))
+    val lam = gvFinal
+      .join(broadcast(v.select(col("j").as("i"), col("v"))), Seq("i"))
+      .agg((sum(round(col("v") * col("t"), 8).cast("decimal(28,8)"))
+        .cast("double") /
+        sum(round(col("v") * col("v"), 8).cast("decimal(28,8)"))
+          .cast("double")).as("eigval"))
+    val tr = g.filter(col("i") === col("j"))
+      .agg(sum(round(col("gv"), 8).cast("decimal(28,8)"))
+        .cast("double").as("tr"))
+    v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .select((col("j") + 1).cast("bigint").as("dim"),
+        col("v").as("loading"),
+        round(col("eigval"), 6).as("eigval"),
+        round(col("eigval") / col("tr"), 6).as("var_share"))
   }
 
   /** Corpus kNN GRAPH — every vector's top-k neighbours in the same

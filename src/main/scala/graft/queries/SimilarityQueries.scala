@@ -1167,7 +1167,8 @@ object SimilarityQueries {
       gs AS (SELECT g.i AS pos, SUM(q[g.i]) AS sg, COUNT(*) AS ng
              FROM j, generate_series(1, 64) AS g(i) GROUP BY 1),
       xs AS (SELECT ps.source, ps.ns,
-          CAST(gs.ng * ps.ss - ps.ns * gs.sg AS DOUBLE) /
+          (CAST(gs.ng AS DOUBLE) * CAST(ps.ss AS DOUBLE)
+            - CAST(ps.ns AS DOUBLE) * CAST(gs.sg AS DOUBLE)) /
             (CAST(ps.ns AS DOUBLE) * CAST(gs.ng AS DOUBLE)) AS x
         FROM ps JOIN gs USING (pos)),
       t AS (SELECT source, ns,
@@ -1175,6 +1176,61 @@ object SimilarityQueries {
       SELECT source, CAST(ns AS BIGINT) AS n_docs,
         CAST(round(SUM(term), 6) AS DOUBLE) AS drift2
       FROM t GROUP BY 1, 2"""))
+
+  /** One unrolled power-iteration step: matrix-vector product with
+    * the 8-dp/decimal fold, L2 norm via the same fold over squares,
+    * 6-dp re-rounded iterate.
+    */
+  private def pcaStepSql(k: Int): String = {
+    val pv = s"v${k - 1}"
+    // MATERIALIZED throughout: inlined CTEs would re-expand the
+    // whole chain per reference (≈2^iters covariance recomputes)
+    s"""t$k AS MATERIALIZED (SELECT cov.i,
+        CAST(SUM(CAST(round(cov.gv * v.v, 8) AS DECIMAL(28,8))) AS DOUBLE) AS t
+      FROM cov JOIN $pv v ON v.j = cov.j GROUP BY 1),
+      n$k AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(round(t * t, 8) AS DECIMAL(28,8))) AS DOUBLE)) AS nrm FROM t$k),
+      v$k AS MATERIALIZED (SELECT i AS j, round(t / nrm, 6) AS v FROM t$k, n$k)"""
+  }
+
+  /** Top principal component by 8 unrolled power-iteration steps —
+    * the oracle replays the quantization, both moment tables, the
+    * covariance assembly, every step's decimal fold + norm + 6-dp
+    * iterate, and the Rayleigh/trace readout.
+    */
+  private val simPcaTop = QueryDef(
+    "sim_pca_top",
+    (s, d) => Similarity.pcaTop(
+      embDouble(s, d).select(col("vec_id"), col("emb")), iters = 8),
+    Some(s"""WITH q AS MATERIALIZED (SELECT list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings),
+      sm AS MATERIALIZED (SELECT gs.i AS i, SUM(q[gs.i]) AS s, COUNT(*) AS n
+             FROM q, generate_series(1, 64) AS gs(i) GROUP BY 1),
+      sp AS MATERIALIZED (SELECT gi.i AS i, gj.i AS j, SUM(q[gi.i] * q[gj.i]) AS sp
+             FROM q, generate_series(1, 64) AS gi(i),
+                  generate_series(1, 64) AS gj(i)
+             GROUP BY 1, 2),
+      cov AS MATERIALIZED (SELECT sp.i, sp.j,
+          (CAST(si.n AS DOUBLE) * CAST(sp.sp AS DOUBLE)
+            - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE)) /
+          (CAST(si.n AS DOUBLE) * CAST(si.n AS DOUBLE) * 1e6) AS gv
+        FROM sp JOIN sm si ON si.i = sp.i JOIN sm sj ON sj.i = sp.j),
+      v0 AS MATERIALIZED (SELECT i AS j, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v
+             FROM sm),
+      ${(1 to 8).map(pcaStepSql).mkString(",\n      ")},
+      gvf AS MATERIALIZED (SELECT cov.i,
+          CAST(SUM(CAST(round(cov.gv * v.v, 8) AS DECIMAL(28,8))) AS DOUBLE) AS t
+        FROM cov JOIN v8 v ON v.j = cov.j GROUP BY 1),
+      lam AS (SELECT
+          CAST(SUM(CAST(round(v.v * f.t, 8) AS DECIMAL(28,8))) AS DOUBLE) /
+          CAST(SUM(CAST(round(v.v * v.v, 8) AS DECIMAL(28,8))) AS DOUBLE) AS eigval
+        FROM gvf f JOIN v8 v ON v.j = f.i),
+      tr AS (SELECT CAST(SUM(CAST(round(gv, 8) AS DECIMAL(28,8))) AS DOUBLE) AS tr
+             FROM cov WHERE i = j)
+      SELECT CAST(v.j AS BIGINT) AS dim, v.v AS loading,
+        round(lam.eigval, 6) AS eigval,
+        round(lam.eigval / tr.tr, 6) AS var_share
+      FROM v8 v, lam, tr"""))
 
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfRecall, simIvfKmeans,
@@ -1185,5 +1241,5 @@ object SimilarityQueries {
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,
       multimodalAudioResample, e2eMultimodalGate, simBitextMargin,
       simFilteredTopK, hybridRetrieval, simMmrRerank, simSilhouette,
-      simSourceDrift)
+      simSourceDrift, simPcaTop)
 }

@@ -44,12 +44,19 @@ final class MetricsHttpServer(
 
   server.createContext("/metrics", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
-      try respond(ex, 200, "text/plain; version=0.0.4; charset=utf-8",
-        PrometheusExposition.render(snapshot()))
-      catch { case e: Throwable =>
-        respond(ex, 500, "text/plain; charset=utf-8",
-          s"render failed: ${e.getClass.getSimpleName}")
-      }
+      // HttpServer context matching is raw string-prefix: without
+      // this check /metricsfoo and /metrics/x would also serve the
+      // payload, breaking the documented exact-path contract.
+      if (ex.getRequestURI.getPath != "/metrics")
+        respond(ex, 404, "text/plain; charset=utf-8",
+          s"not found: ${ex.getRequestURI.getPath}\n")
+      else
+        try respond(ex, 200, "text/plain; version=0.0.4; charset=utf-8",
+          PrometheusExposition.render(snapshot()))
+        catch { case e: Throwable =>
+          respond(ex, 500, "text/plain; charset=utf-8",
+            s"render failed: ${e.getClass.getSimpleName}")
+        }
   })
   // the reference services all answer a liveness probe next to
   // /metrics; 404 everywhere else

@@ -36,16 +36,35 @@ object MakeScaleData {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dest = args.lift(1).getOrElse("/root/repo/.scaledata/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // Rotation 26 wraps to the identity cipher: replica 26 would be
+    // a VERBATIM copy — exactly the duplicate-saturated workload the
+    // cipher exists to prevent. Chain runs (sf1 → sf10) instead.
+    require(factor >= 1 && factor <= 26,
+      s"factor must be in [1, 26] (rotation $factor % 26 would repeat a cipher); got $factor")
     val spark = GraftSession.get()
     val alpha = "abcdefghijklmnopqrstuvwxyz"
 
+    /** Per-replica id stride derived from the SOURCE's max id — a
+      * hardcoded stride would silently collide replica ranges when
+      * re-run on this tool's own output (sf1 doc_ids reach ~50k) or
+      * any >stride source, recreating the exact-dup saturation the
+      * docstring warns invalidates the measurement.
+      */
+    def stride(df: org.apache.spark.sql.DataFrame, idCol: String): Long = {
+      val maxId = df.agg(max(col(idCol).cast("bigint"))).head().getLong(0)
+      maxId + 1
+    }
+
     val docs = Tables.documents(spark, src)
+    val docStride = stride(docs, "doc_id")
+    // the dedup harness corpora add a 1e6 twin offset on top of
+    // doc_id; replicated ids must stay under it
+    require(docStride * factor < 1000000L,
+      s"doc ids would reach ${docStride * factor}, colliding with the 1e6 twin offset")
     (0 until factor).map { i =>
       val rot = alpha.drop(i % 26) + alpha.take(i % 26)
       docs.select(
-        // offset 10k per replica keeps every id < the 1e6 twin
-        // offset used by the dedup harness corpora
-        (col("doc_id") + lit(i.toLong * 10000)).as("doc_id"),
+        (col("doc_id") + lit(i.toLong * docStride)).as("doc_id"),
         (if (i == 0) col("text") else translate(col("text"), alpha, rot))
           .as("text"),
         col("lang"), col("source"), col("n_chars"))
@@ -54,18 +73,21 @@ object MakeScaleData {
       .write.mode("overwrite").parquet(s"$dest/documents.parquet")
 
     val emb = Tables.embeddings(spark, src)
+    val vecStride = stride(emb, "vec_id")
     (0 until factor).map { i =>
-      emb.select((col("vec_id") + lit(i.toLong * 10000)).as("vec_id"),
+      emb.select((col("vec_id") + lit(i.toLong * vecStride)).as("vec_id"),
         col("embedding"), col("label"))
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
 
     val ev = Tables.events(spark, src)
+    val evStride = stride(ev, "event_id")
+    val userStride = stride(ev, "user_id")
     (0 until factor).map { i =>
-      ev.select((col("event_id") + lit(i.toLong * 1000000)).as("event_id"),
+      ev.select((col("event_id") + lit(i.toLong * evStride)).as("event_id"),
         col("ts"),
-        (col("user_id") + lit(i.toLong * 10000)).as("user_id"),
+        (col("user_id") + lit(i.toLong * userStride)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
       .repartition(32)

@@ -64,6 +64,12 @@ class MetricsHttpServerSpec extends AnyFunSuite {
     try {
       assert(get(srv.boundPort, "/healthz").statusCode() === 200)
       assert(get(srv.boundPort, "/nope").statusCode() === 404)
+      // JDK HttpServer contexts are raw string-prefix matchers: both
+      // of these land in the /metrics context and must still 404
+      // (a scraper misconfigured with a trailing path should fail
+      // loudly, not silently appear healthy)
+      assert(get(srv.boundPort, "/metricsfoo").statusCode() === 404)
+      assert(get(srv.boundPort, "/metrics/x").statusCode() === 404)
     } finally srv.close()
   }
 

@@ -98,4 +98,22 @@ class RoundTwelvePlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"),
       "both legs' top-10 cuts must ride the TopK aggregator")
   }
+
+  test("sim_pca_top: the corpus is scanned once into the staged moment " +
+    "base; every matrix-vector product joins the dim-sized iterate by " +
+    "BROADCAST (never sort-merge, never cartesian) — the power " +
+    "iteration runs entirely on dim/dim²-sized frames") {
+    val p = plan("sim_pca_top")
+    // Note: counting "Scan parquet" lines would read high here —
+    // every InMemoryRelation renders its cached child's lineage, so
+    // the ONE physical scan appears once per staged-base reference.
+    // The actual single-scan contract is the InMemoryTableScan.
+    assert(p.contains("InMemoryTableScan"),
+      s"the covariance readouts must reuse the staged base, not " +
+        s"re-derive from parquet; plan:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "iterate/moment joins must broadcast the dim-sized side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "nothing in the iteration may shuffle-sort or go cartesian")
+  }
 }
