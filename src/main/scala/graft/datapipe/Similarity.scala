@@ -69,6 +69,50 @@ object Similarity {
     bruteForceTopK(emb.join(allowed, Seq("vec_id"), "left_semi"),
       queries, k)
 
+  /** HARD-NEGATIVE TRIPLET MINING for contrastive retrieval
+    * training (the DPR/SimCSE data-prep step): per query vector,
+    * the mined positive = its nearest SAME-label neighbour, and the
+    * hard negatives = the top-k nearest DIFFERENT-label vectors —
+    * random negatives are trivially separable, so contrastive
+    * training lives on exactly these near-miss candidates. The
+    * per-negative `margin` = pos_score − neg_score is the readout a
+    * curriculum consumes: small or negative margins mark the
+    * triplets worth training on (the negative out-scores the
+    * positive).
+    *
+    * Scale shape: the query batch broadcasts ([[bruteForceTopK]]'s
+    * serving contract — a training-batch construction, not a corpus
+    * sweep); the corpus never shuffles; the label predicate is
+    * per-(query, candidate) so it lives in the join, and each leg
+    * cuts via the two-stage TopK heap. Both legs re-scan the corpus
+    * (scored is |corpus|·|queries|-sized — staging it would cost
+    * more than the second scan). At corpus-scale query sets, swap
+    * the candidate generator for the IVF family exactly as in
+    * [[ivfTopKKmeans]].
+    *
+    * `queries`: (q_id, q_label, q_emb). A query whose label has no
+    * other member mines no positive and emits NO rows (no triplet
+    * without an anchor-positive pair — the honest contract).
+    *
+    * Output: (q_id, pos_id, pos_score, rnk 1..k, neg_id, neg_score,
+    * margin), scores/margin at the 4-dp ranking precision.
+    */
+  def mineTriplets(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = emb
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("score", round(cosineSimilarity(col("q_emb"), col("emb")), 4))
+    val pos = rankTopK(scored.filter(col("label") === col("q_label")), 1)
+      .select(col("q_id"), col("vec_id").as("pos_id"),
+        col("score").as("pos_score"))
+    val neg = rankTopK(scored.filter(col("label") =!= col("q_label")), k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neg_id"),
+        col("score").as("neg_score"))
+    neg.join(broadcast(pos), Seq("q_id"))
+      .select(col("q_id"), col("pos_id"), col("pos_score"), col("rnk"),
+        col("neg_id"), col("neg_score"),
+        round(col("pos_score") - col("neg_score"), 4).as("margin"))
+  }
+
   /** One candidate / one pairwise similarity / one pick flowing
     * through [[mmrRerank]]'s per-query greedy.
     */

@@ -1177,6 +1177,37 @@ object SimilarityQueries {
         CAST(round(SUM(term), 6) AS DOUBLE) AS drift2
       FROM t GROUP BY 1, 2"""))
 
+  /** Hard-negative triplet mining over the labelled embeddings:
+    * queries = vectors 0–9, positive = nearest same-label
+    * neighbour, negatives = top-5 nearest different-label. The
+    * oracle replays both ranked legs and the margin arithmetic.
+    */
+  private val simHardNegatives = QueryDef(
+    "sim_hard_negatives",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("emb").as("q_emb"))
+      Similarity.mineTriplets(e, q, 5)
+    },
+    Some(s"""WITH $embSqlCte,
+      q AS MATERIALIZED (SELECT vec_id AS q_id, label AS q_label,
+          emb AS q_emb FROM e WHERE vec_id < 10),
+      scored AS MATERIALIZED (SELECT q_id, q_label, vec_id, label,
+          round(list_cosine_similarity(q_emb, emb), 4) AS score
+        FROM q, e WHERE vec_id <> q_id),
+      pos AS MATERIALIZED (SELECT q_id, vec_id AS pos_id, score AS pos_score,
+          row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS pr
+        FROM scored WHERE label = q_label),
+      p1 AS (SELECT q_id, pos_id, pos_score FROM pos WHERE pr = 1),
+      neg AS (SELECT q_id, vec_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored WHERE label <> q_label)
+      SELECT n.q_id, p.pos_id, p.pos_score, n.rnk, n.vec_id AS neg_id,
+        n.score AS neg_score, round(p.pos_score - n.score, 4) AS margin
+      FROM neg n JOIN p1 p USING (q_id) WHERE n.rnk <= 5"""))
+
   /** One unrolled power-iteration step: matrix-vector product with
     * the 8-dp/decimal fold, L2 norm via the same fold over squares,
     * 6-dp re-rounded iterate.
@@ -1241,5 +1272,5 @@ object SimilarityQueries {
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,
       multimodalAudioResample, e2eMultimodalGate, simBitextMargin,
       simFilteredTopK, hybridRetrieval, simMmrRerank, simSilhouette,
-      simSourceDrift, simPcaTop)
+      simSourceDrift, simPcaTop, simHardNegatives)
 }

@@ -240,4 +240,34 @@ class RetrievalSpec extends SparkSpec {
       emb.join(allowed, Seq("vec_id"), "left_semi"), q, 5).collect()
     assert(got.map(_.toSeq).toSet === ref.map(_.toSeq).toSet)
   }
+
+  test("mineTriplets: positives share the query label, negatives never " +
+    "do, margin is pos minus neg, and a unique-label query emits no " +
+    "triplets") {
+    val emb = Seq(
+      (0L, "a", Seq(1.0, 0.0)),   // query
+      (1L, "a", Seq(0.95, 0.05)), // its positive (nearest same-label)
+      (2L, "b", Seq(0.9, 0.1)),   // hard negative (nearer than 3)
+      (3L, "b", Seq(0.0, 1.0)),   // easy negative
+      (4L, "c", Seq(0.5, 0.5))    // unique label: query 4 mines nothing
+    ).toDF("vec_id", "label", "emb")
+    val q = emb.filter(col("vec_id").isin(0L, 4L))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"))
+    val out = Similarity.mineTriplets(emb, q, 10).collect()
+    assert(out.forall(_.getAs[Long]("q_id") == 0L),
+      "label 'c' has no other member — query 4 must mine no triplet")
+    val rows = out.sortBy(_.getAs[Long]("rnk"))
+    assert(rows.head.getAs[Long]("pos_id") === 1L,
+      "the positive must be the nearest same-label neighbour")
+    assert(rows.map(_.getAs[Long]("neg_id")).toSet === Set(2L, 3L, 4L),
+      "every non-'a' vector is a candidate negative")
+    assert(rows.map(_.getAs[Long]("neg_id")).headOption === Some(2L),
+      "negatives rank nearest-first (the HARD ones lead)")
+    for (r <- rows)
+      assert(math.abs(r.getAs[Double]("margin") -
+        BigDecimal(r.getAs[Double]("pos_score") - r.getAs[Double]("neg_score"))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        "margin must equal the 4-dp rounded pos/neg score gap")
+  }
 }

@@ -116,4 +116,19 @@ class RoundTwelvePlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "nothing in the iteration may shuffle-sort or go cartesian")
   }
+
+  test("sim_hard_negatives: the query batch broadcasts to both legs, " +
+    "each leg cuts via the two-stage TopK heap (no corpus window), " +
+    "and the positive joins back broadcast") {
+    val p = plan("sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin")
+        || p.contains("BroadcastHashJoin"),
+      s"the query batch must broadcast; plan:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      "ranking must ride the TopK aggregator, not a window")
+    assert(p.contains("ObjectHashAggregate"),
+      "the TopK UDAF plans as ObjectHashAggregate")
+    assert(!p.contains("SortMergeJoin"),
+      "the pos/neg join-back is query-batch-sized and must broadcast")
+  }
 }
