@@ -515,6 +515,52 @@ object Similarity {
     */
   def pcaTop(emb: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1, s"pcaTop needs >= 1 iterations; got $iters")
+    val (g, dims) = covariance(emb)
+    val (v, lam) = powerChain(g, dims, axis0 = 0, iters, deflate = None)
+    val tr = g.filter(col("i") === col("j"))
+      .agg(sum(round(col("gv"), 8).cast("decimal(28,8)"))
+        .cast("double").as("tr"))
+    v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .select((col("j") + 1).cast("bigint").as("dim"),
+        col("v").as("loading"),
+        round(col("eigval"), 6).as("eigval"),
+        round(col("eigval") / col("tr"), 6).as("var_share"))
+  }
+
+  /** SPECTRAL GAP — the second principal component by per-step
+    * DEFLATION and the λ₁/λ₂ ratio, the standard one-number
+    * anisotropy diagnostic (a healthy embedding space has a modest
+    * gap; a collapsed one has λ₁ ≫ λ₂). The second chain starts
+    * from e₂ and subtracts the first component out of every
+    * matrix-vector product (t := t − (v₁·t)·v₁ — the dot an 8-dp
+    * decimal fold, the correction plain IEEE), so it converges to
+    * the dominant direction of the v₁-orthogonal complement.
+    * Covariance and scale shape are [[pcaTop]]'s — the corpus is
+    * scanned once; BOTH chains run on the same staged dim²-sized
+    * frame.
+    *
+    * Output: (dim 1-based bigint, loading2 double, eigval1 double,
+    * eigval2 double, spectral_gap double) — dim rows.
+    */
+  def pcaSpectrum(emb: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"pcaSpectrum needs >= 1 iterations; got $iters")
+    val (g, dims) = covariance(emb)
+    val (v1, lam1) = powerChain(g, dims, axis0 = 0, iters, deflate = None)
+    val (v2, lam2) = powerChain(g, dims, axis0 = 1, iters, deflate = Some(v1))
+    v2.crossJoin(broadcast(lam1.select(col("eigval").as("e1"))))
+      .crossJoin(broadcast(lam2.select(col("eigval").as("e2"))))
+      .select((col("j") + 1).cast("bigint").as("dim"),
+        col("v").as("loading2"),
+        round(col("e1"), 6).as("eigval1"),
+        round(col("e2"), 6).as("eigval2"),
+        round(col("e1") / col("e2"), 6).as("spectral_gap"))
+  }
+
+  /** The staged covariance frame (i, j, gv) of the [[quantize]]d
+    * embedding set plus the dim axis frame — the corpus-sized rollup
+    * shared by the spectral readouts ([[pcaTop]], [[pcaSpectrum]]).
+    */
+  private def covariance(emb: DataFrame): (DataFrame, DataFrame) = {
     val q = emb.select(quantize(col("emb")).as("q")).stage()
     val s1 = q.select(posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy(col("i")).agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
@@ -532,25 +578,46 @@ object Similarity {
           (col("n").cast("double") * col("n").cast("double") * lit(1e6)))
           .as("gv"))
       .stage()
-    val spark = emb.sparkSession
+    (g, s1.select(col("i")))
+  }
+
+  /** One portable power-iteration chain over the staged covariance:
+    * start from unit axis `axis0` (0-based), `iters` steps — each an
+    * 8-dp-round + DECIMAL(28,8) matrix-vector fold, an optional
+    * deflation of unit component `deflate`, one IEEE sqrt norm, and
+    * a 6-dp re-rounded iterate materialized to a LOCAL literal (the
+    * [[kmeansCentroids]] bounded-model-state barrier, dim doubles
+    * here; composed lazily instead, the plan doubles per step — t
+    * feeds both the norm and the iterate — reaching 2^iters subtrees
+    * and a ~40 MB task binary; the barrier changes lineage, not
+    * arithmetic). Returns the final iterate (j, v) and its Rayleigh
+    * quotient over the UNDEFLATED covariance.
+    */
+  private def powerChain(g: DataFrame, dims: DataFrame, axis0: Int,
+                         iters: Int, deflate: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
+    val spark = g.sparkSession
     import spark.implicits._
-    var v: DataFrame = s1.select(col("i").as("j"),
-      when(col("i") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
+    var v: DataFrame = dims.select(col("i").as("j"),
+      when(col("i") === axis0, lit(1.0)).otherwise(lit(0.0)).as("v"))
     for (_ <- 0 until iters) {
-      val t = g.join(broadcast(v), Seq("j"))
+      val t0 = g.join(broadcast(v), Seq("j"))
         .groupBy(col("i"))
         .agg(sum(round(col("gv") * col("v"), 8).cast("decimal(28,8)"))
           .cast("double").as("t"))
+      val t = deflate match {
+        case None => t0
+        case Some(w) =>
+          val wi = w.select(col("j").as("i"), col("v").as("w"))
+          val dot = t0.join(broadcast(wi), Seq("i"))
+            .agg(sum(round(col("t") * col("w"), 8).cast("decimal(28,8)"))
+              .cast("double").as("dot"))
+          t0.join(broadcast(wi), Seq("i")).crossJoin(broadcast(dot))
+            .select(col("i"), (col("t") - col("dot") * col("w")).as("t"))
+      }
       val nrm = t.agg(
         sqrt(sum(round(col("t") * col("t"), 8).cast("decimal(28,8)"))
           .cast("double")).as("nrm"))
-      // Materialize the dim-sized iterate to a LOCAL literal — the
-      // bounded-model-state barrier ([[kmeansCentroids]]'s
-      // convention, dim doubles here). Composed lazily instead, the
-      // plan doubles per step (t feeds both the norm and the
-      // iterate): 2^iters subtrees, a ~40 MB task binary, and
-      // minutes of planning by step 8. The VALUES are Spark-computed
-      // either way — the barrier changes lineage, not arithmetic.
       val iterate: Array[(Int, Double)] = t.crossJoin(broadcast(nrm))
         .select(col("i"), round(col("t") / col("nrm"), 6))
         .as[(Int, Double)].collect()
@@ -566,14 +633,7 @@ object Similarity {
         .cast("double") /
         sum(round(col("v") * col("v"), 8).cast("decimal(28,8)"))
           .cast("double")).as("eigval"))
-    val tr = g.filter(col("i") === col("j"))
-      .agg(sum(round(col("gv"), 8).cast("decimal(28,8)"))
-        .cast("double").as("tr"))
-    v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
-      .select((col("j") + 1).cast("bigint").as("dim"),
-        col("v").as("loading"),
-        round(col("eigval"), 6).as("eigval"),
-        round(col("eigval") / col("tr"), 6).as("var_share"))
+    (v, lam)
   }
 
   /** Corpus kNN GRAPH — every vector's top-k neighbours in the same

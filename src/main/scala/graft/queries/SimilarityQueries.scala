@@ -1263,6 +1263,72 @@ object SimilarityQueries {
         round(lam.eigval / tr.tr, 6) AS var_share
       FROM v8 v, lam, tr"""))
 
+  /** One unrolled DEFLATED power-iteration step for the second
+    * component: raw fold from the previous iterate, the v₁-dot as
+    * the same decimal fold, the plain-IEEE orthogonalizing
+    * correction, then norm + 6-dp re-round.
+    */
+  private def pcaStep2Sql(k: Int): String = {
+    val pv = s"u${k - 1}"
+    s"""tb$k AS MATERIALIZED (SELECT cov.i,
+        CAST(SUM(CAST(round(cov.gv * v.v, 8) AS DECIMAL(28,8))) AS DOUBLE) AS t
+      FROM cov JOIN $pv v ON v.j = cov.j GROUP BY 1),
+      db$k AS MATERIALIZED (SELECT
+        CAST(SUM(CAST(round(t.t * w.v, 8) AS DECIMAL(28,8))) AS DOUBLE) AS dot
+      FROM tb$k t JOIN v8 w ON w.j = t.i),
+      ud$k AS MATERIALIZED (SELECT t.i, t.t - d.dot * w.v AS t
+        FROM tb$k t JOIN v8 w ON w.j = t.i, db$k d),
+      nb$k AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(round(t * t, 8) AS DECIMAL(28,8))) AS DOUBLE)) AS nrm FROM ud$k),
+      u$k AS MATERIALIZED (SELECT i AS j, round(t / nrm, 6) AS v FROM ud$k, nb$k)"""
+  }
+
+  /** Second principal component + spectral gap: the oracle replays
+    * chain 1 in full (the sim_pca_top CTEs), then the 8 deflated
+    * steps, then both Rayleigh quotients and the λ₁/λ₂ ratio.
+    */
+  private val simPcaSpectrum = QueryDef(
+    "sim_pca_spectrum",
+    (s, d) => Similarity.pcaSpectrum(
+      embDouble(s, d).select(col("vec_id"), col("emb")), iters = 8),
+    Some(s"""WITH q AS MATERIALIZED (SELECT list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings),
+      sm AS MATERIALIZED (SELECT gs.i AS i, SUM(q[gs.i]) AS s, COUNT(*) AS n
+             FROM q, generate_series(1, 64) AS gs(i) GROUP BY 1),
+      sp AS MATERIALIZED (SELECT gi.i AS i, gj.i AS j, SUM(q[gi.i] * q[gj.i]) AS sp
+             FROM q, generate_series(1, 64) AS gi(i),
+                  generate_series(1, 64) AS gj(i)
+             GROUP BY 1, 2),
+      cov AS MATERIALIZED (SELECT sp.i, sp.j,
+          (CAST(si.n AS DOUBLE) * CAST(sp.sp AS DOUBLE)
+            - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE)) /
+          (CAST(si.n AS DOUBLE) * CAST(si.n AS DOUBLE) * 1e6) AS gv
+        FROM sp JOIN sm si ON si.i = sp.i JOIN sm sj ON sj.i = sp.j),
+      v0 AS MATERIALIZED (SELECT i AS j, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v
+             FROM sm),
+      ${(1 to 8).map(pcaStepSql).mkString(",\n      ")},
+      u0 AS MATERIALIZED (SELECT i AS j, CASE WHEN i = 2 THEN 1.0 ELSE 0.0 END AS v
+             FROM sm),
+      ${(1 to 8).map(pcaStep2Sql).mkString(",\n      ")},
+      gvf AS MATERIALIZED (SELECT cov.i,
+          CAST(SUM(CAST(round(cov.gv * v.v, 8) AS DECIMAL(28,8))) AS DOUBLE) AS t
+        FROM cov JOIN v8 v ON v.j = cov.j GROUP BY 1),
+      lam1 AS (SELECT
+          CAST(SUM(CAST(round(v.v * f.t, 8) AS DECIMAL(28,8))) AS DOUBLE) /
+          CAST(SUM(CAST(round(v.v * v.v, 8) AS DECIMAL(28,8))) AS DOUBLE) AS eigval
+        FROM gvf f JOIN v8 v ON v.j = f.i),
+      gv2 AS MATERIALIZED (SELECT cov.i,
+          CAST(SUM(CAST(round(cov.gv * v.v, 8) AS DECIMAL(28,8))) AS DOUBLE) AS t
+        FROM cov JOIN u8 v ON v.j = cov.j GROUP BY 1),
+      lam2 AS (SELECT
+          CAST(SUM(CAST(round(v.v * f.t, 8) AS DECIMAL(28,8))) AS DOUBLE) /
+          CAST(SUM(CAST(round(v.v * v.v, 8) AS DECIMAL(28,8))) AS DOUBLE) AS eigval
+        FROM gv2 f JOIN u8 v ON v.j = f.i)
+      SELECT CAST(v.j AS BIGINT) AS dim, v.v AS loading2,
+        round(l1.eigval, 6) AS eigval1, round(l2.eigval, 6) AS eigval2,
+        round(l1.eigval / l2.eigval, 6) AS spectral_gap
+      FROM u8 v, lam1 l1, lam2 l2"""))
+
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfRecall, simIvfKmeans,
       simKnnGraph,
@@ -1272,5 +1338,5 @@ object SimilarityQueries {
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,
       multimodalAudioResample, e2eMultimodalGate, simBitextMargin,
       simFilteredTopK, hybridRetrieval, simMmrRerank, simSilhouette,
-      simSourceDrift, simPcaTop, simHardNegatives)
+      simSourceDrift, simPcaTop, simPcaSpectrum, simHardNegatives)
 }

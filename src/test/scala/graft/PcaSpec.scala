@@ -112,4 +112,55 @@ class PcaSpec extends SparkSpec {
       Similarity.pcaTop(df, iters = 0)
     }
   }
+
+  /** Two planted orthogonal directions with distinct spreads: the
+    * deflated chain must recover the SECOND one and the gap must
+    * read their variance ratio.
+    */
+  private def twoAxisCloud: Seq[(Long, Seq[Double])] = {
+    val a1 = Array(0.5, 0.5, 0.5, 0.5)   // unit, spread ±4
+    val a2 = Array(0.5, -0.5, 0.5, -0.5) // unit, orthogonal, spread ±2
+    (0 until 45).map { k =>
+      val t1 = (k % 9) - 4.0
+      val t2 = ((k / 9) % 5) - 2.0
+      val w = ((k * 13) % 7 - 3) * 0.02
+      val v = Array.tabulate(4)(i => a1(i) * t1 + a2(i) * t2 +
+        (if (i == 2) w else -w * 0.5))
+      (k.toLong, v.toSeq)
+    }
+  }
+
+  test("pcaSpectrum: the deflated chain recovers the second planted " +
+    "direction, orthogonal to the first, with the spectral gap " +
+    "reading the planted variance ratio") {
+    val rows = twoAxisCloud
+    val df = rows.toDF("vec_id", "emb")
+    val top = Similarity.pcaTop(df, iters = 8).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Double]("loading")).toMap
+    Staging.releaseAll()
+    val out = Similarity.pcaSpectrum(df, iters = 8).collect()
+    Staging.releaseAll()
+    val byDim = out.map(r => r.getAs[Long]("dim") ->
+      r.getAs[Double]("loading2")).toMap
+    val v1 = (1 to 4).map(i => top(i.toLong)).toArray
+    val v2 = (1 to 4).map(i => byDim(i.toLong)).toArray
+    val dot12 = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot12) < 1e-3,
+      s"the second component must be orthogonal to the first; dot=$dot12")
+    val a2 = Array(0.5, -0.5, 0.5, -0.5)
+    val align = v2.zip(a2).map { case (a, b) => a * b }.sum
+    assert(math.abs(align) > 0.999,
+      s"the second component must recover the second planted axis; |dot|=$align")
+    val e1 = out.head.getAs[Double]("eigval1")
+    val e2 = out.head.getAs[Double]("eigval2")
+    val gap = out.head.getAs[Double]("spectral_gap")
+    assert(e1 > e2 && e2 > 0,
+      s"eigenvalues must order: $e1 > $e2 > 0")
+    assert(math.abs(gap - e1 / e2) < 1e-3,
+      "spectral_gap must be the eigenvalue ratio")
+    // planted: var along a1 from t1 in -4..4 uniform-ish vs a2 from
+    // t2 in -2..2 — ratio ≈ (spread1/spread2)² ≈ 4, loosely
+    assert(gap > 2.0 && gap < 8.0,
+      s"the gap must reflect the planted anisotropy (~4): $gap")
+  }
 }

@@ -117,6 +117,18 @@ class RoundTwelvePlanSpec extends SparkSpec {
       "nothing in the iteration may shuffle-sort or go cartesian")
   }
 
+  test("sim_pca_spectrum: both chains reuse the staged covariance and " +
+    "broadcast the dim-sized iterates — deflation adds no shuffle-sort " +
+    "and no cartesian") {
+    val p = plan("sim_pca_spectrum")
+    assert(p.contains("InMemoryTableScan"),
+      s"both chains must reuse the staged covariance; plan:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "iterate joins must broadcast the dim-sized side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "deflation must stay broadcast-shaped")
+  }
+
   test("sim_hard_negatives: the query batch broadcasts to both legs, " +
     "each leg cuts via the two-stage TopK heap (no corpus window), " +
     "and the positive joins back broadcast") {
