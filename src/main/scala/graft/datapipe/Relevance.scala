@@ -2,7 +2,7 @@ package graft.datapipe
 
 import graft.datapipe.Staging.Staged
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level relevance scoring (BM25) — the ranking half of a
@@ -247,6 +247,111 @@ object Relevance {
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), (col("pos") + 1).cast("bigint").as("rnk"),
         col("col.item").as("doc_id"), col("col.score").as("score"))
+  }
+
+  /** Exact boolean-AND containment qrels: for each query, the
+    * documents whose (normalized, distinct) token set contains EVERY
+    * distinct query term. This is the deterministic ground-truth a
+    * retrieval-metric harness ([[retrievalEval]]) can certify against
+    * without human judgments — the all-terms-present predicate is the
+    * strictest lexical relevance definition, and both engines replay
+    * it exactly (no scores, no floats). A query's source document
+    * always contains its own terms, so every query has ≥ 1 relevant
+    * document by construction.
+    *
+    * Scale shape: one distinct-token explode pass over the corpus,
+    * pruned map-side by the broadcast (q_id, term) pairs — only
+    * tokens matching SOME query term shuffle, keyed (q_id, doc_id)
+    * with map-side partial counts; the per-query term counts
+    * broadcast. The corpus text is never shuffled.
+    */
+  def containmentQrels(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame): DataFrame = {
+    val qt = queries
+      .select(col("q_id"), explode(col("q_terms")).as("term")).distinct()
+    val qn = qt.groupBy(col("q_id")).agg(count(lit(1)).as("n_terms"))
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(toks)).as("term"))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(qn), Seq("q_id"))
+      .filter(col("n_hit") === col("n_terms"))
+      .select(col("q_id"), col("doc_id"))
+  }
+
+  /** Retrieval evaluation harness: Recall@k, MRR@k, and binary-gain
+    * nDCG@k per query — the metric row a retrieval stack publishes
+    * for every ranker it compares (the retrieval sibling of the
+    * classifier's confusion-matrix eval). `retrieved` is a ranked
+    * list (q_id, rnk, doc_id) (rows with rnk > k are ignored);
+    * `qrels` is the relevant set (q_id, doc_id). Every query with
+    * ≥ 1 relevant document emits a row — a ranker that retrieved
+    * nothing for a judged query scores 0, not absent.
+    *
+    * Portability: every metric is exact-integer arithmetic
+    * ([[graft.functions.ExactRound]]). The one transcendental — the
+    * DCG gain 1/log2(r+1) — is rounded to 8 dp per RANK and summed
+    * as DECIMAL(18,8)→(28,8) (order-independent), then nDCG divides
+    * the two gain sums as 10^8-scaled exact integers. MRR is the
+    * exact ratio 1/first_rank (0.0 when no relevant doc was
+    * retrieved); Recall@k = hits/|rel| (NOT capped at k — the
+    * standard definition, so recall < 1 is reachable whenever
+    * |rel| > k).
+    *
+    * Scale shape: qrels may be corpus-sized (an exhaustive judgment
+    * set); it is reduced per query with map-side partial counts
+    * before any join. Everything downstream is |queries|-row tables
+    * joined broadcast-free (tiny both sides) plus one ≤ k-row
+    * explode per query for the ideal-DCG ladder. The retrieved side
+    * is |queries|·k by construction.
+    *
+    * Output: (q_id, n_rel, n_ret, hits, first_rank nullable bigint,
+    * recall_k, mrr, ndcg_k).
+    */
+  def retrievalEval(retrieved: DataFrame, qrels: DataFrame,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val er = graft.functions.ExactRound
+    // per-rank DCG gain, engine-exact: 8-dp round of one IEEE
+    // quotient, accumulated as exact decimal
+    def gain(r: Column): Column =
+      round(lit(1.0) / log2(r.cast("double") + lit(1.0)), 8)
+        .cast("decimal(18,8)")
+    // a 10^8-scaled exact integer from a (28,8) gain sum; values are
+    // ≤ k, so the widened decimal product stays far from precision 38
+    // (the decimal-overflow scale-drop trap)
+    def e8(c: Column): Column =
+      (c.cast("decimal(20,8)") * lit(100000000L)).cast("long")
+    val ret = retrieved.filter(col("rnk") <= k)
+    val rel = qrels.select(col("q_id"), col("doc_id"))
+    val nRel = rel.groupBy(col("q_id")).agg(count(lit(1)).as("n_rel"))
+    val nRet = ret.groupBy(col("q_id")).agg(count(lit(1)).as("n_ret"))
+    val hitAgg = ret
+      .join(rel, Seq("q_id", "doc_id"), "left_semi")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("hits"), min(col("rnk")).as("first_rank"),
+        sum(gain(col("rnk"))).as("dcg"))
+    val idcg = nRel
+      .select(col("q_id"),
+        explode(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))))
+          .as("r"))
+      .groupBy(col("q_id")).agg(sum(gain(col("r"))).as("idcg"))
+    nRel
+      .join(nRet, Seq("q_id"), "left")
+      .join(hitAgg, Seq("q_id"), "left")
+      .join(idcg, Seq("q_id"))
+      .select(col("q_id"), col("n_rel"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("first_rank").cast("bigint").as("first_rank"),
+        er.ratio6(coalesce(col("hits"), lit(0L)), col("n_rel"))
+          .as("recall_k"),
+        coalesce(er.ratio6(lit(1L), col("first_rank")), lit(0.0)).as("mrr"),
+        er.ratio6(e8(coalesce(col("dcg"), lit(0).cast("decimal(18,8)"))),
+          e8(col("idcg"))).as("ndcg_k"))
   }
 
   /** Per-query reciprocal-rank fusion — [[rrfFuse]] keyed by

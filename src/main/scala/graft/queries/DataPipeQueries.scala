@@ -1337,6 +1337,92 @@ object DataPipeQueries {
         FROM sc)
       SELECT q_id, rnk, doc_id, score FROM r WHERE rnk <= 10"""))
 
+  /** T135: retrieval evaluation harness
+    * ([[graft.datapipe.Relevance.retrievalEval]]) — Recall@10,
+    * MRR@10, binary-gain nDCG@10 for the BM25 retriever of
+    * `text_bm25_queries`, judged against the exact boolean-AND
+    * containment qrels ([[graft.datapipe.Relevance.containmentQrels]]:
+    * relevant = document contains EVERY query term). The oracle
+    * replays the full bm25 chain, the containment join, and every
+    * metric's integer arithmetic — including the 8-dp-gain decimal
+    * DCG folds and the 10^8-scaled nDCG division.
+    */
+  private val retrievalEval = QueryDef(
+    "retrieval_eval",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_id"),
+          slice(split(TextAnalysis.normalize(col("text")), " "), 1, 4)
+            .as("q_terms"))
+      val retrieved = Relevance.bm25PerQuery(docs, "doc_id", "text", q, 10)
+      val qrels = Relevance.containmentQrels(docs, "doc_id", "text", q)
+      Relevance.retrievalEval(retrieved, qrels, 10)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      q AS (SELECT DISTINCT doc_id AS q_id, u.t AS term
+            FROM toks, UNNEST(list_slice(w, 1, 4)) AS u(t)
+            WHERE doc_id < 3),
+      qn AS (SELECT q_id, COUNT(*) AS n_terms FROM q GROUP BY 1),
+      base AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+      stats AS (SELECT COUNT(*) AS n_docs, SUM(len(w)) AS sum_dl FROM toks),
+      m AS (SELECT doc_id, dl, u.t AS term
+            FROM base, UNNEST(w) AS u(t)
+            WHERE u.t IN (SELECT DISTINCT term FROM q)),
+      tfs AS (SELECT doc_id, term, MAX(dl) AS dl, COUNT(*) AS tf
+              FROM m GROUP BY 1, 2),
+      dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1),
+      wts AS (SELECT doc_id, term,
+          CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+            (tf * (1.2 + 1.0)) /
+            (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl /
+              (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 8)
+            AS DECIMAL(28,8)) AS wt8
+        FROM tfs JOIN dfs USING (term), stats),
+      sc AS (SELECT q_id, doc_id,
+          CAST(round(SUM(wt8), 4) AS DOUBLE) AS score
+        FROM wts JOIN q USING (term) GROUP BY 1, 2),
+      r AS (SELECT q_id, doc_id,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        FROM sc),
+      lr AS MATERIALIZED (SELECT q_id, doc_id, rnk FROM r WHERE rnk <= 10),
+      dterm AS (SELECT DISTINCT doc_id, u.t AS term FROM toks, UNNEST(w) AS u(t)),
+      qrels AS MATERIALIZED (SELECT j.q_id, j.doc_id
+        FROM (SELECT q.q_id, dterm.doc_id, COUNT(*) AS n_hit
+              FROM dterm JOIN q USING (term) GROUP BY 1, 2) j
+        JOIN qn USING (q_id) WHERE j.n_hit = qn.n_terms),
+      nrel AS (SELECT q_id, COUNT(*) AS n_rel FROM qrels GROUP BY 1),
+      nret AS (SELECT q_id, COUNT(*) AS n_ret FROM lr GROUP BY 1),
+      ha AS (SELECT lr.q_id, COUNT(*) AS hits, MIN(lr.rnk) AS first_rank,
+          SUM(CAST(round(1.0 / log2(CAST(lr.rnk AS DOUBLE) + 1.0), 8)
+            AS DECIMAL(18,8))) AS dcg
+        FROM lr JOIN qrels ON lr.q_id = qrels.q_id AND lr.doc_id = qrels.doc_id
+        GROUP BY 1),
+      idcg AS (SELECT q_id,
+          SUM(CAST(round(1.0 / log2(CAST(rr AS DOUBLE) + 1.0), 8)
+            AS DECIMAL(18,8))) AS idcg
+        FROM (SELECT q_id, UNNEST(generate_series(1, LEAST(n_rel, 10))) AS rr
+              FROM nrel)
+        GROUP BY 1),
+      ints AS (SELECT nrel.q_id, nrel.n_rel,
+          COALESCE(nret.n_ret, 0) AS n_ret,
+          COALESCE(ha.hits, 0) AS hits, ha.first_rank,
+          CAST(COALESCE(ha.dcg, 0) * 100000000 AS BIGINT) AS dcg8,
+          CAST(idcg.idcg * 100000000 AS BIGINT) AS idcg8
+        FROM nrel LEFT JOIN nret USING (q_id) LEFT JOIN ha USING (q_id)
+        JOIN idcg USING (q_id))
+      SELECT q_id, CAST(n_rel AS BIGINT) AS n_rel,
+        CAST(n_ret AS BIGINT) AS n_ret, CAST(hits AS BIGINT) AS hits,
+        CAST(first_rank AS BIGINT) AS first_rank,
+        ((2 * hits * 1000000 + n_rel) // (2 * n_rel)) / 1000000.0 AS recall_k,
+        COALESCE(((2 * 1 * 1000000 + first_rank) // (2 * first_rank))
+          / 1000000.0, 0.0) AS mrr,
+        ((2 * dcg8 * 1000000 + idcg8) // (2 * idcg8)) / 1000000.0 AS ndcg_k
+      FROM ints"""))
+
   /** Bigram-LM perplexity (the CCNet-style model-based quality
     * filter). The oracle retrains the same add-one bigram model in
     * SQL and replays the per-document ordered ln-fold via
@@ -4585,7 +4671,7 @@ object DataPipeQueries {
     packEpoch, splitReport, chunkSentences,
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
-    textBm25Queries,
+    textBm25Queries, retrievalEval,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

@@ -270,4 +270,61 @@ class RetrievalSpec extends SparkSpec {
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
         "margin must equal the 4-dp rounded pos/neg score gap")
   }
+
+  test("containmentQrels: relevant iff the doc contains EVERY distinct " +
+    "query term; a query's own doc always qualifies") {
+    val q = Seq((0L, Seq("alpha", "beta")), (3L, Seq("beta", "beta")))
+      .toDF("q_id", "q_terms")
+    val out = Relevance.containmentQrels(corpus, "doc_id", "text", q)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // q0 needs both alpha AND beta -> only doc 0; q3's duplicate term
+    // collapses to {beta} -> docs 0 and 3
+    assert(out === Set((0L, 0L), (3L, 0L), (3L, 3L)))
+  }
+
+  test("retrievalEval: metrics match a hand-computed case, a judged " +
+    "query the ranker missed scores zero, and recall caps below 1 " +
+    "when |rel| exceeds k") {
+    // q0: rel {10,11,12}, retrieved (rank->doc) 1->10, 2->99 (miss),
+    //     3->11 at k=2 -> ignored. hits=1, first=1.
+    // q1: rel {20}, ranker retrieved nothing.
+    // q2: rel {30,31,32}, k=2, retrieved both relevant -> recall 2/3.
+    val retrieved = Seq(
+      (0L, 1L, 10L), (0L, 2L, 99L), (0L, 3L, 11L),
+      (2L, 1L, 31L), (2L, 2L, 30L)
+    ).toDF("q_id", "rnk", "doc_id")
+    val qrels = Seq(
+      (0L, 10L), (0L, 11L), (0L, 12L),
+      (1L, 20L),
+      (2L, 30L), (2L, 31L), (2L, 32L)
+    ).toDF("q_id", "doc_id")
+    val out = Relevance.retrievalEval(retrieved, qrels, 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(0L, 1L, 2L),
+      "every judged query emits a row, including the one with no rows")
+    val q0 = out(0L)
+    assert(q0.getAs[Long]("hits") === 1L)
+    assert(q0.getAs[Long]("first_rank") === 1L)
+    assert(q0.getAs[Double]("recall_k") === 0.333333)
+    assert(q0.getAs[Double]("mrr") === 1.0)
+    // dcg = g(1); idcg = g(1)+g(2) with g(r)=round(1/log2(r+1),8)
+    val g1 = BigDecimal(1.0)
+    val g2 = BigDecimal(1.0 / (math.log(3.0) / math.log(2.0)))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val nd0 = (BigDecimal(2) * g1 * 100000000 * 1000000 +
+      (g1 + g2) * 100000000).toBigInt /
+      (BigDecimal(2) * (g1 + g2) * 100000000).toBigInt
+    assert(q0.getAs[Double]("ndcg_k") === nd0.toDouble / 1000000.0)
+    val q1 = out(1L)
+    assert(q1.getAs[Long]("n_ret") === 0L)
+    assert(q1.getAs[Double]("recall_k") === 0.0)
+    assert(q1.getAs[Double]("mrr") === 0.0)
+    assert(q1.getAs[Double]("ndcg_k") === 0.0)
+    assert(q1.isNullAt(q1.fieldIndex("first_rank")),
+      "no relevant retrieved -> first_rank is NULL, not 0")
+    val q2 = out(2L)
+    assert(q2.getAs[Double]("recall_k") === 0.666667)
+    assert(q2.getAs[Double]("ndcg_k") === 1.0,
+      "both slots relevant -> ideal ordering at k=2")
+  }
 }
