@@ -1,6 +1,7 @@
 package graft.datapipe
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton-curve) clustering,
@@ -104,4 +105,50 @@ object Layout {
     df.repartition(col(shardCol))
       .sortWithinPartitions(col(shardCol) +: sortCols: _*)
       .write.partitionBy(shardCol).mode("overwrite").parquet(path)
+
+  /** Small-file compaction planner (the `OPTIMIZE`/bin-packing half
+    * of table maintenance): given a file manifest (partition, file
+    * id, bytes), assign files to compaction bins by SEQUENTIAL FILL
+    * — walk the files of each partition in id order and start a new
+    * bin each time `targetBytes` of cumulative input has been
+    * consumed. A file belongs to the bin its START offset falls in
+    * (`bin = floor(exclusive_cumsum / target)`), so the rule is a
+    * pure prefix-sum function of the manifest: bins can overflow by
+    * at most one file, never underfill below target except the last
+    * bin of a partition, and a single file ≥ target gets a bin of
+    * its own plus the overflow documented above. At 100 TB this is
+    * the planner that turns a million 10 MB files into 10 GB
+    * read-optimized groups; emitting the PLAN (not rewriting data)
+    * keeps it a metadata-sized query.
+    *
+    * Scale shape: one window prefix sum PER PARTITION KEY (no global
+    * ordering — partitions plan independently and in parallel), then
+    * a bounded groupBy on (partition, bin). The manifest is metadata
+    * (one row per file), orders of magnitude smaller than the data
+    * it describes.
+    *
+    * Output: (partCol, bin_id, n_files, bin_bytes, first_file,
+    * last_file) — `first_file`/`last_file` are the id range the
+    * compactor rewrites together.
+    */
+  def compactionPlan(manifest: DataFrame, partCol: String,
+                     fileIdCol: String, bytesCol: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val w = Window.partitionBy(col(partCol)).orderBy(col(fileIdCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    manifest
+      .select(col(partCol), col(fileIdCol), col(bytesCol).cast("bigint")
+        .as("__bytes"))
+      .withColumn("__start",
+        coalesce(sum(col("__bytes")).over(w), lit(0L)))
+      // `div`, not `/`: Spark's / is IEEE double division, which
+      // rounds above 2^53 — a real risk on cumulative BYTE offsets
+      .withColumn("bin_id", expr(s"__start div ${targetBytes}L"))
+      .groupBy(col(partCol), col("bin_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("__bytes")).as("bin_bytes"),
+        min(col(fileIdCol)).as("first_file"),
+        max(col(fileIdCol)).as("last_file"))
+  }
 }

@@ -1423,6 +1423,103 @@ object DataPipeQueries {
         ((2 * dcg8 * 1000000 + idcg8) // (2 * idcg8)) / 1000000.0 AS ndcg_k
       FROM ints"""))
 
+  /** T136: SFT conversation render + loss-mask accounting
+    * ([[graft.datapipe.SftPrep.renderConversations]]) — 8-token
+    * alternating turns, the `<|role|> … <|eot|>` chat template, and
+    * the closed-form user/assistant token split. The md5 over the
+    * full render certifies the template at the BYTE level across
+    * engines; the oracle replays the turn walk with list_transform
+    * and the mask arithmetic with the same integer expressions.
+    */
+  private val sftRender = QueryDef(
+    "sft_render",
+    (s, d) => graft.datapipe.SftPrep.renderConversations(
+      Tables.documents(s, d), "doc_id", "text", turnTokens = 8),
+    Some("""WITH t AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+        CAST((len(w) + 7) // 8 AS BIGINT) AS nt FROM t),
+      r AS (SELECT doc_id, n, nt,
+        (n // 16) * 8 + LEAST(n % 16, 8) AS ut,
+        array_to_string(list_transform(generate_series(0, nt - 1), i ->
+          '<|' || CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END ||
+          '|> ' ||
+          array_to_string(list_slice(w, i * 8 + 1, LEAST(i * 8 + 8, n)), ' ') ||
+          ' <|eot|>'), chr(10)) AS render
+        FROM b)
+      SELECT doc_id, n AS n_tokens, nt AS n_turns,
+        CAST(ut AS BIGINT) AS user_tokens,
+        CAST(n - ut AS BIGINT) AS asst_tokens,
+        ((2 * (n - ut) * 1000000 + n) // (2 * n)) / 1000000.0 AS loss_ratio,
+        CAST(length(render) AS BIGINT) AS render_len,
+        md5(render) AS render_md5
+      FROM r"""))
+
+  /** T137: DPO preference-pair mining
+    * ([[graft.datapipe.SftPrep.preferencePairs]]) — within each
+    * (source, 32-token length bucket) stratum, rank by distinct-token
+    * count (an exact-integer lexical-richness score) and pair quality
+    * extremes: rank i from the top vs rank i from the bottom,
+    * zero-margin ties dropped. The oracle replays the window ranking,
+    * the mirror pairing, and the margin filter.
+    */
+  private val preferencePairs = QueryDef(
+    "preference_pairs",
+    (s, d) => {
+      val toks = split(TextAnalysis.normalize(col("text")), " ")
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        floor(size(toks) / lit(32)).cast("bigint").as("len_bucket"),
+        size(array_distinct(toks)).cast("bigint").as("q_score"))
+      graft.datapipe.SftPrep.preferencePairs(
+        scored, "doc_id", col("q_score"), Seq("source", "len_bucket"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      sc AS (SELECT doc_id, source,
+        CAST(len(w) // 32 AS BIGINT) AS len_bucket,
+        CAST(len(list_distinct(w)) AS BIGINT) AS q_score FROM t),
+      r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source, len_bucket
+          ORDER BY q_score DESC, doc_id) AS BIGINT) AS rn,
+        COUNT(*) OVER (PARTITION BY source, len_bucket) AS cnt FROM sc),
+      tp AS (SELECT source, len_bucket, rn AS pair_rank,
+          doc_id AS chosen_id, q_score AS chosen_score
+        FROM r WHERE rn * 2 < cnt + 1),
+      bt AS (SELECT source, len_bucket,
+          CAST(cnt + 1 - rn AS BIGINT) AS pair_rank,
+          doc_id AS rejected_id, q_score AS rejected_score FROM r)
+      SELECT source, len_bucket, pair_rank, chosen_id, rejected_id,
+        chosen_score, rejected_score,
+        chosen_score - rejected_score AS margin
+      FROM tp JOIN bt USING (source, len_bucket, pair_rank)
+      WHERE chosen_score > rejected_score"""))
+
+  /** T138: small-file compaction planner
+    * ([[graft.datapipe.Layout.compactionPlan]]) — sequential-fill
+    * bin assignment by exclusive per-partition byte prefix sum,
+    * planned here over the documents manifest (source = partition,
+    * doc = file, n_chars = bytes, 4 KiB target). The oracle replays
+    * the window prefix sum and the integer floor-div bin rule.
+    */
+  private val layoutCompaction = QueryDef(
+    "layout_compaction",
+    (s, d) => graft.datapipe.Layout.compactionPlan(
+      Tables.documents(s, d).select(col("source"), col("doc_id"),
+        col("n_chars")),
+      "source", "doc_id", "n_chars", targetBytes = 4096L),
+    Some("""WITH c AS (SELECT source, doc_id, n_chars,
+        COALESCE(CAST(SUM(n_chars) OVER (PARTITION BY source
+          ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+          0) AS strt
+        FROM documents)
+      SELECT source, strt // 4096 AS bin_id, COUNT(*) AS n_files,
+        CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+        MIN(doc_id) AS first_file, MAX(doc_id) AS last_file
+      FROM c GROUP BY 1, 2"""))
+
   /** Bigram-LM perplexity (the CCNet-style model-based quality
     * filter). The oracle retrains the same add-one bigram model in
     * SQL and replays the per-document ordered ln-fold via
@@ -4671,7 +4768,8 @@ object DataPipeQueries {
     packEpoch, splitReport, chunkSentences,
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
-    textBm25Queries, retrievalEval,
+    textBm25Queries, retrievalEval, sftRender, preferencePairs,
+    layoutCompaction,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

@@ -74,4 +74,24 @@ class LayoutSpec extends SparkSpec {
     for (Seq((_, hi), (lo, _)) <- spans.sliding(2).map(_.toSeq))
       assert(hi <= lo, "partition zkey ranges must not overlap")
   }
+
+  test("compactionPlan: sequential fill bins by start offset, " +
+    "partitions plan independently, an oversized file opens its own " +
+    "bin") {
+    // part p, target 100: files 60,60 -> starts 0,60 -> bin 0 (120B
+    // overflow-by-one-file); 250 at start 120 -> bin 1 (oversized,
+    // alone); 10 at start 370 -> bin 3 (bin 2 skipped: the big file
+    // consumed its budget); part q restarts at offset 0
+    val files = Seq(("p", 1L, 60L), ("p", 2L, 60L), ("p", 3L, 250L),
+      ("p", 4L, 10L), ("q", 9L, 40L)).toDF("part", "fid", "bytes")
+    val out = Layout.compactionPlan(files, "part", "fid", "bytes", 100L)
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[Long]("bin_id"))
+        -> ((r.getAs[Long]("n_files"), r.getAs[Long]("bin_bytes"),
+          r.getAs[Long]("first_file"), r.getAs[Long]("last_file")))).toMap
+    assert(out(("p", 0L)) === ((2L, 120L, 1L, 2L)))
+    assert(out(("p", 1L)) === ((1L, 250L, 3L, 3L)))
+    assert(out(("p", 3L)) === ((1L, 10L, 4L, 4L)))
+    assert(out(("q", 0L)) === ((1L, 40L, 9L, 9L)))
+    assert(out.size === 4)
+  }
 }

@@ -132,4 +132,38 @@ class RoundTwelvePlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "the pos/neg join-back is query-batch-sized and must broadcast")
   }
+
+  test("sft_render: the whole render + mask accounting is ONE " +
+    "shuffle-free projection over the scan — per-row expressions " +
+    "only, no explode, no window, no join") {
+    val p = plan("sft_render")
+    assert(!p.contains("Exchange"),
+      s"renderConversations must not shuffle; plan:\n${p.take(2000)}")
+    assert(!p.contains("Generate") && !p.contains("Window")
+        && !p.contains("Join"),
+      "the turn walk must be a transform-over-sequence expression, " +
+        "not an explode/window/join")
+  }
+
+  test("preference_pairs: ranking windows partition by the stratum " +
+    "(never a global single-partition window) and the mirror self-join " +
+    "reuses the staged ranked frame") {
+    val p = plan("preference_pairs")
+    assert(p.contains("Window"), "the per-stratum rank is a window")
+    assert(!p.toLowerCase.contains("singlepartition"),
+      s"no global window allowed; plan:\n${p.take(2000)}")
+    assert(p.contains("InMemoryTableScan"),
+      "both join sides must read the ONE staged ranked frame")
+  }
+
+  test("layout_compaction: the prefix sum windows per partition key " +
+    "(manifests plan independently) and the bin rollup is a hash " +
+    "aggregate — no global ordering anywhere") {
+    val p = plan("layout_compaction")
+    assert(p.contains("Window"), "the start offset is a window prefix sum")
+    assert(!p.toLowerCase.contains("singlepartition"),
+      s"the window must partition by the manifest key; plan:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"),
+      "the per-bin rollup must hash-aggregate (map-side partials)")
+  }
 }
