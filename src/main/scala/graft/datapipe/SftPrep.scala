@@ -89,6 +89,66 @@ object SftPrep {
       md5(render).as("render_md5"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): replace
+    * token spans with numbered sentinels, emitting the (inputs,
+    * targets) pair the denoising objective trains on —
+    * {{{inputs:  <extra_id_0> unmasked … <extra_id_1> unmasked …
+    * targets: <extra_id_0> masked …   <extra_id_1> masked …}}}
+    * The original samples span starts at random; here the spans are
+    * DETERMINISTIC — position p (1-based) is masked iff
+    * (p−1) mod everyN < spanLen, i.e. a spanLen-token span opens
+    * every everyN tokens — so the corruption rate is
+    * spanLen/everyN (the T5 recipe: 3/20 = 15%, mean span 3) and
+    * both renders are exactly replayable (the md5 pair is the
+    * corruption contract; the seam for a seeded-hash span picker is
+    * the masking rule alone — the render walk is unchanged).
+    *
+    * Accounting is CLOSED FORM (no explode): q = n div everyN full
+    * periods mask q·spanLen tokens, the tail masks min(n mod everyN,
+    * spanLen); n_spans = q + (1 if the tail is non-empty). The
+    * renders build as flatten-of-slices per span — sentinel ++
+    * unmasked remainder (inputs) / sentinel ++ masked span (targets)
+    * — per-row expressions only, ZERO shuffle, streams unchanged.
+    *
+    * Output: (id, n_tokens, masked_tokens, n_spans, mask_ratio,
+    * inputs_len, targets_len, inputs_md5, targets_md5).
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  spanLen: Int = 3, everyN: Int = 20): DataFrame = {
+    require(spanLen >= 1 && everyN > spanLen,
+      s"need 1 <= spanLen < everyN, got spanLen=$spanLen everyN=$everyN")
+    val sl = lit(spanLen.toLong)
+    val en = lit(everyN.toLong)
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val n = size(toks).cast("bigint")
+    val r = n % en
+    // exact: the numerator is a multiple of the divisor (scaladoc of
+    // renderConversations explains the 2^53 headroom)
+    val q = ((n - r) / en).cast("bigint")
+    val masked = q * sl + least(r, sl)
+    val nSpans = q + when(r > 0, lit(1L)).otherwise(lit(0L))
+    def sentinel(k: Column): Column =
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    def render(slicer: Column => Column): Column =
+      array_join(flatten(transform(
+        sequence(lit(0L), nSpans - lit(1L)),
+        k => concat(array(sentinel(k)), slicer(k)))), " ")
+    val inputs = render(k => slice(toks,
+      (k * en + sl + lit(1L)).cast("int"), lit(everyN - spanLen)))
+    val targets = render(k => slice(toks,
+      (k * en + lit(1L)).cast("int"), lit(spanLen)))
+    docs.select(
+      col(idCol),
+      n.as("n_tokens"),
+      masked.as("masked_tokens"),
+      nSpans.as("n_spans"),
+      graft.functions.ExactRound.ratio6(masked, n).as("mask_ratio"),
+      length(inputs).cast("bigint").as("inputs_len"),
+      length(targets).cast("bigint").as("targets_len"),
+      md5(inputs).as("inputs_md5"),
+      md5(targets).as("targets_md5"))
+  }
+
   /** DPO-style preference-pair mining: inside each group (the
     * MATCHED stratum — same source, same length bucket, … — so the
     * preference signal is quality, not confounders), rank documents

@@ -1456,6 +1456,45 @@ object DataPipeQueries {
         md5(render) AS render_md5
       FROM r"""))
 
+  /** T139: T5 span corruption
+    * ([[graft.datapipe.SftPrep.spanCorrupt]]) — deterministic
+    * 3-token spans every 20 tokens (the 15% T5 recipe), sentinel
+    * renders for inputs and targets, closed-form mask accounting.
+    * The oracle replays both flatten-of-slices renders (md5 pair =
+    * the corruption contract) and the integer arithmetic.
+    */
+  private val sftSpanCorrupt = QueryDef(
+    "sft_span_corrupt",
+    (s, d) => graft.datapipe.SftPrep.spanCorrupt(
+      Tables.documents(s, d), "doc_id", "text", spanLen = 3, everyN = 20),
+    Some("""WITH t AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+        CAST(len(w) % 20 AS BIGINT) AS r,
+        CAST(len(w) // 20 AS BIGINT) AS q FROM t),
+      m AS (SELECT doc_id, w, n,
+        q * 3 + LEAST(r, 3) AS masked,
+        q + CASE WHEN r > 0 THEN 1 ELSE 0 END AS ns FROM c),
+      rr AS (SELECT doc_id, n, masked, ns,
+        array_to_string(flatten(list_transform(generate_series(0, ns - 1),
+          k -> list_prepend('<extra_id_' || CAST(k AS VARCHAR) || '>',
+            list_slice(w, k * 20 + 4, LEAST(k * 20 + 20, n))))), ' ')
+          AS inputs,
+        array_to_string(flatten(list_transform(generate_series(0, ns - 1),
+          k -> list_prepend('<extra_id_' || CAST(k AS VARCHAR) || '>',
+            list_slice(w, k * 20 + 1, LEAST(k * 20 + 3, n))))), ' ')
+          AS targets
+        FROM m)
+      SELECT doc_id, n AS n_tokens,
+        CAST(masked AS BIGINT) AS masked_tokens,
+        CAST(ns AS BIGINT) AS n_spans,
+        ((2 * masked * 1000000 + n) // (2 * n)) / 1000000.0 AS mask_ratio,
+        CAST(length(inputs) AS BIGINT) AS inputs_len,
+        CAST(length(targets) AS BIGINT) AS targets_len,
+        md5(inputs) AS inputs_md5, md5(targets) AS targets_md5
+      FROM rr"""))
+
   /** T137: DPO preference-pair mining
     * ([[graft.datapipe.SftPrep.preferencePairs]]) — within each
     * (source, 32-token length bucket) stratum, rank by distinct-token
@@ -4769,7 +4808,7 @@ object DataPipeQueries {
     a2PromHistogram, q6PayloadHeatmap, corpusStats,
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textBm25Queries, retrievalEval, sftRender, preferencePairs,
-    layoutCompaction,
+    layoutCompaction, sftSpanCorrupt,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

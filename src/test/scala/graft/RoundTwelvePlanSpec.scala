@@ -145,6 +145,16 @@ class RoundTwelvePlanSpec extends SparkSpec {
         "not an explode/window/join")
   }
 
+  test("sft_span_corrupt: like sft_render, one shuffle-free " +
+    "projection — both denoising renders are per-row expressions") {
+    val p = plan("sft_span_corrupt")
+    assert(!p.contains("Exchange"),
+      s"spanCorrupt must not shuffle; plan:\n${p.take(2000)}")
+    assert(!p.contains("Generate") && !p.contains("Window")
+        && !p.contains("Join"),
+      "the span walk must be flatten-of-slices, not explode/window/join")
+  }
+
   test("preference_pairs: ranking windows partition by the stratum " +
     "(never a global single-partition window) and the mirror self-join " +
     "reuses the staged ranked frame") {

@@ -65,6 +65,40 @@ class SftPrepSpec extends SparkSpec {
     assert(out.getAs[Double]("loss_ratio") === 0.0)
   }
 
+  test("spanCorrupt: renders match a hand-built T5 pair and the " +
+    "closed-form accounting equals the masking rule") {
+    // 7 tokens, spanLen 2, everyN 5: positions 1,2 and 6,7 masked
+    val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = SftPrep.spanCorrupt(docs, "doc_id", "text",
+      spanLen = 2, everyN = 5).collect()(0)
+    val inputs = "<extra_id_0> c d e <extra_id_1>"
+    val targets = "<extra_id_0> a b <extra_id_1> f g"
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.getAs[Long]("n_tokens") === 7L)
+    assert(out.getAs[Long]("masked_tokens") === 4L)
+    assert(out.getAs[Long]("n_spans") === 2L)
+    assert(out.getAs[Long]("inputs_len") === inputs.length.toLong)
+    assert(out.getAs[Long]("targets_len") === targets.length.toLong)
+    assert(out.getAs[String]("inputs_md5") === md5(inputs))
+    assert(out.getAs[String]("targets_md5") === md5(targets))
+  }
+
+  test("spanCorrupt: closed-form masked/span counts equal a per-" +
+    "position evaluation of the masking rule for lengths 1..50") {
+    for (n <- 1 to 50) {
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val out = SftPrep.spanCorrupt(
+        Seq((0L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        spanLen = 3, everyN = 20).collect()(0)
+      val maskedPos = (1 to n).filter(p => (p - 1) % 20 < 3)
+      val spans = maskedPos.map(p => (p - 1) / 20).distinct.size
+      assert(out.getAs[Long]("masked_tokens") === maskedPos.size.toLong,
+        s"n=$n")
+      assert(out.getAs[Long]("n_spans") === spans.toLong, s"n=$n")
+    }
+  }
+
   test("preferencePairs: mirror pairing, tie drop, and odd-middle " +
     "exclusion on a hand-built stratum") {
     // one group, scores: d1=9 d2=7 d3=7 d4=5 d5=1

@@ -1188,4 +1188,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(1L) === streamed(3L),
       "identical content must co-assign on the stream too")
   }
+
+  test("SFT render streams statelessly and matches the batch twin " +
+    "byte-for-byte (template md5 included)") {
+    // renderConversations is one shuffle-free projection (the plan
+    // pin), so it deploys unchanged on an SFT-data ingest stream —
+    // the md5 equality certifies the template at the byte level
+    // across execution modes
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq((1L, "a b c d e f g h i"), (2L, "solo"),
+      (3L, "x y z w  v"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.datapipe.SftPrep.renderConversations(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", turnTokens = 3)
+      .writeStream.format("memory").queryName("sft_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    def read(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val streamed = read(spark.table("sft_stream").collect())
+    val batch = read(graft.datapipe.SftPrep.renderConversations(
+      texts.toDF("doc_id", "text"), "doc_id", "text", turnTokens = 3)
+      .collect())
+    assert(streamed === batch)
+  }
 }
