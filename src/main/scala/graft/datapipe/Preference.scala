@@ -1,0 +1,156 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Preference-data analytics — the readouts a reward-model /
+  * RLHF data pipeline runs OVER mined preference pairs (the
+  * [[SftPrep.preferencePairs]] output or any (winner, loser) log):
+  *
+  *  - [[winRates]] — per-item win/loss tally with the Wilson score
+  *    lower bound, the ranking statistic that does not reward items
+  *    that won their only game over items that won 9 of 10;
+  *  - [[btStrengths]] — Bradley–Terry strength fitting over a BOUNDED
+  *    group dimension (sources, say) by minorization–maximization
+  *    (Hunter 2004, "MM algorithms for generalized Bradley-Terry
+  *    models"), the aggregate-level view of which corpus slices win
+  *    head-to-head comparisons.
+  *
+  * Both are deterministic: the Wilson bound is one fixed IEEE
+  * expression tree both engines evaluate identically (sqrt and the
+  * four arithmetic ops are correctly rounded by IEEE 754 in the JVM
+  * and in C++ alike), and the MM iterations run under the catalog's
+  * 8-dp/decimal fold convention ([[Similarity]]'s powerChain note),
+  * so an independent engine replays the fit bit-for-bit.
+  */
+object Preference {
+
+  /** Loud cap on the collected Bradley–Terry comparison matrix:
+    * cells are (winner group, loser group) pairs, so even a
+    * thousand-way group dimension stays driver-trivial; corpora with
+    * more groups than this should fit per-shard and are refused
+    * rather than silently truncated.
+    */
+  val MaxBtCells: Int = 1 << 16
+
+  /** Per-item win/loss record + Wilson lower bound, ONE tally
+    * shuffle. Every pair contributes a win row for the chosen item
+    * and a loss row for the rejected one; the union aggregates
+    * map-side-combined on the item key — no window, no join,
+    * corpus-shaped at any scale.
+    *
+    * `win_rate` is the exact HALF_UP 6-dp integer ratio
+    * ([[graft.functions.ExactRound]]); `wilson_lb` is the 95%
+    * (z = 1.96) Wilson score interval lower bound
+    *
+    *   (p̂ + z²/2n − z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n)
+    *
+    * rounded to 6 dp — written as one fixed expression tree so the
+    * oracle mirrors it operation-for-operation (every subexpression
+    * is an IEEE correctly-rounded op, so the doubles agree exactly).
+    *
+    * Output: (item, wins, losses, n_games, win_rate, wilson_lb).
+    */
+  def winRates(pairs: DataFrame, chosenCol: String,
+               rejectedCol: String): DataFrame = {
+    val tallied = pairs.select(col(chosenCol).as("item"), lit(1L).as("win"))
+      .unionAll(pairs.select(col(rejectedCol).as("item"), lit(0L).as("win")))
+      .groupBy(col("item"))
+      .agg(sum(col("win")).as("wins"), count(lit(1)).as("n_games"))
+    val nD = col("n_games").cast("double")
+    val p = col("wins").cast("double") / nD
+    val z2 = lit(3.8416) // 1.96² exactly, in decimal
+    tallied.select(
+      col("item"),
+      col("wins"),
+      (col("n_games") - col("wins")).as("losses"),
+      col("n_games"),
+      graft.functions.ExactRound.ratio6(col("wins"), col("n_games"))
+        .as("win_rate"),
+      round((p + z2 / (lit(2.0) * nD)
+          - lit(1.96) * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nD)) / nD))
+        / (lit(1.0) + z2 / nD), 6).as("wilson_lb"))
+  }
+
+  /** Bradley–Terry strengths over a bounded group dimension by
+    * `iters` MM steps. The ONLY distributed stage is the comparison-
+    * matrix rollup — one (winner, loser)-keyed count shuffle whose
+    * result is groups²-sized — after which the fit runs on collected
+    * driver state (the bounded-model-state convention the k-means /
+    * PCA family established: per-step Spark jobs would spend ~0.45 s
+    * of scheduling each computing what a fold does in microseconds).
+    * The collect is capped loudly at [[MaxBtCells]].
+    *
+    * One MM step, from strengths π (started uniform, round8(1/k)):
+    *
+    *   D_a = Σ_{b: n_ab>0, π_a+π_b>0} round8(n_ab / (π_a + π_b))
+    *   u_a = round8(W_a / D_a)  (0 when D_a = 0)
+    *   π'_a = round8(u_a / Σ u)
+    *
+    * with n_ab the GAME count (wins both ways), W_a total wins, every
+    * Σ the 8-dp/decimal order-independent fold, every round8 the
+    * shared HALF_UP image — each step an operation an independent
+    * engine replays exactly (the oracle unrolls the steps as
+    * materialized CTEs, the [[Similarity.pcaTop]] pattern). Same-group
+    * pairs carry no cross-group signal and are dropped; groups that
+    * never meet another group never enter the matrix and are absent
+    * from the output (documented, not an error).
+    *
+    * Output: (group, wins, losses, n_games, pi, bt_rank), ranked by
+    * strength descending with the group name as tie-break.
+    */
+  def btStrengths(pairs: DataFrame, winnerCol: String, loserCol: String,
+                  iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"btStrengths needs >= 1 iterations; got $iters")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val cells = pairs
+      .filter(col(winnerCol) =!= col(loserCol))
+      .groupBy(col(winnerCol).cast("string").as("a"),
+        col(loserCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .limit(MaxBtCells + 1)
+      .as[(String, String, Long)].collect()
+    require(cells.length <= MaxBtCells,
+      s"btStrengths matrix exceeds $MaxBtCells cells; shard the input")
+    val groups = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val k = groups.length
+    require(k >= 2, "btStrengths needs >= 2 groups with cross-group pairs")
+    val idx = groups.zipWithIndex.toMap
+    val w = Array.fill(k, k)(0L)
+    for ((a, b, c) <- cells) w(idx(a))(idx(b)) = c
+    val wins = Array.tabulate(k)(i => (0 until k).map(w(i)).sum)
+    val losses = Array.tabulate(k)(j => (0 until k).map(i => w(i)(j)).sum)
+    val games = Array.tabulate(k, k)((i, j) => w(i)(j) + w(j)(i))
+    var pi = Array.fill(k)(round8(1.0 / k))
+    for (_ <- 0 until iters) {
+      val d = Array.tabulate(k)(i => fold8(
+        (0 until k).iterator
+          .filter(j => j != i && games(i)(j) > 0 && pi(i) + pi(j) > 0)
+          .map(j => games(i)(j).toDouble / (pi(i) + pi(j))).toSeq))
+      val u = Array.tabulate(k)(i =>
+        if (d(i) > 0) round8(wins(i).toDouble / d(i)) else 0.0)
+      val s = fold8(u.toSeq)
+      pi = u.map(x => round8(x / s))
+    }
+    val ranked = (0 until k).sortBy(i => (-pi(i), groups(i)))
+    ranked.zipWithIndex.map { case (i, r) =>
+        (groups(i), wins(i), losses(i), wins(i) + losses(i), pi(i),
+          (r + 1).toLong)
+      }.toDF("group", "wins", "losses", "n_games", "pi", "bt_rank")
+  }
+
+  /** The engines' shared portable fold (see [[Similarity]]): Σ
+    * round8(x) accumulated as DECIMAL, returned as its double image.
+    */
+  private def fold8(xs: Iterable[Double]): Double =
+    xs.iterator
+      .map(x => BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+
+  /** Catalyst `round(double, 8)`'s exact image (both go through
+    * `java.math.BigDecimal.valueOf` + HALF_UP).
+    */
+  private def round8(x: Double): Double =
+    BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+}

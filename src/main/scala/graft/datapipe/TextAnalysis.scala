@@ -344,6 +344,75 @@ object TextAnalysis {
         round(col("klsum"), 6).cast("double").as("kl"))
   }
 
+  /** Leave-one-source-out mixture ablation: for each source s,
+    * KL(q₋ₛ ‖ q) — how far the corpus unigram distribution MOVES if
+    * s is removed — the data-ablation readout mixture design reads
+    * alongside [[sourceDivergence]] (which asks the converse: how far
+    * s sits FROM the mixture). A source can be individually exotic
+    * (high KL(pₛ‖q)) yet removable (tiny KL(q₋ₛ‖q)) because it is
+    * small; this readout prices the removal itself.
+    *
+    * The sum over the full vocabulary SPLITS so no per-source
+    * vocabulary walk is needed: writing q₋ₛ(w) = (c_w − c_sw)/(N−nₛ),
+    * every word OUTSIDE s's vocabulary has c_sw = 0, so its ratio
+    * q₋ₛ/q collapses to the constant N/(N−nₛ) and the whole
+    * out-of-vocabulary mass contributes the single closed-form term
+    * ((N − Bₛ)/(N−nₛ))·ln(N/(N−nₛ)) with Bₛ = Σ_{w∈s} c_w — only
+    * words s actually uses are walked (the csw table the
+    * [[sourceDivergence]] shuffle already produces), never
+    * vocab × sources.
+    *
+    * Portability: counts exact; each in-vocabulary term and the
+    * residual round to 8 dp and sum as DECIMAL(28,8) (the catalog's
+    * log-space convention); readout rounds to 6 dp on the decimal. A
+    * source that IS the whole corpus reads NULL (the removed corpus
+    * is empty). Words with c_w = c_sw (owned entirely by s)
+    * contribute 0 in-vocabulary (p′ = 0) and are excluded by the
+    * same guard both engines apply.
+    *
+    * Output: (source, n_tokens, n_distinct, removed_frac, kl_loo).
+    */
+  def ablationDivergence(docs: DataFrame, textCol: String,
+                         sourceCol: String): DataFrame = {
+    val tk = docs.select(col(sourceCol).as("source"), explode(filter(
+      split(normalize(col(textCol)), " "), t => length(t) > 0)).as("t"))
+    val csw = tk.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c_sw")).stage()
+    val cw = csw.groupBy(col("t")).agg(sum(col("c_sw")).as("c_w"))
+    val ns = csw.groupBy(col("source")).agg(
+      sum(col("c_sw")).as("n_s"), count(lit(1)).as("n_distinct"))
+    val n = csw.agg(sum(col("c_sw")).as("n"))
+    val rest = (col("n") - col("n_s")).cast("double")
+    val pp = (col("c_w") - col("c_sw")).cast("double") / rest
+    val q = col("c_w").cast("double") / col("n").cast("double")
+    val agg = csw.join(cw, Seq("t"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("term",
+        when(col("c_w") > col("c_sw") && col("n") > col("n_s"),
+          round(pp * log(pp / q), 8)).otherwise(lit(0.0)))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_s"),
+        first(col("n_distinct")).as("n_distinct"),
+        first(col("n")).as("n"),
+        sum(col("c_w")).as("b_s"),
+        // cap the widened sum back to (28,8) BEFORE the residual add
+        // (the decimal(38,8)+decimal(28,8) precision-drop trap)
+        sum(col("term").cast("decimal(28,8)")).cast("decimal(28,8)")
+          .as("klin"))
+    val restA = (col("n") - col("n_s")).cast("double")
+    val resid = round(
+      ((col("n") - col("b_s")).cast("double") / restA)
+        * log(col("n").cast("double") / restA), 8)
+    agg.select(col("source"), col("n_s").as("n_tokens"), col("n_distinct"),
+      graft.functions.ExactRound.ratio6(col("n_s"), col("n"))
+        .as("removed_frac"),
+      when(col("n_s") === col("n"), lit(null).cast("double"))
+        .otherwise(round(col("klin") + resid.cast("decimal(28,8)"), 6)
+          .cast("double"))
+        .as("kl_loo"))
+  }
+
   /** Gopher-style composite quality filter (the "document filters" of
     * the Gopher corpus paper, arXiv:2112.11446 §A1.1): per-document
     * rule features, one boolean per rule, and the joint keep decision

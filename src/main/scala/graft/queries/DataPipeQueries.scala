@@ -1559,6 +1559,218 @@ object DataPipeQueries {
         MIN(doc_id) AS first_file, MAX(doc_id) AS last_file
       FROM c GROUP BY 1, 2"""))
 
+  /** The cross-source preference-pair mining both [[prefWinrate]] and
+    * [[prefBtSources]] replay: the [[preferencePairs]] chain grouped
+    * by the 32-token length bucket ALONE, so chosen and rejected may
+    * come from different sources (the signal Bradley–Terry needs).
+    */
+  private val crossPairSqlCtes =
+    """t AS (SELECT doc_id, source,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      sc AS MATERIALIZED (SELECT doc_id, source,
+        CAST(len(w) // 32 AS BIGINT) AS len_bucket,
+        CAST(len(list_distinct(w)) AS BIGINT) AS q_score FROM t),
+      r AS MATERIALIZED (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY len_bucket
+          ORDER BY q_score DESC, doc_id) AS BIGINT) AS rn,
+        COUNT(*) OVER (PARTITION BY len_bucket) AS cnt FROM sc),
+      pr AS MATERIALIZED (SELECT chosen_id, chosen_src, rejected_id, rejected_src
+        FROM (SELECT len_bucket, rn AS pair_rank, doc_id AS chosen_id,
+            source AS chosen_src, q_score AS chosen_score
+          FROM r WHERE rn * 2 < cnt + 1) tp
+        JOIN (SELECT len_bucket, CAST(cnt + 1 - rn AS BIGINT) AS pair_rank,
+            doc_id AS rejected_id, source AS rejected_src,
+            q_score AS rejected_score FROM r) bt
+        USING (len_bucket, pair_rank)
+        WHERE chosen_score > rejected_score)"""
+
+  /** The cross-source pair mining the two preference-analytics
+    * entries share on the Spark side (each entry stays independently
+    * runnable; the mining is the [[SftPrep.preferencePairs]] chain
+    * grouped by length bucket only, so pairs cross sources).
+    */
+  private def crossSourcePairs(s: org.apache.spark.sql.SparkSession,
+                               d: String): DataFrame = {
+    val toks = split(TextAnalysis.normalize(col("text")), " ")
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      floor(size(toks) / lit(32)).cast("bigint").as("len_bucket"),
+      size(array_distinct(toks)).cast("bigint").as("q_score"))
+    val pairs = graft.datapipe.SftPrep.preferencePairs(
+      scored, "doc_id", col("q_score"), Seq("len_bucket"))
+    val src = scored.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("chosen_id", "chosen_src"), Seq("chosen_id"))
+      .join(src.toDF("rejected_id", "rejected_src"), Seq("rejected_id"))
+      .select(col("chosen_id"), col("chosen_src"),
+        col("rejected_id"), col("rejected_src"))
+  }
+
+  /** T140: per-document win/loss record with the Wilson lower bound
+    * ([[graft.datapipe.Preference.winRates]]) over cross-source
+    * preference pairs. The oracle replays the mining, the tally
+    * union, the exact-integer win rate, and the Wilson expression
+    * tree operation-for-operation (all IEEE correctly-rounded ops).
+    */
+  private val prefWinrate = QueryDef(
+    "pref_winrate",
+    (s, d) => graft.datapipe.Preference.winRates(
+      crossSourcePairs(s, d), "chosen_id", "rejected_id"),
+    Some(s"""WITH $crossPairSqlCtes,
+      tally AS (SELECT item, CAST(SUM(win) AS BIGINT) AS wins,
+          CAST(COUNT(*) AS BIGINT) AS n_games
+        FROM (SELECT chosen_id AS item, 1 AS win FROM pr
+              UNION ALL SELECT rejected_id, 0 FROM pr)
+        GROUP BY 1)
+      SELECT item, wins, n_games - wins AS losses, n_games,
+        ((2 * wins * 1000000 + n_games) // (2 * n_games)) / 1000000.0
+          AS win_rate,
+        round((p + 3.8416::DOUBLE / (2 * nd)
+            - 1.96::DOUBLE * sqrt((p * (1 - p) + 3.8416::DOUBLE / (4 * nd)) / nd))
+          / (1 + 3.8416::DOUBLE / nd), 6) AS wilson_lb
+      FROM (SELECT item, wins, n_games,
+          CAST(wins AS DOUBLE) / CAST(n_games AS DOUBLE) AS p,
+          CAST(n_games AS DOUBLE) AS nd
+        FROM tally)"""))
+
+  /** One unrolled Bradley–Terry MM step: per-group denominator fold
+    * (8-dp/decimal over game terms), the win/denominator update, the
+    * normalizing fold, the 8-dp re-rounded strengths. MATERIALIZED
+    * throughout — inlined, the chain re-expands exponentially (the
+    * pcaStepSql note).
+    */
+  private def btStepSql(k: Int): String = {
+    val pv = s"bp${k - 1}"
+    s"""bd$k AS MATERIALIZED (SELECT g.a AS src,
+        CAST(SUM(CAST(round(CAST(g.n AS DOUBLE) / (pa.pi + pb.pi), 8) AS DECIMAL(28,8))) AS DOUBLE) AS dd
+      FROM g JOIN $pv pa ON pa.src = g.a JOIN $pv pb ON pb.src = g.b
+      WHERE pa.pi + pb.pi > 0 GROUP BY 1),
+      bu$k AS MATERIALIZED (SELECT w.src,
+        CASE WHEN COALESCE(d.dd, 0) > 0
+          THEN round(CAST(w.wins AS DOUBLE) / d.dd, 8) ELSE 0.0 END AS u
+      FROM wl w LEFT JOIN bd$k d ON d.src = w.src),
+      bs$k AS (SELECT CAST(SUM(CAST(u AS DECIMAL(28,8))) AS DOUBLE) AS s FROM bu$k),
+      bp$k AS MATERIALIZED (SELECT src, round(u / s, 8) AS pi FROM bu$k, bs$k)"""
+  }
+
+  /** T141: Bradley–Terry source strengths
+    * ([[graft.datapipe.Preference.btStrengths]]) — 8 MM steps over
+    * the (winner source, loser source) comparison matrix mined from
+    * cross-source preference pairs. The oracle replays the mining,
+    * the matrix, and every MM step's folds as materialized CTEs (the
+    * sim_pca_top unrolling pattern).
+    */
+  private val prefBtSources = QueryDef(
+    "pref_bt_sources",
+    (s, d) => graft.datapipe.Preference.btStrengths(
+        crossSourcePairs(s, d), "chosen_src", "rejected_src", iters = 8)
+      .withColumnRenamed("group", "source"),
+    Some(s"""WITH $crossPairSqlCtes,
+      m AS MATERIALIZED (SELECT chosen_src AS a, rejected_src AS b,
+          CAST(COUNT(*) AS BIGINT) AS w
+        FROM pr WHERE chosen_src <> rejected_src GROUP BY 1, 2),
+      srcs AS MATERIALIZED (SELECT DISTINCT s FROM
+        (SELECT a AS s FROM m UNION SELECT b FROM m)),
+      kk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM srcs),
+      wn AS (SELECT a AS src, CAST(SUM(w) AS BIGINT) AS wins FROM m GROUP BY 1),
+      ls AS (SELECT b AS src, CAST(SUM(w) AS BIGINT) AS losses FROM m GROUP BY 1),
+      wl AS MATERIALIZED (SELECT s.s AS src, COALESCE(wn.wins, 0) AS wins,
+          COALESCE(ls.losses, 0) AS losses
+        FROM srcs s LEFT JOIN wn ON wn.src = s.s LEFT JOIN ls ON ls.src = s.s),
+      g AS MATERIALIZED (SELECT a, b, CAST(SUM(w) AS BIGINT) AS n FROM
+        (SELECT a, b, w FROM m UNION ALL SELECT b AS a, a AS b, w FROM m)
+        GROUP BY 1, 2),
+      bp0 AS MATERIALIZED (SELECT s AS src, round(1.0 / k, 8) AS pi FROM srcs, kk),
+      ${(1 to 8).map(btStepSql).mkString(",\n      ")}
+      SELECT w.src AS source, w.wins, w.losses,
+        w.wins + w.losses AS n_games, p.pi,
+        CAST(row_number() OVER (ORDER BY p.pi DESC, w.src) AS BIGINT)
+          AS bt_rank
+      FROM wl w JOIN bp8 p ON p.src = w.src"""))
+
+  /** T142: canary injection + exposure audit
+    * ([[graft.datapipe.Audit.canaryInject]] →
+    * [[Audit.canaryExposure]]) — every 97th document hosts its own
+    * md5 canary, the document 417 ids later hosts a planted leak of
+    * it, and the scan reports per-canary exposure. The oracle
+    * replays the injection arithmetic, the regex extraction, and the
+    * registry join.
+    */
+  private val canaryAudit = QueryDef(
+    "canary_audit",
+    (s, d) => {
+      val injected = graft.datapipe.Audit.canaryInject(
+        Tables.documents(s, d), "doc_id", "text",
+        everyK = 97, leakOffset = 417L)
+      graft.datapipe.Audit.canaryExposure(injected, "doc_id", "text",
+        everyK = 97)
+    },
+    Some("""WITH inj AS MATERIALIZED (SELECT doc_id,
+        text ||
+        CASE WHEN doc_id % 97 = 0
+          THEN ' canary_' || md5(CAST(doc_id AS VARCHAR)) ELSE '' END ||
+        CASE WHEN doc_id >= 417 AND (doc_id - 417) % 97 = 0
+          THEN ' canary_' || md5(CAST(doc_id - 417 AS VARCHAR)) ELSE '' END
+          AS text
+      FROM documents),
+      hits AS (SELECT u.c AS canary, CAST(COUNT(*) AS BIGINT) AS n_found
+        FROM inj, UNNEST(regexp_extract_all(text, 'canary_[0-9a-f]{32}')) u(c)
+        GROUP BY 1),
+      reg AS (SELECT doc_id AS origin_id,
+          'canary_' || md5(CAST(doc_id AS VARCHAR)) AS canary,
+          contains(text, 'canary_' || md5(CAST(doc_id AS VARCHAR)))
+            AS found_origin
+        FROM inj WHERE doc_id % 97 = 0)
+      SELECT reg.origin_id, reg.canary,
+        COALESCE(h.n_found, 0) AS n_found, reg.found_origin,
+        COALESCE(h.n_found, 0) > 1 AS leaked
+      FROM reg LEFT JOIN hits h ON h.canary = reg.canary"""))
+
+  /** T143: leave-one-source-out mixture ablation
+    * ([[graft.datapipe.TextAnalysis.ablationDivergence]]) —
+    * KL(q₋ₛ ‖ q) per source via the vocabulary-split decomposition
+    * (in-vocabulary terms walked, out-of-vocabulary mass in one
+    * closed-form residual). The oracle rebuilds the counts and
+    * replays the 8-dp term rounding, the decimal sums, and the
+    * residual arithmetic.
+    */
+  private val mixAblationKl = QueryDef(
+    "mix_ablation_kl",
+    (s, d) => TextAnalysis.ablationDivergence(
+      Tables.documents(s, d), "text", "source"),
+    Some("""WITH tk AS (SELECT source, u.t AS t
+        FROM (SELECT source,
+          list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+            x -> len(x) > 0) AS w FROM documents), UNNEST(w) u(t)),
+      csw AS MATERIALIZED (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c_sw
+        FROM tk GROUP BY 1, 2),
+      cw AS MATERIALIZED (SELECT t, SUM(c_sw) AS c_w FROM csw GROUP BY 1),
+      ns AS MATERIALIZED (SELECT source, SUM(c_sw) AS n_s,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct FROM csw GROUP BY 1),
+      n AS (SELECT SUM(c_sw) AS n FROM csw),
+      terms AS (SELECT csw.source,
+          CASE WHEN c_w > c_sw AND n.n > n_s THEN
+            round((CAST(c_w - c_sw AS DOUBLE) / CAST(n.n - n_s AS DOUBLE)) *
+              ln((CAST(c_w - c_sw AS DOUBLE) / CAST(n.n - n_s AS DOUBLE)) /
+                 (CAST(c_w AS DOUBLE) / CAST(n.n AS DOUBLE))), 8)
+          ELSE 0.0 END AS term,
+          c_w, n_s, n_distinct, n.n AS n
+        FROM csw JOIN cw ON cw.t = csw.t
+        JOIN ns ON ns.source = csw.source, n),
+      ag AS (SELECT source, MIN(n_s) AS n_s, MIN(n_distinct) AS n_distinct,
+          MIN(n) AS n, SUM(c_w) AS b_s,
+          CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DECIMAL(28,8)) AS klin
+        FROM terms GROUP BY 1)
+      SELECT source, CAST(n_s AS BIGINT) AS n_tokens, n_distinct,
+        ((2 * n_s * 1000000 + n) // (2 * n)) / 1000000.0 AS removed_frac,
+        CASE WHEN n_s = n THEN NULL ELSE
+          CAST(round(klin + CAST(round(
+            (CAST(n - b_s AS DOUBLE) / CAST(n - n_s AS DOUBLE)) *
+            ln(CAST(n AS DOUBLE) / CAST(n - n_s AS DOUBLE)), 8)
+            AS DECIMAL(28,8)), 6) AS DOUBLE)
+        END AS kl_loo
+      FROM ag"""))
+
   /** Bigram-LM perplexity (the CCNet-style model-based quality
     * filter). The oracle retrains the same add-one bigram model in
     * SQL and replays the per-document ordered ln-fold via
@@ -4809,6 +5021,7 @@ object DataPipeQueries {
     textTokens, textQuality, textLangId, textFingerprint, textBm25,
     textBm25Queries, retrievalEval, sftRender, preferencePairs,
     layoutCompaction, sftSpanCorrupt,
+    prefWinrate, prefBtSources, canaryAudit, mixAblationKl,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

@@ -372,4 +372,63 @@ class LexicalStatsSpec extends SparkSpec {
     assert(!p.contains("Window"),
       "the total must not ride an unpartitioned window")
   }
+
+  // --- T143 leave-one-source-out ablation ---------------------------
+
+  test("ablationDivergence: the vocabulary-split decomposition equals " +
+    "a brute-force full-vocabulary walk to 1e-4 on the fixture") {
+    val out = TextAnalysis.ablationDivergence(docs, "text", "source")
+      .select("source", "kl_loo").as[(String, Option[Double])]
+      .collect().toMap
+    // brute force: for EVERY source, walk the ENTIRE vocabulary with
+    // plain double terms (no 8-dp convention) and compare
+    val tk = docs.select(col("source"), explode(filter(
+        split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "),
+        t => length(t) > 0)).as("t"))
+      .groupBy("source", "t").count()
+      .as[(String, String, Long)].collect()
+    val cw = tk.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._3).sum }
+    val n = cw.values.sum.toDouble
+    val bySrc = tk.groupBy(_._1)
+    for ((src, rows) <- bySrc) {
+      val csw = rows.map(r => r._2 -> r._3).toMap
+      val nS = csw.values.sum.toDouble
+      val rest = n - nS
+      val want = cw.iterator.map { case (t, cWord) =>
+        val cp = cWord - csw.getOrElse(t, 0L)
+        if (cp == 0) 0.0
+        else {
+          val pp = cp / rest
+          pp * math.log(pp / (cWord / n))
+        }
+      }.sum
+      // tolerance: the engine rounds each term to 8 dp (≤ 5e-9 per
+      // vocab word) and the readout to 6 dp
+      assert(math.abs(out(src).get - want) < 1e-4,
+        s"$src: ${out(src)} vs brute force $want")
+    }
+  }
+
+  test("ablationDivergence: hand-built corpus — removing the big " +
+    "skewed source moves the mixture more than removing the small " +
+    "lookalike, and a lone-source corpus reads NULL") {
+    val df = Seq(
+      ("big", "x x x x y y y y z z z z w w w w"),
+      ("big", "x y z w x y z w"),
+      ("small", "x y"),
+      ("odd", "q q q q q q")).toDF("source", "text")
+    val out = TextAnalysis.ablationDivergence(df, "text", "source")
+      .select("source", "kl_loo").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out.values.forall(v => v.exists(_ >= -1e-9)),
+      s"KL is non-negative: $out")
+    // "odd" owns all q's: removing it moves the mixture more than
+    // removing "small", whose tokens the big source also covers
+    assert(out("odd").get > out("small").get)
+    val lone = Seq(("only", "a b c")).toDF("source", "text")
+    val l = TextAnalysis.ablationDivergence(lone, "text", "source")
+      .select("source", "kl_loo").as[(String, Option[Double])]
+      .collect().toMap
+    assert(l("only").isEmpty, "removing the whole corpus is undefined")
+  }
 }

@@ -176,4 +176,49 @@ class RoundTwelvePlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"),
       "the per-bin rollup must hash-aggregate (map-side partials)")
   }
+
+  test("pref_winrate: the tally is ONE map-side-combined hash " +
+    "aggregate over the pair union — no window of its own, no global " +
+    "single-partition stage beyond the mining's stratum windows") {
+    val p = plan("pref_winrate")
+    assert(p.contains("partial_sum"),
+      "the win tally must combine map-side before its shuffle")
+    assert(!p.toLowerCase.contains("singlepartition"),
+      s"no global window/exchange; plan:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "tally never crosses")
+  }
+
+  test("pref_bt_sources: after the matrix rollup the MM fit runs on " +
+    "collected driver state — the returned plan is model-literal " +
+    "like sim_pca_top") {
+    val p = plan("pref_bt_sources")
+    assert(p.contains("LocalTableScan"),
+      s"the fit must return a local model frame; plan:\n${p.take(1500)}")
+    assert(!p.contains("Exchange"),
+      "no distributed stage may survive into the readout plan")
+  }
+
+  test("canary_audit: the registry prunes on the id rule at the scan, " +
+    "the exposure count is a map-side-combined hash aggregate, and " +
+    "nothing plans canaries x corpus") {
+    val p = plan("canary_audit")
+    assert(p.contains("(doc_id#") && p.contains("% 97) = 0)"),
+      s"the registry filter must reach the scan; plan:\n${p.take(2000)}")
+    assert(p.contains("partial_count"),
+      "the canary count must combine map-side")
+    assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+      "the scan joins on the canary key, never all-pairs")
+  }
+
+  test("mix_ablation_kl: the corpus is walked once into the staged " +
+    "(source, token) counts; the only cross is against the one-row " +
+    "total; no window anywhere") {
+    val p = plan("mix_ablation_kl")
+    assert(p.contains("InMemoryTableScan"),
+      "the (source, token) rollup must be staged and reused")
+    assert(!p.contains("Window"), "the split decomposition needs no window")
+    assert(!p.contains("CartesianProduct"),
+      "the total joins as a broadcast one-row frame, never a cartesian")
+  }
 }

@@ -1214,4 +1214,32 @@ class StreamingSpec extends SparkSpec {
       .collect())
     assert(streamed === batch)
   }
+
+  test("canary injection + extraction stream statelessly and match the " +
+    "batch audit row-for-row") {
+    // inject is a pure per-row function of (id, text) and extraction
+    // is per-row regex — both deploy unchanged on an ingest stream;
+    // only the downstream exposure COUNT is a batch-side aggregate
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.Audit
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"),
+      (3L, "delta"), (4L, "epsilon"), (5L, "zeta"))
+    def extracted(df: org.apache.spark.sql.DataFrame) =
+      Audit.canaryInject(df, "doc_id", "text", everyK = 2, leakOffset = 3L)
+        .select(col("doc_id"), explode(regexp_extract_all(col("text"),
+          lit(Audit.CanaryPattern), lit(0))).as("canary"))
+    val in = MemoryStream[(Long, String)]
+    val q = extracted(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("canary_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("canary_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = extracted(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+    assert(batch.size === 5, "3 origins + 2 leak hosts (ids 3 and 5)")
+  }
 }
