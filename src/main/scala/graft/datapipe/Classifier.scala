@@ -363,4 +363,57 @@ object Classifier {
       // decimal round before the cast — exact-half portability
       acc => round(acc, 4).cast("double"))
   }
+
+  /** Reliability-diagram calibration of a scored corpus (Guo et al.
+    * 2017, "On Calibration of Modern Neural Networks" §2): map the
+    * log-odds score to p̂ = σ(score), bucket p̂ into `bins` equal-width
+    * probability bins, and per bin report confidence (mean p̂) vs
+    * accuracy (positive fraction), plus the expected calibration
+    * error ECE = Σ_b (n_b/N)·|acc_b − conf_b| repeated on every row —
+    * the readout that tells a pipeline whether its quality
+    * classifier's scores can be USED as probabilities (for soft
+    * sampling weights, say) or only as a ranking.
+    *
+    * Portability: p̂ rounds to 6 dp (the catalog's libm convention —
+    * exp, like ln, agrees between engines to well inside 6 dp);
+    * binning happens on the ROUNDED p̂ so both engines bucket the
+    * same doubles; per-bin p̂ sums are exact DECIMAL(28,6); accuracy
+    * is the ExactRound integer ratio; each ECE term rounds to 8 dp
+    * and sums as decimal.
+    *
+    * Scale shape: one bin-keyed map-side-combined rollup (`bins`
+    * groups); everything after is bins-sized, staged once, and the
+    * two scalar frames (N, ECE) come back as one-row broadcasts.
+    *
+    * Output: (bin, n, n_pos, confidence, accuracy, ece).
+    */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibration needs >= 2 bins, got $bins")
+    val p = round(lit(1.0) / (lit(1.0) + exp(-col(scoreCol))), 6)
+    val perBin = scored
+      .select(least(floor(p * bins), lit((bins - 1).toLong)).as("bin"),
+        p.as("p"), col(labelCol).cast("boolean").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("n_pos"),
+        sum(col("p").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("psum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("psum").cast("double") / col("n").cast("double"), 6)
+          .as("confidence"),
+        graft.functions.ExactRound.ratio6(col("n_pos"), col("n"))
+          .as("accuracy"))
+      .stage()
+    val nTot = perBin.agg(sum(col("n")).as("n_total"))
+    val ece = perBin.crossJoin(broadcast(nTot))
+      .select(round(
+        (col("n").cast("double") / col("n_total").cast("double"))
+          * abs(col("accuracy") - col("confidence")), 8).as("term"))
+      .agg(round(sum(col("term").cast("decimal(28,8)")), 6).cast("double")
+        .as("ece"))
+    perBin.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_pos"), col("confidence"),
+        col("accuracy"), col("ece"))
+  }
 }

@@ -140,6 +140,48 @@ object Preference {
       }.toDF("group", "wins", "losses", "n_games", "pi", "bt_rank")
   }
 
+  /** GRPO-style group-relative advantage (Shao et al. 2024,
+    * DeepSeekMath §4.1): inside each group (all completions of one
+    * prompt; here any caller-chosen stratum) standardize the integer
+    * reward — advantage = (r − μ)/σ with the group's own mean and
+    * population std — the normalization that makes rewards
+    * comparable across prompts of different difficulty before a
+    * policy gradient consumes them.
+    *
+    * Exactness: with integer rewards, (r − μ)/σ rewrites to
+    * (n·r − Σr) / √(n·Σr² − (Σr)²) — every argument an EXACT integer
+    * (the n·SP − S·S covariance convention), so the expression is
+    * one exact subtraction, one IEEE sqrt, one IEEE division, one
+    * 6-dp round: both engines land on the identical double. A
+    * zero-variance group reads NULL advantage (no signal to
+    * standardize).
+    *
+    * Scale shape: one map-side-combined rollup to group stats + one
+    * group-keyed join back (AQE broadcasts the stats side when the
+    * group dimension is bounded; with per-prompt groups both sides
+    * co-shuffle on the key) — never a window, never driver state.
+    *
+    * Output: (id, groupCols…, reward, n_group, advantage).
+    */
+  def groupAdvantage(df: DataFrame, idCol: String, reward: Column,
+                     groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupAdvantage needs >= 1 group column")
+    val grp = groupCols.map(col)
+    val scored = df.select(
+      col(idCol) +: reward.cast("bigint").as("reward") +: grp: _*)
+    val stats = scored.groupBy(grp: _*).agg(
+      count(lit(1)).as("n_group"),
+      sum(col("reward")).as("s1"),
+      sum(col("reward") * col("reward")).as("s2"))
+    val varN = col("n_group") * col("s2") - col("s1") * col("s1")
+    scored.join(stats, groupCols)
+      .select(col(idCol) +: grp ++: Seq(col("reward"), col("n_group"),
+        when(varN > 0,
+          round((col("n_group") * col("reward") - col("s1")).cast("double")
+            / sqrt(varN.cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("advantage")): _*)
+  }
+
   /** The engines' shared portable fold (see [[Similarity]]): Σ
     * round8(x) accumulated as DECIMAL, returned as its double image.
     */

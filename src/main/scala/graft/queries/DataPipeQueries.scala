@@ -2045,6 +2045,80 @@ object DataPipeQueries {
       Tables.documents(s, d), "doc_id", "text", nbLabel, buckets = 256),
     Some(s"WITH $nbLabelSql"))
 
+  /** T144: reliability-diagram calibration + ECE of the trained NB
+    * quality classifier ([[graft.datapipe.Classifier.calibration]])
+    * against the language pseudo-label it trained on. The oracle
+    * replays the NB score, the 6-dp sigmoid, the equal-width
+    * binning, the decimal confidence sums, and the ECE fold.
+    */
+  private val clfCalibration = QueryDef(
+    "clf_calibration",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = graft.datapipe.Classifier.naiveBayes(
+          docs, "doc_id", "text", nbLabel, buckets = 256)
+        .select(col("doc_id"), col("score"))
+      val labeled = docs.select(col("doc_id"), nbLabel.as("is_pos"))
+      graft.datapipe.Classifier.calibration(
+        scored.join(labeled, Seq("doc_id")), "score", "is_pos", bins = 10)
+    },
+    Some(s"""WITH $nbLabelCtes,
+      sco AS MATERIALIZED (SELECT t.doc_id, lab.is_pos,
+          CAST(round(CAST(prior AS DECIMAL(28,8))
+            + COALESCE(s, CAST(0 AS DECIMAL(28,8))), 4) AS DOUBLE) AS score
+        FROM toks t LEFT JOIN ssum USING (doc_id)
+        JOIN lab ON lab.doc_id = t.doc_id, pri),
+      pb AS MATERIALIZED (SELECT
+          LEAST(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p, is_pos
+        FROM (SELECT round(1 / (1 + exp(-score)), 6) AS p, is_pos FROM sco)),
+      agg AS MATERIALIZED (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(*) FILTER (WHERE is_pos) AS BIGINT) AS n_pos,
+          CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS psum
+        FROM pb GROUP BY 1),
+      cal AS MATERIALIZED (SELECT bin, n, n_pos,
+          round(CAST(psum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS confidence,
+          ((2 * n_pos * 1000000 + n) // (2 * n)) / 1000000.0 AS accuracy
+        FROM agg),
+      nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cal),
+      ec AS (SELECT CAST(round(SUM(CAST(round(
+          (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+            * abs(accuracy - confidence), 8) AS DECIMAL(28,8))), 6)
+          AS DOUBLE) AS ece
+        FROM cal, nt)
+      SELECT bin, n, n_pos, confidence, accuracy, ece FROM cal, ec"""))
+
+  /** T145: GRPO-style group-relative advantage
+    * ([[graft.datapipe.Preference.groupAdvantage]]) — standardize
+    * the distinct-token reward within each source group via the
+    * exact-integer rewrite (n·r − Σr)/√(n·Σr² − (Σr)²). The oracle
+    * replays the rollup and the one-sqrt expression.
+    */
+  private val rlAdvantage = QueryDef(
+    "rl_advantage",
+    (s, d) => {
+      val toks = split(TextAnalysis.normalize(col("text")), " ")
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        size(array_distinct(toks)).cast("bigint").as("reward"))
+      graft.datapipe.Preference.groupAdvantage(
+        scored, "doc_id", col("reward"), Seq("source"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+        CAST(len(list_distinct(string_split(trim(
+          regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT)
+          AS reward
+        FROM documents),
+      st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_group,
+          CAST(SUM(reward) AS BIGINT) AS s1,
+          CAST(SUM(reward * reward) AS BIGINT) AS s2
+        FROM t GROUP BY 1)
+      SELECT doc_id, source, reward, n_group,
+        CASE WHEN n_group * s2 - s1 * s1 > 0 THEN
+          round(CAST(n_group * reward - s1 AS DOUBLE)
+            / sqrt(CAST(n_group * s2 - s1 * s1 AS DOUBLE)), 6)
+        ELSE NULL END AS advantage
+      FROM t JOIN st USING (source)"""))
+
   /** Token Shannon entropy per document: the fold runs over per-row
     * sorted runs, the oracle over a count groupBy — the exact
     * decimal-sum convention makes the two term orders land on the
@@ -5022,6 +5096,7 @@ object DataPipeQueries {
     textBm25Queries, retrievalEval, sftRender, preferencePairs,
     layoutCompaction, sftSpanCorrupt,
     prefWinrate, prefBtSources, canaryAudit, mixAblationKl,
+    clfCalibration, rlAdvantage,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

@@ -131,4 +131,48 @@ class ClassifierSpec extends SparkSpec {
         r.getDouble(3))).toSet
     assert(got === expect)
   }
+
+  test("calibration: hand-built bins — perfect bins read zero ECE " +
+    "terms, the one miscalibrated bin carries the whole ECE, and the " +
+    "p=1 edge clamps into the last bin") {
+    def sig(s: Double) =
+      BigDecimal(1.0 / (1.0 + math.exp(-s)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r(x: Double, n: Int) =
+      BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // bin 5: one pos one neg at p=0.5 (calibrated); bin 9: pos at
+    // p~1.0 (clamped, calibrated); bin 0: neg at p~0; bin 8: NEG at
+    // p=sig(2) -- the only miscalibrated bin
+    val scored = Seq((0.0, true), (0.0, false), (100.0, true),
+      (-100.0, false), (2.0, false)).toDF("score", "y")
+    val out = Classifier.calibration(scored, "score", "y", bins = 10)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(out.keySet === Set(0L, 5L, 8L, 9L))
+    assert(out(5L).getAs[Long]("n") === 2L)
+    assert(out(5L).getAs[Double]("confidence") === 0.5)
+    assert(out(5L).getAs[Double]("accuracy") === 0.5)
+    assert(out(9L).getAs[Double]("confidence") === 1.0)
+    assert(out(9L).getAs[Double]("accuracy") === 1.0)
+    assert(out(0L).getAs[Double]("accuracy") === 0.0)
+    assert(out(8L).getAs[Double]("confidence") === sig(2.0))
+    assert(out(8L).getAs[Double]("accuracy") === 0.0)
+    val wantEce = r(r(0.2 * sig(2.0), 8), 6)
+    for (b <- out.values)
+      assert(b.getAs[Double]("ece") === wantEce,
+        "the single miscalibrated bin carries the whole ECE")
+  }
+
+  test("calibration: fixture bins partition the corpus and ECE is in " +
+    "[0, 1]") {
+    val rows = SparkEntry.queries("clf_calibration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total === docs, "bins must partition the corpus")
+    for (x <- rows) {
+      assert(x.getAs[Long]("n_pos") <= x.getAs[Long]("n"))
+      val e = x.getAs[Double]("ece")
+      assert(e >= 0.0 && e <= 1.0)
+    }
+  }
 }

@@ -93,6 +93,41 @@ class PreferenceSpec extends SparkSpec {
     assert(e.getMessage.contains(">= 2 groups"))
   }
 
+  test("groupAdvantage: hand-computed standardization, zero-variance " +
+    "NULL, and per-group mean ~0 / population std ~1 on the fixture") {
+    // group g: rewards 2, 4, 6 -> mean 4, pop std sqrt(8/3)
+    val df = Seq(("a", "g", 2L), ("b", "g", 4L), ("c", "g", 6L),
+      ("d", "h", 5L), ("e", "h", 5L)).toDF("id", "grp", "r")
+    val out = Preference.groupAdvantage(df, "id", col("r"), Seq("grp"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.getAs[java.lang.Double]("advantage")).map(_.doubleValue))
+      .toMap
+    val sd = math.sqrt(8.0 / 3.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // exact-integer rewrite: (n*r - s1)/sqrt(n*s2 - s1^2)
+    assert(out("a").get === r6((3.0 * 2 - 12) / math.sqrt(3.0 * 56 - 144)))
+    assert(math.abs(out("a").get - (2 - 4) / sd) < 1e-6)
+    assert(math.abs(out("c").get - (6 - 4) / sd) < 1e-6)
+    assert(out("d").isEmpty && out("e").isEmpty,
+      "zero-variance groups carry no signal")
+
+    val fx = SparkEntry.queries("rl_advantage")(spark, sf)
+    val stats = fx.filter(col("advantage").isNotNull)
+      .groupBy(col("source"))
+      .agg(avg(col("advantage")).as("m"),
+        avg(col("advantage") * col("advantage")).as("m2"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(stats.nonEmpty)
+    for (r <- stats) {
+      assert(math.abs(r.getAs[Double]("m")) < 1e-4,
+        s"${r.getString(0)}: standardized mean must be ~0")
+      assert(math.abs(r.getAs[Double]("m2") - 1.0) < 1e-3,
+        s"${r.getString(0)}: standardized second moment must be ~1")
+    }
+  }
+
   test("winRates + btStrengths run green over the fixture pairs") {
     val out = SparkEntry.queries("pref_winrate")(spark, sf).collect()
     assert(out.nonEmpty)

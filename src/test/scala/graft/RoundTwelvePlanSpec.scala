@@ -211,6 +211,29 @@ class RoundTwelvePlanSpec extends SparkSpec {
       "the scan joins on the canary key, never all-pairs")
   }
 
+  test("clf_calibration: the bin rollup partial-aggregates map-side, " +
+    "the bins-sized table is staged once for the two scalar reads, " +
+    "and no window appears anywhere") {
+    val p = plan("clf_calibration")
+    assert(p.contains("partial_count"),
+      "the bin rollup must combine map-side")
+    assert(p.contains("InMemoryTableScan"),
+      "the per-bin table must be staged and reused for N and ECE")
+    assert(!p.contains("Window"),
+      s"no window in the calibration chain; plan:\n${p.take(2000)}")
+  }
+
+  test("rl_advantage: group standardization rides a rollup + keyed " +
+    "join back — never a per-group window, never a cartesian") {
+    val p = plan("rl_advantage")
+    assert(!p.contains("Window"),
+      s"stats must come from an aggregate, not a window; plan:\n${p.take(2000)}")
+    assert(p.contains("partial_sum"),
+      "the moment sums must combine map-side")
+    assert(!p.contains("CartesianProduct"),
+      "the stats join is keyed on the group")
+  }
+
   test("mix_ablation_kl: the corpus is walked once into the staged " +
     "(source, token) counts; the only cross is against the one-row " +
     "total; no window anywhere") {
