@@ -251,6 +251,51 @@ object Packing {
         ratio6(col("padding"), col("cap")).as("waste_frac"))
     cc.unionByName(lb)
   }
+
+  /** Cluster-coherent packing readout — the in-context-pretraining
+    * ordering (Shi et al. 2024, ICLR, arXiv:2310.10638): place
+    * related documents (same embedding cluster) ADJACENT in the
+    * training stream before packing, so a context window holds
+    * topically coherent neighbours instead of random shards, then
+    * report how coherent the resulting packs actually are.
+    *
+    * Documents order by (orderCol, idCol) — cluster first, id as the
+    * deterministic tie-break — and fill fixed `capacity`-token packs
+    * by the distributed [[exclusivePrefixSum]] (never a global
+    * single-partition window) with the exact integer
+    * `pack = start div capacity` rule ([[Layout.compactionPlan]]'s
+    * convention). The readout per pack: document/token counts, the
+    * number of distinct clusters the pack mixes, and `top_share` —
+    * the largest single-cluster share (1.0 = perfectly coherent;
+    * only the packs straddling a cluster boundary mix, so coherence
+    * degrades with cluster COUNT, not corpus size).
+    *
+    * Scale shape: the prefix sum is the two-pass scan; both rollups
+    * are (pack, cluster)- then pack-keyed map-side-combined hash
+    * aggregates. Nothing is corpus-global except the prefix sum's
+    * numPartitions-long driver fold.
+    *
+    * Output: (pack_id, n_docs, n_tokens, n_clusters, top_docs,
+    * top_share).
+    */
+  def coherentPack(sized: DataFrame, orderCol: String, idCol: String,
+                   sizeCol: String, capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val offs = exclusivePrefixSum(sized.select(
+      col(orderCol).cast("long").as("k1"),
+      col(idCol).cast("long").as("k2"),
+      col(sizeCol).cast("long").as("v")))
+    val packs = offs.withColumn("pack_id", expr(s"start div ${capacity}L"))
+    val pc = packs.groupBy(col("pack_id"), col("k1"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("toks"))
+    pc.groupBy(col("pack_id"))
+      .agg(sum(col("cnt")).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        count(lit(1)).as("n_clusters"), max(col("cnt")).as("top_docs"))
+      .select(col("pack_id"), col("n_docs"), col("n_tokens"),
+        col("n_clusters"), col("top_docs"),
+        graft.functions.ExactRound.ratio6(col("top_docs"), col("n_docs"))
+          .as("top_share"))
+  }
 }
 
 /** Deterministic global training-order shuffle: every epoch pipeline

@@ -1329,6 +1329,51 @@ object SimilarityQueries {
         round(l1.eigval / l2.eigval, 6) AS spectral_gap
       FROM u8 v, lam1 l1, lam2 l2"""))
 
+  /** T146: cluster-coherent packing readout
+    * ([[graft.datapipe.Packing.coherentPack]] over
+    * [[Similarity.kmeansAssign]]) — the in-context-pretraining
+    * ordering: k-means cluster first, id tie-break, 512-token packs
+    * by the distributed prefix sum, per-pack coherence (clusters
+    * mixed, top-cluster share). The oracle replays the whole k-means
+    * chain, the ordered prefix sum, the exact div pack rule, and
+    * both rollups.
+    */
+  private val packCoherent = QueryDef(
+    "pack_coherent",
+    (s, d) => {
+      val asn = Similarity.kmeansAssign(
+        embDouble(s, d).select(col("vec_id"), col("emb")), 8, 3)
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        size(split(TextAnalysis.normalize(col("text")), " "))
+          .cast("bigint").as("n_toks"))
+      val sized = asn.join(toks, asn("vec_id") === toks("doc_id"))
+        .select(col("cell"), col("doc_id"), col("n_toks"))
+      graft.datapipe.Packing.coherentPack(
+        sized, "cell", "doc_id", "n_toks", capacity = 512L)
+    },
+    Some(s"""WITH asn AS MATERIALIZED (${kmeansOracleSql(8, 3, 64)}),
+      tok AS (SELECT doc_id, CAST(len(string_split(trim(
+          regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+          AS v
+        FROM documents),
+      j AS (SELECT a.cell, t.doc_id, t.v
+        FROM asn a JOIN tok t ON t.doc_id = a.vec_id),
+      o AS (SELECT cell, doc_id, v,
+          COALESCE(CAST(SUM(v) OVER (ORDER BY cell, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+            0) AS strt
+        FROM j),
+      pc AS (SELECT strt // 512 AS pack_id, cell,
+          CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(v) AS BIGINT) AS toks
+        FROM o GROUP BY 1, 2)
+      SELECT pack_id, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        CAST(MAX(cnt) AS BIGINT) AS top_docs,
+        ((2 * MAX(cnt) * 1000000 + SUM(cnt)) // (2 * SUM(cnt))) / 1000000.0
+          AS top_share
+      FROM pc GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfRecall, simIvfKmeans,
       simKnnGraph,
@@ -1338,5 +1383,6 @@ object SimilarityQueries {
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,
       multimodalAudioResample, e2eMultimodalGate, simBitextMargin,
       simFilteredTopK, hybridRetrieval, simMmrRerank, simSilhouette,
-      simSourceDrift, simPcaTop, simPcaSpectrum, simHardNegatives)
+      simSourceDrift, simPcaTop, simPcaSpectrum, simHardNegatives,
+      packCoherent)
 }

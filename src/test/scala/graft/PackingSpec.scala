@@ -285,4 +285,59 @@ class PackingSpec extends SparkSpec {
     assert(scored(12L)._2 === 1L && scored(12L)._3 === 5L)
     assert(scored.values.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
   }
+
+  test("coherentPack: hand-built packs — sequential fill in (cluster, " +
+    "id) order, exact boundary split, and a boundary pack mixing two " +
+    "clusters reads share 0.5") {
+    val sized = Seq((0L, 1L, 3L), (1L, 2L, 3L), (1L, 3L, 2L))
+      .toDF("cell", "doc_id", "n_toks")
+    val out = Packing.coherentPack(sized, "cell", "doc_id", "n_toks",
+      capacity = 6L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getAs[Double]("top_share"))).toMap
+    // order: (0,d1,3) start 0 -> pack 0; (1,d2,3) start 3 -> pack 0;
+    // (1,d3,2) start 6 -> pack 1
+    assert(out(0L) === ((2L, 6L, 2L, 1L, 0.5)),
+      "the boundary pack mixes both clusters evenly")
+    assert(out(1L) === ((1L, 2L, 1L, 1L, 1.0)))
+  }
+
+  test("coherentPack: cluster-first ordering is at least as coherent " +
+    "as id-order packing on the fixture assignment") {
+    val asn = graft.datapipe.Similarity.kmeansAssign(
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb")), 8, 3)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        size(split(TextAnalysis.normalize(col("text")), " "))
+          .cast("bigint").as("n_toks"))
+    val sized = asn.join(toks, asn("vec_id") === toks("doc_id"))
+      .select(col("cell"), col("doc_id"), col("n_toks"))
+    def weightedShare(packsWithCell: org.apache.spark.sql.DataFrame): Double = {
+      val rows = packsWithCell.groupBy("pack_id", "cell")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("pack_id")
+        .agg(sum("cnt").as("n_docs"), max("cnt").as("top_docs"))
+        .collect()
+      rows.map(_.getAs[Long]("top_docs")).sum.toDouble /
+        rows.map(_.getAs[Long]("n_docs")).sum
+    }
+    def packed(orderByCluster: Boolean): org.apache.spark.sql.DataFrame = {
+      val k1 = if (orderByCluster) col("cell") else lit(0L)
+      Packing.exclusivePrefixSum(sized.select(k1.as("k1"),
+          col("doc_id").as("k2"), col("n_toks").as("v")))
+        .withColumn("pack_id", expr("start div 512L"))
+        .join(sized.select(col("doc_id").as("k2"), col("cell")), Seq("k2"))
+    }
+    val coherent = weightedShare(packed(orderByCluster = true))
+    val baseline = weightedShare(packed(orderByCluster = false))
+    assert(coherent >= baseline,
+      s"cluster-adjacent ordering must not mix MORE: $coherent vs $baseline")
+    // and the entry itself agrees with the inline computation
+    val viaOp = Packing.coherentPack(sized, "cell", "doc_id", "n_toks",
+      512L).collect()
+    assert(viaOp.map(_.getAs[Long]("top_docs")).sum.toDouble /
+      viaOp.map(_.getAs[Long]("n_docs")).sum === coherent)
+  }
 }

@@ -234,6 +234,18 @@ class RoundTwelvePlanSpec extends SparkSpec {
       "the stats join is keyed on the group")
   }
 
+  test("pack_coherent: the global offsets ride the two-pass prefix " +
+    "scan — no single-partition stage, no window — and both rollups " +
+    "combine map-side") {
+    val p = plan("pack_coherent")
+    assert(!p.toLowerCase.contains("singlepartition"),
+      s"the prefix sum must never funnel one partition; plan:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      "offsets come from the distributed scan, not a window")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the pack rollups must combine map-side")
+  }
+
   test("mix_ablation_kl: the corpus is walked once into the staged " +
     "(source, token) counts; the only cross is against the one-row " +
     "total; no window anywhere") {
