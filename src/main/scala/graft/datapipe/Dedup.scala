@@ -1452,4 +1452,64 @@ object Dedup {
             coalesce(col("n_novel"), lit(0L)), col("n_shingles")))
           .as("novel_frac"))
   }
+
+  /** Corpus-wide duplicate-SENTENCE removal — the paragraph/line
+    * dedup stage of the C4 and Dolma pipelines (Raffel et al. 2020
+    * §2.2 "three-sentence spans"; Soldaini et al. 2024 §2.3
+    * paragraph dedup), the stage that strips boilerplate ("subscribe
+    * to our newsletter") repeated across thousands of pages —
+    * DOCUMENT-level dedup (exact, MinHash) never sees it because the
+    * hosting documents differ.
+    *
+    * Sentences split on the [[Chunker.sentenceChunks]] terminator
+    * rule; a sentence is a duplicate iff an identical sentence occurs
+    * earlier in the corpus order (doc_id, sent_idx) — keep-first, so
+    * exactly one copy survives corpus-wide and the operator is a
+    * pure function of the input. Per document the readout reports
+    * the counts and the REBUILT text (kept sentences, original
+    * order, space-joined) with its md5 as the byte-level contract.
+    *
+    * Scale shape: one posexplode + ONE sentence-hash-keyed rollup
+    * (first occurrence = min (doc_id, sent_idx) struct — an
+    * aggregate, not a window, so the reduction is map-side-combined)
+    * + one hash-keyed join back + one doc-keyed rebuild rollup.
+    * Never corpus × corpus; the rebuild's collect_list is
+    * document-sized. Documents with zero sentences (empty text) have
+    * no rows to rebuild and are absent from the output.
+    *
+    * Output: (doc_id, n_sents, n_dropped, dup_frac, clean_len,
+    * clean_md5).
+    */
+  def dedupSentences(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val norm = regexp_replace(TextAnalysis.normalize(col(textCol)),
+      "\u0001", "")
+    val marked = regexp_replace(norm, "([.!?]) ", "$1\u0001")
+    val sents = docs
+      .select(col(idCol).as("doc_id"), posexplode(split(marked, "\u0001")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("sent_idx"),
+        col("col").as("sentence"))
+      .filter(size(filter(split(col("sentence"), " "),
+        t => length(t) > 0)) > 0)
+      .withColumn("h", md5(col("sentence")))
+      .stage()
+    val firsts = sents.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("sent_idx"))).as("first"))
+    sents.join(firsts, Seq("h"))
+      .withColumn("keep",
+        col("doc_id") === col("first.doc_id") &&
+          col("sent_idx") === col("first.sent_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("keep"), lit(0L)).otherwise(lit(1L))).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("sent_idx"), col("sentence"))))),
+          x => x.getField("sentence")), " ").as("clean"))
+      .select(col("doc_id"), col("n_sents"), col("n_dropped"),
+        graft.functions.ExactRound.ratio6(col("n_dropped"), col("n_sents"))
+          .as("dup_frac"),
+        length(col("clean")).cast("bigint").as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
+  }
 }

@@ -1771,6 +1771,69 @@ object DataPipeQueries {
         END AS kl_loo
       FROM ag"""))
 
+  /** T147: corpus-wide duplicate-sentence removal
+    * ([[graft.datapipe.Dedup.dedupSentences]]) — the C4/Dolma
+    * paragraph-dedup stage. The fixture plants a terminator every
+    * 7th token (the chunk_sentences convention — the synthetic text
+    * carries no punctuation) plus one shared boilerplate sentence on
+    * every document, the classic cross-page footer the stage exists
+    * to strip: keep-first leaves exactly one copy corpus-wide. The
+    * oracle replays the planting, the sentence split, the
+    * first-occurrence rule, and the ordered rebuild (md5 = the
+    * byte-level contract).
+    */
+  private val dedupSentences = QueryDef(
+    "dedup_sentences",
+    (s, d) => {
+      val w = filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)
+      val planted = Tables.documents(s, d)
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"),
+          concat(
+            array_join(transform(sequence(lit(1), size(col("w"))),
+              i => when(i % 7 === 0,
+                concat(element_at(col("w"), i), lit(".")))
+                .otherwise(element_at(col("w"), i))), " "),
+            lit(". subscribe to our newsletter today.")).as("text"))
+      graft.datapipe.Dedup.dedupSentences(planted, "doc_id", "text")
+    },
+    Some("""WITH base AS (SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          t -> len(t) > 0) AS w
+        FROM documents),
+      planted AS (SELECT doc_id,
+        array_to_string(list_transform(generate_series(1, len(w)), i ->
+          CASE WHEN i % 7 = 0 THEN w[i] || '.' ELSE w[i] END), ' ')
+          || '. subscribe to our newsletter today.' AS text
+        FROM base WHERE len(w) > 0),
+      m AS (SELECT doc_id,
+        string_split(regexp_replace(
+          regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), chr(1), '', 'g'),
+          '([.!?]) ', '\1' || chr(1), 'g'), chr(1)) AS ss
+        FROM planted),
+      s AS MATERIALIZED (SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+          ss[i] AS sentence, md5(ss[i]) AS h
+        FROM m, UNNEST(generate_series(1, len(ss))) AS g(i)
+        WHERE len(list_filter(string_split(ss[i], ' '), t -> len(t) > 0)) > 0),
+      k AS MATERIALIZED (SELECT doc_id, sent_idx, sentence,
+          row_number() OVER (PARTITION BY h ORDER BY doc_id, sent_idx)
+            = 1 AS keep
+        FROM s),
+      rb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sents,
+          CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+          COALESCE(array_to_string(
+            LIST(sentence ORDER BY sent_idx) FILTER (WHERE keep), ' '),
+            '') AS clean
+        FROM k GROUP BY 1)
+      SELECT doc_id, n_sents, n_dropped,
+        ((2 * n_dropped * 1000000 + n_sents) // (2 * n_sents)) / 1000000.0
+          AS dup_frac,
+        CAST(length(clean) AS BIGINT) AS clean_len,
+        md5(clean) AS clean_md5
+      FROM rb"""))
+
   /** Bigram-LM perplexity (the CCNet-style model-based quality
     * filter). The oracle retrains the same add-one bigram model in
     * SQL and replays the per-document ordered ln-fold via
@@ -5096,7 +5159,7 @@ object DataPipeQueries {
     textBm25Queries, retrievalEval, sftRender, preferencePairs,
     layoutCompaction, sftSpanCorrupt,
     prefWinrate, prefBtSources, canaryAudit, mixAblationKl,
-    clfCalibration, rlAdvantage,
+    clfCalibration, rlAdvantage, dedupSentences,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

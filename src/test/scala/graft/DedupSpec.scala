@@ -338,4 +338,29 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) === 2L, "lower id owns every shingle")
     assert(out(10L) === 0L)
   }
+
+  test("dedupSentences: keep-first boilerplate removal across docs, " +
+    "within-doc repeats, and the rebuilt-text byte contract") {
+    def md5Hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "alpha beta. gamma delta. subscribe now."),
+      (2L, "epsilon zeta. subscribe now."),
+      (3L, "gamma delta. unique here."),
+      (4L, "rep rep. rep rep. end.")).toDF("doc_id", "text")
+    val out = graft.datapipe.Dedup.dedupSentences(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("dup_frac"),
+          r.getLong(4), r.getString(5))).toMap
+    assert(out(1L)._1 === 3L && out(1L)._2 === 0L,
+      "the first host keeps every sentence")
+    assert(out(1L)._5 === md5Hex("alpha beta. gamma delta. subscribe now."))
+    assert(out(2L) === ((2L, 1L, 0.5,
+      "epsilon zeta.".length.toLong, md5Hex("epsilon zeta."))))
+    assert(out(3L)._2 === 1L && out(3L)._5 === md5Hex("unique here."))
+    assert(out(4L)._1 === 3L && out(4L)._2 === 1L,
+      "a within-doc repeat drops its second occurrence")
+    assert(out(4L)._5 === md5Hex("rep rep. end."))
+  }
 }

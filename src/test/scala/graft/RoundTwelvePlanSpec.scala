@@ -246,6 +246,20 @@ class RoundTwelvePlanSpec extends SparkSpec {
       "the pack rollups must combine map-side")
   }
 
+  test("dedup_sentences: the first-occurrence rule is an AGGREGATE " +
+    "(map-side-combined min-struct), never a per-hash window; the " +
+    "staged sentence table feeds both the rollup and the join back") {
+    val p = plan("dedup_sentences")
+    assert(!p.contains("Window"),
+      s"keep-first must reduce, not window; plan:\n${p.take(2000)}")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "the first-occurrence reduction must combine map-side")
+    assert(p.contains("InMemoryTableScan"),
+      "the exploded sentence table must be staged and scanned twice, " +
+        "not exploded twice")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("mix_ablation_kl: the corpus is walked once into the staged " +
     "(source, token) counts; the only cross is against the one-row " +
     "total; no window anywhere") {
