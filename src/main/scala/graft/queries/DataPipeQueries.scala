@@ -1834,6 +1834,86 @@ object DataPipeQueries {
         md5(clean) AS clean_md5
       FROM rb"""))
 
+  /** T148: per-source dataset report card — the datasheet row a data
+    * team ships with a corpus snapshot (volume, lexical breadth,
+    * exact-dup exposure, language mix), one entry composing the
+    * primitive rollups: doc/token counts, distinct vocabulary,
+    * corpus-wide exact-dup membership attributed per source, and the
+    * deterministic language mode (max count, lexicographic
+    * tie-break). All outputs are dimension-sized; the three corpus
+    * walks (md5, vocab, lang) are independent map-side-combined
+    * rollups.
+    */
+  private val sourceReport = QueryDef(
+    "source_report",
+    (s, d) => {
+      import graft.datapipe.Staging.Staged
+      val docs = Tables.documents(s, d)
+      val toksArr = split(TextAnalysis.normalize(col("text")), " ")
+      val base = docs.select(col("doc_id"), col("source"), col("lang"),
+          md5(TextAnalysis.normalize(col("text"))).as("h"),
+          size(toksArr).cast("bigint").as("n_toks"))
+        .stage()
+      val dupH = base.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      val a1 = base.join(dupH, Seq("h"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(when(col("cnt") > 1, lit(1L)).otherwise(lit(0L)))
+            .as("exact_dup_docs"))
+      val wd = docs.select(col("source"),
+          explode(filter(toksArr, t => length(t) > 0)).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+      val lg = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("lc")).stage()
+      val mx = lg.groupBy(col("source")).agg(
+        max(col("lc")).as("mxc"), count(lit(1)).as("n_langs"))
+      val tp = lg.join(mx, Seq("source"))
+        .filter(col("lc") === col("mxc"))
+        .groupBy(col("source")).agg(min(col("lang")).as("top_lang"))
+      a1.join(wd, Seq("source")).join(mx, Seq("source"))
+        .join(tp, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          graft.functions.ExactRound.ratio6(col("n_tokens"), col("n_docs"))
+            .as("mean_tokens"),
+          col("n_distinct"), col("exact_dup_docs"),
+          graft.functions.ExactRound.ratio6(
+            col("exact_dup_docs"), col("n_docs")).as("dup_frac"),
+          col("n_langs"), col("top_lang"))
+    },
+    Some("""WITH nrm AS (SELECT doc_id, source, lang,
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents),
+      base AS MATERIALIZED (SELECT doc_id, source, lang, md5(nt) AS h,
+          CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_toks,
+          list_filter(string_split(nt, ' '), t -> len(t) > 0) AS w
+        FROM nrm),
+      dup AS (SELECT h, COUNT(*) AS cnt FROM base GROUP BY 1),
+      a1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) FILTER (WHERE cnt > 1) AS BIGINT)
+            AS exact_dup_docs
+        FROM base JOIN dup USING (h) GROUP BY 1),
+      wd AS (SELECT source, CAST(COUNT(DISTINCT u.t) AS BIGINT)
+            AS n_distinct
+        FROM base, UNNEST(w) u(t) GROUP BY 1),
+      lg AS (SELECT source, lang, COUNT(*) AS lc FROM base GROUP BY 1, 2),
+      mx AS (SELECT source, MAX(lc) AS mxc,
+          CAST(COUNT(*) AS BIGINT) AS n_langs FROM lg GROUP BY 1),
+      tp AS (SELECT lg.source, MIN(lang) AS top_lang
+        FROM lg JOIN mx ON mx.source = lg.source AND lg.lc = mx.mxc
+        GROUP BY 1)
+      SELECT a1.source, n_docs, n_tokens,
+        ((2 * n_tokens * 1000000 + n_docs) // (2 * n_docs)) / 1000000.0
+          AS mean_tokens,
+        n_distinct, exact_dup_docs,
+        ((2 * exact_dup_docs * 1000000 + n_docs) // (2 * n_docs))
+          / 1000000.0 AS dup_frac,
+        n_langs, top_lang
+      FROM a1 JOIN wd USING (source) JOIN mx USING (source)
+      JOIN tp ON tp.source = a1.source"""))
+
   /** Bigram-LM perplexity (the CCNet-style model-based quality
     * filter). The oracle retrains the same add-one bigram model in
     * SQL and replays the per-document ordered ln-fold via
@@ -5159,7 +5239,7 @@ object DataPipeQueries {
     textBm25Queries, retrievalEval, sftRender, preferencePairs,
     layoutCompaction, sftSpanCorrupt,
     prefWinrate, prefBtSources, canaryAudit, mixAblationKl,
-    clfCalibration, rlAdvantage, dedupSentences,
+    clfCalibration, rlAdvantage, dedupSentences, sourceReport,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

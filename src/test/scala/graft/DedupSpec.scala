@@ -363,4 +363,34 @@ class DedupSpec extends SparkSpec {
       "a within-doc repeat drops its second occurrence")
     assert(out(4L)._5 === md5Hex("rep rep. end."))
   }
+
+  test("source_report composition: volume, vocabulary, cross-source " +
+    "exact-dup attribution, and the deterministic language mode with " +
+    "lexicographic tie-break") {
+    val docs = Seq(
+      (1L, "a b c", "s1", "en"), (4L, "x y", "s1", "fr"),
+      (2L, "a b c", "s2", "en"), (3L, "a b c", "s2", "fr"),
+      (5L, "z", "s2", "fr")).toDF("doc_id", "text", "source", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("srcrep").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // reuse the catalog entry against the staged tiny corpus
+    val out = SparkEntry.queries("source_report")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") === 2L)
+    assert(s1.getAs[Long]("n_tokens") === 5L)
+    assert(s1.getAs[Double]("mean_tokens") === 2.5)
+    assert(s1.getAs[Long]("n_distinct") === 5L)
+    assert(s1.getAs[Long]("exact_dup_docs") === 1L,
+      "doc 1 duplicates docs 2/3 across sources")
+    assert(s1.getAs[Long]("n_langs") === 2L)
+    assert(s1.getAs[String]("top_lang") === "en",
+      "a 1-1 language tie breaks lexicographically")
+    val s2 = out("s2")
+    assert(s2.getAs[Long]("n_docs") === 3L)
+    assert(s2.getAs[Double]("mean_tokens") === 2.333333)
+    assert(s2.getAs[Long]("exact_dup_docs") === 2L)
+    assert(s2.getAs[Double]("dup_frac") === 0.666667)
+    assert(s2.getAs[String]("top_lang") === "fr")
+  }
 }

@@ -260,6 +260,19 @@ class RoundTwelvePlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("source_report: the datasheet is three independent map-side-" +
+    "combined rollups over the staged base — no window, no cartesian, " +
+    "dimension-sized joins only") {
+    val p = plan("source_report")
+    assert(p.contains("InMemoryTableScan"),
+      "the normalized base must be staged, not re-normalized per rollup")
+    assert(!p.contains("Window"),
+      s"the language mode is a rollup + tie-break join; plan:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"),
+      "every rollup must combine map-side")
+  }
+
   test("mix_ablation_kl: the corpus is walked once into the staged " +
     "(source, token) counts; the only cross is against the one-row " +
     "total; no window anywhere") {
