@@ -397,4 +397,52 @@ object Relevance {
       .select(Seq(col("q_id"), col("rnk"), col("doc_id")) ++
         lists.map { case (nm, _) => col(s"r_$nm") } :+ col("rrf"): _*)
   }
+
+  /** The unbiased pass@k estimator (Chen et al. 2021, Codex,
+    * arXiv:2107.03374 §2.1): per group (all samples of one prompt;
+    * here any caller-chosen stratum) with n samples of which c are
+    * correct,
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k)
+    *          = 1 − Π_{i=0..k−1} (n−c−i)/(n−i)
+    *
+    * — the probability at least one of k drawn samples is correct,
+    * computed by the numerically-stable ordered product (never the
+    * naive 1−(1−c/n)^k, which is biased). Every factor is an exact
+    * integer ratio; the product folds LEFT-TO-RIGHT over
+    * i = 0..k−1 in both engines (Spark `aggregate` over `sequence`,
+    * DuckDB `list_reduce` over `generate_series` — identical IEEE
+    * grouping), so the doubles agree exactly; the readout rounds to
+    * 6 dp. k > n reads NULL (undefined); n−c < k reads exactly 1.0
+    * (every size-k draw must contain a correct sample).
+    *
+    * Scale shape: one map-side-combined rollup to (group, n, c),
+    * then a groups × |ks| per-row expression — nothing else touches
+    * the corpus.
+    *
+    * Output: (groupCols…, n, c, k, pass_at_k).
+    */
+  def passAtK(samples: DataFrame, groupCols: Seq[String], correct: Column,
+              ks: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "passAtK needs >= 1 group column")
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"ks must be >= 1, got ${ks.mkString(",")}")
+    val grp = groupCols.map(col)
+    val stats = samples.groupBy(grp: _*).agg(
+      count(lit(1)).as("n"),
+      sum(when(correct, lit(1L)).otherwise(lit(0L))).as("c"))
+    val prod = aggregate(
+      sequence(lit(0L), col("k") - 1),
+      lit(1.0),
+      (acc, i) => acc * ((col("n") - col("c") - i).cast("double")
+        / (col("n") - i).cast("double")))
+    stats
+      .select(grp :+ col("n") :+ col("c") :+
+        explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"): _*)
+      .select(grp ++ Seq(col("n"), col("c"), col("k"),
+        when(col("k") > col("n"), lit(null).cast("double"))
+          .when(col("n") - col("c") < col("k"), lit(1.0))
+          .otherwise(round(lit(1.0) - prod, 6))
+          .as("pass_at_k")): _*)
+  }
 }

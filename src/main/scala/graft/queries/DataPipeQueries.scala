@@ -1914,6 +1914,37 @@ object DataPipeQueries {
       FROM a1 JOIN wd USING (source) JOIN mx USING (source)
       JOIN tp ON tp.source = a1.source"""))
 
+  /** T149: unbiased pass@k ([[graft.datapipe.Relevance.passAtK]]) —
+    * per source with n docs of which c pass the distinct-token ≥ 25
+    * gate, pass@k = 1 − Π (n−c−i)/(n−i) for k ∈ {1, 5, 10}. The
+    * oracle replays the rollup and the identical left-to-right
+    * product fold.
+    */
+  private val evalPassAtK = QueryDef(
+    "eval_pass_at_k",
+    (s, d) => {
+      val toks = split(TextAnalysis.normalize(col("text")), " ")
+      Relevance.passAtK(
+        Tables.documents(s, d).select(col("source"),
+          size(array_distinct(toks)).cast("bigint").as("dt")),
+        Seq("source"), col("dt") >= 25, ks = Seq(1, 5, 10))
+    },
+    Some("""WITH st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(*) FILTER (WHERE
+          len(list_distinct(string_split(trim(
+            regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) >= 25)
+          AS BIGINT) AS c
+        FROM documents GROUP BY 1)
+      SELECT source, n, c, CAST(k AS BIGINT) AS k,
+        CASE WHEN k > n THEN NULL
+             WHEN n - c < k THEN 1.0
+             ELSE round(1 - list_reduce(
+               list_transform(generate_series(0, k - 1),
+                 i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
+               (acc, x) -> acc * x), 6)
+        END AS pass_at_k
+      FROM st, (SELECT UNNEST([1, 5, 10]) AS k)"""))
+
   /** Bigram-LM perplexity (the CCNet-style model-based quality
     * filter). The oracle retrains the same add-one bigram model in
     * SQL and replays the per-document ordered ln-fold via
@@ -5240,6 +5271,7 @@ object DataPipeQueries {
     layoutCompaction, sftSpanCorrupt,
     prefWinrate, prefBtSources, canaryAudit, mixAblationKl,
     clfCalibration, rlAdvantage, dedupSentences, sourceReport,
+    evalPassAtK,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

@@ -295,4 +295,37 @@ class RelevanceSpec extends SparkSpec {
     assert(out("zipf") === ((4L, Some(-1.0))))
     assert(out("mono") === ((1L, None)), "one-word vocab has no slope")
   }
+
+  test("passAtK: matches the exact binomial form C(n-c,k)/C(n,k), " +
+    "hits the edge contracts (k > n NULL, n-c < k -> 1, c = 0 -> 0), " +
+    "and is monotone in k") {
+    import graft.datapipe.Relevance
+    def binom(n: Long, k: Long): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (BigInt(n - k + 1) to BigInt(n)).product /
+        (BigInt(1) to BigInt(k)).product
+    def exact(n: Long, c: Long, k: Long): Double =
+      BigDecimal(1.0 - (BigDecimal(binom(n - c, k)) /
+        BigDecimal(binom(n, k))).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // group g: 10 samples, 3 correct; h: 4 samples, 0 correct;
+    // j: 2 samples, 2 correct
+    val rows = (1 to 10).map(i => ("g", i <= 3)) ++
+      (1 to 4).map(_ => ("h", false)) ++ Seq(("j", true), ("j", true))
+    val out = Relevance.passAtK(rows.toDF("grp", "ok"), Seq("grp"),
+        col("ok"), ks = Seq(1, 3, 5, 8))
+      .collect().map(r => (r.getString(0), r.getLong(3)) ->
+        Option(r.getAs[java.lang.Double]("pass_at_k"))
+          .map(_.doubleValue)).toMap
+    assert(out(("g", 1L)).get === exact(10, 3, 1))
+    assert(out(("g", 3L)).get === exact(10, 3, 3))
+    assert(out(("g", 5L)).get === exact(10, 3, 5))
+    assert(out(("g", 8L)).get === 1.0,
+      "n - c = 7 < 8: every size-8 draw holds a correct sample")
+    assert(out(("h", 3L)).get === 0.0, "no correct samples -> 0 at any k")
+    assert(out(("h", 5L)).isEmpty, "k > n is undefined")
+    assert(out(("j", 1L)).get === 1.0)
+    val g = Seq(1L, 3L, 5L, 8L).map(k => out(("g", k)).get)
+    assert(g === g.sorted, "pass@k is monotone nondecreasing in k")
+  }
 }

@@ -273,6 +273,18 @@ class RoundTwelvePlanSpec extends SparkSpec {
       "every rollup must combine map-side")
   }
 
+  test("eval_pass_at_k: one map-side-combined rollup, then a " +
+    "groups x ks per-row expression — no window, no join, no second " +
+    "corpus pass") {
+    val p = plan("eval_pass_at_k")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the (n, c) rollup must combine map-side")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"everything after the rollup is per-row; plan:\n${p.take(2000)}")
+    assert(p.contains("Generate"),
+      "the ks fan-out is an explode over a literal array")
+  }
+
   test("mix_ablation_kl: the corpus is walked once into the staged " +
     "(source, token) counts; the only cross is against the one-row " +
     "total; no window anywhere") {
