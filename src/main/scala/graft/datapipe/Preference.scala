@@ -149,12 +149,15 @@ object Preference {
     * policy gradient consumes them.
     *
     * Exactness: with integer rewards, (r − μ)/σ rewrites to
-    * (n·r − Σr) / √(n·Σr² − (Σr)²) — every argument an EXACT integer
-    * (the n·SP − S·S covariance convention), so the expression is
-    * one exact subtraction, one IEEE sqrt, one IEEE division, one
-    * 6-dp round: both engines land on the identical double. A
-    * zero-variance group reads NULL advantage (no signal to
-    * standardize).
+    * (n·r − Σr) / √(n·Σr² − (Σr)²) with the products formed in
+    * DOUBLE, not long — n·Σr² wraps a long silently at ~9.2e18
+    * (reached near 3e4-reward groups of 1e10 rows) while a double
+    * product stays EXACT to 2^53 and degrades gracefully past it
+    * (the [[Similarity.sourceCentroidDrift]] convention). The
+    * expression is then one exact subtraction, one IEEE sqrt, one
+    * IEEE division, one 6-dp round: both engines land on the
+    * identical double. A zero-variance group reads NULL advantage
+    * (no signal to standardize).
     *
     * Scale shape: one map-side-combined rollup to group stats + one
     * group-keyed join back (AQE broadcasts the stats side when the
@@ -173,12 +176,14 @@ object Preference {
       count(lit(1)).as("n_group"),
       sum(col("reward")).as("s1"),
       sum(col("reward") * col("reward")).as("s2"))
-    val varN = col("n_group") * col("s2") - col("s1") * col("s1")
+    // products in double: exact to 2^53, no silent 2^63 wrap
+    val varN = col("n_group").cast("double") * col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double")
+    val numer = col("n_group").cast("double") * col("reward").cast("double") -
+      col("s1").cast("double")
     scored.join(stats, groupCols)
       .select(col(idCol) +: grp ++: Seq(col("reward"), col("n_group"),
-        when(varN > 0,
-          round((col("n_group") * col("reward") - col("s1")).cast("double")
-            / sqrt(varN.cast("double")), 6))
+        when(varN > 0, round(numer / sqrt(varN), 6))
           .otherwise(lit(null).cast("double")).as("advantage")): _*)
   }
 

@@ -2264,8 +2264,9 @@ object DataPipeQueries {
   /** T145: GRPO-style group-relative advantage
     * ([[graft.datapipe.Preference.groupAdvantage]]) — standardize
     * the distinct-token reward within each source group via the
-    * exact-integer rewrite (n·r − Σr)/√(n·Σr² − (Σr)²). The oracle
-    * replays the rollup and the one-sqrt expression.
+    * rewrite (n·r − Σr)/√(n·Σr² − (Σr)²), products formed in double
+    * (exact to 2^53, no 2^63 wrap). The oracle replays the rollup
+    * and the one-sqrt expression with the same casts.
     */
   private val rlAdvantage = QueryDef(
     "rl_advantage",
@@ -2287,9 +2288,12 @@ object DataPipeQueries {
           CAST(SUM(reward * reward) AS BIGINT) AS s2
         FROM t GROUP BY 1)
       SELECT doc_id, source, reward, n_group,
-        CASE WHEN n_group * s2 - s1 * s1 > 0 THEN
-          round(CAST(n_group * reward - s1 AS DOUBLE)
-            / sqrt(CAST(n_group * s2 - s1 * s1 AS DOUBLE)), 6)
+        CASE WHEN CAST(n_group AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0 THEN
+          round((CAST(n_group AS DOUBLE) * CAST(reward AS DOUBLE)
+              - CAST(s1 AS DOUBLE))
+            / sqrt(CAST(n_group AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6)
         ELSE NULL END AS advantage
       FROM t JOIN st USING (source)"""))
 

@@ -25,13 +25,22 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * `text/plain; version=0.0.4; charset=utf-8`. Any path other than
   * `/metrics` (and `/healthz`, mirroring the reference services'
   * liveness route) is 404.
+  *
+  * Binds LOOPBACK by default: the reference services bind 0.0.0.0,
+  * but they run inside a compose network namespace — an
+  * unauthenticated wildcard bind on a host JVM would expose
+  * /metrics on every interface. A deployment that wants a scrape
+  * network passes `bindAddress = "0.0.0.0"` explicitly.
   */
 final class MetricsHttpServer(
     snapshot: () => Seq[PrometheusExposition.Family],
-    port: Int = 9001) extends AutoCloseable {
+    port: Int = 9001,
+    bindAddress: String = "127.0.0.1") extends AutoCloseable {
 
   private val server: HttpServer =
-    HttpServer.create(new InetSocketAddress(port), 0)
+    HttpServer.create(
+      new InetSocketAddress(
+        java.net.InetAddress.getByName(bindAddress), port), 0)
 
   private def respond(ex: HttpExchange, code: Int, contentType: String,
                       body: String): Unit = {

@@ -14,7 +14,7 @@ import graft.sources.Tables
   *
   *  - `documents`: `factor` replicas with disjoint id ranges; every
   *    replica after the first is Caesar-ciphered (`translate` over
-  *    the lowercase alphabet, rotation = replica index) so
+  *    the lowercase alphabet AND digits, rotation = replica index) so
   *    cross-replica shingle/minhash similarity is ≈ 0. A verbatim
   *    copy would make every document a member of a `factor`-sized
   *    exact-dup cluster and blow the pair generators up
@@ -42,7 +42,18 @@ object MakeScaleData {
     require(factor >= 1 && factor <= 26,
       s"factor must be in [1, 26] (rotation $factor % 26 would repeat a cipher); got $factor")
     val spark = GraftSession.get()
+    // The cipher rotates lowercase letters AND digits (digits by
+    // i % 10): a letters-only rotation leaves numeric/punctuation
+    // tokens verbatim across replicas, silently weakening the
+    // cross-replica-similarity≈0 guarantee on number-heavy text.
+    // Replicas 10 apart share digit rotations but never letter
+    // rotations, so full-token collisions still require digit-only
+    // tokens — rare enough to keep pair workloads shape-stable.
+    // Uppercase is untouched: the fixture corpus is lowercase (and
+    // ciphered replicas of any uppercase would only raise, never
+    // saturate, cross-replica distance).
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
 
     /** Per-replica id stride derived from the SOURCE's max id — a
       * hardcoded stride would silently collide replica ranges when
@@ -62,10 +73,12 @@ object MakeScaleData {
     require(docStride * factor < 1000000L,
       s"doc ids would reach ${docStride * factor}, colliding with the 1e6 twin offset")
     (0 until factor).map { i =>
-      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      val rot = alpha.drop(i % 26) + alpha.take(i % 26) +
+        digits.drop(i % 10) + digits.take(i % 10)
       docs.select(
         (col("doc_id") + lit(i.toLong * docStride)).as("doc_id"),
-        (if (i == 0) col("text") else translate(col("text"), alpha, rot))
+        (if (i == 0) col("text")
+         else translate(col("text"), alpha + digits, rot))
           .as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
