@@ -191,9 +191,7 @@ object Preference {
     * round8(x) accumulated as DECIMAL, returned as its double image.
     */
   private def fold8(xs: Iterable[Double]): Double =
-    xs.iterator
-      .map(x => BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP))
-      .sum.toDouble
+    graft.functions.ExactRound.fold8(xs)
 
   /** Catalyst `round(double, 8)`'s exact image (both go through
     * `java.math.BigDecimal.valueOf` + HALF_UP).

@@ -312,8 +312,10 @@ object Similarity {
     * Driver traffic is bounded: k seed vectors up front and k
     * (sum, count) rows per round (k × dim longs), independent of
     * corpus size — the per-round heavy lifting (assignment +
-    * component sums) is one codegen'd projection and one
-    * posexplode/groupBy shuffle of dim longs per vector.
+    * component sums) is one codegen'd projection and one cell-keyed
+    * [[graft.functions.VecAgg.vecSum]] aggregate (partition-local
+    * elementwise folds; the shuffle carries dim longs per cell per
+    * partition, no per-vector row fan-out).
     */
   def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): Array[(Array[Long], Long)] = {
     val spark = vecs.sparkSession
@@ -329,14 +331,11 @@ object Similarity {
       while (it < iters - 1) {
         val updated = q
           .withColumn("cell", kmeansAssignCol(col("q"), cents.toSeq))
-          .select(col("cell"), posexplode(col("q")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
           .groupBy(col("cell"))
-          .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("ps"),
-            max(col("cnt")).as("n"))
-          .as[(Long, Seq[(Int, Long)], Long)].collect()
-          .map { case (cell, ps, n) => cell.toInt -> ((ps.map(_._2).toArray, n)) }
+          .agg(graft.functions.VecAgg.vecSum(col("q")).as("s"),
+            count(lit(1)).as("n"))
+          .as[(Long, Seq[Long], Long)].collect()
+          .map { case (cell, s, n) => cell.toInt -> ((s.toArray, n)) }
           .toMap
         cents = cents.zipWithIndex.map { case (prev, c) => updated.getOrElse(c, prev) }
         it += 1
@@ -446,10 +445,12 @@ object Similarity {
     * ×1000 scale), ONE IEEE division, a square, an 8-dp round, and
     * a DECIMAL(28,8) order-independent sum over the dim components.
     *
-    * Scale shape: one doc↔vector equi-join, one posexplode/groupBy
-    * shuffle of dim longs per vector with map-side partial sums
-    * (the k-means update shape), then everything runs on the
-    * (source × dim)-sized rollup with the global sums broadcast.
+    * Scale shape: one doc↔vector equi-join, one source-keyed
+    * [[graft.functions.VecAgg.vecSum]] aggregate whose shuffle
+    * carries dim longs per source per partition (partition-local
+    * elementwise folds, the k-means update shape — no per-vector row
+    * fan-out), then everything runs on the (source × dim)-sized
+    * rollup with the global sums broadcast.
     *
     * Output: (source, n_docs, drift2) — drift2 rounded at 6 dp.
     */
@@ -458,12 +459,19 @@ object Similarity {
       .join(emb.select(col("vec_id"), col("emb")),
         col("doc_id") === col("vec_id"))
       .select(col("source"), quantize(col("emb")).as("q"))
-    val ps = j.select(col("source"), posexplode(col("q")))
-      .groupBy(col("source"), col("pos"))
-      .agg(sum(col("col")).as("ss"), count(lit(1)).as("ns"))
-    val gs = j.select(posexplode(col("q")))
-      .groupBy(col("pos"))
-      .agg(sum(col("col")).as("sg"), count(lit(1)).as("ng"))
+    // ONE corpus pass: per-source elementwise sums fold partition-
+    // locally ([[graft.functions.VecAgg.vecSum]] — no d-rows-per-
+    // vector explode), then the (source × dim)-sized frame explodes
+    // and the GLOBAL sums derive from it (Σ over sources of exact
+    // per-source sums == the direct global sums, so the downstream
+    // arithmetic and hashes are unchanged from the explode form).
+    val perSrc = j.groupBy(col("source"))
+      .agg(graft.functions.VecAgg.vecSum(col("q")).as("sv"),
+        count(lit(1)).as("ns"))
+    val ps = perSrc.select(col("source"), col("ns"),
+      posexplode(col("sv")).as(Seq("pos", "ss")))
+    val gs = ps.groupBy(col("pos"))
+      .agg(sum(col("ss")).as("sg"), sum(col("ns")).as("ng"))
     // Products are formed in DOUBLE, not long: a long multiply wraps
     // silently at ~9.2e18 (ng·ss reaches that around 1e8 vectors at
     // quantize's ×1000 scale) while a double product stays EXACT to
@@ -491,10 +499,11 @@ object Similarity {
     * loadings are the first whitening axis.
     *
     * Scale shape: the ONLY corpus-sized computation is the second-
-    * moment rollup — posexplode² fans each vector to dim² (i,j)
-    * terms that hash-aggregate map-side into ≤ dim² partials per
-    * partition (the classic distributed Gram-matrix shape: one
-    * shuffle of dim²·partitions rows). Everything downstream — the
+    * moment rollup — one [[graft.functions.VecAgg.gram]] aggregate
+    * that folds each partition into a single d²-long buffer (the
+    * classic distributed Gram-matrix shape: a tight per-row
+    * multiply-add loop, one buffer per partition shuffled, no row
+    * fan-out). Everything downstream — the
     * covariance assembly, all `iters` matrix-vector products, the
     * Rayleigh quotient — runs on dim- and dim²-sized frames with the
     * vector side broadcast; the corpus is scanned exactly once.
@@ -557,53 +566,48 @@ object Similarity {
   }
 
   /** The dense covariance of the [[quantize]]d embedding set,
-    * collected to the driver: the corpus-sized rollup (posexplode²
-    * over the staged token base, ONE shuffle of dim²·partitions
-    * partials) runs distributed; the resulting dim² doubles are
-    * bounded model state ([[kmeansCentroids]]'s convention — 4096
-    * values at dim 64), on which the iteration chains then run with
-    * zero further cluster round-trips.
+    * collected to the driver: the corpus-sized rollup is ONE
+    * [[graft.functions.VecAgg.gram]] aggregate — each partition
+    * folds into a single `d²+d+2`-long buffer (count, component
+    * sums, Gram sums) via a tight per-row multiply-add loop, map-side
+    * partials combine, and the shuffle carries one buffer per
+    * partition. (An earlier posexplode² formulation shuffled the
+    * same totals but MATERIALIZED d² rows per vector through the
+    * hash aggregate — a ~d² constant-factor CPU cost: the dim-axis
+    * SCALE wave measured the full pca entries 3.5–5.3× slower under
+    * it at dim 512, ≥6× net of the ~0.9 s fixed session/scan cost.)
+    * The resulting dim² doubles are bounded model
+    * state ([[kmeansCentroids]]'s convention — 4096 values at dim
+    * 64), on which the iteration chains then run with zero further
+    * cluster round-trips.
     */
   private def covarianceLocal(emb: DataFrame): Array[Array[Double]] = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val q = emb.select(quantize(col("emb")).as("q")).stage()
-    val s1 = q.select(posexplode(col("q")).as(Seq("i", "qi")))
-      .groupBy(col("i")).agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
-    val sp = q
-      .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
-      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("qi") * col("qj")).as("sp"))
-    val si = s1.select(col("i"), col("s").as("si"), col("n"))
-    val sj = s1.select(col("i").as("j"), col("s").as("sj"))
-    val entries: Array[(Int, Int, Double)] = sp
-      .join(broadcast(si), Seq("i")).join(broadcast(sj), Seq("j"))
-      .select(col("i"), col("j"),
-        ((col("n").cast("double") * col("sp").cast("double")
-          - col("si").cast("double") * col("sj").cast("double")) /
-          (col("n").cast("double") * col("n").cast("double") * lit(1e6)))
-          .as("gv"))
-      .as[(Int, Int, Double)].collect()
-    require(entries.nonEmpty, "covariance of an empty embedding set")
-    val d = entries.iterator.map(_._1).max + 1
-    val g = Array.fill(d, d)(0.0)
-    for ((i, j, x) <- entries) g(i)(j) = x
-    g
+    val packed: Seq[Long] = emb.select(quantize(col("emb")).as("q"))
+      .agg(graft.functions.VecAgg.gram(col("q")).as("g"))
+      .head().getSeq[Long](0)
+    require(packed.nonEmpty, "covariance of an empty embedding set")
+    val a = packed.toArray
+    val d = a(0).toInt
+    val nd = a(1).toDouble
+    // Identical arithmetic to the explode form this replaced:
+    // (n·sp_ij − s_i·s_j) with products in DOUBLE, one division by
+    // n²·10⁶ — the toDouble here is the cast("double") the column
+    // expression applied, in the same order.
+    Array.tabulate(d, d) { (i, j) =>
+      (nd * a(2 + d + i * d + j).toDouble
+        - a(2 + i).toDouble * a(2 + j).toDouble) / (nd * nd * 1e6)
+    }
   }
 
   /** The engines' shared portable fold, replayed on the driver:
-    * Σ round8(x_k) accumulated as DECIMAL(28,8), returned as its
-    * double image. Scala `BigDecimal(double).setScale(HALF_UP)` is
-    * the SAME implementation Catalyst's `round()` uses for doubles
-    * (both go through `java.math.BigDecimal.valueOf`), so this fold
-    * is bit-identical to the column expression it replaces — the
-    * oracle gate at two scale factors certifies that empirically.
+    * Σ round8(x_k) accumulated exactly at scale 8, returned as its
+    * double image — bit-identical to the column expression it
+    * replaces (see [[graft.functions.ExactRound.fold8]] for the
+    * fast-path/fallback contract; the oracle gate at two scale
+    * factors certifies the equivalence empirically).
     */
   private def fold8(xs: Iterable[Double]): Double =
-    xs.iterator
-      .map(x => BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP))
-      .sum.toDouble
+    graft.functions.ExactRound.fold8(xs)
 
   /** One portable power-iteration chain over the collected
     * covariance: start from unit axis `axis0` (0-based), `iters`
@@ -621,10 +625,31 @@ object Similarity {
                          iters: Int, deflate: Option[Array[Double]])
       : (Array[Double], Double) = {
     val d = g.length
+    // matvec in primitive while-loops over ExactRound.scaled8 — the
+    // SAME per-term round8 + exact scale-8 accumulation as fold8,
+    // without a boxed Seq per component (at dim 512 a chain folds
+    // ~4M terms; the boxed formulation's allocation churn, not the
+    // arithmetic, dominated the PCA entries pre-round-13)
+    def matvec(v: Array[Double]): Array[Double] = {
+      val out = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        val gi = g(i)
+        var acc = 0L
+        var j = 0
+        while (j < d) {
+          acc = Math.addExact(acc,
+            graft.functions.ExactRound.scaled8(gi(j) * v(j)))
+          j += 1
+        }
+        out(i) = graft.functions.ExactRound.unscale8(acc)
+        i += 1
+      }
+      out
+    }
     var v = Array.tabulate(d)(i => if (i == axis0) 1.0 else 0.0)
     for (_ <- 0 until iters) {
-      var t = Array.tabulate(d)(i =>
-        fold8((0 until d).map(j => g(i)(j) * v(j))))
+      var t = matvec(v)
       for (w <- deflate) {
         val dot = fold8((0 until d).map(i => t(i) * w(i)))
         t = Array.tabulate(d)(i => t(i) - dot * w(i))
@@ -632,8 +657,7 @@ object Similarity {
       val nrm = math.sqrt(fold8(t.map(x => x * x)))
       v = t.map(x => round6(x / nrm))
     }
-    val gv = Array.tabulate(d)(i =>
-      fold8((0 until d).map(j => g(i)(j) * v(j))))
+    val gv = matvec(v)
     val lam = fold8((0 until d).map(i => v(i) * gv(i))) /
       fold8(v.map(x => x * x))
     (v, lam)
@@ -877,8 +901,9 @@ object Similarity {
     * seed vectors are collected once and sliced driver-side (the
     * seed RANKING ignores values, so every subspace seeds from the
     * same 16 vectors), and each Lloyd's round assigns all subspace
-    * cells in one projection, then pivots (subspace, cell, dim) sums
-    * through a single groupBy. Driver traffic per round is
+    * cells in one projection, then folds (subspace, cell) subvector
+    * sums through a single vecSum groupBy over n·subspaces rows.
+    * Driver traffic per round is
     * subspaces·k·subDim longs — the same totals, 8× fewer jobs; at
     * any corpus size the training latency is a handful of actions,
     * not O(subspaces) of them.
@@ -904,21 +929,28 @@ object Similarity {
         val cellsCol = array((0 until subspaces).map(s =>
           kmeansAssignCol(slice(col("q"), s * subDim + 1, subDim),
             cents(s).toSeq)): _*)
-        val sub = (col("pos") / subDim).cast("int")
+        // One row per (vector, subspace) — the subvector rides as an
+        // array payload and folds partition-locally (vecSum), so the
+        // aggregate sees n·subspaces rows instead of the n·dim the
+        // posexplode form materialized. Sums are the same exact
+        // integers.
+        val subStructs = array((0 until subspaces).map(s =>
+          struct(lit(s).as("s"),
+            element_at(col("cells"), s + 1).as("cell"),
+            slice(col("q"), s * subDim + 1, subDim).as("sub"))): _*)
         val updated = q.withColumn("cells", cellsCol)
-          .select(col("cells"), posexplode(col("q")))
-          .select(sub.as("s"),
-            element_at(col("cells"), sub + 1).as("cell"),
-            (col("pos") % subDim).as("p"), col("col").as("v"))
-          .groupBy(col("s"), col("cell"), col("p"))
-          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-          .as[(Int, Long, Int, Long, Long)].collect()
+          .select(explode(subStructs).as("e"))
+          .select(col("e.s").as("s"), col("e.cell").as("cell"),
+            col("e.sub").as("sub"))
+          .groupBy(col("s"), col("cell"))
+          .agg(graft.functions.VecAgg.vecSum(col("sub")).as("sv"),
+            count(lit(1)).as("cnt"))
+          .as[(Int, Long, Seq[Long], Long)].collect()
         val bySub = updated.groupBy(_._1)
         cents = (0 until subspaces).map { s =>
-          val m = bySub.getOrElse(s, Array.empty)
-            .groupBy(_._2).map { case (cell, rows) =>
-              cell.toInt -> ((rows.sortBy(_._3).map(_._4), rows.head._5))
-            }
+          val m = bySub.getOrElse(s, Array.empty[(Int, Long, Seq[Long], Long)])
+            .map { case (_, cell, sv, n) => cell.toInt -> ((sv.toArray, n)) }
+            .toMap
           cents(s).zipWithIndex.map { case (prev, c) => m.getOrElse(c, prev) }
         }
         it += 1

@@ -61,4 +61,65 @@ object ExactRound {
     val den = b.cast("decimal(38,0)") * lit(2L)
     floor(try_divide(num, den))
   }
+
+  // ----------------------------------------------------------------
+  // Driver-side images of Catalyst round(double, 8) — the scalar
+  // twins the bounded-model iterations (power chains, Bradley–Terry)
+  // replay. The CONTRACT is bit-identity with
+  // `java.math.BigDecimal.valueOf(x).setScale(8, HALF_UP)` (what
+  // Catalyst's round() applies to doubles: the SHORTEST decimal
+  // repr, rounded half-up). The naive implementation allocates 3+
+  // BigDecimals per term — at dim 512 a power chain folds ~4M terms
+  // and the allocation churn, not the arithmetic, dominated the PCA
+  // entries (the round-13 dim-axis SCALE wave measured it). The fast
+  // path below rounds via one double multiply + floor and is taken
+  // only when the result is PROVABLY the same: y = fl(x·1e8) sits
+  // within ~1.5 ulp of shortest(x)·1e8, so whenever y's fractional
+  // part is farther than an 8-ulp guard band from both rounding
+  // boundaries (an integer, or a half-integer tie), floor/ceil on y
+  // equals the BigDecimal rounding; anything inside a band — ties
+  // included — falls back to BigDecimal itself. ExactRoundScalarSpec
+  // property-checks the equivalence across magnitudes and
+  // boundary-adjacent values.
+  // ----------------------------------------------------------------
+
+  /** round_half_up(x, 8 dp) as the ×10⁸-scaled LONG — bit-identical
+    * to `BigDecimal.valueOf(x).setScale(8, HALF_UP).unscaledValue()`.
+    * Fails loudly (ArithmeticException) when the scaled value
+    * overflows a long (|x| ≥ ~9.2e10) instead of wrapping.
+    */
+  def scaled8(x: Double): Long = {
+    val y = x * 1e8
+    if (java.lang.Double.isFinite(y) && math.abs(y) < 4.6e17) {
+      val f = math.floor(y)
+      val frac = y - f
+      val eps = math.ulp(math.max(math.abs(y), 1.0)) * 8.0
+      if (frac > eps && frac < 0.5 - eps) return f.toLong
+      if (frac > 0.5 + eps && frac < 1.0 - eps) return f.toLong + 1L
+    }
+    java.math.BigDecimal.valueOf(x)
+      .setScale(8, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+  }
+
+  /** The double image of a ×10⁸-scaled long — the same
+    * `BigDecimal(unscaled, 8).doubleValue()` a decimal(·,8) readout
+    * casts through.
+    */
+  def unscale8(scaled: Long): Double =
+    java.math.BigDecimal.valueOf(scaled, 8).doubleValue()
+
+  /** The engines' shared portable fold, replayed on the driver:
+    * Σ round8(x_k) accumulated EXACTLY at scale 8 (scaled longs,
+    * overflow-checked), returned as its double image — bit-identical
+    * to accumulating `BigDecimal.setScale(8, HALF_UP)` values and
+    * the column-expression fold `sum(round(x, 8)::decimal(28,8))`
+    * it stands in for, at a fraction of the allocation cost.
+    */
+  def fold8(xs: Iterable[Double]): Double = {
+    var acc = 0L
+    val it = xs.iterator
+    while (it.hasNext) acc = Math.addExact(acc, scaled8(it.next()))
+    unscale8(acc)
+  }
 }
