@@ -20,16 +20,19 @@ import org.apache.spark.sql.SparkSession
   * query group (`SPARK_GRAFT_BENCH_GROUPS`, default 8 → ~25 queries
   * per JVM), so no timed query ever runs in a JVM that has compiled
   * more than its own group's generated code. After merging, a final
-  * fresh worker re-times the 10 slowest queries from scratch and the
-  * artifact reports artifact-vs-fresh ratios per query — the honesty
-  * check is IN the artifact instead of requiring an out-of-band
-  * re-measure.
+  * fresh worker re-times the 10 slowest queries PLUS 8 seeded random
+  * mid-pack entries from scratch and the artifact reports
+  * artifact-vs-fresh ratios per query — the honesty check is IN the
+  * artifact instead of requiring an out-of-band re-measure, and it
+  * samples beyond the slowest set because in-group debris inflation
+  * is stochastic, not rank-correlated.
   *
   * Worker protocol: env `SPARK_GRAFT_BENCH_WORKER=1`, args =
   * (sfDir, comma-joined names, outFile). The worker builds the same
-  * session config the engine benches under, warms ONLY its group at
-  * sf0.001 (session init, codegen, JIT are one-time costs a
-  * long-running cluster never re-pays per query), then times each
+  * session config the engine benches under, warms ONLY its group —
+  * one pass at sf0.001 then one at sf0.01, so light queries reach
+  * JIT before timing (session init, codegen, JIT are one-time costs
+  * a long-running cluster never re-pays per query), then times each
   * query REPS times with caches dropped and a GC between runs,
   * writing one TSV line per query: `name<TAB>r1,r2,..<TAB>[err]`.
   * Classpath and JDK-17 module opens are reconstructed from this
@@ -96,13 +99,24 @@ object Bench {
     */
   private def timeGroup(spark: SparkSession, sfDir: String,
                         names: Seq[String]): Seq[(String, Vector[Double], Option[String])] = {
-    // Warmup (untimed): run each of THIS GROUP's queries once at
-    // sf0.001 — session init, codegen compilation, and JIT never
-    // land in a timed run (measured warm-vs-cold deltas of 3-15 s
-    // were one-time cost, not plan cost), while the group bound
-    // keeps accumulated state from ever exceeding ~25 queries' worth.
-    for (n <- names; fn <- SparkEntry.queries.get(n))
-      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    // Warmup (untimed): run each of THIS GROUP's queries at sf0.001
+    // and then at sf0.01 — session init, codegen compilation, and
+    // JIT never land in a timed run (measured warm-vs-cold deltas of
+    // 3-15 s were one-time cost, not plan cost), while the group
+    // bound keeps accumulated state from ever exceeding ~25 queries'
+    // worth. The second (sf0.01) pass exists for the LIGHT queries:
+    // with per-group JVMs a sub-second query whose group warmed only
+    // at sf0.001 ran before JIT fully arrived and read up to ~1.5×
+    // its long-lived-JVM cost (r12 wordpiece_encode 1.72 s vs r11's
+    // 1.14); a second pass with ~10× the rows gives the compiler the
+    // samples it needs. Override dirs (comma-separated) with
+    // SPARK_GRAFT_BENCH_WARM.
+    val warmDirs = sys.env.get("SPARK_GRAFT_BENCH_WARM")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+      .filter(d => Files.isDirectory(Paths.get(d)))
+    for (wd <- warmDirs; n <- names; fn <- SparkEntry.queries.get(n))
+      try fn(spark, wd).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     dropAllCaches(spark)
     names.map { name =>
@@ -277,15 +291,29 @@ object Bench {
     val cpOpt = cpChosen
 
     // Honesty check, in the artifact: re-time the 10 slowest queries
-    // in ONE more completely fresh worker and report artifact/fresh
-    // per query. Ratios near 1.0 certify the per-group isolation
-    // actually removed the hot-JVM inflation (r11's would have read
-    // up to ~2 on heavy compositions).
+    // PLUS K seeded random mid-pack entries in ONE more completely
+    // fresh worker and report artifact/fresh per query. Ratios near
+    // 1.0 certify the per-group isolation actually removed the
+    // hot-JVM inflation (r11's would have read up to ~2 on heavy
+    // compositions). The mid-pack sample closes the r12 blind spot:
+    // in-group debris inflation is stochastic (decontaminate_bloom
+    // read 2.98× and was caught only because it landed slowest-10) —
+    // a query just below the cut could otherwise publish inflated
+    // unnoticed. The seed is deterministic per sf dir and RECORDED
+    // in the artifact (recheck_seed / recheck_midpack), so a re-run
+    // rechecks the same sample.
     val slowestNames = results.sortBy(r => -median(r._2)).take(10).map(_._1)
+    val midpackK = 8
+    val recheckSeed = 13L * 1000003L + sfDir.hashCode.toLong
+    val midpackNames = {
+      val pool = results.map(_._1).filterNot(slowestNames.toSet).sorted
+      new scala.util.Random(recheckSeed).shuffle(pool).take(midpackK)
+    }
+    val recheckNames = slowestNames ++ midpackNames
     val recheck: Seq[(String, Double)] = cpOpt match {
       case Some(cp) if isolation.startsWith("per-group-jvm") =>
         val out = tmpDir.resolve("recheck.tsv")
-        if (forkWorker(cp, sfDir, slowestNames, out))
+        if (forkWorker(cp, sfDir, recheckNames, out))
           // A query that FAILED in the recheck worker must not read
           // as a ~0 s fresh time (it would publish a phantom ~50×
           // inflation ratio) — only clean runs certify.
@@ -327,8 +355,13 @@ object Bench {
     // Driver contract: "queries" stays name -> one number (median).
     val qs = finalResults.map { case (k, v, _) => s"${jstr(k)}:${median(v)}" }
       .mkString("{", ",", "}")
+    // An adopted entry's stats are flagged IN PLACE (not only in the
+    // top-level recheck_adopted list), so a consumer reading one
+    // query's stats can tell a fresh-JVM-adopted median from an
+    // in-group one without cross-referencing.
     val stats = finalResults.map { case (k, v, _) =>
-      s"""${jstr(k)}:{"min":${if (v.isEmpty) 0.0 else v.min},"median":${median(v)},"runs":[${v.mkString(",")}]}"""
+      val adoptedFlag = if (adoptedSet(k)) ""","adopted":true""" else ""
+      s"""${jstr(k)}:{"min":${if (v.isEmpty) 0.0 else v.min},"median":${median(v)},"runs":[${v.mkString(",")}]$adoptedFlag}"""
     }.mkString("{", ",", "}")
     val failed = finalResults.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
@@ -341,7 +374,8 @@ object Bench {
     val slowest = finalResults.sortBy(r => -median(r._2)).take(10)
       .map { case (k, v, _) => s"${jstr(k)}:${median(v)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${finalResults.size},"n_failed":${finalResults.count(_._3.nonEmpty)},"slowest":$slowest,"isolation":"$isolation","n_groups":${groups.size},"fresh_jvm_recheck":$recheckJson,"recheck_max_inflation":$maxRatio,"recheck_adopted":$adoptedJson,"sf":"$sfDir","reps":$REPS}""")
+    val midpackJson = midpackNames.map(jstr).mkString("[", ",", "]")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${finalResults.size},"n_failed":${finalResults.count(_._3.nonEmpty)},"slowest":$slowest,"isolation":"$isolation","n_groups":${groups.size},"fresh_jvm_recheck":$recheckJson,"recheck_max_inflation":$maxRatio,"recheck_adopted":$adoptedJson,"recheck_seed":$recheckSeed,"recheck_midpack":$midpackJson,"sf":"$sfDir","reps":$REPS}""")
   }
 
   /** Fallback when a fork fails: time ONE group in-process with a

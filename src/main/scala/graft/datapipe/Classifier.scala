@@ -416,4 +416,55 @@ object Classifier {
       .select(col("bin"), col("n"), col("n_pos"), col("confidence"),
         col("accuracy"), col("ece"))
   }
+
+  /** Temperature-scaling fit (Guo et al. 2017 §4.2 — the one-
+    * parameter calibration that fixes most of a modern classifier's
+    * overconfidence): grid-search T minimizing the negative log
+    * likelihood of p = σ(score/T) against the labels. Where
+    * [[calibration]] DIAGNOSES miscalibration (ECE), this picks the
+    * correction a soft-sampling consumer would actually apply before
+    * using scores as probabilities.
+    *
+    * Determinism/portability: p = round6(σ(score/T)) (the libm
+    * convention), clamped into [1e−6, 1−1e−6] AFTER the round so a
+    * saturated sigmoid never reaches ln(0); each NLL term rounds to
+    * 8 dp and sums as DECIMAL(28,8); the readout rounds to 6 dp ON
+    * the decimal. Best-T selection is min (nll, T) — a tie resolves
+    * to the smaller temperature, stated rather than accidental.
+    *
+    * Scale shape: docs × |grid| rows through ONE map-side-combined
+    * rollup to |grid| rows; everything after is grid-sized with the
+    * argmin coming back as a one-row broadcast. The grid is a
+    * bounded literal — never a second corpus pass per T.
+    *
+    * Output: (t, n_docs, nll, is_best) — |grid| rows.
+    */
+  def temperatureFit(scored: DataFrame, scoreCol: String, labelCol: String,
+                     grid: Seq[Double] =
+                       Seq(0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0))
+      : DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ > 0),
+      s"temperature grid must be positive and non-empty, got $grid")
+    require(grid.distinct.size == grid.size, s"duplicate grid entries: $grid")
+    val rows = scored.select(col(scoreCol).as("score"),
+      col(labelCol).cast("boolean").as("y"),
+      explode(typedlit(grid)).as("t"))
+    val p0 = round(lit(1.0) / (lit(1.0) + exp(-col("score") / col("t"))), 6)
+    val p = least(greatest(p0, lit(0.000001)), lit(0.999999))
+    val term = round(-when(col("y"), log(p))
+      .otherwise(log(lit(1.0) - p)), 8)
+    val perT = rows.select(col("t"), term.as("nll8"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nll8").cast("decimal(28,8)")).as("s"))
+      .select(col("t"), col("n_docs"),
+        round(col("s"), 6).cast("double").as("nll"))
+      .stage()
+    val bestT = perT
+      .agg(min(struct(col("nll").as("v"), col("t").as("tt"))).as("b"))
+      .select(col("b.tt").as("best_t"))
+    perT.crossJoin(broadcast(bestT))
+      .select(col("t"), col("n_docs"), col("nll"),
+        (col("t") === col("best_t")).as("is_best"))
+  }
 }

@@ -187,6 +187,150 @@ object Preference {
           .otherwise(lit(null).cast("double")).as("advantage")): _*)
   }
 
+  /** Best-of-n rejection sampling (Nakano et al. 2021 WebGPT §3.2 /
+    * Stiennon et al. 2020 §3 — the simplest inference-time RLHF
+    * baseline and the data-side selector behind rejection-sampling
+    * fine-tuning): inside each group (all completions of one prompt;
+    * here any caller-chosen stratum) pick the completion with the
+    * highest integer reward, deterministically (ties → smallest id),
+    * and report the runner-up margin — the selection-confidence
+    * readout (a margin-0 group's "best" is a coin flip the
+    * deterministic tie-break merely freezes; downstream consumers
+    * filter on it).
+    *
+    * Scale shape: two map-side-combined rollups (argmax via the
+    * max-of-struct trick — (reward, −id) so equal rewards resolve to
+    * the SMALLEST id — then the runner-up over best-row-excluded
+    * rows) plus one group-keyed join between them; never a window,
+    * never driver state. Singleton groups read NULL
+    * second_reward/margin.
+    *
+    * Output: (groupCols…, n_candidates, best_id, best_reward,
+    * second_reward, margin).
+    */
+  def bestOfN(df: DataFrame, idCol: String, reward: Column,
+              groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "bestOfN needs >= 1 group column")
+    val grp = groupCols.map(col)
+    val scored = df.select(
+      col(idCol).cast("long").as("cand_id") +:
+        reward.cast("bigint").as("reward") +: grp: _*)
+    val best = scored.groupBy(grp: _*).agg(
+      max(struct(col("reward").as("r"), (-col("cand_id")).as("nid"))).as("b"),
+      count(lit(1)).as("n_candidates"))
+      .select(grp ++ Seq(col("n_candidates"),
+        (-col("b.nid")).as("best_id"), col("b.r").as("best_reward")): _*)
+    val second = scored.join(best, groupCols)
+      .filter(col("cand_id") =!= col("best_id"))
+      .groupBy(grp: _*)
+      .agg(max(col("reward")).as("second_reward"))
+    best.join(second, groupCols, "left")
+      .select(grp ++ Seq(col("n_candidates"), col("best_id"),
+        col("best_reward"), col("second_reward"),
+        (col("best_reward") - col("second_reward")).as("margin")): _*)
+  }
+
+  /** T156: verbosity-bias diagnosis (Singhal et al. 2023, "A Long Way
+    * to Go: Investigating Length Correlations in RLHF"): per group,
+    * the Pearson correlation of reward with length plus the OLS
+    * slope/intercept of reward on length — the readout that tells a
+    * preference pipeline whether its reward signal is secretly a
+    * length counter (corr near 1 means the policy will learn to be
+    * verbose, not good) and how many reward points each extra length
+    * unit buys (the slope a residualizer would subtract).
+    *
+    * Exactness: rewards and lengths are exact integers; the five
+    * sums are one map-side-combined rollup, and every closed-form
+    * readout forms its products in DOUBLE (exact to 2^53, the
+    * [[groupAdvantage]] convention — n·Σrl wraps a long silently),
+    * evaluates one fixed IEEE expression tree, and rounds to 6 dp.
+    * Intercept comes from the closed form (Σr·Σl² − Σl·Σrl)/det —
+    * never "mean − slope·mean" on intermediate roundings. Zero
+    * length-variance groups read NULL slope/intercept/corr; zero
+    * reward-variance groups read corr NULL, slope 0.
+    *
+    * Scale shape: ONE rollup straight to the group dimension;
+    * nothing after it exceeds (group, 6 sums) rows.
+    *
+    * Output: (groupCols…, n_pairs, corr, slope, intercept).
+    */
+  def lengthBias(df: DataFrame, reward: Column, len: Column,
+                 groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "lengthBias needs >= 1 group column")
+    val grp = groupCols.map(col)
+    val scored = df.select(
+      reward.cast("bigint").as("r") +: len.cast("bigint").as("l") +: grp: _*)
+    val agg = scored.groupBy(grp: _*).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("r")).as("sr"), sum(col("l")).as("sl"),
+      sum(col("r") * col("l")).as("srl"),
+      sum(col("r") * col("r")).as("srr"),
+      sum(col("l") * col("l")).as("sll"))
+    def d(c: String): Column = col(c).cast("double")
+    val n = d("n_pairs")
+    val cov = n * d("srl") - d("sr") * d("sl")
+    val varR = n * d("srr") - d("sr") * d("sr")
+    val varL = n * d("sll") - d("sl") * d("sl")
+    agg.select(grp ++ Seq(
+      col("n_pairs"),
+      when(varR > 0 && varL > 0, round(cov / sqrt(varR * varL), 6))
+        .otherwise(lit(null).cast("double")).as("corr"),
+      when(varL > 0, round(cov / varL, 6))
+        .otherwise(lit(null).cast("double")).as("slope"),
+      when(varL > 0, round((d("sr") * d("sll") - d("sl") * d("srl"))
+          / varL, 6))
+        .otherwise(lit(null).cast("double")).as("intercept")): _*)
+  }
+
+  /** T157: Cohen's kappa (Cohen 1960) between two raters per group —
+    * chance-corrected agreement, the QA statistic annotation
+    * pipelines gate label batches on (two raters who agree 80% of
+    * the time on a 90/10 label split are AT chance; raw percent
+    * agreement hides that). Here the raters are any two boolean
+    * verdict columns — human annotators, two quality classifiers, a
+    * model-vs-heuristic pair.
+    *
+    * With n items, `agree` exact matches, and marginals a₁ = Σ A,
+    * b₁ = Σ B:   pₒ = agree/n,   pₑ = (a₁b₁ + a₀b₀)/n²,
+    *   κ = (n·agree − a₁b₁ − a₀b₀) / (n² − a₁b₁ − a₀b₀)
+    * — the all-integer-counts form, products in DOUBLE (exact to
+    * 2^53, the [[groupAdvantage]] convention), one IEEE division,
+    * 6-dp round. When both raters are constant (pₑ = 1, denominator
+    * 0) κ reads NULL — agreement carries no information. pₒ is the
+    * exact HALF_UP ratio ([[graft.functions.ExactRound]]); pₑ rounds
+    * its double to 6 dp.
+    *
+    * Scale shape: ONE map-side-combined rollup of four counters to
+    * the group dimension; no joins, no windows.
+    *
+    * Output: (groupCols…, n_items, n_agree, po, pe, kappa).
+    */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column,
+                 groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "cohenKappa needs >= 1 group column")
+    val grp = groupCols.map(col)
+    val scored = df.select(
+      raterA.cast("boolean").as("a") +: raterB.cast("boolean").as("b")
+        +: grp: _*)
+    val agg = scored.groupBy(grp: _*).agg(
+      count(lit(1)).as("n_items"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"),
+      sum(when(col("a"), 1L).otherwise(0L)).as("a1"),
+      sum(when(col("b"), 1L).otherwise(0L)).as("b1"))
+    def d(c: String): Column = col(c).cast("double")
+    val n = d("n_items")
+    val peNum = d("a1") * d("b1") +
+      (n - d("a1")) * (n - d("b1"))
+    val den = n * n - peNum
+    agg.select(grp ++ Seq(
+      col("n_items"), col("n_agree"),
+      graft.functions.ExactRound.ratio6(col("n_agree"), col("n_items"))
+        .as("po"),
+      round(peNum / (n * n), 6).as("pe"),
+      when(den > 0, round((n * d("n_agree") - peNum) / den, 6))
+        .otherwise(lit(null).cast("double")).as("kappa")): _*)
+  }
+
   /** The engines' shared portable fold (see [[Similarity]]): Σ
     * round8(x) accumulated as DECIMAL, returned as its double image.
     */

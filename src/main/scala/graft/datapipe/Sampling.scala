@@ -334,6 +334,47 @@ object Sampling {
         round(pTemp / pRaw, 6).as("boost"))
   }
 
+  /** One DoReMi-style multiplicative-weights update of the domain
+    * mixture (Xie et al. 2023, arXiv:2305.10429 §3 — Group DRO over
+    * domains): starting from uniform weights, each source is
+    * up-weighted by exp(η · excess_s) and the result renormalized —
+    * domains the current mixture models WORST gain weight. The
+    * paper's excess loss (proxy-vs-reference per-domain loss gap)
+    * needs two trained models; the deterministic in-corpus stand-in
+    * here is KL(p_s ‖ q) ([[TextAnalysis.sourceDivergence]]): how far
+    * the source's unigram distribution sits from the mixture — the
+    * same "this domain is under-served" signal, computable exactly.
+    *
+    * Portability: w₀ = the engine-exact integer rounding of 1/k
+    * ([[graft.functions.ExactRound]]); excess = round6(exp(η·kl))
+    * (the libm convention); u = round8(w₀·excess); Z sums the u as
+    * exact DECIMAL(28,8); weight = round6(u/Z). Every chain both
+    * engines replay bit-for-bit under the catalog's conventions.
+    *
+    * Scale shape: [[TextAnalysis.sourceDivergence]]'s one token-count
+    * shuffle; everything after runs on the source-dimension-sized
+    * frame with the two scalars (k, Z) coming back as one-row
+    * broadcasts. Never driver state, never a window.
+    *
+    * Output: (source, n_tokens, kl, excess, weight) — one row per
+    * source; weights sum to ≈ 1 (6-dp rounding).
+    */
+  def doremiWeights(docs: DataFrame, textCol: String, sourceCol: String,
+                    eta: Double = 1.0): DataFrame = {
+    require(eta > 0, s"DoReMi step size must be positive, got $eta")
+    val kl = TextAnalysis.sourceDivergence(docs, textCol, sourceCol)
+      .select(col("source"), col("n_tokens"), col("kl")).stage()
+    val k = kl.agg(count(lit(1)).as("k"))
+    val u = kl.crossJoin(broadcast(k))
+      .withColumn("w0", graft.functions.ExactRound.ratio(lit(1L), col("k"), 8))
+      .withColumn("excess", round(exp(lit(eta) * col("kl")), 6))
+      .withColumn("u", round(col("w0") * col("excess"), 8))
+    val z = u.agg(sum(col("u").cast("decimal(28,8)")).as("z"))
+    u.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"), col("kl"), col("excess"),
+        round(col("u") / col("z").cast("double"), 6).as("weight"))
+  }
+
   /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
     * spread a global token budget as uniformly as possible across
     * sources while never repeating any source more than `epochCap`

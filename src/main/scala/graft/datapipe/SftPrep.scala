@@ -149,6 +149,122 @@ object SftPrep {
       md5(targets).as("targets_md5"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022,
+    * arXiv:2207.14255): rewrite a document as
+    * PSM `<PRE>prefix<SUF>suffix<MID>middle` or the joint SPM
+    * variant `<SUF>suffix<PRE>prefix<MID>middle` — the data-side
+    * trick that teaches an autoregressive code/text model to infill
+    * without changing its architecture. Splits are CHARACTER-level
+    * (the paper's §3 finding: char-level spans beat token-level) and
+    * the FIM rate is the paper's 50%: mode and both cut points are
+    * pure functions of salted md5 hashes of the document id, so the
+    * transform is deterministic, zero-shuffle, and stream-safe, and
+    * an external engine replays the exact byte output (`fim_md5` is
+    * the byte contract, the [[renderConversations]] convention).
+    *
+    * Cut points: a, b ∈ [1, n] from two salted hashes; prefix =
+    * [1, min), middle = [min, max), suffix = [max, n] — every char
+    * lands in exactly one segment, empty segments are legal (the
+    * paper keeps degenerate splits; they teach the empty-span
+    * cases). Null/empty documents pass through as mode `orig`.
+    *
+    * Output: (id, mode, n_prefix, n_middle, n_suffix, fim_len,
+    * fim_md5).
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    def h(salt: String): Column =
+      TextAnalysis.md5Long60(concat(lit(salt), id.cast("string")))
+    val text = col(textCol)
+    val n = length(text).cast("bigint")
+    val mode0 = pmod(h("fim_m:"), lit(4L))
+    val a = lit(1L) + pmod(h("fim_a:"), n)
+    val b = lit(1L) + pmod(h("fim_b:"), n)
+    val lo = least(a, b)
+    val hi = greatest(a, b)
+    val prefix = text.substr(lit(1L), lo - 1)
+    val middle = text.substr(lo, hi - lo)
+    val suffix = text.substr(hi, n - hi + 1)
+    val mode = when(n.isNull || n === 0 || mode0 < 2, lit("orig"))
+      .when(mode0 === 2, lit("psm")).otherwise(lit("spm"))
+    val out = when(mode === "psm",
+        concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+          lit("<MID>"), middle))
+      .when(mode === "spm",
+        concat(lit("<SUF>"), suffix, lit("<PRE>"), prefix,
+          lit("<MID>"), middle))
+      .otherwise(text)
+    docs.select(id,
+      mode.as("mode"),
+      when(mode === "orig", lit(0L)).otherwise(lo - 1).as("n_prefix"),
+      when(mode === "orig", lit(0L)).otherwise(hi - lo).as("n_middle"),
+      when(mode === "orig", lit(0L)).otherwise(n - hi + 1).as("n_suffix"),
+      length(out).cast("bigint").as("fim_len"),
+      md5(out).as("fim_md5"))
+  }
+
+  /** T158: per-turn loss-mask span table for the
+    * [[renderConversations]] render — the (char_start, char_end,
+    * trains) offsets a training loader actually consumes to zero the
+    * loss on non-assistant spans. Where T136 certifies the render
+    * BYTES and the aggregate mask accounting, this emits the span
+    * STRUCTURE: one row per (document, turn) with the turn's role,
+    * its 1-based inclusive character range inside the render, and
+    * whether the SFT objective trains on it (assistant turns only).
+    * Offsets are pure arithmetic over the same deterministic turn
+    * renders — span j starts at j (newline separators) + Σ_{i<j}
+    * len_i + 1 — so consecutive spans tile the render exactly
+    * (end_j + 2 = start_{j+1}, and the last end is the render
+    * length, both spec-pinned against [[renderConversations]]).
+    *
+    * Scale shape: per-row expressions + one explode of the bounded
+    * per-document turn array — ZERO shuffle, stream-safe. The prefix
+    * sums run inside the row (aggregate over slice, O(turns²) per
+    * document with turns ≤ n_tokens/turnTokens — trivial against the
+    * render walk itself).
+    *
+    * Output: (id, turn_idx, role, char_start, char_end, span_chars,
+    * trains).
+    */
+  def lossMaskSpans(docs: DataFrame, idCol: String, textCol: String,
+                    turnTokens: Int = 8): DataFrame = {
+    require(turnTokens >= 1, s"turnTokens must be >= 1, got $turnTokens")
+    val w = lit(turnTokens.toLong)
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val n = size(toks).cast("bigint")
+    val nTurns = (((n + w - lit(1L)) - (n + w - lit(1L)) % w) / w)
+      .cast("bigint")
+    def turnRender(ts: Column, i: Column): Column = concat(
+      lit("<|"),
+      when(i % 2 === 0, lit("user")).otherwise(lit("assistant")),
+      lit("|> "),
+      array_join(slice(ts, (i * w + lit(1L)).cast("int"),
+        lit(turnTokens)), " "),
+      lit(" <|eot|>"))
+    val withLens = docs.select(col(idCol), toks.as("__toks"),
+        nTurns.as("__nt"))
+      .withColumn("__lens", transform(
+        sequence(lit(0L), col("__nt") - lit(1L)),
+        i => length(turnRender(col("__toks"), i)).cast("bigint")))
+    withLens
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L), col("__nt") - lit(1L)), i => struct(
+          when(i % 2 === 0, lit("user")).otherwise(lit("assistant"))
+            .as("role"),
+          (i + aggregate(slice(col("__lens"), lit(1), i.cast("int")),
+            lit(0L), (acc, x) => acc + x) + lit(1L)).as("char_start"),
+          element_at(col("__lens"), (i + lit(1L)).cast("int"))
+            .as("span_chars")))))
+      .select(col(idCol),
+        col("pos").cast("bigint").as("turn_idx"),
+        col("col.role").as("role"),
+        col("col.char_start").as("char_start"),
+        (col("col.char_start") + col("col.span_chars") - lit(1L))
+          .as("char_end"),
+        col("col.span_chars").as("span_chars"),
+        (col("pos") % 2 === 1).as("trains"))
+  }
+
   /** DPO-style preference-pair mining: inside each group (the
     * MATCHED stratum — same source, same length bucket, … — so the
     * preference signal is quality, not confounders), rank documents

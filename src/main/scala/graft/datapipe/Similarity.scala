@@ -468,6 +468,9 @@ object Similarity {
     val perSrc = j.groupBy(col("source"))
       .agg(graft.functions.VecAgg.vecSum(col("q")).as("sv"),
         count(lit(1)).as("ns"))
+      .stage() // source-sized; both the per-source and the derived
+               // global branch read it — staging keeps the corpus
+               // rollup to ONE run
     val ps = perSrc.select(col("source"), col("ns"),
       posexplode(col("sv")).as(Seq("pos", "ss")))
     val gs = ps.groupBy(col("pos"))

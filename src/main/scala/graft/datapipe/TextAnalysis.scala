@@ -905,4 +905,119 @@ object TextAnalysis {
     }
     perN.reduce(_ unionByName _)
   }
+
+  /** T154: Heaps'-law vocabulary-growth fit per group (Heaps 1978;
+    * the V(n) = K·n^β law every tokenizer-budget plan starts from).
+    * Each document contributes one (ln n_tokens, ln n_distinct)
+    * point; the per-group OLS slope IS the Heaps exponent β — how
+    * fast this source keeps minting new vocabulary as it grows — and
+    * the intercept is ln K. Sources with β near 1 are open-ended
+    * (code, user IDs, URLs — vocabulary grows linearly and a fixed
+    * subword vocab will fragment them); prose sits near 0.4–0.6.
+    *
+    * Portability is the [[zipfSlope]] convention: ln() is the only
+    * inexact surface, so both engines round each log to 8 dp and
+    * accumulate the regression sums as exact decimals; the
+    * closed-form slope and intercept then divide identical doubles,
+    * rounded to 6 dp. Word-camp tokenization; zero-word documents
+    * carry no point. Degenerate groups (all docs the same length —
+    * x-variance 0) read NULL slope and intercept.
+    *
+    * Scale shape: ONE map-side-combined rollup straight to the
+    * group dimension — the per-document distinct count is a per-row
+    * fold (`array_distinct`, no token explode), so nothing between
+    * the scan and the group-sized aggregate ever shuffles more than
+    * (group, 6 sums) rows.
+    *
+    * Output: (group, n_docs, heaps_beta, heaps_lnk).
+    */
+  def heapsFit(docs: DataFrame, textCol: String,
+               groupCol: String): DataFrame = {
+    val ws = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    val n = size(ws).cast("bigint")
+    val v = size(array_distinct(ws)).cast("bigint")
+    val pts = docs
+      .select(col(groupCol).as("grp"), n.as("n"), v.as("v"))
+      .filter(col("n") >= 1)
+    val x = round(log(col("n").cast("double")), 8).cast("decimal(18,8)")
+    val y = round(log(col("v").cast("double")), 8).cast("decimal(18,8)")
+    val agg = pts.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+    def d(c: Column): Column = c.cast("double")
+    val nD = col("n_docs").cast("double")
+    val denom = nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val betaRaw = (nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / denom
+    agg.select(col("grp").as(groupCol), col("n_docs"),
+      when(denom === 0.0, lit(null).cast("double"))
+        .otherwise(round(betaRaw, 6)).as("heaps_beta"),
+      // intercept in closed form (sy·sxx − sx·sxy)/denom, so both
+      // engines evaluate one identical expression tree — never
+      // "mean minus slope·mean" on intermediate roundings
+      when(denom === 0.0, lit(null).cast("double"))
+        .otherwise(round((d(col("sy")) * d(col("sxx"))
+          - d(col("sx")) * d(col("sxy"))) / denom, 6)).as("heaps_lnk"))
+  }
+
+  /** T155: robust outlier gate per group — median/MAD instead of
+    * mean/σ, the length-distribution screen that heavy-tailed web
+    * corpora actually need (one 10 MB page moves a mean+std gate's
+    * threshold corpus-wide; it moves the median not at all). A
+    * document is flagged when |len − median| > k·MAD. Everything is
+    * INTEGER arithmetic end-to-end (lower median: the value at
+    * 1-based position ⌈n/2⌉ = (n+1) div 2 of the sorted multiset) —
+    * no interpolation, no floats, bit-identical in any engine.
+    *
+    * Scale shape: the corpus-sized stage is ONE map-side-combined
+    * histogram rollup to (group, len) rows; the median and the MAD
+    * come from cumulative sums over that HISTOGRAM (windows over
+    * distinct values per group, never over documents), the deviation
+    * histogram is a re-key of the first, and the outlier count is a
+    * filtered re-aggregation — after the first rollup nothing is
+    * larger than the distinct-length dimension.
+    *
+    * Output: (group, n_docs, med, mad, n_outliers, outlier_frac).
+    */
+  def robustOutliers(docs: DataFrame, textCol: String, groupCol: String,
+                     k: Int = 5): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val ws = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    val hist = docs
+      .select(col(groupCol).as("grp"), size(ws).cast("bigint").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
+      .stage()
+    val tot = hist.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n_docs"))
+    def lowerMedian(h: DataFrame, valCol: String): DataFrame = {
+      // 1-based position of the lower median: m = (n+1) div 2 —
+      // subtract the remainder before dividing so the division is
+      // exact in double and the bigint cast lossless (the repo's
+      // integer-div idiom)
+      val np1 = col("n_docs") + lit(1L)
+      val m = ((np1 - np1 % 2) / 2).cast("bigint")
+      val cum = h.join(tot, "grp")
+        .withColumn("cc", sum(col("cnt")).over(
+          Window.partitionBy(col("grp")).orderBy(col(valCol))))
+        .filter(col("cc") >= m)
+      cum.groupBy(col("grp")).agg(min(col(valCol)).as(s"med_$valCol"))
+    }
+    val med = lowerMedian(hist, "v")
+    val dev = hist.join(med, "grp")
+      .groupBy(col("grp"), abs(col("v") - col("med_v")).as("d"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .stage()
+    val mad = lowerMedian(dev, "d")
+    val outs = dev.join(mad, "grp")
+      .groupBy(col("grp"))
+      .agg(sum(when(col("d") > lit(k.toLong) * col("med_d"), col("cnt"))
+        .otherwise(lit(0L))).as("n_outliers"))
+    tot.join(med, "grp").join(mad, "grp").join(outs, "grp")
+      .select(col("grp").as(groupCol), col("n_docs"),
+        col("med_v").as("med"), col("med_d").as("mad"),
+        col("n_outliers"),
+        graft.functions.ExactRound.ratio6(col("n_outliers"), col("n_docs"))
+          .as("outlier_frac"))
+  }
 }

@@ -419,15 +419,12 @@ object DataPipeQueries {
           ELSE raw END, 4) AS hll_est
       FROM fin JOIN exact ON exact.source = fin.source"""))
 
-  /** Per-source unigram KL divergence to the corpus distribution.
-    * The oracle rebuilds both distributions from exact counts and
-    * replays the 8-dp term rounding + exact decimal sum.
+  /** The per-source KL CTE chain shared by `text_source_kl` and
+    * `mix_doremi`: exact (source, token) counts, the corpus
+    * marginal, 8-dp KL terms, and the `klv` readout (source,
+    * n_tokens, n_distinct, kl).
     */
-  private val textSourceKl = QueryDef(
-    "text_source_kl",
-    (s, d) => TextAnalysis.sourceDivergence(
-      Tables.documents(s, d), "text", "source"),
-    Some("""WITH tk AS (SELECT source, u.t AS t
+  private val sourceKlCtes = """tk AS (SELECT source, u.t AS t
         FROM (SELECT source,
           list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
             x -> len(x) > 0) AS w FROM documents), UNNEST(w) u(t)),
@@ -443,11 +440,45 @@ object DataPipeQueries {
                (CAST(c_w AS DOUBLE) / CAST(n.n AS DOUBLE))), 8) AS term,
           n_s, n_distinct
         FROM csw JOIN cw ON cw.t = csw.t
-        JOIN ns ON ns.source = csw.source, n)
-      SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+        JOIN ns ON ns.source = csw.source, n),
+      klv AS MATERIALIZED (SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_tokens,
         MIN(n_distinct) AS n_distinct,
         CAST(round(SUM(CAST(term AS DECIMAL(28,8))), 6) AS DOUBLE) AS kl
-      FROM terms GROUP BY source"""))
+      FROM terms GROUP BY source)"""
+
+  /** Per-source unigram KL divergence to the corpus distribution.
+    * The oracle rebuilds both distributions from exact counts and
+    * replays the 8-dp term rounding + exact decimal sum.
+    */
+  private val textSourceKl = QueryDef(
+    "text_source_kl",
+    (s, d) => TextAnalysis.sourceDivergence(
+      Tables.documents(s, d), "text", "source"),
+    Some(s"""WITH $sourceKlCtes
+      SELECT source, n_tokens, n_distinct, kl FROM klv"""))
+
+  /** T152: one DoReMi multiplicative-weights round over the source
+    * mixture ([[graft.datapipe.Sampling.doremiWeights]], Xie et al.
+    * 2023) with KL(p_s ‖ q) as the deterministic excess-loss proxy.
+    * The oracle replays the KL chain, the engine-exact 1/k, the 6-dp
+    * exp, the 8-dp products, the decimal normalizer, and the 6-dp
+    * weight readout.
+    */
+  private val mixDoremi = QueryDef(
+    "mix_doremi",
+    (s, d) => graft.datapipe.Sampling.doremiWeights(
+      Tables.documents(s, d), "text", "source"),
+    Some(s"""WITH $sourceKlCtes,
+      kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM klv),
+      uu AS MATERIALIZED (SELECT source, n_tokens, kl,
+          round(exp(1.0 * kl), 6) AS excess,
+          round((((200000000 + k) // (2 * k)) / CAST(100000000 AS DOUBLE))
+            * round(exp(1.0 * kl), 6), 8) AS u
+        FROM klv, kk),
+      zz AS (SELECT SUM(CAST(u AS DECIMAL(28,8))) AS z FROM uu)
+      SELECT source, n_tokens, kl, excess,
+        round(u / CAST(z AS DOUBLE), 6) AS weight
+      FROM uu, zz"""))
 
   /** Reciprocal-rank fusion of three quality signals' top-100 lists:
     * stopword ratio (desc — the natural-language signal), bigram-LM
@@ -2261,6 +2292,44 @@ object DataPipeQueries {
         FROM cal, nt)
       SELECT bin, n, n_pos, confidence, accuracy, ece FROM cal, ec"""))
 
+  /** T153: temperature-scaling fit of the NB quality scorer
+    * ([[graft.datapipe.Classifier.temperatureFit]], Guo et al. 2017
+    * §4.2) — grid-search T minimizing NLL of σ(score/T). The oracle
+    * replays the score, the clamped 6-dp sigmoid per T, the 8-dp NLL
+    * terms, the decimal fold, and the (nll, t) argmin tie-break.
+    */
+  private val clfTemperature = QueryDef(
+    "clf_temperature",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = graft.datapipe.Classifier.naiveBayes(
+          docs, "doc_id", "text", nbLabel, buckets = 256)
+        .select(col("doc_id"), col("score"))
+      val labeled = docs.select(col("doc_id"), nbLabel.as("is_pos"))
+      graft.datapipe.Classifier.temperatureFit(
+        scored.join(labeled, Seq("doc_id")), "score", "is_pos")
+    },
+    Some(s"""WITH $nbLabelCtes,
+      sco AS MATERIALIZED (SELECT t.doc_id, lab.is_pos,
+          CAST(round(CAST(prior AS DECIMAL(28,8))
+            + COALESCE(s, CAST(0 AS DECIMAL(28,8))), 4) AS DOUBLE) AS score
+        FROM toks t LEFT JOIN ssum USING (doc_id)
+        JOIN lab ON lab.doc_id = t.doc_id, pri),
+      grid AS (SELECT unnest([0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0]::DOUBLE[]) AS t),
+      pp AS (SELECT t, is_pos,
+          least(greatest(round(1.0 / (1.0 + exp(-(score / t))), 6),
+            0.000001), 0.999999) AS p
+        FROM sco, grid),
+      terms AS (SELECT t,
+          round(-(CASE WHEN is_pos THEN ln(p) ELSE ln(1.0 - p) END), 8)
+            AS nll8
+        FROM pp),
+      pert AS MATERIALIZED (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(round(SUM(CAST(nll8 AS DECIMAL(28,8))), 6) AS DOUBLE) AS nll
+        FROM terms GROUP BY 1),
+      best AS (SELECT t AS best_t FROM pert ORDER BY nll ASC, t ASC LIMIT 1)
+      SELECT t, n_docs, nll, (t = best_t) AS is_best FROM pert, best"""))
+
   /** T145: GRPO-style group-relative advantage
     * ([[graft.datapipe.Preference.groupAdvantage]]) — standardize
     * the distinct-token reward within each source group via the
@@ -2296,6 +2365,308 @@ object DataPipeQueries {
               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6)
         ELSE NULL END AS advantage
       FROM t JOIN st USING (source)"""))
+
+  /** T151: best-of-n rejection sampling over the same per-source
+    * distinct-token reward as `rl_advantage`
+    * ([[graft.datapipe.Preference.bestOfN]]). The oracle replays the
+    * argmax with the (reward desc, id asc) tie-break and the
+    * runner-up margin via a rank window.
+    */
+  private val prefBestOfN = QueryDef(
+    "pref_best_of_n",
+    (s, d) => {
+      val toks = split(TextAnalysis.normalize(col("text")), " ")
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        size(array_distinct(toks)).cast("bigint").as("reward"))
+      graft.datapipe.Preference.bestOfN(
+        scored, "doc_id", col("reward"), Seq("source"))
+    },
+    Some("""WITH t AS (SELECT doc_id AS cand_id, source,
+        CAST(len(list_distinct(string_split(trim(
+          regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT)
+          AS reward
+        FROM documents),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY reward DESC, cand_id ASC) AS rn FROM t),
+      b AS (SELECT source, cand_id AS best_id, reward AS best_reward
+        FROM r WHERE rn = 1),
+      s2 AS (SELECT source, reward AS second_reward FROM r WHERE rn = 2),
+      nn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM t GROUP BY 1)
+      SELECT nn.source, n_candidates, best_id, best_reward, second_reward,
+        best_reward - second_reward AS margin
+      FROM nn JOIN b USING (source) LEFT JOIN s2 USING (source)"""))
+
+  /** T150: fill-in-the-middle transform
+    * ([[graft.datapipe.SftPrep.fimTransform]], Bavarian et al. 2022)
+    * — PSM/SPM sentinel rewrites at salted-hash character cuts, 50%
+    * FIM rate. The oracle replays the id hashing, the cut
+    * arithmetic, both sentinel layouts, and the byte-contract md5.
+    */
+  private val sftFim = QueryDef(
+    "sft_fim",
+    (s, d) => graft.datapipe.SftPrep.fimTransform(
+      Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH f AS (SELECT doc_id, text,
+        CAST(length(text) AS BIGINT) AS n,
+        ('0x' || substr(md5('fim_m:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS m0,
+        ('0x' || substr(md5('fim_a:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ha,
+        ('0x' || substr(md5('fim_b:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hb
+        FROM documents),
+      g AS (SELECT doc_id, text, n, m0,
+        CASE WHEN n > 0 THEN 1 + (ha % n) END AS a,
+        CASE WHEN n > 0 THEN 1 + (hb % n) END AS b FROM f),
+      h AS (SELECT doc_id, text, n, m0,
+        LEAST(a, b) AS lo, GREATEST(a, b) AS hi FROM g),
+      i AS (SELECT doc_id, text, n, lo, hi,
+        CASE WHEN n IS NULL OR n = 0 OR m0 < 2 THEN 'orig'
+             WHEN m0 = 2 THEN 'psm' ELSE 'spm' END AS mode,
+        substr(text, 1, lo - 1) AS pre,
+        substr(text, lo, hi - lo) AS mid,
+        substr(text, hi, n - hi + 1) AS suf FROM h),
+      o AS (SELECT doc_id, mode,
+        CASE WHEN mode = 'orig' THEN 0 ELSE lo - 1 END AS n_prefix,
+        CASE WHEN mode = 'orig' THEN 0 ELSE hi - lo END AS n_middle,
+        CASE WHEN mode = 'orig' THEN 0 ELSE n - hi + 1 END AS n_suffix,
+        CASE WHEN mode = 'psm' THEN '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid
+             WHEN mode = 'spm' THEN '<SUF>' || suf || '<PRE>' || pre || '<MID>' || mid
+             ELSE text END AS ot
+        FROM i)
+      SELECT doc_id, mode,
+        CAST(n_prefix AS BIGINT) AS n_prefix,
+        CAST(n_middle AS BIGINT) AS n_middle,
+        CAST(n_suffix AS BIGINT) AS n_suffix,
+        CAST(length(ot) AS BIGINT) AS fim_len,
+        md5(ot) AS fim_md5
+      FROM o"""))
+
+  /** T158: per-turn loss-mask span table
+    * ([[graft.datapipe.SftPrep.lossMaskSpans]]) — the (char_start,
+    * char_end, trains) offsets a training loader consumes. The
+    * oracle rebuilds every turn render, its length, and the prefix
+    * sums via a window over the exploded turn index.
+    */
+  private val sftLossMask = QueryDef(
+    "sft_loss_mask",
+    (s, d) => graft.datapipe.SftPrep.lossMaskSpans(
+      Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH d AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+        (CAST(len(w) AS BIGINT) + 7) // 8 AS nt FROM d),
+      turns AS (SELECT doc_id, CAST(t.i AS BIGINT) AS turn_idx,
+        CASE WHEN t.i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        CAST(length('<|' ||
+          (CASE WHEN t.i % 2 = 0 THEN 'user' ELSE 'assistant' END) ||
+          '|> ' ||
+          array_to_string(list_slice(w, t.i * 8 + 1,
+            least((t.i + 1) * 8, n)), ' ') || ' <|eot|>') AS BIGINT)
+          AS span_chars,
+        (t.i % 2 = 1) AS trains
+        FROM base, UNNEST(generate_series(0, nt - 1)) AS t(i)),
+      o AS (SELECT doc_id, turn_idx, role, span_chars, trains,
+        turn_idx + 1 + CAST(COALESCE(SUM(span_chars) OVER (
+          PARTITION BY doc_id ORDER BY turn_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS char_start
+        FROM turns)
+      SELECT doc_id, turn_idx, role, char_start,
+        char_start + span_chars - 1 AS char_end, span_chars, trains
+      FROM o"""))
+
+  /** T154: Heaps'-law vocabulary-growth fit per source
+    * ([[graft.datapipe.TextAnalysis.heapsFit]]) — the OLS slope over
+    * per-document (ln tokens, ln distinct) points is the Heaps
+    * exponent β. The oracle replays the 8-dp log rounding, the exact
+    * decimal regression sums, and the closed-form slope/intercept
+    * (the `corpus_zipf` convention).
+    */
+  private val vocabHeaps = QueryDef(
+    "vocab_heaps",
+    (s, d) => TextAnalysis.heapsFit(Tables.documents(s, d), "text", "source"),
+    Some("""WITH tk AS (SELECT source,
+        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0) AS w
+        FROM documents),
+      pts AS (SELECT source,
+          CAST(round(ln(CAST(len(w) AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+          CAST(round(ln(CAST(len(list_distinct(w)) AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+        FROM tk WHERE len(w) >= 1),
+      a AS (SELECT source, COUNT(*) AS n_docs,
+          SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM pts GROUP BY source)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        CASE WHEN CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+          ELSE round((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        END AS heaps_beta,
+        CASE WHEN CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+          ELSE round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+              / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        END AS heaps_lnk
+      FROM a"""))
+
+  /** T155: robust median/MAD outlier gate per source
+    * ([[graft.datapipe.TextAnalysis.robustOutliers]]) — all-integer
+    * lower-median arithmetic over the length HISTOGRAM. The oracle
+    * replays both histogram medians and the k·MAD gate.
+    */
+  private val textRobustOutliers = QueryDef(
+    "text_robust_outliers",
+    (s, d) => TextAnalysis.robustOutliers(
+      Tables.documents(s, d), "text", "source", k = 5),
+    Some("""WITH tk AS (SELECT source AS grp,
+        CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0)) AS BIGINT) AS v
+        FROM documents),
+      hist AS MATERIALIZED (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tk GROUP BY 1, 2),
+      tot AS MATERIALIZED (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_docs
+        FROM hist GROUP BY 1),
+      cum AS (SELECT h.grp, v, n_docs, CAST(SUM(cnt) OVER (
+          PARTITION BY h.grp ORDER BY v) AS BIGINT) AS cc
+        FROM hist h JOIN tot USING (grp)),
+      med AS MATERIALIZED (SELECT grp, MIN(v) AS med FROM cum
+        WHERE cc >= (n_docs + 1) // 2 GROUP BY 1),
+      dev AS MATERIALIZED (SELECT h.grp, abs(v - med) AS d,
+          CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM hist h JOIN med USING (grp) GROUP BY 1, 2),
+      cum2 AS (SELECT dv.grp, d, n_docs, CAST(SUM(cnt) OVER (
+          PARTITION BY dv.grp ORDER BY d) AS BIGINT) AS cc
+        FROM dev dv JOIN tot USING (grp)),
+      mad AS MATERIALIZED (SELECT grp, MIN(d) AS mad FROM cum2
+        WHERE cc >= (n_docs + 1) // 2 GROUP BY 1),
+      outs AS (SELECT dv.grp, CAST(SUM(CASE WHEN d > 5 * mad THEN cnt
+          ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev dv JOIN mad USING (grp) GROUP BY 1)
+      SELECT t.grp AS source, n_docs, med, mad, n_outliers,
+        ((2 * n_outliers * 1000000 + n_docs) // (2 * n_docs)) / 1000000.0
+          AS outlier_frac
+      FROM tot t JOIN med USING (grp) JOIN mad USING (grp)
+        JOIN outs USING (grp)"""))
+
+  /** T156: verbosity-bias diagnosis
+    * ([[graft.datapipe.Preference.lengthBias]]) over the same
+    * distinct-token reward as `rl_advantage`, with character length
+    * as the length signal. The oracle replays the five-sum rollup
+    * and the double-product closed forms.
+    */
+  private val prefLengthBias = QueryDef(
+    "pref_length_bias",
+    (s, d) => {
+      val toks = split(TextAnalysis.normalize(col("text")), " ")
+      graft.datapipe.Preference.lengthBias(
+        Tables.documents(s, d).select(col("source"),
+          size(array_distinct(toks)).cast("bigint").as("reward"),
+          length(col("text")).cast("bigint").as("len")),
+        col("reward"), col("len"), Seq("source"))
+    },
+    Some("""WITH t AS (SELECT source,
+        CAST(len(list_distinct(string_split(trim(
+          regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT)
+          AS r,
+        CAST(length(text) AS BIGINT) AS l
+        FROM documents),
+      a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(r) AS BIGINT) AS sr, CAST(SUM(l) AS BIGINT) AS sl,
+          CAST(SUM(r * l) AS BIGINT) AS srl,
+          CAST(SUM(r * r) AS BIGINT) AS srr,
+          CAST(SUM(l * l) AS BIGINT) AS sll
+        FROM t GROUP BY 1)
+      SELECT source, n_pairs,
+        CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(srr AS DOUBLE)
+                - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) > 0
+            AND CAST(n_pairs AS DOUBLE) * CAST(sll AS DOUBLE)
+                - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) > 0
+          THEN round((CAST(n_pairs AS DOUBLE) * CAST(srl AS DOUBLE)
+                - CAST(sr AS DOUBLE) * CAST(sl AS DOUBLE))
+              / sqrt((CAST(n_pairs AS DOUBLE) * CAST(srr AS DOUBLE)
+                  - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                * (CAST(n_pairs AS DOUBLE) * CAST(sll AS DOUBLE)
+                  - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE))), 6)
+        END AS corr,
+        CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sll AS DOUBLE)
+                - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) > 0
+          THEN round((CAST(n_pairs AS DOUBLE) * CAST(srl AS DOUBLE)
+                - CAST(sr AS DOUBLE) * CAST(sl AS DOUBLE))
+              / (CAST(n_pairs AS DOUBLE) * CAST(sll AS DOUBLE)
+                - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)), 6)
+        END AS slope,
+        CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sll AS DOUBLE)
+                - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) > 0
+          THEN round((CAST(sr AS DOUBLE) * CAST(sll AS DOUBLE)
+                - CAST(sl AS DOUBLE) * CAST(srl AS DOUBLE))
+              / (CAST(n_pairs AS DOUBLE) * CAST(sll AS DOUBLE)
+                - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)), 6)
+        END AS intercept
+      FROM a"""))
+
+  /** T157: Cohen's kappa between two heuristic quality raters
+    * ([[graft.datapipe.Preference.cohenKappa]]) — rater A the
+    * stopword-density gate (5·stopword_hits ≥ words), rater B the
+    * lexical-diversity gate (10·distinct ≥ 7·words). The oracle
+    * replays the four counters and the all-integer-counts kappa.
+    */
+  private val prefKappa = QueryDef(
+    "pref_kappa",
+    (s, d) => {
+      val ws = filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)
+      val n = size(ws).cast("bigint")
+      val v = size(array_distinct(ws)).cast("bigint")
+      graft.datapipe.Preference.cohenKappa(
+        Tables.documents(s, d),
+        TextAnalysis.stopwordCount(col("text")) * 5 >= n,
+        v * 10 >= n * 7,
+        Seq("source"))
+    },
+    Some("""WITH t AS (SELECT source,
+        (CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 5
+          >= CAST(len(list_filter(string_split(trim(
+            regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+            x -> len(x) > 0)) AS BIGINT)) AS a,
+        (CAST(len(list_distinct(list_filter(string_split(trim(
+            regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+            x -> len(x) > 0))) AS BIGINT) * 10
+          >= CAST(len(list_filter(string_split(trim(
+            regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+            x -> len(x) > 0)) AS BIGINT) * 7) AS b
+        FROM documents),
+      g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+          CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+          CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b1
+        FROM t GROUP BY 1)
+      SELECT source, n_items, n_agree,
+        ((2 * n_agree * 1000000 + n_items) // (2 * n_items)) / 1000000.0
+          AS po,
+        round((CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+            + (CAST(n_items AS DOUBLE) - CAST(a1 AS DOUBLE))
+              * (CAST(n_items AS DOUBLE) - CAST(b1 AS DOUBLE)))
+          / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)), 6) AS pe,
+        CASE WHEN CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)
+            - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+              + (CAST(n_items AS DOUBLE) - CAST(a1 AS DOUBLE))
+                * (CAST(n_items AS DOUBLE) - CAST(b1 AS DOUBLE))) > 0
+          THEN round((CAST(n_items AS DOUBLE) * CAST(n_agree AS DOUBLE)
+              - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+                + (CAST(n_items AS DOUBLE) - CAST(a1 AS DOUBLE))
+                  * (CAST(n_items AS DOUBLE) - CAST(b1 AS DOUBLE))))
+            / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)
+              - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+                + (CAST(n_items AS DOUBLE) - CAST(a1 AS DOUBLE))
+                  * (CAST(n_items AS DOUBLE) - CAST(b1 AS DOUBLE)))), 6)
+        END AS kappa
+      FROM g"""))
 
   /** Token Shannon entropy per document: the fold runs over per-row
     * sorted runs, the oracle over a count groupBy — the exact
@@ -5276,6 +5647,9 @@ object DataPipeQueries {
     prefWinrate, prefBtSources, canaryAudit, mixAblationKl,
     clfCalibration, rlAdvantage, dedupSentences, sourceReport,
     evalPassAtK,
+    sftFim, prefBestOfN, mixDoremi, clfTemperature,
+    sftLossMask, vocabHeaps, textRobustOutliers, prefLengthBias,
+    prefKappa,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

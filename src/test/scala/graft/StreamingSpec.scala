@@ -1242,4 +1242,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.size === 5, "3 origins + 2 leak hosts (ids 3 and 5)")
   }
+
+  test("FIM transform and loss-mask spans stream statelessly and match " +
+    "their batch twins byte-for-byte") {
+    // both are pure per-row rewrites (zero-exchange plan pins in
+    // RoundThirteenPlanSpec), so they deploy unchanged on an ingest
+    // stream — fim_md5 certifies the sentinel bytes, the span rows
+    // certify the mask structure, across execution modes
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq((1L, "fill in the middle of this one"),
+      (2L, ""), (3L, "abcdefghijklmnop"), (5L, "a b c d e f g h i j"))
+    def fim(df: org.apache.spark.sql.DataFrame) =
+      graft.datapipe.SftPrep.fimTransform(df, "doc_id", "text")
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      graft.datapipe.SftPrep.lossMaskSpans(df, "doc_id", "text",
+        turnTokens = 4)
+    val in = MemoryStream[(Long, String)]
+    val streamDf = in.toDF().toDF("doc_id", "text")
+    val q1 = fim(streamDf).writeStream.format("memory")
+      .queryName("fim_stream").outputMode(OutputMode.Append).start()
+    val q2 = spans(streamDf).writeStream.format("memory")
+      .queryName("mask_stream").outputMode(OutputMode.Append).start()
+    in.addData(texts: _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    def rows(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.toSeq).toSet
+    assert(rows(spark.table("fim_stream").collect()) ===
+      rows(fim(texts.toDF("doc_id", "text")).collect()))
+    assert(rows(spark.table("mask_stream").collect()) ===
+      rows(spans(texts.toDF("doc_id", "text")).collect()))
+    assert(spark.table("mask_stream").count() > texts.size,
+      "multi-turn docs must emit one row per turn")
+  }
 }
