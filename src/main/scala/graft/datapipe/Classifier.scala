@@ -467,4 +467,65 @@ object Classifier {
       .select(col("t"), col("n_docs"), col("nll"),
         (col("t") === col("best_t")).as("is_best"))
   }
+
+  /** T161: confident-learning label-noise estimate (Northcutt et al.
+    * 2021, "Confident Learning", JAIR — the cleanlab recipe,
+    * binary): for each given label i, count the examples the
+    * classifier CONFIDENTLY assigns to the other class — confidence
+    * thresholds are per-class mean self-probabilities, t_j = mean of
+    * p_j over examples labeled j, so the count is an estimate of
+    * how many labels in class i are wrong. The flip rate is the
+    * per-class noise readout a labeling pipeline gates re-annotation
+    * on.
+    *
+    * Determinism/portability: p₁ = round6(σ(score)) and
+    * p₀ = round6(σ(−score)) — BOTH sides through the libm sigmoid
+    * (never 1 − p₁ after rounding, which would differ at the 6th
+    * dp); thresholds accumulate the 6-dp terms as DECIMAL(28,6) and
+    * round the IEEE division to 6 dp (the [[calibration]]
+    * confidence convention); the ≥-threshold comparisons then run on
+    * identical doubles. A class with no examples carries no
+    * threshold: the OTHER class reads NULL n_flips/flip_rate
+    * (nothing to be confident about), stated rather than silently 0.
+    *
+    * Scale shape: one two-row rollup (n, Σp_own by label), one
+    * broadcast-size join of the flipped thresholds back onto the
+    * scored rows, one final two-row rollup. No windows, no driver
+    * state.
+    *
+    * Output: (given_label, n_labeled, thr_own, thr_other, n_flips,
+    * flip_rate) — one row per present class.
+    */
+  def labelNoise(scored: DataFrame, scoreCol: String,
+                 labelCol: String): DataFrame = {
+    val p1 = round(lit(1.0) / (lit(1.0) + exp(-col(scoreCol))), 6)
+    val p0 = round(lit(1.0) / (lit(1.0) + exp(col(scoreCol))), 6)
+    val rows = scored.select(
+      col(labelCol).cast("boolean").as("given_label"),
+      when(col(labelCol).cast("boolean"), p1).otherwise(p0).as("p_own"),
+      when(col(labelCol).cast("boolean"), p0).otherwise(p1).as("p_other"))
+      .stage()
+    val thr = rows.groupBy(col("given_label"))
+      .agg(count(lit(1)).as("n_labeled"),
+        sum(col("p_own").cast("decimal(28,6)")).as("psum"))
+      .select(col("given_label"), col("n_labeled"),
+        round(col("psum").cast("double") / col("n_labeled").cast("double"), 6)
+          .as("thr_own"))
+      .stage()
+    val flipThr = thr.select((!col("given_label")).as("given_label"),
+      col("thr_own").as("thr_other"))
+    rows.join(broadcast(flipThr), Seq("given_label"), "left")
+      .groupBy(col("given_label"))
+      .agg(count(lit(1)).as("n_labeled"),
+        max(col("thr_other")).as("thr_other"),
+        count(col("thr_other")).as("n_thr"),
+        sum(when(col("p_other") >= col("thr_other"), 1L).otherwise(0L))
+          .as("flips0"))
+      .join(thr.select(col("given_label"), col("thr_own")), "given_label")
+      .select(col("given_label"), col("n_labeled"), col("thr_own"),
+        col("thr_other"),
+        when(col("n_thr") > 0, col("flips0")).as("n_flips"),
+        when(col("n_thr") > 0, graft.functions.ExactRound.ratio6(
+          col("flips0"), col("n_labeled"))).as("flip_rate"))
+  }
 }

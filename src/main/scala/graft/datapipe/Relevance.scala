@@ -445,4 +445,76 @@ object Relevance {
           .otherwise(round(lit(1.0) - prod, 6))
           .as("pass_at_k")): _*)
   }
+
+  /** Cumulative Poisson(1) pmf × 10⁶, rounded — the weight lookup
+    * for [[bootstrapCI]]'s Poisson bootstrap. A 60-bit hash mod 10⁶
+    * below `PoissonCum(k)` entries means weight k; the tail (≥ all
+    * nine) reads weight 9 (P ≈ 1.1e−6, the truncation is stated).
+    */
+  val PoissonCum: Seq[Long] = Seq(
+    367879L, 735759L, 919699L, 981012L, 996340L,
+    999406L, 999917L, 999990L, 999999L)
+
+  /** T162: Poisson-bootstrap confidence interval (Efron 1979 via the
+    * Poisson approximation — Chamandy et al. 2012, "Estimating
+    * Uncertainty for Massive Data Streams", the shuffle-free
+    * bootstrap production systems run because true resampling needs
+    * a global index): the 95% CI on a boolean eval metric's pass
+    * rate. Each (rep, item) pair draws a deterministic Poisson(1)
+    * weight from a salted md5 of (rep, id) against the [[PoissonCum]]
+    * table, so rep r's estimate is Σ w·x / Σ w — an exact integer
+    * ratio — and the whole procedure replays bit-for-bit in any
+    * engine: no RNG state, no sampling order, no global index.
+    *
+    * CI bounds are the type-1 (lower-value) empirical percentiles of
+    * the B rep estimates: the values at sorted 1-based positions
+    * ⌈0.025·B⌉ and ⌈0.975·B⌉, ties broken by rep id — integer
+    * arithmetic end-to-end.
+    *
+    * Scale shape: corpus × B rows through ONE map-side-combined
+    * rollup to B rows (the per-rep Σw/Σwx partials combine inside
+    * each scan task); everything after is B-sized — the rank window
+    * runs over B rows, the readout is a one-row broadcast
+    * composition. B is a bounded literal.
+    *
+    * Output: one row — (n_items, n_reps, pass_rate, lo95, hi95).
+    */
+  def bootstrapCI(items: DataFrame, idCol: String, correct: Column,
+                  reps: Int = 200): DataFrame = {
+    require(reps >= 40, s"need >= 40 reps for a 95% CI, got $reps")
+    import org.apache.spark.sql.expressions.Window
+    val cum = array(PoissonCum.map(lit): _*)
+    val h = graft.datapipe.TextAnalysis.md5Long60(concat(
+      lit("boot:"), col("rep").cast("string"), lit(":"),
+      col("__id").cast("string"))) % 1000000L
+    val w = size(filter(cum, t => h >= t)).cast("bigint")
+    val drawn = items
+      .select(col(idCol).as("__id"),
+        when(correct, 1L).otherwise(0L).as("__x"),
+        explode(sequence(lit(0L), lit(reps.toLong - 1))).as("rep"))
+      .select(col("rep"), col("__x"), w.as("w"))
+    val perRep = drawn.groupBy(col("rep"))
+      .agg(sum(col("w")).as("den"), sum(col("w") * col("__x")).as("num"))
+      .select(col("rep"),
+        graft.functions.ExactRound.ratio6(col("num"), col("den"))
+          .as("est"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("est").asc, col("rep").asc)).cast("bigint"))
+    def pctPos(q: Int): Long = { // ceil(q/1000 · reps), exact ints
+      val num = q.toLong * reps
+      (num + 999L) / 1000L
+    }
+    val lo = perRep.filter(col("rn") === pctPos(25))
+      .select(col("est").as("lo95"))
+    val hi = perRep.filter(col("rn") === pctPos(975))
+      .select(col("est").as("hi95"))
+    val point = items.agg(
+      count(lit(1)).as("n_items"),
+      sum(when(correct, 1L).otherwise(0L)).as("n_pass"))
+      .select(col("n_items"),
+        lit(reps.toLong).as("n_reps"),
+        graft.functions.ExactRound.ratio6(col("n_pass"), col("n_items"))
+          .as("pass_rate"))
+    point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+  }
 }

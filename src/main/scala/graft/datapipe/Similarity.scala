@@ -1188,4 +1188,57 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         (col("rn") <= maxPerCell).as("keep"))
   }
+
+  /** T159: Matryoshka truncation-quality profile (Kusupati et al.
+    * 2022, arXiv:2205.13147): for each candidate truncation width d,
+    * the cosine between every full vector and its first-d prefix —
+    * which, because the prefix is the same vector zero-extended,
+    * reduces EXACTLY to the norm ratio √(Σ_{i≤d} x_i² / Σ x_i²).
+    * This is the readout behind "can we serve 8/16/32-dim prefixes
+    * of these embeddings": a mean near 1 and a high frac ≥ 0.95 say
+    * the leading coordinates carry the geometry (trained-MRL
+    * behavior); flat-spectrum embeddings degrade as √(d/D).
+    *
+    * Exactness: [[quantize]]d integers, so both norms are exact
+    * integer sums (per-row folds over the slice — no explode of
+    * vector components); ONE IEEE division + sqrt + 6-dp round per
+    * (vector, d); the mean accumulates the 6-dp terms as
+    * DECIMAL(28,6) (order-independent), the frac is the exact
+    * integer ratio. Zero-norm vectors read NULL cosine and drop from
+    * every statistic (no geometry to preserve).
+    *
+    * Scale shape: per-row arithmetic + one |dims|-way explode, then
+    * ONE map-side-combined rollup to |dims| rows. No joins, no
+    * windows, no driver state.
+    *
+    * Output: (dim, n_vecs, mean_cos, min_cos, frac_ge95).
+    */
+  def truncationProfile(emb: DataFrame, embCol: String,
+                        dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"need dims >= 1, got $dims")
+    require(dims.distinct.size == dims.size, s"duplicate dims: $dims")
+    val q = quantize(col(embCol))
+    def sq(c: Column): Column =
+      aggregate(transform(c, x => x * x), lit(0L), (acc, x) => acc + x)
+    val perDim = emb
+      .select(q.as("__q"), explode(array(dims.sorted.map(d =>
+        lit(d.toLong)): _*)).as("dim"))
+      .select(col("dim"),
+        sq(col("__q")).as("sFull"),
+        sq(slice(col("__q"), lit(1), col("dim").cast("int"))).as("sD"))
+      .select(col("dim"), when(col("sFull") > 0,
+        round(sqrt(col("sD").cast("double") / col("sFull").cast("double")), 6))
+        .as("cos"))
+    perDim.groupBy(col("dim"))
+      .agg(count(col("cos")).as("n_vecs"),
+        sum(col("cos").cast("decimal(28,6)")).as("csum"),
+        min(col("cos")).as("min_cos"),
+        count(when(col("cos") >= 0.95, 1)).as("n95"))
+      .select(col("dim"), col("n_vecs"),
+        round(col("csum").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("mean_cos"),
+        col("min_cos"),
+        graft.functions.ExactRound.ratio6(col("n95"), col("n_vecs"))
+          .as("frac_ge95"))
+  }
 }

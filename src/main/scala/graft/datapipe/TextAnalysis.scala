@@ -906,6 +906,62 @@ object TextAnalysis {
     perN.reduce(_ unionByName _)
   }
 
+  /** T160: PMI collocation mining (Church & Hanks 1990) — the top-k
+    * adjacent word pairs by pointwise mutual information,
+    * PMI(a,b) = ln(N·c(a,b) / (c(a)·c(b))), with a minimum pair
+    * count so hapax pairs (PMI's known failure mode — two words that
+    * co-occur once score arbitrarily high) never rank. This is the
+    * multiword-expression detector a tokenizer-vocabulary or
+    * quality-analysis pass runs to see what a corpus actually glues
+    * together ("new york", "machine learning") versus what mere
+    * frequency suggests.
+    *
+    * Exactness: all three counts are exact integers; the PMI forms
+    * its two products in DOUBLE (exact to 2^53 — c(a,b)·N wraps a
+    * long near 1e9·1e9), takes ONE IEEE division and ln, rounds to
+    * 6 dp; ranking ties break on (w1, w2), so the top-k boundary is
+    * deterministic.
+    *
+    * Scale shape: two map-side-combined count shuffles over the
+    * token/pair streams (pairs come from a per-row transform over
+    * consecutive positions — no position explode beyond the pair
+    * stream itself), two vocab-keyed joins of the ≥minCount pair
+    * table against the unigram counts (AQE broadcasts the unigram
+    * side when the vocabulary is small; both co-shuffle on the token
+    * key otherwise), one scalar broadcast for N, and the two-stage
+    * TopK — never a window over the corpus.
+    *
+    * Output: (w1, w2, n_pair, pmi), top `topK` by PMI.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Int = 5,
+                   topK: Int = 100): DataFrame = {
+    require(minCount >= 1 && topK >= 1,
+      s"need minCount/topK >= 1, got $minCount/$topK")
+    val ws = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    val pairs = docs.select(explode(when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1), i => struct(
+          element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+      .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val uni = docs.select(explode(ws).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .stage()
+    val n = uni.agg(sum(col("c")).cast("bigint").as("n_total"))
+    val scored = pairs
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log((col("n_pair").cast("double") * col("n_total").cast("double"))
+          / (col("c1").cast("double") * col("c2").cast("double"))), 6)
+          .as("pmi"))
+    scored.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   /** T154: Heaps'-law vocabulary-growth fit per group (Heaps 1978;
     * the V(n) = K·n^β law every tokenizer-budget plan starts from).
     * Each document contributes one (ln n_tokens, ln n_distinct)

@@ -982,6 +982,34 @@ object DataPipeQueries {
         END AS zipf_slope
       FROM a"""))
 
+  /** T160: top-100 PMI collocations with a min-count-5 gate
+    * ([[graft.datapipe.TextAnalysis.collocations]], Church & Hanks
+    * 1990). The oracle rebuilds the adjacent-pair and unigram
+    * counts, the double-product PMI, and the deterministic top-k
+    * boundary.
+    */
+  private val textCollocations = QueryDef(
+    "text_collocations",
+    (s, d) => TextAnalysis.collocations(
+      Tables.documents(s, d), "text", minCount = 5, topK = 100),
+    Some("""WITH doc AS (SELECT list_filter(string_split(trim(
+          regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0) AS w
+        FROM documents),
+      pr AS (SELECT w[g.i] AS w1, w[g.i + 1] AS w2
+        FROM doc, UNNEST(generate_series(1, len(w) - 1)) AS g(i)),
+      pc AS MATERIALIZED (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      uni AS MATERIALIZED (SELECT u.t AS t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM doc, UNNEST(w) AS u(t) GROUP BY 1),
+      n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uni)
+      SELECT w1, w2, n_pair,
+        round(ln((CAST(n_pair AS DOUBLE) * CAST(n_total AS DOUBLE))
+          / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+      FROM pc JOIN uni u1 ON u1.t = pc.w1
+        JOIN uni u2 ON u2.t = pc.w2, n
+      ORDER BY pmi DESC, w1, w2 LIMIT 100"""))
+
   /** Top-100 corpus vocabulary with deterministic (freq desc, token)
     * ordering. The driver's compare sorts rows, so the LIMIT boundary
     * is the only order-sensitive part — and the tie-break pins it.
@@ -2329,6 +2357,110 @@ object DataPipeQueries {
         FROM terms GROUP BY 1),
       best AS (SELECT t AS best_t FROM pert ORDER BY nll ASC, t ASC LIMIT 1)
       SELECT t, n_docs, nll, (t = best_t) AS is_best FROM pert, best"""))
+
+  /** T161: confident-learning label-noise estimate
+    * ([[graft.datapipe.Classifier.labelNoise]], Northcutt et al.
+    * 2021) over the NB quality scorer and the language label — how
+    * many labels each class should expect to be wrong, by the
+    * per-class mean-self-probability threshold rule. The oracle
+    * replays the score, both rounded sigmoids, the decimal threshold
+    * means, and the flip counts.
+    */
+  private val clfLabelNoise = QueryDef(
+    "clf_label_noise",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = graft.datapipe.Classifier.naiveBayes(
+          docs, "doc_id", "text", nbLabel, buckets = 256)
+        .select(col("doc_id"), col("score"))
+      val labeled = docs.select(col("doc_id"), nbLabel.as("is_pos"))
+      graft.datapipe.Classifier.labelNoise(
+        scored.join(labeled, Seq("doc_id")), "score", "is_pos")
+    },
+    Some(s"""WITH $nbLabelCtes,
+      sco AS MATERIALIZED (SELECT t.doc_id, lab.is_pos,
+          CAST(round(CAST(prior AS DECIMAL(28,8))
+            + COALESCE(s, CAST(0 AS DECIMAL(28,8))), 4) AS DOUBLE) AS score
+        FROM toks t LEFT JOIN ssum USING (doc_id)
+        JOIN lab ON lab.doc_id = t.doc_id, pri),
+      pp AS MATERIALIZED (SELECT is_pos AS given_label,
+          CASE WHEN is_pos THEN round(1 / (1 + exp(-score)), 6)
+               ELSE round(1 / (1 + exp(score)), 6) END AS p_own,
+          CASE WHEN is_pos THEN round(1 / (1 + exp(score)), 6)
+               ELSE round(1 / (1 + exp(-score)), 6) END AS p_other
+        FROM sco),
+      th AS MATERIALIZED (SELECT given_label,
+          CAST(COUNT(*) AS BIGINT) AS n_labeled,
+          round(CAST(SUM(CAST(p_own AS DECIMAL(28,6))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS thr_own
+        FROM pp GROUP BY 1),
+      fl AS (SELECT NOT given_label AS given_label,
+          thr_own AS thr_other FROM th),
+      ag AS (SELECT pp.given_label, CAST(COUNT(*) AS BIGINT) AS n_labeled,
+          MAX(thr_other) AS thr_other,
+          CAST(COUNT(thr_other) AS BIGINT) AS n_thr,
+          CAST(SUM(CASE WHEN p_other >= thr_other THEN 1 ELSE 0 END)
+            AS BIGINT) AS flips0
+        FROM pp LEFT JOIN fl USING (given_label) GROUP BY 1)
+      SELECT ag.given_label, ag.n_labeled, th.thr_own, ag.thr_other,
+        CASE WHEN n_thr > 0 THEN flips0 END AS n_flips,
+        CASE WHEN n_thr > 0 THEN
+          ((2 * flips0 * 1000000 + ag.n_labeled) // (2 * ag.n_labeled))
+            / 1000000.0 END AS flip_rate
+      FROM ag JOIN th USING (given_label)"""))
+
+  /** T162: Poisson-bootstrap 95% CI
+    * ([[graft.datapipe.Relevance.bootstrapCI]]) on the
+    * stopword-gate pass rate — the shuffle-free bootstrap (each
+    * (rep, item) weight a deterministic Poisson(1) draw from a
+    * salted hash). The oracle replays the hash, the weight lookup,
+    * every per-rep exact ratio, and the type-1 percentile ranks.
+    */
+  private val evalBootstrapCi = QueryDef(
+    "eval_bootstrap_ci",
+    (s, d) => {
+      val ws = filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)
+      graft.datapipe.Relevance.bootstrapCI(
+        Tables.documents(s, d), "doc_id",
+        TextAnalysis.stopwordCount(col("text")) * 5 >=
+          size(ws).cast("bigint"),
+        reps = 200)
+    },
+    Some("""WITH it AS MATERIALIZED (SELECT doc_id,
+        CASE WHEN CAST(len(regexp_extract_all(lower(text),
+              '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 5
+            >= CAST(len(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0)) AS BIGINT)
+          THEN 1 ELSE 0 END AS x
+        FROM documents),
+      dr AS (SELECT g.r AS rep, x,
+          ('0x' || substr(md5('boot:' || CAST(g.r AS VARCHAR) || ':'
+            || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS h
+        FROM it, generate_series(0, 199) AS g(r)),
+      dw AS (SELECT rep, x,
+          CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1
+               WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3
+               WHEN h < 996340 THEN 4 WHEN h < 999406 THEN 5
+               WHEN h < 999917 THEN 6 WHEN h < 999990 THEN 7
+               WHEN h < 999999 THEN 8 ELSE 9 END AS w
+        FROM dr),
+      pr AS MATERIALIZED (SELECT rep, CAST(SUM(w) AS BIGINT) AS den,
+          CAST(SUM(w * x) AS BIGINT) AS num FROM dw GROUP BY 1),
+      est AS (SELECT rep,
+          ((2 * num * 1000000 + den) // (2 * den)) / 1000000.0 AS est
+        FROM pr),
+      rk AS (SELECT rep, est, CAST(row_number() OVER
+          (ORDER BY est, rep) AS BIGINT) AS rn FROM est),
+      lo AS (SELECT est AS lo95 FROM rk WHERE rn = 5),
+      hi AS (SELECT est AS hi95 FROM rk WHERE rn = 195),
+      pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(x) AS BIGINT) AS n_pass FROM it)
+      SELECT n_items, CAST(200 AS BIGINT) AS n_reps,
+        ((2 * n_pass * 1000000 + n_items) // (2 * n_items)) / 1000000.0
+          AS pass_rate, lo95, hi95
+      FROM pt, lo, hi"""))
 
   /** T145: GRPO-style group-relative advantage
     * ([[graft.datapipe.Preference.groupAdvantage]]) — standardize
@@ -5649,7 +5781,7 @@ object DataPipeQueries {
     evalPassAtK,
     sftFim, prefBestOfN, mixDoremi, clfTemperature,
     sftLossMask, vocabHeaps, textRobustOutliers, prefLengthBias,
-    prefKappa,
+    prefKappa, textCollocations, clfLabelNoise, evalBootstrapCi,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

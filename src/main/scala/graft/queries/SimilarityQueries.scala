@@ -1374,6 +1374,36 @@ object SimilarityQueries {
           AS top_share
       FROM pc GROUP BY 1"""))
 
+  /** T159: Matryoshka truncation-quality profile
+    * ([[graft.datapipe.Similarity.truncationProfile]]) — per
+    * candidate prefix width, the cosine between every vector and its
+    * zero-extended prefix (= the exact norm ratio). The oracle
+    * replays the quantization, both integer norms, the IEEE
+    * sqrt-of-ratio, and all three statistics.
+    */
+  private val simMatryoshka = QueryDef(
+    "sim_matryoshka",
+    (s, d) => Similarity.truncationProfile(
+      embDouble(s, d), "emb", Seq(8, 16, 32)),
+    Some(s"""WITH $embSqlCte,
+      q AS (SELECT list_transform(emb,
+          x -> CAST(round(x * 1000) AS BIGINT)) AS q FROM e),
+      pd AS (SELECT CAST(d.dim AS BIGINT) AS dim,
+          list_sum(list_transform(q, x -> x * x)) AS sfull,
+          list_sum(list_transform(list_slice(q, 1, d.dim),
+            x -> x * x)) AS sd
+        FROM q, (SELECT UNNEST([8, 16, 32]) AS dim) d),
+      c AS (SELECT dim, CASE WHEN sfull > 0 THEN
+          round(sqrt(CAST(sd AS DOUBLE) / CAST(sfull AS DOUBLE)), 6)
+        END AS cos FROM pd)
+      SELECT dim, CAST(COUNT(cos) AS BIGINT) AS n_vecs,
+        round(CAST(SUM(CAST(cos AS DECIMAL(28,6))) AS DOUBLE)
+          / CAST(COUNT(cos) AS DOUBLE), 6) AS mean_cos,
+        MIN(cos) AS min_cos,
+        ((2 * COUNT(*) FILTER (WHERE cos >= 0.95) * 1000000 + COUNT(cos))
+          // (2 * COUNT(cos))) / 1000000.0 AS frac_ge95
+      FROM c GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfRecall, simIvfKmeans,
       simKnnGraph,
@@ -1384,5 +1414,5 @@ object SimilarityQueries {
       multimodalAudioResample, e2eMultimodalGate, simBitextMargin,
       simFilteredTopK, hybridRetrieval, simMmrRerank, simSilhouette,
       simSourceDrift, simPcaTop, simPcaSpectrum, simHardNegatives,
-      packCoherent)
+      packCoherent, simMatryoshka)
 }

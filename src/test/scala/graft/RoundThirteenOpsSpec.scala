@@ -282,4 +282,110 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(const.isNullAt(const.fieldIndex("kappa")),
       "pe = 1 carries no information")
   }
+
+  test("truncationProfile: hand vectors — prefix-heavy reads cosine 1, " +
+    "prefix-empty reads 0, the zero vector drops from every statistic") {
+    import graft.datapipe.Similarity
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)), // all mass in the prefix
+      (2L, Seq(0.0, 0.0, 1.0, 1.0)), // none in dim-2 prefix
+      (3L, Seq(0.0, 0.0, 0.0, 0.0))) // no geometry at all
+      .toDF("vec_id", "emb")
+    val out = Similarity.truncationProfile(vecs, "emb", Seq(2, 4))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getAs[Long]("n_vecs") === 2L, "zero vector excluded")
+    assert(out(2L).getAs[Double]("min_cos") === 0.0)
+    assert(out(2L).getAs[Double]("mean_cos") === 0.5)
+    assert(out(2L).getAs[Double]("frac_ge95") === 0.5)
+    assert(out(4L).getAs[Double]("min_cos") === 1.0,
+      "the full width preserves every non-zero vector exactly")
+    assert(out(4L).getAs[Double]("mean_cos") === 1.0)
+  }
+
+  test("collocations: the glued pair outranks frequent-but-independent " +
+    "pairs, the min-count gate drops rare pairs, and a driver replay " +
+    "reproduces the PMI") {
+    import graft.datapipe.TextAnalysis
+    // "aa bb" always together (6 times); "cc" everywhere so any pair
+    // with it has low PMI; "dd ee" appears only 4 times (below gate)
+    val docs = (Seq.fill(6)("aa bb cc") ++ Seq.fill(4)("dd ee cc") ++
+      Seq.fill(10)("cc ff cc gg")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 5,
+      topK = 10).collect()
+    val pairs = out.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("aa", "bb")))
+    assert(!pairs.contains(("dd", "ee")), "4 < minCount 5")
+    val top = out.head
+    assert((top.getString(0), top.getString(1)) === ("aa", "bb"),
+      "the always-glued pair carries the highest PMI")
+    // driver replay: N = 70 tokens, c(aa)=c(bb)=6, c(aa,bb)=6
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top.getAs[Double]("pmi") ===
+      round6(math.log((6.0 * 70.0) / (6.0 * 6.0))))
+  }
+
+  test("labelNoise: driver-replayed thresholds and flip counts on hand " +
+    "scores, and the single-class NULL contract") {
+    import graft.datapipe.Classifier
+    // labeled-true: scores 4, 2, -3 (the -3 is confidently negative);
+    // labeled-false: scores -4, -1, 3 (the 3 is confidently positive)
+    val rows = Seq((4.0, true), (2.0, true), (-3.0, true),
+      (-4.0, false), (-1.0, false), (3.0, false)).toDF("score", "y")
+    val out = Classifier.labelNoise(rows, "score", "y")
+      .collect().map(r => r.getBoolean(0) -> r).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sig(s: Double): Double = r6(1.0 / (1.0 + math.exp(-s)))
+    def fold6(xs: Seq[Double]): BigDecimal =
+      xs.map(BigDecimal(_)).sum
+    val tTrue = r6((fold6(Seq(sig(4), sig(2), sig(-3))) / 3).toDouble)
+    val tFalse = r6((fold6(Seq(sig(4), sig(1), sig(-3))) / 3).toDouble)
+    assert(out(true).getAs[Double]("thr_own") === tTrue)
+    assert(out(false).getAs[Double]("thr_own") === tFalse)
+    assert(out(true).getAs[Double]("thr_other") === tFalse)
+    // flips among labeled-true: p_false(s) = sig(-s) >= tFalse —
+    // only the -3 qualifies (sig(3) ≈ .95 vs threshold ≈ .63)
+    assert(out(true).getAs[Long]("n_flips") === 1L)
+    assert(out(false).getAs[Long]("n_flips") === 1L, "the +3 example")
+    val single = Classifier.labelNoise(
+      Seq((1.0, true), (2.0, true)).toDF("score", "y"), "score", "y")
+      .collect()
+    assert(single.length === 1)
+    assert(single(0).isNullAt(single(0).fieldIndex("n_flips")),
+      "no opposite class, nothing to be confident about")
+  }
+
+  test("bootstrapCI: a driver replay of the Poisson-weight arithmetic " +
+    "reproduces the interval, and a constant metric collapses it") {
+    import graft.datapipe.Relevance
+    val items = (0L until 40L).map(i => (i, i % 4 != 0)) // 75% pass
+    val out = Relevance.bootstrapCI(items.toDF("doc_id", "ok"),
+      "doc_id", col("ok"), reps = 50).collect()(0)
+    assert(out.getAs[Long]("n_items") === 40L)
+    assert(out.getAs[Long]("n_reps") === 50L)
+    assert(out.getAs[Double]("pass_rate") === 0.75)
+    // driver replay of all 50 rep estimates
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .take(15), 16)
+    def weight(rep: Long, id: Long): Long =
+      Relevance.PoissonCum.count(h60(s"boot:$rep:$id") % 1000000L >= _)
+    def ratio6(a: Long, b: Long): Double =
+      ((2 * a * 1000000 + b) / (2 * b)) / 1000000.0
+    val ests = (0L until 50L).map { r =>
+      val ws = items.map { case (id, ok) => (weight(r, id), ok) }
+      (ratio6(ws.collect { case (w, true) => w }.sum, ws.map(_._1).sum), r)
+    }.sortBy(e => (e._1, e._2)).map(_._1)
+    assert(out.getAs[Double]("lo95") === ests(1), "rank ceil(.025*50)=2")
+    assert(out.getAs[Double]("hi95") === ests(48), "rank ceil(.975*50)=49")
+    val const = Relevance.bootstrapCI(
+      items.map { case (i, _) => (i, true) }.toDF("doc_id", "ok"),
+      "doc_id", col("ok"), reps = 50).collect()(0)
+    assert(const.getAs[Double]("lo95") === 1.0 &&
+      const.getAs[Double]("hi95") === 1.0 &&
+      const.getAs[Double]("pass_rate") === 1.0)
+  }
 }

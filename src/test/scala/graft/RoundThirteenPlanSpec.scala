@@ -92,6 +92,47 @@ class RoundThirteenPlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_matryoshka: per-row norm folds + one |dims|-way explode " +
+    "into ONE map-side-combined rollup — no join, no window, no " +
+    "per-component explode") {
+    val p = plan("sim_matryoshka")
+    assert(p.contains("partial_"),
+      s"the per-dim stats must partial-aggregate map-side; plan:\n${p.take(2000)}")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "norms are per-row folds over the slice — nothing joins or windows")
+  }
+
+  test("text_collocations: pair/unigram count shuffles + vocab-keyed " +
+    "joins + a scalar broadcast + the two-stage TopK — never a " +
+    "cartesian, never a corpus window") {
+    val p = plan("text_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k must ride the two-stage TopK, not a global sort; plan:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    assert(!p.contains("Window"), "no window in collocation mining")
+    assert(p.contains("InMemoryTableScan"),
+      "the unigram table must be staged — both pair sides consume it")
+  }
+
+  test("clf_label_noise: staged scored rows, a broadcast threshold " +
+    "join, two bounded rollups — no window, no cartesian") {
+    val p = plan("clf_label_noise")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the flipped thresholds must broadcast back; plan:\n${p.take(2000)}")
+    assert(!p.contains("Window"), "no window in the noise estimate")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
+  test("eval_bootstrap_ci: corpus × B flows through ONE map-side-" +
+    "combined rollup to B rows; the only window ranks the B-row rep " +
+    "frame and the readout is broadcast scalars") {
+    val p = plan("eval_bootstrap_ci")
+    assert(p.contains("partial_sum"),
+      s"the per-rep Σw/Σwx must partial-aggregate inside scan tasks; plan:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      "scalar composition must be broadcast nested-loop, never cartesian")
+  }
+
   test("sim_pca_top: the corpus-sized stage is ONE ObjectHashAggregate " +
     "(the Gram typed aggregator) — no generator fan-out anywhere") {
     val df = SparkEntry.queries("sim_pca_top")(spark, sf)
