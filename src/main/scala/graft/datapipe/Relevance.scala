@@ -483,16 +483,25 @@ object Relevance {
                   reps: Int = 200): DataFrame = {
     require(reps >= 40, s"need >= 40 reps for a 95% CI, got $reps")
     import org.apache.spark.sql.expressions.Window
-    val cum = array(PoissonCum.map(lit): _*)
+    // h is materialized as its own projection so the md5 runs ONCE
+    // per (rep, item) — embedded in a higher-order filter lambda it
+    // would re-evaluate per array element (9× the hashes, measured
+    // ~15× slower end-to-end); the weight lookup is a codegen'd
+    // when-chain over the literal cumulative pmf
     val h = graft.datapipe.TextAnalysis.md5Long60(concat(
       lit("boot:"), col("rep").cast("string"), lit(":"),
       col("__id").cast("string"))) % 1000000L
-    val w = size(filter(cum, t => h >= t)).cast("bigint")
+    val w = PoissonCum.zipWithIndex.foldRight(
+        lit(PoissonCum.length.toLong)) { case ((t, k), rest) =>
+      when(col("h") < t, k.toLong).otherwise(rest)
+    }
     val drawn = items
-      .select(col(idCol).as("__id"),
-        when(correct, 1L).otherwise(0L).as("__x"),
+      .select(col(idCol).cast("string").as("__id"),
+        when(correct, 1L).otherwise(0L).as("__x"))
+      .select(col("__x"), col("__id"),
         explode(sequence(lit(0L), lit(reps.toLong - 1))).as("rep"))
-      .select(col("rep"), col("__x"), w.as("w"))
+      .select(col("rep"), col("__x"), h.as("h"))
+      .select(col("rep"), col("__x"), w.cast("bigint").as("w"))
     val perRep = drawn.groupBy(col("rep"))
       .agg(sum(col("w")).as("den"), sum(col("w") * col("__x")).as("num"))
       .select(col("rep"),

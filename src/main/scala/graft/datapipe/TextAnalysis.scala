@@ -938,9 +938,14 @@ object TextAnalysis {
     require(minCount >= 1 && topK >= 1,
       s"need minCount/topK >= 1, got $minCount/$topK")
     val ws = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
-    val pairs = docs.select(explode(when(size(ws) >= 2,
-        transform(sequence(lit(1), size(ws) - 1), i => struct(
-          element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+    // tokenize ONCE into a materialized column before the positional
+    // transform — an expression captured inside the lambda would
+    // re-run the regex split per position (the bootstrapCI lesson)
+    val pairs = docs.select(ws.as("__ws"))
+      .select(explode(when(size(col("__ws")) >= 2,
+        transform(sequence(lit(1), size(col("__ws")) - 1), i => struct(
+          element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
       .as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
