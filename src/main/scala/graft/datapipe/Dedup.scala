@@ -125,12 +125,19 @@ object Dedup {
     * index sequence → distinct.
     */
   def shingles(text: Column, k: Int): Column = {
-    val toks = split(TextAnalysis.normalize(text), " ")
-    array_distinct(
-      when(size(toks) < k, array(array_join(toks, " ")))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - k),
-          i => array_join(slice(toks, i + lit(1), lit(k)), " "))))
+    // the token array is bound as a HOF lambda VARIABLE (via a
+    // single-element transform) so the regex split runs ONCE per
+    // row — captured directly inside the positional transform it
+    // would re-run per shingle (the HOF-lambda-capture rule; this
+    // wrapper keeps the Column => Column signature where operators
+    // materialize a named column instead)
+    element_at(transform(
+      array(split(TextAnalysis.normalize(text), " ")), toks =>
+        array_distinct(
+          when(size(toks) < k, array(array_join(toks, " ")))
+            .otherwise(transform(
+              sequence(lit(0), size(toks) - k),
+              i => array_join(slice(toks, i + lit(1), lit(k)), " "))))), 1)
   }
 
   /** Stage of the shingle pipeline shared by minhash/simhash: each
@@ -939,14 +946,18 @@ object Dedup {
   def winnowing(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 3, window: Int = 4): DataFrame = {
     require(k >= 1 && window >= 1, s"need k, window >= 1, got $k, $window")
+    // tokenize ONCE into a materialized column: captured inside the
+    // positional transform, the regex split would re-run per gram
+    // (the HOF-lambda-capture rule)
     val tw = split(TextAnalysis.normalize(col(textCol)), " ")
-    val grams = when(size(tw) >= k,
-      transform(sequence(lit(1), size(tw) - k + 1),
-        i => concat_ws(" ", slice(tw, i, lit(k)))))
+    val grams = when(size(col("__tw")) >= k,
+      transform(sequence(lit(1), size(col("__tw")) - k + 1),
+        i => concat_ws(" ", slice(col("__tw"), i, lit(k)))))
       .otherwise(array().cast("array<string>"))
     val hs = transform(grams, g => TextAnalysis.md5Long60(g))
-    docs.select(col(idCol).as("doc_id"),
-      explode(graft.functions.WinnowSelect.of(hs, window)).as("fp"))
+    docs.select(col(idCol).as("doc_id"), tw.as("__tw"))
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowSelect.of(hs, window)).as("fp"))
   }
 
   /** Winnowing match detector — the USE of [[winnowing]]'s index:

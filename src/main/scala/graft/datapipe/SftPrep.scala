@@ -58,7 +58,10 @@ object SftPrep {
                           turnTokens: Int = 8): DataFrame = {
     require(turnTokens >= 1, s"turnTokens must be >= 1, got $turnTokens")
     val w = lit(turnTokens.toLong)
-    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    // tokenize ONCE into a materialized column: captured inside the
+    // render transform, the regex split would re-run per TURN (the
+    // HOF-lambda-capture rule)
+    val toks = col("__toks")
     val n = size(toks).cast("bigint")
     // subtract the remainder before dividing so the IEEE division is
     // exact (numerator a multiple of the divisor) and the cast back
@@ -78,15 +81,17 @@ object SftPrep {
             lit(turnTokens)), " "),
           lit(" <|eot|>"))),
       "\n")
-    docs.select(
-      col(idCol),
-      n.as("n_tokens"),
-      nTurns.as("n_turns"),
-      userToks.as("user_tokens"),
-      (n - userToks).as("asst_tokens"),
-      graft.functions.ExactRound.ratio6(n - userToks, n).as("loss_ratio"),
-      length(render).cast("bigint").as("render_len"),
-      md5(render).as("render_md5"))
+    docs.select(col(idCol),
+        split(TextAnalysis.normalize(col(textCol)), " ").as("__toks"))
+      .select(
+        col(idCol),
+        n.as("n_tokens"),
+        nTurns.as("n_turns"),
+        userToks.as("user_tokens"),
+        (n - userToks).as("asst_tokens"),
+        graft.functions.ExactRound.ratio6(n - userToks, n).as("loss_ratio"),
+        length(render).cast("bigint").as("render_len"),
+        md5(render).as("render_md5"))
   }
 
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4): replace
@@ -119,7 +124,9 @@ object SftPrep {
       s"need 1 <= spanLen < everyN, got spanLen=$spanLen everyN=$everyN")
     val sl = lit(spanLen.toLong)
     val en = lit(everyN.toLong)
-    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    // materialized-column tokenization — the [[renderConversations]]
+    // HOF-lambda-capture note; both renders slice per span
+    val toks = col("__toks")
     val n = size(toks).cast("bigint")
     val r = n % en
     // exact: the numerator is a multiple of the divisor (scaladoc of
@@ -137,7 +144,9 @@ object SftPrep {
       (k * en + sl + lit(1L)).cast("int"), lit(everyN - spanLen)))
     val targets = render(k => slice(toks,
       (k * en + lit(1L)).cast("int"), lit(spanLen)))
-    docs.select(
+    docs.select(col(idCol),
+        split(TextAnalysis.normalize(col(textCol)), " ").as("__toks"))
+      .select(
       col(idCol),
       n.as("n_tokens"),
       masked.as("masked_tokens"),

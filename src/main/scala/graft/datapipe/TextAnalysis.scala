@@ -890,15 +890,19 @@ object TextAnalysis {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"need n >= 1, got $ns")
     require(ns.distinct.size == ns.size, s"duplicate n values: $ns")
     require(k >= 1, s"need a positive k, got $k")
+    // tokenize ONCE into a materialized column: captured inside the
+    // positional transform, the regex split would re-run per gram
+    // position (the HOF-lambda-capture rule — see collocations)
     val ws = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    val tokenized = docs.select(ws.as("__ws"))
     val perN = ns.sorted.map { n =>
       // guard: sequence(1, size-n+1) DESCENDS when size < n, which
       // would fabricate grams — short documents contribute nothing
-      val grams = when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - n + 1),
-          i => concat_ws(" ", slice(ws, i, lit(n)))))
+      val grams = when(size(col("__ws")) >= n,
+        transform(sequence(lit(1), size(col("__ws")) - n + 1),
+          i => concat_ws(" ", slice(col("__ws"), i, lit(n)))))
         .otherwise(array().cast("array<string>"))
-      docs.select(explode(grams).as("gram"))
+      tokenized.select(explode(grams).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("gram").asc).limit(k)
         .select(lit(n.toLong).as("n"), col("gram"), col("freq"))

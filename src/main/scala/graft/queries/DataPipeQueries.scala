@@ -1133,12 +1133,16 @@ object DataPipeQueries {
   private val textC4Rules = QueryDef(
     "text_c4_rules",
     (s, d) => {
-      val toks = split(trim(col("text")), "\\s+")
+      // materialized-column tokenization — the HOF-lambda-capture
+      // rule; the line transform slices per 6-token window
+      val toks = col("__toks")
       val lines = transform(
         sequence(lit(0), ((size(toks) - lit(1)) / lit(6)).cast("int")),
         i => concat(array_join(slice(toks, i * 6 + lit(1), lit(6)), " "),
           when(i % 2 === 0, lit(".")).otherwise(lit(""))))
-      val lined = Tables.documents(s, d).select(col("doc_id"),
+      val lined = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+        .select(col("doc_id"),
         concat(array_join(lines, "\n"),
           when(col("doc_id") % 13 === 0, lit("\nenable javascript now."))
             .otherwise(lit("")),
