@@ -331,6 +331,54 @@ object Preference {
         .otherwise(lit(null).cast("double")).as("kappa")): _*)
   }
 
+  /** T164: Fleiss' kappa (Fleiss 1971) — chance-corrected agreement
+    * among m ≥ 2 raters per group, the multi-rater generalization of
+    * [[cohenKappa]] (binary categories). With per-item positive-vote
+    * count v of m raters, per-item agreement is
+    * (v(v−1) + (m−v)(m−v−1)) / (m(m−1)); P̄ is its mean, and chance
+    * agreement P̄ₑ = p₁² + p₀² from the pooled vote share. The
+    * labeling-pipeline QA readout once more than two annotators (or
+    * heuristic raters) vote per item.
+    *
+    * Exactness: v and the per-item agreement numerators are exact
+    * integers folded in ONE map-side rollup (three counters); every
+    * readout forms its products in DOUBLE (the [[groupAdvantage]]
+    * convention), evaluates one fixed IEEE tree, and rounds to 6 dp.
+    * A group whose pooled votes are unanimous (P̄ₑ = 1) reads NULL
+    * kappa — agreement carries no information there.
+    *
+    * Scale shape: per-row integer arithmetic + one rollup to the
+    * group dimension; no joins, no windows.
+    *
+    * Output: (groupCols…, n_items, m_raters, p_bar, p_e, kappa).
+    */
+  def fleissKappa(df: DataFrame, raters: Seq[Column],
+                  groupCols: Seq[String]): DataFrame = {
+    require(raters.size >= 2, "fleissKappa needs >= 2 raters")
+    require(groupCols.nonEmpty, "fleissKappa needs >= 1 group column")
+    val m = raters.size.toLong
+    val grp = groupCols.map(col)
+    val v = raters.map(r => when(r.cast("boolean"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val scored = df.select(v.as("v") +: grp: _*)
+    val agg = scored.groupBy(grp: _*).agg(
+      count(lit(1)).as("n_items"),
+      sum(col("v")).as("sv"),
+      sum(col("v") * (col("v") - 1) +
+        (lit(m) - col("v")) * (lit(m) - col("v") - 1)).as("sagree"))
+    def d(c: String): Column = col(c).cast("double")
+    val n = d("n_items")
+    val pBar = d("sagree") / (n * lit(m.toDouble * (m - 1)))
+    val p1 = d("sv") / (n * lit(m.toDouble))
+    val pE = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    agg.select(grp ++ Seq(
+      col("n_items"), lit(m).as("m_raters"),
+      round(pBar, 6).as("p_bar"),
+      round(pE, 6).as("p_e"),
+      when(lit(1.0) - pE > 0, round((pBar - pE) / (lit(1.0) - pE), 6))
+        .otherwise(lit(null).cast("double")).as("kappa")): _*)
+  }
+
   /** The engines' shared portable fold (see [[Similarity]]): Σ
     * round8(x) accumulated as DECIMAL, returned as its double image.
     */

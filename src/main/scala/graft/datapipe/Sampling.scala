@@ -474,4 +474,123 @@ object Sampling {
       .when(bucket < trainPct + valPct, lit("validation"))
       .otherwise(lit("test"))
   }
+
+  /** T163: split-leakage audit — the certification BEHIND
+    * [[contentSplit]]'s design choice: an id-hash split puts exact
+    * duplicates on BOTH sides of the train/eval boundary (the eval
+    * set silently contains training documents — the classic
+    * benchmark-inflation bug), while a content-fingerprint split
+    * co-assigns every duplicate group by construction. This operator
+    * MEASURES both: for each strategy, the number of duplicate PAIRS
+    * whose members land on opposite sides. The content row reading
+    * exactly 0 is the leakage-safety certificate; the naive row's
+    * count is what that certificate is worth.
+    *
+    * Exactness: all integers — per fingerprint group of n docs with
+    * t on the train side, cross pairs = t·(n−t) and total duplicate
+    * pairs = n(n−1)/2, summed as longs (group sizes are duplicate
+    * multiplicities — bounded far below the 2^31.5 wrap); leak_frac
+    * is the exact integer ratio, NULL when the corpus has no
+    * duplicate pairs at all.
+    *
+    * Scale shape: ONE fingerprint-keyed rollup of the corpus (counts
+    * + per-side counts, map-side combined), then group-dimension
+    * arithmetic; the two strategy rows come from one more rollup.
+    * No joins, no windows.
+    *
+    * Output: (strategy, n_docs, n_train, n_eval, n_dup_pairs,
+    * n_leak_pairs, leak_frac) — rows `id_hash` and `content_hash`.
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   trainPct: Int = 90): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 99,
+      s"need 1 <= trainPct <= 99, got $trainPct")
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val rows = docs.select(fp.as("fp"),
+      when(hashSampleCond(col(idCol), trainPct), 1L).otherwise(0L)
+        .as("t_id"),
+      when(hashSampleCond(fp, trainPct), 1L).otherwise(0L).as("t_fp"))
+    val groups = rows.groupBy(col("fp")).agg(
+      count(lit(1)).as("n"),
+      sum(col("t_id")).as("nt_id"),
+      sum(col("t_fp")).as("nt_fp"))
+      .stage() // both strategy rollups consume it — one corpus scan
+    def strategy(name: String, nt: Column): DataFrame =
+      groups.agg(
+        sum(col("n")).cast("bigint").as("n_docs"),
+        sum(nt).cast("bigint").as("n_train"),
+        sum(col("n") - nt).cast("bigint").as("n_eval"),
+        // n(n−1) is even, so the double division by 2 is exact and
+        // the bigint cast lossless
+        (sum(col("n") * (col("n") - 1)).cast("bigint") / 2).cast("bigint")
+          .as("n_dup_pairs"),
+        sum(nt * (col("n") - nt)).cast("bigint").as("n_leak_pairs"))
+      .select(lit(name).as("strategy"), col("n_docs"), col("n_train"),
+        col("n_eval"), col("n_dup_pairs"), col("n_leak_pairs"))
+    val both = strategy("id_hash", col("nt_id"))
+      .unionByName(strategy("content_hash", col("nt_fp")))
+    both.select(col("strategy"), col("n_docs"), col("n_train"),
+      col("n_eval"), col("n_dup_pairs"), col("n_leak_pairs"),
+      when(col("n_dup_pairs") > 0, graft.functions.ExactRound.ratio6(
+        col("n_leak_pairs"), col("n_dup_pairs")))
+        .otherwise(lit(null).cast("double")).as("leak_frac"))
+  }
+
+  /** T165: data-constrained epoch schedule (Muennighoff et al. 2023,
+    * arXiv:2305.16264 "Scaling Data-Constrained Language Models"):
+    * give each source an equal share of a global token budget and
+    * read off how many EPOCHS that forces and what the repeated
+    * tokens are effectively worth — the paper's decay law values a
+    * budget of R repeat-epochs over U unique tokens at
+    *
+    *   D′ = min(share, U) + U·R*·(1 − e^(−R/R*)),  R* = 15.39
+    *
+    * (repeats decay exponentially in value; ~15 epochs in, new
+    * repeats teach ≈ nothing). `eff_frac = D′/share` is the readout
+    * a mixture planner acts on: a source at 0.4 is burning 60% of
+    * its budget slot on valueless repetition — shrink its share or
+    * widen its corpus.
+    *
+    * Exactness: token sums and the equal share (integer division)
+    * are exact; epochs is the engine-exact 6-dp integer ratio; the
+    * decay chain is one fixed IEEE tree (divide, exp rounded to
+    * 6 dp, the affine form) with products in double, readouts
+    * rounded (eff_tokens 2 dp, eff_frac 6 dp).
+    *
+    * Scale shape: ONE map-side rollup to the source dimension + a
+    * one-row broadcast for the share; everything after is
+    * source-dimension arithmetic.
+    *
+    * Output: (source, u_tokens, share_tokens, epochs, repeats,
+    * eff_tokens, eff_frac).
+    */
+  def epochSchedule(docs: DataFrame, sourceCol: String, tokens: Column,
+                    budgetTokens: Long, rStar: Double = 15.39): DataFrame = {
+    require(budgetTokens > 0, s"need a positive budget, got $budgetTokens")
+    require(rStar > 0, s"need a positive R*, got $rStar")
+    val perSource = docs
+      .select(col(sourceCol).as("source"), tokens.cast("long").as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("u"))
+      .filter(col("u") > 0)
+    val k = perSource.agg(count(lit(1)).as("k"))
+    val withShare = perSource.crossJoin(broadcast(k))
+      // integer division: subtract the remainder first (the repo's
+      // exact-div idiom), so share is a lossless bigint
+      .withColumn("share",
+        ((lit(budgetTokens) - lit(budgetTokens) % col("k")) / col("k"))
+          .cast("bigint"))
+    val epochs = graft.functions.ExactRound.ratio6(col("share"), col("u"))
+    val uD = col("u").cast("double")
+    val shareD = col("share").cast("double")
+    val r = greatest(col("epochs") - lit(1.0), lit(0.0))
+    val decay = round(exp(-(r / lit(rStar))), 6)
+    val eff = least(shareD, uD) + uD * lit(rStar) * (lit(1.0) - decay)
+    withShare
+      .withColumn("epochs", epochs)
+      .select(col("source"), col("u").as("u_tokens"),
+        col("share").as("share_tokens"), col("epochs"),
+        greatest(col("epochs") - lit(1.0), lit(0.0)).as("repeats"),
+        round(eff, 2).as("eff_tokens"),
+        round(eff / shareD, 6).as("eff_frac"))
+  }
 }

@@ -2466,6 +2466,164 @@ object DataPipeQueries {
           AS pass_rate, lo95, hi95
       FROM pt, lo, hi"""))
 
+  /** T164: Fleiss' kappa among THREE heuristic quality raters
+    * ([[graft.datapipe.Preference.fleissKappa]], Fleiss 1971) — the
+    * stopword-density gate, the lexical-diversity gate, and a
+    * 20-word length floor. The oracle replays the vote counts, the
+    * per-item agreement numerators, and the fixed IEEE readout tree.
+    */
+  private val prefFleiss = QueryDef(
+    "pref_fleiss",
+    (s, d) => {
+      val ws = filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)
+      val n = size(ws).cast("bigint")
+      val v = size(array_distinct(ws)).cast("bigint")
+      graft.datapipe.Preference.fleissKappa(
+        Tables.documents(s, d),
+        Seq(TextAnalysis.stopwordCount(col("text")) * 5 >= n,
+          v * 10 >= n * 7,
+          n >= 20),
+        Seq("source"))
+    },
+    Some("""WITH t AS (SELECT source,
+        (CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 5
+            >= CAST(len(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0)) AS BIGINT) THEN 1 ELSE 0 END)
+        + (CASE WHEN CAST(len(list_distinct(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0))) AS BIGINT) * 10
+            >= CAST(len(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0)) AS BIGINT) * 7 THEN 1 ELSE 0 END)
+        + (CASE WHEN CAST(len(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0)) AS BIGINT) >= 20 THEN 1 ELSE 0 END)
+          AS v
+        FROM documents),
+      g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(v) AS BIGINT) AS sv,
+          CAST(SUM(v * (v - 1) + (3 - v) * (3 - v - 1)) AS BIGINT)
+            AS sagree
+        FROM t GROUP BY 1)
+      SELECT source, n_items, CAST(3 AS BIGINT) AS m_raters,
+        round(CAST(sagree AS DOUBLE)
+          / (CAST(n_items AS DOUBLE) * 6.0), 6) AS p_bar,
+        round((CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+            * (CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+          + (1.0 - CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+            * (1.0 - CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0)),
+          6) AS p_e,
+        CASE WHEN 1.0 - ((CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+              * (CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+            + (1.0 - CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+              * (1.0 - CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))) > 0
+          THEN round((CAST(sagree AS DOUBLE)
+              / (CAST(n_items AS DOUBLE) * 6.0)
+            - ((CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+              * (CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+            + (1.0 - CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+              * (1.0 - CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))))
+            / (1.0 - ((CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+              * (CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+            + (1.0 - CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0))
+              * (1.0 - CAST(sv AS DOUBLE) / (CAST(n_items AS DOUBLE) * 3.0)))),
+            6)
+        END AS kappa
+      FROM g"""))
+
+  /** T163: split-leakage audit
+    * ([[graft.datapipe.Sampling.splitLeakage]]) over a corpus with
+    * planted exact copies (every 3rd document re-ingested under a
+    * shifted id): id-hash splitting leaks duplicate pairs across the
+    * train/eval boundary; content-fingerprint splitting reads
+    * exactly 0 — the certificate behind `contentSplit`. The oracle
+    * replays both hash assignments and the pair arithmetic.
+    */
+  private val splitLeakage = QueryDef(
+    "split_leakage",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), col("text"))
+      val planted = docs.unionByName(docs.filter(col("id") % 3 === 0)
+        .select((col("id") + 1000000).as("id"), col("text")))
+      graft.datapipe.Sampling.splitLeakage(planted, "id", "text",
+        trainPct = 90)
+    },
+    Some("""WITH d2 AS (SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS id, text FROM documents
+        WHERE doc_id % 3 = 0),
+      r AS (SELECT
+        ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp,
+        CASE WHEN ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+          THEN 1 ELSE 0 END AS t_id
+        FROM d2),
+      r2 AS (SELECT fp, t_id,
+        CASE WHEN ('0x' || substr(md5(CAST(fp AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+          THEN 1 ELSE 0 END AS t_fp
+        FROM r),
+      g AS MATERIALIZED (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(t_id) AS BIGINT) AS nt_id,
+          CAST(SUM(t_fp) AS BIGINT) AS nt_fp
+        FROM r2 GROUP BY 1),
+      s1 AS (SELECT 'id_hash' AS strategy,
+          CAST(SUM(n) AS BIGINT) AS n_docs,
+          CAST(SUM(nt_id) AS BIGINT) AS n_train,
+          CAST(SUM(n - nt_id) AS BIGINT) AS n_eval,
+          CAST(SUM(n * (n - 1)) // 2 AS BIGINT) AS n_dup_pairs,
+          CAST(SUM(nt_id * (n - nt_id)) AS BIGINT) AS n_leak_pairs
+        FROM g
+        UNION ALL
+        SELECT 'content_hash',
+          CAST(SUM(n) AS BIGINT), CAST(SUM(nt_fp) AS BIGINT),
+          CAST(SUM(n - nt_fp) AS BIGINT),
+          CAST(SUM(n * (n - 1)) // 2 AS BIGINT),
+          CAST(SUM(nt_fp * (n - nt_fp)) AS BIGINT)
+        FROM g)
+      SELECT strategy, n_docs, n_train, n_eval, n_dup_pairs,
+        n_leak_pairs,
+        CASE WHEN n_dup_pairs > 0 THEN
+          ((2 * n_leak_pairs * 1000000 + n_dup_pairs) // (2 * n_dup_pairs))
+            / 1000000.0 END AS leak_frac
+      FROM s1"""))
+
+  /** T165: data-constrained epoch schedule
+    * ([[graft.datapipe.Sampling.epochSchedule]], Muennighoff et al.
+    * 2023) — equal budget shares per source, epochs forced, and the
+    * repeated-token decay-law value D′. The oracle replays the token
+    * rollup, the integer share, the exact epoch ratio, and the IEEE
+    * decay chain.
+    */
+  private val mixEpochSchedule = QueryDef(
+    "mix_epoch_schedule",
+    (s, d) => graft.datapipe.Sampling.epochSchedule(
+      Tables.documents(s, d), "source",
+      TextAnalysis.tokenCount(col("text")), budgetTokens = 3000000L),
+    Some("""WITH t AS (SELECT source,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tk
+        FROM documents),
+      u AS MATERIALIZED (SELECT source, CAST(SUM(tk) AS BIGINT) AS u
+        FROM t GROUP BY 1 HAVING SUM(tk) > 0),
+      k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM u),
+      e AS (SELECT source, u, (3000000 - 3000000 % k) // k AS share,
+          ((2 * ((3000000 - 3000000 % k) // k) * 1000000 + u) // (2 * u))
+            / 1000000.0 AS epochs
+        FROM u, k),
+      f AS (SELECT source, u, share, epochs,
+          GREATEST(epochs - 1.0, 0.0) AS repeats,
+          round(exp(-(GREATEST(epochs - 1.0, 0.0) / 15.39)), 6) AS decay
+        FROM e)
+      SELECT source, u AS u_tokens, CAST(share AS BIGINT) AS share_tokens,
+        epochs, repeats,
+        round(LEAST(CAST(share AS DOUBLE), CAST(u AS DOUBLE))
+          + CAST(u AS DOUBLE) * 15.39 * (1.0 - decay), 2) AS eff_tokens,
+        round((LEAST(CAST(share AS DOUBLE), CAST(u AS DOUBLE))
+          + CAST(u AS DOUBLE) * 15.39 * (1.0 - decay))
+          / CAST(share AS DOUBLE), 6) AS eff_frac
+      FROM f"""))
+
   /** T145: GRPO-style group-relative advantage
     * ([[graft.datapipe.Preference.groupAdvantage]]) — standardize
     * the distinct-token reward within each source group via the
@@ -5786,6 +5944,7 @@ object DataPipeQueries {
     sftFim, prefBestOfN, mixDoremi, clfTemperature,
     sftLossMask, vocabHeaps, textRobustOutliers, prefLengthBias,
     prefKappa, textCollocations, clfLabelNoise, evalBootstrapCi,
+    prefFleiss, splitLeakage, mixEpochSchedule,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

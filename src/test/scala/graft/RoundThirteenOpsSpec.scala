@@ -388,4 +388,86 @@ class RoundThirteenOpsSpec extends SparkSpec {
       const.getAs[Double]("hi95") === 1.0 &&
       const.getAs[Double]("pass_rate") === 1.0)
   }
+
+  test("fleissKappa: perfect three-rater agreement on mixed votes reads " +
+    "kappa 1; a driver replay matches hand labels; a unanimous pool " +
+    "reads NULL") {
+    // perfect agreement, mixed pool: every rater says the same thing
+    // per item, half the items positive
+    val perfect = Seq((true, true, true), (false, false, false),
+      (true, true, true), (false, false, false))
+      .map { case (a, b, c) => ("g", a, b, c) }
+    val p = Preference.fleissKappa(perfect.toDF("source", "a", "b", "c"),
+      Seq(col("a"), col("b"), col("c")), Seq("source")).collect()(0)
+    assert(p.getAs[Double]("p_bar") === 1.0)
+    assert(p.getAs[Double]("kappa") === 1.0)
+    // hand replay: v per item = 3, 2, 1, 0 over 4 items
+    val mixed = Seq((true, true, true), (true, true, false),
+      (true, false, false), (false, false, false))
+      .map { case (a, b, c) => ("g", a, b, c) }
+    val m = Preference.fleissKappa(mixed.toDF("source", "a", "b", "c"),
+      Seq(col("a"), col("b"), col("c")), Seq("source")).collect()(0)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // sagree = Σ v(v−1)+(3−v)(2−v) over v = 3,2,1,0 → 6+2+2+6 = 16
+    val pBar = 16.0 / (4.0 * 6.0)
+    val p1 = 6.0 / (4.0 * 3.0)
+    val pE = p1 * p1 + (1.0 - p1) * (1.0 - p1)
+    assert(m.getAs[Double]("p_bar") === r6(pBar))
+    assert(m.getAs[Double]("kappa") === r6((pBar - pE) / (1.0 - pE)))
+    // unanimous pool: every vote positive → pE = 1 → NULL
+    val una = Seq(("g", true, true, true), ("g", true, true, true))
+    val u = Preference.fleissKappa(una.toDF("source", "a", "b", "c"),
+      Seq(col("a"), col("b"), col("c")), Seq("source")).collect()(0)
+    assert(u.isNullAt(u.fieldIndex("kappa")))
+  }
+
+  test("splitLeakage: hand-planted duplicate groups — the content-hash " +
+    "row reads exactly zero leaked pairs, the pair arithmetic is exact") {
+    import graft.datapipe.Sampling
+    // group A: 3 exact copies; group B: 2 copies; 5 singletons
+    val docs = (Seq.fill(3)("dup group a text") ++
+      Seq.fill(2)("dup group b text") ++
+      (1 to 5).map(i => s"unique text number $i")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val out = Sampling.splitLeakage(docs.toDF("id", "text"), "id", "text",
+      trainPct = 50).collect().map(r => r.getString(0) -> r).toMap
+    for ((_, r) <- out) {
+      assert(r.getAs[Long]("n_docs") === 10L)
+      assert(r.getAs[Long]("n_dup_pairs") === 4L, "C(3,2) + C(2,2)")
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_eval") === 10L)
+    }
+    assert(out("content_hash").getAs[Long]("n_leak_pairs") === 0L,
+      "fingerprint-keyed assignment co-assigns every duplicate group")
+    assert(out("content_hash").getAs[Double]("leak_frac") === 0.0)
+    val leak = out("id_hash").getAs[Long]("n_leak_pairs")
+    assert(leak >= 0L && leak <= 4L)
+  }
+
+  test("epochSchedule: a driver replay of the decay law on a hand " +
+    "corpus — under-budget sources read eff_frac 1, deep repetition " +
+    "discounts") {
+    import graft.datapipe.Sampling
+    val docs = (Seq.fill(10)(("small", 1L)) ++ Seq.fill(200)(("big", 1L)))
+      .toDF("source", "tk")
+    val out = Sampling.epochSchedule(docs, "source", col("tk"),
+      budgetTokens = 100L).collect().map(r => r.getString(0) -> r).toMap
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val big = out("big") // u=200, share=50: under one epoch
+    assert(big.getAs[Long]("share_tokens") === 50L)
+    assert(big.getAs[Double]("epochs") === 0.25)
+    assert(big.getAs[Double]("repeats") === 0.0)
+    assert(big.getAs[Double]("eff_tokens") === 50.0)
+    assert(big.getAs[Double]("eff_frac") === 1.0,
+      "no repetition, every budgeted token is fresh")
+    val small = out("small") // u=10, share=50: 5 epochs, R=4
+    assert(small.getAs[Double]("epochs") === 5.0)
+    val decay = r(math.exp(-(4.0 / 15.39)), 6)
+    val eff = 10.0 + 10.0 * 15.39 * (1.0 - decay)
+    assert(small.getAs[Double]("eff_tokens") === r(eff, 2))
+    assert(small.getAs[Double]("eff_frac") === r(eff / 50.0, 6))
+    assert(small.getAs[Double]("eff_frac") < 1.0,
+      "repetition is discounted")
+  }
 }

@@ -133,6 +133,33 @@ class RoundThirteenPlanSpec extends SparkSpec {
       "scalar composition must be broadcast nested-loop, never cartesian")
   }
 
+  test("pref_fleiss: ONE map-side-combined three-counter rollup — " +
+    "never a join, never a window") {
+    val p = plan("pref_fleiss")
+    assert(p.contains("partial_"),
+      s"the vote counters must partial-aggregate map-side; plan:\n${p.take(1500)}")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "fleiss is a pure rollup")
+  }
+
+  test("split_leakage: ONE staged fingerprint rollup feeds both " +
+    "strategy rows — the corpus is scanned once, no window, no " +
+    "cartesian") {
+    val p = plan("split_leakage")
+    assert(p.contains("InMemoryTableScan"),
+      s"the fingerprint-group frame must be staged (both strategies " +
+        s"consume it); plan:\n${p.take(2000)}")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("mix_epoch_schedule: one token rollup to the source dimension " +
+    "+ a one-row broadcast for the share — no window") {
+    val p = plan("mix_epoch_schedule")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the source-count scalar must broadcast; plan:\n${p.take(1500)}")
+    assert(!p.contains("Window"), "no window in the schedule")
+  }
+
   test("sim_pca_top: the corpus-sized stage is ONE ObjectHashAggregate " +
     "(the Gram typed aggregator) — no generator fan-out anywhere") {
     val df = SparkEntry.queries("sim_pca_top")(spark, sf)
