@@ -296,6 +296,71 @@ object Packing {
         graft.functions.ExactRound.ratio6(col("top_docs"), col("n_docs"))
           .as("top_share"))
   }
+
+  /** T166: prefix-cache savings estimate — for each candidate prefix
+    * width k, how many tokens an exact-prefix-sharing KV cache (or a
+    * prefix-deduplicated training pack) saves: documents whose first
+    * k tokens are IDENTICAL share one cached prefix, so a group of n
+    * such documents saves (n−1)·k tokens. The readout behind
+    * "is prefix caching worth it on this corpus" (system-prompted /
+    * templated corpora share massively; organic text barely at all).
+    *
+    * Only documents with ≥ k tokens participate at width k (a
+    * shorter document IS its own full prefix — sharing it is whole-
+    * document dedup, T1's job, not a prefix-cache question).
+    * Grouping keys are md5 hashes of the joined k-prefix (exact,
+    * engine-portable); savings and fractions are exact integers /
+    * exact integer ratios.
+    *
+    * Scale shape: ONE corpus scan — each document fans out to its
+    * eligible widths (a |ks|-way inline explode over a materialized
+    * token column, the HOF-capture rule), then one map-side-combined
+    * (k, prefix-hash) rollup and one k-sized rollup; a literal k
+    * frame left-joins the result back so a width with no eligible
+    * documents still reads its zero row.
+    *
+    * Output: (k, n_docs, n_groups, shared_docs, saved_tokens,
+    * total_tokens, saved_frac) — one row per k.
+    */
+  def prefixCacheSavings(docs: DataFrame, textCol: String,
+                         ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"need ks >= 1, got $ks")
+    require(ks.distinct.size == ks.size, s"duplicate ks: $ks")
+    val ratio6 = graft.functions.ExactRound.ratio6 _
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = filter(split(TextAnalysis.normalize(col(textCol)), " "),
+      t => length(t) > 0)
+    val eligible = docs
+      .select(ws.as("__ws"))
+      .select(size(col("__ws")).cast("bigint").as("n"), col("__ws"),
+        explode(array(ks.sorted.map(k => lit(k.toLong)): _*)).as("k"))
+      .filter(col("n") >= col("k"))
+      .select(col("k"), col("n"),
+        md5(array_join(slice(col("__ws"), lit(1), col("k").cast("int")),
+          " ")).as("pfx"))
+    val perK = eligible.groupBy(col("k"), col("pfx"))
+      .agg(count(lit(1)).as("gn"), sum(col("n")).as("gtok"))
+      .groupBy(col("k"))
+      .agg(
+        sum(col("gn")).as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("gn") >= 2, col("gn")).otherwise(0L))
+          .as("shared_docs"),
+        sum((col("gn") - 1) * col("k")).as("saved_tokens"),
+        sum(col("gtok")).as("total_tokens"))
+    ks.sorted.map(_.toLong).toDF("k")
+      .join(perK, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_groups"), lit(0L)).as("n_groups"),
+        coalesce(col("shared_docs"), lit(0L)).as("shared_docs"),
+        coalesce(col("saved_tokens"), lit(0L)).as("saved_tokens"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        when(coalesce(col("total_tokens"), lit(0L)) > 0,
+          ratio6(col("saved_tokens"), col("total_tokens")))
+          .otherwise(lit(null).cast("double")).as("saved_frac"))
+  }
 }
 
 /** Deterministic global training-order shuffle: every epoch pipeline

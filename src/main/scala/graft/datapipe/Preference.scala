@@ -379,6 +379,61 @@ object Preference {
         .otherwise(lit(null).cast("double")).as("kappa")): _*)
   }
 
+  /** T167: majority-vote label aggregation with per-rater accuracy —
+    * the one-step Dawid–Skene readout (Dawid & Skene 1979's full EM
+    * iterates this; the first iteration is what most labeling
+    * pipelines actually ship): per item, the consensus label is the
+    * strict majority of m boolean raters (an exact tie reads
+    * consensus FALSE — stated, deterministic), and each rater is
+    * then scored by how often it agrees with the consensus — the
+    * "which annotators can I trust" table that decides rater
+    * weighting and requalification.
+    *
+    * Exactness: all integers — votes, the strict-majority
+    * comparison 2v > m, the per-rater agreement counters (one
+    * map-side rollup computes all m at once), and the exact integer
+    * accuracy ratio.
+    *
+    * Scale shape: per-row integer arithmetic + ONE rollup to the
+    * group dimension; the per-rater rows unfold from that bounded
+    * frame via a m-way inline explode. No joins, no windows.
+    *
+    * Output: (groupCols…, rater, n_items, n_majority_true, n_agree,
+    * accuracy) — one row per (group, rater).
+    */
+  def majorityVote(df: DataFrame, raters: Seq[(String, Column)],
+                   groupCols: Seq[String]): DataFrame = {
+    require(raters.size >= 2, "majorityVote needs >= 2 raters")
+    require(raters.map(_._1).distinct.size == raters.size,
+      s"duplicate rater names: ${raters.map(_._1)}")
+    require(groupCols.nonEmpty, "majorityVote needs >= 1 group column")
+    val m = raters.size.toLong
+    val grp = groupCols.map(col)
+    val voteCols = raters.map { case (nm, r) =>
+      when(r.cast("boolean"), 1L).otherwise(0L).as(s"__v_$nm")
+    }
+    val v = raters.indices.map(i => col(s"__v_${raters(i)._1}"))
+      .reduce(_ + _)
+    val scored = df.select(voteCols ++: grp: _*)
+      .withColumn("__maj", v * 2 > lit(m))
+    val aggs = count(lit(1)).as("n_items") +:
+      sum(when(col("__maj"), 1L).otherwise(0L)).as("n_majority_true") +:
+      raters.map { case (nm, _) =>
+        sum(when((col(s"__v_$nm") === 1L) === col("__maj"), 1L)
+          .otherwise(0L)).as(s"__a_$nm")
+      }
+    val rolled = scored.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
+    val perRater = explode(array(raters.map { case (nm, _) =>
+      struct(lit(nm).as("rater"), col(s"__a_$nm").as("n_agree"))
+    }: _*)).as("r")
+    rolled.select(grp ++ Seq(col("n_items"), col("n_majority_true"),
+        perRater): _*)
+      .select(grp ++ Seq(col("r.rater").as("rater"), col("n_items"),
+        col("n_majority_true"), col("r.n_agree").as("n_agree"),
+        graft.functions.ExactRound.ratio6(col("r.n_agree"), col("n_items"))
+          .as("accuracy")): _*)
+  }
+
   /** The engines' shared portable fold (see [[Similarity]]): Σ
     * round8(x) accumulated as DECIMAL, returned as its double image.
     */

@@ -2624,6 +2624,108 @@ object DataPipeQueries {
           / CAST(share AS DOUBLE), 6) AS eff_frac
       FROM f"""))
 
+  /** T166: prefix-cache savings sweep
+    * ([[graft.datapipe.Packing.prefixCacheSavings]]) — per prefix
+    * width k, the tokens an exact-prefix-sharing KV cache saves on
+    * this corpus. The oracle replays the eligibility rule, the
+    * prefix grouping, and the savings arithmetic, LEFT-joined from
+    * the k table so a width with no eligible documents still reads
+    * its zero row.
+    */
+  private val packPrefixCache = QueryDef(
+    "pack_prefix_cache",
+    (s, d) => graft.datapipe.Packing.prefixCacheSavings(
+      Tables.documents(s, d), "text", Seq(1, 2, 4)),
+    Some("""WITH dd AS (SELECT list_filter(string_split(trim(
+          regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0) AS w
+        FROM documents),
+      t AS MATERIALIZED (SELECT CAST(len(w) AS BIGINT) AS n, w FROM dd),
+      pk AS (SELECT kk.k AS k, n,
+          array_to_string(w[1:kk.k], ' ') AS pfx
+        FROM t, (SELECT UNNEST([1, 2, 4]) AS k) kk WHERE n >= kk.k),
+      g AS (SELECT k, pfx, CAST(COUNT(*) AS BIGINT) AS gn,
+          CAST(SUM(n) AS BIGINT) AS gtok
+        FROM pk GROUP BY 1, 2),
+      a AS (SELECT kk.k,
+          CAST(COALESCE(SUM(gn), 0) AS BIGINT) AS n_docs,
+          CAST(COUNT(g.pfx) AS BIGINT) AS n_groups,
+          CAST(COALESCE(SUM(CASE WHEN gn >= 2 THEN gn ELSE 0 END), 0)
+            AS BIGINT) AS shared_docs,
+          CAST(COALESCE(SUM((gn - 1) * g.k), 0) AS BIGINT)
+            AS saved_tokens,
+          CAST(COALESCE(SUM(gtok), 0) AS BIGINT) AS total_tokens
+        FROM (SELECT UNNEST([1, 2, 4]) AS k) kk
+        LEFT JOIN g ON g.k = kk.k GROUP BY 1)
+      SELECT CAST(k AS BIGINT) AS k, n_docs, n_groups, shared_docs,
+        saved_tokens, total_tokens,
+        CASE WHEN total_tokens > 0 THEN
+          ((2 * saved_tokens * 1000000 + total_tokens)
+            // (2 * total_tokens)) / 1000000.0 END AS saved_frac
+      FROM a"""))
+
+  /** T167: majority-vote label aggregation + per-rater accuracy
+    * ([[graft.datapipe.Preference.majorityVote]], the one-step
+    * Dawid–Skene readout) over the same three heuristic raters as
+    * `pref_fleiss`. The oracle replays the strict majority, the
+    * tie-to-false rule, and every agreement counter.
+    */
+  private val prefMajority = QueryDef(
+    "pref_majority",
+    (s, d) => {
+      val ws = filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)
+      val n = size(ws).cast("bigint")
+      val v = size(array_distinct(ws)).cast("bigint")
+      graft.datapipe.Preference.majorityVote(
+        Tables.documents(s, d),
+        Seq(
+          "stopword" -> (TextAnalysis.stopwordCount(col("text")) * 5 >= n),
+          "ttr" -> (v * 10 >= n * 7),
+          "len20" -> (n >= 20)),
+        Seq("source"))
+    },
+    Some("""WITH t AS (SELECT source,
+        (CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 5
+            >= CAST(len(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0)) AS BIGINT) THEN 1 ELSE 0 END) AS va,
+        (CASE WHEN CAST(len(list_distinct(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0))) AS BIGINT) * 10
+            >= CAST(len(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0)) AS BIGINT) * 7 THEN 1 ELSE 0 END) AS vb,
+        (CASE WHEN CAST(len(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0)) AS BIGINT) >= 20 THEN 1 ELSE 0 END) AS vc
+        FROM documents),
+      s2 AS (SELECT source, va, vb, vc,
+          (va + vb + vc) * 2 > 3 AS maj FROM t),
+      g AS MATERIALIZED (SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(CASE WHEN maj THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_majority_true,
+          CAST(SUM(CASE WHEN (va = 1) = maj THEN 1 ELSE 0 END) AS BIGINT)
+            AS aa,
+          CAST(SUM(CASE WHEN (vb = 1) = maj THEN 1 ELSE 0 END) AS BIGINT)
+            AS ab,
+          CAST(SUM(CASE WHEN (vc = 1) = maj THEN 1 ELSE 0 END) AS BIGINT)
+            AS ac
+        FROM s2 GROUP BY 1)
+      SELECT source, 'stopword' AS rater, n_items, n_majority_true,
+        aa AS n_agree,
+        ((2 * aa * 1000000 + n_items) // (2 * n_items)) / 1000000.0
+          AS accuracy FROM g
+      UNION ALL
+      SELECT source, 'ttr', n_items, n_majority_true, ab,
+        ((2 * ab * 1000000 + n_items) // (2 * n_items)) / 1000000.0
+        FROM g
+      UNION ALL
+      SELECT source, 'len20', n_items, n_majority_true, ac,
+        ((2 * ac * 1000000 + n_items) // (2 * n_items)) / 1000000.0
+        FROM g"""))
+
   /** T145: GRPO-style group-relative advantage
     * ([[graft.datapipe.Preference.groupAdvantage]]) — standardize
     * the distinct-token reward within each source group via the
@@ -5945,6 +6047,7 @@ object DataPipeQueries {
     sftLossMask, vocabHeaps, textRobustOutliers, prefLengthBias,
     prefKappa, textCollocations, clfLabelNoise, evalBootstrapCi,
     prefFleiss, splitLeakage, mixEpochSchedule,
+    packPrefixCache, prefMajority,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

@@ -470,4 +470,59 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(small.getAs[Double]("eff_frac") < 1.0,
       "repetition is discounted")
   }
+
+  test("prefixCacheSavings: hand corpus — exact savings arithmetic per " +
+    "width, and a width with no eligible documents reads its zero row") {
+    import graft.datapipe.Packing
+    val docs = Seq(
+      "sys prompt alpha beta", // shares 2-prefix with the next
+      "sys prompt gamma",
+      "sys other one",         // shares only the 1-prefix
+      "lone text here").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = Packing.prefixCacheSavings(docs, "text", Seq(2, 99))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val k2 = out(2L)
+    assert(k2.getAs[Long]("n_docs") === 4L)
+    assert(k2.getAs[Long]("n_groups") === 3L,
+      "sys-prompt pair + sys-other + lone-text")
+    assert(k2.getAs[Long]("shared_docs") === 2L)
+    assert(k2.getAs[Long]("saved_tokens") === 2L, "(2-1) docs * k=2")
+    assert(k2.getAs[Long]("total_tokens") === 4L + 3L + 3L + 3L)
+    val k99 = out(99L)
+    assert(k99.getAs[Long]("n_docs") === 0L && k99.getAs[Long]("n_groups") === 0L)
+    assert(k99.isNullAt(k99.fieldIndex("saved_frac")),
+      "no eligible documents, no defined fraction")
+  }
+
+  test("majorityVote: strict majority with the tie-to-false rule, and " +
+    "per-rater accuracy replayed by hand") {
+    // 3 raters over 4 items: majorities T, T, F, F;
+    // rater a agrees 4/4, b 2/4, c 2/4
+    val rows = Seq(
+      (true, true, false),   // maj T: a+, b+, c-
+      (true, false, true),   // maj T: a+, b-, c+
+      (false, false, true),  // maj F: a+, b+, c-
+      (false, true, false))  // maj F: a+, b-, c+
+      .map { case (a, b, c) => ("g", a, b, c) }
+    val out = Preference.majorityVote(rows.toDF("source", "a", "b", "c"),
+      Seq("ra" -> col("a"), "rb" -> col("b"), "rc" -> col("c")),
+      Seq("source")).collect().map(r => r.getAs[String]("rater") -> r).toMap
+    assert(out.keySet === Set("ra", "rb", "rc"))
+    assert(out("ra").getAs[Long]("n_items") === 4L)
+    assert(out("ra").getAs[Long]("n_majority_true") === 2L)
+    assert(out("ra").getAs[Long]("n_agree") === 4L)
+    assert(out("ra").getAs[Double]("accuracy") === 1.0)
+    assert(out("rb").getAs[Long]("n_agree") === 2L)
+    assert(out("rc").getAs[Double]("accuracy") === 0.5)
+    // two raters, one T one F → 2v = m, strict majority FALSE
+    val tie = Preference.majorityVote(
+      Seq(("g", true, false)).toDF("source", "a", "b"),
+      Seq("ra" -> col("a"), "rb" -> col("b")), Seq("source"))
+      .collect().map(r => r.getAs[String]("rater") -> r).toMap
+    assert(tie("ra").getAs[Long]("n_majority_true") === 0L,
+      "an exact tie reads consensus false")
+    assert(tie("rb").getAs[Long]("n_agree") === 1L,
+      "the false-voting rater agrees with the tie-broken consensus")
+  }
 }

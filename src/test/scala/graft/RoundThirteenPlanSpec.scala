@@ -160,6 +160,27 @@ class RoundThirteenPlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no window in the schedule")
   }
 
+  test("pack_prefix_cache: ONE corpus scan fans each doc to its " +
+    "eligible widths, two map-side rollups, a k-sized left join — " +
+    "no window, no cartesian") {
+    val p = plan("pack_prefix_cache")
+    assert(p.contains("partial_"),
+      s"the (k, prefix) counts must partial-aggregate; plan:\n${p.take(1500)}")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("pref_majority: ONE rollup computes every rater's agreement " +
+    "counter at once; the per-rater rows unfold from the bounded " +
+    "group frame — no join back to the corpus, no window") {
+    val p = plan("pref_majority")
+    assert(!p.contains("Window"), "no window in the vote rollup")
+    assert(p.contains("partial_"),
+      s"agreement counters must partial-aggregate; plan:\n${p.take(1500)}")
+    // the only Generate is the m-way explode over the group frame
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "nothing may join back to the corpus")
+  }
+
   test("sim_pca_top: the corpus-sized stage is ONE ObjectHashAggregate " +
     "(the Gram typed aggregator) — no generator fan-out anywhere") {
     val df = SparkEntry.queries("sim_pca_top")(spark, sf)
