@@ -111,10 +111,18 @@ object Bench {
     // 1.14); a second pass with ~10× the rows gives the compiler the
     // samples it needs. Override dirs (comma-separated) with
     // SPARK_GRAFT_BENCH_WARM.
-    val warmDirs = sys.env.get("SPARK_GRAFT_BENCH_WARM")
+    val configured = sys.env.get("SPARK_GRAFT_BENCH_WARM")
       .map(_.split(",").toSeq)
       .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
-      .filter(d => Files.isDirectory(Paths.get(d)))
+    val warmDirs = configured.filter(d => Files.isDirectory(Paths.get(d)))
+    // a missing warm dir (typo'd override, absent fixture) must be
+    // LOUD — with zero warm passes, session-init/codegen/JIT land in
+    // the timed window and the artifact would publish cold numbers
+    // indistinguishable from warmed ones
+    for (d <- configured.filterNot(warmDirs.toSet))
+      System.err.println(s"BENCH WARNING: warm dir $d missing — skipped")
+    if (warmDirs.isEmpty)
+      System.err.println("BENCH WARNING: NO warm dirs exist — timing cold")
     for (wd <- warmDirs; n <- names; fn <- SparkEntry.queries.get(n))
       try fn(spark, wd).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -309,7 +317,12 @@ object Bench {
       val pool = results.map(_._1).filterNot(slowestNames.toSet).sorted
       new scala.util.Random(recheckSeed).shuffle(pool).take(midpackK)
     }
-    val recheckNames = slowestNames ++ midpackNames
+    // mid-pack entries time FIRST in the recheck worker: after the
+    // 10 heaviest compositions x REPS the fresh JVM carries exactly
+    // the codegen/GC debris the mid-pack sample exists to detect,
+    // which would inflate their "fresh" baselines and mask real
+    // in-group inflation (ratio = main/fresh driven toward 1)
+    val recheckNames = midpackNames ++ slowestNames
     val recheck: Seq[(String, Double)] = cpOpt match {
       case Some(cp) if isolation.startsWith("per-group-jvm") =>
         val out = tmpDir.resolve("recheck.tsv")
@@ -359,9 +372,14 @@ object Bench {
     // top-level recheck_adopted list), so a consumer reading one
     // query's stats can tell a fresh-JVM-adopted median from an
     // in-group one without cross-referencing.
+    // "runs" always carries the RAW in-group timings (BENCHNOTES
+    // promises them even for adopted entries); min/median reflect
+    // the PUBLISHED numbers.
+    val rawRuns = results.map(r => r._1 -> r._2).toMap
     val stats = finalResults.map { case (k, v, _) =>
       val adoptedFlag = if (adoptedSet(k)) ""","adopted":true""" else ""
-      s"""${jstr(k)}:{"min":${if (v.isEmpty) 0.0 else v.min},"median":${median(v)},"runs":[${v.mkString(",")}]$adoptedFlag}"""
+      val raw = rawRuns.getOrElse(k, v)
+      s"""${jstr(k)}:{"min":${if (v.isEmpty) 0.0 else v.min},"median":${median(v)},"runs":[${raw.mkString(",")}]$adoptedFlag}"""
     }.mkString("{", ",", "}")
     val failed = finalResults.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
@@ -375,7 +393,12 @@ object Bench {
       .map { case (k, v, _) => s"${jstr(k)}:${median(v)}" }
       .mkString("{", ",", "}")
     val midpackJson = midpackNames.map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${finalResults.size},"n_failed":${finalResults.count(_._3.nonEmpty)},"slowest":$slowest,"isolation":"$isolation","n_groups":${groups.size},"fresh_jvm_recheck":$recheckJson,"recheck_max_inflation":$maxRatio,"recheck_adopted":$adoptedJson,"recheck_seed":$recheckSeed,"recheck_midpack":$midpackJson,"sf":"$sfDir","reps":$REPS}""")
+    val warmJson = sys.env.get("SPARK_GRAFT_BENCH_WARM")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+      .filter(d => Files.isDirectory(Paths.get(d)))
+      .map(jstr).mkString("[", ",", "]")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${finalResults.size},"n_failed":${finalResults.count(_._3.nonEmpty)},"slowest":$slowest,"isolation":"$isolation","n_groups":${groups.size},"fresh_jvm_recheck":$recheckJson,"recheck_max_inflation":$maxRatio,"recheck_adopted":$adoptedJson,"recheck_seed":$recheckSeed,"recheck_midpack":$midpackJson,"warm_dirs":$warmJson,"sf":"$sfDir","reps":$REPS}""")
   }
 
   /** Fallback when a fork fails: time ONE group in-process with a

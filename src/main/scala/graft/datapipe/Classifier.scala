@@ -487,6 +487,8 @@ object Classifier {
     * identical doubles. A class with no examples carries no
     * threshold: the OTHER class reads NULL n_flips/flip_rate
     * (nothing to be confident about), stated rather than silently 0.
+    * NULL labels carry no class information and are excluded
+    * explicitly (stated, same principle).
     *
     * Scale shape: one two-row rollup (n, Σp_own by label), one
     * broadcast-size join of the flipped thresholds back onto the
@@ -500,7 +502,10 @@ object Classifier {
                  labelCol: String): DataFrame = {
     val p1 = round(lit(1.0) / (lit(1.0) + exp(-col(scoreCol))), 6)
     val p0 = round(lit(1.0) / (lit(1.0) + exp(col(scoreCol))), 6)
-    val rows = scored.select(
+    // NULL labels carry no class information — excluded EXPLICITLY
+    // (they would otherwise form a NULL group that silently vanishes
+    // from the boolean-keyed joins below)
+    val rows = scored.filter(col(labelCol).isNotNull).select(
       col(labelCol).cast("boolean").as("given_label"),
       when(col(labelCol).cast("boolean"), p1).otherwise(p0).as("p_own"),
       when(col(labelCol).cast("boolean"), p0).otherwise(p1).as("p_other"))

@@ -591,6 +591,9 @@ object Sampling {
         col("share").as("share_tokens"), col("epochs"),
         greatest(col("epochs") - lit(1.0), lit(0.0)).as("repeats"),
         round(eff, 2).as("eff_tokens"),
-        round(eff / shareD, 6).as("eff_frac"))
+        // share 0 (budget smaller than the source count) would read
+        // 0/0 = NaN — NULL is the file's degenerate convention
+        when(col("share") > 0, round(eff / shareD, 6))
+          .otherwise(lit(null).cast("double")).as("eff_frac"))
   }
 }

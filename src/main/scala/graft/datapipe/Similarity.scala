@@ -1223,10 +1223,14 @@ object Similarity {
     val perDim = emb
       .select(q.as("__q"), explode(array(dims.sorted.map(d =>
         lit(d.toLong)): _*)).as("dim"))
-      .select(col("dim"),
+      .select(col("dim"), size(col("__q")).cast("bigint").as("nd"),
         sq(col("__q")).as("sFull"),
         sq(slice(col("__q"), lit(1), col("dim").cast("int"))).as("sD"))
-      .select(col("dim"), when(col("sFull") > 0,
+      // a width WIDER than the vector reads NULL, not a fake 1.0 —
+      // slice past the end returns the whole array, so without the
+      // guard every vector would report perfect retention at widths
+      // that do not exist
+      .select(col("dim"), when(col("sFull") > 0 && col("dim") <= col("nd"),
         round(sqrt(col("sD").cast("double") / col("sFull").cast("double")), 6))
         .as("cos"))
     perDim.groupBy(col("dim"))

@@ -1009,18 +1009,25 @@ object TextAnalysis {
     val agg = pts.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_docs"),
         sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"),
+        min(x).as("xmin"), max(x).as("xmax"))
     def d(c: Column): Column = c.cast("double")
     val nD = col("n_docs").cast("double")
     val denom = nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    // degeneracy is decided EXACTLY on the decimal x values (all
+    // docs the same length ⇔ min = max) — the double-cast
+    // cancellation n·Σx²−(Σx)² is ~1e-15-not-0 for most constant-x
+    // groups (x²·10¹⁶ exceeds 2^53), which would publish a
+    // tiny/tiny garbage fit instead of the documented NULL
+    val degenerate = col("xmin") === col("xmax")
     val betaRaw = (nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / denom
     agg.select(col("grp").as(groupCol), col("n_docs"),
-      when(denom === 0.0, lit(null).cast("double"))
+      when(degenerate || denom === 0.0, lit(null).cast("double"))
         .otherwise(round(betaRaw, 6)).as("heaps_beta"),
       // intercept in closed form (sy·sxx − sx·sxy)/denom, so both
       // engines evaluate one identical expression tree — never
       // "mean minus slope·mean" on intermediate roundings
-      when(denom === 0.0, lit(null).cast("double"))
+      when(degenerate || denom === 0.0, lit(null).cast("double"))
         .otherwise(round((d(col("sy")) * d(col("sxx"))
           - d(col("sx")) * d(col("sxy"))) / denom, 6)).as("heaps_lnk"))
   }

@@ -137,7 +137,14 @@ final class SchemaRegistryServer(port: Int = 0) extends AutoCloseable {
         parsedById(next) = parseResolved(schema, refs)
         next
       })
-      if (!versions.lastOption.exists(_._2 == id))
+      // Confluent semantics: re-POSTing content the subject has
+      // ALREADY registered (any version, not only latest) returns
+      // the existing id and appends nothing — appending would mint
+      // a new version that bypassed the compatibility gate above
+      // (e.g. re-registering v1 after a field-removing v2 under
+      // BACKWARD would otherwise silently accept an incompatible
+      // chain).
+      if (!versions.exists(_._2 == id))
         subjects(subject) = versions :+ ((versions.size + 1, id))
       s"""{"id":$id}"""
     }

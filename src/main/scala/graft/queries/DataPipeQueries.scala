@@ -2619,9 +2619,10 @@ object DataPipeQueries {
         epochs, repeats,
         round(LEAST(CAST(share AS DOUBLE), CAST(u AS DOUBLE))
           + CAST(u AS DOUBLE) * 15.39 * (1.0 - decay), 2) AS eff_tokens,
-        round((LEAST(CAST(share AS DOUBLE), CAST(u AS DOUBLE))
-          + CAST(u AS DOUBLE) * 15.39 * (1.0 - decay))
-          / CAST(share AS DOUBLE), 6) AS eff_frac
+        CASE WHEN share > 0 THEN
+          round((LEAST(CAST(share AS DOUBLE), CAST(u AS DOUBLE))
+            + CAST(u AS DOUBLE) * 15.39 * (1.0 - decay))
+            / CAST(share AS DOUBLE), 6) END AS eff_frac
       FROM f"""))
 
   /** T166: prefix-cache savings sweep
@@ -2892,17 +2893,20 @@ object DataPipeQueries {
         FROM tk WHERE len(w) >= 1),
       a AS (SELECT source, COUNT(*) AS n_docs,
           SUM(x) AS sx, SUM(y) AS sy,
-          SUM(x * x) AS sxx, SUM(x * y) AS sxy
+          SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+          MIN(x) AS xmin, MAX(x) AS xmax
         FROM pts GROUP BY source)
       SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-        CASE WHEN CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        CASE WHEN xmin = xmax
+            OR CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
           ELSE round((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
               / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
         END AS heaps_beta,
-        CASE WHEN CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        CASE WHEN xmin = xmax
+            OR CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
           ELSE round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))

@@ -1389,11 +1389,12 @@ object SimilarityQueries {
       q AS (SELECT list_transform(emb,
           x -> CAST(round(x * 1000) AS BIGINT)) AS q FROM e),
       pd AS (SELECT CAST(d.dim AS BIGINT) AS dim,
+          CAST(len(q) AS BIGINT) AS nd,
           list_sum(list_transform(q, x -> x * x)) AS sfull,
           list_sum(list_transform(list_slice(q, 1, d.dim),
             x -> x * x)) AS sd
         FROM q, (SELECT UNNEST([8, 16, 32]) AS dim) d),
-      c AS (SELECT dim, CASE WHEN sfull > 0 THEN
+      c AS (SELECT dim, CASE WHEN sfull > 0 AND dim <= nd THEN
           round(sqrt(CAST(sd AS DOUBLE) / CAST(sfull AS DOUBLE)), 6)
         END AS cos FROM pd)
       SELECT dim, CAST(COUNT(cos) AS BIGINT) AS n_vecs,

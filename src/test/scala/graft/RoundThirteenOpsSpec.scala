@@ -211,6 +211,16 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(out("g2").getAs[Long]("n_docs") === 2L)
     assert(out("g2").isNullAt(out("g2").fieldIndex("heaps_beta")))
     assert(out("g2").isNullAt(out("g2").fieldIndex("heaps_lnk")))
+    // the degeneracy decision must be EXACT (min x = max x on the
+    // decimals) — the double-cast cancellation n·Σx²−(Σx)² reads
+    // ~1e-15, not 0, for most constant-length groups (x²·10¹⁶
+    // exceeds 2^53), which published a tiny/tiny garbage fit
+    val const5 = (1 to 5).map(i =>
+      ("c", s"a$i b$i")) // five docs, all length 2
+    val c = TextAnalysis.heapsFit(const5.toDF("source", "text"),
+      "text", "source").collect()(0)
+    assert(c.isNullAt(c.fieldIndex("heaps_beta")),
+      "a 5-doc constant-length group must read NULL, not tiny/tiny")
   }
 
   test("robustOutliers: lower-median/MAD arithmetic on a hand histogram, " +
@@ -300,6 +310,13 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(out(4L).getAs[Double]("min_cos") === 1.0,
       "the full width preserves every non-zero vector exactly")
     assert(out(4L).getAs[Double]("mean_cos") === 1.0)
+    // a width WIDER than the vectors must read NULL stats, never a
+    // fake perfect retention (slice past the end returns everything)
+    val wide = Similarity.truncationProfile(vecs, "emb", Seq(8))
+      .collect()(0)
+    assert(wide.getAs[Long]("n_vecs") === 0L)
+    assert(wide.isNullAt(wide.fieldIndex("mean_cos")))
+    assert(wide.isNullAt(wide.fieldIndex("min_cos")))
   }
 
   test("collocations: the glued pair outranks frequent-but-independent " +
@@ -355,6 +372,14 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(single.length === 1)
     assert(single(0).isNullAt(single(0).fieldIndex("n_flips")),
       "no opposite class, nothing to be confident about")
+    // NULL labels are excluded explicitly, never a vanished group
+    val withNulls = Classifier.labelNoise(
+      Seq((1.0, java.lang.Boolean.TRUE), (2.0, java.lang.Boolean.TRUE),
+        (3.0, null.asInstanceOf[java.lang.Boolean]))
+        .toDF("score", "y"), "score", "y").collect()
+    assert(withNulls.length === 1)
+    assert(withNulls(0).getAs[Long]("n_labeled") === 2L,
+      "the NULL-label row is excluded, not miscounted")
   }
 
   test("bootstrapCI: a driver replay of the Poisson-weight arithmetic " +
@@ -469,6 +494,12 @@ class RoundThirteenOpsSpec extends SparkSpec {
     assert(small.getAs[Double]("eff_frac") === r(eff / 50.0, 6))
     assert(small.getAs[Double]("eff_frac") < 1.0,
       "repetition is discounted")
+    // budget below the source count → share 0 → eff_frac NULL
+    // (the degenerate convention), never 0/0 = NaN
+    val tiny = Sampling.epochSchedule(docs, "source", col("tk"),
+      budgetTokens = 1L).collect()(0)
+    assert(tiny.getAs[Long]("share_tokens") === 0L)
+    assert(tiny.isNullAt(tiny.fieldIndex("eff_frac")))
   }
 
   test("prefixCacheSavings: hand corpus — exact savings arithmetic per " +

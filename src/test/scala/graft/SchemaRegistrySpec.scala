@@ -92,6 +92,16 @@ class SchemaRegistrySpec extends AnyFunSuite {
       assert(e1.status === 404 && e1.getMessage.contains("40401"))
       val e2 = intercept[SchemaRegistryException](client.schemaById(999))
       assert(e2.status === 404 && e2.getMessage.contains("40403"))
+
+      // Confluent semantics: re-POSTing a schema the subject ALREADY
+      // registered (any prior version, not only latest) returns the
+      // existing id and appends NO new version — appending would
+      // mint a version that bypassed the compatibility gate (e.g.
+      // v1 re-registered after a field-removing v2 under BACKWARD)
+      val idAgain = client.register("TradeData-value", tradeData)
+      assert(idAgain === id1, "re-registering v1 returns v1's id")
+      assert(client.latestVersion("TradeData-value").version === 2,
+        "no phantom v3 from re-registering prior content")
     }
   }
 
