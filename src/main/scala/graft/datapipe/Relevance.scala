@@ -469,7 +469,10 @@ object Relevance {
     * CI bounds are the type-1 (lower-value) empirical percentiles of
     * the B rep estimates: the values at sorted 1-based positions
     * ⌈0.025·B⌉ and ⌈0.975·B⌉, ties broken by rep id — integer
-    * arithmetic end-to-end.
+    * arithmetic end-to-end. B here is the EFFECTIVE rep count: a rep
+    * whose Poisson weights all landed zero (probability ~e^-n) is a
+    * degenerate resample and is excluded from the ranking; n_reps in
+    * the readout still reports the REQUESTED rep count.
     *
     * Scale shape: corpus × B rows through ONE map-side-combined
     * rollup to B rows (the per-rep Σw/Σwx partials combine inside
@@ -504,15 +507,26 @@ object Relevance {
       .select(col("rep"), col("__x"), w.cast("bigint").as("w"))
     val perRep = drawn.groupBy(col("rep"))
       .agg(sum(col("w")).as("den"), sum(col("w") * col("__x")).as("num"))
+      // a rep whose Poisson weights are ALL zero (probability ~e^-n
+      // per rep) carries no resample: its est would be NULL (num/0)
+      // and ascending Window.orderBy ranks NULLs FIRST, silently
+      // shifting every percentile position (the r13 advice finding)
+      // — drop it, and derive the percentile positions from the
+      // EFFECTIVE rep count so the type-1 ranks stay well-defined;
+      // with zero degenerate reps (every real corpus) the positions
+      // equal the old literal-B ones bit-for-bit
+      .filter(col("den") > 0)
       .select(col("rep"),
         graft.functions.ExactRound.ratio6(col("num"), col("den"))
           .as("est"))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("est").asc, col("rep").asc)).cast("bigint"))
-    def pctPos(q: Int): Long = { // ceil(q/1000 · reps), exact ints
-      val num = q.toLong * reps
-      (num + 999L) / 1000L
-    }
+      .withColumn("nb", count(lit(1)).over(
+        Window.partitionBy(lit(1))).cast("bigint"))
+    // ceil(q/1000 · nb) in exact integer arithmetic over the
+    // effective count; the double division is exact below 2^53
+    def pctPos(q: Int): Column =
+      ((lit(q.toLong) * col("nb") + lit(999L)) / lit(1000L)).cast("bigint")
     val lo = perRep.filter(col("rn") === pctPos(25))
       .select(col("est").as("lo95"))
     val hi = perRep.filter(col("rn") === pctPos(975))

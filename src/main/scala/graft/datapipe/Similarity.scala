@@ -320,7 +320,12 @@ object Similarity {
   def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): Array[(Array[Long], Long)] = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // a NULL embedding must not reach the trainer: VecSumLong skips
+    // null vectors while count(*) would still count the row, so sums
+    // and counts would cover DIFFERENT row sets (the r13 advice
+    // finding) — and a null can't seed or be assigned anyway
     val q = vecs.select(col("vec_id"), quantize(col("emb")).as("q"))
+      .filter(col("q").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cents: Array[(Array[Long], Long)] = q
@@ -459,6 +464,11 @@ object Similarity {
       .join(emb.select(col("vec_id"), col("emb")),
         col("doc_id") === col("vec_id"))
       .select(col("source"), quantize(col("emb")).as("q"))
+      // drop NULL vectors BEFORE the rollup: vecSum skips them but a
+      // bare count(*) would not, inflating ns/ng and skewing every
+      // mean/drift derived from sum/count (the r13 advice finding);
+      // the explode form this replaced dropped them from both sides
+      .filter(col("q").isNotNull)
     // ONE corpus pass: per-source elementwise sums fold partition-
     // locally ([[graft.functions.VecAgg.vecSum]] — no d-rows-per-
     // vector explode), then the (source × dim)-sized frame explodes
@@ -918,7 +928,10 @@ object Similarity {
     val dim = emb.select(size(col("emb")).as("d")).head().getInt(0)
     require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
     val subDim = dim / subspaces
+    // null-vector guard: same sum/count row-set contract as
+    // [[kmeansCentroids]]
     val q = emb.select(col("vec_id"), quantize(col("emb")).as("q"))
+      .filter(col("q").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val seedVecs: Array[Array[Long]] = q

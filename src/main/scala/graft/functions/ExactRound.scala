@@ -115,11 +115,35 @@ object ExactRound {
     * to accumulating `BigDecimal.setScale(8, HALF_UP)` values and
     * the column-expression fold `sum(round(x, 8)::decimal(28,8))`
     * it stands in for, at a fraction of the allocation cost.
+    *
+    * Domain: the fast scaled-long path covers |term| < ~9.2e10 and
+    * |Σ| < ~9.2e10; PAST either bound the fold falls back to the
+    * BigDecimal accumulation it is an image of (the pre-r13
+    * implementation), preserving the unbounded domain driver-side
+    * callers (power chains, Bradley–Terry, fold8 readouts) had
+    * before the scaled-long rewrite — extreme inputs get the old
+    * exact-arbitrary-precision answer instead of an
+    * ArithmeticException (the r13 advice finding).
     */
   def fold8(xs: Iterable[Double]): Double = {
     var acc = 0L
     val it = xs.iterator
-    while (it.hasNext) acc = Math.addExact(acc, scaled8(it.next()))
+    while (it.hasNext) {
+      try acc = Math.addExact(acc, scaled8(it.next()))
+      catch { case _: ArithmeticException => return fold8Big(xs) }
+    }
     unscale8(acc)
+  }
+
+  // the unbounded-magnitude image: Σ BigDecimal(x).setScale(8,
+  // HALF_UP), identical to the scaled-long fold wherever both are
+  // defined (ExactRoundScalarSpec pins the equivalence)
+  private def fold8Big(xs: Iterable[Double]): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    val it = xs.iterator
+    while (it.hasNext)
+      acc = acc.add(java.math.BigDecimal.valueOf(it.next())
+        .setScale(8, java.math.RoundingMode.HALF_UP))
+    acc.doubleValue()
   }
 }

@@ -2454,11 +2454,12 @@ object DataPipeQueries {
           CAST(SUM(w * x) AS BIGINT) AS num FROM dw GROUP BY 1),
       est AS (SELECT rep,
           ((2 * num * 1000000 + den) // (2 * den)) / 1000000.0 AS est
-        FROM pr),
+        FROM pr WHERE den > 0),
       rk AS (SELECT rep, est, CAST(row_number() OVER
-          (ORDER BY est, rep) AS BIGINT) AS rn FROM est),
-      lo AS (SELECT est AS lo95 FROM rk WHERE rn = 5),
-      hi AS (SELECT est AS hi95 FROM rk WHERE rn = 195),
+          (ORDER BY est, rep) AS BIGINT) AS rn,
+          CAST(COUNT(*) OVER () AS BIGINT) AS nb FROM est),
+      lo AS (SELECT est AS lo95 FROM rk WHERE rn = (25 * nb + 999) // 1000),
+      hi AS (SELECT est AS hi95 FROM rk WHERE rn = (975 * nb + 999) // 1000),
       pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
           CAST(SUM(x) AS BIGINT) AS n_pass FROM it)
       SELECT n_items, CAST(200 AS BIGINT) AS n_reps,

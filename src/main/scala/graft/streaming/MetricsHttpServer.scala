@@ -31,6 +31,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * unauthenticated wildcard bind on a host JVM would expose
   * /metrics on every interface. A deployment that wants a scrape
   * network passes `bindAddress = "0.0.0.0"` explicitly.
+  *
+  * RELEASE NOTE (breaking default since the r13 hardening): earlier
+  * builds bound all interfaces; an existing deployment scraping
+  * /metrics from another host silently loses connectivity on
+  * upgrade until it passes `bindAddress = "0.0.0.0"`.
   */
 final class MetricsHttpServer(
     snapshot: () => Seq[PrometheusExposition.Family],
