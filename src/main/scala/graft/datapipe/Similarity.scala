@@ -1213,16 +1213,19 @@ object Similarity {
     * behavior); flat-spectrum embeddings degrade as √(d/D).
     *
     * Exactness: [[quantize]]d integers, so both norms are exact
-    * integer sums (per-row folds over the slice — no explode of
-    * vector components); ONE IEEE division + sqrt + 6-dp round per
+    * integer sums; ONE IEEE division + sqrt + 6-dp round per
     * (vector, d); the mean accumulates the 6-dp terms as
     * DECIMAL(28,6) (order-independent), the frac is the exact
     * integer ratio. Zero-norm vectors read NULL cosine and drop from
     * every statistic (no geometry to preserve).
     *
-    * Scale shape: per-row arithmetic + one |dims|-way explode, then
-    * ONE map-side-combined rollup to |dims| rows. No joins, no
-    * windows, no driver state.
+    * Scale shape: ONE codegen'd array walk per vector
+    * ([[graft.functions.NormPrefixSq]] — the r13 form folded an
+    * interpreted `aggregate(transform(...))` HOF pair per (vector,
+    * width), 2·|dims| array walks per row and the round-13 wave's
+    * highest SCALE exponent), a |dims|-way explode of the
+    * (|dims|+2)-long sums array, then ONE map-side-combined rollup
+    * to |dims| rows. No joins, no windows, no driver state.
     *
     * Output: (dim, n_vecs, mean_cos, min_cos, frac_ge95).
     */
@@ -1230,21 +1233,21 @@ object Similarity {
                         dims: Seq[Int]): DataFrame = {
     require(dims.nonEmpty && dims.forall(_ >= 1), s"need dims >= 1, got $dims")
     require(dims.distinct.size == dims.size, s"duplicate dims: $dims")
-    val q = quantize(col(embCol))
-    def sq(c: Column): Column =
-      aggregate(transform(c, x => x * x), lit(0L), (acc, x) => acc + x)
+    val sorted = dims.sorted
+    // __ps layout: [0] n, [1] full Σx², [2+j] prefix Σx² at sorted(j)
     val perDim = emb
-      .select(q.as("__q"), explode(array(dims.sorted.map(d =>
-        lit(d.toLong)): _*)).as("dim"))
-      .select(col("dim"), size(col("__q")).cast("bigint").as("nd"),
-        sq(col("__q")).as("sFull"),
-        sq(slice(col("__q"), lit(1), col("dim").cast("int"))).as("sD"))
+      .select(graft.functions.NormPrefixSq
+        .of(quantize(col(embCol)), sorted).as("__ps"))
+      .select(col("__ps"), posexplode(array(sorted.map(d =>
+        lit(d.toLong)): _*)).as(Seq("pos", "dim")))
       // a width WIDER than the vector reads NULL, not a fake 1.0 —
-      // slice past the end returns the whole array, so without the
-      // guard every vector would report perfect retention at widths
-      // that do not exist
-      .select(col("dim"), when(col("sFull") > 0 && col("dim") <= col("nd"),
-        round(sqrt(col("sD").cast("double") / col("sFull").cast("double")), 6))
+      // the prefix sum past the end equals the full sum, so without
+      // the guard every vector would report perfect retention at
+      // widths that do not exist
+      .select(col("dim"), when(element_at(col("__ps"), 2) > 0 &&
+          col("dim") <= element_at(col("__ps"), 1),
+        round(sqrt(element_at(col("__ps"), col("pos") + lit(3)).cast("double") /
+          element_at(col("__ps"), 2).cast("double")), 6))
         .as("cos"))
     perDim.groupBy(col("dim"))
       .agg(count(col("cos")).as("n_vecs"),

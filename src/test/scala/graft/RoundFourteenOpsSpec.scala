@@ -73,6 +73,63 @@ class RoundFourteenOpsSpec extends SparkSpec {
     assert(!row.isNullAt(4) && row.getDouble(4) === 1.0, "hi95")
   }
 
+  test("NormPrefixSq: one-pass prefix sums-of-squares agree with the " +
+    "interpreted HOF folds they replace, across boundary widths, " +
+    "empty arrays, null elements, and null input") {
+    import graft.functions.NormPrefixSq
+    val dims = Seq(1, 3, 4, 7)
+    val rows = Seq(
+      (1L, Seq[java.lang.Long](3L, -2L, 0L, 5L)),
+      (2L, Seq[java.lang.Long](1L, 1L, 1L)),
+      (3L, Seq.empty[java.lang.Long]),
+      (4L, Seq[java.lang.Long](7L, null, 2L)),
+      (5L, null))
+      .toDF("id", "q")
+    val out = rows.select(col("id"), NormPrefixSq.of(col("q"), dims).as("ps"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    def expect(xs: Seq[java.lang.Long]): Seq[Long] = {
+      val vals = xs.map(x => if (x == null) 0L else x.longValue)
+      Seq(xs.size.toLong, vals.map(v => v * v).sum) ++
+        dims.map(d => vals.take(d).map(v => v * v).sum)
+    }
+    assert(out(1L) === expect(Seq[java.lang.Long](3L, -2L, 0L, 5L)))
+    assert(out(2L) === expect(Seq[java.lang.Long](1L, 1L, 1L)))
+    assert(out(3L) === expect(Seq.empty))
+    assert(out(4L) === expect(Seq[java.lang.Long](7L, null, 2L)))
+    assert(out(5L) === null, "null input -> null output")
+  }
+
+  test("truncationProfile: the fused-expression rewrite leaves the " +
+    "readout identical to the r13 HOF form (driver replay of the " +
+    "norm-ratio arithmetic on hand vectors)") {
+    val vecs = Seq(
+      (1L, Seq(0.9, 0.1, 0.05, 0.02)),
+      (2L, Seq(0.1, 0.2, 0.7, 0.68)),
+      (3L, Seq(0.5, 0.5, 0.5, 0.5)))
+      .toDF("vec_id", "emb")
+    val out = Similarity.truncationProfile(vecs, "emb", Seq(2, 4))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def q(x: Double): Long = math.round(x * 1000)
+    def cosAt(v: Seq[Double], d: Int): Double = {
+      val qs = v.map(q)
+      val full = qs.map(x => x * x).sum.toDouble
+      val pre = qs.take(d).map(x => x * x).sum.toDouble
+      BigDecimal(math.sqrt(pre / full))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val all = Seq(Seq(0.9, 0.1, 0.05, 0.02), Seq(0.1, 0.2, 0.7, 0.68),
+      Seq(0.5, 0.5, 0.5, 0.5))
+    for (d <- Seq(2, 4)) {
+      val cs = all.map(v => cosAt(v, d))
+      assert(out(d.toLong).getAs[Long]("n_vecs") === 3L)
+      assert(out(d.toLong).getAs[Double]("min_cos") === cs.min, s"d=$d")
+      val meanExpect = BigDecimal(cs.map(BigDecimal(_)).sum.toDouble / 3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(d.toLong).getAs[Double]("mean_cos") === meanExpect, s"d=$d")
+    }
+  }
+
   test("fold8: past the scaled-long domain the fold falls back to " +
     "BigDecimal accumulation (old domain) instead of throwing; inside " +
     "the domain the two paths agree bit-for-bit") {
