@@ -407,6 +407,99 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The PERSISTENT index side of [[minhashProbe]]: one row per
+    * index document carrying its sorted shingle-hash array (the
+    * exact-verification payload) and its minhash signature (the
+    * banding payload). This is the table a production recrawl
+    * pipeline MATERIALIZES ONCE and appends to — the round-13
+    * fixed-delta SCALE wave measured the in-query rebuild at
+    * corpus exponent 0.40 vs 0.26 for the churn verdicts, i.e. the
+    * probe's steady-state cost was dominated by re-hashing an index
+    * that never changed. Write this frame out (parquet), read it
+    * back, and hand it to [[minhashProbePrebuilt]].
+    *
+    * Column contract: (index_id, index_id_hh array<bigint> SORTED,
+    * sig array<bigint> length `numHashes`).
+    */
+  def minhashIndexTable(index: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64): DataFrame =
+    index.select(col(idCol).as("index_id"),
+        array_sort(hashedShingles(col(textCol), 3)).as("index_id_hh"))
+      .withColumn("sig",
+        minhashSignatureFromHashes(col("index_id_hh"), numHashes))
+
+  /** The PRE-EXPLODED band-bucket table of a [[minhashIndexTable]]:
+    * (index_id, bb) — 'bands' rows per index document, two longs per
+    * row. Materializing the explosion moves the per-probe candidate
+    * scan from "decode 64-long signatures + explode 32 buckets per
+    * row" to a flat two-column columnar scan (and in production this
+    * is the table you sort/bucket by bb at write time).
+    */
+  def minhashBucketsTable(indexTable: DataFrame,
+                          numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    requireValidBanding(numHashes, bands)
+    indexTable.select(col("index_id"),
+      explode(lshBuckets(col("sig"), bands, numHashes / bands)).as("bb"))
+  }
+
+  /** [[minhashProbe]] against a PREBUILT [[minhashIndexTable]]: the
+    * steady-state incremental shape — only the (small) delta is
+    * hashed per run; the index side contributes one scan of the
+    * materialized signature table for the band join and one
+    * candidate-keyed join-back for exact verification. Same output
+    * and recall contract as [[minhashProbe]] (the banding and the
+    * exact-Jaccard verification are byte-identical); only WHERE the
+    * index signatures come from changes.
+    *
+    * Scale shape: the delta's buckets broadcast to the index bucket
+    * explode (zero index shuffle for candidate generation), the
+    * verification join carries candidate ids only. At 100 TB the
+    * signature table is the thing you bucket/Z-order by band key at
+    * write time; the probe then prunes to the delta's buckets at
+    * scan time.
+    */
+  def minhashProbePrebuilt(indexHh: DataFrame, indexBuckets: DataFrame,
+                           delta: DataFrame,
+                           idCol: String, textCol: String,
+                           numHashes: Int = 64, bands: Int = 32,
+                           threshold: Double = 0.8): DataFrame = {
+    requireValidBanding(numHashes, bands)
+    // a parquet round-trip widens array<bigint not null> to nullable
+    // elements; array_compact (a no-op on this data — the hash
+    // arrays never hold nulls) restores the non-null element type
+    // SortedIntersectCount requires
+    val ihh = indexHh.select(col("index_id"),
+      array_compact(col("index_id_hh")).as("index_id_hh"))
+    val dhh = delta
+      .select(col(idCol).as("delta_id"),
+        array_sort(hashedShingles(col(textCol), 3)).as("delta_id_hh"))
+      .stage()
+    val dBuckets = dhh
+      .select(col("delta_id"),
+        minhashSignatureFromHashes(col("delta_id_hh"), numHashes).as("sig"))
+      .select(col("delta_id"),
+        explode(lshBuckets(col("sig"), bands, numHashes / bands)).as("bb"))
+    val candidates = indexBuckets.select(col("index_id"), col("bb"))
+      .join(broadcast(dBuckets), Seq("bb"))
+      .select(col("delta_id"), col("index_id"))
+      .distinct()
+    candidates
+      .join(broadcast(dhh), "delta_id")
+      .hint("shuffle_hash")
+      .join(ihh, "index_id")
+      .filter(size(col("delta_id_hh")) >= lit(threshold) * size(col("index_id_hh")) &&
+        size(col("index_id_hh")) >= lit(threshold) * size(col("delta_id_hh")))
+      .select(col("delta_id"), col("index_id"),
+        graft.functions.SortedIntersectCount
+          .column(col("delta_id_hh"), col("index_id_hh")).as("n_common"),
+        (size(col("delta_id_hh")) + size(col("index_id_hh")))
+          .cast("bigint").as("n_total"))
+      .select(col("delta_id"), col("index_id"),
+        (col("n_common").cast("double") /
+          (col("n_total") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Ingest-churn classification — the observability readout over
     * the two incremental probes: every DELTA document classified
     * against the static INDEX as `exact_dup` (content fingerprint

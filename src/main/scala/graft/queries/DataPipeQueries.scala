@@ -4094,6 +4094,70 @@ object DataPipeQueries {
       JOIN sizes sd ON sd.id = delta_id JOIN sizes si ON si.id = index_id
       WHERE CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) >= 0.8"""))
 
+  /** Steady-state incremental probe: the SAME semantics as
+    * dedup_minhash_probe but against a MATERIALIZED signature/band
+    * table ([[Dedup.minhashIndexTable]] written to parquet once per
+    * fixture, keyed by a content fingerprint of the source files so
+    * a regenerated fixture can never hit a stale index). This is the
+    * production recrawl shape the round-13 fixed-delta SCALE wave
+    * showed was hidden by the in-query rebuild (index re-hashing at
+    * corpus exponent 0.40): here only the delta is hashed per run
+    * and the index contributes a scan of the prebuilt table. The
+    * oracle is the same exact cross-pair Jaccard as the rebuild
+    * form — materialization must be invisible in the output.
+    */
+  private def minhashIndexCachePath(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .flatMap(walk)
+      else Seq(f)
+    val src = walk(new java.io.File(d, "documents.parquet"))
+      .sortBy(_.getPath)
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|$src".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    s"${sys.props("java.io.tmpdir")}/graft_minhash_index_$h"
+  }
+
+  private val dedupProbeMaterialized = QueryDef(
+    "dedup_probe_materialized",
+    (s, d) => {
+      val both = withTwins(s, d)
+      val path = minhashIndexCachePath(d)
+      if (!new java.io.File(s"$path/hh", "_SUCCESS").exists() ||
+        !new java.io.File(s"$path/bb", "_SUCCESS").exists()) {
+        val idx = Dedup.minhashIndexTable(both.filter(col("id") < 1000000),
+          "id", "text", numHashes = 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        idx.write.mode("overwrite").parquet(s"$path/hh")
+        Dedup.minhashBucketsTable(idx, numHashes = 64, bands = 32)
+          .write.mode("overwrite").parquet(s"$path/bb")
+        idx.unpersist()
+      }
+      Dedup.minhashProbePrebuilt(s.read.parquet(s"$path/hh"),
+        s.read.parquet(s"$path/bb"),
+        both.filter(col("id") >= 1000000),
+        "id", "text", numHashes = 64, bands = 32, threshold = 0.8)
+        .select(col("delta_id"), col("index_id"), col("jaccard"))
+    },
+    Some(s"""WITH $twinsSqlCte,
+      toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
+      sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+      common AS (SELECT d.id AS delta_id, i.id AS index_id, COUNT(*) AS n_common
+                 FROM sh d JOIN sh i ON d.shingle = i.shingle
+                 WHERE d.id >= 1000000 AND i.id < 1000000
+                 GROUP BY 1, 2)
+      SELECT delta_id, index_id,
+        CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) AS jaccard
+      FROM common
+      JOIN sizes sd ON sd.id = delta_id JOIN sizes si ON si.id = index_id
+      WHERE CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) >= 0.8"""))
+
   /** Ingest-churn verdicts: delta = near-dup twins of every doc +
     * identical copies of the %7 docs + fully-rewritten (every token
     * suffixed) %11 docs — so all three categories fire and the
@@ -6071,7 +6135,8 @@ object DataPipeQueries {
     wordPieceVocab, wordPieceEncode, wordPieceCoverage, unigramEncode,
     dedupStats,
     dedupExact, dedupNgramJaccard, dedupThresholdCurve, dedupPairQuality,
-    dedupMinhashLsh, dedupMinhashProbe, e2eIngestChurn, dedupSimhash,
+    dedupMinhashLsh, dedupMinhashProbe, dedupProbeMaterialized,
+    e2eIngestChurn, dedupSimhash,
     dedupClusters, dedupClusterSizes, dedupKeepOne, dedupCdcChunks,
     dedupIncremental,
     dedupLines, textBoilerplate, textExtractHtml, textNormalizeUnicode,

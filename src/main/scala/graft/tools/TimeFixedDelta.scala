@@ -65,6 +65,22 @@ object TimeFixedDelta {
     time("ingest_churn")(Dedup.ingestChurn(index, delta, "id", "text"))
     time("minhash_probe")(Dedup.minhashProbe(index, delta, "id", "text",
       numHashes = 64, bands = 32, threshold = 0.8))
+    // the steady-state leg: index signatures MATERIALIZED once
+    // (untimed — amortized over every daily probe in production),
+    // probe timed against the parquet table. The delta between this
+    // and minhash_probe is exactly the per-run index re-hash cost.
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_fixed_delta_idx").toString
+    val idx = Dedup.minhashIndexTable(index, "id", "text", numHashes = 64)
+      .persist()
+    idx.write.mode("overwrite").parquet(s"$idxPath/hh")
+    Dedup.minhashBucketsTable(idx).write.mode("overwrite")
+      .parquet(s"$idxPath/bb")
+    idx.unpersist()
+    time("probe_prebuilt")(Dedup.minhashProbePrebuilt(
+      spark.read.parquet(s"$idxPath/hh"), spark.read.parquet(s"$idxPath/bb"),
+      delta, "id", "text",
+      numHashes = 64, bands = 32, threshold = 0.8))
     spark.stop()
   }
 }

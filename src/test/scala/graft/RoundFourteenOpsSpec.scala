@@ -130,6 +130,40 @@ class RoundFourteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("minhashProbePrebuilt: probing against a parquet-materialized " +
+    "signature/bucket index returns row-identical pairs to the " +
+    "rebuild-per-run probe") {
+    import graft.datapipe.Dedup
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different document about spark and scala joins"),
+      (3L, "data pipelines dedup documents with minhash lsh candidate joins"),
+      (4L, "the quick brown fox jumps over the lazy dog again and often"))
+      .toDF("id", "text")
+    val delta = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "nothing like anything in the index corpus at all whatsoever"),
+      (13L, "data pipelines dedup documents with minhash lsh candidate join"))
+      .toDF("id", "text")
+    val expected = Dedup.minhashProbe(base, delta, "id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_probe_prebuilt_spec").toString
+    val idx = Dedup.minhashIndexTable(base, "id", "text", numHashes = 64)
+    idx.write.mode("overwrite").parquet(s"$dir/hh")
+    Dedup.minhashBucketsTable(idx).write.mode("overwrite").parquet(s"$dir/bb")
+    val got = Dedup.minhashProbePrebuilt(
+        spark.read.parquet(s"$dir/hh"), spark.read.parquet(s"$dir/bb"),
+        delta, "id", "text", numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === expected)
+    assert(got.exists { case (d, i, j) => d == 11L && i == 1L && j == 1.0 },
+      "the exact copy must surface at jaccard 1.0")
+  }
+
   test("fold8: past the scaled-long domain the fold falls back to " +
     "BigDecimal accumulation (old domain) instead of throwing; inside " +
     "the domain the two paths agree bit-for-bit") {
