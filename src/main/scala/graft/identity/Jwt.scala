@@ -15,8 +15,10 @@ import javax.crypto.spec.SecretKeySpec
   * engine those external, stateful calls are re-expressed as pure
   * functions with an injected secret (SURVEY.md §7.4) — same operator
   * signature, `sign(payload) → credential` / `verify(credential) →
-  * {verified, error}`, so the HTTP-client mapPartitions variant can
-  * swap back in behind the same interface.
+  * {verified, error}`. The HTTP-client mapPartitions variant EXISTS
+  * and is certified row-identical to this path batch+streaming:
+  * [[HttpCredentialOps]] (pooled `java.net.http` client) against
+  * [[AgentHttpServer]] (the in-process agent), HttpCredentialOpsSpec.
   */
 object Jwt {
   private val HeaderB64 = b64url("""{"alg":"HS256","typ":"JWT"}""".getBytes(UTF_8))
