@@ -1275,4 +1275,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("mask_stream").count() > texts.size,
       "multi-turn docs must emit one row per turn")
   }
+
+  test("majority-vote rater table maintains incrementally on a stream " +
+    "(Complete mode) and equals the batch readout") {
+    // the T167 rollup is a plain grouped aggregation (every rater's
+    // agreement counter folds map-side; the per-rater rows unfold
+    // from the bounded group frame), so Structured Streaming
+    // maintains it with |groups| rows of state forever — the natural
+    // ingest-QA gate: rater accuracies update as annotations arrive
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.Preference
+    def raters = Seq[(String, org.apache.spark.sql.Column)](
+      "len" -> (length(col("text")) >= 15),
+      "vowel" -> col("text").rlike("[aeiou]{2}"),
+      "digit" -> col("text").rlike("[0-9]"))
+    def mk(df: org.apache.spark.sql.DataFrame) =
+      Preference.majorityVote(df, raters, Seq("source"))
+    val docs = Seq(
+      ("web", "a short one"), ("web", "this sentence keeps rolling on 42"),
+      ("web", "ee cummings wrote 95 poems"), ("books", "xyz"),
+      ("books", "a delightfully meandering paragraph indeed"),
+      ("books", "no numbers here but plenty of vowels around"),
+      ("web", "7 dwarfs"), ("books", "brief 3"))
+    val in = MemoryStream[(String, String)]
+    val q = mk(in.toDF().toDF("source", "text"))
+      .writeStream.format("memory").queryName("majority_stream")
+      .outputMode(OutputMode.Complete).start()
+    in.addData(docs.take(3): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    def keyed(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val streamed = keyed(spark.table("majority_stream").collect())
+    val batch = keyed(mk(docs.toDF("source", "text")).collect())
+    assert(streamed === batch)
+    assert(streamed.size === 6, "2 sources x 3 raters")
+  }
 }
