@@ -533,4 +533,78 @@ object Classifier {
         when(col("n_thr") > 0, graft.functions.ExactRound.ratio6(
           col("flips0"), col("n_labeled"))).as("flip_rate"))
   }
+
+  /** T171: Brier score with the Murphy (1973) decomposition —
+    * brier = reliability − resolution + uncertainty over `bins`
+    * confidence bins. Where [[calibration]]'s ECE answers "are the
+    * probabilities honest", the decomposition separates WHY a score
+    * is what it is: reliability (calibration error proper, 0 is
+    * perfect), resolution (how much the classifier's bins actually
+    * separate outcomes — the part worth paying for), and uncertainty
+    * (the base rate's irreducible floor). Two classifiers with equal
+    * Brier can differ entirely in the split; a quality-gate consumer
+    * wants high resolution, THEN calibration.
+    *
+    * Exactness: p = round6(σ(score)) (the [[calibration]]
+    * convention); every per-row and per-bin term rounds to 8 dp and
+    * sums as DECIMAL (order-independent); bin confidence is
+    * round6(Σp/n), bin/base accuracy are exact HALF_UP ratios;
+    * each readout is ONE IEEE division + 6-dp round. The identity
+    * brier ≈ rel − res + unc holds to rounding (each side rounds
+    * independently — stated, not a defect).
+    *
+    * Scale shape: ONE corpus rollup to `bins` rows (the Brier terms
+    * fold in the SAME pass as the bin counters — no second corpus
+    * scan); everything downstream is bins-sized with one-row
+    * broadcasts. No windows, no corpus joins.
+    *
+    * Output: one row — (n_docs, base_rate, brier, reliability,
+    * resolution, uncertainty).
+    */
+  def brierDecomposition(scored: DataFrame, scoreCol: String,
+                         labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"brierDecomposition needs >= 2 bins, got $bins")
+    val p = round(lit(1.0) / (lit(1.0) + exp(-col(scoreCol))), 6)
+    val y01 = when(col(labelCol).cast("boolean"), lit(1.0)).otherwise(lit(0.0))
+    val base = scored.select(
+      least(floor(p * bins), lit((bins - 1).toLong)).as("bin"),
+      p.as("p"), col(labelCol).cast("boolean").as("y"))
+    val perBin = base
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("n_pos"),
+        sum(col("p").cast("decimal(28,6)")).cast("decimal(28,6)").as("psum"),
+        sum(round((col("p") - when(col("y"), lit(1.0)).otherwise(lit(0.0)))
+            * (col("p") - when(col("y"), lit(1.0)).otherwise(lit(0.0))), 8)
+          .cast("decimal(28,8)")).cast("decimal(28,8)").as("bsum"))
+      .select(col("bin"), col("n"), col("n_pos"), col("bsum"),
+        round(col("psum").cast("double") / col("n").cast("double"), 6)
+          .as("conf"),
+        graft.functions.ExactRound.ratio6(col("n_pos"), col("n")).as("acc"))
+      .stage() // bins-sized; feeds both the global row and the terms
+    val global = perBin.agg(
+      sum(col("n")).as("n_docs"), sum(col("n_pos")).as("n_pos_tot"),
+      sum(col("bsum")).cast("decimal(28,8)").as("bsum_tot"))
+      .select(col("n_docs"), col("bsum_tot"),
+        graft.functions.ExactRound.ratio6(col("n_pos_tot"), col("n_docs"))
+          .as("base_rate"))
+    def dd(c: Column): Column = c.cast("double")
+    perBin.crossJoin(broadcast(global))
+      .select(col("n_docs"), col("base_rate"), col("bsum_tot"),
+        round(dd(col("n")) * (col("conf") - col("acc"))
+          * (col("conf") - col("acc")), 8).cast("decimal(28,8)")
+          .as("rel_term"),
+        round(dd(col("n")) * (col("acc") - col("base_rate"))
+          * (col("acc") - col("base_rate")), 8).cast("decimal(28,8)")
+          .as("res_term"))
+      .groupBy(col("n_docs"), col("base_rate"), col("bsum_tot"))
+      .agg(sum(col("rel_term")).cast("decimal(28,8)").as("rel_sum"),
+        sum(col("res_term")).cast("decimal(28,8)").as("res_sum"))
+      .select(col("n_docs"), col("base_rate"),
+        round(dd(col("bsum_tot")) / dd(col("n_docs")), 6).as("brier"),
+        round(dd(col("rel_sum")) / dd(col("n_docs")), 6).as("reliability"),
+        round(dd(col("res_sum")) / dd(col("n_docs")), 6).as("resolution"),
+        round(col("base_rate") * (lit(1.0) - col("base_rate")), 6)
+          .as("uncertainty"))
+  }
 }

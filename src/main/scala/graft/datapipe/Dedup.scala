@@ -539,6 +539,60 @@ object Dedup {
           .otherwise("novel").as("category"))
   }
 
+  /** T175: edit-distance verification of near-dup candidates —
+    * Levenshtein over the NORMALIZED text of every minhash candidate
+    * pair, kept when dist ≤ `maxRel`·max(len). The second opinion a
+    * dedup pipeline wants before destructive keep-one decisions:
+    * shingle Jaccard is order-insensitive (it calls a paragraph
+    * shuffle a near-dup), character edit distance is order-SENSITIVE
+    * — a pair passing BOTH is a true revision/boilerplate twin, a
+    * pair passing Jaccard only is a reordering/template case worth
+    * different handling.
+    *
+    * Candidates come from the banded [[minhashPairs]] at
+    * `candidateThreshold` — Levenshtein is O(len²) per pair and runs
+    * ONLY on the candidate set, never all pairs (the same
+    * generate-cheap/verify-expensive contract as every other pair
+    * family here). `levenshtein` is the classic unit-cost char
+    * distance in Spark and DuckDB alike, so the oracle replays it
+    * verbatim; the relative distance is the exact HALF_UP ratio.
+    * At production scale pass Spark's three-arg
+    * `levenshtein(l, r, threshold)` to early-exit giant outliers —
+    * the catalog keeps the two-arg form for engine parity.
+    *
+    * Scale shape: [[minhashPairs]]' bucket-local candidate join +
+    * TWO id-keyed hash joins to fetch the pair texts + a per-row
+    * distance — no new shuffle class, no windows.
+    *
+    * Output: (a_id, b_id, jaccard, dist, rel_dist, edit_confirmed).
+    */
+  def editVerifyPairs(docs: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 64, bands: Int = 32,
+                      candidateThreshold: Double = 0.5,
+                      maxRel: Double = 0.2): DataFrame = {
+    val norm = docs.select(col(idCol).as("__id"),
+      TextAnalysis.normalize(col(textCol)).as("__t"))
+      .stage() // both pair sides fetch from it
+    minhashPairs(docs, idCol, textCol, numHashes, bands,
+      candidateThreshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .hint("shuffle_hash")
+      .join(norm.select(col("__id").as("a_id"), col("__t").as("__ta")),
+        Seq("a_id"))
+      .hint("shuffle_hash")
+      .join(norm.select(col("__id").as("b_id"), col("__t").as("__tb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("jaccard"),
+        levenshtein(col("__ta"), col("__tb")).cast("bigint").as("dist"),
+        greatest(length(col("__ta")), length(col("__tb")))
+          .cast("bigint").as("__ml"))
+      .select(col("a_id"), col("b_id"), col("jaccard"), col("dist"),
+        graft.functions.ExactRound.ratio6(col("dist"), col("__ml"))
+          .as("rel_dist"),
+        (col("dist").cast("double") <=
+          lit(maxRel) * col("__ml").cast("double")).as("edit_confirmed"))
+  }
+
   /** SimHash: 64-bit locality-sensitive code over word shingles.
     * For each bit position, sum +1/-1 votes from each shingle's
     * xxhash64; bit = 1 when the vote is positive. Computed by the

@@ -434,6 +434,62 @@ object Preference {
           .as("accuracy")): _*)
   }
 
+  /** T173: Krippendorff's alpha (Krippendorff 1970/2004), binary
+    * data, m raters per item, no missing values — the
+    * reliability coefficient annotation guidelines actually cite
+    * (alpha ≥ 0.8 publishable, ≥ 0.667 tentative). Differs from
+    * [[fleissKappa]] exactly in the small-sample correction: chance
+    * disagreement is estimated from the N·(N−1) PAIRS of values
+    * (N = n·m pooled votes), not the squared pooled share, so alpha
+    * > the equivalent pi/kappa on small groups and converges to it
+    * as N → ∞ — running both on the same rater panel (the catalog
+    * does) is the standard cross-check that an agreement readout is
+    * not a coefficient artifact.
+    *
+    * Closed form (nominal metric, binary): with per-item positive
+    * votes v, S = Σ v(m−v), n₁ = Σ v, n₀ = N − n₁:
+    * D_o = 2S/(N(m−1)), D_e = 2n₀n₁/(N(N−1)), and
+    * alpha = 1 − ((N−1)·S)/((m−1)·n₀·n₁) — the ratio formed from
+    * EXACT integers in one step (never from the rounded D_o/D_e
+    * readouts), products in DOUBLE (the [[groupAdvantage]]
+    * convention), one fixed IEEE tree, 6-dp round. A group with
+    * unanimous pooled votes (n₀n₁ = 0) reads NULL alpha: D_e = 0,
+    * reliability undefined.
+    *
+    * Scale shape: per-row integer arithmetic + ONE map-side-combined
+    * two-counter rollup to the group dimension; no joins, no
+    * windows.
+    *
+    * Output: (groupCols…, n_items, m_raters, d_o, d_e, alpha).
+    */
+  def krippendorffAlpha(df: DataFrame, raters: Seq[Column],
+                        groupCols: Seq[String]): DataFrame = {
+    require(raters.size >= 2, "krippendorffAlpha needs >= 2 raters")
+    require(groupCols.nonEmpty, "krippendorffAlpha needs >= 1 group column")
+    val m = raters.size.toLong
+    val grp = groupCols.map(col)
+    val v = raters.map(r => when(r.cast("boolean"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val scored = df.select(v.as("v") +: grp: _*)
+    val agg = scored.groupBy(grp: _*).agg(
+      count(lit(1)).as("n_items"),
+      sum(col("v")).as("n1"),
+      sum(col("v") * (lit(m) - col("v"))).as("s"))
+    def d(c: String): Column = col(c).cast("double")
+    val bigN = d("n_items") * lit(m.toDouble)
+    val n0 = bigN - d("n1")
+    val dO = lit(2.0) * d("s") / (bigN * lit((m - 1).toDouble))
+    val dE = lit(2.0) * n0 * d("n1") / (bigN * (bigN - lit(1.0)))
+    agg.select(grp ++ Seq(
+      col("n_items"), lit(m).as("m_raters"),
+      round(dO, 6).as("d_o"),
+      round(dE, 6).as("d_e"),
+      when(col("n1") > 0 && col("n1") < col("n_items") * lit(m),
+        round(lit(1.0) - ((bigN - lit(1.0)) * d("s")) /
+          (lit((m - 1).toDouble) * n0 * d("n1")), 6))
+        .otherwise(lit(null).cast("double")).as("alpha")): _*)
+  }
+
   /** The engines' shared portable fold (see [[Similarity]]): Σ
     * round8(x) accumulated as DECIMAL, returned as its double image.
     */

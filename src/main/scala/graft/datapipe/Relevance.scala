@@ -540,4 +540,60 @@ object Relevance {
           .as("pass_rate"))
     point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
   }
+
+  /** T169: McNemar's paired test (McNemar 1947) — is classifier A
+    * actually better than classifier B on the SAME items, or is the
+    * accuracy gap within paired noise? The eval-harness reflex every
+    * model-comparison table needs: unpaired accuracy deltas
+    * overstate significance because both models face the same hard
+    * items; McNemar conditions on the DISCORDANT pairs only (b = A
+    * right & B wrong, c = A wrong & B right) — the concordant
+    * counts cancel out of the hypothesis entirely.
+    *
+    * Statistic: the continuity-corrected χ² = (|b−c|−1)²/(b+c)
+    * (Edwards 1948; 1 df, χ² > 3.841 ⇒ p < 0.05), NULL when
+    * b + c = 0 (no discordant pairs — the test is undefined, not
+    * "significant"). |b−c| ≤ 1 reads exactly 0 (the correction
+    * floors at zero, it never goes negative).
+    *
+    * Exactness: all four cell counts are exact integers from ONE
+    * map-side-combined rollup; accuracies are exact HALF_UP ratios;
+    * the statistic is one fixed IEEE tree over exact integers,
+    * rounded 6 dp.
+    *
+    * Scale shape: per-row boolean arithmetic + one rollup to the
+    * group dimension; no joins, no windows.
+    *
+    * Output: (groupCols…, n_items, n_both, n_only_a, n_only_b,
+    * n_neither, acc_a, acc_b, chi2).
+    */
+  def mcnemar(items: DataFrame, gold: Column, predA: Column,
+              predB: Column, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "mcnemar needs >= 1 group column")
+    val grp = groupCols.map(col)
+    val scored = items.select(
+      (predA.cast("boolean") === gold.cast("boolean")).as("ca") +:
+        (predB.cast("boolean") === gold.cast("boolean")).as("cb") +:
+        grp: _*)
+    val agg = scored.groupBy(grp: _*).agg(
+      count(lit(1)).as("n_items"),
+      sum(when(col("ca") && col("cb"), 1L).otherwise(0L)).as("n_both"),
+      sum(when(col("ca") && !col("cb"), 1L).otherwise(0L)).as("n_only_a"),
+      sum(when(!col("ca") && col("cb"), 1L).otherwise(0L)).as("n_only_b"),
+      sum(when(!col("ca") && !col("cb"), 1L).otherwise(0L)).as("n_neither"))
+    def d(c: String): Column = col(c).cast("double")
+    val b = d("n_only_a")
+    val c = d("n_only_b")
+    val corr = greatest(abs(b - c) - lit(1.0), lit(0.0))
+    agg.select(grp ++ Seq(
+      col("n_items"), col("n_both"), col("n_only_a"), col("n_only_b"),
+      col("n_neither"),
+      graft.functions.ExactRound.ratio6(
+        col("n_both") + col("n_only_a"), col("n_items")).as("acc_a"),
+      graft.functions.ExactRound.ratio6(
+        col("n_both") + col("n_only_b"), col("n_items")).as("acc_b"),
+      when(col("n_only_a") + col("n_only_b") > 0,
+        round(corr * corr / (b + c), 6))
+        .otherwise(lit(null).cast("double")).as("chi2")): _*)
+  }
 }

@@ -1261,4 +1261,61 @@ object Similarity {
         graft.functions.ExactRound.ratio6(col("n95"), col("n_vecs"))
           .as("frac_ge95"))
   }
+
+  /** T172: embedding-space anisotropy — ‖x̄‖² / (Σ‖x‖²/n), the
+    * mean-vector share of the average squared norm. The one-number
+    * health check of an embedding space (Ethayarajh 2019,
+    * arXiv:1909.00512; Mu & Viswanath 2018's "all-but-the-top"
+    * removes exactly this common direction): ~0 means the space is
+    * centered and directions spread (healthy for cosine retrieval);
+    * near 1 means every vector shares one dominant direction —
+    * cosine scores compress, near-dup thresholds silently stop
+    * separating, and the fix (subtract the mean) is cheap once you
+    * KNOW. Complements [[truncationProfile]] (axis concentration)
+    * and the PCA spectrum (top-direction share) as the third
+    * curation readout over the same rollups.
+    *
+    * Exactness: component sums and squared norms are exact integers
+    * over [[quantize]]d vectors (ONE [[graft.functions.VecAgg]]
+    * vecSum + the [[graft.functions.NormPrefixSq]] per-row norm in
+    * the same pass); each mean component forms as ONE IEEE division,
+    * squares, 8-dp rounds, and sums as DECIMAL(28,8)
+    * (order-independent); readouts are one IEEE tree + 6-dp round.
+    * Norm readouts report in embedding units (the ×10⁶ quantize
+    * scale divides out); the ratio is scale-free. NULL vectors drop
+    * from every statistic; an all-zero corpus reads NULL anisotropy.
+    *
+    * Scale shape: ONE corpus pass into a single (dim longs + two
+    * counters) rollup; everything downstream is dim-sized with
+    * one-row frames. No joins beyond scalar broadcasts, no windows.
+    *
+    * Output: one row — (n_vecs, mean_sq_norm, centroid_sq_norm,
+    * anisotropy).
+    */
+  def anisotropy(emb: DataFrame, embCol: String = "emb"): DataFrame = {
+    val base = emb.select(quantize(col(embCol)).as("q"))
+      .filter(col("q").isNotNull)
+      .select(col("q"),
+        element_at(graft.functions.NormPrefixSq.of(col("q"), Seq(1)), 2)
+          .as("sq"))
+    val agg = base.agg(
+      graft.functions.VecAgg.vecSum(col("q")).as("sv"),
+      count(lit(1)).as("n"), sum(col("sq")).as("s2"))
+    def dd(c: Column): Column = c.cast("double")
+    agg.select(col("n"), col("s2"),
+        posexplode(col("sv")).as(Seq("pos", "s")))
+      .select(col("n"), col("s2"),
+        round((dd(col("s")) / dd(col("n"))) * (dd(col("s")) / dd(col("n"))),
+          8).cast("decimal(28,8)").as("term"))
+      .groupBy(col("n"), col("s2"))
+      .agg(sum(col("term")).cast("decimal(28,8)").as("tsum"))
+      .select(col("n").as("n_vecs"),
+        round(dd(col("s2")) / (dd(col("n")) * lit(1e6)), 6)
+          .as("mean_sq_norm"),
+        round(col("tsum").cast("double") / lit(1e6), 6)
+          .as("centroid_sq_norm"),
+        when(col("s2") > 0,
+          round(col("tsum").cast("double") * dd(col("n")) / dd(col("s2")), 6))
+          .otherwise(lit(null).cast("double")).as("anisotropy"))
+  }
 }

@@ -1092,4 +1092,164 @@ object TextAnalysis {
         graft.functions.ExactRound.ratio6(col("n_outliers"), col("n_docs"))
           .as("outlier_frac"))
   }
+
+  /** T170: Spearman rank correlation between two INTEGER quality
+    * signals, per group — "do our quality proxies agree in how they
+    * RANK documents" (quality filters act on ranks/thresholds, so
+    * rank agreement, not Pearson on raw values, is the right
+    * redundancy readout before paying for a second signal; Spearman
+    * 1904, average-rank tie convention).
+    *
+    * Rank computation never sorts the corpus: ranks come from the
+    * per-group VALUE HISTOGRAM — for a document with value x,
+    * 2·rank(x) = 2·cnt_less(x) + cnt_eq(x) + 1, an exact integer
+    * (the ×2 keeps tie midpoints integral), computed by a cumulative
+    * window over the (group × distinct value) frame and joined back
+    * by (group, value). rho is then Pearson over the doubled ranks
+    * (scale-invariant): (nΣuv − ΣuΣv)/√((nΣu²−(Σu)²)(nΣv²−(Σv)²)) —
+    * moments accumulate as DECIMAL(38,0) (exact at any corpus), the
+    * readout forms products in DOUBLE (exact to 2^53), ONE IEEE
+    * tree, 6-dp round. A group where either signal is constant
+    * reads NULL (rank variance 0).
+    *
+    * Scale shape: one corpus rollup per signal to the value
+    * histograms, windows over the HISTOGRAMS only (the
+    * [[robustOutliers]] convention), two (group, value)-keyed hash
+    * joins back to the corpus, ONE moment rollup. No corpus
+    * windows, no cartesian.
+    *
+    * Output: (groupCol, n_docs, rho).
+    */
+  def spearman(docs: DataFrame, x: Column, y: Column,
+               groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(groupCol).as("grp"),
+      x.cast("bigint").as("x"), y.cast("bigint").as("y"))
+      .stage() // feeds both histograms AND the rank join-back
+    def ranks(valCol: String): DataFrame = base
+      .groupBy(col("grp"), col(valCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("grp")).orderBy(col(valCol))))
+      // 2·avg-rank = 2·(cum − cnt) + cnt + 1, exact integers
+      .select(col("grp"), col(valCol),
+        (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+          .as(s"r_$valCol"))
+    val ranked = base
+      .join(ranks("x"), Seq("grp", "x"))
+      .join(ranks("y"), Seq("grp", "y"))
+    val m = ranked.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(col("r_x").cast("decimal(38,0)")).as("su"),
+      sum(col("r_y").cast("decimal(38,0)")).as("sv"),
+      sum((col("r_x") * col("r_x")).cast("decimal(38,0)")).as("suu"),
+      sum((col("r_y") * col("r_y")).cast("decimal(38,0)")).as("svv"),
+      sum((col("r_x") * col("r_y")).cast("decimal(38,0)")).as("suv"))
+    def d(c: String): Column = col(c).cast("double")
+    val num = d("n") * d("suv") - d("su") * d("sv")
+    val da = d("n") * d("suu") - d("su") * d("su")
+    val db = d("n") * d("svv") - d("sv") * d("sv")
+    m.select(col("grp").as(groupCol), col("n").as("n_docs"),
+      when(da > 0 && db > 0, round(num / sqrt(da * db), 6))
+        .otherwise(lit(null).cast("double")).as("rho"))
+  }
+
+  /** T174: two-sample Kolmogorov–Smirnov distance between each
+    * group's token-count distribution and the REST of the corpus —
+    * the distribution-drift readout PSI ([[lengthPsi]]) bins away:
+    * KS is the max CDF gap at ANY threshold, so it is exactly the
+    * worst-case disagreement a length-threshold filter would see if
+    * tuned on the rest and applied to this source. The
+    * snapshot-over-snapshot variant is the same call with a
+    * source column tagging the snapshots.
+    *
+    * Exactness: the whole statistic is integer arithmetic until the
+    * last step — at every candidate threshold v,
+    * |cum_s(v)·n_rest − cum_rest(v)·n_s| is an exact DECIMAL(38,0)
+    * (never a float CDF subtraction), the max is an exact integer
+    * max, and KS = max/(n_s·n_rest) is ONE IEEE division + 6-dp
+    * round.
+    *
+    * Scale shape: ONE corpus rollup to the (group × distinct value)
+    * histogram; the candidate-threshold grid is (groups × distinct
+    * values) — value-dimension sized, built by a broadcast cross
+    * join of two rollup outputs; cumulative windows run over that
+    * grid partitioned by group (the [[robustOutliers]] convention —
+    * never over the corpus). No corpus joins.
+    *
+    * Output: (groupCol, n_docs, n_rest, ks).
+    */
+  def ksDrift(docs: DataFrame, textCol: String,
+              groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    val hist = docs
+      .select(col(groupCol).as("grp"), size(ws).cast("bigint").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
+      .stage() // feeds the group histograms, the global histogram,
+               // and the group totals
+    val groups = hist.groupBy(col("grp")).agg(sum(col("cnt")).as("n_s"))
+    val vals = hist.groupBy(col("v")).agg(sum(col("cnt")).as("cnt_all"))
+    val nTot = vals.agg(sum(col("cnt_all")).as("n_tot"))
+    // (group × distinct value) grid with both cumulative counts
+    val grid = groups.crossJoin(broadcast(vals))
+      .join(hist, Seq("grp", "v"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("cum_s", sum(col("cnt")).over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))))
+      .withColumn("cum_all", sum(col("cnt_all")).over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))))
+      .crossJoin(broadcast(nTot))
+    val d = grid.select(col("grp"), col("n_s"), col("n_tot"),
+        (col("cum_s").cast("decimal(38,0)") *
+          ((col("n_tot") - col("n_s")).cast("decimal(38,0)")) -
+          (col("cum_all") - col("cum_s")).cast("decimal(38,0)") *
+            col("n_s").cast("decimal(38,0)")).as("gap"))
+      .groupBy(col("grp"), col("n_s"), col("n_tot"))
+      .agg(max(greatest(col("gap"), -col("gap"))).as("mx"))
+    d.select(col("grp").as(groupCol), col("n_s").as("n_docs"),
+      (col("n_tot") - col("n_s")).as("n_rest"),
+      when(col("n_s") > 0 && col("n_tot") > col("n_s"),
+        round(col("mx").cast("double") /
+          (col("n_s").cast("double") *
+            (col("n_tot") - col("n_s")).cast("double")), 6))
+        .otherwise(lit(null).cast("double")).as("ks"))
+  }
+
+  /** T176: Simpson diversity of the token distribution per group —
+    * λ = Σc²/N² (the repeat-rate: probability two random tokens
+    * coincide) and its inverse 1/λ, the "effective vocabulary"
+    * (Hill number of order 2). The q=2 companion to the entropy
+    * (q=1) and raw-vocab (q=0) readouts the corpus reports already
+    * carry: heavy-head corpora (boilerplate, templated spam) crater
+    * the effective vocabulary long before raw vocab or even entropy
+    * move, because λ weights the HEAD quadratically.
+    *
+    * Exactness: token counts are exact; Σc² accumulates as
+    * DECIMAL(38,0); both readouts form products in DOUBLE and round
+    * 6 dp after ONE IEEE division each.
+    *
+    * Scale shape: one token explode + two rollups (token, then
+    * group) — the vocabulary-table shape; no windows, no joins.
+    *
+    * Output: (groupCol, n_tokens, vocab, simpson, eff_vocab).
+    */
+  def simpsonDiversity(docs: DataFrame, textCol: String,
+                       groupCol: String): DataFrame = {
+    val ws = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    val freq = docs
+      .select(col(groupCol).as("grp"), explode(ws).as("t"))
+      .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("c"))
+    val agg = freq.groupBy(col("grp")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum((col("c") * col("c")).cast("decimal(38,0)")).as("ssq"))
+    def d(c: String): Column = col(c).cast("double")
+    agg.select(col("grp").as(groupCol), col("n_tokens"), col("vocab"),
+      when(col("n_tokens") > 0,
+        round(d("ssq") / (d("n_tokens") * d("n_tokens")), 6))
+        .otherwise(lit(null).cast("double")).as("simpson"),
+      when(col("ssq") > 0,
+        round(d("n_tokens") * d("n_tokens") / d("ssq"), 6))
+        .otherwise(lit(null).cast("double")).as("eff_vocab"))
+  }
 }

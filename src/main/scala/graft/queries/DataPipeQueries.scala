@@ -2728,6 +2728,310 @@ object DataPipeQueries {
         ((2 * ac * 1000000 + n_items) // (2 * n_items)) / 1000000.0
         FROM g"""))
 
+  /** T173: Krippendorff's alpha on the SAME three-rater panel as
+    * pref_fleiss ([[graft.datapipe.Preference.krippendorffAlpha]],
+    * Krippendorff 2004) — the standard cross-check that an
+    * agreement readout is not a coefficient artifact: alpha differs
+    * from Fleiss exactly by the N(N−1) pair-based chance model. The
+    * oracle replays the vote counts, both disagreement readouts,
+    * and the exact-integer alpha tree.
+    */
+  private val prefKrippendorff = QueryDef(
+    "pref_krippendorff",
+    (s, d) => {
+      val ws = filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)
+      val n = size(ws).cast("bigint")
+      val v = size(array_distinct(ws)).cast("bigint")
+      graft.datapipe.Preference.krippendorffAlpha(
+        Tables.documents(s, d),
+        Seq(TextAnalysis.stopwordCount(col("text")) * 5 >= n,
+          v * 10 >= n * 7,
+          n >= 20),
+        Seq("source"))
+    },
+    Some("""WITH t AS (SELECT source,
+        (CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 5
+            >= CAST(len(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0)) AS BIGINT) THEN 1 ELSE 0 END)
+        + (CASE WHEN CAST(len(list_distinct(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0))) AS BIGINT) * 10
+            >= CAST(len(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0)) AS BIGINT) * 7 THEN 1 ELSE 0 END)
+        + (CASE WHEN CAST(len(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0)) AS BIGINT) >= 20 THEN 1 ELSE 0 END)
+          AS v
+        FROM documents),
+      g AS MATERIALIZED (SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(v) AS BIGINT) AS n1,
+          CAST(SUM(v * (3 - v)) AS BIGINT) AS s
+        FROM t GROUP BY 1)
+      SELECT source, n_items, CAST(3 AS BIGINT) AS m_raters,
+        round((2.0 * CAST(s AS DOUBLE))
+          / ((CAST(n_items AS DOUBLE) * 3.0) * 2.0), 6) AS d_o,
+        round(((2.0 * (CAST(n_items AS DOUBLE) * 3.0 - CAST(n1 AS DOUBLE)))
+            * CAST(n1 AS DOUBLE))
+          / ((CAST(n_items AS DOUBLE) * 3.0)
+            * (CAST(n_items AS DOUBLE) * 3.0 - 1.0)), 6) AS d_e,
+        CASE WHEN n1 > 0 AND n1 < n_items * 3 THEN
+          round(1.0 - ((CAST(n_items AS DOUBLE) * 3.0 - 1.0)
+              * CAST(s AS DOUBLE))
+            / ((2.0 * (CAST(n_items AS DOUBLE) * 3.0 - CAST(n1 AS DOUBLE)))
+              * CAST(n1 AS DOUBLE)), 6)
+        END AS alpha
+      FROM g"""))
+
+  /** T169: McNemar's paired comparison
+    * ([[graft.datapipe.Relevance.mcnemar]]) of two language-ID
+    * heuristics against the fixture's lang label — the
+    * model-comparison significance readout (continuity-corrected
+    * χ² on the discordant pairs only). The oracle replays all four
+    * cells, both exact accuracies, and the χ² tree.
+    */
+  private val evalMcnemar = QueryDef(
+    "eval_mcnemar",
+    (s, d) => {
+      val ws = filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)
+      val n = size(ws).cast("bigint")
+      graft.datapipe.Relevance.mcnemar(
+        Tables.documents(s, d),
+        col("lang") === "en",
+        TextAnalysis.stopwordCount(col("text")) * 5 >= n,
+        lower(col("text")).rlike("\\bthe\\b"),
+        Seq("source"))
+    },
+    Some("""WITH t AS (SELECT source,
+        ((CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 5
+            >= CAST(len(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0)) AS BIGINT) THEN 1 ELSE 0 END)
+          = (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) AS ca,
+        (regexp_matches(lower(text), '\bthe\b')
+          = (lang = 'en')) AS cb
+        FROM documents),
+      g AS MATERIALIZED (SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+          CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+          CAST(SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+          CAST(SUM(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+        FROM t GROUP BY 1)
+      SELECT source, n_items, n_both, n_only_a, n_only_b, n_neither,
+        ((2 * (n_both + n_only_a) * 1000000 + n_items) // (2 * n_items))
+          / 1000000.0 AS acc_a,
+        ((2 * (n_both + n_only_b) * 1000000 + n_items) // (2 * n_items))
+          / 1000000.0 AS acc_b,
+        CASE WHEN n_only_a + n_only_b > 0 THEN
+          round((GREATEST(abs(CAST(n_only_a AS DOUBLE)
+                - CAST(n_only_b AS DOUBLE)) - 1.0, 0.0)
+              * GREATEST(abs(CAST(n_only_a AS DOUBLE)
+                - CAST(n_only_b AS DOUBLE)) - 1.0, 0.0))
+            / (CAST(n_only_a AS DOUBLE) + CAST(n_only_b AS DOUBLE)), 6)
+        END AS chi2
+      FROM g"""))
+
+  /** T170: Spearman rank correlation between token count and
+    * stopword count per source
+    * ([[graft.datapipe.TextAnalysis.spearman]]) — "do the two
+    * quality proxies agree in how they RANK documents". The oracle
+    * replays the histogram average-ranks (doubled integers), the
+    * exact decimal moments, and the one-sqrt Pearson tree.
+    */
+  private val qualitySpearman = QueryDef(
+    "quality_spearman",
+    (s, d) => {
+      val ws = filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)
+      graft.datapipe.TextAnalysis.spearman(
+        Tables.documents(s, d),
+        size(ws).cast("bigint"),
+        TextAnalysis.stopwordCount(col("text")),
+        "source")
+    },
+    Some("""WITH base AS MATERIALIZED (SELECT source AS grp,
+        CAST(len(list_filter(string_split(trim(
+          regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0)) AS BIGINT) AS x,
+        CAST(len(regexp_extract_all(lower(text),
+          '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS y
+        FROM documents),
+      rx AS MATERIALIZED (SELECT grp, x,
+          2 * (cum - cnt) + cnt + 1 AS u
+        FROM (SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS cnt,
+            CAST(SUM(COUNT(*)) OVER (PARTITION BY grp ORDER BY x)
+              AS BIGINT) AS cum
+          FROM base GROUP BY 1, 2)),
+      ry AS MATERIALIZED (SELECT grp, y,
+          2 * (cum - cnt) + cnt + 1 AS w
+        FROM (SELECT grp, y, CAST(COUNT(*) AS BIGINT) AS cnt,
+            CAST(SUM(COUNT(*)) OVER (PARTITION BY grp ORDER BY y)
+              AS BIGINT) AS cum
+          FROM base GROUP BY 1, 2)),
+      j AS (SELECT b.grp, rx.u AS u, ry.w AS w
+        FROM base b JOIN rx ON rx.grp = b.grp AND rx.x = b.x
+        JOIN ry ON ry.grp = b.grp AND ry.y = b.y),
+      m AS MATERIALIZED (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(u) AS su, SUM(w) AS sv, SUM(u * u) AS suu,
+          SUM(w * w) AS svv, SUM(u * w) AS suv
+        FROM j GROUP BY 1)
+      SELECT grp AS source, n AS n_docs,
+        CASE WHEN CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+              - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) > 0
+            AND CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+              - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) > 0 THEN
+          round((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+              - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6)
+        END AS rho
+      FROM m"""))
+
+  /** T174: Kolmogorov–Smirnov drift of each source's token-count
+    * distribution against the rest of the corpus
+    * ([[graft.datapipe.TextAnalysis.ksDrift]]) — integer CDF-gap
+    * numerators, exact max, ONE division. The oracle replays the
+    * histogram, the grid, both cumulative sums, and the exact gap
+    * arithmetic.
+    */
+  private val corpusKsDrift = QueryDef(
+    "corpus_ks_drift",
+    (s, d) => graft.datapipe.TextAnalysis.ksDrift(
+      Tables.documents(s, d), "text", "source"),
+    Some("""WITH base AS (SELECT source AS grp,
+        CAST(len(list_filter(string_split(trim(
+          regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0)) AS BIGINT) AS v
+        FROM documents),
+      hist AS MATERIALIZED (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM base GROUP BY 1, 2),
+      grs AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_s
+        FROM hist GROUP BY 1),
+      vals AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS cnt_all
+        FROM hist GROUP BY 1),
+      nt AS (SELECT CAST(SUM(cnt_all) AS BIGINT) AS n_tot FROM vals),
+      grid AS (SELECT g.grp, g.n_s, va.v, va.cnt_all,
+          COALESCE(h.cnt, 0) AS cnt
+        FROM grs g CROSS JOIN vals va
+        LEFT JOIN hist h ON h.grp = g.grp AND h.v = va.v),
+      cum AS (SELECT grp, n_s, v,
+          CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+            AS cum_s,
+          CAST(SUM(cnt_all) OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+            AS cum_all
+        FROM grid),
+      dd AS (SELECT grp, n_s, n_tot,
+          abs(CAST(cum_s AS HUGEINT) * (n_tot - n_s)
+            - CAST(cum_all - cum_s AS HUGEINT) * n_s) AS gap
+        FROM cum, nt),
+      mx AS (SELECT grp, n_s, n_tot, MAX(gap) AS mg
+        FROM dd GROUP BY 1, 2, 3)
+      SELECT grp AS source, n_s AS n_docs,
+        CAST(n_tot - n_s AS BIGINT) AS n_rest,
+        CASE WHEN n_s > 0 AND n_tot > n_s THEN
+          round(CAST(mg AS DOUBLE) / (CAST(n_s AS DOUBLE)
+            * CAST(n_tot - n_s AS DOUBLE)), 6)
+        END AS ks
+      FROM mx"""))
+
+  /** T176: Simpson diversity / effective vocabulary per source
+    * ([[graft.datapipe.TextAnalysis.simpsonDiversity]]) — the q=2
+    * Hill number next to entropy (q=1) and raw vocab (q=0). The
+    * oracle replays the token frequency table and both readout
+    * trees.
+    */
+  private val textSimpson = QueryDef(
+    "text_simpson",
+    (s, d) => graft.datapipe.TextAnalysis.simpsonDiversity(
+      Tables.documents(s, d), "text", "source"),
+    Some("""WITH tok AS (SELECT source,
+        UNNEST(list_filter(string_split(trim(
+          regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0)) AS t
+        FROM documents),
+      freq AS MATERIALIZED (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+      agg AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS vocab, SUM(c * c) AS ssq
+        FROM freq GROUP BY 1)
+      SELECT source, n_tokens, vocab,
+        CASE WHEN n_tokens > 0 THEN
+          round(CAST(ssq AS DOUBLE) / (CAST(n_tokens AS DOUBLE)
+            * CAST(n_tokens AS DOUBLE)), 6) END AS simpson,
+        CASE WHEN ssq > 0 THEN
+          round(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+            / CAST(ssq AS DOUBLE), 6) END AS eff_vocab
+      FROM agg"""))
+
+  /** T171: Brier score with the Murphy decomposition of the NB
+    * quality scorer ([[graft.datapipe.Classifier.brierDecomposition]])
+    * — the same binning as clf_calibration, answering WHY the score
+    * is what it is (reliability − resolution + uncertainty). The
+    * oracle replays the bins, every 8-dp term, and all four readout
+    * trees.
+    */
+  private val clfBrier = QueryDef(
+    "clf_brier",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = graft.datapipe.Classifier.naiveBayes(
+          docs, "doc_id", "text", nbLabel, buckets = 256)
+        .select(col("doc_id"), col("score"))
+      val labeled = docs.select(col("doc_id"), nbLabel.as("is_pos"))
+      graft.datapipe.Classifier.brierDecomposition(
+        scored.join(labeled, Seq("doc_id")), "score", "is_pos", bins = 10)
+    },
+    Some(s"""WITH $nbLabelCtes,
+      sco AS MATERIALIZED (SELECT t.doc_id, lab.is_pos,
+          CAST(round(CAST(prior AS DECIMAL(28,8))
+            + COALESCE(s, CAST(0 AS DECIMAL(28,8))), 4) AS DOUBLE) AS score
+        FROM toks t LEFT JOIN ssum USING (doc_id)
+        JOIN lab ON lab.doc_id = t.doc_id, pri),
+      pb AS MATERIALIZED (SELECT
+          LEAST(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p, is_pos
+        FROM (SELECT round(1 / (1 + exp(-score)), 6) AS p, is_pos FROM sco)),
+      agg AS MATERIALIZED (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(*) FILTER (WHERE is_pos) AS BIGINT) AS n_pos,
+          CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS psum,
+          CAST(SUM(CAST(round((p - CASE WHEN is_pos THEN 1.0 ELSE 0.0 END)
+              * (p - CASE WHEN is_pos THEN 1.0 ELSE 0.0 END), 8)
+            AS DECIMAL(28,8))) AS DECIMAL(28,8)) AS bsum
+        FROM pb GROUP BY 1),
+      cal AS MATERIALIZED (SELECT bin, n, n_pos, bsum,
+          round(CAST(psum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS conf,
+          ((2 * n_pos * 1000000 + n) // (2 * n)) / 1000000.0 AS acc
+        FROM agg),
+      gl AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+          CAST(SUM(n_pos) AS BIGINT) AS np,
+          CAST(SUM(bsum) AS DECIMAL(28,8)) AS bsum_tot FROM cal),
+      gb AS (SELECT n_docs, bsum_tot,
+          ((2 * np * 1000000 + n_docs) // (2 * n_docs)) / 1000000.0
+            AS base_rate FROM gl),
+      su AS (SELECT n_docs, base_rate, bsum_tot,
+          CAST(SUM(CAST(round(CAST(n AS DOUBLE) * (conf - acc)
+              * (conf - acc), 8) AS DECIMAL(28,8))) AS DECIMAL(28,8))
+            AS rel_sum,
+          CAST(SUM(CAST(round(CAST(n AS DOUBLE) * (acc - base_rate)
+              * (acc - base_rate), 8) AS DECIMAL(28,8))) AS DECIMAL(28,8))
+            AS res_sum
+        FROM cal, gb GROUP BY 1, 2, 3)
+      SELECT n_docs, base_rate,
+        round(CAST(bsum_tot AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+          AS brier,
+        round(CAST(rel_sum AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+          AS reliability,
+        round(CAST(res_sum AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+          AS resolution,
+        round(base_rate * (1.0 - base_rate), 6) AS uncertainty
+      FROM su"""))
+
   /** T145: GRPO-style group-relative advantage
     * ([[graft.datapipe.Preference.groupAdvantage]]) — standardize
     * the distinct-token reward within each source group via the
@@ -4093,6 +4397,48 @@ object DataPipeQueries {
       FROM common
       JOIN sizes sd ON sd.id = delta_id JOIN sizes si ON si.id = index_id
       WHERE CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) >= 0.8"""))
+
+  /** T175: edit-distance verification of minhash candidates over the
+    * twins corpus ([[graft.datapipe.Dedup.editVerifyPairs]]) —
+    * Levenshtein is the classic unit-cost char distance in both
+    * engines, so the oracle replays the exact all-pairs candidate
+    * set (the 32×2 banding recall argument at j ≥ 0.8), the
+    * distances, the exact relative ratio, and the confirmation
+    * gate.
+    */
+  private val dedupEditVerify = QueryDef(
+    "dedup_edit_verify",
+    (s, d) => Dedup.editVerifyPairs(withTwins(s, d), "id", "text",
+      numHashes = 64, bands = 32, candidateThreshold = 0.8,
+      maxRel = 0.2),
+    Some(s"""WITH $twinsSqlCte,
+      toks AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w FROM docs2),
+      sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+      common AS (SELECT x.id AS a_id, y.id AS b_id, COUNT(*) AS n_common
+                 FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+                 GROUP BY 1, 2),
+      pr AS MATERIALIZED (SELECT a_id, b_id,
+          CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+            AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+          >= 0.8),
+      nt AS MATERIALIZED (SELECT id,
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM docs2),
+      ed AS (SELECT p.a_id, p.b_id, p.jaccard,
+          CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS dist,
+          CAST(GREATEST(len(ta.t), len(tb.t)) AS BIGINT) AS ml
+        FROM pr p JOIN nt ta ON ta.id = p.a_id
+        JOIN nt tb ON tb.id = p.b_id)
+      SELECT a_id, b_id, jaccard, dist,
+        ((2 * dist * 1000000 + ml) // (2 * ml)) / 1000000.0 AS rel_dist,
+        CAST(dist AS DOUBLE) <= CAST(0.2 AS DOUBLE) * CAST(ml AS DOUBLE)
+          AS edit_confirmed
+      FROM ed"""))
 
   /** Steady-state incremental probe: the SAME semantics as
     * dedup_minhash_probe but against a MATERIALIZED signature/band
@@ -6117,6 +6463,8 @@ object DataPipeQueries {
     prefKappa, textCollocations, clfLabelNoise, evalBootstrapCi,
     prefFleiss, splitLeakage, mixEpochSchedule,
     packPrefixCache, prefMajority,
+    prefKrippendorff, evalMcnemar, qualitySpearman, corpusKsDrift,
+    textSimpson, clfBrier, dedupEditVerify,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

@@ -1405,6 +1405,41 @@ object SimilarityQueries {
           // (2 * COUNT(cos))) / 1000000.0 AS frac_ge95
       FROM c GROUP BY 1"""))
 
+  /** T172: embedding-space anisotropy
+    * ([[graft.datapipe.Similarity.anisotropy]]) — the mean-vector
+    * share of the average squared norm, the third curation readout
+    * over the same exact-integer rollups as drift/PCA. The oracle
+    * replays the quantize, the component sums, the per-component
+    * 8-dp mean-square terms, and all three readout trees.
+    */
+  private val simAnisotropy = QueryDef(
+    "sim_anisotropy",
+    (s, d) => Similarity.anisotropy(
+      embDouble(s, d).select(col("vec_id"), col("emb")), "emb"),
+    Some("""WITH q AS MATERIALIZED (SELECT list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(list_sum(list_transform(q, z -> z * z))) AS BIGINT)
+            AS s2
+        FROM q),
+      sv AS (SELECT g.i AS pos, CAST(SUM(q[g.i]) AS BIGINT) AS s
+        FROM q, generate_series(1, 64) AS g(i) GROUP BY 1),
+      t AS (SELECT CAST(round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 8)
+          AS DECIMAL(28,8)) AS term
+        FROM sv, tot),
+      ts AS (SELECT CAST(SUM(term) AS DECIMAL(28,8)) AS tsum FROM t)
+      SELECT n AS n_vecs,
+        round(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+          AS mean_sq_norm,
+        round(CAST(tsum AS DOUBLE) / 1000000.0, 6) AS centroid_sq_norm,
+        CASE WHEN s2 > 0 THEN
+          round(CAST(tsum AS DOUBLE) * CAST(n AS DOUBLE)
+            / CAST(s2 AS DOUBLE), 6)
+        END AS anisotropy
+      FROM tot, ts"""))
+
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfRecall, simIvfKmeans,
       simKnnGraph,
@@ -1415,5 +1450,5 @@ object SimilarityQueries {
       multimodalAudioResample, e2eMultimodalGate, simBitextMargin,
       simFilteredTopK, hybridRetrieval, simMmrRerank, simSilhouette,
       simSourceDrift, simPcaTop, simPcaSpectrum, simHardNegatives,
-      packCoherent, simMatryoshka)
+      packCoherent, simMatryoshka, simAnisotropy)
 }

@@ -164,6 +164,219 @@ class RoundFourteenOpsSpec extends SparkSpec {
       "the exact copy must surface at jaccard 1.0")
   }
 
+  test("mcnemar: hand-built cells — the continuity-corrected chi2 " +
+    "replays by hand, |b-c| <= 1 floors at zero, and zero discordant " +
+    "pairs read NULL") {
+    import graft.datapipe.Relevance
+    // gold = v > 0; A right on 1,2,3,4,6 ; B right on 1,2,5,6
+    val rows = Seq(
+      (1L, "g", true, true, true), (2L, "g", true, true, true),
+      (3L, "g", false, false, true), (4L, "g", false, false, true),
+      (5L, "g", true, false, true), (6L, "g", false, false, false),
+      (7L, "g", true, true, false), (8L, "g", true, false, false))
+      .toDF("id", "grp", "gold", "pa", "pb")
+    val r = Relevance.mcnemar(rows, col("gold"), col("pa"), col("pb"),
+      Seq("grp")).collect()(0)
+    // ca: pa==gold -> ids 1,2,3,4,6,8 wait replay directly:
+    val cells = Seq(
+      (true, true, true), (true, true, true), (false, false, true),
+      (false, false, true), (true, false, true), (false, false, false),
+      (true, true, false), (true, false, false))
+      .map { case (g, a, b) => (a == g, b == g) }
+    val bCnt = cells.count { case (ca, cb) => ca && !cb }
+    val cCnt = cells.count { case (ca, cb) => !ca && cb }
+    assert(r.getAs[Long]("n_only_a") === bCnt.toLong)
+    assert(r.getAs[Long]("n_only_b") === cCnt.toLong)
+    val corr = math.max(math.abs(bCnt.toDouble - cCnt) - 1.0, 0.0)
+    val chi2 = BigDecimal(corr * corr / (bCnt + cCnt))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("chi2") === chi2)
+    // no discordant pairs -> NULL, not zero or infinity
+    val same = Seq((1L, "g", true, true, true), (2L, "g", false, false, false))
+      .toDF("id", "grp", "gold", "pa", "pb")
+    val r2 = Relevance.mcnemar(same, col("gold"), col("pa"), col("pb"),
+      Seq("grp")).collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("chi2")))
+  }
+
+  test("krippendorffAlpha: perfect agreement reads 1, a unanimous pool " +
+    "reads NULL, and the hand replay matches the exact-integer tree") {
+    import graft.datapipe.Preference
+    val df = Seq(
+      ("g", true, true, true), ("g", false, false, false),
+      ("g", true, true, false), ("g", false, true, false))
+      .toDF("grp", "a", "b", "c")
+    val r = Preference.krippendorffAlpha(df,
+      Seq(col("a"), col("b"), col("c")), Seq("grp")).collect()(0)
+    // v per item: 3,0,2,1 -> S = sum v(3-v) = 0+0+2+2 = 4; n1 = 6; N = 12
+    val (n, m, s, n1) = (4.0, 3.0, 4.0, 6.0)
+    val bigN = n * m
+    val alpha = BigDecimal(1.0 - ((bigN - 1.0) * s) /
+      ((m - 1.0) * (bigN - n1) * n1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("alpha") - alpha) < 1e-9)
+    val perfect = Seq(("g", true, true, true), ("g", false, false, false))
+      .toDF("grp", "a", "b", "c")
+    val rp = Preference.krippendorffAlpha(perfect,
+      Seq(col("a"), col("b"), col("c")), Seq("grp")).collect()(0)
+    assert(rp.getAs[Double]("alpha") === 1.0)
+    val unanimous = Seq(("g", true, true, true), ("g", true, true, true))
+      .toDF("grp", "a", "b", "c")
+    val ru = Preference.krippendorffAlpha(unanimous,
+      Seq(col("a"), col("b"), col("c")), Seq("grp")).collect()(0)
+    assert(ru.isNullAt(ru.fieldIndex("alpha")))
+  }
+
+  test("spearman: monotone signals read 1, reversed read -1, the tied " +
+    "hand case replays via average ranks, a constant signal reads NULL") {
+    import graft.datapipe.TextAnalysis
+    def run(xs: Seq[Long], ys: Seq[Long]): Option[Double] = {
+      val df = xs.zip(ys).map { case (x, y) => ("g", x, y) }
+        .toDF("grp", "xx", "yy")
+      val r = TextAnalysis.spearman(df, col("xx"), col("yy"), "grp")
+        .collect()(0)
+      if (r.isNullAt(r.fieldIndex("rho"))) None
+      else Some(r.getAs[Double]("rho"))
+    }
+    assert(run(Seq(1, 2, 3, 4), Seq(10, 20, 30, 40)) === Some(1.0))
+    assert(run(Seq(1, 2, 3, 4), Seq(9, 7, 5, 3)) === Some(-1.0))
+    assert(run(Seq(1, 2, 3, 4), Seq(5, 5, 5, 5)) === None)
+    // tied case: x = 1,1,2 ; y = 3,4,4 — average ranks
+    // rx2 = 3,3,5(x: ranks 1.5,1.5,3 doubled); ry2 = 2,5,5
+    val u = Seq(3.0, 3.0, 5.0); val w = Seq(2.0, 5.0, 5.0)
+    val n = 3.0
+    val num = n * u.zip(w).map { case (a, b) => a * b }.sum - u.sum * w.sum
+    val da = n * u.map(a => a * a).sum - u.sum * u.sum
+    val db = n * w.map(a => a * a).sum - w.sum * w.sum
+    val expect = BigDecimal(num / math.sqrt(da * db))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(run(Seq(1, 1, 2), Seq(3, 4, 4)) === Some(expect))
+  }
+
+  test("ksDrift: a hand corpus with a known max CDF gap, and an " +
+    "identically distributed source reads 0") {
+    import graft.datapipe.TextAnalysis
+    // source a: lengths 1,1,2 ; source b: lengths 2,3,3
+    def doc(src: String, n: Int) = (src, Seq.fill(n)("w").mkString(" "))
+    val df = Seq(doc("a", 1), doc("a", 1), doc("a", 2),
+      doc("b", 2), doc("b", 3), doc("b", 3)).toDF("source", "text")
+    val out = TextAnalysis.ksDrift(df, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("ks")).toMap
+    // CDF_a = (at v=1) 2/3, (v=2) 1, (v=3) 1; CDF_b = 0, 1/3, 1
+    // gaps: 2/3, 2/3, 0 -> ks = 2/3 both directions
+    val expect = BigDecimal(6.0 / (3.0 * 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("a") === expect && out("b") === expect)
+    val same = Seq(doc("a", 2), doc("a", 3), doc("b", 2), doc("b", 3))
+      .toDF("source", "text")
+    val out2 = TextAnalysis.ksDrift(same, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("ks")).toMap
+    assert(out2("a") === 0.0 && out2("b") === 0.0)
+  }
+
+  test("simpsonDiversity: uniform tokens read eff_vocab == vocab; the " +
+    "heavy-head case replays by hand") {
+    import graft.datapipe.TextAnalysis
+    val uniform = Seq(("g", "a b c d")).toDF("source", "text")
+    val r = TextAnalysis.simpsonDiversity(uniform, "text", "source")
+      .collect()(0)
+    assert(r.getAs[Long]("vocab") === 4L)
+    assert(r.getAs[Double]("eff_vocab") === 4.0)
+    assert(r.getAs[Double]("simpson") === 0.25)
+    // head-heavy: counts 4,1,1 over N=6 -> lambda = 18/36 = 0.5
+    val heavy = Seq(("g", "a a a a b c")).toDF("source", "text")
+    val rh = TextAnalysis.simpsonDiversity(heavy, "text", "source")
+      .collect()(0)
+    assert(rh.getAs[Double]("simpson") === 0.5)
+    assert(rh.getAs[Double]("eff_vocab") === 2.0)
+  }
+
+  test("brierDecomposition: hand probabilities replay every readout and " +
+    "the Murphy identity holds to rounding") {
+    import graft.datapipe.Classifier
+    // scores chosen so sigmoid lands in distinct bins
+    val rows = Seq(
+      (2.0, true), (2.0, true), (2.0, false),   // p ~ 0.880797
+      (-2.0, false), (-2.0, false), (-2.0, true), // p ~ 0.119203
+      (0.1, true), (0.1, false))                 // p ~ 0.524979
+      .toDF("score", "y")
+    val r = Classifier.brierDecomposition(rows, "score", "y", bins = 10)
+      .collect()(0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r8(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def p(s: Double) = r6(1.0 / (1.0 + math.exp(-s)))
+    val data = Seq((p(2.0), 1.0), (p(2.0), 1.0), (p(2.0), 0.0),
+      (p(-2.0), 0.0), (p(-2.0), 0.0), (p(-2.0), 1.0),
+      (p(0.1), 1.0), (p(0.1), 0.0))
+    val brier = r6(data.map { case (pp, y) =>
+      BigDecimal(r8((pp - y) * (pp - y))) }.sum.toDouble / 8)
+    assert(r.getAs[Double]("brier") === brier)
+    assert(r.getAs[Long]("n_docs") === 8L)
+    assert(r.getAs[Double]("base_rate") === 0.5)
+    assert(r.getAs[Double]("uncertainty") === 0.25)
+    val identity = r.getAs[Double]("reliability") -
+      r.getAs[Double]("resolution") + r.getAs[Double]("uncertainty")
+    assert(math.abs(identity - r.getAs[Double]("brier")) < 1e-4,
+      "brier = rel - res + unc up to independent rounding")
+  }
+
+  test("anisotropy: identical vectors read 1, a symmetric +/- corpus " +
+    "reads 0, and a null vector drops out") {
+    import graft.datapipe.Similarity
+    val same = Seq((1L, Seq(0.3, 0.4)), (2L, Seq(0.3, 0.4)))
+      .toDF("vec_id", "emb")
+    val r = Similarity.anisotropy(same).collect()(0)
+    assert(r.getAs[Long]("n_vecs") === 2L)
+    assert(r.getAs[Double]("anisotropy") === 1.0)
+    val sym = Seq((1L, Seq(0.5, 0.0)), (2L, Seq(-0.5, 0.0)),
+      (3L, (null: Seq[Double]))).toDF("vec_id", "emb")
+    val rs = Similarity.anisotropy(sym).collect()(0)
+    assert(rs.getAs[Long]("n_vecs") === 2L, "null vector excluded")
+    assert(rs.getAs[Double]("anisotropy") === 0.0)
+    assert(rs.getAs[Double]("mean_sq_norm") === 0.25)
+  }
+
+  test("editVerifyPairs: a known near-identical pair confirms with the " +
+    "hand Levenshtein distance; a shuffled paragraph passes Jaccard " +
+    "but NOT the edit gate") {
+    import graft.datapipe.Dedup
+    val a = "the quick brown fox jumps over the lazy dog every day"
+    val b = a.replace("every", "informally") // small char edit region
+    // same words, different order: high shingle overlap needs shared
+    // 3-grams, so shuffle coarse blocks
+    val shuffled = "over the lazy dog every day the quick brown fox jumps"
+    val df = Seq((1L, a), (2L, b), (3L, shuffled)).toDF("id", "text")
+    val out = Dedup.editVerifyPairs(df, "id", "text",
+        candidateThreshold = 0.3, maxRel = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val pair = out.keySet.find(k => Set(k._1, k._2) == Set(1L, 2L))
+    assert(pair.isDefined, "the revision pair must surface as a candidate")
+    val row = out(pair.get)
+    val dist = row.getAs[Long]("dist")
+    // driver replay of unit-cost Levenshtein
+    def lev(x: String, y: String): Int = {
+      val dp = Array.tabulate(y.length + 1)(i => i)
+      for (i <- 1 to x.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to y.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(y.length)
+    }
+    assert(dist === lev(a, b).toLong)
+    assert(row.getAs[Boolean]("edit_confirmed"))
+    out.get((1L, 3L)).orElse(out.get((3L, 1L))).foreach { r3 =>
+      assert(!r3.getAs[Boolean]("edit_confirmed"),
+        "a reordering must not confirm as a character-level revision")
+    }
+  }
+
   test("fold8: past the scaled-long domain the fold falls back to " +
     "BigDecimal accumulation (old domain) instead of throwing; inside " +
     "the domain the two paths agree bit-for-bit") {

@@ -49,4 +49,72 @@ class RoundFourteenPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       "no cartesian, no sort-merge on the probe path")
   }
+
+  test("pref_krippendorff / eval_mcnemar / text_simpson: ONE map-side-" +
+    "combined rollup each — never a window, never a join") {
+    for (name <- Seq("pref_krippendorff", "eval_mcnemar", "text_simpson")) {
+      val p = plan(name)
+      assert(p.contains("partial_"),
+        s"$name must partial-aggregate map-side; plan:\n${p.take(2000)}")
+      assert(!p.contains("Window") && !p.contains("Join"),
+        s"$name is a pure rollup — no window, no join")
+    }
+  }
+
+  test("quality_spearman: windows run over the VALUE HISTOGRAMS only, " +
+    "the corpus joins are (group, value)-keyed hash joins, one moment " +
+    "rollup — no corpus window, no cartesian") {
+    val p = plan("quality_spearman")
+    assert(p.contains("Window"), "the rank cumsums ride windows")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    assert(p.contains("InMemoryTableScan"),
+      "the (grp, x, y) base must be staged — histograms AND join-back read it")
+    assert(p.contains("partial_"), "the moment rollup partial-aggregates")
+  }
+
+  test("corpus_ks_drift: the grid is a broadcast cross join of two " +
+    "rollup outputs, cumulative windows run over the grid (value " +
+    "dimension), the max is a plain rollup") {
+    val p = plan("corpus_ks_drift")
+    assert(p.contains("Window"), "the CDF cumsums ride windows")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the (groups x values) grid must broadcast; plan:\n${p.take(2000)}")
+    assert(p.contains("InMemoryTableScan"),
+      "the histogram must be staged — three consumers read it")
+  }
+
+  test("clf_brier: ONE corpus rollup to bins (Brier terms fold in the " +
+    "same pass), bins-sized everything after, broadcast scalars — no " +
+    "window") {
+    val p = plan("clf_brier")
+    assert(!p.contains("Window"), "no window in the decomposition")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "the global row must come back as a broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
+  test("sim_anisotropy: the corpus-sized stage is the vecSum typed " +
+    "aggregator with the fused per-row norm — no generator fan-out of " +
+    "components, no window") {
+    val p = plan("sim_anisotropy")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the vecSum aggregator must carry the rollup; plan:\n${p.take(2000)}")
+    assert(p.contains("norm_prefix_sq"),
+      "the per-row squared norm rides the fused expression")
+    assert(!p.contains("Window"), "no window")
+  }
+
+  test("dedup_edit_verify: bucket-local candidates + shuffled-hash " +
+    "text join-backs — Levenshtein runs on candidates only, never a " +
+    "cartesian, never a sort-merge") {
+    val p = plan("dedup_edit_verify")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the text fetches ride shuffled-hash joins; plan:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "no cartesian, no sort-merge")
+    assert(p.contains("InMemoryTableScan"),
+      "the normalized-text table must be staged — both pair sides fetch")
+  }
 }
