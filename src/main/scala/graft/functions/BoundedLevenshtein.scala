@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded Levenshtein distance — exact edit distance when it is
+  * ≤ k = ⌊maxRel · max(|a|, |b|)⌋, −1 otherwise — via Ukkonen's
+  * banded dynamic program (Ukkonen 1985, Information and Control
+  * 64): only the ±band diagonal strip of the DP table is evaluated,
+  * O((2·band+1)·n) instead of O(n·m), with the band growing by
+  * iterative doubling (16 → 32 → …) up to k, so a true revision
+  * pair at distance d costs O(d·n) and a pair the length gap alone
+  * refutes costs O(1). This is the verification-side companion of
+  * the generate-cheap/verify-expensive dedup contract: the full
+  * quadratic DP on every candidate pair was the whole cost of the
+  * edit-verification entry (measured 7.7 s → the banded form
+  * removes ~30× of the cell work at maxRel 0.2 on ~1000-char
+  * near-twins).
+  *
+  * Exactness contract (what the DuckDB oracle replays): the result
+  * is EXACTLY `CASE WHEN levenshtein(a,b) <= floor(maxRel *
+  * greatest(len(a),len(b))) THEN levenshtein(a,b) ELSE -1 END` — a
+  * banded DP with band ≥ d computes the true distance d, and the
+  * doubling ladder only stops early when the band row proves
+  * d > band ≥ k. Lengths are counted in Unicode code points on both
+  * engines (the fixtures are BMP text; the `java.lang.String`
+  * char-array walk below matches DuckDB's code-point `len` for all
+  * BMP input). NULL inputs → NULL (BinaryExpression contract).
+  */
+case class BoundedLevenshtein(left: Expression, right: Expression,
+                              maxRel: Double)
+    extends BinaryExpression {
+
+  require(maxRel > 0 && maxRel < 1, s"maxRel in (0, 1); got $maxRel")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bounded_levenshtein"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bounded_levenshtein requires (string, string), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BoundedLevenshtein.compute(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], maxRel)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"${BoundedLevenshtein.getClass.getName.stripSuffix("$")}.compute($a, $b, $maxRel)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
+object BoundedLevenshtein {
+
+  def of(a: Column, b: Column, maxRel: Double): Column =
+    ColumnBridge.column(BoundedLevenshtein(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), maxRel))
+
+  /** Called per row from generated code. */
+  def compute(a: UTF8String, b: UTF8String, maxRel: Double): Long = {
+    val s = a.toString.toCharArray
+    val t = b.toString.toCharArray
+    val k = (maxRel * math.max(s.length, t.length)).toInt
+    if (math.abs(s.length - t.length) > k) return -1L
+    if (s.length == 0) return t.length.toLong // gap <= k by the check
+    if (t.length == 0) return s.length.toLong
+    // iterative doubling: a small true distance never pays the full
+    // k-band; the last rung always runs at exactly k so the bound
+    // semantics are exact
+    var band = math.min(16, k)
+    while (true) {
+      val d = banded(s, t, band)
+      if (d >= 0) return if (d <= k) d.toLong else -1L
+      if (band == k) return -1L
+      band = math.min(band * 2, k)
+    }
+    -1L // unreachable
+  }
+
+  /** Distance if ≤ band, else −1. Two rolling rows over the
+    * ±band diagonal strip; cells outside the strip are +∞.
+    */
+  private def banded(s: Array[Char], t: Array[Char], band: Int): Int = {
+    val n = s.length
+    val m = t.length
+    if (math.abs(n - m) > band) return -1
+    val size = 2 * band + 1
+    val INF = Int.MaxValue / 2
+    var prev = new Array[Int](size)
+    var cur = new Array[Int](size)
+    java.util.Arrays.fill(prev, INF)
+    // row i = 0: dp(0, j) = j for j ≤ band (offset j − i + band)
+    var j = 0
+    while (j <= math.min(m, band)) { prev(j + band) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, INF)
+      val jlo = math.max(0, i - band)
+      val jhi = math.min(m, i + band)
+      var jj = jlo
+      while (jj <= jhi) {
+        val off = jj - i + band
+        var best = INF
+        if (jj == 0) best = i
+        else {
+          val del = if (off + 1 < size) prev(off + 1) + 1 else INF
+          val ins = if (off - 1 >= 0) cur(off - 1) + 1 else INF
+          val sub = prev(off) + (if (s(i - 1) == t(jj - 1)) 0 else 1)
+          best = math.min(sub, math.min(del, ins))
+        }
+        cur(off) = best
+        jj += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    val off = m - n + band
+    val d = prev(off)
+    if (d <= band) d else -1
+  }
+}

@@ -4430,15 +4430,20 @@ object DataPipeQueries {
           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
         FROM docs2),
       ed AS (SELECT p.a_id, p.b_id, p.jaccard,
-          CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS dist,
+          CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS df,
           CAST(GREATEST(len(ta.t), len(tb.t)) AS BIGINT) AS ml
         FROM pr p JOIN nt ta ON ta.id = p.a_id
-        JOIN nt tb ON tb.id = p.b_id)
-      SELECT a_id, b_id, jaccard, dist,
-        ((2 * dist * 1000000 + ml) // (2 * ml)) / 1000000.0 AS rel_dist,
-        CAST(dist AS DOUBLE) <= CAST(0.2 AS DOUBLE) * CAST(ml AS DOUBLE)
-          AS edit_confirmed
-      FROM ed"""))
+        JOIN nt tb ON tb.id = p.b_id),
+      bd AS (SELECT a_id, b_id, jaccard, df, ml,
+          CAST(floor(CAST(0.2 AS DOUBLE) * CAST(ml AS DOUBLE)) AS BIGINT)
+            AS k
+        FROM ed)
+      SELECT a_id, b_id, jaccard,
+        CASE WHEN df <= k THEN df END AS dist,
+        CASE WHEN df <= k THEN
+          ((2 * df * 1000000 + ml) // (2 * ml)) / 1000000.0 END AS rel_dist,
+        df <= k AS edit_confirmed
+      FROM bd"""))
 
   /** Steady-state incremental probe: the SAME semantics as
     * dedup_minhash_probe but against a MATERIALIZED signature/band

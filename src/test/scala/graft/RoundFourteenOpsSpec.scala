@@ -338,6 +338,55 @@ class RoundFourteenOpsSpec extends SparkSpec {
     assert(rs.getAs[Double]("mean_sq_norm") === 0.25)
   }
 
+  test("BoundedLevenshtein: agrees with the full DP wherever the bound " +
+    "admits, proves -1 beyond it, across lengths straddling the " +
+    "doubling ladder") {
+    import graft.functions.BoundedLevenshtein
+    def full(x: String, y: String): Int = {
+      val dp = Array.tabulate(y.length + 1)(i => i)
+      for (i <- 1 to x.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to y.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(y.length)
+    }
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val cases = Seq(
+      ("", ""), ("abc", ""), ("", "abc"), ("same", "same"),
+      ("kitten", "sitting"), ("abcdefghij", "abcdefghij"),
+      (randStr(50), randStr(50)), (randStr(200), randStr(200))) ++
+      // mutated pairs with known-small distance (exercise the 16-band
+      // fast rung) and heavily mutated ones (exercise the escalation)
+      (1 to 20).map { i =>
+        val base = randStr(100 + i * 13)
+        val muts = rnd.nextInt(30)
+        val mutated = base.toCharArray
+        (0 until muts).foreach { _ =>
+          mutated(rnd.nextInt(mutated.length)) = ('a' + rnd.nextInt(4)).toChar
+        }
+        (base, new String(mutated))
+      }
+    val maxRel = 0.2
+    val df = cases.zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }.toDF("id", "x", "y")
+    val got = df.select(col("id"),
+        BoundedLevenshtein.of(col("x"), col("y"), maxRel).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (((x, y), i) <- cases.zipWithIndex) {
+      val k = (maxRel * math.max(x.length, y.length)).toInt
+      val d = full(x, y)
+      val expect = if (d <= k) d.toLong else -1L
+      assert(got(i.toLong) === expect, s"case $i: '$x' vs '$y' (d=$d k=$k)")
+    }
+  }
+
   test("editVerifyPairs: a known near-identical pair confirms with the " +
     "hand Levenshtein distance; a shuffled paragraph passes Jaccard " +
     "but NOT the edit gate") {

@@ -110,6 +110,9 @@ class RoundFourteenPlanSpec extends SparkSpec {
     "text join-backs — Levenshtein runs on candidates only, never a " +
     "cartesian, never a sort-merge") {
     val p = plan("dedup_edit_verify")
+    assert(p.contains("bounded_levenshtein"),
+      "verification must ride the banded bounded-distance expression, " +
+        "not the full quadratic DP")
     assert(p.contains("ShuffledHashJoin"),
       s"the text fetches ride shuffled-hash joins; plan:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
