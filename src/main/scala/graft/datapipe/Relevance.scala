@@ -541,6 +541,88 @@ object Relevance {
     point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
   }
 
+  /** T178: paired Poisson-bootstrap comparison of two systems on the
+    * SAME items — the resampling companion to [[mcnemar]] (Koehn
+    * 2004's paired bootstrap, the standard "is A really better than
+    * B" test for eval suites): both systems' pass indicators ride
+    * the SAME deterministic Poisson(1) weight per (rep, item), so
+    * each rep resamples the ITEM SET once and scores both systems
+    * on it — the item-difficulty correlation that unpaired
+    * intervals throw away is preserved in every rep's delta.
+    *
+    * Determinism: the weight is the same salted-hash draw as
+    * [[bootstrapCI]] (salt `pboot:`); per-rep accuracies are exact
+    * HALF_UP ratios and the rep delta is their difference (exact at
+    * 1e-6 granularity in double); degenerate all-zero-weight reps
+    * drop, with percentile positions over the effective count (the
+    * bootstrapCI convention). `frac_b_ge_a` — the fraction of reps
+    * where A fails to beat B — is the one-sided significance
+    * readout (≤ 0.025 ⇒ A better at the usual level).
+    *
+    * Scale shape: corpus × B rows through ONE map-side-combined
+    * rollup to B rows; the rank window runs over B rows and the
+    * readout is broadcast scalars. B is a bounded literal.
+    *
+    * Output: one row — (n_items, n_reps, acc_a, acc_b, delta,
+    * lo95, hi95, frac_b_ge_a).
+    */
+  def pairedBootstrap(items: DataFrame, idCol: String,
+                      correctA: Column, correctB: Column,
+                      reps: Int = 200): DataFrame = {
+    require(reps >= 40, s"need >= 40 reps for a 95% CI, got $reps")
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.datapipe.TextAnalysis.md5Long60(concat(
+      lit("pboot:"), col("rep").cast("string"), lit(":"),
+      col("__id").cast("string"))) % 1000000L
+    val w = PoissonCum.zipWithIndex.foldRight(
+        lit(PoissonCum.length.toLong)) { case ((t, k), rest) =>
+      when(col("h") < t, k.toLong).otherwise(rest)
+    }
+    val drawn = items
+      .select(col(idCol).cast("string").as("__id"),
+        when(correctA, 1L).otherwise(0L).as("__a"),
+        when(correctB, 1L).otherwise(0L).as("__b"))
+      .select(col("__a"), col("__b"), col("__id"),
+        explode(sequence(lit(0L), lit(reps.toLong - 1))).as("rep"))
+      .select(col("rep"), col("__a"), col("__b"), h.as("h"))
+      .select(col("rep"), col("__a"), col("__b"), w.cast("bigint").as("w"))
+    val perRep = drawn.groupBy(col("rep"))
+      .agg(sum(col("w")).as("den"),
+        sum(col("w") * col("__a")).as("na"),
+        sum(col("w") * col("__b")).as("nb"))
+      .filter(col("den") > 0)
+      .select(col("rep"),
+        (graft.functions.ExactRound.ratio6(col("na"), col("den")) -
+          graft.functions.ExactRound.ratio6(col("nb"), col("den")))
+          .as("delta"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("delta").asc, col("rep").asc)).cast("bigint"))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(lit(1))).cast("bigint"))
+    def pctPos(q: Int): Column =
+      ((lit(q.toLong) * col("cnt") + lit(999L)) / lit(1000L)).cast("bigint")
+    val lo = perRep.filter(col("rn") === pctPos(25))
+      .select(col("delta").as("lo95"))
+    val hi = perRep.filter(col("rn") === pctPos(975))
+      .select(col("delta").as("hi95"))
+    val sig = perRep.agg(
+      graft.functions.ExactRound.ratio6(
+        count(when(col("delta") <= 0, 1)), count(lit(1)))
+        .as("frac_b_ge_a"))
+    val point = items.agg(
+      count(lit(1)).as("n_items"),
+      sum(when(correctA, 1L).otherwise(0L)).as("pa"),
+      sum(when(correctB, 1L).otherwise(0L)).as("pb"))
+      .select(col("n_items"), lit(reps.toLong).as("n_reps"),
+        graft.functions.ExactRound.ratio6(col("pa"), col("n_items"))
+          .as("acc_a"),
+        graft.functions.ExactRound.ratio6(col("pb"), col("n_items"))
+          .as("acc_b"))
+      .withColumn("delta", col("acc_a") - col("acc_b"))
+    point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .crossJoin(broadcast(sig))
+  }
+
   /** T169: McNemar's paired test (McNemar 1947) — is classifier A
     * actually better than classifier B on the SAME items, or is the
     * accuracy gap within paired noise? The eval-harness reflex every

@@ -596,4 +596,72 @@ object Sampling {
         when(col("share") > 0, round(eff / shareD, 6))
           .otherwise(lit(null).cast("double")).as("eff_frac"))
   }
+
+  /** T177: Neyman-optimal allocation of a fixed sampling/labeling
+    * budget across strata (Neyman 1934): n_h ∝ N_h·S_h — a stratum
+    * earns budget for being BIG and for being VARIABLE, which is
+    * what minimizes the variance of the stratified estimate at
+    * fixed n. The "where do my annotation dollars go" table behind
+    * every quality-audit sample; proportional allocation (what
+    * [[stratifiedSample]]'s fixed fraction implements) is the
+    * S_h-constant special case and can waste half the budget on a
+    * homogeneous stratum.
+    *
+    * Arithmetic, engine-replayable end to end: per-stratum moments
+    * are exact integers (Σv, Σv² as DECIMAL(38,0)); the population
+    * variance forms as (N·Σv² − (Σv)²)/N² with products in DOUBLE
+    * (exact to 2^53), one IEEE division, sd = one IEEE sqrt, weight
+    * w = round8(N·sd). Shares r_h = budget·w_h/W evaluate on one
+    * fixed IEEE tree, integer seats by FLOOR, and the leftover
+    * seats go by LARGEST REMAINDER (rank by remainder desc, stratum
+    * asc — deterministic ties), so Σ alloc == budget exactly. A
+    * zero-variance stratum earns weight 0 (stated: it needs one
+    * sample in practice — the readout keeps the pure Neyman
+    * numbers); allocations may exceed N_h for extreme
+    * heteroscedasticity (with-replacement semantics, stated).
+    *
+    * Scale shape: ONE corpus rollup to the stratum dimension;
+    * everything after (the W scalar, the remainder ranking window)
+    * runs on the bounded strata frame. No corpus joins, no corpus
+    * windows.
+    *
+    * Output: (stratum, n_pop, sd, alloc_raw, alloc) — one row per
+    * stratum.
+    */
+  def neymanAllocation(df: DataFrame, value: Column, stratumCol: String,
+                       budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val m = df.select(col(stratumCol).as("stratum"),
+        value.cast("bigint").as("v"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("svv"))
+    def d(c: String): Column = col(c).cast("double")
+    val varPop = (d("n_pop") * d("svv") - d("sv") * d("sv")) /
+      (d("n_pop") * d("n_pop"))
+    val weighted = m.select(col("stratum"), col("n_pop"),
+        round(sqrt(varPop), 6).as("sd"))
+      .withColumn("w", round(d("n_pop") * col("sd"), 8))
+      .stage() // strata-sized; the W scalar and the ranking read it
+    val tot = weighted.agg(
+      sum(col("w").cast("decimal(28,8)")).cast("decimal(28,8)").as("wsum"))
+    val shares = weighted.crossJoin(broadcast(tot))
+      .withColumn("alloc_raw",
+        when(col("wsum") > 0,
+          round(lit(budget.toDouble) * col("w") /
+            col("wsum").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("base", floor(col("alloc_raw")).cast("bigint"))
+      .withColumn("rem", col("alloc_raw") - col("base").cast("double"))
+    val leftover = shares.agg(
+      (lit(budget) - sum(col("base"))).as("leftover"))
+    shares.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("stratum").asc)).cast("bigint"))
+      .select(col("stratum"), col("n_pop"), col("sd"), col("alloc_raw"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
 }

@@ -3032,6 +3032,129 @@ object DataPipeQueries {
         round(base_rate * (1.0 - base_rate), 6) AS uncertainty
       FROM su"""))
 
+  /** T177: Neyman-optimal labeling-budget allocation across sources
+    * ([[graft.datapipe.Sampling.neymanAllocation]], Neyman 1934) —
+    * n_h ∝ N_h·S_h over the token-count signal, seats by floor +
+    * largest remainder so Σ alloc == budget exactly. The oracle
+    * replays the exact moments, the IEEE sd/weight/share trees, and
+    * the remainder ranking.
+    */
+  private val sampleNeyman = QueryDef(
+    "sample_neyman",
+    (s, d) => {
+      val ws = filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)
+      graft.datapipe.Sampling.neymanAllocation(
+        Tables.documents(s, d), size(ws).cast("bigint"), "source",
+        budget = 1000L)
+    },
+    Some("""WITH base AS (SELECT source AS stratum,
+        CAST(len(list_filter(string_split(trim(
+          regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0)) AS BIGINT) AS v
+        FROM documents),
+      m AS MATERIALIZED (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_pop,
+          SUM(v) AS sv, SUM(v * v) AS svv
+        FROM base GROUP BY 1),
+      wt AS MATERIALIZED (SELECT stratum, n_pop,
+          round(sqrt((CAST(n_pop AS DOUBLE) * CAST(svv AS DOUBLE)
+              - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+            / (CAST(n_pop AS DOUBLE) * CAST(n_pop AS DOUBLE))), 6) AS sd
+        FROM m),
+      w2 AS MATERIALIZED (SELECT stratum, n_pop, sd,
+          round(CAST(n_pop AS DOUBLE) * sd, 8) AS w FROM wt),
+      tot AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,8))) AS DECIMAL(28,8))
+          AS wsum FROM w2),
+      sh AS MATERIALIZED (SELECT stratum, n_pop, sd,
+          CASE WHEN wsum > 0 THEN
+            round(1000.0 * w / CAST(wsum AS DOUBLE), 6)
+          ELSE 0.0 END AS alloc_raw
+        FROM w2, tot),
+      b2 AS MATERIALIZED (SELECT stratum, n_pop, sd, alloc_raw,
+          CAST(floor(alloc_raw) AS BIGINT) AS base,
+          alloc_raw - CAST(CAST(floor(alloc_raw) AS BIGINT) AS DOUBLE)
+            AS rem
+        FROM sh),
+      lv AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS leftover FROM b2),
+      rk AS (SELECT b2.*, CAST(row_number() OVER
+          (ORDER BY rem DESC, stratum) AS BIGINT) AS rnk FROM b2)
+      SELECT stratum, n_pop, sd, alloc_raw,
+        CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+          AS alloc
+      FROM rk, lv"""))
+
+  /** T178: paired Poisson-bootstrap comparison
+    * ([[graft.datapipe.Relevance.pairedBootstrap]], Koehn 2004) of
+    * the SAME two language-ID heuristics eval_mcnemar tests — the
+    * resampling significance readout next to the exact-count one.
+    * The oracle replays the salted weights, every per-rep delta,
+    * the effective-count percentile ranks, and the sign fraction.
+    */
+  private val evalPairedBootstrap = QueryDef(
+    "eval_paired_bootstrap",
+    (s, d) => {
+      val ws = filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)
+      val n = size(ws).cast("bigint")
+      val gold = col("lang") === "en"
+      graft.datapipe.Relevance.pairedBootstrap(
+        Tables.documents(s, d), "doc_id",
+        (TextAnalysis.stopwordCount(col("text")) * 5 >= n) === gold,
+        lower(col("text")).rlike("\\bthe\\b") === gold,
+        reps = 200)
+    },
+    Some("""WITH it AS MATERIALIZED (SELECT doc_id,
+        CASE WHEN (CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 5
+            >= CAST(len(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0)) AS BIGINT) THEN 1 ELSE 0 END)
+          = (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS a,
+        CASE WHEN regexp_matches(lower(text), '\bthe\b') = (lang = 'en')
+          THEN 1 ELSE 0 END AS b
+        FROM documents),
+      dr AS (SELECT g.r AS rep, a, b,
+          ('0x' || substr(md5('pboot:' || CAST(g.r AS VARCHAR) || ':'
+            || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS h
+        FROM it, generate_series(0, 199) AS g(r)),
+      dw AS (SELECT rep, a, b,
+          CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1
+               WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3
+               WHEN h < 996340 THEN 4 WHEN h < 999406 THEN 5
+               WHEN h < 999917 THEN 6 WHEN h < 999990 THEN 7
+               WHEN h < 999999 THEN 8 ELSE 9 END AS w
+        FROM dr),
+      pr AS MATERIALIZED (SELECT rep, CAST(SUM(w) AS BIGINT) AS den,
+          CAST(SUM(w * a) AS BIGINT) AS na,
+          CAST(SUM(w * b) AS BIGINT) AS nb
+        FROM dw GROUP BY 1),
+      est AS MATERIALIZED (SELECT rep,
+          ((2 * na * 1000000 + den) // (2 * den)) / 1000000.0
+            - ((2 * nb * 1000000 + den) // (2 * den)) / 1000000.0 AS delta
+        FROM pr WHERE den > 0),
+      rk AS (SELECT rep, delta, CAST(row_number() OVER
+          (ORDER BY delta, rep) AS BIGINT) AS rn,
+          CAST(COUNT(*) OVER () AS BIGINT) AS cnt FROM est),
+      lo AS (SELECT delta AS lo95 FROM rk
+        WHERE rn = (25 * cnt + 999) // 1000),
+      hi AS (SELECT delta AS hi95 FROM rk
+        WHERE rn = (975 * cnt + 999) // 1000),
+      sg AS (SELECT ((2 * COUNT(*) FILTER (WHERE delta <= 0) * 1000000
+            + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS frac_b_ge_a
+        FROM est),
+      pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(a) AS BIGINT) AS pa, CAST(SUM(b) AS BIGINT) AS pb
+        FROM it)
+      SELECT n_items, CAST(200 AS BIGINT) AS n_reps,
+        ((2 * pa * 1000000 + n_items) // (2 * n_items)) / 1000000.0
+          AS acc_a,
+        ((2 * pb * 1000000 + n_items) // (2 * n_items)) / 1000000.0
+          AS acc_b,
+        ((2 * pa * 1000000 + n_items) // (2 * n_items)) / 1000000.0
+          - ((2 * pb * 1000000 + n_items) // (2 * n_items)) / 1000000.0
+          AS delta,
+        lo95, hi95, frac_b_ge_a
+      FROM pt, lo, hi, sg"""))
+
   /** T145: GRPO-style group-relative advantage
     * ([[graft.datapipe.Preference.groupAdvantage]]) — standardize
     * the distinct-token reward within each source group via the
@@ -6469,7 +6592,8 @@ object DataPipeQueries {
     prefFleiss, splitLeakage, mixEpochSchedule,
     packPrefixCache, prefMajority,
     prefKrippendorff, evalMcnemar, qualitySpearman, corpusKsDrift,
-    textSimpson, clfBrier, dedupEditVerify,
+    textSimpson, clfBrier, dedupEditVerify, sampleNeyman,
+    evalPairedBootstrap,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

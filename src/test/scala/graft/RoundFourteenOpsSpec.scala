@@ -426,6 +426,60 @@ class RoundFourteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("neymanAllocation: seats follow N_h*S_h with largest-remainder " +
+    "rounding summing exactly to the budget; a zero-variance stratum " +
+    "earns nothing") {
+    import graft.datapipe.Sampling
+    val rows =
+      Seq.tabulate(4)(i => ("a", (i % 2) * 10L)) ++        // sd 5, N 4
+        Seq.tabulate(5)(_ => ("b", 7L)) ++                 // sd 0, N 5
+        Seq.tabulate(6)(i => ("c", i.toLong))              // 0..5, N 6
+    val df = rows.toDF("src", "v")
+    val out = Sampling.neymanAllocation(df, col("v"), "src", budget = 10L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.values.map(_.getAs[Long]("alloc")).sum === 10L)
+    assert(out("b").getAs[Long]("alloc") === 0L)
+    assert(out("b").getAs[Double]("sd") === 0.0)
+    // driver replay of the weight shares
+    def sd(vs: Seq[Long]): Double = {
+      val n = vs.size.toDouble; val sv = vs.sum.toDouble
+      val svv = vs.map(v => v.toDouble * v).sum
+      BigDecimal(math.sqrt((n * svv - sv * sv) / (n * n)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def w(vs: Seq[Long]): Double =
+      BigDecimal(vs.size.toDouble * sd(vs))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (wa, wc) = (w(Seq(0, 10, 0, 10)), w(Seq(0, 1, 2, 3, 4, 5)))
+    val wsum = BigDecimal(wa) + BigDecimal(wc)
+    val rawA = BigDecimal(10.0 * wa / wsum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("a").getAs[Double]("alloc_raw") === rawA)
+    assert(out("a").getAs[Long]("alloc") +
+      out("c").getAs[Long]("alloc") === 10L)
+  }
+
+  test("pairedBootstrap: A always right / B always wrong collapses the " +
+    "delta CI to [1, 1] with sign fraction 0; identical systems read " +
+    "delta 0 with sign fraction 1") {
+    import graft.datapipe.Relevance
+    val items = (1 to 30).map(i => (i.toLong, true, false))
+      .toDF("id", "ca", "cb")
+    val r = Relevance.pairedBootstrap(items, "id", col("ca"), col("cb"),
+      reps = 50).collect()(0)
+    assert(r.getAs[Double]("acc_a") === 1.0 && r.getAs[Double]("acc_b") === 0.0)
+    assert(r.getAs[Double]("delta") === 1.0)
+    assert(r.getAs[Double]("lo95") === 1.0 && r.getAs[Double]("hi95") === 1.0)
+    assert(r.getAs[Double]("frac_b_ge_a") === 0.0)
+    val same = (1 to 30).map(i => (i.toLong, i % 3 == 0, i % 3 == 0))
+      .toDF("id", "ca", "cb")
+    val r2 = Relevance.pairedBootstrap(same, "id", col("ca"), col("cb"),
+      reps = 50).collect()(0)
+    assert(r2.getAs[Double]("delta") === 0.0)
+    assert(r2.getAs[Double]("lo95") === 0.0 && r2.getAs[Double]("hi95") === 0.0)
+    assert(r2.getAs[Double]("frac_b_ge_a") === 1.0)
+  }
+
   test("fold8: past the scaled-long domain the fold falls back to " +
     "BigDecimal accumulation (old domain) instead of throwing; inside " +
     "the domain the two paths agree bit-for-bit") {

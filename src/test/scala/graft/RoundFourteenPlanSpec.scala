@@ -120,4 +120,29 @@ class RoundFourteenPlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       "the normalized-text table must be staged — both pair sides fetch")
   }
+
+  test("sample_neyman: ONE corpus rollup to the stratum dimension; the " +
+    "W scalar and leftover come back as broadcasts and the remainder " +
+    "ranking windows the bounded strata frame only") {
+    val p = plan("sample_neyman")
+    assert(p.contains("partial_"), "the moment rollup partial-aggregates")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "scalars broadcast")
+    assert(p.contains("Window"), "the remainder ranking is a window " +
+      "over strata (bounded — the UniMax convention)")
+    assert(p.contains("InMemoryTableScan"),
+      "the weighted strata frame must be staged — W and ranking read it")
+  }
+
+  test("eval_paired_bootstrap: corpus x B flows through ONE map-side-" +
+    "combined rollup to B rows; windows rank only the B-row frame and " +
+    "the readout is broadcast scalars") {
+    val p = plan("eval_paired_bootstrap")
+    assert(p.contains("partial_"),
+      "the per-rep partials must combine inside the scan tasks")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "the CI scalars broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "scalar composition must stay broadcast, never cartesian")
+  }
 }

@@ -1314,4 +1314,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.size === 6, "2 sources x 3 raters")
   }
+
+  test("McNemar cells maintain incrementally on a stream (Complete " +
+    "mode) — the live A/B eval gate equals the batch readout") {
+    // the T169 rollup is four boolean counters per group, so the
+    // paired-comparison table updates as eval results arrive —
+    // chi2 recomputes from the maintained cells each trigger
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.Relevance
+    def mk(df: org.apache.spark.sql.DataFrame) =
+      Relevance.mcnemar(df, col("gold"), col("pa"), col("pb"), Seq("grp"))
+    val rows = Seq(
+      ("g", true, true, true), ("g", true, true, false),
+      ("g", false, false, true), ("g", true, false, false),
+      ("h", false, true, false), ("h", true, true, true),
+      ("g", false, true, true), ("h", false, false, false))
+    val in = MemoryStream[(String, Boolean, Boolean, Boolean)]
+    val q = mk(in.toDF().toDF("grp", "gold", "pa", "pb"))
+      .writeStream.format("memory").queryName("mcnemar_stream")
+      .outputMode(OutputMode.Complete).start()
+    in.addData(rows.take(4): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    def keyed(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(keyed(spark.table("mcnemar_stream").collect()) ===
+      keyed(mk(rows.toDF("grp", "gold", "pa", "pb")).collect()))
+  }
 }
