@@ -541,6 +541,44 @@ object Relevance {
     point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
   }
 
+  /** T182: minimum detectable accuracy delta (eval power analysis,
+    * normal approximation): MDE = (z_{α/2} + z_{power}) ·
+    * √(2p(1−p)/n) at the conventional α = 0.05 two-sided / 80 %
+    * power (1.96 + 0.8416) — the eval-PLANNING readout that belongs
+    * next to [[mcnemar]] and [[pairedBootstrap]]: before arguing
+    * about a 0.8-point gap, check whether this suite could even see
+    * it (an n = 500 suite at p = 0.7 cannot detect < 5.7 points).
+    * Per group, so a per-category eval table gets a per-category
+    * noise floor.
+    *
+    * Exactness: n and the base rate are exact (HALF_UP ratio); the
+    * MDE is one fixed IEEE tree over them + 6-dp round; z literals
+    * are double-cast constants. Normal approximation (stated) — the
+    * paired tests measure actual significance; this PLANS sample
+    * sizes.
+    *
+    * Scale shape: ONE map-side-combined rollup to the group
+    * dimension; no joins, no windows.
+    *
+    * Output: (groupCols…, n_items, base_rate, mde).
+    */
+  def minDetectableDelta(items: DataFrame, correct: Column,
+                         groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "minDetectableDelta needs >= 1 group column")
+    val grp = groupCols.map(col)
+    val agg = items
+      .select(when(correct, 1L).otherwise(0L).as("__x") +: grp: _*)
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("n_items"), sum(col("__x")).as("n_pass"))
+      .select(grp ++ Seq(col("n_items"),
+        graft.functions.ExactRound.ratio6(col("n_pass"), col("n_items"))
+          .as("base_rate")): _*)
+    agg.select(grp ++ Seq(col("n_items"), col("base_rate"),
+      round((lit(1.96) + lit(0.8416)) *
+        sqrt(lit(2.0) * col("base_rate") * (lit(1.0) - col("base_rate")) /
+          col("n_items").cast("double")), 6).as("mde")): _*)
+  }
+
   /** T178: paired Poisson-bootstrap comparison of two systems on the
     * SAME items — the resampling companion to [[mcnemar]] (Koehn
     * 2004's paired bootstrap, the standard "is A really better than

@@ -321,4 +321,64 @@ object SftPrep {
         col("rejected_id"), col("chosen_score"), col("rejected_score"),
         (col("chosen_score") - col("rejected_score")).as("margin")): _*)
   }
+
+  /** T179: chat-markup STRUCTURE validator — the ingest-QA gate an
+    * SFT corpus passes before the renderer ([[renderConversations]])
+    * or the trainer ever sees it. Real SFT datasets break in exactly
+    * these ways (and break silently: the template renders SOMETHING
+    * and the loss mask lands on the wrong spans):
+    *
+    *  1. `unparseable` — a line is not `<|role|> body <|eot|>` with
+    *     role ∈ {system, user, assistant};
+    *  2. `bad_first_role` — the conversation opens with assistant
+    *     (a reply with no prompt);
+    *  3. `role_alternation` — after an optional leading system
+    *     turn, roles must strictly alternate user/assistant.
+    *
+    * `reason` reports the FIRST failed rule in that order (stated
+    * precedence, deterministic); `ends_on_assistant` is a separate
+    * advisory flag (a trailing user turn trains nothing but is not
+    * malformed). All checks are per-row array logic over the split
+    * lines — the lines array is materialized ONCE as its own column
+    * (the HOF-capture rule) and every rule folds over it; zero
+    * shuffle, so the gate deploys unchanged on a stream.
+    *
+    * Output: (id, n_turns, valid, reason, ends_on_assistant).
+    */
+  def validateConversations(docs: DataFrame, idCol: String,
+                            renderedCol: String): DataFrame = {
+    val lineRe = "^<\\|(system|user|assistant)\\|> .* <\\|eot\\|>$"
+    val lines = col("__lines")
+    val roles = col("__roles")
+    val n = size(lines).cast("bigint")
+    val parseOk = !exists(lines, l => !l.rlike(lineRe))
+    // roles materialize AFTER parseOk gates them: regexp_extract on
+    // an unparseable line yields "" which the alternation fold would
+    // misread — reason precedence handles it (alternation is only
+    // reported when parsing succeeded)
+    val off = when(element_at(roles, 1) === "system", 1).otherwise(0)
+    val altOk = !exists(
+      zip_with(roles, sequence(lit(1), size(roles)), (r, i) =>
+        struct(r.as("r"), i.as("i"))),
+      p => (p.getField("i") > off) &&
+        (p.getField("r") =!= when(
+          ((p.getField("i") - off) % 2) === 1, "user")
+          .otherwise("assistant")))
+    val firstOk = element_at(roles, 1) =!= "assistant"
+    docs
+      .select(col(idCol), split(col(renderedCol), "\n").as("__lines"))
+      .select(col(idCol), lines,
+        transform(lines, l =>
+          regexp_extract(l, "^<\\|(system|user|assistant)\\|> ", 1))
+          .as("__roles"))
+      .select(col(idCol), n.as("n_turns"),
+        when(!parseOk, "unparseable")
+          .when(!firstOk, "bad_first_role")
+          .when(!altOk, "role_alternation")
+          .as("reason"),
+        (element_at(roles, size(roles)) === "assistant")
+          .as("ends_on_assistant"))
+      .select(col(idCol), col("n_turns"), col("reason").isNull.as("valid"),
+        col("reason"), col("ends_on_assistant"))
+  }
 }

@@ -1215,6 +1215,99 @@ object TextAnalysis {
         .otherwise(lit(null).cast("double")).as("ks"))
   }
 
+  /** T180: PII surface-area census per group — counts of email-like
+    * tokens, long digit runs (phone/account), dotted quads, and URLs,
+    * both total occurrences and affected-document counts. [[redact]]
+    * SCRUBS two of these classes; this is the measurement that
+    * decides whether scrubbing is sufficient and AUDITS it (run
+    * before and after: the after-column must read zero for the
+    * scrubbed classes). Patterns are syntactic, stay inside the
+    * RE2 ∩ java.util.regex common subset (so the oracle replays them
+    * byte-for-byte), and deliberately over-match (a dotted quad
+    * census includes version strings — stated: this is a surface
+    * AREA census for triage, not a PII classifier).
+    *
+    * Scale shape: four codegen'd regexp counts per row + ONE
+    * map-side-combined rollup to the group dimension; no joins, no
+    * windows — deploys unchanged on a stream.
+    *
+    * Output: (groupCol, n_docs, n_email_docs, n_emails,
+    * n_longnum_docs, n_longnums, n_ipv4_docs, n_ipv4s, n_url_docs,
+    * n_urls).
+    */
+  def piiStats(docs: DataFrame, textCol: String,
+               groupCol: String): DataFrame = {
+    val pats = Seq(
+      "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "longnum" -> "\\d{10,}",
+      "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+      "url" -> "https?://[^\\s]+")
+    val counted = docs.select(
+      col(groupCol).as("grp") +: pats.map { case (nm, re) =>
+        size(regexp_extract_all(col(textCol), lit(re), lit(0)))
+          .cast("bigint").as(s"c_$nm")
+      }: _*)
+    val aggs = count(lit(1)).as("n_docs") +: pats.flatMap { case (nm, _) =>
+      Seq(sum(when(col(s"c_$nm") > 0, 1L).otherwise(0L))
+          .as(s"n_${nm}_docs"),
+        sum(col(s"c_$nm")).as(s"n_${nm}s"))
+    }
+    counted.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("grp", groupCol)
+  }
+
+  /** T181: empirical vocabulary-growth curve — distinct-token count
+    * at `points` equal-width document-id checkpoints, the MEASURED
+    * curve [[heapsFit]] fits a law to (fit vs measurement is the
+    * standard pair: a corpus whose curve bends away from its own
+    * Heaps fit mid-way has a composition shift — e.g. a source
+    * appended at the end of the id range — that the two-parameter
+    * fit averages away). Checkpoint k covers documents with
+    * ⌊id·points/(max_id+1)⌋ < k, so k = points is the whole corpus.
+    *
+    * Exactness: a token's first occurrence is min(doc id) — exact;
+    * bucket arithmetic is pure integer division; every readout is a
+    * count.
+    *
+    * Scale shape: ONE token explode + min-rollup (the vocabulary-
+    * table shape — the only corpus-sized stage), then bucket
+    * rollups to `points` rows and a bounded non-equi join for the
+    * cumulative counts. The max-id scalar broadcasts.
+    *
+    * Output: (k, n_docs, vocab) — `points` rows.
+    */
+  def vocabGrowthCurve(docs: DataFrame, idCol: String, textCol: String,
+                       points: Int = 10): DataFrame = {
+    require(points >= 2, s"need >= 2 checkpoints, got $points")
+    val ws = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    val base = docs.select(col(idCol).cast("bigint").as("id"),
+        ws.as("w"))
+      .stage() // feeds the first-occurrence rollup AND the doc buckets
+    val mx = base.agg(max(col("id")).as("mx"))
+    def bucket(idc: Column): Column = {
+      val num = idc * lit(points.toLong)
+      val den = col("mx") + lit(1L)
+      // exact integer division (the repo's subtract-remainder idiom)
+      ((num - num % den) / den).cast("bigint")
+    }
+    val vb = base.select(col("id"), explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(min(col("id")).as("fid"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucket(col("fid")).as("bucket"))
+      .agg(count(lit(1)).as("nv"))
+    val db = base.crossJoin(broadcast(mx))
+      .groupBy(bucket(col("id")).as("bucket"))
+      .agg(count(lit(1)).as("nd"))
+    val grid = mx.select(explode(sequence(lit(1L),
+      lit(points.toLong))).as("k"))
+    def cum(src: DataFrame, cnt: String, out: String): DataFrame =
+      grid.join(broadcast(src), col("bucket") < col("k"), "left")
+        .groupBy(col("k"))
+        .agg(coalesce(sum(col(cnt)), lit(0L)).as(out))
+    cum(db, "nd", "n_docs").join(cum(vb, "nv", "vocab"), Seq("k"))
+      .select(col("k"), col("n_docs"), col("vocab"))
+  }
+
   /** T176: Simpson diversity of the token distribution per group —
     * λ = Σc²/N² (the repeat-rate: probability two random tokens
     * coincide) and its inverse 1/λ, the "effective vocabulary"

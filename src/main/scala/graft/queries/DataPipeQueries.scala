@@ -3155,6 +3155,186 @@ object DataPipeQueries {
         lo95, hi95, frac_b_ge_a
       FROM pt, lo, hi, sg"""))
 
+  /** T179: chat-markup structure validator
+    * ([[graft.datapipe.SftPrep.validateConversations]]) over
+    * conversations with PLANTED violations (the T142 canary
+    * pattern): every %7 doc breaks role alternation, every %11 doc
+    * loses its final eot sentinel (unparseable — and it wins
+    * precedence on %77 docs), every %13 doc gains a legal system
+    * preamble. The oracle replays the construction, the corruption,
+    * and all three rules with the stated precedence.
+    */
+  private val sftValidate = QueryDef(
+    "sft_validate",
+    (s, d) => {
+      val ws = filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)
+      val t1 = array_join(slice(ws, 1, 4), " ")
+      val t2 = array_join(slice(ws, 5, 4), " ")
+      val role2 = when(col("doc_id") % 7 === 0, lit("user"))
+        .otherwise(lit("assistant"))
+      val msg0 = concat(
+        lit("<|user|> "), t1, lit(" <|eot|>\n"),
+        lit("<|"), role2, lit("|> "), t2, lit(" <|eot|>"))
+      val msg1 = when(col("doc_id") % 13 === 0,
+        concat(lit("<|system|> sys <|eot|>\n"), msg0)).otherwise(msg0)
+      val msg = when(col("doc_id") % 11 === 0,
+        msg1.substr(lit(1), length(msg1) - lit(8))).otherwise(msg1)
+      graft.datapipe.SftPrep.validateConversations(
+        Tables.documents(s, d).select(col("doc_id"), msg.as("conv")),
+        "doc_id", "conv")
+    },
+    Some("""WITH w0 AS (SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(lower(text),
+          '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS w
+        FROM documents),
+      built AS (SELECT doc_id,
+          '<|user|> ' || array_to_string(w[1:4], ' ') || ' <|eot|>' ||
+          chr(10) || '<|' ||
+          (CASE WHEN doc_id % 7 = 0 THEN 'user' ELSE 'assistant' END) ||
+          '|> ' || array_to_string(w[5:8], ' ') || ' <|eot|>' AS m0
+        FROM w0),
+      built2 AS (SELECT doc_id,
+          CASE WHEN doc_id % 13 = 0
+            THEN '<|system|> sys <|eot|>' || chr(10) || m0 ELSE m0 END AS m1
+        FROM built),
+      conv AS MATERIALIZED (SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0
+            THEN substr(m1, 1, len(m1) - 8) ELSE m1 END AS c
+        FROM built2),
+      v AS MATERIALIZED (SELECT doc_id,
+          string_split(c, chr(10)) AS lines,
+          list_transform(string_split(c, chr(10)), l ->
+            regexp_extract(l, '^<\|(system|user|assistant)\|> ', 1))
+            AS roles
+        FROM conv),
+      flags AS MATERIALIZED (SELECT doc_id,
+          CAST(len(lines) AS BIGINT) AS n_turns,
+          len(list_filter(lines, l -> NOT regexp_matches(l,
+            '^<\|(system|user|assistant)\|> .* <\|eot\|>$'))) = 0
+            AS parse_ok,
+          roles[1] <> 'assistant' AS first_ok,
+          CASE WHEN roles[1] = 'system' THEN 1 ELSE 0 END AS off,
+          roles, roles[len(roles)] = 'assistant' AS ends_on_assistant
+        FROM v),
+      rr AS (SELECT doc_id, g.i AS i, roles[g.i] AS r, off
+        FROM flags, UNNEST(generate_series(1, len(roles))) AS g(i)),
+      ab AS (SELECT doc_id, CAST(COUNT(*) FILTER (WHERE i > off
+          AND r <> CASE WHEN (i - off) % 2 = 1 THEN 'user'
+            ELSE 'assistant' END) AS BIGINT) AS nbad
+        FROM rr GROUP BY 1)
+      SELECT f.doc_id, f.n_turns,
+        (CASE WHEN NOT parse_ok THEN 'unparseable'
+              WHEN NOT first_ok THEN 'bad_first_role'
+              WHEN nbad > 0 THEN 'role_alternation' END) IS NULL AS valid,
+        CASE WHEN NOT parse_ok THEN 'unparseable'
+             WHEN NOT first_ok THEN 'bad_first_role'
+             WHEN nbad > 0 THEN 'role_alternation' END AS reason,
+        ends_on_assistant
+      FROM flags f JOIN ab USING (doc_id)"""))
+
+  /** T180: PII surface-area census per source
+    * ([[graft.datapipe.TextAnalysis.piiStats]]) — the before/after
+    * audit around the T45 redaction pass. The oracle replays all
+    * four RE2-subset patterns byte-for-byte.
+    */
+  private val textPiiStats = QueryDef(
+    "text_pii_stats",
+    (s, d) => graft.datapipe.TextAnalysis.piiStats(
+      Tables.documents(s, d), "text", "source"),
+    Some("""WITH c AS (SELECT source,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          AS c_email,
+        CAST(len(regexp_extract_all(text, '\d{10,}')) AS BIGINT)
+          AS c_longnum,
+        CAST(len(regexp_extract_all(text,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS c_ipv4,
+        CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+          AS c_url
+        FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN c_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_email_docs,
+        CAST(SUM(c_email) AS BIGINT) AS n_emails,
+        CAST(SUM(CASE WHEN c_longnum > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_longnum_docs,
+        CAST(SUM(c_longnum) AS BIGINT) AS n_longnums,
+        CAST(SUM(CASE WHEN c_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ipv4_docs,
+        CAST(SUM(c_ipv4) AS BIGINT) AS n_ipv4s,
+        CAST(SUM(CASE WHEN c_url > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_url_docs,
+        CAST(SUM(c_url) AS BIGINT) AS n_urls
+      FROM c GROUP BY 1"""))
+
+  /** T181: empirical vocabulary-growth curve
+    * ([[graft.datapipe.TextAnalysis.vocabGrowthCurve]]) at 10
+    * id-range checkpoints — the measured companion to vocab_heaps'
+    * two-parameter fit. The oracle replays first occurrences, the
+    * integer bucket arithmetic, and both cumulative counts.
+    */
+  private val vocabGrowth = QueryDef(
+    "vocab_growth",
+    (s, d) => graft.datapipe.TextAnalysis.vocabGrowthCurve(
+      Tables.documents(s, d), "doc_id", "text", points = 10),
+    Some("""WITH base AS MATERIALIZED (SELECT doc_id AS id,
+        list_filter(string_split(trim(regexp_replace(lower(text),
+          '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS w
+        FROM documents),
+      mx AS (SELECT MAX(id) AS mx FROM base),
+      fo AS MATERIALIZED (SELECT t, MIN(id) AS fid
+        FROM (SELECT id, UNNEST(w) AS t FROM base) GROUP BY 1),
+      vb AS (SELECT (fid * 10) // (mx + 1) AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS nv FROM fo, mx GROUP BY 1),
+      db AS (SELECT (id * 10) // (mx + 1) AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS nd FROM base, mx GROUP BY 1),
+      ks AS (SELECT CAST(g.k AS BIGINT) AS k
+        FROM generate_series(1, 10) AS g(k)),
+      nd2 AS (SELECT k, CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS n_docs
+        FROM ks LEFT JOIN db ON bucket < k GROUP BY 1),
+      nv2 AS (SELECT k, CAST(COALESCE(SUM(nv), 0) AS BIGINT) AS vocab
+        FROM ks LEFT JOIN vb ON bucket < k GROUP BY 1)
+      SELECT k, n_docs, vocab FROM nd2 JOIN nv2 USING (k)"""))
+
+  /** T182: minimum detectable accuracy delta per source
+    * ([[graft.datapipe.Relevance.minDetectableDelta]]) for the
+    * stopword language-ID gate — the noise floor under the
+    * eval_mcnemar / eval_paired_bootstrap readouts. The oracle
+    * replays the exact base rate and the one-sqrt IEEE tree.
+    */
+  private val evalMde = QueryDef(
+    "eval_mde",
+    (s, d) => {
+      val ws = filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)
+      val n = size(ws).cast("bigint")
+      graft.datapipe.Relevance.minDetectableDelta(
+        Tables.documents(s, d),
+        (TextAnalysis.stopwordCount(col("text")) * 5 >= n) ===
+          (col("lang") === "en"),
+        Seq("source"))
+    },
+    Some("""WITH t AS (SELECT source,
+        CASE WHEN (CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 5
+            >= CAST(len(list_filter(string_split(trim(
+              regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0)) AS BIGINT) THEN 1 ELSE 0 END)
+          = (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) THEN 1 ELSE 0 END
+          AS x
+        FROM documents),
+      g AS MATERIALIZED (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(x) AS BIGINT) AS np FROM t GROUP BY 1),
+      b AS (SELECT source, n_items,
+          ((2 * np * 1000000 + n_items) // (2 * n_items)) / 1000000.0
+            AS base_rate FROM g)
+      SELECT source, n_items, base_rate,
+        round((CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+          * sqrt(CAST(2.0 AS DOUBLE) * base_rate
+            * (CAST(1.0 AS DOUBLE) - base_rate)
+            / CAST(n_items AS DOUBLE)), 6) AS mde
+      FROM b"""))
+
   /** T145: GRPO-style group-relative advantage
     * ([[graft.datapipe.Preference.groupAdvantage]]) — standardize
     * the distinct-token reward within each source group via the
@@ -6593,7 +6773,8 @@ object DataPipeQueries {
     packPrefixCache, prefMajority,
     prefKrippendorff, evalMcnemar, qualitySpearman, corpusKsDrift,
     textSimpson, clfBrier, dedupEditVerify, sampleNeyman,
-    evalPairedBootstrap,
+    evalPairedBootstrap, sftValidate, textPiiStats, vocabGrowth,
+    evalMde,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

@@ -450,6 +450,59 @@ object Streams {
       .dropDuplicatesWithinWatermark("delta_id", "index_id")
   }
 
+  /** [[probeStream]] against the MATERIALIZED index tables
+    * ([[graft.datapipe.Dedup.minhashIndexTable]] /
+    * [[graft.datapipe.Dedup.minhashBucketsTable]] read back from
+    * parquet) — the production daily-recrawl stream exactly: the
+    * index side is storage, never re-hashed per trigger; only
+    * arriving deltas hash. Same output and recall contract as
+    * [[probeStream]] (StreamingSpec pins stream == the batch
+    * prebuilt probe row-for-row).
+    *
+    * Output: (delta_id, index_id, jaccard, ts).
+    */
+  def probeStreamPrebuilt(delta: DataFrame, indexHh: DataFrame,
+                          indexBuckets: DataFrame,
+                          idCol: String, textCol: String, tsCol: String,
+                          watermark: String = "30 seconds",
+                          numHashes: Int = 64, bands: Int = 32,
+                          threshold: Double = 0.8): DataFrame = {
+    import graft.datapipe.Dedup
+    import graft.datapipe.Staging.Staged
+    Dedup.requireValidBanding(numHashes, bands)
+    val rowsPerBand = numHashes / bands
+    // array_compact restores the non-null element type a parquet
+    // round-trip widens (the minhashProbePrebuilt note)
+    val ihh = indexHh.select(col("index_id"),
+      array_compact(col("index_id_hh")).as("index_hh")).stage()
+    val ibk = indexBuckets.select(col("index_id"), col("bb")).stage()
+    val sigged = delta.select(col(idCol).cast("long").as("delta_id"),
+      array_sort(Dedup.hashedShingles(col(textCol), 3)).as("delta_hh"),
+      col(tsCol).cast("timestamp").as("ts"))
+      .filter(col("delta_id").isNotNull && col("delta_hh").isNotNull)
+      .select(col("delta_id"), col("delta_hh"), col("ts"),
+        explode(Dedup.lshBuckets(
+          Dedup.minhashSignatureFromHashes(col("delta_hh"), numHashes),
+          bands, rowsPerBand)).as("bb"))
+    sigged
+      .join(ibk, Seq("bb"))
+      .join(ihh, Seq("index_id"))
+      .filter(size(col("delta_hh")) >= lit(threshold) * size(col("index_hh")) &&
+        size(col("index_hh")) >= lit(threshold) * size(col("delta_hh")))
+      .select(col("delta_id"), col("index_id"), col("ts"),
+        graft.functions.SortedIntersectCount
+          .column(col("delta_hh"), col("index_hh")).as("n_common"),
+        (size(col("delta_hh")) + size(col("index_hh")))
+          .cast("bigint").as("n_total"))
+      .select(col("delta_id"), col("index_id"),
+        (col("n_common").cast("double") /
+          (col("n_total") - col("n_common"))).as("jaccard"),
+        col("ts"))
+      .filter(col("jaccard") >= threshold)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("delta_id", "index_id")
+  }
+
   /** Per-band ring state for [[codeDupStream]] — the 64-bit-code
     * sibling of [[BucketState]]: one long per member instead of a
     * signature array, so a bucket's state is 16·maxPerBucket bytes.

@@ -480,6 +480,99 @@ class RoundFourteenOpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("frac_b_ge_a") === 1.0)
   }
 
+  test("validateConversations: each violation class reports its reason " +
+    "with the stated precedence; a system preamble stays valid; the " +
+    "trailing-user case flags but does not invalidate") {
+    import graft.datapipe.SftPrep
+    val convs = Seq(
+      (1L, "<|user|> hi <|eot|>\n<|assistant|> hello <|eot|>"),
+      (2L, "<|system|> s <|eot|>\n<|user|> q <|eot|>\n<|assistant|> a <|eot|>"),
+      (3L, "<|assistant|> unprompted <|eot|>"),
+      (4L, "<|user|> a <|eot|>\n<|user|> b <|eot|>"),
+      (5L, "<|user|> a <|eot|>\n<|assistant|> broken"),
+      (6L, "<|user|> q1 <|eot|>\n<|assistant|> a1 <|eot|>\n<|user|> q2 <|eot|>"),
+      (7L, "<|user|> a <|eot|>\n<|user|> b <|eot|>\n<|assistant|> c"))
+      .toDF("id", "conv")
+    val out = SftPrep.validateConversations(convs, "id", "conv")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def reason(id: Long): Option[String] =
+      Option(out(id).getAs[String]("reason"))
+    assert(out(1L).getAs[Boolean]("valid") && reason(1L).isEmpty)
+    assert(out(1L).getAs[Boolean]("ends_on_assistant"))
+    assert(out(2L).getAs[Boolean]("valid"), "system preamble is legal")
+    assert(reason(3L) === Some("bad_first_role"))
+    assert(reason(4L) === Some("role_alternation"))
+    assert(reason(5L) === Some("unparseable"))
+    assert(out(6L).getAs[Boolean]("valid") &&
+      !out(6L).getAs[Boolean]("ends_on_assistant"),
+      "a trailing user turn is advisory, not malformed")
+    assert(reason(7L) === Some("unparseable"),
+      "unparseable outranks the alternation break on doubly-broken docs")
+  }
+
+  test("piiStats: planted PII counts replay exactly, and auditing the " +
+    "REDACTED text reads zero for the scrubbed classes") {
+    import graft.datapipe.TextAnalysis
+    val docs = Seq(
+      ("g", "mail me at a.b@x.org or c@y.io, card 1234567890123"),
+      ("g", "server at 10.0.0.1 and 192.168.1.254, see https://x.org/a"),
+      ("g", "nothing sensitive here at all"))
+      .toDF("source", "text")
+    val r = TextAnalysis.piiStats(docs, "text", "source").collect()(0)
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_emails") === 2L)
+    assert(r.getAs[Long]("n_email_docs") === 1L)
+    assert(r.getAs[Long]("n_longnums") === 1L)
+    assert(r.getAs[Long]("n_ipv4s") === 2L)
+    assert(r.getAs[Long]("n_urls") === 1L)
+    val scrubbed = docs.select(col("source"),
+      TextAnalysis.redact(col("text")).as("text"))
+    val r2 = TextAnalysis.piiStats(scrubbed, "text", "source").collect()(0)
+    assert(r2.getAs[Long]("n_emails") === 0L, "redact scrubs emails")
+    assert(r2.getAs[Long]("n_longnums") === 0L, "redact scrubs digit runs")
+    assert(r2.getAs[Long]("n_ipv4s") === 2L,
+      "dotted quads are NOT in redact's scope — the audit proves it")
+  }
+
+  test("vocabGrowthCurve: hand corpus — first occurrences bucket by id " +
+    "range, the last checkpoint equals the corpus totals, counts are " +
+    "cumulative") {
+    import graft.datapipe.TextAnalysis
+    // ids 0..9, max+1 = 10, points 5 -> buckets of 2 ids each
+    val docs = (0L to 9L).map { i =>
+      val w = if (i < 2) "alpha beta" else if (i < 6) "alpha gamma"
+        else "delta epsilon zeta"
+      (i, w)
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowthCurve(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) === ((2L, 2L)))  // ids 0,1: alpha beta
+    assert(out(2L) === ((4L, 3L)))  // + gamma
+    assert(out(3L) === ((6L, 3L)))  // nothing new
+    assert(out(4L) === ((8L, 6L)))  // + delta epsilon zeta
+    assert(out(5L) === ((10L, 6L)))
+    assert(out.keySet === (1L to 5L).toSet)
+  }
+
+  test("minDetectableDelta: the closed form replays by hand and shrinks " +
+    "with n") {
+    import graft.datapipe.Relevance
+    val items = (1 to 100).map(i => ("g", i % 10 != 0)) ++
+      (1 to 400).map(i => ("h", i % 10 != 0))
+    val df = items.toDF("grp", "ok")
+    val out = Relevance.minDetectableDelta(df, col("ok"), Seq("grp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def mde(p: Double, n: Long): Double =
+      BigDecimal((1.96 + 0.8416) * math.sqrt(2.0 * p * (1.0 - p) / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("g").getAs[Double]("base_rate") === 0.9)
+    assert(out("g").getAs[Double]("mde") === mde(0.9, 100))
+    assert(out("h").getAs[Double]("mde") === mde(0.9, 400))
+    assert(out("h").getAs[Double]("mde") < out("g").getAs[Double]("mde"),
+      "4x the items halves the noise floor")
+  }
+
   test("fold8: past the scaled-long domain the fold falls back to " +
     "BigDecimal accumulation (old domain) instead of throwing; inside " +
     "the domain the two paths agree bit-for-bit") {

@@ -145,4 +145,37 @@ class RoundFourteenPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "scalar composition must stay broadcast, never cartesian")
   }
+
+  test("sft_validate: a pure per-row projection — zero exchanges, " +
+    "stream-deployable like the render twin") {
+    val p = plan("sft_validate")
+    assert(!p.contains("Exchange"),
+      s"the validator must not shuffle; plan:\n${p.take(2000)}")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "no window, no join in a per-row gate")
+  }
+
+  test("text_pii_stats / eval_mde: ONE map-side-combined rollup each — " +
+    "never a window, never a join") {
+    for (name <- Seq("text_pii_stats", "eval_mde")) {
+      val p = plan(name)
+      assert(p.contains("partial_"),
+        s"$name must partial-aggregate map-side; plan:\n${p.take(2000)}")
+      assert(!p.contains("Window") && !p.contains("Join"),
+        s"$name is a pure rollup")
+    }
+  }
+
+  test("vocab_growth: the only corpus-sized stage is the token " +
+    "explode + min rollup; the checkpoint grid joins are bounded " +
+    "broadcasts") {
+    val p = plan("vocab_growth")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      "the first-occurrence rollup partial-aggregates")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "grid joins broadcast")
+    assert(!p.contains("Window"), "no window anywhere")
+    assert(p.contains("InMemoryTableScan"),
+      "the (id, tokens) base must be staged — two consumers read it")
+  }
 }

@@ -256,6 +256,49 @@ class StreamingSpec extends SparkSpec {
       "only the near-dup delta doc may pair, on the delta side")
   }
 
+  test("streaming incremental probe against the MATERIALIZED index " +
+    "tables == the batch prebuilt probe; the index is storage, never " +
+    "re-hashed per trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.Dedup
+    val index = (0L until 10L).map(i =>
+      (i, (0 to 30).map(j => s"w${(i * 31 + j) % 97}").mkString(" ")))
+      .toDF("id", "text")
+    val d1 = (100L, (0 to 30).map(j => s"w${j % 97}").mkString(" ")
+      .replaceFirst("w0", "zz"))
+    val d2 = (199L, (0 to 30).map(j => s"v$j").mkString(" "))
+    val dir = Files.createTempDirectory("graft_probe_stream_idx").toString
+    val idx = Dedup.minhashIndexTable(index, "id", "text", numHashes = 64)
+    idx.write.mode("overwrite").parquet(s"$dir/hh")
+    Dedup.minhashBucketsTable(idx, numHashes = 64, bands = 16)
+      .write.mode("overwrite").parquet(s"$dir/bb")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.probeStreamPrebuilt(in.toDF().toDF("id", "text", "ts"),
+      spark.read.parquet(s"$dir/hh"), spark.read.parquet(s"$dir/bb"),
+      "id", "text", "ts", watermark = "10 minutes",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .writeStream.format("memory").queryName("probe_stream_prebuilt")
+      .outputMode(OutputMode.Append).start()
+    in.addData((d1._1, d1._2, t("2024-01-01 00:00:01")),
+      (d2._1, d2._2, t("2024-01-01 00:00:02")))
+    q.processAllAvailable()
+    in.addData((d1._1, d1._2, t("2024-01-01 00:00:03"))) // redelivery
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("probe_stream_prebuilt")
+      .select(col("delta_id"), col("index_id"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    graft.datapipe.Staging.releaseAll()
+    val batch = Dedup.minhashProbePrebuilt(
+      spark.read.parquet(s"$dir/hh"), spark.read.parquet(s"$dir/bb"),
+      Seq(d1, d2).toDF("id", "text"), "id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.datapipe.Staging.releaseAll()
+    assert(got === batch, "stream values must equal the batch prebuilt twin")
+    assert(got.nonEmpty && got.forall(_._1 == 100L))
+  }
+
   test("streaming near-dup exact-once: multi-band twin emits one pair row") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
