@@ -519,8 +519,15 @@ object TextAnalysis {
     * rounded to 4 dp; a single-type document scores 0.
     */
   def entropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = sort_array(split(normalize(col(textCol)), " "))
-    val n = size(w).cast("double")
+    // the sorted tokens AND the token count materialize as their own
+    // columns BEFORE the fold: captured inside the aggregate lambda,
+    // `size(sort_array(split(normalize(...))))` re-evaluated the
+    // whole tokenize+sort per ARRAY ELEMENT (the HOF-capture rule —
+    // O(n²) tokenization; this entry read 4.3 s at sf0.1, the #2
+    // slowest on the r14 validation board, for a per-row readout).
+    // Bound column references inside the lambda are cheap.
+    val w = col("__w")
+    val n = col("__n")
     def term(run: Column): Column =
       round((run.cast("double") / n) * log(run.cast("double") / n), 8)
         .cast("decimal(28,8)")
@@ -542,10 +549,15 @@ object TextAnalysis {
       },
       // decimal round before the cast — exact-half portability
       acc => round(-closeRun(acc), 4).cast("double"))
-    docs.select(col(idCol).as("doc_id"),
-      size(w).cast("bigint").as("n_tokens"),
-      size(array_distinct(w)).cast("bigint").as("n_distinct"),
-      h.as("entropy"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        sort_array(split(normalize(col(textCol)), " ")).as("__w"))
+      .select(col("doc_id"), col("__w"),
+        size(col("__w")).cast("double").as("__n"))
+      .select(col("doc_id"),
+        size(w).cast("bigint").as("n_tokens"),
+        size(array_distinct(w)).cast("bigint").as("n_distinct"),
+        h.as("entropy"))
   }
 
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
