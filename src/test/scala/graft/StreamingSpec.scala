@@ -1358,6 +1358,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 6, "2 sources x 3 raters")
   }
 
+  test("PII census maintains incrementally on a stream (Complete mode) " +
+    "— the live leak alarm equals the batch audit") {
+    // T180 is four regexp counts + one grouped rollup, so the census
+    // updates as documents arrive — the shape a crawler's PII alarm
+    // actually runs (page the privacy channel when n_emails jumps)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.TextAnalysis
+    def mk(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.piiStats(df, "text", "source")
+    val docs = Seq(
+      ("web", "contact a@b.io and c@d.org today"),
+      ("web", "host 10.0.0.1 via https://x.y/z"),
+      ("books", "clean prose with nothing inside"),
+      ("books", "card 98765432101234 leaked"),
+      ("web", "totally clean"))
+    val in = MemoryStream[(String, String)]
+    val q = mk(in.toDF().toDF("source", "text"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode(OutputMode.Complete).start()
+    in.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    def keyed(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(keyed(spark.table("pii_stream").collect()) ===
+      keyed(mk(docs.toDF("source", "text")).collect()))
+  }
+
   test("McNemar cells maintain incrementally on a stream (Complete " +
     "mode) — the live A/B eval gate equals the batch readout") {
     // the T169 rollup is four boolean counters per group, so the
