@@ -696,6 +696,14 @@ object Similarity {
     * Cell-boundary misses are the technique's documented recall
     * trade; raise `nprobe` to buy recall (SimilaritySpec quantifies
     * it against brute force).
+    *
+    * SIZE `cells` ∝ n — hold per-cell population at a few thousand.
+    * The default 8 fits the 2 k-vector fixture (250/cell); at a
+    * FIXED cell count the per-cell quadratic makes 10× the rows
+    * ~100× the pair work. Measured (SCALE.md round-14 combined-axis
+    * wave, 20 k × dim 512): cells 8 → 65 s, 32 → 7.0 s, 128 →
+    * 4.5 s (`graft.tools.TimeKnnCells`), nprobe=2 compensating the
+    * narrower cells.
     */
   def knnGraph(emb: DataFrame, k: Int, cells: Int = 8, iters: Int = 3,
                nprobe: Int = 2): DataFrame = {
