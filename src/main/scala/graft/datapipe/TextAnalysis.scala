@@ -1320,6 +1320,42 @@ object TextAnalysis {
       .select(col("k"), col("n_docs"), col("vocab"))
   }
 
+  /** T183: term burstiness for the corpus's top terms — cf/df
+    * (collection frequency over document frequency, Church & Gale
+    * 1995's burstiness axis): a term that appears 900 times in 30
+    * documents (burstiness 30) is topical/templated; one that
+    * appears 900 times in 850 documents (~1.06) is function-word
+    * background. The boilerplate-vs-stopword separator the plain
+    * frequency table can't see — dedup/boilerplate triage reads the
+    * high-burst tail, stopword lists the low-burst head.
+    *
+    * Exactness: cf and df are exact counts from a two-stage rollup
+    * ((term, doc) partial counts combine map-side, then the term
+    * rollup sums/counts them — df without a count-distinct shuffle);
+    * burstiness is the exact HALF_UP ratio. Top-N by (cf desc, term
+    * asc) — a total order, so the cutoff is deterministic.
+    *
+    * Scale shape: token explode → (term, doc)-keyed rollup →
+    * term-keyed rollup → two-stage top-N (TakeOrderedAndProject,
+    * never a global sort materialization). No windows, no joins.
+    *
+    * Output: (term, cf, df, burstiness) — `topN` rows.
+    */
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+                 topN: Int = 40): DataFrame = {
+    require(topN >= 1, s"need topN >= 1, got $topN")
+    val ws = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    docs.select(col(idCol).as("__id"), explode(ws).as("t"))
+      .groupBy(col("t"), col("__id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("t"))
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+      .orderBy(col("cf").desc, col("t").asc)
+      .limit(topN)
+      .select(col("t").as("term"), col("cf"), col("df"),
+        graft.functions.ExactRound.ratio6(col("cf"), col("df"))
+          .as("burstiness"))
+  }
+
   /** T176: Simpson diversity of the token distribution per group —
     * λ = Σc²/N² (the repeat-rate: probability two random tokens
     * coincide) and its inverse 1/λ, the "effective vocabulary"

@@ -3335,6 +3335,30 @@ object DataPipeQueries {
             / CAST(n_items AS DOUBLE)), 6) AS mde
       FROM b"""))
 
+  /** T183: term burstiness (cf/df) for the corpus top-40
+    * ([[graft.datapipe.TextAnalysis.burstiness]], Church & Gale
+    * 1995) — the boilerplate-vs-stopword separator. The oracle
+    * replays the two-stage counts, the exact ratio, and the
+    * deterministic (cf desc, term) cutoff.
+    */
+  private val textBurstiness = QueryDef(
+    "text_burstiness",
+    (s, d) => graft.datapipe.TextAnalysis.burstiness(
+      Tables.documents(s, d), "doc_id", "text", topN = 40),
+    Some("""WITH tok AS (SELECT doc_id,
+        UNNEST(list_filter(string_split(trim(
+          regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+          x -> len(x) > 0)) AS t
+        FROM documents),
+      td AS MATERIALIZED (SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+      g AS (SELECT t, CAST(SUM(c) AS BIGINT) AS cf,
+          CAST(COUNT(*) AS BIGINT) AS df
+        FROM td GROUP BY 1)
+      SELECT t AS term, cf, df,
+        ((2 * cf * 1000000 + df) // (2 * df)) / 1000000.0 AS burstiness
+      FROM g ORDER BY cf DESC, t LIMIT 40"""))
+
   /** T145: GRPO-style group-relative advantage
     * ([[graft.datapipe.Preference.groupAdvantage]]) — standardize
     * the distinct-token reward within each source group via the
@@ -6774,7 +6798,7 @@ object DataPipeQueries {
     prefKrippendorff, evalMcnemar, qualitySpearman, corpusKsDrift,
     textSimpson, clfBrier, dedupEditVerify, sampleNeyman,
     evalPairedBootstrap, sftValidate, textPiiStats, vocabGrowth,
-    evalMde,
+    evalMde, textBurstiness,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
     textRepetition, textGopherRules, textDupNgrams, textNovelty,

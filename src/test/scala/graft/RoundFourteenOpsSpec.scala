@@ -573,6 +573,25 @@ class RoundFourteenOpsSpec extends SparkSpec {
       "4x the items halves the noise floor")
   }
 
+  test("burstiness: cf/df replays by hand — the templated term reads " +
+    "high, the background term reads ~1, and the (cf desc, term) " +
+    "cutoff is deterministic") {
+    import graft.datapipe.TextAnalysis
+    val docs = Seq(
+      (1L, "spam spam spam spam the and"),
+      (2L, "the and of quality prose here"),
+      (3L, "the and of more text entirely"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.burstiness(docs, "doc_id", "text", topN = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set("spam", "the", "and"),
+      "top-3 by cf with term tie-break")
+    assert(out("spam") === ((4L, 1L, 4.0)), "templated: 4 uses, 1 doc")
+    assert(out("the") === ((3L, 3L, 1.0)), "background: 1 per doc")
+    assert(out("and") === ((3L, 3L, 1.0)))
+  }
+
   test("fold8: past the scaled-long domain the fold falls back to " +
     "BigDecimal accumulation (old domain) instead of throwing; inside " +
     "the domain the two paths agree bit-for-bit") {

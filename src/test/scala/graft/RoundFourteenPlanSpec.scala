@@ -166,6 +166,16 @@ class RoundFourteenPlanSpec extends SparkSpec {
     }
   }
 
+  test("text_burstiness: two-stage counts + the two-stage top-N — " +
+    "TakeOrderedAndProject, no global sort, no window, no join") {
+    val p = plan("text_burstiness")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-N must ride the heap, not a global sort; plan:\n${p.take(2000)}")
+    assert(p.contains("partial_"), "both rollups partial-aggregate")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "no window, no join")
+  }
+
   test("vocab_growth: the only corpus-sized stage is the token " +
     "explode + min rollup; the checkpoint grid joins are bounded " +
     "broadcasts") {
