@@ -500,6 +500,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The APPEND leg that closes the materialized-index loop: after a
+    * day's delta is probed ([[minhashProbePrebuilt]]) and admitted,
+    * production folds it INTO the index so tomorrow's probe sees it.
+    * This hashes ONLY the delta (one [[minhashIndexTable]] pass over
+    * the delta rows — the same delta-sized work the probe already
+    * did) and appends the resulting signature rows and pre-exploded
+    * band-bucket rows to the two parquet tables; the standing index
+    * is never rewritten or re-hashed. Parquet append adds new files
+    * under the same directory — at 100 TB this is the daily-partition
+    * write (`PARTITION (ingest_date)`), and the bucket table stays
+    * sorted-by-bb WITHIN each day's files so scan pruning holds.
+    *
+    * Idempotency is the CALLER's contract (as with any append sink):
+    * replaying the same delta twice plants duplicate index rows —
+    * run-once semantics come from the pipeline's ledger, not this
+    * method. Column contracts match [[minhashIndexTable]] /
+    * [[minhashBucketsTable]] exactly, so a probe against the
+    * appended table is indistinguishable from one against a
+    * from-scratch rebuild over index ∪ delta (DedupSpec pins this;
+    * the e2e_probe_append oracle replays a two-day chain).
+    */
+  def minhashIndexAppend(delta: DataFrame, idCol: String, textCol: String,
+                         hhPath: String, bbPath: String,
+                         numHashes: Int = 64, bands: Int = 32): Unit = {
+    requireValidBanding(numHashes, bands)
+    val idx = minhashIndexTable(delta, idCol, textCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      idx.write.mode("append").parquet(hhPath)
+      minhashBucketsTable(idx, numHashes, bands)
+        .write.mode("append").parquet(bbPath)
+    } finally idx.unpersist()
+  }
+
   /** Ingest-churn classification — the observability readout over
     * the two incremental probes: every DELTA document classified
     * against the static INDEX as `exact_dup` (content fingerprint

@@ -619,6 +619,12 @@ object Sampling {
     * sample in practice — the readout keeps the pure Neyman
     * numbers); allocations may exceed N_h for extreme
     * heteroscedasticity (with-replacement semantics, stated).
+    * Degenerate corpus (EVERY stratum constant, so W = 0): Neyman
+    * weights carry no information — all allocations are 0 and the
+    * budget is returned unspent (the caller falls back to
+    * proportional or uniform); without the guard the
+    * largest-remainder seats would hand +1 to every stratum and
+    * break the Σ alloc == budget contract.
     *
     * Scale shape: ONE corpus rollup to the stratum dimension;
     * everything after (the W scalar, the remainder ranking window)
@@ -661,7 +667,10 @@ object Sampling {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("rem").desc, col("stratum").asc)).cast("bigint"))
       .select(col("stratum"), col("n_pop"), col("sd"), col("alloc_raw"),
-        (col("base") + when(col("rk") <= col("leftover"), 1L)
-          .otherwise(0L)).as("alloc"))
+        // W = 0 ⇒ no remainder seats: every share was a true 0, not
+        // a floor residue, so handing out `leftover` seats would
+        // allocate budget the weights never assigned
+        (col("base") + when(col("wsum") > 0 && col("rk") <= col("leftover"),
+          1L).otherwise(0L)).as("alloc"))
   }
 }

@@ -349,6 +349,34 @@ object Similarity {
     } finally q.unpersist()
   }
 
+  /** Deterministic self-sizing coarse-quantizer cell count: hold
+    * per-cell population at ~250 vectors — ⌈n/250⌉ clamped to
+    * [8, 4096]. Pure integer arithmetic over one corpus `count()`,
+    * so the oracle can replay the same number from the same n (no
+    * randomness, no floats). Why 250: within-cell scoring is
+    * quadratic in CELL population (n²·nprobe/cells pair work), so a
+    * fixed cell count degrades ~100× per 10× rows (the round-14
+    * SCALE finding: cells=8 at 20 k × 512 read 65 s vs 4.5 s at
+    * 128); holding population constant keeps the pair work linear
+    * in n. The 4096 cap bounds the other side of the trade — the
+    * assignment projection is O(cells·dim) per row with centroids
+    * inlined as literals — past ~1 M vectors (cap·250) size `cells`
+    * explicitly and precompute the assignment as the table's
+    * partition key (the [[ivfTopKKmeans]] scaladoc's 100 TB note).
+    */
+  def autoCells(n: Long): Int =
+    math.min(4096L, math.max(8L, (n + 249L) / 250L)).toInt
+
+  /** Resolve a `cells` parameter: explicit positive value wins;
+    * 0 (the auto sentinel) derives [[autoCells]] from the frame's
+    * trainable population — the same non-null-vector row set
+    * [[kmeansCentroids]] trains on, so the rule and the trainer see
+    * one corpus definition.
+    */
+  private def sizeCells(emb: DataFrame, cells: Int): Int =
+    if (cells > 0) cells
+    else autoCells(emb.filter(col("emb").isNotNull).count())
+
   /** Final k-means cell per vector: (vec_id, cell). The oracle
     * replays seeds, every Lloyd's round, and this assignment in
     * DuckDB — a hash match certifies the whole trainer.
@@ -381,10 +409,15 @@ object Similarity {
     * prunes post-scan; in the 100 TB deployment the assignment is
     * precomputed once and written as the table's partition key, which
     * turns the same filter into scan-level partition pruning.
+    * `cells = 0` (default) self-sizes via [[autoCells]] — per-probe
+    * candidate work is n·nprobe/cells per query, so a fixed cell
+    * count at 10× the corpus scans 10× the candidates per query;
+    * holding cell population at ~250 keeps it flat.
     */
   def ivfTopKKmeans(emb: DataFrame, queries: DataFrame, k: Int,
-                    cells: Int = 8, iters: Int = 3, nprobe: Int = 3): DataFrame = {
-    val cents = kmeansCentroids(emb.select(col("vec_id"), col("emb")), cells, iters)
+                    cells: Int = 0, iters: Int = 3, nprobe: Int = 3): DataFrame = {
+    val sized = sizeCells(emb, cells)
+    val cents = kmeansCentroids(emb.select(col("vec_id"), col("emb")), sized, iters)
     val e = emb.select(col("vec_id"),
       kmeansAssignCol(quantize(col("emb")), cents.toSeq).as("label"), col("emb"))
     val q = queries.select(col("q_id"),
@@ -697,18 +730,23 @@ object Similarity {
     * trade; raise `nprobe` to buy recall (SimilaritySpec quantifies
     * it against brute force).
     *
-    * SIZE `cells` ∝ n — hold per-cell population at a few thousand.
-    * The default 8 fits the 2 k-vector fixture (250/cell); at a
-    * FIXED cell count the per-cell quadratic makes 10× the rows
-    * ~100× the pair work. Measured (SCALE.md round-14 combined-axis
-    * wave, 20 k × dim 512): cells 8 → 65 s, 32 → 7.0 s, 128 →
-    * 4.5 s (`graft.tools.TimeKnnCells`), nprobe=2 compensating the
-    * narrower cells.
+    * SIZE `cells` ∝ n — hold per-cell population at a few hundred.
+    * `cells = 0` (the default) SELF-SIZES via [[autoCells]]: one
+    * `count()` on the non-null-vector population, then the exact
+    * integer rule ⌈n/250⌉ clamped to [8, 4096] — at a FIXED cell
+    * count the per-cell quadratic makes 10× the rows ~100× the pair
+    * work (the round-14 `weak` finding). Measured (SCALE.md round-14
+    * combined-axis wave, 20 k × dim 512): cells 8 → 65 s, 32 →
+    * 7.0 s, 128 → 4.5 s (`graft.tools.TimeKnnCells`); auto yields 80
+    * there. At the 2 k fixture auto yields exactly the historical 8
+    * (250/cell), so fixture-scale hashes are unchanged. Explicit
+    * `cells > 0` overrides the rule.
     */
-  def knnGraph(emb: DataFrame, k: Int, cells: Int = 8, iters: Int = 3,
+  def knnGraph(emb: DataFrame, k: Int, cells: Int = 0, iters: Int = 3,
                nprobe: Int = 2): DataFrame = {
+    val sized = sizeCells(emb, cells)
     val cents = kmeansCentroids(emb.select(col("vec_id"), col("emb")),
-      cells, iters)
+      sized, iters)
     val assigned = emb.select(col("vec_id"), col("emb"),
       kmeansAssignCol(quantize(col("emb")), cents.toSeq).as("cell"))
     val probes = emb.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
@@ -733,7 +771,7 @@ object Similarity {
     * then one IEEE division by 10⁴ — a round(double, 4) here is the
     * corpus_stats tie-bomb class.
     */
-  def knnDensity(emb: DataFrame, k: Int, cells: Int = 8, iters: Int = 3,
+  def knnDensity(emb: DataFrame, k: Int, cells: Int = 0, iters: Int = 3,
                  nprobe: Int = 2): DataFrame =
     knnGraph(emb, k, cells, iters, nprobe)
       .groupBy(col("q_id"))

@@ -26,10 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * greatest(len(a),len(b))) THEN levenshtein(a,b) ELSE -1 END` — a
   * banded DP with band ≥ d computes the true distance d, and the
   * doubling ladder only stops early when the band row proves
-  * d > band ≥ k. Lengths are counted in Unicode code points on both
-  * engines (the fixtures are BMP text; the `java.lang.String`
-  * char-array walk below matches DuckDB's code-point `len` for all
-  * BMP input). NULL inputs → NULL (BinaryExpression contract).
+  * d > band ≥ k. Lengths AND edit units are Unicode code points on
+  * both engines: the DP walks code-point arrays (surrogate pairs
+  * collapse to one unit), so k, the length-gap gate, and the
+  * distance itself match DuckDB's code-point `len`/`levenshtein`
+  * for ALL input, astral planes included — not just BMP (the
+  * round-14 advice finding). NULL inputs → NULL (BinaryExpression
+  * contract).
   */
 case class BoundedLevenshtein(left: Expression, right: Expression,
                               maxRel: Double)
@@ -70,8 +73,10 @@ object BoundedLevenshtein {
 
   /** Called per row from generated code. */
   def compute(a: UTF8String, b: UTF8String, maxRel: Double): Long = {
-    val s = a.toString.toCharArray
-    val t = b.toString.toCharArray
+    // code-point arrays, not UTF-16 chars: a surrogate pair is ONE
+    // edit unit, matching DuckDB len()/levenshtein() on astral text
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
     val k = (maxRel * math.max(s.length, t.length)).toInt
     if (math.abs(s.length - t.length) > k) return -1L
     if (s.length == 0) return t.length.toLong // gap <= k by the check
@@ -92,7 +97,7 @@ object BoundedLevenshtein {
   /** Distance if ≤ band, else −1. Two rolling rows over the
     * ±band diagonal strip; cells outside the strip are +∞.
     */
-  private def banded(s: Array[Char], t: Array[Char], band: Int): Int = {
+  private def banded(s: Array[Int], t: Array[Int], band: Int): Int = {
     val n = s.length
     val m = t.length
     if (math.abs(n - m) > band) return -1

@@ -124,13 +124,36 @@ object ExactRound {
     * before the scaled-long rewrite — extreme inputs get the old
     * exact-arbitrary-precision answer instead of an
     * ArithmeticException (the r13 advice finding).
+    *
+    * REQUIRES a re-iterable collection (the standard `Iterable`
+    * contract): the overflow fallback restarts iteration from the
+    * beginning. A one-shot iterator dressed as an Iterable would
+    * fold only its unconsumed tail — so such inputs are rejected
+    * loudly rather than silently misfolded (the r14 advice finding);
+    * callers holding an Iterator should pass `it.toSeq`.
     */
   def fold8(xs: Iterable[Double]): Double = {
+    // every strict stdlib collection re-iterates; a hand-rolled
+    // Iterator wrapper (not a stdlib collection type) is the only
+    // shape that can't, and only the fallback path needs it
+    def reIterable = xs.isInstanceOf[scala.collection.Seq[_]] ||
+      xs.isInstanceOf[scala.collection.Set[_]] ||
+      xs.isInstanceOf[scala.collection.Map[_, _]] ||
+      xs.isInstanceOf[scala.collection.View[_]] ||
+      xs.isInstanceOf[scala.collection.Iterable[_]] &&
+        xs.knownSize >= 0
     var acc = 0L
     val it = xs.iterator
     while (it.hasNext) {
       try acc = Math.addExact(acc, scaled8(it.next()))
-      catch { case _: ArithmeticException => return fold8Big(xs) }
+      catch {
+        case _: ArithmeticException =>
+          if (!reIterable) throw new IllegalArgumentException(
+            "fold8 overflow fallback needs a re-iterable collection; " +
+              "got a one-shot Iterable already partially consumed — " +
+              "materialize (toSeq) before folding")
+          return fold8Big(xs)
+      }
     }
     unscale8(acc)
   }

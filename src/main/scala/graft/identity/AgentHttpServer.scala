@@ -91,7 +91,8 @@ final class AgentHttpServer(secret: String = CredentialOps.DefaultSecret,
   // connection pool (50 total / 25 per host, veramo_client.py:24-44);
   // 8 server threads comfortably saturate a local[32] client running
   // one in-flight request per partition
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
   server.start()
 
   def boundPort: Int = server.getAddress.getPort
@@ -99,5 +100,10 @@ final class AgentHttpServer(secret: String = CredentialOps.DefaultSecret,
   /** Base endpoint, e.g. `http://127.0.0.1:PORT`. */
   def endpoint: String = s"http://127.0.0.1:$boundPort"
 
-  override def close(): Unit = server.stop(0)
+  override def close(): Unit = {
+    server.stop(0)
+    // stop(0) detaches the executor but never shuts it down — without
+    // this, every server instance leaks its 8 pool threads (r14 advice)
+    pool.shutdown()
+  }
 }

@@ -4836,6 +4836,98 @@ object DataPipeQueries {
       JOIN sizes sd ON sd.id = delta_id JOIN sizes si ON si.id = index_id
       WHERE CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) >= 0.8"""))
 
+  /** Two-day incremental chain over the materialized index — the
+    * loop-closing APPEND shape ([[Dedup.minhashIndexAppend]]):
+    * day 1 probes twins of the EVEN docs against the base index,
+    * then the day-1 delta is appended to the signature and bucket
+    * tables; day 2 probes identical copies of day 1's delta (ids
+    * +2000000) plus twins of the ODD docs (ids +3000000). The day-2
+    * verdicts MUST contain (day2_id, day1_id) j=1.0 pairs — those
+    * index entries exist only via the append (the base index never
+    * held ids ≥ 1000000), so the entry certifies that an appended
+    * probe is indistinguishable from a from-scratch rebuild over
+    * index ∪ delta. Day-1 verdicts are written out before the append
+    * (the production ledger order); laziness can therefore never
+    * read day-1 results through the mutated table. The oracle
+    * replays both days as exact cross-pair Jaccard, day 2 against
+    * base ∪ day-1.
+    */
+  private val e2eProbeAppend = QueryDef(
+    "e2e_probe_append",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val toks = split(TextAnalysis.normalize(col("text")), " ")
+      val twin = array_join(slice(toks, lit(1), size(toks) - 1), " ")
+      val day1 = docs.filter(col("id") % 2 === 0)
+        .select((col("id") + 1000000).as("id"), twin.as("text"))
+      val day2 = docs.filter(col("id") % 2 === 0)
+        .select((col("id") + 2000000).as("id"), twin.as("text"))
+        .unionByName(docs.filter(col("id") % 2 === 1)
+          .select((col("id") + 3000000).as("id"), twin.as("text")))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_probe_append").toString
+      val idx = Dedup.minhashIndexTable(docs, "id", "text", numHashes = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.write.mode("overwrite").parquet(s"$path/hh")
+      Dedup.minhashBucketsTable(idx, numHashes = 64, bands = 32)
+        .write.mode("overwrite").parquet(s"$path/bb")
+      idx.unpersist()
+      def probe(delta: org.apache.spark.sql.DataFrame) =
+        Dedup.minhashProbePrebuilt(s.read.parquet(s"$path/hh"),
+          s.read.parquet(s"$path/bb"), delta, "id", "text",
+          numHashes = 64, bands = 32, threshold = 0.8)
+      // day-1 verdicts published BEFORE the append mutates the index
+      probe(day1).write.mode("overwrite").parquet(s"$path/verdicts1")
+      Dedup.minhashIndexAppend(day1, "id", "text",
+        s"$path/hh", s"$path/bb", numHashes = 64, bands = 32)
+      s.read.parquet(s"$path/verdicts1")
+        .select(lit(1L).as("day"), col("delta_id"), col("index_id"),
+          col("jaccard"))
+        .unionByName(probe(day2)
+          .select(lit(2L).as("day"), col("delta_id"), col("index_id"),
+            col("jaccard")))
+    },
+    Some("""WITH docs0 AS (SELECT doc_id AS id, text FROM documents),
+      tok AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM docs0),
+      tw AS (SELECT id, array_to_string(w[1:len(w)-1], ' ') AS text FROM tok),
+      day1 AS (SELECT id + 1000000 AS id, text FROM tw WHERE id % 2 = 0),
+      day2 AS (SELECT id + 2000000 AS id, text FROM tw WHERE id % 2 = 0
+               UNION ALL
+               SELECT id + 3000000 AS id, text FROM tw WHERE id % 2 = 1),
+      idx2 AS (SELECT id, text FROM docs0 UNION ALL SELECT id, text FROM day1),
+      shB AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+              FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      tokI2 AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM idx2),
+      shI2 AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+               FROM tokI2, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      tokD1 AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM day1),
+      shD1 AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+               FROM tokD1, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      tokD2 AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM day2),
+      shD2 AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+               FROM tokD2, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      szB AS (SELECT id, COUNT(*) AS n_sh FROM shB GROUP BY id),
+      szI2 AS (SELECT id, COUNT(*) AS n_sh FROM shI2 GROUP BY id),
+      szD1 AS (SELECT id, COUNT(*) AS n_sh FROM shD1 GROUP BY id),
+      szD2 AS (SELECT id, COUNT(*) AS n_sh FROM shD2 GROUP BY id),
+      c1 AS (SELECT d.id AS delta_id, i.id AS index_id, COUNT(*) AS n_common
+             FROM shD1 d JOIN shB i ON d.shingle = i.shingle GROUP BY 1, 2),
+      c2 AS (SELECT d.id AS delta_id, i.id AS index_id, COUNT(*) AS n_common
+             FROM shD2 d JOIN shI2 i ON d.shingle = i.shingle GROUP BY 1, 2),
+      v1 AS (SELECT CAST(1 AS BIGINT) AS day, delta_id, index_id,
+               CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) AS jaccard
+             FROM c1 JOIN szD1 sd ON sd.id = delta_id
+             JOIN szB si ON si.id = index_id
+             WHERE CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) >= 0.8),
+      v2 AS (SELECT CAST(2 AS BIGINT) AS day, delta_id, index_id,
+               CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) AS jaccard
+             FROM c2 JOIN szD2 sd ON sd.id = delta_id
+             JOIN szI2 si ON si.id = index_id
+             WHERE CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) >= 0.8)
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2"""))
+
   /** Ingest-churn verdicts: delta = near-dup twins of every doc +
     * identical copies of the %7 docs + fully-rewritten (every token
     * suffixed) %11 docs — so all three categories fire and the
@@ -6818,7 +6910,7 @@ object DataPipeQueries {
     dedupStats,
     dedupExact, dedupNgramJaccard, dedupThresholdCurve, dedupPairQuality,
     dedupMinhashLsh, dedupMinhashProbe, dedupProbeMaterialized,
-    e2eIngestChurn, dedupSimhash,
+    e2eProbeAppend, e2eIngestChurn, dedupSimhash,
     dedupClusters, dedupClusterSizes, dedupKeepOne, dedupCdcChunks,
     dedupIncremental,
     dedupLines, textBoilerplate, textExtractHtml, textNormalizeUnicode,

@@ -1410,7 +1410,11 @@ object SimilarityQueries {
     * share of the average squared norm, the third curation readout
     * over the same exact-integer rollups as drift/PCA. The oracle
     * replays the quantize, the component sums, the per-component
-    * 8-dp mean-square terms, and all three readout trees.
+    * 8-dp mean-square terms, and all three readout trees. Its q CTE
+    * filters NULL embeddings (Spark drops them before the rollup —
+    * without the filter COUNT(*) counts rows list_sum skips) and
+    * derives the component range from len(q) per row rather than a
+    * hardcoded fixture dim (both r14 advice).
     */
   private val simAnisotropy = QueryDef(
     "sim_anisotropy",
@@ -1418,13 +1422,14 @@ object SimilarityQueries {
       embDouble(s, d).select(col("vec_id"), col("emb")), "emb"),
     Some("""WITH q AS MATERIALIZED (SELECT list_transform(embedding,
           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-        FROM embeddings),
+        FROM embeddings
+        WHERE embedding IS NOT NULL),
       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(list_sum(list_transform(q, z -> z * z))) AS BIGINT)
             AS s2
         FROM q),
       sv AS (SELECT g.i AS pos, CAST(SUM(q[g.i]) AS BIGINT) AS s
-        FROM q, generate_series(1, 64) AS g(i) GROUP BY 1),
+        FROM q, UNNEST(generate_series(1, len(q))) AS g(i) GROUP BY 1),
       t AS (SELECT CAST(round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 8)
           AS DECIMAL(28,8)) AS term

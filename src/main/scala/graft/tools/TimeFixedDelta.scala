@@ -81,6 +81,19 @@ object TimeFixedDelta {
       spark.read.parquet(s"$idxPath/hh"), spark.read.parquet(s"$idxPath/bb"),
       delta, "id", "text",
       numHashes = 64, bands = 32, threshold = 0.8))
+    // the APPEND leg (round-15): folding the probed delta into the
+    // index must cost delta-hash + delta-write — independent of the
+    // standing index size (parquet append adds files, rewrites
+    // nothing). Timed against the real materialized dir; repeated
+    // runs only accumulate small delta files.
+    val appendRuns = (1 to 2).map { _ =>
+      drop(); System.gc()
+      val t0 = System.nanoTime()
+      Dedup.minhashIndexAppend(delta, "id", "text",
+        s"$idxPath/hh", s"$idxPath/bb", numHashes = 64, bands = 32)
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"FIXED-DELTA index_append   ${appendRuns.min}%6.2f s  (runs: ${appendRuns.map(r => f"$r%.2f").mkString(", ")})")
     spark.stop()
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 operators: the materialized-index APPEND leg, the
+  * self-sizing kNN cell rule's fixture invariance (SimilaritySpec
+  * holds the rule tests), and this round's smaller certificates.
+  */
+class RoundFifteenOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("minhashIndexAppend: a probe after append is row-identical to a " +
+    "from-scratch rebuild over index ∪ delta, and day 2 sees day 1's " +
+    "delta as index") {
+    import graft.datapipe.Dedup
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different document about spark and scala joins"),
+      (3L, "data pipelines dedup documents with minhash lsh candidate joins"))
+      .toDF("id", "text")
+    val day1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and often"),
+      (12L, "nothing like anything in the index corpus at all whatsoever"))
+      .toDF("id", "text")
+    val day2 = Seq(
+      // identical copy of day-1 doc 12: matches the index ONLY if the
+      // append landed (nothing in base resembles it)
+      (21L, "nothing like anything in the index corpus at all whatsoever"),
+      (22L, "data pipelines dedup documents with minhash lsh candidate join"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_append_spec").toString
+    val idx = Dedup.minhashIndexTable(base, "id", "text", numHashes = 64)
+    idx.write.mode("overwrite").parquet(s"$dir/hh")
+    Dedup.minhashBucketsTable(idx).write.mode("overwrite").parquet(s"$dir/bb")
+    Dedup.minhashIndexAppend(day1, "id", "text", s"$dir/hh", s"$dir/bb",
+      numHashes = 64, bands = 32)
+    val got = Dedup.minhashProbePrebuilt(
+        spark.read.parquet(s"$dir/hh"), spark.read.parquet(s"$dir/bb"),
+        day2, "id", "text", numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val rebuilt = Dedup.minhashProbe(base.unionByName(day1), day2,
+        "id", "text", numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === rebuilt)
+    assert(got.exists { case (d, i, j) => d == 21L && i == 12L && j == 1.0 },
+      s"day-2 copy of a day-1 doc must hit the APPENDED index row: $got")
+  }
+}

@@ -387,6 +387,27 @@ class RoundFourteenOpsSpec extends SparkSpec {
     }
   }
 
+  test("BoundedLevenshtein: astral (non-BMP) text counts code points, " +
+    "not UTF-16 chars — a surrogate pair is one edit unit") {
+    import graft.functions.BoundedLevenshtein
+    // five emoji (each a surrogate PAIR in UTF-16); one substituted.
+    // Code points: |a| = |b| = 5, d = 1, k = floor(0.25·5) = 1 → 1.
+    // A UTF-16-char walk would read |a| = 10, d = 2, k = 2 → 2.
+    val a = "😀" * 5
+    val b = ("😀" * 2) + "x" + ("😀" * 2)
+    val got = Seq((a, b)).toDF("x", "y")
+      .select(BoundedLevenshtein.of(col("x"), col("y"), 0.25).as("d"))
+      .head().getLong(0)
+    assert(got === 1L)
+    // and the bound gate itself is code-point-derived: distance 2
+    // over length 5 exceeds k = 1 → -1, even though UTF-16 k = 2
+    val c = ("😀" * 1) + "xy" + ("😀" * 2)
+    val got2 = Seq((a, c)).toDF("x", "y")
+      .select(BoundedLevenshtein.of(col("x"), col("y"), 0.25).as("d"))
+      .head().getLong(0)
+    assert(got2 === -1L)
+  }
+
   test("editVerifyPairs: a known near-identical pair confirms with the " +
     "hand Levenshtein distance; a shuffled paragraph passes Jaccard " +
     "but NOT the edit gate") {

@@ -356,4 +356,20 @@ class SimilaritySpec extends SparkSpec {
     // …and an exact twin always lands in its base's cell
     assert(Seq(1L, 2L, 3L).forall(id => out(id)._1 === out(id + 100)._1))
   }
+
+  test("autoCells: exact ceil(n/250) clamped to [8, 4096]") {
+    assert(Similarity.autoCells(1L) === 8)
+    assert(Similarity.autoCells(2000L) === 8)   // the historical fixture
+    assert(Similarity.autoCells(2001L) === 9)   // first step past it
+    assert(Similarity.autoCells(20000L) === 80) // the 20 k SCALE wave
+    assert(Similarity.autoCells(100000000L) === 4096)
+  }
+
+  test("knn graph default self-sizes to the historical 8 at fixture scale") {
+    val vecs = emb.select(col("vec_id"), col("emb"))
+    val auto = Similarity.knnGraph(vecs, k = 5).collect().toSet
+    val fixed = Similarity.knnGraph(vecs, k = 5, cells = 8).collect().toSet
+    assert(auto.nonEmpty)
+    assert(auto === fixed)
+  }
 }
