@@ -18,8 +18,9 @@ import org.apache.spark.sql.SparkSession
   * structural, not statistical: the orchestrator (this main, no
   * SparkSession of its own) FORKS one worker JVM per query group
   * (`SPARK_GRAFT_BENCH_GROUPS`, default 8 → ~25 queries per JVM,
-  * assigned round-robin by alphabetical rank so no single JVM times
-  * a whole name-prefixed family back-to-back), so no timed query
+  * LPT-packed by prior-round medians from BENCHPRIOR.json with
+  * cheap-first in-group ordering — alphabetical round-robin when no
+  * sidecar exists), so no timed query
   * ever runs in a JVM that has compiled more than its own group's
   * generated code. After merging, a final
   * fresh worker re-times the 10 slowest queries PLUS 8 seeded random
@@ -268,20 +269,56 @@ object Bench {
     val allNames = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(csv => { val keep = csv.split(",").toSet; allNames0.filter(keep) })
       .getOrElse(allNames0)
-    // ROUND-ROBIN group assignment, not contiguous alphabetical
-    // chunks: the catalog's heaviest family shares a name prefix
-    // (dedup_*), so contiguous grouping packed the entire
-    // shingle-heavy family into ONE worker JVM and maximized
-    // neighbour-debris inflation exactly where queries are heaviest
-    // (r13: 5 of the 10 slowest needed fresh-median adoption, all
-    // from that group). Interleaving by alphabetical rank spreads
-    // every family across all workers; assignment stays
-    // deterministic for a given catalog + group count.
-    val groups = (0 until nGroups)
-      .map(g => allNames.zipWithIndex.collect {
-        case (n, i) if i % nGroups == g => n
-      })
-      .filter(_.nonEmpty)
+    // GROUP ASSIGNMENT, two regimes:
+    //  - with a prior-round medians sidecar (BENCHPRIOR.json, written
+    //    by the previous full-board run): LPT bin packing — heaviest
+    //    entry first into the least-loaded group — equalizes per-JVM
+    //    total load (cost-blind round-robin let one JVM accumulate
+    //    ~6× a neighbour's debris: r14 bpe_encode read 4.73 s
+    //    in-group vs 0.73 s fresh), and WITHIN each group execution
+    //    runs cheapest→heaviest, so the entries most sensitive to
+    //    debris (sub-second ones, where the ratio denominator is
+    //    tiny) time while the JVM is cleanest. New entries without a
+    //    prior median run FIRST (cleanest state for debut numbers),
+    //    round-robin across groups.
+    //  - without the sidecar: round-robin by alphabetical rank (the
+    //    r13 fix for contiguous chunks packing the whole dedup_*
+    //    family into one JVM).
+    // Both are deterministic for a given catalog + sidecar + count.
+    val prior: Map[String, Double] = {
+      val f = Paths.get("BENCHPRIOR.json")
+      if (!Files.isRegularFile(f)) Map.empty
+      else try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readAllBytes(f))
+        val it = node.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      } catch { case _: Throwable => Map.empty }
+    }
+    val groups: Seq[Seq[String]] =
+      if (prior.isEmpty)
+        (0 until nGroups)
+          .map(g => allNames.zipWithIndex.collect {
+            case (n, i) if i % nGroups == g => n
+          })
+          .filter(_.nonEmpty)
+      else {
+        val (known, unknown) = allNames.partition(prior.contains)
+        val bins = Array.fill(nGroups)(Vector.empty[String])
+        val loads = Array.fill(nGroups)(0.0)
+        for (n <- known.sortBy(n => (-prior(n), n))) {
+          val g = loads.indices.minBy(i => (loads(i), i))
+          bins(g) :+= n
+          loads(g) += prior(n)
+        }
+        for ((n, i) <- unknown.zipWithIndex) bins(i % nGroups) :+= n
+        bins.toSeq.map { g =>
+          val (kn, unk) = g.partition(prior.contains)
+          unk.sorted ++ kn.sortBy(n => (prior(n), n))
+        }.filter(_.nonEmpty)
+      }
 
     val tmpDir = Files.createTempDirectory("graft_bench")
     var isolation = "per-group-jvm"
@@ -383,6 +420,21 @@ object Bench {
     val finalResults = results.map {
       case (n, _, err) if adoptedSet(n) => (n, Vector(recheckMap(n)), err)
       case r => r
+    }
+
+    // Persist the medians sidecar for the NEXT run's LPT packing —
+    // full-board runs only (a SPARK_GRAFT_BENCH_ONLY subset would
+    // clobber the board-wide priors with a partial map). Medians are
+    // used RELATIVELY (packing and ordering), so a sidecar from a
+    // different sf still packs well.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) {
+      val pj = finalResults.map { case (k, v, _) => s"${jstr(k)}:${median(v)}" }
+        .mkString("{", ",", "}")
+      try Files.write(Paths.get("BENCHPRIOR.json"),
+        pj.getBytes(StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCHPRIOR.json write failed: ${e.getMessage}")
+      }
     }
 
     // Driver contract: "queries" stays name -> one number (median).

@@ -425,6 +425,33 @@ object BpeTokenizer {
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** DETOKENIZATION — the inverse of the symbol encoding: strip the
+    * [[Sep]] joins and the [[Eow]] marker and the word reappears
+    * (both are non-text control characters by construction, so a
+    * single codegen'd `translate` is exact). BPE merges only ever
+    * CONCATENATE adjacent symbols, so decode∘encode == identity for
+    * every word, at every merge count — the certificate
+    * [[decodeVocab]] materializes and the bpe_decode oracle replays.
+    */
+  def decodeSyms(syms: Column): Column = translate(syms, Sep + Eow, "")
+
+  /** Round-trip table over a trained model's vocabulary: one row per
+    * distinct word — (w, n_sym, segmentation, round_trip).
+    * `segmentation` is the symbol sequence space-joined (words never
+    * contain spaces — they were split on them), so the readout shows
+    * WHICH subwords the tokenizer produced, and `round_trip`
+    * certifies their concatenation reproduces the word. A false row
+    * means the merge fold corrupted a symbol (the inspection/
+    * debugging readout a pipeline publishes next to fertility).
+    * Vocabulary-sized, never corpus-sized.
+    */
+  def decodeVocab(model: BpeModel): DataFrame =
+    model.vocab.select(col("w"),
+        size(split(col("syms"), Sep)).cast("bigint").as("n_sym"),
+        translate(col("syms"), Sep + Eow, " ").as("segmentation"))
+      .withColumn("round_trip",
+        translate(col("segmentation"), " ", "") === col("w"))
+
   /** The learned merge table as a DataFrame: (merge_rank, lhs, rhs). */
   def mergeTable(docs: DataFrame, textCol: String,
                  numMerges: Int): DataFrame = {

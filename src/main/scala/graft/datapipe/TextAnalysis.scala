@@ -1247,13 +1247,20 @@ object TextAnalysis {
     * n_longnum_docs, n_longnums, n_ipv4_docs, n_ipv4s, n_url_docs,
     * n_urls).
     */
+  /** The four census patterns shared by [[piiStats]] and
+    * [[redactionAudit]] — RE2 ∩ java.util.regex subset, so any
+    * engine replays them byte-for-byte. `email` and `longnum` are
+    * the classes [[redact]] scrubs; `ipv4`/`url` are census-only.
+    */
+  private val PiiPatterns = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "longnum" -> "\\d{10,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "url" -> "https?://[^\\s]+")
+
   def piiStats(docs: DataFrame, textCol: String,
                groupCol: String): DataFrame = {
-    val pats = Seq(
-      "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-      "longnum" -> "\\d{10,}",
-      "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
-      "url" -> "https?://[^\\s]+")
+    val pats = PiiPatterns
     val counted = docs.select(
       col(groupCol).as("grp") +: pats.map { case (nm, re) =>
         size(regexp_extract_all(col(textCol), lit(re), lit(0)))
@@ -1265,6 +1272,61 @@ object TextAnalysis {
         sum(col(s"c_$nm")).as(s"n_${nm}s"))
     }
     counted.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("grp", groupCol)
+  }
+
+  /** T184: the REDACTION AUDIT — the production leak alarm wrapped
+    * around the [[redact]] pass: census every PII class before AND
+    * after the scrub in one projection, roll up per group, and
+    * `raise_error` if any SCRUBBED class (email, longnum) survives
+    * redaction — a silent redaction regression must fail the job,
+    * never publish a "clean" corpus. The census-only classes
+    * (ipv4, url) pass through un-gated, by [[redact]]'s contract.
+    *
+    * Scale shape: ONE corpus scan (the redacted text is derived in
+    * the same codegen'd projection as the raw counts — the corpus
+    * is never materialized twice), one grouped rollup to the group
+    * dimension. A SINGLE aggregation, so the whole audit — gate
+    * included — deploys unchanged as a Complete-mode streaming
+    * query (StreamingSpec pins stream == batch); two chained
+    * [[piiStats]] rollups would not (stream-stream joins of
+    * aggregates are unsupported).
+    *
+    * Output: (groupCol, n_docs, before_emails, before_longnums,
+    * before_ipv4s, before_urls, after_emails, after_longnums,
+    * after_ipv4s, after_urls, scrub_certified).
+    *
+    * `redactor` defaults to [[redact]]; injectable so the spec can
+    * certify the gate actually FIRES under a broken redactor (and so
+    * a deployment with a stricter scrubber audits the same way).
+    */
+  def redactionAudit(docs: DataFrame, textCol: String,
+                     groupCol: String,
+                     redactor: Column => Column = redact): DataFrame = {
+    val red = redactor(col(textCol))
+    def cnt(src: Column, re: String): Column =
+      size(regexp_extract_all(src, lit(re), lit(0))).cast("bigint")
+    val counted = docs.select(
+      col(groupCol).as("grp") +: PiiPatterns.flatMap { case (nm, re) =>
+        Seq(cnt(col(textCol), re).as(s"b_$nm"), cnt(red, re).as(s"a_$nm"))
+      }: _*)
+    counted.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("b_email")).as("before_emails"),
+        sum(col("b_longnum")).as("before_longnums"),
+        sum(col("b_ipv4")).as("before_ipv4s"),
+        sum(col("b_url")).as("before_urls"),
+        sum(col("a_email")).as("after_emails"),
+        sum(col("a_longnum")).as("after_longnums"),
+        sum(col("a_ipv4")).as("after_ipv4s"),
+        sum(col("a_url")).as("after_urls"))
+      .withColumn("scrub_certified",
+        when(col("after_emails") > 0 || col("after_longnums") > 0,
+          raise_error(concat(
+            lit("PII leak after redaction in group '"), col("grp"),
+            lit("': emails="), col("after_emails"),
+            lit(" longnums="), col("after_longnums"))).cast("boolean"))
+          .otherwise(lit(true)))
       .withColumnRenamed("grp", groupCol)
   }
 

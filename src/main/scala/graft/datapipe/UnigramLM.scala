@@ -189,6 +189,31 @@ object UnigramLM {
           .cast("double").as("total_lp"))
   }
 
+  /** DETOKENIZATION round-trip table over the Viterbi
+    * segmentations: one row per distinct word — (w, n_pieces,
+    * segmentation, round_trip). `segmentation` is the argmax piece
+    * sequence space-joined (words never contain spaces), so the
+    * oracle certifies the DP's piece CHOICES, not just counts;
+    * `round_trip` = their concatenation reproduces the word.
+    * Vocabulary-sized, never corpus-sized.
+    */
+  def decodeTable(docs: DataFrame, textCol: String,
+                  model: UnigramModel): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model.lp)
+    val maxL = model.maxPieceLen
+    val kernel = udf { w: String =>
+      val (n, _, segs) = viterbi(w, bc.value.get(_).orNull, maxL)
+      (n, segs.mkString(" "))
+    }
+    words(docs, textCol)
+      .select(col("w"), kernel(col("w")).as("k"))
+      .select(col("w"), col("k._1").as("n_pieces"),
+        col("k._2").as("segmentation"))
+      .withColumn("round_trip",
+        translate(col("segmentation"), " ", "") === col("w"))
+  }
+
   /** One hard-EM round: Viterbi-segment every distinct word under
     * the current model (E), recount pieces from the segmentations
     * weighted by word frequency, renormalize (M). Pieces the argmax

@@ -81,6 +81,48 @@ object WordPiece {
     n
   }
 
+  /** The greedy longest-match SEGMENTATION of one word — the pieces
+    * [[greedyCount]] counts, materialized (same loop, same fallback:
+    * an uncovered position consumes its single character as a
+    * piece). Pieces are contiguous substrings covering the word, so
+    * their concatenation reproduces the word exactly — the decode
+    * certificate [[decodeTable]] publishes.
+    */
+  def greedyPieces(w: String, vocab: Set[String],
+                   maxPieceLen: Int): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < w.length) {
+      var l = math.min(maxPieceLen, w.length - i)
+      while (l > 1 && !vocab.contains(w.substring(i, i + l))) l -= 1
+      out += w.substring(i, i + l)
+      i += l
+    }
+    out.toSeq
+  }
+
+  /** DETOKENIZATION round-trip table: one row per distinct word —
+    * (w, n_pieces, segmentation, round_trip). `segmentation` is the
+    * greedy pieces space-joined (words never contain spaces — they
+    * were split on them), so the oracle certifies WHICH pieces were
+    * chosen, not just how many; `round_trip` = their concatenation
+    * reproduces the word, and must read uniformly true.
+    * Vocabulary-sized, never corpus-sized.
+    */
+  def decodeTable(docs: DataFrame, textCol: String,
+                  maxPieceLen: Int, topV: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      frozenVocab(docs, textCol, maxPieceLen, topV))
+    val piecesUdf = udf((w: String) => greedyPieces(w, bc.value, maxPieceLen))
+    words(docs, textCol)
+      .select(col("w"), piecesUdf(col("w")).as("pieces"))
+      .select(col("w"), size(col("pieces")).cast("bigint").as("n_pieces"),
+        concat_ws(" ", col("pieces")).as("segmentation"))
+      .withColumn("round_trip",
+        translate(col("segmentation"), " ", "") === col("w"))
+  }
+
   /** Per-document WordPiece token counts: (doc_id, n_words,
     * n_pieces), zero-filled for empty documents. The vocabulary
     * (top-V table + single-char closure) is collected once — bounded

@@ -36,9 +36,19 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * ephemeral port (tests); `boundPort` reports it.
   */
 final class AgentHttpServer(secret: String = CredentialOps.DefaultSecret,
-                            port: Int = 0) extends AutoCloseable {
+                            port: Int = 0,
+                            delayMs: Long = 0) extends AutoCloseable {
 
   private val mapper = new ObjectMapper
+
+  // concurrency observatory: lets a spec PROVE a client's in-flight
+  // window — `delayMs` holds each request open long enough for
+  // overlap to be observable on loopback (0 in production use)
+  private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val inFlightMax = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Highest number of requests this server ever handled at once. */
+  def maxObservedConcurrency: Int = inFlightMax.get()
 
   private val server: HttpServer =
     HttpServer.create(
@@ -58,8 +68,11 @@ final class AgentHttpServer(secret: String = CredentialOps.DefaultSecret,
 
   private def handler(route: String => String): HttpHandler =
     new HttpHandler {
-      override def handle(ex: HttpExchange): Unit =
+      override def handle(ex: HttpExchange): Unit = {
+        val cur = inFlight.incrementAndGet()
+        inFlightMax.updateAndGet(m => math.max(m, cur))
         try {
+          if (delayMs > 0) Thread.sleep(delayMs)
           if (ex.getRequestMethod != "POST")
             respond(ex, 405, """{"error":"POST only"}""")
           else respond(ex, 200, route(readBody(ex)))
@@ -68,7 +81,8 @@ final class AgentHttpServer(secret: String = CredentialOps.DefaultSecret,
             respond(ex, 400,
               s"""{"error":${mapper.writeValueAsString(
                 Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}}""")
-        }
+        } finally inFlight.decrementAndGet()
+      }
     }
 
   server.createContext("/agent/createVerifiableCredential", handler { body =>

@@ -24,11 +24,15 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * keep-alive connections per destination internally, so ONE client
   * per executor JVM serves every partition — the per-partition
   * lazy access only pays construction once, exactly the reference
-  * client's `PoolManager` semantics. Requests are issued
-  * sequentially within a partition (the reference consumers are
-  * per-record synchronous too); cross-partition parallelism gives
-  * `spark.default.parallelism` in-flight requests, which is what the
-  * agent's 25-per-host pool bound is sized against.
+  * client's `PoolManager` semantics. [[signJwtHttp]]/[[verifyJwtHttp]]
+  * issue requests sequentially within a partition (the reference's
+  * `processing_mode=sync` consumers are per-record synchronous);
+  * the `...Async` twins replay `processing_mode=async` — a bounded
+  * in-flight window of `sendAsync` futures per partition, the
+  * reference's semaphore-25 pipeline
+  * (kafka_event_handler.py:55-64,315-355) — with byte-identical
+  * output (FIFO emit order). Cross-partition parallelism multiplies
+  * either mode by `spark.default.parallelism`.
   *
   * Failure contract: a non-200 response or transport error retries
   * 3× with linear backoff, then THROWS — a signing/verification
@@ -84,6 +88,84 @@ object HttpCredentialOps {
       }
     }(Encoders.row(schema))
   }
+
+  /** U1 in the reference's ASYNC processing mode: `sendAsync` with a
+    * bounded in-flight window per partition — the fidelity twin of
+    * the async consumer's semaphore-25 pipeline
+    * (kafka_event_handler.py:55-64,315-355: 12 workers each holding
+    * ≤ 25 concurrent agent calls). The window is a FIFO of
+    * CompletableFutures: requests launch until `maxInFlight` are
+    * outstanding, then the OLDEST must complete before the next row
+    * is emitted — so output row order (and therefore every
+    * downstream result) is byte-identical to the sequential path,
+    * while the agent sees up to partitions × maxInFlight overlapping
+    * requests (HttpCredentialOpsSpec observes the bound on the
+    * server). Failure contract unchanged: each request retries 3×
+    * with backoff (async-chained, never blocking a pool thread) and
+    * a final failure throws at the emit point.
+    */
+  def signJwtHttpAsync(df: DataFrame, payloadCol: String, outCol: String,
+                       endpoint: String, maxInFlight: Int = 25): DataFrame = {
+    require(maxInFlight >= 1, s"maxInFlight >= 1; got $maxInFlight")
+    val schema = df.schema.add(outCol, StringType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val url = s"$endpoint/agent/createVerifiableCredential"
+    df.mapPartitions { it =>
+      boundedWindow(it, maxInFlight)(
+        row => {
+          val payload = row.getString(idx)
+          if (payload == null)
+            java.util.concurrent.CompletableFuture.completedFuture(
+              null: com.fasterxml.jackson.databind.JsonNode)
+          else HttpAgentClient.postJsonAsync(url,
+            HttpAgentClient.obj("payload", payload), "jwt")
+        },
+        (row, node) =>
+          Row.fromSeq(row.toSeq :+ (if (node == null) null else node.asText)))
+    }(Encoders.row(schema))
+  }
+
+  /** U2 in async mode — see [[signJwtHttpAsync]]. */
+  def verifyJwtHttpAsync(df: DataFrame, jwtCol: String, outCol: String,
+                         endpoint: String, maxInFlight: Int = 25): DataFrame = {
+    require(maxInFlight >= 1, s"maxInFlight >= 1; got $maxInFlight")
+    val schema = df.schema.add(outCol, BooleanType, nullable = false)
+    val idx = df.schema.fieldIndex(jwtCol)
+    val url = s"$endpoint/agent/verifyCredential"
+    df.mapPartitions { it =>
+      boundedWindow(it, maxInFlight)(
+        row => HttpAgentClient.postJsonAsync(url,
+          HttpAgentClient.obj("jwt", row.getString(idx)), "verified"),
+        (row, node) => Row.fromSeq(row.toSeq :+ node.asBoolean))
+    }(Encoders.row(schema))
+  }
+
+  /** The bounded-in-flight pipeline: launch up to `maxInFlight`
+    * requests ahead of the emit point, emit strictly in input order.
+    * The refill happens before every emit, so the window stays full
+    * whenever rows remain — the semaphore pattern without a
+    * semaphore (the FIFO bound IS the permit count).
+    */
+  private def boundedWindow(it: Iterator[Row], maxInFlight: Int)(
+      start: Row => java.util.concurrent.CompletableFuture[
+        com.fasterxml.jackson.databind.JsonNode],
+      finish: (Row, com.fasterxml.jackson.databind.JsonNode) => Row)
+      : Iterator[Row] = {
+    val pending = new java.util.ArrayDeque[(Row,
+      java.util.concurrent.CompletableFuture[
+        com.fasterxml.jackson.databind.JsonNode])]()
+    new Iterator[Row] {
+      override def hasNext: Boolean = !pending.isEmpty || it.hasNext
+      override def next(): Row = {
+        while (it.hasNext && pending.size < maxInFlight) {
+          val row = it.next()
+          pending.addLast((row, start(row)))
+        }
+        val (row, fut) = pending.pollFirst()
+        finish(row, HttpAgentClient.joinUnwrapped(fut))
+      }
+    }
+  }
 }
 
 /** The per-JVM pooled HTTP client (reference pool semantics:
@@ -135,4 +217,68 @@ object HttpAgentClient {
     throw new java.io.IOException(
       s"credential agent unreachable after 3 attempts: $url", last)
   }
+
+  /** Async [[postJson]]: same request, same 3×-retry-then-fail
+    * contract, built on `sendAsync` so a waiting request never
+    * occupies a thread — the retry backoff chains through
+    * `delayedExecutor` rather than sleeping.
+    */
+  def postJsonAsync(url: String, bodyJson: String, field: String)
+      : java.util.concurrent.CompletableFuture[
+        com.fasterxml.jackson.databind.JsonNode] = {
+    import java.util.concurrent.CompletableFuture
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(10))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(bodyJson, StandardCharsets.UTF_8))
+      .build()
+    def attempt(n: Int): CompletableFuture[com.fasterxml.jackson.databind.JsonNode] =
+      client.sendAsync(req, HttpResponse.BodyHandlers.ofString())
+        .handle[(HttpResponse[String], Throwable)]((r, e) => (r, e))
+        .thenCompose[com.fasterxml.jackson.databind.JsonNode] { re =>
+          val (resp, err) = re
+          val failure: Throwable =
+            if (err != null) err
+            else if (resp.statusCode() != 200) new java.io.IOException(
+              s"agent HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+            else null
+          if (failure == null) {
+            try {
+              val node = mapper.readTree(resp.body())
+              require(node.has(field),
+                s"agent response missing '$field': ${resp.body().take(200)}")
+              CompletableFuture.completedFuture(node.get(field))
+            } catch {
+              case e: Throwable =>
+                CompletableFuture.failedFuture[
+                  com.fasterxml.jackson.databind.JsonNode](e)
+            }
+          } else if (n < 2) {
+            CompletableFuture.supplyAsync[AnyRef](() => null,
+              CompletableFuture.delayedExecutor(50L * (n + 1),
+                java.util.concurrent.TimeUnit.MILLISECONDS))
+              .thenCompose[com.fasterxml.jackson.databind.JsonNode](
+                _ => attempt(n + 1))
+          } else {
+            CompletableFuture.failedFuture[
+              com.fasterxml.jackson.databind.JsonNode](
+              new java.io.IOException(
+                s"credential agent unreachable after 3 attempts: $url",
+                failure))
+          }
+        }
+    attempt(0)
+  }
+
+  /** `join` that rethrows the REAL failure (the IOException the
+    * retry ladder built), not the CompletionException wrapper.
+    */
+  def joinUnwrapped(fut: java.util.concurrent.CompletableFuture[
+      com.fasterxml.jackson.databind.JsonNode])
+      : com.fasterxml.jackson.databind.JsonNode =
+    try fut.join()
+    catch {
+      case e: java.util.concurrent.CompletionException
+          if e.getCause != null => throw e.getCause
+    }
 }

@@ -136,7 +136,12 @@ object DataPipeQueries {
              WHEN v3.piece IS NOT NULL THEN g.pos + 3
              WHEN v2.piece IS NOT NULL THEN g.pos + 2
              ELSE g.pos + 1 END AS pos,
-        CASE WHEN g.pos > len(g.w) THEN g.n ELSE g.n + 1 END AS n
+        CASE WHEN g.pos > len(g.w) THEN g.n ELSE g.n + 1 END AS n,
+        CASE WHEN g.pos > len(g.w) THEN g.seg
+             WHEN v4.piece IS NOT NULL THEN g.seg || ' ' || substr(g.w, CAST(g.pos AS INTEGER), 4)
+             WHEN v3.piece IS NOT NULL THEN g.seg || ' ' || substr(g.w, CAST(g.pos AS INTEGER), 3)
+             WHEN v2.piece IS NOT NULL THEN g.seg || ' ' || substr(g.w, CAST(g.pos AS INTEGER), 2)
+             ELSE g.seg || ' ' || substr(g.w, CAST(g.pos AS INTEGER), 1) END AS seg
        FROM wg${k - 1} g
        LEFT JOIN wvoc v4 ON len(g.w) >= g.pos + 3
          AND v4.piece = substr(g.w, CAST(g.pos AS INTEGER), 4)
@@ -161,7 +166,8 @@ object DataPipeQueries {
       wchars AS (SELECT DISTINCT substr(ww.w, i.i, 1) AS piece
         FROM wwords ww, UNNEST(generate_series(1, len(ww.w))) i(i)),
       wvoc AS (SELECT piece FROM wvtop UNION SELECT piece FROM wchars),
-      wg0 AS (SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n
+      wg0 AS (SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n,
+        '' AS seg
         FROM wwords),
       ${(1 to 16).map(step).mkString(",")}"""
   }
@@ -194,6 +200,23 @@ object DataPipeQueries {
       SELECT d.doc_id, CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
         CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces
       FROM documents d LEFT JOIN wagg a USING (doc_id)"""))
+
+  /** WordPiece DETOKENIZATION round-trip
+    * ([[graft.datapipe.WordPiece.decodeTable]]): the greedy
+    * segmentation's pieces, concatenated, must reproduce every
+    * distinct word. The oracle accumulates the chosen piece at each
+    * unrolled greedy step, so a hash match certifies the
+    * segmentation CONTENT, not just piece counts.
+    */
+  private val wordPieceDecode = QueryDef(
+    "wordpiece_decode",
+    (s, d) => graft.datapipe.WordPiece.decodeTable(
+      Tables.documents(s, d), "text", maxPieceLen = 4, topV = 120),
+    Some(s"""WITH $wordPieceCtes
+      SELECT w, CAST(n AS BIGINT) AS n_pieces,
+        ltrim(seg, ' ') AS segmentation,
+        replace(seg, ' ', '') = w AS round_trip
+      FROM wg16"""))
 
   /** Per-source WordPiece fertility — the tokenizer-coverage readout
     * a mixture owner checks before committing to a vocab (a source
@@ -290,6 +313,66 @@ object DataPipeQueries {
         CAST(round(CAST(COALESCE(slp, 0) AS DECIMAL(28,8)), 6) AS DOUBLE)
           AS total_lp
       FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)"""))
+
+  /** Unigram-LM DETOKENIZATION round-trip
+    * ([[graft.datapipe.UnigramLM.decodeTable]]): the Viterbi argmax
+    * segmentation itself, space-joined, per distinct word. The
+    * oracle re-runs the DP as a recursive CTE carrying the two
+    * frontier SEGMENTATION STRINGS alongside the exact-decimal
+    * scores (same prefer-bigram tie-break), so a hash match
+    * certifies the DP's piece choices character for character.
+    */
+  private val unigramDecode = QueryDef(
+    "unigram_decode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.datapipe.UnigramLM.decodeTable(docs, "text",
+        graft.datapipe.UnigramLM.seedModel(docs, "text", maxPieceLen = 2))
+    },
+    Some("""WITH RECURSIVE toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w0
+        FROM documents),
+      occ AS (SELECT doc_id, u.t AS w FROM toks, UNNEST(w0) AS u(t)
+        WHERE len(u.t) > 0),
+      wf AS (SELECT w, COUNT(*) AS freq FROM occ GROUP BY w),
+      pc AS (SELECT substr(w, i, l) AS p, SUM(freq) AS cnt
+        FROM wf, UNNEST(generate_series(1, length(w))) AS g(i),
+             UNNEST(generate_series(1, 2)) AS h(l)
+        WHERE i + l - 1 <= length(w)
+        GROUP BY 1),
+      tot AS (SELECT SUM(cnt) AS t FROM pc),
+      lps AS (SELECT p,
+          CAST(round(ln(CAST(cnt AS DOUBLE) / t), 8) AS DECIMAL(18,8)) AS plp
+        FROM pc, tot),
+      wl AS (SELECT w, length(w) AS n FROM wf),
+      r AS (
+        SELECT wl.w, wl.n, 1 AS i,
+            CAST(0 AS DECIMAL(28,8)) AS dp0,
+            CAST(l1.plp AS DECIMAL(28,8)) AS dp1,
+            CAST(0 AS BIGINT) AS nt0, CAST(1 AS BIGINT) AS nt1,
+            '' AS sg0, substr(wl.w, 1, 1) AS sg1
+          FROM wl JOIN lps l1 ON l1.p = substr(wl.w, 1, 1)
+        UNION ALL
+        SELECT r.w, r.n, r.i + 1, r.dp1,
+            CASE WHEN r.dp0 + l2.plp >= r.dp1 + l1.plp
+                 THEN CAST(r.dp0 + l2.plp AS DECIMAL(28,8))
+                 ELSE CAST(r.dp1 + l1.plp AS DECIMAL(28,8)) END,
+            r.nt1,
+            CASE WHEN r.dp0 + l2.plp >= r.dp1 + l1.plp
+                 THEN r.nt0 + 1 ELSE r.nt1 + 1 END,
+            r.sg1,
+            CASE WHEN r.dp0 + l2.plp >= r.dp1 + l1.plp
+                 THEN r.sg0 || CASE WHEN r.sg0 = '' THEN '' ELSE ' ' END
+                   || substr(r.w, CAST(r.i AS INTEGER), 2)
+                 ELSE r.sg1 || ' '
+                   || substr(r.w, CAST(r.i AS INTEGER) + 1, 1) END
+          FROM r
+          JOIN lps l1 ON l1.p = substr(r.w, r.i + 1, 1)
+          JOIN lps l2 ON l2.p = substr(r.w, r.i, 2)
+          WHERE r.i < r.n)
+      SELECT w, nt1 AS n_pieces, sg1 AS segmentation,
+        replace(sg1, ' ', '') = w AS round_trip
+      FROM r WHERE i = n"""))
 
   /** Per-source exact-duplication rate — the dedup observability
     * readout next to [[corpusStats]]: documents, distinct
@@ -3268,6 +3351,75 @@ object DataPipeQueries {
         CAST(SUM(c_url) AS BIGINT) AS n_urls
       FROM c GROUP BY 1"""))
 
+  /** T184: end-to-end redaction audit
+    * ([[graft.datapipe.TextAnalysis.redactionAudit]]) on a corpus
+    * with PLANTED leaks — every %5 doc gains an email, every %7 doc
+    * a 14-digit account number — so both scrubbed classes are
+    * verifiably nonzero BEFORE and exactly zero AFTER, and the
+    * raise_error gate's guarding expression is exercised on real
+    * matches. The oracle replays the planting, the redaction
+    * (global-flag regexp_replace), all eight censuses, and the same
+    * fail-loud CASE (DuckDB `error()`), so both engines would abort
+    * rather than publish a leaking audit.
+    */
+  private val e2eRedactionAudit = QueryDef(
+    "e2e_redaction_audit",
+    (s, d) => TextAnalysis.redactionAudit(
+      Tables.documents(s, d).select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit(" reach me at bob.smith+spam@example-mail.org ok"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" acct 98765432101234 noted")).otherwise(lit("")))
+          .as("text")),
+      "text", "source"),
+    Some("""WITH p AS (SELECT source, text ||
+        CASE WHEN doc_id % 5 = 0
+          THEN ' reach me at bob.smith+spam@example-mail.org ok'
+          ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0
+          THEN ' acct 98765432101234 noted' ELSE '' END AS text
+        FROM documents),
+      r AS (SELECT source, text,
+        regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\d{10,}', '<NUM>', 'g') AS rt
+        FROM p),
+      c AS (SELECT source,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          AS b_email,
+        CAST(len(regexp_extract_all(text, '\d{10,}')) AS BIGINT)
+          AS b_longnum,
+        CAST(len(regexp_extract_all(text,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS b_ipv4,
+        CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+          AS b_url,
+        CAST(len(regexp_extract_all(rt,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          AS a_email,
+        CAST(len(regexp_extract_all(rt, '\d{10,}')) AS BIGINT)
+          AS a_longnum,
+        CAST(len(regexp_extract_all(rt,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS a_ipv4,
+        CAST(len(regexp_extract_all(rt, 'https?://[^\s]+')) AS BIGINT)
+          AS a_url
+        FROM r)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(b_email) AS BIGINT) AS before_emails,
+        CAST(SUM(b_longnum) AS BIGINT) AS before_longnums,
+        CAST(SUM(b_ipv4) AS BIGINT) AS before_ipv4s,
+        CAST(SUM(b_url) AS BIGINT) AS before_urls,
+        CAST(SUM(a_email) AS BIGINT) AS after_emails,
+        CAST(SUM(a_longnum) AS BIGINT) AS after_longnums,
+        CAST(SUM(a_ipv4) AS BIGINT) AS after_ipv4s,
+        CAST(SUM(a_url) AS BIGINT) AS after_urls,
+        CASE WHEN SUM(a_email) > 0 OR SUM(a_longnum) > 0
+          THEN error('PII leak after redaction') ELSE TRUE END
+          AS scrub_certified
+      FROM c GROUP BY 1"""))
+
   /** T181: empirical vocabulary-growth curve
     * ([[graft.datapipe.TextAnalysis.vocabGrowthCurve]]) at 10
     * id-range checkpoints — the measured companion to vocab_heaps'
@@ -4126,6 +4278,23 @@ object DataPipeQueries {
         CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
       FROM toks t LEFT JOIN agg a USING (doc_id)"""))
 
+  /** Tokenizer DECODE round-trip ([[BpeTokenizer.decodeVocab]]): the
+    * detokenization certificate — every vocabulary word's symbol
+    * sequence, decoded (separators and the end-of-word marker
+    * stripped), must reproduce the word exactly. The oracle replays
+    * training and the same strip, so a fold corruption on either
+    * engine reads as round_trip = false AND a hash mismatch.
+    */
+  private val bpeDecode = QueryDef(
+    "bpe_decode",
+    (s, d) => BpeTokenizer.decodeVocab(
+      BpeTokenizer.train(Tables.documents(s, d), "text", bpeM)),
+    Some(s"""WITH $bpeTrainCtes
+      SELECT w, CAST(len(string_split(syms, chr(1))) AS BIGINT) AS n_sym,
+        replace(replace(syms, chr(1), ' '), chr(2), '') AS segmentation,
+        replace(replace(syms, chr(1), ''), chr(2), '') = w AS round_trip
+      FROM v$bpeM"""))
+
   /** Tokenizer fertility (BPE tokens per word) by language — the
     * standard tokenizer-quality readout: a tokenizer trained on the
     * corpus fragments under-represented languages into more pieces.
@@ -4800,21 +4969,36 @@ object DataPipeQueries {
     s"${sys.props("java.io.tmpdir")}/graft_minhash_index_$h"
   }
 
+  /** Build-or-reuse the content-keyed materialized index of the
+    * fixture's BASE documents (ids < 1000000): signature table at
+    * `<path>/hh`, pre-exploded buckets at `<path>/bb`. Shared by the
+    * prebuilt-probe and append-chain entries — the base index is
+    * identical in both, so one build amortizes across entries AND
+    * bench reps.
+    */
+  private def ensureMinhashIndexCached(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = minhashIndexCachePath(d)
+    if (!new java.io.File(s"$path/hh", "_SUCCESS").exists() ||
+      !new java.io.File(s"$path/bb", "_SUCCESS").exists()) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val idx = Dedup.minhashIndexTable(docs, "id", "text", numHashes = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.write.mode("overwrite").parquet(s"$path/hh")
+      Dedup.minhashBucketsTable(idx, numHashes = 64, bands = 32)
+        .write.mode("overwrite").parquet(s"$path/bb")
+      idx.unpersist()
+    }
+    path
+  }
+
   private val dedupProbeMaterialized = QueryDef(
     "dedup_probe_materialized",
     (s, d) => {
       val both = withTwins(s, d)
-      val path = minhashIndexCachePath(d)
-      if (!new java.io.File(s"$path/hh", "_SUCCESS").exists() ||
-        !new java.io.File(s"$path/bb", "_SUCCESS").exists()) {
-        val idx = Dedup.minhashIndexTable(both.filter(col("id") < 1000000),
-          "id", "text", numHashes = 64)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        idx.write.mode("overwrite").parquet(s"$path/hh")
-        Dedup.minhashBucketsTable(idx, numHashes = 64, bands = 32)
-          .write.mode("overwrite").parquet(s"$path/bb")
-        idx.unpersist()
-      }
+      val path = ensureMinhashIndexCached(s, d)
       Dedup.minhashProbePrebuilt(s.read.parquet(s"$path/hh"),
         s.read.parquet(s"$path/bb"),
         both.filter(col("id") >= 1000000),
@@ -4866,14 +5050,24 @@ object DataPipeQueries {
         .select((col("id") + 2000000).as("id"), twin.as("text"))
         .unionByName(docs.filter(col("id") % 2 === 1)
           .select((col("id") + 3000000).as("id"), twin.as("text")))
+      // the base index is the content-keyed cache dedup_probe_
+      // materialized maintains; each run APPENDS, so it works on a
+      // file-level COPY — append idempotency is the caller's contract
+      // and a re-run must start from the un-appended base
+      val cached = ensureMinhashIndexCached(s, d)
       val path = java.nio.file.Files
         .createTempDirectory("graft_probe_append").toString
-      val idx = Dedup.minhashIndexTable(docs, "id", "text", numHashes = 64)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      idx.write.mode("overwrite").parquet(s"$path/hh")
-      Dedup.minhashBucketsTable(idx, numHashes = 64, bands = 32)
-        .write.mode("overwrite").parquet(s"$path/bb")
-      idx.unpersist()
+      def copyDir(from: String, to: String): Unit = {
+        val src = java.nio.file.Paths.get(from)
+        java.nio.file.Files.walk(src).forEach { p =>
+          val dst = java.nio.file.Paths.get(to).resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(dst)
+          else java.nio.file.Files.copy(p, dst)
+        }
+      }
+      copyDir(s"$cached/hh", s"$path/hh")
+      copyDir(s"$cached/bb", s"$path/bb")
       def probe(delta: org.apache.spark.sql.DataFrame) =
         Dedup.minhashProbePrebuilt(s.read.parquet(s"$path/hh"),
           s.read.parquet(s"$path/bb"), delta, "id", "text",
@@ -6889,7 +7083,8 @@ object DataPipeQueries {
     packPrefixCache, prefMajority,
     prefKrippendorff, evalMcnemar, qualitySpearman, corpusKsDrift,
     textSimpson, clfBrier, dedupEditVerify, sampleNeyman,
-    evalPairedBootstrap, sftValidate, textPiiStats, vocabGrowth,
+    evalPairedBootstrap, sftValidate, textPiiStats, e2eRedactionAudit,
+    vocabGrowth,
     evalMde, textBurstiness,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,
     chunkTruncation, dedupQualityMix, textC4Rules, textMojibake,
@@ -6905,8 +7100,9 @@ object DataPipeQueries {
     sampleImportance,
     sampleImportanceSoft, sampleTokenBudget, samplePplBuckets,
     sampleWeighted,
-    bpeMerges, bpeEncode, bpeFertility,
-    wordPieceVocab, wordPieceEncode, wordPieceCoverage, unigramEncode,
+    bpeMerges, bpeEncode, bpeDecode, bpeFertility,
+    wordPieceVocab, wordPieceEncode, wordPieceDecode, wordPieceCoverage,
+    unigramEncode, unigramDecode,
     dedupStats,
     dedupExact, dedupNgramJaccard, dedupThresholdCurve, dedupPairQuality,
     dedupMinhashLsh, dedupMinhashProbe, dedupProbeMaterialized,

@@ -107,4 +107,76 @@ class HttpCredentialOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("unreachable") ||
       Option(ex.getCause).exists(_.getMessage.contains("unreachable")))
   }
+
+  test("async mode: bounded-window sign+verify is row-identical to the " +
+    "sequential HTTP path and the in-process path, and the observed " +
+    "server concurrency proves overlap within the bound") {
+    // delayMs holds each request open so overlap is observable; the
+    // single partition isolates the window as the ONLY concurrency
+    // source (no cross-partition parallelism in the count)
+    val server = new AgentHttpServer(delayMs = 20)
+    val maxInFlight = 4
+    try {
+      val base = fixture.limit(40).coalesce(1)
+      val inProc = base
+        .withColumn("jwt", CredentialOps.signJwt(col("payload")))
+        .withColumn("jwt2", when(col("event_id") % 10 === 0,
+          concat(col("jwt"), lit("x"))).otherwise(col("jwt")))
+        .withColumn("verified", CredentialOps.verifyJwt(col("jwt2")))
+        .select(col("event_id"), col("jwt"), col("verified"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+        .sortBy(_._1)
+      val signed = HttpCredentialOps.signJwtHttpAsync(
+        base, "payload", "jwt", server.endpoint, maxInFlight)
+        .withColumn("jwt2", when(col("event_id") % 10 === 0,
+          concat(col("jwt"), lit("x"))).otherwise(col("jwt")))
+      val got = HttpCredentialOps.verifyJwtHttpAsync(
+        signed, "jwt2", "verified", server.endpoint, maxInFlight)
+        .select(col("event_id"), col("jwt"), col("verified"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+        .sortBy(_._1)
+      assert(got.length === inProc.length && got.length > 0)
+      assert(got.toSeq === inProc.toSeq,
+        "async mode must be observationally identical to sync/in-process")
+      // chained sign→verify stages pipeline in ONE task, each holding
+      // its own window (the reference's per-consumer semaphore), so
+      // the chain's total is bounded by 2× the per-operator window
+      val seen = server.maxObservedConcurrency
+      assert(seen <= 2 * maxInFlight,
+        s"in-flight bound violated: server saw $seen > ${2 * maxInFlight}")
+      assert(seen >= 2,
+        s"no overlap observed ($seen) — the async window isn't async")
+    } finally server.close()
+  }
+
+  test("async mode: a SINGLE operator's observed server concurrency " +
+    "stays within its own window and overlaps") {
+    val server = new AgentHttpServer(delayMs = 20)
+    val maxInFlight = 4
+    try {
+      val preSigned = fixture.limit(40).coalesce(1)
+        .withColumn("jwt", CredentialOps.signJwt(col("payload")))
+      val got = HttpCredentialOps.verifyJwtHttpAsync(
+        preSigned, "jwt", "verified", server.endpoint, maxInFlight)
+        .select(col("event_id"), col("verified"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+      assert(got.length === 40 && got.forall(_._2))
+      val seen = server.maxObservedConcurrency
+      assert(seen <= maxInFlight,
+        s"in-flight bound violated: server saw $seen > $maxInFlight")
+      assert(seen >= 2,
+        s"no overlap observed ($seen) — the async window isn't async")
+    } finally server.close()
+  }
+
+  test("async mode failure contract: an unreachable agent throws " +
+    "after async-chained retries") {
+    val df = Seq((1L, "x")).toDF("event_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      HttpCredentialOps.signJwtHttpAsync(df, "payload", "jwt",
+        "http://127.0.0.1:1", maxInFlight = 8).collect()
+    }
+    assert(ex.getMessage.contains("unreachable") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unreachable")))
+  }
 }

@@ -49,4 +49,31 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(got.exists { case (d, i, j) => d == 21L && i == 12L && j == 1.0 },
       s"day-2 copy of a day-1 doc must hit the APPENDED index row: $got")
   }
+
+  test("redactionAudit: scrubbed classes zero out and certify; a " +
+    "redactor that LEAKS fails the job loudly instead of publishing") {
+    import graft.datapipe.TextAnalysis
+    val docs = Seq(
+      ("web", "mail me a@b.io or see https://x.y and 12345678901234"),
+      ("web", "host 10.0.0.1 plain"),
+      ("books", "clean text")).toDF("source", "text")
+    val rows = TextAnalysis.redactionAudit(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val web = rows("web")
+    assert(web.getLong(2) === 1L && web.getLong(3) === 1L) // before email/num
+    assert(web.getLong(6) === 0L && web.getLong(7) === 0L) // after scrubbed
+    assert(web.getLong(8) === 1L && web.getLong(9) === 1L) // ipv4/url censused
+    assert(rows.values.forall(_.getBoolean(10)))
+    // a BROKEN redactor (identity — scrubs nothing) must abort the
+    // job at the gate, not publish an audit that says "leaking"
+    val ex = intercept[Exception] {
+      TextAnalysis.redactionAudit(docs, "text", "source",
+        redactor = c => c).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("PII leak after redaction")),
+      s"gate must fire loudly; got: ${msgs(ex).mkString(" | ")}")
+  }
 }

@@ -1388,6 +1388,41 @@ class StreamingSpec extends SparkSpec {
       keyed(mk(docs.toDF("source", "text")).collect()))
   }
 
+  test("redaction audit maintains incrementally on a stream (Complete " +
+    "mode) — the gated leak alarm equals the batch audit") {
+    // T184 is one projection + one grouped rollup (the gate is a
+    // post-aggregation CASE), so the whole audit — raise_error
+    // included — runs as a live Complete-mode query
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.TextAnalysis
+    def mk(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.redactionAudit(df, "text", "source")
+    val docs = Seq(
+      ("web", "contact a@b.io and c@d.org today"),
+      ("web", "card 98765432101234 leaked via https://x.y/z"),
+      ("books", "clean prose with nothing inside"),
+      ("books", "host 10.0.0.1 still censused"),
+      ("web", "totally clean"))
+    val in = MemoryStream[(String, String)]
+    val q = mk(in.toDF().toDF("source", "text"))
+      .writeStream.format("memory").queryName("redaction_stream")
+      .outputMode(OutputMode.Complete).start()
+    in.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    def keyed(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val streamed = keyed(spark.table("redaction_stream").collect())
+    assert(streamed === keyed(mk(docs.toDF("source", "text")).collect()))
+    // the planted leaks were scrubbed: before nonzero, after zero,
+    // certificate true; census-only classes survive un-gated
+    val web = streamed("web")
+    assert(web(1).asInstanceOf[Long] > 0 && web(5).asInstanceOf[Long] == 0L)
+    assert(streamed.values.forall(_.last == true))
+  }
+
   test("McNemar cells maintain incrementally on a stream (Complete " +
     "mode) — the live A/B eval gate equals the batch readout") {
     // the T169 rollup is four boolean counters per group, so the
