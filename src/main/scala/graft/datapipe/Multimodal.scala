@@ -382,6 +382,50 @@ object Multimodal {
     * generation rule.
     */
   def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    // Direct RIFF chunk walk (PCM16 mono/stereo little-endian), NOT
+    // javax.sound: AudioSystem.getAudioInputStream walks the
+    // service-provider registry per call — measured as the dominant
+    // cost of the audio entries at the sf1 board (26× at 10× docs:
+    // linear work behind a per-call constant ~50× the arithmetic).
+    // The executor-side kernel must be allocation-light and
+    // lock-free; MultimodalSpec pins this parser sample-identical to
+    // the JDK reader ([[decodeWavJdk]]) over the generated corpus,
+    // so the fidelity claim survives the fast path.
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12 && bb.getInt(0) == 0x46464952, // "RIFF"
+      "not a RIFF stream")
+    require(bb.getInt(8) == 0x45564157, "not a WAVE stream") // "WAVE"
+    var pos = 12
+    var rate = -1
+    var fmtCode = -1
+    while (pos + 8 <= bytes.length) {
+      val id = bb.getInt(pos)
+      val sz = bb.getInt(pos + 4)
+      if (id == 0x20746d66) { // "fmt "
+        fmtCode = bb.getShort(pos + 8).toInt
+        rate = bb.getInt(pos + 12)
+      } else if (id == 0x61746164) { // "data"
+        require(fmtCode == 1, s"not PCM (fmt $fmtCode)")
+        require(rate > 0, "data chunk before fmt chunk")
+        val n = math.min(sz, bytes.length - pos - 8) / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = bb.getShort(pos + 8 + 2 * i); i += 1 }
+        return (rate, out)
+      }
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    throw new IllegalArgumentException("no data chunk in WAV stream")
+  }
+
+  /** The JDK reference decoder ([[decodeWav]]'s correctness twin):
+    * `javax.sound.sampled` end-to-end. Kept OFF the hot path — the
+    * spec certifies decodeWav == decodeWavJdk on the generated
+    * corpus, so the catalog runs the lock-free parser while the
+    * fidelity anchor remains the platform's actual audio reader.
+    */
+  def decodeWavJdk(bytes: Array[Byte]): (Int, Array[Short]) = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new ByteArrayInputStream(bytes))
     val fmt = ais.getFormat

@@ -342,6 +342,14 @@ object SimilarityQueries {
     * match certifies the graph edge set exactly, cell-boundary
     * recall trade included (recall itself is quantified in
     * SimilaritySpec against brute force).
+    *
+    * The entry (and its density/pagerank siblings) runs the AUTO
+    * cell default (`Similarity.autoCells`): ⌈n/250⌉ clamps to
+    * exactly the 8 cells this oracle unrolls at BOTH verification
+    * scales (500 and 2 000 vectors), while at the 20 k sf1 board the
+    * same entry self-sizes to 80 and stays in the join class — the
+    * r15 sf1 wave measured the pinned cells=8 form at 33× the sf0.1
+    * wall-clock (the per-cell quadratic), the auto form at ~4×.
     */
   /** The kNN-graph oracle chain through `ranked` — shared by the
     * graph entry and the density readout built on its edges.
@@ -370,7 +378,7 @@ object SimilarityQueries {
     "sim_knn_graph",
     (s, d) => Similarity.knnGraph(
       embDouble(s, d).select(col("vec_id"), col("emb")),
-      k = 5, cells = 8, iters = 3, nprobe = 2),
+      k = 5, iters = 3, nprobe = 2),
     Some(s"""WITH $knnRankedCtes
       SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
 
@@ -383,7 +391,7 @@ object SimilarityQueries {
     "sim_knn_density",
     (s, d) => Similarity.knnDensity(
       embDouble(s, d).select(col("vec_id"), col("emb")),
-      k = 5, cells = 8, iters = 3, nprobe = 2),
+      k = 5, iters = 3, nprobe = 2),
     Some(s"""WITH $knnRankedCtes
       SELECT q_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
         ((2 * SUM(CAST(round(score * 10000) AS BIGINT)) + COUNT(*))
@@ -401,7 +409,7 @@ object SimilarityQueries {
     "sim_graph_pagerank",
     (s, d) => {
       val emb = embDouble(s, d).select(col("vec_id"), col("emb"))
-      val edges = Similarity.knnGraph(emb, k = 5, cells = 8, iters = 3,
+      val edges = Similarity.knnGraph(emb, k = 5, iters = 3,
         nprobe = 2).select(col("q_id").as("src"), col("vec_id").as("dst"))
       graft.datapipe.GraphOps.pagerank(
         emb.select(col("vec_id").as("vid")), edges, rounds = 3,

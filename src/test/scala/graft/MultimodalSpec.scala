@@ -135,6 +135,22 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.toSeq === samples.toSeq, "decoded PCM must equal the rule")
   }
 
+  test("the lock-free RIFF parser decodes sample-identically to the " +
+    "JDK audio reader over the generated corpus") {
+    // decodeWav (direct chunk walk, the executor hot path) vs
+    // decodeWavJdk (javax.sound, the fidelity anchor): rate AND every
+    // sample must agree on real encoded bytes across varied lengths
+    val rows = Multimodal.audioCorpus(spark, docs.limit(25))
+      .as[(Long, Array[Byte])].collect()
+    assert(rows.length === 25)
+    for ((id, bytes) <- rows) {
+      val (rf, sf2) = Multimodal.decodeWav(bytes)
+      val (rj, sj) = Multimodal.decodeWavJdk(bytes)
+      assert(rf === rj, s"rate mismatch on doc $id")
+      assert(sf2.toSeq === sj.toSeq, s"sample mismatch on doc $id")
+    }
+  }
+
   test("audio decimation keeps every 2nd sample at half the rate") {
     import org.apache.spark.sql.functions.col
     val one = docs.limit(1)
