@@ -716,4 +716,160 @@ object Relevance {
         round(corr * corr / (b + c), 6))
         .otherwise(lit(null).cast("double")).as("chi2")): _*)
   }
+
+  // --- BLEU / ROUGE n-gram overlap (T189/T190) --------------------
+
+  /** Word tokens under THE tokenization convention (word-level
+    * family: zero-length tokens filtered).
+    */
+  private def overlapToks(c: Column): Column =
+    filter(split(TextAnalysis.normalize(c), " "), t => length(t) > 0)
+
+  /** The n-grams of a token array as U+0001-joined strings (the
+    * [[BpeTokenizer.Sep]] convention — never in real text). Guarded:
+    * Spark's `sequence(1, stop)` DESCENDS when stop < 1, so a
+    * too-short array must short-circuit to empty rather than emit a
+    * phantom [1, 0] window pair.
+    */
+  private def gramsOf(tok: Column, n: Int): Column =
+    when(size(tok) >= n,
+      transform(sequence(lit(1), size(tok) - lit(n - 1)),
+        i => concat_ws("\u0001", slice(tok, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-(pair, n) CLIPPED n-gram match counts m_n =
+    * Σ_g min(count_cand(g), count_ref(g)) for n = 1..maxN — the
+    * shared kernel of sentence and corpus BLEU (clipping is always
+    * per pair, Papineni 2002 §2.1). Input must carry ("pid", "ct",
+    * "rt"); output ("pid", "n", "m").
+    */
+  private def clippedMatches(base: DataFrame, maxN: Int): DataFrame = {
+    def side(tokCol: String, out: String) =
+      (1 to maxN).map { n =>
+        base.select(col("pid"), lit(n.toLong).as("n"),
+          explode(gramsOf(col(tokCol), n)).as("g"))
+      }.reduce(_.unionByName(_))
+        .groupBy(col("pid"), col("n"), col("g"))
+        .agg(count(lit(1)).as(out))
+    side("ct", "cc")
+      .join(side("rt", "rc"), Seq("pid", "n", "g"), "left")
+      .groupBy(col("pid"), col("n"))
+      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("m"))
+  }
+
+  /** T189: sentence-level BLEU-4 + ROUGE-1/2 recall per
+    * (candidate, reference) pair — the n-gram overlap scorer an
+    * SFT/eval pipeline publishes next to pass@k (Papineni 2002;
+    * Lin 2004 ROUGE-N). Unsmoothed by contract: any zero clipped
+    * precision reads bleu = 0 (the Papineni definition — smoothing
+    * variants are a caller-side choice this exact readout must not
+    * bake in). All counts are exact integers; precisions and
+    * recalls are [[graft.functions.ExactRound.ratio6]]; the
+    * brevity penalty and geometric mean follow the catalog's ln/exp
+    * convention (8-dp-rounded logs, final 4-dp round) so the oracle
+    * replays the identical IEEE tree.
+    *
+    * Scale shape: one token projection, a (pid, n, gram)-keyed
+    * count shuffle per side, one candidate↔reference equi-join on
+    * the gram key, two bounded rollups to (pid, n) then pid. No
+    * corpus windows, no cross-pair work — pairs scale embarrassingly.
+    *
+    * Output: (idCol, c_len, r_len, p1..p4, rouge1, rouge2,
+    * brevity_penalty, bleu).
+    */
+  def bleuRouge(pairs: DataFrame, idCol: String, candCol: String,
+                refCol: String): DataFrame = {
+    val maxN = 4
+    val base = pairs.select(col(idCol).as("pid"),
+        overlapToks(col(candCol)).as("ct"),
+        overlapToks(col(refCol)).as("rt"))
+      .stage() // feeds the length projection and both gram explodes
+    val mw = clippedMatches(base, maxN)
+      .groupBy(col("pid"))
+      .agg(sum(when(col("n") === 1, col("m"))).as("m1"),
+        sum(when(col("n") === 2, col("m"))).as("m2"),
+        sum(when(col("n") === 3, col("m"))).as("m3"),
+        sum(when(col("n") === 4, col("m"))).as("m4"))
+    val lens = base.select(col("pid"),
+      size(col("ct")).cast("bigint").as("c_len"),
+      size(col("rt")).cast("bigint").as("r_len"))
+    val j = lens.join(mw, Seq("pid"), "left")
+    def t(n: Int): Column = greatest(col("c_len") - lit(n - 1L), lit(0L))
+    def u(n: Int): Column = greatest(col("r_len") - lit(n - 1L), lit(0L))
+    def mm(n: Int): Column = coalesce(col(s"m$n"), lit(0L))
+    def p(n: Int): Column = graft.functions.ExactRound.ratio6(mm(n), t(n))
+    val bp = when(col("c_len") === 0, lit(0.0))
+      .when(col("c_len") >= col("r_len"), lit(1.0))
+      .otherwise(round(exp(lit(1.0) -
+        col("r_len").cast("double") / col("c_len").cast("double")), 6))
+    val zero = (1 to maxN).map(n => mm(n) === 0 || t(n) === 0)
+      .reduce(_ || _)
+    val meanLog = (1 to maxN).map(n => round(log(p(n)), 8))
+      .reduce(_ + _) / lit(maxN.toDouble)
+    j.select(col("pid").as(idCol), col("c_len"), col("r_len"),
+      p(1).as("p1"), p(2).as("p2"), p(3).as("p3"), p(4).as("p4"),
+      graft.functions.ExactRound.ratio6(mm(1), u(1)).as("rouge1"),
+      graft.functions.ExactRound.ratio6(mm(2), u(2)).as("rouge2"),
+      bp.as("brevity_penalty"),
+      when(zero, lit(0.0)).otherwise(round(bp * exp(meanLog), 4))
+        .as("bleu"))
+  }
+
+  /** T190: CORPUS-level BLEU per group — clipped counts aggregated
+    * over all of a group's pairs before the precision/BP arithmetic
+    * (the standard corpus statistic: long pairs weigh more, and a
+    * single zero-precision pair no longer zeroes the score). Same
+    * exactness conventions as [[bleuRouge]].
+    *
+    * Output: (groupCol, n_pairs, c_tokens, r_tokens, p1..p4,
+    * brevity_penalty, bleu).
+    */
+  def bleuCorpus(pairs: DataFrame, idCol: String, groupCol: String,
+                 candCol: String, refCol: String): DataFrame = {
+    val maxN = 4
+    val base = pairs.select(col(idCol).as("pid"),
+        col(groupCol).as("grp"),
+        overlapToks(col(candCol)).as("ct"),
+        overlapToks(col(refCol)).as("rt"))
+      .stage()
+    val m = clippedMatches(
+      base.select(col("pid"), col("ct"), col("rt")), maxN)
+    val perPair = base.select(col("pid"), col("grp"),
+      size(col("ct")).cast("bigint").as("cl"),
+      size(col("rt")).cast("bigint").as("rl"))
+    val g = perPair.join(m, Seq("pid"), "left")
+      .groupBy(col("grp"), col("pid"), col("cl"), col("rl"))
+      .agg(sum(when(col("n") === 1, col("m"))).as("m1"),
+        sum(when(col("n") === 2, col("m"))).as("m2"),
+        sum(when(col("n") === 3, col("m"))).as("m3"),
+        sum(when(col("n") === 4, col("m"))).as("m4"))
+    def tn(n: Int): Column = greatest(col("cl") - lit(n - 1L), lit(0L))
+    val agg = g.groupBy(col("grp")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("cl")).as("c_tokens"),
+      sum(col("rl")).as("r_tokens"),
+      sum(coalesce(col("m1"), lit(0L))).as("m1"),
+      sum(coalesce(col("m2"), lit(0L))).as("m2"),
+      sum(coalesce(col("m3"), lit(0L))).as("m3"),
+      sum(coalesce(col("m4"), lit(0L))).as("m4"),
+      sum(tn(1)).as("t1"), sum(tn(2)).as("t2"),
+      sum(tn(3)).as("t3"), sum(tn(4)).as("t4"))
+    def p(n: Int): Column =
+      graft.functions.ExactRound.ratio6(col(s"m$n"), col(s"t$n"))
+    val bp = when(col("c_tokens") === 0, lit(0.0))
+      .when(col("c_tokens") >= col("r_tokens"), lit(1.0))
+      .otherwise(round(exp(lit(1.0) -
+        col("r_tokens").cast("double") / col("c_tokens").cast("double")),
+        6))
+    val zero = (1 to maxN)
+      .map(n => col(s"m$n") === 0 || col(s"t$n") === 0).reduce(_ || _)
+    val meanLog = (1 to maxN).map(n => round(log(p(n)), 8))
+      .reduce(_ + _) / lit(maxN.toDouble)
+    agg.select(col("grp").as(groupCol), col("n_pairs"), col("c_tokens"),
+      col("r_tokens"),
+      p(1).as("p1"), p(2).as("p2"), p(3).as("p3"), p(4).as("p4"),
+      bp.as("brevity_penalty"),
+      when(zero, lit(0.0)).otherwise(round(bp * exp(meanLog), 4))
+        .as("bleu"))
+  }
 }

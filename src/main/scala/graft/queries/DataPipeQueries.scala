@@ -3351,6 +3351,137 @@ object DataPipeQueries {
         CAST(SUM(c_url) AS BIGINT) AS n_urls
       FROM c GROUP BY 1"""))
 
+  /** Shared BLEU fixture: candidate = the reference itself for %10=0
+    * docs (bleu 1.0), the token-REVERSED text for %10=5 (unigram
+    * precision 1, bigram ~0 → the unsmoothed zero gate fires), the
+    * drop-last-token twin otherwise (high but sub-1 precisions and a
+    * real brevity penalty). Reference = the original text.
+    */
+  private def bleuPairs(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(TextAnalysis.normalize(col("text")), " ")
+    Tables.documents(s, d).select(col("doc_id"), col("source"),
+      when(col("doc_id") % 10 === 0, col("text"))
+        .when(col("doc_id") % 10 === 5, array_join(reverse(toks), " "))
+        .otherwise(array_join(slice(toks, lit(1), size(toks) - 1), " "))
+        .as("cand"),
+      col("text").as("ref"))
+  }
+
+  private val bleuPairsSql = """tok0 AS (SELECT doc_id, source, text,
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      pairs AS (SELECT doc_id, source,
+        CASE WHEN doc_id % 10 = 0 THEN text
+             WHEN doc_id % 10 = 5 THEN array_to_string(list_reverse(w), ' ')
+             ELSE array_to_string(w[1:len(w)-1], ' ') END AS cand,
+        text AS ref FROM tok0),
+      tk AS MATERIALIZED (SELECT doc_id, source,
+        list_filter(string_split(trim(regexp_replace(lower(cand), '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS ct,
+        list_filter(string_split(trim(regexp_replace(lower(ref), '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS rt
+        FROM pairs),
+      cg AS (SELECT doc_id, n.n, array_to_string(ct[i:i+n.n-1], chr(1)) AS g
+        FROM tk, (SELECT UNNEST([1,2,3,4]) AS n) n,
+             UNNEST(generate_series(1, GREATEST(len(ct)-n.n+1, 0))) t(i)),
+      ccnt AS (SELECT doc_id, n, g, COUNT(*) AS cc FROM cg GROUP BY 1,2,3),
+      rg AS (SELECT doc_id, n.n, array_to_string(rt[i:i+n.n-1], chr(1)) AS g
+        FROM tk, (SELECT UNNEST([1,2,3,4]) AS n) n,
+             UNNEST(generate_series(1, GREATEST(len(rt)-n.n+1, 0))) t(i)),
+      rcnt AS (SELECT doc_id, n, g, COUNT(*) AS rc FROM rg GROUP BY 1,2,3),
+      mm AS (SELECT c.doc_id, c.n,
+          SUM(LEAST(c.cc, COALESCE(r.rc, 0))) AS m
+        FROM ccnt c LEFT JOIN rcnt r
+          ON r.doc_id = c.doc_id AND r.n = c.n AND r.g = c.g
+        GROUP BY 1, 2),
+      piv AS (SELECT doc_id,
+          COALESCE(SUM(CASE WHEN n = 1 THEN m END), 0) AS m1,
+          COALESCE(SUM(CASE WHEN n = 2 THEN m END), 0) AS m2,
+          COALESCE(SUM(CASE WHEN n = 3 THEN m END), 0) AS m3,
+          COALESCE(SUM(CASE WHEN n = 4 THEN m END), 0) AS m4
+        FROM mm GROUP BY 1),
+      lens AS (SELECT doc_id, source,
+          CAST(len(ct) AS BIGINT) AS c_len, CAST(len(rt) AS BIGINT) AS r_len
+        FROM tk),
+      jb AS (SELECT l.doc_id, l.source, c_len, r_len,
+          COALESCE(m1, 0) AS m1, COALESCE(m2, 0) AS m2,
+          COALESCE(m3, 0) AS m3, COALESCE(m4, 0) AS m4,
+          GREATEST(c_len, 0) AS t1, GREATEST(c_len - 1, 0) AS t2,
+          GREATEST(c_len - 2, 0) AS t3, GREATEST(c_len - 3, 0) AS t4,
+          GREATEST(r_len, 0) AS u1, GREATEST(r_len - 1, 0) AS u2
+        FROM lens l LEFT JOIN piv USING (doc_id))"""
+
+  /** T189: sentence BLEU-4 + ROUGE-1/2
+    * ([[graft.datapipe.Relevance.bleuRouge]]) over the planted
+    * candidate/reference pairs — the oracle replays the shingle
+    * multisets, per-pair clipping, exact-ratio precisions/recalls,
+    * the rounded-log geometric mean, the brevity penalty, and the
+    * unsmoothed zero gate.
+    */
+  private val evalBleu = QueryDef(
+    "eval_bleu",
+    (s, d) => Relevance.bleuRouge(bleuPairs(s, d), "doc_id", "cand", "ref"),
+    Some(s"""WITH $bleuPairsSql
+      SELECT doc_id, c_len, r_len,
+        CASE WHEN t1 > 0 THEN ((2*m1*1000000 + t1) // (2*t1)) / 1000000.0 END AS p1,
+        CASE WHEN t2 > 0 THEN ((2*m2*1000000 + t2) // (2*t2)) / 1000000.0 END AS p2,
+        CASE WHEN t3 > 0 THEN ((2*m3*1000000 + t3) // (2*t3)) / 1000000.0 END AS p3,
+        CASE WHEN t4 > 0 THEN ((2*m4*1000000 + t4) // (2*t4)) / 1000000.0 END AS p4,
+        CASE WHEN u1 > 0 THEN ((2*m1*1000000 + u1) // (2*u1)) / 1000000.0 END AS rouge1,
+        CASE WHEN u2 > 0 THEN ((2*m2*1000000 + u2) // (2*u2)) / 1000000.0 END AS rouge2,
+        CASE WHEN c_len = 0 THEN 0.0 WHEN c_len >= r_len THEN 1.0
+             ELSE round(exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)), 6) END
+          AS brevity_penalty,
+        CASE WHEN m1 = 0 OR t1 = 0 OR m2 = 0 OR t2 = 0
+               OR m3 = 0 OR t3 = 0 OR m4 = 0 OR t4 = 0 THEN 0.0
+             ELSE round(
+               (CASE WHEN c_len >= r_len THEN 1.0
+                     ELSE round(exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)), 6) END)
+               * exp((round(ln(((2*m1*1000000 + t1) // (2*t1)) / 1000000.0), 8)
+                    + round(ln(((2*m2*1000000 + t2) // (2*t2)) / 1000000.0), 8)
+                    + round(ln(((2*m3*1000000 + t3) // (2*t3)) / 1000000.0), 8)
+                    + round(ln(((2*m4*1000000 + t4) // (2*t4)) / 1000000.0), 8)) / 4.0), 4)
+        END AS bleu
+      FROM jb"""))
+
+  /** T190: corpus BLEU per source
+    * ([[graft.datapipe.Relevance.bleuCorpus]]) — clipped counts
+    * aggregated over each source's pairs before the precision/BP
+    * arithmetic, the statistic MT/distillation reports publish.
+    */
+  private val evalBleuCorpus = QueryDef(
+    "eval_bleu_corpus",
+    (s, d) => Relevance.bleuCorpus(bleuPairs(s, d), "doc_id", "source",
+      "cand", "ref"),
+    Some(s"""WITH $bleuPairsSql,
+      gagg AS (SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(c_len) AS BIGINT) AS c_tokens,
+          CAST(SUM(r_len) AS BIGINT) AS r_tokens,
+          CAST(SUM(m1) AS BIGINT) AS m1, CAST(SUM(m2) AS BIGINT) AS m2,
+          CAST(SUM(m3) AS BIGINT) AS m3, CAST(SUM(m4) AS BIGINT) AS m4,
+          CAST(SUM(t1) AS BIGINT) AS t1, CAST(SUM(t2) AS BIGINT) AS t2,
+          CAST(SUM(t3) AS BIGINT) AS t3, CAST(SUM(t4) AS BIGINT) AS t4
+        FROM jb GROUP BY 1)
+      SELECT source, n_pairs, c_tokens, r_tokens,
+        CASE WHEN t1 > 0 THEN ((2*m1*1000000 + t1) // (2*t1)) / 1000000.0 END AS p1,
+        CASE WHEN t2 > 0 THEN ((2*m2*1000000 + t2) // (2*t2)) / 1000000.0 END AS p2,
+        CASE WHEN t3 > 0 THEN ((2*m3*1000000 + t3) // (2*t3)) / 1000000.0 END AS p3,
+        CASE WHEN t4 > 0 THEN ((2*m4*1000000 + t4) // (2*t4)) / 1000000.0 END AS p4,
+        CASE WHEN c_tokens = 0 THEN 0.0 WHEN c_tokens >= r_tokens THEN 1.0
+             ELSE round(exp(1.0 - CAST(r_tokens AS DOUBLE) / CAST(c_tokens AS DOUBLE)), 6) END
+          AS brevity_penalty,
+        CASE WHEN m1 = 0 OR t1 = 0 OR m2 = 0 OR t2 = 0
+               OR m3 = 0 OR t3 = 0 OR m4 = 0 OR t4 = 0 THEN 0.0
+             ELSE round(
+               (CASE WHEN c_tokens >= r_tokens THEN 1.0
+                     ELSE round(exp(1.0 - CAST(r_tokens AS DOUBLE) / CAST(c_tokens AS DOUBLE)), 6) END)
+               * exp((round(ln(((2*m1*1000000 + t1) // (2*t1)) / 1000000.0), 8)
+                    + round(ln(((2*m2*1000000 + t2) // (2*t2)) / 1000000.0), 8)
+                    + round(ln(((2*m3*1000000 + t3) // (2*t3)) / 1000000.0), 8)
+                    + round(ln(((2*m4*1000000 + t4) // (2*t4)) / 1000000.0), 8)) / 4.0), 4)
+        END AS bleu
+      FROM gagg"""))
+
   /** T184: end-to-end redaction audit
     * ([[graft.datapipe.TextAnalysis.redactionAudit]]) on a corpus
     * with PLANTED leaks — every %5 doc gains an email, every %7 doc
@@ -7083,7 +7214,8 @@ object DataPipeQueries {
     packPrefixCache, prefMajority,
     prefKrippendorff, evalMcnemar, qualitySpearman, corpusKsDrift,
     textSimpson, clfBrier, dedupEditVerify, sampleNeyman,
-    evalPairedBootstrap, sftValidate, textPiiStats, e2eRedactionAudit,
+    evalPairedBootstrap, evalBleu, evalBleuCorpus, sftValidate,
+    textPiiStats, e2eRedactionAudit,
     vocabGrowth,
     evalMde, textBurstiness,
     textKeywords, textTtr, vocabGoodTuring, corpusPsi, vocabCoverage,

@@ -76,4 +76,65 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("PII leak after redaction")),
       s"gate must fire loudly; got: ${msgs(ex).mkString(" | ")}")
   }
+
+  test("bleuRouge: hand-computed cases — identical pair reads 1, a " +
+    "prefix pays exactly the brevity penalty, clipping caps repeated " +
+    "tokens, reversal zeroes via the unsmoothed gate") {
+    import graft.datapipe.Relevance
+    val pairs = Seq(
+      (1L, "a b c d e f", "a b c d e f"),    // identical
+      (2L, "a b c d e f", "a b c d e f g"),  // prefix: all p = 1, bp < 1
+      (3L, "f e d c b a", "a b c d e f"),    // reversed: p1 = 1, p2 = 0
+      (4L, "t t t t", "t u t"),              // clipping: m1 = min(4, 2)
+      (5L, "", "a b"))                       // empty candidate
+      .toDF("id", "cand", "ref")
+    val out = Relevance.bleuRouge(pairs, "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // identical: every precision 1, bp 1, bleu 1
+    assert(out(1L).getDouble(10) === 1.0 && out(1L).getDouble(9) === 1.0)
+    // prefix: p1..p4 = 1, bp = round(exp(1 - 7/6), 6) = 0.846482,
+    // bleu = round(bp · exp(0), 4) = 0.8465
+    assert((3 to 6).forall(i => out(2L).getDouble(i) === 1.0))
+    assert(out(2L).getDouble(9) === 0.846482)
+    assert(out(2L).getDouble(10) === 0.8465)
+    // reversed: unigram multiset equal (p1 = 1) but no common bigram
+    assert(out(3L).getDouble(3) === 1.0)
+    assert(out(3L).getDouble(4) === 0.0)
+    assert(out(3L).getDouble(10) === 0.0)
+    // clipping: cand 't'×4 vs ref with two 't' → p1 = 2/4 = 0.5;
+    // rouge1 = 2/3 = 0.666667 (exact half-up at 6 dp)
+    assert(out(4L).getDouble(3) === 0.5)
+    assert(out(4L).getDouble(7) === 0.666667)
+    // empty candidate: zero lengths, zero bleu, zero bp
+    assert(out(5L).getLong(1) === 0L && out(5L).getDouble(10) === 0.0)
+    assert(out(5L).getDouble(9) === 0.0)
+  }
+
+  test("bleuCorpus: aggregated clipped counts — one zero-precision " +
+    "pair no longer zeroes the group score") {
+    import graft.datapipe.Relevance
+    val pairs = Seq(
+      (1L, "g", "a b c d e f", "a b c d e f"),
+      (2L, "g", "f e d c b a", "a b c d e f")) // sentence-bleu 0 alone
+      .toDF("id", "grp", "cand", "ref")
+    val out = Relevance.bleuCorpus(pairs, "id", "grp", "cand", "ref")
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 2L && r.getLong(2) === 12L)
+    // m4 = 3 (from the identical pair) over t4 = 6 → p4 = 0.5 > 0,
+    // so the corpus score is positive where the bad pair's own is 0
+    assert(r.getDouble(7) === 0.5)
+    assert(r.getDouble(9) > 0.0 && r.getDouble(9) < 1.0)
+  }
+
+  test("eval_bleu plan: gram joins stay equi-joins — no cartesian, " +
+    "no corpus-wide window") {
+    val plan = SparkEntry.queries("eval_bleu")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"gram matching must join on (pid, n, gram):\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      s"no window anywhere in the overlap pipeline:\n${plan.take(2000)}")
+  }
 }
