@@ -1135,6 +1135,38 @@ object Similarity {
     }: _*)
   }
 
+  /** Eval-set decontamination by EMBEDDING similarity — the semantic
+    * sibling of the n-gram `Contamination` family: a training
+    * document whose embedding sits within cos ≥ `threshold` of ANY
+    * eval item leaks eval signal even when no n-gram matches
+    * (paraphrases, translations, reformattings — the leakage class
+    * the 13-gram filters can't see). Every corpus vector is scored
+    * against the full eval set and verdicts carry the max cosine,
+    * so the caller can audit near-threshold mass before choosing τ.
+    *
+    * Scale shape: the EVAL side is broadcast (eval sets are
+    * thousands of rows at any corpus scale — this broadcast
+    * nested-loop against a 100 TB corpus scan IS the production
+    * plan), the per-row max is a map-side partial aggregate, and
+    * nothing corpus-sized shuffles beyond the (vec_id, max) rollup.
+    * For eval sets too large to broadcast, route through
+    * [[ivfTopKKmeans]] instead. Scores are the standard 4-dp
+    * rounded cosines, so max and the threshold compare are exact.
+    *
+    * Output: (vec_id, max_eval_cos, contaminated).
+    */
+  def decontaminateSemantic(emb: DataFrame, evalEmb: DataFrame,
+                            threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("emb"))
+    val q = evalEmb.select(col("eval_id"), col("eval_emb"))
+    e.crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosineSimilarity(col("emb"), col("eval_emb")), 4))
+      .groupBy(col("vec_id"))
+      .agg(max(col("score")).as("max_eval_cos"))
+      .withColumn("contaminated", col("max_eval_cos") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs: cosine above `threshold`, found
     * via hyperplane-LSH buckets (round-1 verdict fix — the previous
     * implementation was an all-pairs cartesian). Same shape as

@@ -154,6 +154,35 @@ object SimilarityQueries {
         FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id)
       SELECT a_id, b_id, score FROM pairs WHERE score >= 0.999"""))
 
+  /** Semantic decontamination ([[Similarity.decontaminateSemantic]]):
+    * the eval set = +0.01-shifted copies of every %25 corpus vector
+    * (cos ≈ 0.997 against the original — above the 0.995 gate, while
+    * unrelated iid pairs top out near 0.5), so exactly the shifted
+    * originals must read contaminated and every verdict's max cosine
+    * is oracle-replayed. The corpus side never shuffles — the eval
+    * set broadcasts, the production plan at any corpus scale.
+    */
+  private val decontamSemantic = QueryDef(
+    "decontam_semantic",
+    (s, d) => {
+      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val evalSet = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 2000000).as("eval_id"),
+          transform(col("emb"), x => x + lit(0.01)).as("eval_emb"))
+      Similarity.decontaminateSemantic(e, evalSet, 0.995)
+    },
+    Some(s"""WITH $embSqlCte,
+      q AS MATERIALIZED (SELECT vec_id + 2000000 AS eval_id,
+          list_transform(emb, x -> x + 0.01) AS eval_emb
+        FROM e WHERE vec_id % 25 = 0),
+      sc AS (SELECT e.vec_id,
+          round(list_cosine_similarity(e.emb, q.eval_emb), 4) AS score
+        FROM e, q)
+      SELECT vec_id, MAX(score) AS max_eval_cos,
+        MAX(score) >= 0.995 AS contaminated
+      FROM sc GROUP BY 1"""))
+
   /** SemDeDup end-to-end: coarse k-means clustering (the sim_ivf_kmeans
     * trainer, replayed in full by the oracle) + within-cell greedy
     * domination. Near-twins are planted by shifting every component
@@ -1457,7 +1486,8 @@ object SimilarityQueries {
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfRecall, simIvfKmeans,
       simKnnGraph,
       simKnnDensity, simGraphPagerank, simSq8, simRpTopK, simPq,
-      simIvfPq, dedupEmbedding, dedupSemantic, sampleClusterCap,
+      simIvfPq, dedupEmbedding, dedupSemantic, decontamSemantic,
+      sampleClusterCap,
       multimodalDecode, multimodalFeatures, multimodalFrames,
       multimodalResize, multimodalPhashPairs, multimodalAudioStats,
       multimodalAudioResample, e2eMultimodalGate, simBitextMargin,

@@ -128,6 +128,29 @@ class RoundFifteenOpsSpec extends SparkSpec {
     assert(r.getDouble(9) > 0.0 && r.getDouble(9) < 1.0)
   }
 
+  test("decontaminateSemantic: planted eval neighbours read " +
+    "contaminated, unrelated vectors do not, and the eval side " +
+    "broadcasts (the corpus never shuffles for scoring)") {
+    import graft.datapipe.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val evalSet = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 2000000).as("eval_id"),
+        transform(col("emb"), x => x + lit(0.01)).as("eval_emb"))
+    val out = Similarity.decontaminateSemantic(emb, evalSet, 0.995)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(rows.size === emb.count())
+    for ((id, (mx, c)) <- rows) {
+      if (id % 25 == 0)
+        assert(c && mx >= 0.995, s"planted neighbour $id must flag ($mx)")
+      else assert(!c, s"unrelated $id must not flag ($mx)")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"eval side must broadcast:\n${plan.take(2000)}")
+  }
+
   test("eval_bleu plan: gram joins stay equi-joins — no cartesian, " +
     "no corpus-wide window") {
     val plan = SparkEntry.queries("eval_bleu")(spark, sf)
