@@ -285,17 +285,22 @@ object Bench {
     //    r13 fix for contiguous chunks packing the whole dedup_*
     //    family into one JVM).
     // Both are deterministic for a given catalog + sidecar + count.
-    val prior: Map[String, Double] = {
+    // Reserved "__"-prefixed keys (e.g. __sf__, the scale factor the
+    // sidecar was recorded at) are metadata, not query medians.
+    val (prior: Map[String, Double], priorSf: Option[String]) = {
       val f = Paths.get("BENCHPRIOR.json")
-      if (!Files.isRegularFile(f)) Map.empty
+      if (!Files.isRegularFile(f)) (Map.empty[String, Double], None)
       else try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(Files.readAllBytes(f))
         val it = node.fields()
         val b = Map.newBuilder[String, Double]
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-        b.result()
-      } catch { case _: Throwable => Map.empty }
+        while (it.hasNext) {
+          val e = it.next()
+          if (!e.getKey.startsWith("__")) b += e.getKey -> e.getValue.asDouble()
+        }
+        (b.result(), Option(node.get("__sf__")).map(_.asText()))
+      } catch { case _: Throwable => (Map.empty[String, Double], None) }
     }
     val groups: Seq[Seq[String]] =
       if (prior.isEmpty)
@@ -374,12 +379,42 @@ object Bench {
       val pool = results.map(_._1).filterNot(slowestNames.toSet).sorted
       new scala.util.Random(recheckSeed).shuffle(pool).take(midpackK)
     }
+    val mainMap = results.map(r => r._1 -> median(r._2)).toMap
+    // RATIO-TRIGGERED membership (the r15 blind spot: on a noisy
+    // host the WHOLE board inflates at once and a fixed
+    // slowest-10+midpack-8 sample under-covers — the driver's r15
+    // run read max inflation 2.2 while the quiet boards read 1.3).
+    // Any entry reading > SuspectVsPrior × its RECORDED prior-round
+    // median is re-timed in the fresh recheck JVM too, so every
+    // entry the sidecar can vouch for is either certified or
+    // adopted. Sub-SuspectFloorSec entries are excluded (their
+    // ratios are jitter-dominated) and membership is capped at the
+    // worst SuspectCap ratios — the cap and any drop are REPORTED
+    // (no silent truncation).
+    val SuspectVsPrior = 1.6
+    val SuspectFloorSec = 0.15
+    val SuspectCap = 40
+    val baseSet = (midpackNames ++ slowestNames).toSet
+    val suspectsAll = results.collect {
+      case (n, runs, None) if !baseSet(n) && runs.nonEmpty &&
+        prior.get(n).exists(p => p > SuspectFloorSec &&
+          median(runs) / p > SuspectVsPrior) =>
+        (n, median(runs) / prior(n))
+    }.sortBy(-_._2)
+    val suspectNames = suspectsAll.take(SuspectCap).map(_._1)
+    val suspectsDropped = suspectsAll.size - suspectNames.size
+    if (suspectsDropped > 0)
+      System.err.println(s"[bench] $suspectsDropped suspects beyond the " +
+        s"recheck cap ($SuspectCap) publish their in-group numbers unrechecked")
     // mid-pack entries time FIRST in the recheck worker: after the
     // 10 heaviest compositions x REPS the fresh JVM carries exactly
     // the codegen/GC debris the mid-pack sample exists to detect,
     // which would inflate their "fresh" baselines and mask real
-    // in-group inflation (ratio = main/fresh driven toward 1)
-    val recheckNames = midpackNames ++ slowestNames
+    // in-group inflation (ratio = main/fresh driven toward 1).
+    // Suspects run cheapest-first between the two for the same
+    // reason.
+    val recheckNames = midpackNames ++
+      suspectNames.sortBy(n => (mainMap(n), n)) ++ slowestNames
     val recheck: Seq[(String, Double)] = cpOpt match {
       case Some(cp) if isolation.startsWith("per-group-jvm") =>
         val out = tmpDir.resolve("recheck.tsv")
@@ -394,13 +429,15 @@ object Bench {
       case _ => Seq.empty
     }
     val recheckMap = recheck.toMap
-    val mainMap = results.map(r => r._1 -> median(r._2)).toMap
     val recheckJson = recheck.map { case (n, fresh) =>
       val main = mainMap.getOrElse(n, 0.0)
       val ratio = if (fresh > 0) main / fresh else 1.0
       s"${jstr(n)}:{\"artifact\":$main,\"fresh\":$fresh,\"ratio\":$ratio}"
     }.mkString("{", ",", "}")
-    val maxRatio =
+    // Raw DETECTED inflation (in-group vs fresh, before adoption) —
+    // the instrument-health readout. The PUBLISHED-number honesty
+    // bound is computed after adoption below.
+    val maxRatioRaw =
       if (recheck.isEmpty) 1.0
       else recheck.map { case (n, fresh) =>
         if (fresh > 0) mainMap.getOrElse(n, 0.0) / fresh else 1.0 }.max
@@ -421,21 +458,44 @@ object Bench {
       case (n, _, err) if adoptedSet(n) => (n, Vector(recheckMap(n)), err)
       case r => r
     }
+    // The honesty bound on what the artifact actually PUBLISHES:
+    // after adoption, every rechecked entry's published median is
+    // either its fresh-JVM time (adopted) or within AdoptAbove of it
+    // — so this reads <= AdoptAbove whenever the recheck worker ran
+    // clean, and the ratio-triggered membership above extends the
+    // guarantee to every entry whose sidecar median flagged it.
+    // recheck_max_raw_inflation preserves the pre-adoption reading.
+    val finalMap = finalResults.map(r => r._1 -> median(r._2)).toMap
+    val maxRatioPublished =
+      if (recheck.isEmpty) 1.0
+      else recheck.map { case (n, fresh) =>
+        if (fresh > 0) finalMap.getOrElse(n, 0.0) / fresh else 1.0 }.max
 
     // Persist the medians sidecar for the NEXT run's LPT packing —
     // full-board runs only (a SPARK_GRAFT_BENCH_ONLY subset would
-    // clobber the board-wide priors with a partial map). Medians are
-    // used RELATIVELY (packing and ordering), so a sidecar from a
-    // different sf still packs well.
-    if (!sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) {
-      val pj = finalResults.map { case (k, v, _) => s"${jstr(k)}:${median(v)}" }
+    // clobber the board-wide priors with a partial map), and only at
+    // the SAME sf the existing sidecar records (medians are used
+    // relatively, but a tiny-sf full board can still invert relative
+    // costs for entries with scale-dependent crossovers — and it
+    // feeds the ratio-triggered recheck, which IS absolute). A
+    // legacy sidecar without the __sf__ stamp allows the write (the
+    // stamp then protects every subsequent run); to intentionally
+    // re-key to a new sf set SPARK_GRAFT_BENCH_PRIOR_FORCE=1.
+    val sfMatches = priorSf.forall(_ == sfDir) ||
+      sys.env.contains("SPARK_GRAFT_BENCH_PRIOR_FORCE")
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_ONLY") && sfMatches) {
+      val pj = (s""""__sf__":${jstr(sfDir)}""" +:
+        finalResults.map { case (k, v, _) => s"${jstr(k)}:${median(v)}" })
         .mkString("{", ",", "}")
       try Files.write(Paths.get("BENCHPRIOR.json"),
         pj.getBytes(StandardCharsets.UTF_8))
       catch { case e: Throwable =>
         System.err.println(s"[bench] BENCHPRIOR.json write failed: ${e.getMessage}")
       }
-    }
+    } else if (!sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+      System.err.println(s"[bench] sidecar recorded at ${priorSf.get} != " +
+        s"$sfDir — BENCHPRIOR.json left untouched (set " +
+        "SPARK_GRAFT_BENCH_PRIOR_FORCE=1 to re-key)")
 
     // Driver contract: "queries" stays name -> one number (median).
     val qs = finalResults.map { case (k, v, _) => s"${jstr(k)}:${median(v)}" }
@@ -470,7 +530,8 @@ object Bench {
       .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
       .filter(d => Files.isDirectory(Paths.get(d)))
       .map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${finalResults.size},"n_failed":${finalResults.count(_._3.nonEmpty)},"slowest":$slowest,"isolation":"$isolation","n_groups":${groups.size},"fresh_jvm_recheck":$recheckJson,"recheck_max_inflation":$maxRatio,"recheck_adopted":$adoptedJson,"recheck_seed":$recheckSeed,"recheck_midpack":$midpackJson,"warm_dirs":$warmJson,"sf":"$sfDir","reps":$REPS}""")
+    val suspectsJson = suspectNames.map(jstr).mkString("[", ",", "]")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${finalResults.size},"n_failed":${finalResults.count(_._3.nonEmpty)},"slowest":$slowest,"isolation":"$isolation","n_groups":${groups.size},"fresh_jvm_recheck":$recheckJson,"recheck_max_inflation":$maxRatioPublished,"recheck_max_raw_inflation":$maxRatioRaw,"recheck_adopted":$adoptedJson,"recheck_seed":$recheckSeed,"recheck_midpack":$midpackJson,"recheck_suspects":$suspectsJson,"recheck_suspects_dropped":$suspectsDropped,"warm_dirs":$warmJson,"sf":"$sfDir","reps":$REPS}""")
     // LAST line, bounded < 1500 chars BY CONSTRUCTION: the driver
     // archives only the tail of stdout, and in r13 total_compact
     // outgrew the capture window (the recheck metadata it rightly
@@ -488,7 +549,7 @@ object Bench {
     val summaryAdopted = adopted.take(10).map(n => jstr(n.take(40)))
       .mkString("[", ",", "]") +
       (if (adopted.size > 10) s""","adopted_more":${adopted.size - 10}""" else "")
-    println(s"""{"metric":"total_summary","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${finalResults.size},"n_failed":${finalResults.count(_._3.nonEmpty)},"slowest":$summarySlow,"recheck_max_inflation":${math.rint(maxRatio * 1000) / 1000},"recheck_adopted":$summaryAdopted,"isolation":"$isolation","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${finalResults.size},"n_failed":${finalResults.count(_._3.nonEmpty)},"slowest":$summarySlow,"recheck_max_inflation":${math.rint(maxRatioPublished * 1000) / 1000},"recheck_max_raw_inflation":${math.rint(maxRatioRaw * 1000) / 1000},"n_suspects":${suspectNames.size},"recheck_adopted":$summaryAdopted,"isolation":"$isolation","sf":"$sfDir"}""")
   }
 
   /** Fallback when a fork fails: time ONE group in-process with a

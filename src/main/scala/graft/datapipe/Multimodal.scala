@@ -399,14 +399,27 @@ object Multimodal {
     var pos = 12
     var rate = -1
     var fmtCode = -1
+    var bits = -1
     while (pos + 8 <= bytes.length) {
       val id = bb.getInt(pos)
       val sz = bb.getInt(pos + 4)
+      // a corrupt/hostile negative size would advance pos by <= 0
+      // (sz = -8 walks in place — an infinite executor loop) or walk
+      // backwards; the JDK reader this replaced threw on malformed
+      // input, so the fast path must too
+      require(sz >= 0, s"bad RIFF chunk size $sz")
       if (id == 0x20746d66) { // "fmt "
+        require(sz >= 16 && pos + 8 + 16 <= bytes.length,
+          s"truncated fmt chunk (size $sz)")
         fmtCode = bb.getShort(pos + 8).toInt
         rate = bb.getInt(pos + 12)
+        bits = bb.getShort(pos + 22).toInt
       } else if (id == 0x61746164) { // "data"
         require(fmtCode == 1, s"not PCM (fmt $fmtCode)")
+        // the 2-byte sample stride below silently mis-decodes 8- or
+        // 24-bit PCM — fail loudly instead (the scaladoc's PCM16
+        // contract)
+        require(bits == 16, s"not PCM16 ($bits bits/sample)")
         require(rate > 0, "data chunk before fmt chunk")
         val n = math.min(sz, bytes.length - pos - 8) / 2
         val out = new Array[Short](n)

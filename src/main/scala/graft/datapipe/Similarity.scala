@@ -446,12 +446,19 @@ object Similarity {
     * rounded at 6 dp, and a point sitting exactly on its centroid
     * with a = b = 0 reads 0 by convention (guarded, not NaN).
     *
-    * Output: (vec_id, cell, silhouette).
+    * Output: (vec_id, cell, silhouette). `cells = 0` (the default)
+    * self-sizes via [[autoCells]] — a FIXED cell count at 10⁹
+    * vectors is linear-safe here (O(cells·dim) per row) but makes
+    * the readout meaningless (8 cells can't characterize cluster
+    * separation of a billion-vector corpus); holding per-cell
+    * population at ~250 keeps the statistic commensurate with the
+    * IVF index the gate is run for.
     */
-  def silhouette(emb: DataFrame, cells: Int = 8, iters: Int = 3): DataFrame = {
-    require(cells >= 2, s"silhouette needs >= 2 cells, got $cells")
+  def silhouette(emb: DataFrame, cells: Int = 0, iters: Int = 3): DataFrame = {
+    val sized = sizeCells(emb, cells)
+    require(sized >= 2, s"silhouette needs >= 2 cells, got $sized")
     val cents = kmeansCentroids(emb.select(col("vec_id"), col("emb")),
-      cells, iters)
+      sized, iters)
     val withFs = emb.select(col("vec_id"),
       kmeansObjectivesCol(quantize(col("emb")), cents.toSeq).as("fs"))
       .select(col("vec_id"),
@@ -1159,12 +1166,21 @@ object Similarity {
                             threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), col("emb"))
     val q = evalEmb.select(col("eval_id"), col("eval_emb"))
-    e.crossJoin(broadcast(q))
+    // LEFT cross join (not inner): "every corpus vector is scored"
+    // must hold in the degenerate shapes too — an EMPTY eval set
+    // (the inner form dropped every corpus row) and NULL-embedding
+    // rows (null max, so a `!contaminated` filter silently lost them
+    // from the audit) both survive with max_eval_cos null and
+    // contaminated = false. Same single corpus pass and (vec_id,
+    // max) rollup as the inner form — the outer side of a broadcast
+    // nested-loop join costs nothing extra.
+    e.join(broadcast(q), lit(true), "left")
       .withColumn("score",
         round(cosineSimilarity(col("emb"), col("eval_emb")), 4))
       .groupBy(col("vec_id"))
       .agg(max(col("score")).as("max_eval_cos"))
-      .withColumn("contaminated", col("max_eval_cos") >= threshold)
+      .withColumn("contaminated",
+        coalesce(col("max_eval_cos") >= threshold, lit(false)))
   }
 
   /** Embedding near-duplicate pairs: cosine above `threshold`, found

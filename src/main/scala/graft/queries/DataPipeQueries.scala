@@ -5186,19 +5186,9 @@ object DataPipeQueries {
       // file-level COPY — append idempotency is the caller's contract
       // and a re-run must start from the un-appended base
       val cached = ensureMinhashIndexCached(s, d)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_probe_append").toString
-      def copyDir(from: String, to: String): Unit = {
-        val src = java.nio.file.Paths.get(from)
-        java.nio.file.Files.walk(src).forEach { p =>
-          val dst = java.nio.file.Paths.get(to).resolve(src.relativize(p))
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.createDirectories(dst)
-          else java.nio.file.Files.copy(p, dst)
-        }
-      }
-      copyDir(s"$cached/hh", s"$path/hh")
-      copyDir(s"$cached/bb", s"$path/bb")
+      val path = ScratchDirs.freshAppendScratch("graft_probe_append")
+      ScratchDirs.copyDir(s"$cached/hh", s"$path/hh")
+      ScratchDirs.copyDir(s"$cached/bb", s"$path/bb")
       def probe(delta: org.apache.spark.sql.DataFrame) =
         Dedup.minhashProbePrebuilt(s.read.parquet(s"$path/hh"),
           s.read.parquet(s"$path/bb"), delta, "id", "text",

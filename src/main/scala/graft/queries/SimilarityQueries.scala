@@ -1171,9 +1171,13 @@ object SimilarityQueries {
     */
   private val simSilhouette = QueryDef(
     "sim_kmeans_silhouette",
+    // cells = 0 → autoCells (resolves to exactly 8 at both oracle
+    // SFs, so the unrolled 8-cell chain below still matches; at the
+    // sf1 board the readout self-sizes with the corpus — the last
+    // catalog-arg pin of the class the r15 sf1 wave caught)
     (s, d) => Similarity.silhouette(
       embDouble(s, d).select(col("vec_id"), col("emb")),
-      cells = 8, iters = 3),
+      cells = 0, iters = 3),
     Some(s"""WITH ${kmChainCtes("v", "seeds", "s", "embedding", 8, 3, 64)},
       own AS (SELECT vec_id, cell FROM sa3),
       ab AS (SELECT p.vec_id, o.cell,
