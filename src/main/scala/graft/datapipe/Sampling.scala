@@ -375,6 +375,86 @@ object Sampling {
         round(col("u") / col("z").cast("double"), 6).as("weight"))
   }
 
+  /** ITERATED DoReMi ([[doremiWeights]] run to the paper's actual
+    * fixed point — Xie et al. 2023 §3 iterate the multiplicative-
+    * weights update with the excess recomputed per round): at round
+    * r the mixture is q_r(t) = Σ_s w_{r−1,s}·p_s(t) — the
+    * REWEIGHTED distribution, not the corpus marginal the one-round
+    * form scores against — and each source's excess is
+    * KL(p_s ‖ q_r), so a domain the current mixture under-serves
+    * keeps gaining weight until the mixture covers it. Starting
+    * weights are uniform (the engine-exact 1/k), matching the
+    * paper's initialization.
+    *
+    * Convergence shape (RoundSixteenOpsSpec pins it): the update is
+    * mirror ascent on a concave potential, so max_s KL(p_s ‖ q_r)
+    * is driven down and the weight vector stabilizes — successive
+    * L1 weight deltas shrink, and a 2-source corpus converges
+    * toward the KL-equalizing mixture.
+    *
+    * Portability: p_s = c_sw/n_s (one IEEE division of exact
+    * counts); each mixture contribution rounds at 12 dp and sums as
+    * DECIMAL(38,12) (order-independent; 12 dp floors the product —
+    * at w ≥ 1e-6 and p ≥ 1e-6 nothing truncates at fixture scales,
+    * and a corpus big enough to push p_s below ~1e-6 should raise
+    * the scale); KL terms are the 8-dp/DECIMAL(28,8) fold; excess/
+    * u/weight replay the one-round conventions per round. The
+    * oracle unrolls every round.
+    *
+    * Scale shape: ONE token-count shuffle total (the (source, t)
+    * table stages once and every round reuses it); each round is a
+    * vocab-keyed join + two source-dimension rollups with the
+    * (source)-sized weight table broadcast — the chain-of-bounded-
+    * models pattern (sim_pca_top) with the model being k weights.
+    *
+    * Output: (round 1..R, source, kl, excess, weight).
+    */
+  def doremiWeightsIter(docs: DataFrame, textCol: String, sourceCol: String,
+                        rounds: Int = 3, eta: Double = 1.0): DataFrame = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    require(eta > 0, s"DoReMi step size must be positive, got $eta")
+    val tk = docs.select(col(sourceCol).as("source"), explode(filter(
+      split(TextAnalysis.normalize(col(textCol)), " "),
+      t => length(t) > 0)).as("t"))
+    val csw = tk.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c_sw")).stage()
+    val ns = csw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val p = csw.join(broadcast(ns), Seq("source"))
+      .select(col("source"), col("t"),
+        (col("c_sw").cast("double") / col("n_s").cast("double")).as("p"))
+      .stage() // vocab-sized; every round's two joins read it
+    val k = ns.agg(count(lit(1)).as("k"))
+    var w = ns.crossJoin(broadcast(k))
+      .select(col("source"),
+        graft.functions.ExactRound.ratio(lit(1L), col("k"), 8).as("weight"))
+      .stage()
+    val perRound = (1 to rounds).map { r =>
+      val qt = p.join(broadcast(w), Seq("source"))
+        .withColumn("wp",
+          round(col("weight") * col("p"), 12).cast("decimal(38,12)"))
+        .groupBy(col("t")).agg(sum(col("wp")).as("qdec"))
+        .select(col("t"), col("qdec").cast("double").as("q"))
+      val kl = p.join(qt, Seq("t"))
+        .withColumn("term", round(col("p") * log(col("p") / col("q")), 8))
+        .groupBy(col("source"))
+        .agg(sum(col("term").cast("decimal(28,8)")).as("klsum"))
+        .select(col("source"),
+          round(col("klsum"), 6).cast("double").as("kl"))
+      val u = kl.join(broadcast(w), Seq("source"))
+        .withColumn("excess", round(exp(lit(eta) * col("kl")), 6))
+        .withColumn("u", round(col("weight") * col("excess"), 8))
+      val z = u.agg(sum(col("u").cast("decimal(28,8)")).as("z"))
+      val next = u.crossJoin(broadcast(z))
+        .select(col("source"), col("kl"), col("excess"),
+          round(col("u") / col("z").cast("double"), 6).as("weight"))
+        .stage() // source-sized; breaks the cross-round lineage
+      w = next.select(col("source"), col("weight"))
+      next.select(lit(r.toLong).as("round"), col("source"), col("kl"),
+        col("excess"), col("weight"))
+    }
+    perRound.reduce(_ unionByName _)
+  }
+
   /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
     * spread a global token budget as uniformly as possible across
     * sources while never repeating any source more than `epochCap`

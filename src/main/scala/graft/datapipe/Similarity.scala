@@ -31,7 +31,7 @@ object Similarity {
   /** agg(topk) → (q_id, rnk, vec_id, score) rows, ranked best-first
     * with vec_id tie-break.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[datapipe] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("q_id"))
       .agg(TopK.topK(k)(col("vec_id"), col("score")).as("top"))
       .select(col("q_id"), posexplode(col("top")))
@@ -1073,6 +1073,36 @@ object Similarity {
     refineStage(approx, emb, queries, k, refine)
   }
 
+  /** Metadata-FILTERED search over the COMPRESSED index — the
+    * vector-database serving plan at 100 TB ("top-k WHERE predicate"
+    * against PQ codes): the codebooks and codes are trained on the
+    * FULL corpus (the index predates any query's predicate — a
+    * per-predicate retrain is the shape no serving system ships),
+    * and the `allowed` id set restricts candidates with a left-semi
+    * join BEFORE ADC scoring. This is PRE-filtering: the top-k is
+    * exact over the allowed subset's approximate scores, so the
+    * post-filter recall hole of filter-after-search engines (k
+    * results fetched, then filtered to < k survivors) cannot arise.
+    * The scan side touches only `subspaces`-byte codes until the
+    * bounded exact rescore, exactly as [[pqTopK]]; the semi-join is
+    * id-skinny (typically a pushed-down metadata scan's output) and
+    * prunes with the predicate's selectivity.
+    */
+  def filteredPqTopK(emb: DataFrame, allowed: DataFrame, queries: DataFrame,
+                     k: Int, subspaces: Int = 8, kcents: Int = 16,
+                     iters: Int = 2, refine: Int = 4): DataFrame = {
+    val subDim = pqSubDim(emb, subspaces)
+    val cents = pqCodebooks(emb.select(col("vec_id"), col("emb")),
+      subspaces, kcents, iters)
+    val codes = emb.select(col("vec_id"), pqCodeCol(cents, subDim).as("code"))
+      .join(allowed, Seq("vec_id"), "left_semi")
+    val qLuts = queries.select(col("q_id") +: pqLutCols(cents, subDim): _*)
+    val approx = codes
+      .join(broadcast(qLuts), col("vec_id") =!= col("q_id"))
+      .withColumn("ascore", -pqAdistCol(subspaces))
+    refineStage(approx, emb, queries, k, refine)
+  }
+
   /** IVF-PQ — the two quantizers composed the way production ANN
     * engines ship them: the k-means coarse quantizer prunes the
     * search to each query's `nprobe` nearest cells, and PQ's ADC
@@ -1179,6 +1209,32 @@ object Similarity {
         round(cosineSimilarity(col("emb"), col("eval_emb")), 4))
       .groupBy(col("vec_id"))
       .agg(max(col("score")).as("max_eval_cos"))
+      .withColumn("contaminated",
+        coalesce(col("max_eval_cos") >= threshold, lit(false)))
+  }
+
+  /** FROZEN/INLINE twin of [[decontaminateSemantic]] — the stream-
+    * deploy shape (the text_perplexity_inline / text_classifier_
+    * inline convention): the eval set is collected ONCE driver-side
+    * (bounded — eval sets are thousands of rows at any corpus
+    * scale; the same boundedness that justifies the batch form's
+    * broadcast) and inlined as literal vectors, so the verdict is a
+    * single shuffle-free per-row projection that Structured
+    * Streaming runs in Append mode — the live ingest-time
+    * decontamination gate. Scores, max, and verdicts replay the
+    * batch form's exact arithmetic (4-dp cosines; array_max skips
+    * nulls exactly as the aggregate max does), so stream == batch
+    * row-for-row (StreamingSpec certifies it).
+    */
+  def decontaminateSemanticInline(emb: DataFrame, evalEmb: DataFrame,
+                                  threshold: Double): DataFrame = {
+    val evals: Seq[Seq[Double]] = evalEmb.select(col("eval_emb"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val maxCos =
+      if (evals.isEmpty) lit(null).cast("double")
+      else array_max(array(evals.map(ev =>
+        round(cosineSimilarity(col("emb"), typedlit(ev)), 4)): _*))
+    emb.select(col("vec_id"), maxCos.as("max_eval_cos"))
       .withColumn("contaminated",
         coalesce(col("max_eval_cos") >= threshold, lit(false)))
   }

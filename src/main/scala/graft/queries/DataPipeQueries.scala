@@ -563,6 +563,54 @@ object DataPipeQueries {
         round(u / CAST(z AS DOUBLE), 6) AS weight
       FROM uu, zz"""))
 
+  /** T192: ITERATED DoReMi ([[graft.datapipe.Sampling
+    * .doremiWeightsIter]]) — 3 multiplicative-weights rounds with the
+    * excess KL recomputed against the REWEIGHTED mixture each round
+    * (Xie et al. 2023 run the update to convergence; the one-round
+    * `mix_doremi` scores against the corpus marginal once). The
+    * oracle unrolls every round: the 12-dp/decimal mixture fold, the
+    * 8-dp KL terms, the 6-dp exp, the 8-dp products, the decimal
+    * normalizer, and the 6-dp weight — a hash match certifies the
+    * whole trajectory, not just the final weights.
+    */
+  private def doremiIterRoundSql(r: Int): String = s"""
+      q$r AS MATERIALIZED (SELECT p.t,
+          CAST(SUM(CAST(round(w.weight * p.p, 12) AS DECIMAL(38,12))) AS DOUBLE) AS q
+        FROM pp p JOIN w${r - 1} w USING (source) GROUP BY 1),
+      klr$r AS MATERIALIZED (SELECT p.source,
+          CAST(round(SUM(CAST(round(p.p * ln(p.p / q.q), 8) AS DECIMAL(28,8))), 6) AS DOUBLE) AS kl
+        FROM pp p JOIN q$r q USING (t) GROUP BY 1),
+      uu$r AS MATERIALIZED (SELECT k.source, k.kl,
+          round(exp(1.0 * k.kl), 6) AS excess,
+          round(w.weight * round(exp(1.0 * k.kl), 6), 8) AS u
+        FROM klr$r k JOIN w${r - 1} w USING (source)),
+      zz$r AS (SELECT SUM(CAST(u AS DECIMAL(28,8))) AS z FROM uu$r),
+      w$r AS MATERIALIZED (SELECT source, kl, excess,
+          round(u / CAST(z AS DOUBLE), 6) AS weight FROM uu$r, zz$r)"""
+
+  private val mixDoremiIter = QueryDef(
+    "mix_doremi_iter",
+    (s, d) => graft.datapipe.Sampling.doremiWeightsIter(
+      Tables.documents(s, d), "text", "source", rounds = 3),
+    Some(s"""WITH tk AS (SELECT source, u.t AS t
+        FROM (SELECT source,
+          list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+            x -> len(x) > 0) AS w FROM documents), UNNEST(w) u(t)),
+      csw AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c_sw
+        FROM tk GROUP BY 1, 2),
+      nss AS (SELECT source, SUM(c_sw) AS n_s FROM csw GROUP BY 1),
+      pp AS MATERIALIZED (SELECT csw.source, csw.t,
+          CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE) AS p
+        FROM csw JOIN nss USING (source)),
+      kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM nss),
+      w0 AS MATERIALIZED (SELECT source,
+          ((200000000 + k) // (2 * k)) / CAST(100000000 AS DOUBLE) AS weight
+        FROM nss, kk),
+      ${(1 to 3).map(doremiIterRoundSql).mkString(",")}
+      ${(1 to 3).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, source, kl, excess, weight FROM w$r")
+        .mkString("\n      UNION ALL\n      ")}"""))
+
   /** Reciprocal-rank fusion of three quality signals' top-100 lists:
     * stopword ratio (desc — the natural-language signal), bigram-LM
     * perplexity (asc), top-word repetition share (asc). The oracle
@@ -7197,7 +7245,7 @@ object DataPipeQueries {
     prefWinrate, prefBtSources, canaryAudit, mixAblationKl,
     clfCalibration, rlAdvantage, dedupSentences, sourceReport,
     evalPassAtK,
-    sftFim, prefBestOfN, mixDoremi, clfTemperature,
+    sftFim, prefBestOfN, mixDoremi, mixDoremiIter, clfTemperature,
     sftLossMask, vocabHeaps, textRobustOutliers, prefLengthBias,
     prefKappa, textCollocations, clfLabelNoise, evalBootstrapCi,
     prefFleiss, splitLeakage, mixEpochSchedule,

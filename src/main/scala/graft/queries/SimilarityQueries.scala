@@ -542,7 +542,9 @@ object SimilarityQueries {
   }
 
   private def pqOracleSql(subspaces: Int, subDim: Int, kc: Int, iters: Int,
-                          kTop: Int, refine: Int): String = {
+                          kTop: Int, refine: Int,
+                          extraCtes: String = "",
+                          codesRestrict: String = ""): String = {
     def subspaceCtes(s: Int) = {
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
@@ -560,8 +562,9 @@ object SimilarityQueries {
       else s"JOIN lut$s l$s ON l$s.q_id = l0.q_id AND l$s.cell = c.c$s"
     }.mkString(" ")
     val adistSum = (0 until subspaces).map(s => s"l$s.f").mkString(" + ")
-    s"""WITH ${(0 until subspaces).map(subspaceCtes).mkString(",")},
-      codes AS MATERIALIZED (SELECT a0.vec_id, $codeCols FROM s0a$iters a0 $codesJoin),
+    s"""WITH ${(0 until subspaces).map(subspaceCtes).mkString(",")}${
+        if (extraCtes.nonEmpty) s",\n      $extraCtes" else ""},
+      codes AS MATERIALIZED (SELECT a0.vec_id, $codeCols FROM s0a$iters a0 $codesJoin $codesRestrict),
       $luts,
       scored AS MATERIALIZED (SELECT l0.q_id, c.vec_id, $adistSum AS adist
         FROM codes c $lutJoins WHERE c.vec_id <> l0.q_id),
@@ -1486,6 +1489,168 @@ object SimilarityQueries {
         END AS anisotropy
       FROM tot, ts"""))
 
+  /** Content-keyed cache path for the fixture's materialized vector
+    * index (the [[DataPipeQueries]] minhash-index convention, keyed
+    * on the embeddings table's file stats): one build amortizes
+    * across the materialized-probe and append entries AND bench reps.
+    */
+  private def vecIndexCachePath(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
+      else Seq(f)
+    val src = walk(new java.io.File(d, "embeddings.parquet"))
+      .sortBy(_.getPath)
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|$src".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    s"${sys.props("java.io.tmpdir")}/graft_vec_index_$h"
+  }
+
+  private def ensureVecIndexCached(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = vecIndexCachePath(d)
+    if (!new java.io.File(s"$path/centroids", "_SUCCESS").exists() ||
+      !new java.io.File(s"$path/vectors", "_SUCCESS").exists())
+      graft.datapipe.VectorIndex.build(
+        embDouble(s, d).select(col("vec_id"), col("emb")),
+        path, cells = 0, iters = 3)
+    path
+  }
+
+  /** Stored-index serving ([[graft.datapipe.VectorIndex.probe]]):
+    * top-5 over nprobe = 3 probed cells answered from the
+    * MATERIALIZED index — no training job runs in the entry's query
+    * path (the build amortizes in the content-keyed cache exactly
+    * like the minhash index). The oracle replays the full trainer +
+    * probe + rescore chain, so a hash match certifies that serving
+    * from the stored (centroids, cell-partitioned vectors) parquet
+    * is indistinguishable from the retrain path — materialization
+    * must be invisible in the output (the dedup_probe_materialized
+    * contract, vector edition).
+    */
+  private val simIndexMaterialized = QueryDef(
+    "sim_index_materialized",
+    (s, d) => {
+      val path = ensureVecIndexCached(s, d)
+      val q = embDouble(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      graft.datapipe.VectorIndex.probe(s, path, q, 5, nprobe = 3)
+    },
+    Some(s"""WITH ${kmChainCtes("miv", "miseeds", "mi", "embedding", 8, 3, 64)},
+      micell AS MATERIALIZED (SELECT vec_id, cell FROM mia3),
+      miprobes AS MATERIALIZED (SELECT q_id, cell FROM (
+          SELECT vec_id AS q_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+          FROM mip3 WHERE vec_id < 10) t WHERE rn <= 3),
+      e AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      scored AS MATERIALIZED (SELECT pr.q_id, g.vec_id,
+          round(list_cosine_similarity(qe.emb, ce.emb), 4) AS score
+        FROM miprobes pr
+        JOIN micell g ON g.cell = pr.cell AND g.vec_id <> pr.q_id
+        JOIN e qe ON qe.vec_id = pr.q_id
+        JOIN e ce ON ce.vec_id = g.vec_id),
+      ranked AS MATERIALIZED (SELECT q_id, vec_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
+
+  /** The APPEND leg of the stored-index lifecycle
+    * ([[graft.datapipe.VectorIndex.append]]): +0.01-shifted twins of
+    * every %5 vector (ids +1000000) fold into a COPY of the cached
+    * index — assigned with the STORED centroids, no retrain — and
+    * the probe then runs over base ∪ delta. Queries 0 and 5 MUST
+    * retrieve their appended twins (cos ≈ 0.997, rank 1 — those
+    * index entries exist only via the append), certifying that an
+    * appended index is indistinguishable from a from-scratch build
+    * over the union. The oracle replays the trainer, the delta's
+    * stored-centroid assignment (objective vs the FINAL centroid
+    * table), and the union-side probe/rescore.
+    */
+  private val simIndexAppend = QueryDef(
+    "sim_index_append",
+    (s, d) => {
+      val cached = ensureVecIndexCached(s, d)
+      val path = ScratchDirs.freshAppendScratch("graft_vec_index_append")
+      ScratchDirs.copyDir(s"$cached/centroids", s"$path/centroids")
+      ScratchDirs.copyDir(s"$cached/vectors", s"$path/vectors")
+      val e = embDouble(s, d)
+      val delta = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("emb"), x => x + lit(0.01)).as("emb"))
+      graft.datapipe.VectorIndex.append(s, path, delta)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      graft.datapipe.VectorIndex.probe(s, path, q, 5, nprobe = 3)
+    },
+    Some(s"""WITH ${kmChainCtes("iav", "iaseeds", "ia", "embedding", 8, 3, 64)},
+      iacell AS MATERIALIZED (SELECT vec_id, cell FROM iaa3),
+      dv AS MATERIALIZED (SELECT vec_id + 1000000 AS vec_id,
+          list_transform(embedding,
+            x -> CAST(round((CAST(x AS DOUBLE) + 0.01) * 1000) AS BIGINT)) AS q
+        FROM embeddings WHERE vec_id % 5 = 0),
+      dp AS MATERIALIZED (SELECT d.vec_id, c.cell,
+          CAST(list_sum(list_transform(list_zip(d.q, c.s),
+               z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS DOUBLE)
+            / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) AS f
+        FROM dv d, iac2 c),
+      da AS MATERIALIZED (SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+          FROM dp) t WHERE rn = 1),
+      allcell AS MATERIALIZED (SELECT vec_id, cell FROM iacell
+        UNION ALL SELECT vec_id, cell FROM da),
+      e2 AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+        UNION ALL SELECT vec_id + 1000000,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01)
+        FROM embeddings WHERE vec_id % 5 = 0),
+      probes AS MATERIALIZED (SELECT q_id, cell FROM (
+          SELECT vec_id AS q_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+          FROM iap3 WHERE vec_id < 10) t WHERE rn <= 3),
+      scored AS MATERIALIZED (SELECT pr.q_id, g.vec_id,
+          round(list_cosine_similarity(qe.emb, ce.emb), 4) AS score
+        FROM probes pr
+        JOIN allcell g ON g.cell = pr.cell AND g.vec_id <> pr.q_id
+        JOIN e2 qe ON qe.vec_id = pr.q_id
+        JOIN e2 ce ON ce.vec_id = g.vec_id),
+      ranked AS MATERIALIZED (SELECT q_id, vec_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
+
+  /** Pre-filtered search over the PQ codes
+    * ([[Similarity.filteredPqTopK]]): top-5 among the ENGLISH
+    * documents' vectors, scored by ADC over codes trained on the
+    * FULL corpus (the index predates the predicate), with the
+    * metadata restriction semi-joined BEFORE scoring — no
+    * post-filter recall hole. The oracle replays the full-corpus
+    * codebook training, the candidate restriction, ADC, and the
+    * exact rescore.
+    */
+  private val simFilteredPq = QueryDef(
+    "sim_filtered_pq",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val allowed = Tables.documents(s, d)
+        .filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.filteredPqTopK(e, allowed, q, 5)
+    },
+    Some(pqOracleSql(subspaces = 8, subDim = 8, kc = 16, iters = 2,
+      kTop = 5, refine = 4,
+      extraCtes = """allowed AS MATERIALIZED (SELECT doc_id AS vec_id
+        FROM documents WHERE lang = 'en')""",
+      codesRestrict = "JOIN allowed USING (vec_id)")))
+
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfRecall, simIvfKmeans,
       simKnnGraph,
@@ -1497,5 +1662,6 @@ object SimilarityQueries {
       multimodalAudioResample, e2eMultimodalGate, simBitextMargin,
       simFilteredTopK, hybridRetrieval, simMmrRerank, simSilhouette,
       simSourceDrift, simPcaTop, simPcaSpectrum, simHardNegatives,
-      packCoherent, simMatryoshka, simAnisotropy)
+      packCoherent, simMatryoshka, simAnisotropy,
+      simIndexMaterialized, simIndexAppend, simFilteredPq)
 }

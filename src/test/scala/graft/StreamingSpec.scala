@@ -1451,4 +1451,78 @@ class StreamingSpec extends SparkSpec {
     assert(keyed(spark.table("mcnemar_stream").collect()) ===
       keyed(mk(rows.toDF("grp", "gold", "pa", "pb")).collect()))
   }
+
+  test("semantic decontamination gate streams statelessly (inline " +
+    "eval set) and matches the batch twin row-for-row") {
+    // the T191 deploy shape: the eval set freezes into literal
+    // vectors (decontaminateSemanticInline), the verdict becomes one
+    // shuffle-free Append-mode projection, and every score/verdict
+    // must equal the batch broadcast-scored form — the live
+    // ingest-time leakage gate
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.Similarity
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.99, 0.1, 0.0)), (4L, Seq(0.5, 0.5, 0.7)),
+      (5L, Seq(-1.0, 0.0, 0.0)))
+    val evalSet = Seq((100L, Seq(1.0, 0.01, 0.0)), (101L, Seq(0.0, 0.0, 1.0)))
+      .toDF("eval_id", "eval_emb")
+    val batch = Similarity.decontaminateSemantic(
+        vecs.toDF("vec_id", "emb"), evalSet, 0.95)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val in = MemoryStream[(Long, Seq[Double])]
+    val streamed = Similarity.decontaminateSemanticInline(
+      in.toDF().toDF("vec_id", "emb"), evalSet, 0.95)
+    val q = streamed.writeStream.format("memory")
+      .queryName("decontam_stream").outputMode(OutputMode.Append).start()
+    in.addData(vecs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(vecs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("decontam_stream").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got === batch)
+    assert(got(1L)(1) === true && got(2L)(1) === false,
+      "the near-eval vector flags, the orthogonal one does not")
+    // inline == batch under the degenerate shapes too
+    val empty = Similarity.decontaminateSemanticInline(
+      vecs.toDF("vec_id", "emb"),
+      evalSet.filter(col("eval_id") < 0), 0.95).collect()
+    assert(empty.length === vecs.size &&
+      empty.forall(r => r.isNullAt(1) && !r.getBoolean(2)),
+      "an empty eval set must verdict every vector contaminated=false")
+  }
+
+  test("BLEU/ROUGE pair scoring deploys via foreachBatch and is " +
+    "batch-boundary invariant — the live SFT-eval monitor") {
+    // bleuRouge aggregates only WITHIN a pair (gram counts keyed on
+    // pid), so scoring each micro-batch independently is exact: the
+    // accumulated stream output across two differently-split batches
+    // must equal the one-shot batch twin row-for-row
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.Relevance
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on the mat"),
+      (2L, "a dog ran fast", "the dog ran very fast indeed"),
+      (3L, "completely unrelated words here", "nothing matches at all"),
+      (4L, "", "an empty candidate"))
+    def keyed(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val batch = keyed(Relevance.bleuRouge(
+      pairs.toDF("id", "cand", "ref"), "id", "cand", "ref").collect())
+    val outDir = Files.createTempDirectory("graft_bleu_stream").toString
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDF().toDF("id", "cand", "ref").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Relevance.bleuRouge(b, "id", "cand", "ref")
+          .write.mode("append").parquet(outDir)
+      }.start()
+    in.addData(pairs.take(1): _*)
+    q.processAllAvailable()
+    in.addData(pairs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(keyed(spark.read.parquet(outDir).collect()) === batch)
+  }
 }
