@@ -927,7 +927,7 @@ object Similarity {
     * final top-k. `approx` must carry (q_id, vec_id, ascore) with
     * HIGHER ascore = better.
     */
-  private def refineStage(approx: DataFrame, emb: DataFrame,
+  private[datapipe] def refineStage(approx: DataFrame, emb: DataFrame,
                           queries: DataFrame, k: Int, refine: Int): DataFrame = {
     val candidates = approx.groupBy(col("q_id"))
       .agg(TopK.topK(k * refine)(col("vec_id"), col("ascore")).as("top"))
@@ -1029,7 +1029,7 @@ object Similarity {
   }
 
   /** Subspace width, validated. */
-  private def pqSubDim(emb: DataFrame, subspaces: Int): Int = {
+  private[datapipe] def pqSubDim(emb: DataFrame, subspaces: Int): Int = {
     val dim = emb.select(size(col("emb")).as("d")).head().getInt(0)
     require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
     dim / subspaces
@@ -1041,18 +1041,18 @@ object Similarity {
     * between the tiers. Column-name contract: `emb` on the corpus
     * side, `q_emb` on the query side, `code`/`lut_s` downstream.
     */
-  private def pqCodeCol(cents: IndexedSeq[Seq[(Array[Long], Long)]],
+  private[datapipe] def pqCodeCol(cents: IndexedSeq[Seq[(Array[Long], Long)]],
                         subDim: Int): Column =
     array(cents.indices.map(s => kmeansAssignCol(
       quantize(slice(col("emb"), s * subDim + 1, subDim)), cents(s))): _*)
 
-  private def pqLutCols(cents: IndexedSeq[Seq[(Array[Long], Long)]],
+  private[datapipe] def pqLutCols(cents: IndexedSeq[Seq[(Array[Long], Long)]],
                         subDim: Int): Seq[Column] =
     cents.indices.map(s => kmeansObjectivesCol(
       quantize(slice(col("q_emb"), s * subDim + 1, subDim)), cents(s))
       .as(s"lut_$s"))
 
-  private def pqAdistCol(subspaces: Int): Column =
+  private[datapipe] def pqAdistCol(subspaces: Int): Column =
     (0 until subspaces).map(s =>
       element_at(col(s"lut_$s"), (col("code").getItem(s) + 1).cast("int")))
       .reduce(_ + _)

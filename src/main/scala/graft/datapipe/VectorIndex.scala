@@ -98,6 +98,113 @@ object VectorIndex {
       .parquet(s"$path/vectors")
   }
 
+  /** Train and persist the COMPRESSED index — coarse quantizer plus
+    * PQ codebooks and per-vector codes, the full IVF-PQ serving
+    * artifact: `<path>/centroids` and a cell-partitioned
+    * `<path>/vectors` as in [[build]], but each vector row also
+    * carries its `subspaces`-int PQ `code`, and
+    * `<path>/codebooks` stores the per-subspace (cell, s, n) exact
+    * integer codebooks. At 100 TB the probe's stage-1 scan projects
+    * ONLY (vec_id, code) — parquet column pruning makes the
+    * 4-byte-code memory-bandwidth claim real on the stored layout —
+    * and the full vectors are read only for the bounded exact
+    * rescore.
+    */
+  def buildPq(emb: DataFrame, path: String, cells: Int = 0,
+              iters: Int = 3, subspaces: Int = 8, kcents: Int = 16,
+              pqIters: Int = 2): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), col("emb"))
+    val sized =
+      if (cells > 0) cells
+      else Similarity.autoCells(e.filter(col("emb").isNotNull).count())
+    val coarse = Similarity.kmeansCentroids(e, sized, iters)
+    coarse.zipWithIndex
+      .map { case ((s, n), c) => (c.toLong, s.toSeq, n) }
+      .toSeq.toDF("cell", "s", "n")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val subDim = Similarity.pqSubDim(e, subspaces)
+    val cbs = Similarity.pqCodebooks(e, subspaces, kcents, pqIters)
+    cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case ((sv, n), c) =>
+        (s.toLong, c.toLong, sv.toSeq, n) }
+    }.toSeq.toDF("subspace", "cell", "s", "n")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    e.select(col("vec_id"), col("emb"),
+        Similarity.pqCodeCol(cbs, subDim).as("code"),
+        Similarity.kmeansAssignCol(Similarity.quantize(col("emb")),
+          coarse.toSeq).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/vectors")
+  }
+
+  /** The stored PQ codebooks, (subspace, cell)-ordered. */
+  def loadCodebooks(spark: SparkSession,
+                    path: String): IndexedSeq[Seq[(Array[Long], Long)]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("subspace"), col("cell"))
+      .select(col("subspace"), col("s"), col("n"))
+      .as[(Long, Seq[Long], Long)].collect()
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map { case (_, s, n) => (s.toArray, n) }.toSeq }
+  }
+
+  /** Fold `delta` into the stored COMPRESSED index: assign with the
+    * stored coarse centroids AND encode with the stored codebooks —
+    * both one delta-sized projection — then parquet-append. No
+    * retrain of either quantizer.
+    */
+  def appendPq(spark: SparkSession, path: String, delta: DataFrame): Unit = {
+    val coarse = loadCentroids(spark, path)
+    val cbs = loadCodebooks(spark, path)
+    val subDim = cbs.head.head._1.length
+    delta.select(col("vec_id"), col("emb"),
+        Similarity.pqCodeCol(cbs, subDim).as("code"),
+        Similarity.kmeansAssignCol(Similarity.quantize(col("emb")),
+          coarse).as("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/vectors")
+  }
+
+  /** IVF-PQ serving from the STORED index — row-identical to
+    * [[Similarity.ivfPqTopK]] (VectorIndexSpec pins it) with zero
+    * training jobs: stored centroids rank each query's `nprobe`
+    * cells, the partition-pruned scan projects only (vec_id, code)
+    * for ADC against the query's stored-codebook lookup tables, and
+    * the `refine·k` survivors rescore exact from the same table's
+    * `emb` column (a second pruned scan bounded by the candidate
+    * set).
+    */
+  def probePq(spark: SparkSession, path: String, queries: DataFrame,
+              k: Int, nprobe: Int = 3, refine: Int = 4): DataFrame = {
+    val coarse = loadCentroids(spark, path)
+    val cbs = loadCodebooks(spark, path)
+    val subspaces = cbs.size
+    val subDim = cbs.head.head._1.length
+    val qLuts = queries.select(
+      Seq(col("q_id"),
+        explode(Similarity.kmeansProbesCol(Similarity.quantize(col("q_emb")),
+          coarse, nprobe)).as("q_cell")) ++
+        Similarity.pqLutCols(cbs, subDim): _*)
+    val probed = qLuts.select(col("q_cell")).distinct()
+      .collect().map(_.getLong(0).toInt).toSeq
+    val codes = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isInCollection(probed))
+      .select(col("vec_id"), col("code"), col("cell").cast("long").as("cell"))
+    val approx = codes
+      .join(broadcast(qLuts),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("ascore", -Similarity.pqAdistCol(subspaces))
+    Similarity.refineStage(approx,
+      spark.read.parquet(s"$path/vectors").select(col("vec_id"), col("emb")),
+      queries, k, refine)
+  }
+
   /** Serve top-k from the STORED index: queries probe their `nprobe`
     * nearest cells by the stored centroids' exact objective
     * ([[Similarity.kmeansProbesCol]] — the same arithmetic the

@@ -1625,6 +1625,35 @@ object SimilarityQueries {
         FROM scored)
       SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
 
+  /** IVF-PQ served from the STORED compressed index
+    * ([[graft.datapipe.VectorIndex.probePq]]): centroids, codebooks,
+    * and per-vector codes all come back from parquet — no quantizer
+    * trains in the query path — and the result must be row-identical
+    * to the in-query [[Similarity.ivfPqTopK]], so the oracle is
+    * EXACTLY sim_ivfpq_topk's full-trainer replay: a hash match
+    * certifies that the stored (centroids, codebooks, codes) are
+    * bit-faithful artifacts of the training they claim to persist.
+    */
+  private val simIndexPqProbe = QueryDef(
+    "sim_index_pq_probe",
+    (s, d) => {
+      val path = vecIndexCachePath(d) + "_pq"
+      if (!new java.io.File(s"$path/centroids", "_SUCCESS").exists() ||
+        !new java.io.File(s"$path/codebooks", "_SUCCESS").exists() ||
+        !new java.io.File(s"$path/vectors", "_SUCCESS").exists())
+        graft.datapipe.VectorIndex.buildPq(
+          embDouble(s, d).select(col("vec_id"), col("emb")),
+          path, cells = 0, iters = 3, subspaces = 8, kcents = 16,
+          pqIters = 2)
+      val q = embDouble(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      graft.datapipe.VectorIndex.probePq(s, path, q, 5, nprobe = 3,
+        refine = 4)
+    },
+    Some(ivfPqOracleSql(coarseCells = 8, coarseIters = 3, nprobe = 3,
+      subspaces = 8, subDim = 8, kc = 16, iters = 2, kTop = 5,
+      refine = 4)))
+
   /** Pre-filtered search over the PQ codes
     * ([[Similarity.filteredPqTopK]]): top-5 among the ENGLISH
     * documents' vectors, scored by ADC over codes trained on the
@@ -1663,5 +1692,5 @@ object SimilarityQueries {
       simFilteredTopK, hybridRetrieval, simMmrRerank, simSilhouette,
       simSourceDrift, simPcaTop, simPcaSpectrum, simHardNegatives,
       packCoherent, simMatryoshka, simAnisotropy,
-      simIndexMaterialized, simIndexAppend, simFilteredPq)
+      simIndexMaterialized, simIndexAppend, simIndexPqProbe, simFilteredPq)
 }

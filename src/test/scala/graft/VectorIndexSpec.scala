@@ -98,6 +98,60 @@ class VectorIndexSpec extends SparkSpec {
     assert(assignedStored === fresh)
   }
 
+  test("probePq from the stored compressed index is row-identical to " +
+    "the ivfPqTopK retrain path, and its stage-1 scan prunes " +
+    "partitions while projecting only (vec_id, code)") {
+    val e = fixtureEmb
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vecidx_pq").toString
+    VectorIndex.buildPq(e, dir, cells = 8, iters = 3,
+      subspaces = 8, kcents = 16, pqIters = 2)
+    val probe = VectorIndex.probePq(spark, dir, q, 5, nprobe = 3, refine = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows(probe) === rows(Similarity.ivfPqTopK(e, q, 5)),
+      "stored (centroids, codebooks, codes) must reproduce the " +
+        "in-query IVF-PQ exactly")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(" IN ("),
+      s"stage-1 scan must prune cells:\n${plan.take(3000)}")
+    // the ADC scan must NOT read the emb column — column pruning is
+    // what makes codes-only bandwidth real on the stored layout
+    val adcScans = plan.split("FileScan parquet").filter(_.contains("code"))
+    assert(adcScans.exists(s => s.contains("ReadSchema") &&
+      !s.split("ReadSchema")(1).takeWhile(_ != ']').contains("emb")),
+      s"ADC scan must project codes without emb:\n${plan.take(3000)}")
+  }
+
+  test("appendPq encodes the delta with the stored codebooks " +
+    "(delta-sized, no retrain) and appended vectors serve") {
+    val e = fixtureEmb
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vecidx_pq_append").toString
+    VectorIndex.buildPq(e, dir, cells = 8, iters = 3)
+    val cbsBefore = VectorIndex.loadCodebooks(spark, dir)
+    val delta = e.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("emb"))
+    VectorIndex.appendPq(spark, dir, delta)
+    val cbsAfter = VectorIndex.loadCodebooks(spark, dir)
+    assert(cbsBefore.size === cbsAfter.size &&
+      cbsBefore.zip(cbsAfter).forall { case (a, b) =>
+        a.zip(b).forall { case (x, y) =>
+          x._1.sameElements(y._1) && x._2 == y._2 } },
+      "append must not touch the stored codebooks")
+    // the exact twin shares cell AND code with the original, so the
+    // ADC stage surfaces it and the rescore ranks it first
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val top = VectorIndex.probePq(spark, dir, q, 3, nprobe = 3)
+      .orderBy(col("rnk")).collect()
+    assert(top.head.getLong(2) === 1000000L && top.head.getDouble(3) === 1.0,
+      s"the appended exact twin must rank first: ${top.mkString(", ")}")
+  }
+
   test("filteredPqTopK: every hit is allowed and equals the exhaustive " +
     "filtered rescore over its own candidates") {
     val e = fixtureEmb
