@@ -205,6 +205,34 @@ object VectorIndex {
       queries, k, refine)
   }
 
+  /** Index-HEALTH readout over the stored index — the "when to
+    * retrain" gate a production ANN stack runs after sustained
+    * [[append]]s: per-cell population, corpus share, and skew
+    * (population ÷ the uniform expectation). Appends never move
+    * centroids, so drifting ingest concentrates into few cells;
+    * skew ≫ 1 on hot cells means probe candidate lists grow past
+    * the ~250/cell design point and the operator should rebuild
+    * (and [[Similarity.silhouette]] quantifies the separation loss).
+    * One aggregation whose scan projects ONLY the partition column —
+    * at 100 TB the counts come from parquet metadata-cheap cell
+    * directories, never the vector payload. Ratios are engine-exact
+    * ([[graft.functions.ExactRound.ratio]]).
+    *
+    * Output: (cell, n_vecs, share, skew) — 6-dp ratios.
+    */
+  def indexStats(spark: SparkSession, path: String): DataFrame = {
+    val cells = spark.read.parquet(s"$path/vectors")
+      .select(col("cell").cast("long").as("cell"))
+    val g = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val t = g.agg(sum(col("n_vecs")).as("tot"), count(lit(1)).as("k"))
+    g.crossJoin(broadcast(t))
+      .select(col("cell"), col("n_vecs"),
+        graft.functions.ExactRound.ratio(col("n_vecs"), col("tot"), 6)
+          .as("share"),
+        graft.functions.ExactRound.ratio(col("n_vecs") * col("k"),
+          col("tot"), 6).as("skew"))
+  }
+
   /** Serve top-k from the STORED index: queries probe their `nprobe`
     * nearest cells by the stored centroids' exact objective
     * ([[Similarity.kmeansProbesCol]] — the same arithmetic the

@@ -1625,6 +1625,27 @@ object SimilarityQueries {
         FROM scored)
       SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
 
+  /** Index-health readout over the stored index
+    * ([[graft.datapipe.VectorIndex.indexStats]]): per-cell
+    * population, share, and skew — the rebuild trigger consulted
+    * after sustained appends. The oracle replays the trainer and
+    * derives the same counts from the final assignment, so a hash
+    * match certifies the stored cell layout matches the training it
+    * claims.
+    */
+  private val simIndexStats = QueryDef(
+    "sim_index_stats",
+    (s, d) => graft.datapipe.VectorIndex.indexStats(
+      s, ensureVecIndexCached(s, d)),
+    Some(s"""WITH ${kmChainCtes("siv", "siseeds", "si", "embedding", 8, 3, 64)},
+      g AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM sia3 GROUP BY 1),
+      t AS (SELECT SUM(n_vecs) AS tot, CAST(COUNT(*) AS BIGINT) AS k FROM g)
+      SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
+        ((2 * n_vecs * 1000000 + tot) // (2 * tot)) / 1000000.0 AS share,
+        ((2 * n_vecs * k * 1000000 + tot) // (2 * tot)) / 1000000.0 AS skew
+      FROM g, t"""))
+
   /** IVF-PQ served from the STORED compressed index
     * ([[graft.datapipe.VectorIndex.probePq]]): centroids, codebooks,
     * and per-vector codes all come back from parquet — no quantizer
@@ -1692,5 +1713,6 @@ object SimilarityQueries {
       simFilteredTopK, hybridRetrieval, simMmrRerank, simSilhouette,
       simSourceDrift, simPcaTop, simPcaSpectrum, simHardNegatives,
       packCoherent, simMatryoshka, simAnisotropy,
-      simIndexMaterialized, simIndexAppend, simIndexPqProbe, simFilteredPq)
+      simIndexMaterialized, simIndexAppend, simIndexPqProbe, simIndexStats,
+      simFilteredPq)
 }

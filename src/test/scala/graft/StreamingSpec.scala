@@ -1525,4 +1525,39 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(keyed(spark.read.parquet(outDir).collect()) === batch)
   }
+
+  test("stored vector index serves a query STREAM (foreachBatch probe) " +
+    "— accumulated results equal the one-shot batch probe") {
+    // the live-retrieval deploy shape: the index is a frozen parquet
+    // artifact, queries arrive on a stream, each micro-batch probes
+    // independently — correct because a probe is query-local, so
+    // batch boundaries cannot change any result row
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.VectorIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val dir = Files.createTempDirectory("graft_vecidx_stream").toString
+    VectorIndex.build(emb, dir, cells = 8, iters = 3)
+    val queries = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    def keyed(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val batch = keyed(VectorIndex.probe(spark, dir, queries, 3, nprobe = 2)
+      .collect())
+    val qRows = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val outDir = Files.createTempDirectory("graft_vecidx_stream_out").toString
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = in.toDF().toDF("q_id", "q_emb").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        VectorIndex.probe(spark, dir, b, 3, nprobe = 2)
+          .write.mode("append").parquet(outDir)
+      }.start()
+    in.addData(qRows.take(2): _*)
+    q.processAllAvailable()
+    in.addData(qRows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(keyed(spark.read.parquet(outDir).collect()) === batch)
+  }
 }
