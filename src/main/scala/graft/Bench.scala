@@ -395,8 +395,14 @@ object Bench {
     val SuspectFloorSec = 0.15
     val SuspectCap = 40
     val baseSet = (midpackNames ++ slowestNames).toSet
+    // prior medians are comparable only at the sf they were recorded
+    // at — a cross-sf run (the sf1 slice against sf0.1 priors) would
+    // flag EVERYTHING suspect and re-time the whole subset. A legacy
+    // un-stamped sidecar stays trigger-eligible (best effort).
+    val priorComparable = priorSf.forall(_ == sfDir)
     val suspectsAll = results.collect {
-      case (n, runs, None) if !baseSet(n) && runs.nonEmpty &&
+      case (n, runs, None) if priorComparable && !baseSet(n) &&
+        runs.nonEmpty &&
         prior.get(n).exists(p => p > SuspectFloorSec &&
           median(runs) / p > SuspectVsPrior) =>
         (n, median(runs) / prior(n))

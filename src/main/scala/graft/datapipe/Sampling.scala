@@ -419,9 +419,14 @@ object Sampling {
     val csw = tk.groupBy(col("source"), col("t"))
       .agg(count(lit(1)).as("c_sw")).stage()
     val ns = csw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    // pre-partition the staged vocab table on t ONCE: every round's
+    // mixture rollup (groupBy t) and KL join (on t) then reuse this
+    // hash distribution with zero further vocab-sized exchanges —
+    // per round only the source-dimension rollup shuffles
     val p = csw.join(broadcast(ns), Seq("source"))
       .select(col("source"), col("t"),
         (col("c_sw").cast("double") / col("n_s").cast("double")).as("p"))
+      .repartition(col("t"))
       .stage() // vocab-sized; every round's two joins read it
     val k = ns.agg(count(lit(1)).as("k"))
     var w = ns.crossJoin(broadcast(k))
