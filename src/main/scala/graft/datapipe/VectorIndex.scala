@@ -205,6 +205,47 @@ object VectorIndex {
       queries, k, refine)
   }
 
+  /** Semantic decontamination against an INDEXED eval set — the
+    * documented escape hatch of [[Similarity.decontaminateSemantic]]
+    * for eval sets too large to broadcast: the EVAL SET is the
+    * stable artifact, so it is what gets indexed ([[build]] over the
+    * eval vectors, once), and every corpus vector probes its
+    * `nprobe` nearest eval cells for the max cosine. Cost per corpus
+    * row is nprobe·(|eval|/cells) candidates instead of |eval|; the
+    * price is the IVF recall trade — an eval neighbour in a
+    * non-probed cell is missed, so verdicts are a LOWER bound on
+    * contamination (`nprobe = cells` recovers the exact form;
+    * VectorIndexSpec quantifies the gap). Corpus rows with no
+    * candidate (or null embeddings) stay in the audit with null max
+    * and contaminated = false — the [[Similarity
+    * .decontaminateSemantic]] degenerate contract.
+    *
+    * Scale shape: one codegen probe projection over the corpus, one
+    * cell-co-partitioned shuffle-hash join against the partition-
+    * pruned eval scan (the eval side was too big to broadcast by
+    * premise — a single cell-keyed exchange of the corpus is the
+    * honest plan), one (vec_id, max) rollup.
+    */
+  def decontaminateIndexed(spark: SparkSession, evalIndexPath: String,
+                           emb: DataFrame, threshold: Double,
+                           nprobe: Int = 3): DataFrame = {
+    val cents = loadCentroids(spark, evalIndexPath)
+    val probes = emb.select(col("vec_id"), col("emb"),
+      explode_outer(Similarity.kmeansProbesCol(
+        Similarity.quantize(col("emb")), cents, nprobe)).as("cell"))
+    val evalVecs = spark.read.parquet(s"$evalIndexPath/vectors")
+      .select(col("vec_id").as("eval_id"), col("emb").as("eval_emb"),
+        col("cell").cast("long").as("cell"))
+    probes.hint("shuffle_hash")
+      .join(evalVecs, Seq("cell"), "left")
+      .withColumn("score",
+        round(cosineSimilarity(col("emb"), col("eval_emb")), 4))
+      .groupBy(col("vec_id"))
+      .agg(max(col("score")).as("max_eval_cos"))
+      .withColumn("contaminated",
+        coalesce(col("max_eval_cos") >= threshold, lit(false)))
+  }
+
   /** Index-HEALTH readout over the stored index — the "when to
     * retrain" gate a production ANN stack runs after sustained
     * [[append]]s: per-cell population, corpus share, and skew

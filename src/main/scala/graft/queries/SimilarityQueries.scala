@@ -1625,6 +1625,61 @@ object SimilarityQueries {
         FROM scored)
       SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
 
+  /** Decontamination against the INDEXED eval set
+    * ([[graft.datapipe.VectorIndex.decontaminateIndexed]]) — the
+    * T191 escape hatch made real: same planted eval set as
+    * decontam_semantic, but served from a stored [[graft.datapipe
+    * .VectorIndex]] over the EVAL vectors with nprobe = 3 of 8
+    * cells. Verdicts are the IVF-approximate lower bound (a
+    * neighbour in a non-probed cell is missed); the oracle replays
+    * the eval-set trainer, the corpus-side probe ranking, and the
+    * candidate-max with the same approximation, so the hash
+    * certifies the approximate semantics exactly.
+    */
+  private val decontamSemanticIndexed = QueryDef(
+    "decontam_semantic_indexed",
+    (s, d) => {
+      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val evalSet = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 2000000).as("vec_id"),
+          transform(col("emb"), x => x + lit(0.01)).as("emb"))
+      val path = vecIndexCachePath(d) + "_evalidx"
+      if (!new java.io.File(s"$path/centroids", "_SUCCESS").exists() ||
+        !new java.io.File(s"$path/vectors", "_SUCCESS").exists())
+        graft.datapipe.VectorIndex.build(evalSet, path, cells = 0, iters = 3)
+      graft.datapipe.VectorIndex.decontaminateIndexed(s, path, e, 0.995,
+        nprobe = 3)
+    },
+    Some(s"""WITH ev AS MATERIALIZED (SELECT vec_id + 2000000 AS vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01) AS emb
+        FROM embeddings WHERE vec_id % 25 = 0),
+      ${kmChainCtes("dxv", "dxseeds", "dx", "emb", 8, 3, 64, from = "ev")},
+      cq AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      cp AS MATERIALIZED (SELECT c.vec_id, cc.cell,
+          CAST(list_sum(list_transform(list_zip(c.q, cc.s),
+               z -> (cc.n * z[1] - z[2]) * (cc.n * z[1] - z[2]))) AS DOUBLE)
+            / (CAST(cc.n AS DOUBLE) * CAST(cc.n AS DOUBLE)) AS f
+        FROM cq c, dxc2 cc),
+      probes AS MATERIALIZED (SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+          FROM cp) t WHERE rn <= 3),
+      ecell AS MATERIALIZED (SELECT vec_id AS eval_id, cell FROM dxa3),
+      ee AS MATERIALIZED (SELECT vec_id AS eval_id, emb AS eval_emb FROM ev),
+      sc AS MATERIALIZED (SELECT p.vec_id,
+          round(list_cosine_similarity(c.emb, ee.eval_emb), 4) AS score
+        FROM probes p JOIN cq c USING (vec_id)
+        JOIN ecell g ON g.cell = p.cell
+        JOIN ee ON ee.eval_id = g.eval_id)
+      SELECT q.vec_id, MAX(sc.score) AS max_eval_cos,
+        COALESCE(MAX(sc.score) >= 0.995, FALSE) AS contaminated
+      FROM cq q LEFT JOIN sc ON sc.vec_id = q.vec_id GROUP BY 1"""))
+
   /** Index-health readout over the stored index
     * ([[graft.datapipe.VectorIndex.indexStats]]): per-cell
     * population, share, and skew — the rebuild trigger consulted
@@ -1714,5 +1769,5 @@ object SimilarityQueries {
       simSourceDrift, simPcaTop, simPcaSpectrum, simHardNegatives,
       packCoherent, simMatryoshka, simAnisotropy,
       simIndexMaterialized, simIndexAppend, simIndexPqProbe, simIndexStats,
-      simFilteredPq)
+      simFilteredPq, decontamSemanticIndexed)
 }

@@ -152,6 +152,43 @@ class VectorIndexSpec extends SparkSpec {
       s"the appended exact twin must rank first: ${top.mkString(", ")}")
   }
 
+  test("decontaminateIndexed: nprobe = cells recovers the exact " +
+    "broadcast form; fewer probes give a contamination LOWER bound " +
+    "that still catches the planted twins") {
+    import graft.datapipe.VectorIndex
+    val e = fixtureEmb
+    val evalSet = e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 2000000).as("vec_id"),
+        transform(col("emb"), x => x + lit(0.01)).as("emb"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vecidx_decontam").toString
+    VectorIndex.build(evalSet, dir, cells = 8, iters = 3)
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((Option(if (r.isNullAt(1)) null
+        else java.lang.Double.valueOf(r.getDouble(1))), r.getBoolean(2))))
+      .toMap
+    val exact = verdicts(Similarity.decontaminateSemantic(e,
+      evalSet.select(col("vec_id").as("eval_id"),
+        col("emb").as("eval_emb")), 0.995))
+    val full = verdicts(VectorIndex.decontaminateIndexed(spark, dir, e,
+      0.995, nprobe = 8))
+    assert(full === exact,
+      "probing every cell must equal the exact broadcast form")
+    val approx = verdicts(VectorIndex.decontaminateIndexed(spark, dir, e,
+      0.995, nprobe = 3))
+    assert(approx.keySet === exact.keySet,
+      "every corpus vector stays in the audit at any nprobe")
+    assert(approx.forall { case (id, (_, c)) => !c || exact(id)._2 },
+      "approximate verdicts are a lower bound (no false positives)")
+    val planted = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(planted.forall(id => approx(id)._2),
+      "each planted vector's own shifted twin shares its probe-1 cell")
+    val recall = approx.count { case (id, (_, c)) => c && exact(id)._2 }
+      .toDouble / exact.count(_._2._2)
+    assert(recall >= 0.9, s"nprobe=3/8 recall over flagged set: $recall")
+  }
+
   test("filteredPqTopK: every hit is allowed and equals the exhaustive " +
     "filtered rescore over its own candidates") {
     val e = fixtureEmb
