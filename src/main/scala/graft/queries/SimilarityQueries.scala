@@ -1680,6 +1680,117 @@ object SimilarityQueries {
         COALESCE(MAX(sc.score) >= 0.995, FALSE) AS contaminated
       FROM cq q LEFT JOIN sc ON sc.vec_id = q.vec_id GROUP BY 1"""))
 
+  /** Two-day incremental chain over the stored VECTOR index — the
+    * loop-closing e2e of T192 (the vector edition of
+    * e2e_probe_append): day 1 probes +0.01-twins of the %5 vectors
+    * (ids +1000000, top-1, nprobe 3) against the BASE index and
+    * PUBLISHES its verdicts before the append mutates the table
+    * (the production ledger order — laziness must never read day-1
+    * results through the appended index); day 1 then appends. Day 2
+    * probes identical copies of day 1's delta (ids +2000000) plus
+    * +0.01-twins of the %3==1 vectors (ids +3000000): the copies'
+    * top-1 MUST be their day-1 twin at cos 1.0 — those index rows
+    * exist only via the append — so the entry certifies that an
+    * appended index serves like a from-scratch build over
+    * base ∪ day1. The oracle replays both days: trainer, the
+    * delta's stored-centroid assignment, day-1 probes against base
+    * only, day-2 probes against the union.
+    */
+  private val e2eVecProbeAppend = QueryDef(
+    "e2e_vec_probe_append",
+    (s, d) => {
+      val cached = ensureVecIndexCached(s, d)
+      val path = ScratchDirs.freshAppendScratch("graft_vec_e2e_append")
+      ScratchDirs.copyDir(s"$cached/centroids", s"$path/centroids")
+      ScratchDirs.copyDir(s"$cached/vectors", s"$path/vectors")
+      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+      val day1 = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("emb"), x => x + lit(0.01)).as("emb"))
+      val day2 = day1.select((col("vec_id") + 1000000).as("vec_id"),
+          col("emb"))
+        .unionByName(e.filter(col("vec_id") % 3 === 1)
+          .select((col("vec_id") + 3000000).as("vec_id"),
+            transform(col("emb"), x => x + lit(0.01)).as("emb")))
+      def probe(delta: org.apache.spark.sql.DataFrame) =
+        graft.datapipe.VectorIndex.probe(s, path,
+          delta.select(col("vec_id").as("q_id"), col("emb").as("q_emb")),
+          k = 1, nprobe = 3)
+      probe(day1).write.mode("overwrite").parquet(s"$path/verdicts1")
+      graft.datapipe.VectorIndex.append(s, path, day1)
+      s.read.parquet(s"$path/verdicts1")
+        .select(lit(1L).as("day"), col("q_id"), col("vec_id"), col("score"))
+        .unionByName(probe(day2)
+          .select(lit(2L).as("day"), col("q_id"), col("vec_id"),
+            col("score")))
+    },
+    Some(s"""WITH ${kmChainCtes("vxv", "vxseeds", "vx", "embedding", 8, 3, 64)},
+      basecell AS MATERIALIZED (SELECT vec_id, cell FROM vxa3),
+      e AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      d1 AS MATERIALIZED (SELECT vec_id + 1000000 AS vec_id,
+          list_transform(embedding,
+            x -> CAST(round((CAST(x AS DOUBLE) + 0.01) * 1000) AS BIGINT)) AS q,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01) AS emb
+        FROM embeddings WHERE vec_id % 5 = 0),
+      d1p AS MATERIALIZED (SELECT d.vec_id, c.cell,
+          CAST(list_sum(list_transform(list_zip(d.q, c.s),
+               z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS DOUBLE)
+            / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) AS f
+        FROM d1 d, vxc2 c),
+      d1a AS MATERIALIZED (SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+          FROM d1p) t WHERE rn = 1),
+      d1probes AS MATERIALIZED (SELECT vec_id AS q_id, cell FROM (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+          FROM d1p) t WHERE rn <= 3),
+      day1 AS MATERIALIZED (SELECT q_id, vec_id, score FROM (
+          SELECT pr.q_id, g.vec_id,
+            round(list_cosine_similarity(qe.emb, ce.emb), 4) AS score,
+            row_number() OVER (PARTITION BY pr.q_id
+              ORDER BY round(list_cosine_similarity(qe.emb, ce.emb), 4) DESC,
+                g.vec_id) AS rn
+          FROM d1probes pr
+          JOIN basecell g ON g.cell = pr.cell AND g.vec_id <> pr.q_id
+          JOIN d1 qe ON qe.vec_id = pr.q_id
+          JOIN e ce ON ce.vec_id = g.vec_id) t WHERE rn = 1),
+      allcell AS MATERIALIZED (SELECT vec_id, cell FROM basecell
+        UNION ALL SELECT vec_id, cell FROM d1a),
+      e1 AS MATERIALIZED (SELECT vec_id, emb FROM e
+        UNION ALL SELECT vec_id, emb FROM d1),
+      d2 AS MATERIALIZED (SELECT vec_id + 1000000 AS vec_id, q, emb FROM d1
+        UNION ALL
+        SELECT vec_id + 3000000,
+          list_transform(embedding,
+            x -> CAST(round((CAST(x AS DOUBLE) + 0.01) * 1000) AS BIGINT)),
+          list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01)
+        FROM embeddings WHERE vec_id % 3 = 1),
+      d2p AS MATERIALIZED (SELECT d.vec_id, c.cell,
+          CAST(list_sum(list_transform(list_zip(d.q, c.s),
+               z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS DOUBLE)
+            / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) AS f
+        FROM d2 d, vxc2 c),
+      d2probes AS MATERIALIZED (SELECT vec_id AS q_id, cell FROM (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+          FROM d2p) t WHERE rn <= 3),
+      day2 AS MATERIALIZED (SELECT q_id, vec_id, score FROM (
+          SELECT pr.q_id, g.vec_id,
+            round(list_cosine_similarity(qe.emb, ce.emb), 4) AS score,
+            row_number() OVER (PARTITION BY pr.q_id
+              ORDER BY round(list_cosine_similarity(qe.emb, ce.emb), 4) DESC,
+                g.vec_id) AS rn
+          FROM d2probes pr
+          JOIN allcell g ON g.cell = pr.cell AND g.vec_id <> pr.q_id
+          JOIN d2 qe ON qe.vec_id = pr.q_id
+          JOIN e1 ce ON ce.vec_id = g.vec_id) t WHERE rn = 1)
+      SELECT CAST(1 AS BIGINT) AS day, q_id, vec_id, score FROM day1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS day, q_id, vec_id, score FROM day2"""))
+
   /** Index-health readout over the stored index
     * ([[graft.datapipe.VectorIndex.indexStats]]): per-cell
     * population, share, and skew — the rebuild trigger consulted
@@ -1769,5 +1880,5 @@ object SimilarityQueries {
       simSourceDrift, simPcaTop, simPcaSpectrum, simHardNegatives,
       packCoherent, simMatryoshka, simAnisotropy,
       simIndexMaterialized, simIndexAppend, simIndexPqProbe, simIndexStats,
-      simFilteredPq, decontamSemanticIndexed)
+      simFilteredPq, decontamSemanticIndexed, e2eVecProbeAppend)
 }
