@@ -1560,4 +1560,44 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(keyed(spark.read.parquet(outDir).collect()) === batch)
   }
+
+  test("indexed decontamination gates a corpus STREAM against the " +
+    "frozen eval index (foreachBatch) — accumulation equals batch") {
+    // the eval-scale live ingest gate: the eval set is a frozen
+    // stored index, corpus vectors arrive on a stream, each
+    // micro-batch probes independently (verdicts are row-local, so
+    // batch boundaries cannot change any verdict)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.VectorIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val evalSet = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 2000000).as("vec_id"),
+        transform(col("emb"), x => x + lit(0.01)).as("emb"))
+    val dir = Files.createTempDirectory("graft_decontam_idx_stream").toString
+    VectorIndex.build(evalSet, dir, cells = 8, iters = 3)
+    def keyed(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getBoolean(2)))).toMap
+    val corpus = emb.filter(col("vec_id") < 60)
+    val batch = keyed(VectorIndex.decontaminateIndexed(spark, dir, corpus,
+      0.995, nprobe = 3).collect())
+    val outDir = Files.createTempDirectory("graft_decontam_idx_out").toString
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = in.toDF().toDF("vec_id", "emb").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        VectorIndex.decontaminateIndexed(spark, dir, b, 0.995, nprobe = 3)
+          .write.mode("append").parquet(outDir)
+      }.start()
+    in.addData(rows.take(20): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(20): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = keyed(spark.read.parquet(outDir).collect())
+    assert(got === batch)
+    assert(got(0L)._2 && got(50L)._2 && !got(1L)._2,
+      "planted %25 vectors flag on the stream, others do not")
+  }
 }
