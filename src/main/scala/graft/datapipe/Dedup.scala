@@ -2,7 +2,7 @@ package graft.datapipe
 
 import graft.datapipe.Staging.Staged
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -515,7 +515,13 @@ object Dedup {
     * Idempotency is the CALLER's contract (as with any append sink):
     * replaying the same delta twice plants duplicate index rows —
     * run-once semantics come from the pipeline's ledger, not this
-    * method. Column contracts match [[minhashIndexTable]] /
+    * method. What is NOT the caller's problem is torn writes inside
+    * one delivery: both tables commit through [[AtomicCommit]]
+    * (staged dir + atomic rename), so a kill mid-append leaves the
+    * served index bit-unchanged — read the tables back with
+    * [[readIndexTable]]/[[readBucketsTable]] (base + committed
+    * deltas), never a bare `spark.read.parquet` on the base dir.
+    * Column contracts match [[minhashIndexTable]] /
     * [[minhashBucketsTable]] exactly, so a probe against the
     * appended table is indistinguishable from one against a
     * from-scratch rebuild over index ∪ delta (DedupSpec pins this;
@@ -528,11 +534,25 @@ object Dedup {
     val idx = minhashIndexTable(delta, idCol, textCol, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      idx.write.mode("append").parquet(hhPath)
-      minhashBucketsTable(idx, numHashes, bands)
-        .write.mode("append").parquet(bbPath)
+      AtomicCommit.commitAppend(hhPath) { staging =>
+        idx.write.mode("overwrite").parquet(staging)
+      }
+      AtomicCommit.commitAppend(bbPath) { staging =>
+        minhashBucketsTable(idx, numHashes, bands)
+          .write.mode("overwrite").parquet(staging)
+      }
     } finally idx.unpersist()
   }
+
+  /** The signature table at `hhPath` including every COMMITTED
+    * [[minhashIndexAppend]] delta — the read half of the crash-safe
+    * append protocol. */
+  def readIndexTable(spark: SparkSession, hhPath: String): DataFrame =
+    AtomicCommit.read(spark, hhPath)
+
+  /** The band-bucket table at `bbPath` including committed deltas. */
+  def readBucketsTable(spark: SparkSession, bbPath: String): DataFrame =
+    AtomicCommit.read(spark, bbPath)
 
   /** Ingest-churn classification — the observability readout over
     * the two incremental probes: every DELTA document classified

@@ -1224,11 +1224,20 @@ object Similarity {
     * decontamination gate. Scores, max, and verdicts replay the
     * batch form's exact arithmetic (4-dp cosines; array_max skips
     * nulls exactly as the aggregate max does), so stream == batch
-    * row-for-row (StreamingSpec certifies it).
+    * row-for-row (StreamingSpec certifies it) — including the
+    * degenerate shapes: NULL eval embeddings are dropped before the
+    * collect (the batch form's aggregate max skips their null
+    * scores; keeping them here would NPE the driver), and an eval
+    * set of only-null rows degrades to the empty-set verdict.
+    * Expression width is one cosine child PER EVAL ROW — fine at the
+    * documented thousands-of-rows eval bound, but a much larger eval
+    * set belongs in [[VectorIndex.decontaminateIndexed]], not in a
+    * projection this wide (codegen size).
     */
   def decontaminateSemanticInline(emb: DataFrame, evalEmb: DataFrame,
                                   threshold: Double): DataFrame = {
     val evals: Seq[Seq[Double]] = evalEmb.select(col("eval_emb"))
+      .filter(col("eval_emb").isNotNull)
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
     val maxCos =
       if (evals.isEmpty) lit(null).cast("double")

@@ -1,5 +1,7 @@
 package graft.datapipe
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,22 +12,38 @@ import graft.functions.VectorFunctions.cosineSimilarity
   * `minhashProbePrebuilt` / `minhashIndexAppend`): a production ANN
   * stack trains its coarse quantizer ONCE, persists (centroids,
   * cell-partitioned vectors) as parquet, answers every query batch
-  * from the stored index, and folds new vectors in delta-sized —
-  * re-training per query run (what [[Similarity.ivfTopKKmeans]]
-  * necessarily does as a self-contained query) re-pays the whole
-  * trainer at every probe and is the shape no serving system ships.
+  * from the stored index, folds new vectors in delta-sized, and
+  * RETRAINS (with an atomic version swap) when append drift degrades
+  * the cell layout — re-training per query run (what [[Similarity
+  * .ivfTopKKmeans]] necessarily does as a self-contained query)
+  * re-pays the whole trainer at every probe and is the shape no
+  * serving system ships.
   *
-  * On disk:
-  *  - `<path>/centroids`: (cell, s array<long>, n long) — the exact
+  * On disk (one index VERSION):
+  *  - `<root>/centroids`: (cell, s array<long>, n long) — the exact
   *    integer (component-sum, count) pairs [[Similarity.
   *    kmeansCentroids]] trains (never divided, so the parquet
   *    roundtrip is bit-exact and any engine replays the same
   *    assignment arithmetic from the stored rows).
-  *  - `<path>/vectors`: (vec_id, emb) PARTITIONED BY cell — the
+  *  - `<root>/vectors`: (vec_id, emb) PARTITIONED BY cell — the
   *    100 TB layout every IVF scaladoc in [[Similarity]] points at:
   *    the probe's cell restriction becomes scan-level PARTITION
   *    pruning (non-probed cells are never read, `PartitionFilters`
   *    in the scan node), not a post-scan filter.
+  *  - `<root>/vectors.deltas/<id>`: committed [[append]] deltas,
+  *    published by [[AtomicCommit]]'s staged-write + atomic-rename
+  *    protocol — a killed append can never leave partial files where
+  *    a probe reads (the torn-write negative test in VectorIndexSpec
+  *    pins it). Readers scan base + committed deltas as one
+  *    multi-root pruned scan.
+  *
+  * VERSIONING ([[rebuild]]): `<path>/MANIFEST` names the live version
+  * directory (`v1`, `v2`, …) under `<path>`; no MANIFEST means the
+  * legacy flat layout (the version IS `<path>`). [[rebuild]] retrains
+  * from the stored vectors into the NEXT version directory and then
+  * swaps the MANIFEST with one atomic rename — a probe concurrent
+  * with (or after a crash during) a rebuild reads either the complete
+  * old version or the complete new one, never a half-index.
   *
   * [[probe]] is row-identical to the retrain path
   * (`ivfTopKKmeans(emb, q, k, cells, iters, nprobe)` — VectorIndexSpec
@@ -33,14 +51,49 @@ import graft.functions.VectorFunctions.cosineSimilarity
   * bounded driver read (cells·dim longs, ≤ 4096·dim by the
   * [[Similarity.autoCells]] clamp), and the only corpus touch is the
   * pruned scan of the probed cells. [[append]] assigns the delta with
-  * the STORED centroids (one delta-sized projection) and
-  * parquet-appends into the cell partitions — no corpus rewrite, no
-  * retrain, exactly the minhash append contract. Centroid drift under
-  * sustained appends is the operator's documented re-train trigger
-  * (rebuild when cell-population skew degrades recall — the readout
-  * [[Similarity.silhouette]] exists for).
+  * the STORED centroids (one delta-sized projection) and commits into
+  * the delta directories — no corpus rewrite, no retrain, exactly the
+  * minhash append contract. Centroid drift under sustained appends is
+  * [[indexStats]]'s skew readout → [[rebuild]].
   */
 object VectorIndex {
+
+  /** The live version directory of the index at `path`: the MANIFEST
+    * target when one exists, else `path` itself (legacy flat layout —
+    * what [[build]]/[[buildPq]] write). One bounded driver read.
+    */
+  def resolveRoot(path: String): String = {
+    val m = Paths.get(path, "MANIFEST")
+    if (Files.exists(m))
+      s"$path/${new String(Files.readAllBytes(m),
+        java.nio.charset.StandardCharsets.UTF_8).trim}"
+    else path
+  }
+
+  /** Base + committed-delta multi-root scan of the live version's
+    * vectors table (partition-pruned like a single root — every root
+    * carries the same `cell=N` layout).
+    */
+  private def readVectors(spark: SparkSession, root: String): DataFrame =
+    AtomicCommit.read(spark, s"$root/vectors")
+
+  /** Queries MATERIALIZED to a bounded local relation — the probe
+    * contract already broadcasts the query batch (serving batches are
+    * bounded by premise), and materializing it first makes the
+    * probed-cell collect and the join input the SAME rows by
+    * construction: a nondeterministic queries plan (sample, rand, an
+    * uncheckpointed source) can no longer yield a probed-cell set
+    * that diverges from the join side and silently drop results.
+    */
+  private def localizeQueries(queries: DataFrame): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries
+      .select(col("q_id").cast("long"),
+        col("q_emb").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+      .toDF("q_id", "q_emb")
+  }
 
   /** Train and persist the index: centroids + cell-partitioned
     * vectors. `cells = 0` self-sizes via [[Similarity.autoCells]].
@@ -72,30 +125,76 @@ object VectorIndex {
       .parquet(s"$path/vectors")
   }
 
-  /** The stored coarse quantizer, cell-ordered — bounded driver
-    * state (cells·dim longs, the same rows every Lloyd's round
-    * already ships).
+  /** RETRAIN the index from its own stored vectors into the next
+    * version directory and swap the MANIFEST atomically — the
+    * lifecycle leg that answers append drift: [[append]] never moves
+    * centroids, so a drifting ingest concentrates into few cells
+    * ([[indexStats]] skew ≫ 1) and candidate lists outgrow the
+    * per-cell design point; rebuild re-levels the layout from the
+    * full stored corpus (base + every committed delta).
+    *
+    * Crash/concurrency contract: training and the full re-write land
+    * in `<path>/v<n+1>` while every reader still resolves the old
+    * version through the MANIFEST; the one-file atomic manifest swap
+    * ([[AtomicCommit.writeManifest]]) is the commit. A rebuild killed
+    * at ANY point leaves the old version fully live. Old version
+    * directories are kept (the caller's retention policy decides when
+    * to drop them — probes in flight may still hold the old root).
+    *
+    * Cost: one full corpus re-train + re-write — the operation is
+    * O(index), which is exactly why [[append]] exists for the daily
+    * path and rebuild is gated on the [[indexStats]] readout.
+    */
+  def rebuild(spark: SparkSession, path: String, cells: Int = 0,
+              iters: Int = 3): Unit = {
+    val cur = resolveRoot(path)
+    val vecs = readVectors(spark, cur).select(col("vec_id"), col("emb"))
+    val next = {
+      val n = Option(new java.io.File(path).listFiles())
+        .map(_.toSeq).getOrElse(Seq.empty)
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(_.getName.drop(1).toInt)
+        .foldLeft(0)(math.max) + 1
+      s"v$n"
+    }
+    build(vecs, s"$path/$next", cells, iters)
+    AtomicCommit.writeManifest(Paths.get(path, "MANIFEST"), next)
+  }
+
+  /** The stored coarse quantizer of the LIVE version, cell-ordered —
+    * bounded driver state (cells·dim longs, the same rows every
+    * Lloyd's round already ships).
     */
   def loadCentroids(spark: SparkSession, path: String): Seq[(Array[Long], Long)] = {
     import spark.implicits._
-    spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
+    spark.read.parquet(s"${resolveRoot(path)}/centroids")
+      .orderBy(col("cell"))
       .select(col("s"), col("n")).as[(Seq[Long], Long)]
       .collect().map { case (s, n) => (s.toArray, n) }.toSeq
   }
 
   /** Fold `delta` (vec_id, emb) into the stored index WITHOUT
     * retraining: assign each delta vector with the stored centroids
-    * (one codegen projection over the delta only) and parquet-append
-    * into the cell partitions. Cost is delta-assign + delta-write,
-    * independent of the standing index size.
+    * (one codegen projection over the delta only) and COMMIT the
+    * cell-partitioned rows via [[AtomicCommit]] — staged write,
+    * atomic rename, so a killed append exposes nothing to probes
+    * (VectorIndexSpec's torn-write test). Cost is delta-assign +
+    * delta-write, independent of the standing index size.
+    * Re-delivering the same delta twice plants duplicate rows —
+    * run-once semantics stay with the caller's ledger (the streaming
+    * ingest twin in StreamingSpec shows the batchId ledger shape).
     */
   def append(spark: SparkSession, path: String, delta: DataFrame): Unit = {
-    val cents = loadCentroids(spark, path)
-    delta.select(col("vec_id"), col("emb"),
-        Similarity.kmeansAssignCol(Similarity.quantize(col("emb")),
-          cents).as("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$path/vectors")
+    val root = resolveRoot(path)
+    val cents = loadCentroids(spark, root)
+    AtomicCommit.commitAppend(s"$root/vectors") { staging =>
+      delta.select(col("vec_id"), col("emb"),
+          Similarity.kmeansAssignCol(Similarity.quantize(col("emb")),
+            cents).as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(staging)
+    }
   }
 
   /** Train and persist the COMPRESSED index — coarse quantizer plus
@@ -142,11 +241,12 @@ object VectorIndex {
       .parquet(s"$path/vectors")
   }
 
-  /** The stored PQ codebooks, (subspace, cell)-ordered. */
+  /** The stored PQ codebooks of the live version, (subspace, cell)-
+    * ordered. */
   def loadCodebooks(spark: SparkSession,
                     path: String): IndexedSeq[Seq[(Array[Long], Long)]] = {
     import spark.implicits._
-    spark.read.parquet(s"$path/codebooks")
+    spark.read.parquet(s"${resolveRoot(path)}/codebooks")
       .orderBy(col("subspace"), col("cell"))
       .select(col("subspace"), col("s"), col("n"))
       .as[(Long, Seq[Long], Long)].collect()
@@ -156,19 +256,24 @@ object VectorIndex {
 
   /** Fold `delta` into the stored COMPRESSED index: assign with the
     * stored coarse centroids AND encode with the stored codebooks —
-    * both one delta-sized projection — then parquet-append. No
+    * both one delta-sized projection — then commit via
+    * [[AtomicCommit]] (same torn-write immunity as [[append]]). No
     * retrain of either quantizer.
     */
   def appendPq(spark: SparkSession, path: String, delta: DataFrame): Unit = {
-    val coarse = loadCentroids(spark, path)
-    val cbs = loadCodebooks(spark, path)
+    val root = resolveRoot(path)
+    val coarse = loadCentroids(spark, root)
+    val cbs = loadCodebooks(spark, root)
     val subDim = cbs.head.head._1.length
-    delta.select(col("vec_id"), col("emb"),
-        Similarity.pqCodeCol(cbs, subDim).as("code"),
-        Similarity.kmeansAssignCol(Similarity.quantize(col("emb")),
-          coarse).as("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$path/vectors")
+    AtomicCommit.commitAppend(s"$root/vectors") { staging =>
+      delta.select(col("vec_id"), col("emb"),
+          Similarity.pqCodeCol(cbs, subDim).as("code"),
+          Similarity.kmeansAssignCol(Similarity.quantize(col("emb")),
+            coarse).as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(staging)
+    }
   }
 
   /** IVF-PQ serving from the STORED index — row-identical to
@@ -178,22 +283,25 @@ object VectorIndex {
     * for ADC against the query's stored-codebook lookup tables, and
     * the `refine·k` survivors rescore exact from the same table's
     * `emb` column (a second pruned scan bounded by the candidate
-    * set).
+    * set). The query batch is materialized once
+    * ([[localizeQueries]]), so the probed-cell set and the join input
+    * can never diverge.
     */
   def probePq(spark: SparkSession, path: String, queries: DataFrame,
               k: Int, nprobe: Int = 3, refine: Int = 4): DataFrame = {
-    val coarse = loadCentroids(spark, path)
-    val cbs = loadCodebooks(spark, path)
+    val root = resolveRoot(path)
+    val coarse = loadCentroids(spark, root)
+    val cbs = loadCodebooks(spark, root)
     val subspaces = cbs.size
     val subDim = cbs.head.head._1.length
-    val qLuts = queries.select(
+    val qLuts = localizeQueries(queries).select(
       Seq(col("q_id"),
         explode(Similarity.kmeansProbesCol(Similarity.quantize(col("q_emb")),
           coarse, nprobe)).as("q_cell")) ++
         Similarity.pqLutCols(cbs, subDim): _*)
     val probed = qLuts.select(col("q_cell")).distinct()
       .collect().map(_.getLong(0).toInt).toSeq
-    val codes = spark.read.parquet(s"$path/vectors")
+    val codes = readVectors(spark, root)
       .filter(col("cell").isInCollection(probed))
       .select(col("vec_id"), col("code"), col("cell").cast("long").as("cell"))
     val approx = codes
@@ -201,7 +309,7 @@ object VectorIndex {
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .withColumn("ascore", -Similarity.pqAdistCol(subspaces))
     Similarity.refineStage(approx,
-      spark.read.parquet(s"$path/vectors").select(col("vec_id"), col("emb")),
+      readVectors(spark, root).select(col("vec_id"), col("emb")),
       queries, k, refine)
   }
 
@@ -221,19 +329,22 @@ object VectorIndex {
     * .decontaminateSemantic]] degenerate contract.
     *
     * Scale shape: one codegen probe projection over the corpus, one
-    * cell-co-partitioned shuffle-hash join against the partition-
-    * pruned eval scan (the eval side was too big to broadcast by
-    * premise — a single cell-keyed exchange of the corpus is the
-    * honest plan), one (vec_id, max) rollup.
+    * cell-co-partitioned shuffle-hash join against the eval scan
+    * restricted through the join KEY (a corpus-wide distinct-collect
+    * of probed cells — what a static partition filter would take —
+    * is an extra corpus pass, and the corpus probes most cells
+    * anyway; the per-PROBE pruning that pays is [[probe]]'s, where
+    * the query batch is bounded), one (vec_id, max) rollup.
     */
   def decontaminateIndexed(spark: SparkSession, evalIndexPath: String,
                            emb: DataFrame, threshold: Double,
                            nprobe: Int = 3): DataFrame = {
-    val cents = loadCentroids(spark, evalIndexPath)
+    val root = resolveRoot(evalIndexPath)
+    val cents = loadCentroids(spark, root)
     val probes = emb.select(col("vec_id"), col("emb"),
       explode_outer(Similarity.kmeansProbesCol(
         Similarity.quantize(col("emb")), cents, nprobe)).as("cell"))
-    val evalVecs = spark.read.parquet(s"$evalIndexPath/vectors")
+    val evalVecs = readVectors(spark, root)
       .select(col("vec_id").as("eval_id"), col("emb").as("eval_emb"),
         col("cell").cast("long").as("cell"))
     probes.hint("shuffle_hash")
@@ -252,7 +363,7 @@ object VectorIndex {
     * (population ÷ the uniform expectation). Appends never move
     * centroids, so drifting ingest concentrates into few cells;
     * skew ≫ 1 on hot cells means probe candidate lists grow past
-    * the ~250/cell design point and the operator should rebuild
+    * the ~250/cell design point and the operator should [[rebuild]]
     * (and [[Similarity.silhouette]] quantifies the separation loss).
     * One aggregation whose scan projects ONLY the partition column —
     * at 100 TB the counts come from parquet metadata-cheap cell
@@ -262,7 +373,7 @@ object VectorIndex {
     * Output: (cell, n_vecs, share, skew) — 6-dp ratios.
     */
   def indexStats(spark: SparkSession, path: String): DataFrame = {
-    val cells = spark.read.parquet(s"$path/vectors")
+    val cells = readVectors(spark, resolveRoot(path))
       .select(col("cell").cast("long").as("cell"))
     val g = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
     val t = g.agg(sum(col("n_vecs")).as("tot"), count(lit(1)).as("k"))
@@ -285,12 +396,30 @@ object VectorIndex {
     * PartitionFilters: non-probed cells are never read), and the
     * survivors score exact cosine through the two-stage TopK heap.
     * No training job, no corpus-wide shuffle; per-query work is
-    * nprobe · cell-population candidates.
+    * nprobe · cell-population candidates. The query batch is
+    * materialized once ([[localizeQueries]]) so the probed-cell set
+    * and the join input are the same rows by construction.
     */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
-            k: Int, nprobe: Int = 3): DataFrame = {
-    val cents = loadCentroids(spark, path)
-    val q = queries.select(col("q_id"),
+            k: Int, nprobe: Int = 3): DataFrame =
+    probeFiltered(spark, path, None, queries, k, nprobe)
+
+  /** [[probe]] with a METADATA PRE-FILTER — the filtered-ANN serving
+    * shape ([[Similarity.filteredTopK]] / `filteredPqTopK`) over the
+    * STORED index: `allowed` (vec_id) restricts the candidate set
+    * with a semi join BEFORE scoring, so the post-filter recall hole
+    * (fetch k, then filter below k) cannot arise — every query still
+    * sees k survivors from the allowed population of its probed
+    * cells. The allowed side joins AFTER partition pruning: the scan
+    * still reads only probed cells, and the semi join carries ids
+    * only.
+    */
+  def probeFiltered(spark: SparkSession, path: String,
+                    allowed: Option[DataFrame], queries: DataFrame,
+                    k: Int, nprobe: Int = 3): DataFrame = {
+    val root = resolveRoot(path)
+    val cents = loadCentroids(spark, root)
+    val q = localizeQueries(queries).select(col("q_id"),
       explode(Similarity.kmeansProbesCol(Similarity.quantize(col("q_emb")),
         cents, nprobe)).as("cell"),
       col("q_emb"))
@@ -299,9 +428,14 @@ object VectorIndex {
     // filter BEFORE the cast: the partition column materializes as
     // int (directory-name inference) and the pruning predicate must
     // sit on it directly
-    val vecs = spark.read.parquet(s"$path/vectors")
+    val pruned = readVectors(spark, root)
       .filter(col("cell").isInCollection(probed))
       .withColumn("cell", col("cell").cast("long"))
+    val vecs = allowed match {
+      case Some(a) => pruned.join(a.select(col("vec_id")), Seq("vec_id"),
+        "left_semi")
+      case None => pruned
+    }
     val scored = vecs.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("score",

@@ -5178,8 +5178,8 @@ object DataPipeQueries {
     (s, d) => {
       val both = withTwins(s, d)
       val path = ensureMinhashIndexCached(s, d)
-      Dedup.minhashProbePrebuilt(s.read.parquet(s"$path/hh"),
-        s.read.parquet(s"$path/bb"),
+      Dedup.minhashProbePrebuilt(Dedup.readIndexTable(s, s"$path/hh"),
+        Dedup.readBucketsTable(s, s"$path/bb"),
         both.filter(col("id") >= 1000000),
         "id", "text", numHashes = 64, bands = 32, threshold = 0.8)
         .select(col("delta_id"), col("index_id"), col("jaccard"))
@@ -5238,8 +5238,8 @@ object DataPipeQueries {
       ScratchDirs.copyDir(s"$cached/hh", s"$path/hh")
       ScratchDirs.copyDir(s"$cached/bb", s"$path/bb")
       def probe(delta: org.apache.spark.sql.DataFrame) =
-        Dedup.minhashProbePrebuilt(s.read.parquet(s"$path/hh"),
-          s.read.parquet(s"$path/bb"), delta, "id", "text",
+        Dedup.minhashProbePrebuilt(Dedup.readIndexTable(s, s"$path/hh"),
+          Dedup.readBucketsTable(s, s"$path/bb"), delta, "id", "text",
           numHashes = 64, bands = 32, threshold = 0.8)
       // day-1 verdicts published BEFORE the append mutates the index
       probe(day1).write.mode("overwrite").parquet(s"$path/verdicts1")

@@ -179,9 +179,9 @@ object SimilarityQueries {
       sc AS (SELECT e.vec_id,
           round(list_cosine_similarity(e.emb, q.eval_emb), 4) AS score
         FROM e, q)
-      SELECT vec_id, MAX(score) AS max_eval_cos,
-        MAX(score) >= 0.995 AS contaminated
-      FROM sc GROUP BY 1"""))
+      SELECT e.vec_id, MAX(sc.score) AS max_eval_cos,
+        COALESCE(MAX(sc.score) >= 0.995, FALSE) AS contaminated
+      FROM e LEFT JOIN sc ON sc.vec_id = e.vec_id GROUP BY 1"""))
 
   /** SemDeDup end-to-end: coarse k-means clustering (the sim_ivf_kmeans
     * trainer, replayed in full by the oracle) + within-cell greedy
@@ -1175,7 +1175,9 @@ object SimilarityQueries {
   private val simSilhouette = QueryDef(
     "sim_kmeans_silhouette",
     // cells = 0 → autoCells (resolves to exactly 8 at both oracle
-    // SFs, so the unrolled 8-cell chain below still matches; at the
+    // SFs — the unrolled 8-cell chain below matches ONLY while the
+    // embeddings fixture stays ≤ 2000 rows; a bigger fixture flips
+    // autoCells past 8 and this hash breaks FIRST, by design. At the
     // sf1 board the readout self-sizes with the corpus — the last
     // catalog-arg pin of the class the r15 sf1 wave caught)
     (s, d) => Similarity.silhouette(

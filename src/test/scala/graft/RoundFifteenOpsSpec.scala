@@ -37,7 +37,8 @@ class RoundFifteenOpsSpec extends SparkSpec {
     Dedup.minhashIndexAppend(day1, "id", "text", s"$dir/hh", s"$dir/bb",
       numHashes = 64, bands = 32)
     val got = Dedup.minhashProbePrebuilt(
-        spark.read.parquet(s"$dir/hh"), spark.read.parquet(s"$dir/bb"),
+        Dedup.readIndexTable(spark, s"$dir/hh"),
+        Dedup.readBucketsTable(spark, s"$dir/bb"),
         day2, "id", "text", numHashes = 64, bands = 32, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet

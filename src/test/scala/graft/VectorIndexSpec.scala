@@ -87,7 +87,8 @@ class VectorIndexSpec extends SparkSpec {
       s"the appended shifted twin must rank first: ${top.mkString(", ")}")
     // stored-centroid assignment == what a fresh assignment with the
     // same centroids computes (the append path shares the expression)
-    val assignedStored = spark.read.parquet(s"$dir/vectors")
+    val assignedStored = graft.datapipe.AtomicCommit
+      .read(spark, s"$dir/vectors")
       .filter(col("vec_id") >= 1000000)
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
