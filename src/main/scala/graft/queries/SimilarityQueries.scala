@@ -1869,6 +1869,328 @@ object SimilarityQueries {
         FROM documents WHERE lang = 'en')""",
       codesRestrict = "JOIN allowed USING (vec_id)")))
 
+  /** Hybrid retrieval SERVED FROM THE STORED INDEX — the production
+    * twin of hybrid_retrieval: the dense leg is
+    * [[graft.datapipe.VectorIndex.probe]] over the materialized IVF
+    * index (zero training jobs in the query path, partition-pruned
+    * vectors scan — RoundSeventeenPlanSpec pins both), the lexical
+    * leg is the same BM25 chain, fused by the same RRF arithmetic.
+    * The dense candidates are now the IVF approximation (nprobe 3 of
+    * 8) instead of brute force — the oracle replays the trainer +
+    * probe chain, so the hash certifies the approximate serving
+    * semantics exactly.
+    */
+  private val hybridRetrievalIndexed = QueryDef(
+    "hybrid_retrieval_indexed",
+    (s, d) => {
+      val e = embDouble(s, d)
+      val docs = Tables.documents(s, d)
+      val path = ensureVecIndexCached(s, d)
+      val qe = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val qt = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_id"),
+          slice(split(TextAnalysis.normalize(col("text")), " "), 1, 4)
+            .as("q_terms"))
+      val dense = graft.datapipe.VectorIndex.probe(s, path, qe, 10,
+          nprobe = 3)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rnk"))
+      val lex = Relevance.bm25PerQuery(docs, "doc_id", "text", qt, 10)
+        .select(col("q_id"), col("doc_id"), col("rnk"))
+      Relevance.rrfFuseQueries(Seq("dense" -> dense, "lex" -> lex), 10, 60)
+    },
+    Some(s"""WITH ${kmChainCtes("hrv", "hrseeds", "hr", "embedding", 8, 3, 64)},
+      hrcell AS MATERIALIZED (SELECT vec_id, cell FROM hra3),
+      hrprobes AS MATERIALIZED (SELECT q_id, cell FROM (
+          SELECT vec_id AS q_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+          FROM hrp3 WHERE vec_id < 3) t WHERE rn <= 3),
+      e AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      dscored AS MATERIALIZED (SELECT pr.q_id, g.vec_id,
+          round(list_cosine_similarity(qe.emb, ce.emb), 4) AS score
+        FROM hrprobes pr
+        JOIN hrcell g ON g.cell = pr.cell AND g.vec_id <> pr.q_id
+        JOIN e qe ON qe.vec_id = pr.q_id
+        JOIN e ce ON ce.vec_id = g.vec_id),
+      dranked AS (SELECT q_id, vec_id AS doc_id,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+        FROM dscored),
+      dr AS (SELECT q_id, doc_id, rnk FROM dranked WHERE rnk <= 10),
+      toks AS (SELECT doc_id,
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      q AS (SELECT DISTINCT doc_id AS q_id, u.t AS term
+            FROM toks, UNNEST(list_slice(w, 1, 4)) AS u(t)
+            WHERE doc_id < 3),
+      base AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+      stats AS (SELECT COUNT(*) AS n_docs, SUM(len(w)) AS sum_dl FROM toks),
+      m AS (SELECT doc_id, dl, u.t AS term
+            FROM base, UNNEST(w) AS u(t)
+            WHERE u.t IN (SELECT DISTINCT term FROM q)),
+      tfs AS (SELECT doc_id, term, MAX(dl) AS dl, COUNT(*) AS tf
+              FROM m GROUP BY 1, 2),
+      dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1),
+      wts AS (SELECT doc_id, term,
+          CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+            (tf * (1.2 + 1.0)) /
+            (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl /
+              (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 8)
+            AS DECIMAL(28,8)) AS wt8
+        FROM tfs JOIN dfs USING (term), stats),
+      sc AS (SELECT q_id, doc_id,
+          CAST(round(SUM(wt8), 4) AS DOUBLE) AS score
+        FROM wts JOIN q USING (term) GROUP BY 1, 2),
+      lranked AS (SELECT q_id, doc_id,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        FROM sc),
+      lr AS (SELECT q_id, doc_id, rnk FROM lranked WHERE rnk <= 10),
+      u AS (SELECT q_id, doc_id,
+          MIN(CASE WHEN sig = 'dense' THEN rnk END) AS r_dense,
+          MIN(CASE WHEN sig = 'lex' THEN rnk END) AS r_lex
+        FROM (SELECT q_id, doc_id, 'dense' AS sig, rnk FROM dr
+              UNION ALL
+              SELECT q_id, doc_id, 'lex' AS sig, rnk FROM lr)
+        GROUP BY 1, 2),
+      f AS (SELECT q_id, doc_id, r_dense, r_lex,
+          round(COALESCE(1.0 / (60.0 + CAST(r_dense AS DOUBLE)), 0.0) +
+                COALESCE(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0), 6) AS rrf
+        FROM u),
+      fr AS (SELECT q_id, doc_id, r_dense, r_lex, rrf,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+        FROM f)
+      SELECT q_id, rnk, doc_id, r_dense, r_lex, rrf
+      FROM fr WHERE rnk <= 10"""))
+
+  /** The REBUILD leg closing the stored-index lifecycle
+    * ([[graft.datapipe.VectorIndex.rebuild]]): a drifting delta
+    * (+0.5-shifted %7 vectors, ids +1000000) folds in with the FROZEN
+    * base centroids, the [[graft.datapipe.VectorIndex.indexStats]]
+    * skew readout is published to the ledger BEFORE the decision
+    * (production order — the readout must describe the drifted index,
+    * not the rebuilt one), then rebuild retrains over the stored
+    * base ∪ delta into a versioned directory and swaps the MANIFEST
+    * atomically. Day-after probes (identical copies of the delta,
+    * ids +2000000) are served from the NEW version: each query's
+    * twin — an index row that exists only via the pre-rebuild
+    * append — must come back at cos 1.0. The oracle replays BOTH
+    * trainings: the base chain + stored-centroid delta assignment
+    * for the skew rows, and the from-scratch union chain for the
+    * post-rebuild probe, so one hash certifies that rebuilding from
+    * the stored vectors is indistinguishable from training on the
+    * union directly.
+    */
+  private val e2eVecRebuild = QueryDef(
+    "e2e_vec_rebuild",
+    (s, d) => {
+      val cached = ensureVecIndexCached(s, d)
+      val path = ScratchDirs.freshAppendScratch("graft_vec_rebuild")
+      ScratchDirs.copyDir(s"$cached/centroids", s"$path/centroids")
+      ScratchDirs.copyDir(s"$cached/vectors", s"$path/vectors")
+      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+      val delta = e.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("emb"), x => x + lit(0.5)).as("emb"))
+      graft.datapipe.VectorIndex.append(s, path, delta)
+      // the drift readout, published BEFORE rebuild mutates the index
+      graft.datapipe.VectorIndex.indexStats(s, path)
+        .write.mode("overwrite").parquet(s"$path/stats_before")
+      graft.datapipe.VectorIndex.rebuild(s, path, cells = 8, iters = 3)
+      val q = delta.select((col("vec_id") + 1000000).as("q_id"),
+        col("emb").as("q_emb"))
+      s.read.parquet(s"$path/stats_before")
+        .select(lit("skew").as("phase"), col("cell").as("k1"),
+          col("n_vecs").as("k2"), col("skew").as("v"))
+        .unionByName(
+          graft.datapipe.VectorIndex.probe(s, path, q, 1, nprobe = 3)
+            .select(lit("probe").as("phase"), col("q_id").as("k1"),
+              col("vec_id").as("k2"), col("score").as("v")))
+    },
+    Some(s"""WITH ${kmChainCtes("rbv", "rbseeds", "rb", "embedding", 8, 3, 64)},
+      basecell AS MATERIALIZED (SELECT vec_id, cell FROM rba3),
+      dv AS MATERIALIZED (SELECT vec_id + 1000000 AS vec_id,
+          list_transform(embedding,
+            x -> CAST(round((CAST(x AS DOUBLE) + 0.5) * 1000) AS BIGINT)) AS q,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.5) AS emb
+        FROM embeddings WHERE vec_id % 7 = 0),
+      dp AS MATERIALIZED (SELECT d.vec_id, c.cell,
+          CAST(list_sum(list_transform(list_zip(d.q, c.s),
+               z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS DOUBLE)
+            / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) AS f
+        FROM dv d, rbc2 c),
+      da AS MATERIALIZED (SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+          FROM dp) t WHERE rn = 1),
+      allcell AS MATERIALIZED (SELECT vec_id, cell FROM basecell
+        UNION ALL SELECT vec_id, cell FROM da),
+      g AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM allcell GROUP BY 1),
+      t AS (SELECT SUM(n_vecs) AS tot, CAST(COUNT(*) AS BIGINT) AS k FROM g),
+      uall AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+        UNION ALL SELECT vec_id, emb FROM dv),
+      ${kmChainCtes("r2v", "r2seeds", "r2", "emb", 8, 3, 64, from = "uall")},
+      newcell AS MATERIALIZED (SELECT vec_id, cell FROM r2a3),
+      qv AS MATERIALIZED (SELECT vec_id + 1000000 AS q_id, q, emb FROM dv),
+      qp AS MATERIALIZED (SELECT d.q_id, c.cell,
+          CAST(list_sum(list_transform(list_zip(d.q, c.s),
+               z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS DOUBLE)
+            / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) AS f
+        FROM qv d, r2c2 c),
+      qprobes AS MATERIALIZED (SELECT q_id, cell FROM (
+          SELECT q_id, cell,
+            row_number() OVER (PARTITION BY q_id ORDER BY f, cell) AS rn
+          FROM qp) t WHERE rn <= 3),
+      scored AS MATERIALIZED (SELECT pr.q_id, g2.vec_id,
+          round(list_cosine_similarity(qe.emb, ce.emb), 4) AS score
+        FROM qprobes pr
+        JOIN newcell g2 ON g2.cell = pr.cell AND g2.vec_id <> pr.q_id
+        JOIN qv qe ON qe.q_id = pr.q_id
+        JOIN uall ce ON ce.vec_id = g2.vec_id),
+      probed AS MATERIALIZED (SELECT q_id, vec_id, score FROM (
+          SELECT q_id, vec_id, score,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, vec_id) AS rn
+          FROM scored) t WHERE rn = 1)
+      SELECT 'skew' AS phase, CAST(cell AS BIGINT) AS k1, n_vecs AS k2,
+        ((2 * n_vecs * k * 1000000 + tot) // (2 * tot)) / 1000000.0 AS v
+      FROM g, t
+      UNION ALL
+      SELECT 'probe', q_id, vec_id, score FROM probed"""))
+
+  /** RAG-prep serving chain as ONE certified composition — chunk
+    * (T123 sliding windows) → deterministic chunk vectors (the parent
+    * doc's embedding shifted +0.001·win_id, the multimodal-stub
+    * convention: a production encoder slots in where the shift is;
+    * the Spark-side plumbing — ids, schema, index layout — is real)
+    * → stored-index build over ALL chunk vectors → FILTERED probe
+    * ([[graft.datapipe.VectorIndex.probeFiltered]], candidates
+    * restricted to English-document chunks BEFORE scoring, nprobe 3)
+    * for the first three English docs' query vectors → retrieval
+    * quality scored by [[graft.datapipe.Relevance.retrievalEval]]
+    * against own-document qrels. The oracle replays chunking, vector
+    * synthesis, the trainer, the filtered probe, and every metric's
+    * integer arithmetic.
+    */
+  private val e2eRagServing = QueryDef(
+    "e2e_rag_serving",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val e = embDouble(s, d).select(col("vec_id"), col("emb"))
+      val chunks = graft.datapipe.Chunker.slidingWindows(docs, "doc_id",
+          "text", window = 64, stride = 48)
+        .select(col("doc_id"), col("win_id"),
+          ((col("doc_id") + 1) * 10000 + col("win_id")).as("chunk_id"))
+      val chunkVecs = chunks
+        .join(e.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+        .select(col("chunk_id").as("vec_id"),
+          transform(col("emb"), x => x + col("win_id") * lit(0.001))
+            .as("emb"),
+          col("doc_id"))
+      val path = vecIndexCachePath(d) + "_rag"
+      if (!new java.io.File(s"$path/centroids", "_SUCCESS").exists() ||
+        !new java.io.File(s"$path/vectors", "_SUCCESS").exists())
+        graft.datapipe.VectorIndex.build(
+          chunkVecs.select(col("vec_id"), col("emb")), path,
+          cells = 8, iters = 3)
+      val enDocs = docs.filter(col("lang") === "en")
+        .select(col("doc_id"))
+      val allowed = chunkVecs.join(enDocs, Seq("doc_id"))
+        .select(col("vec_id"))
+      val qe = enDocs.orderBy(col("doc_id")).limit(3)
+        .join(e.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+        .select(col("doc_id").as("q_id"),
+          transform(col("emb"), x => x + lit(0.0005)).as("q_emb"))
+      val retrieved = graft.datapipe.VectorIndex.probeFiltered(
+          s, path, Some(allowed), qe, 10, nprobe = 3)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rnk"))
+      val qrels = qe.select(col("q_id"))
+        .join(chunkVecs.select(col("doc_id").as("q_id"),
+          col("vec_id").as("doc_id")), Seq("q_id"))
+      Relevance.retrievalEval(retrieved, qrels, 10)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+          t -> len(t) > 0) AS w
+        FROM documents),
+      ch AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS win_id,
+          (doc_id + 1) * 10000 + i AS chunk_id
+        FROM toks, UNNEST(generate_series(0, (len(w) - 1) // 48)) AS g2(i)
+        WHERE len(w) > 0),
+      cv AS MATERIALIZED (SELECT ch.chunk_id AS vec_id, ch.doc_id,
+          list_transform(em.embedding,
+            x -> CAST(x AS DOUBLE) + ch.win_id * 1e-3) AS emb
+        FROM ch JOIN embeddings em ON em.vec_id = ch.doc_id),
+      ${kmChainCtes("rgv", "rgseeds", "rg", "emb", 8, 3, 64, from = "cv")},
+      rcell AS MATERIALIZED (SELECT vec_id, cell FROM rga3),
+      allowed AS MATERIALIZED (SELECT cv.vec_id FROM cv
+        JOIN documents dd ON dd.doc_id = cv.doc_id WHERE dd.lang = 'en'),
+      qd AS MATERIALIZED (SELECT doc_id FROM documents WHERE lang = 'en'
+        ORDER BY doc_id LIMIT 3),
+      qv AS MATERIALIZED (SELECT qd.doc_id AS q_id,
+          list_transform(em.embedding,
+            x -> CAST(x AS DOUBLE) + 0.0005) AS emb,
+          list_transform(em.embedding,
+            x -> CAST(round((CAST(x AS DOUBLE) + 0.0005) * 1000) AS BIGINT)) AS q
+        FROM qd JOIN embeddings em ON em.vec_id = qd.doc_id),
+      qp AS MATERIALIZED (SELECT d.q_id, c.cell,
+          CAST(list_sum(list_transform(list_zip(d.q, c.s),
+               z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS DOUBLE)
+            / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) AS f
+        FROM qv d, rgc2 c),
+      qprobes AS MATERIALIZED (SELECT q_id, cell FROM (
+          SELECT q_id, cell,
+            row_number() OVER (PARTITION BY q_id ORDER BY f, cell) AS rn
+          FROM qp) t WHERE rn <= 3),
+      scored AS MATERIALIZED (SELECT pr.q_id, g3.vec_id,
+          round(list_cosine_similarity(qe.emb, ce.emb), 4) AS score
+        FROM qprobes pr
+        JOIN rcell g3 ON g3.cell = pr.cell AND g3.vec_id <> pr.q_id
+        JOIN allowed a ON a.vec_id = g3.vec_id
+        JOIN qv qe ON qe.q_id = pr.q_id
+        JOIN cv ce ON ce.vec_id = g3.vec_id),
+      lr AS MATERIALIZED (SELECT q_id, doc_id, rnk FROM (
+          SELECT q_id, vec_id AS doc_id,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+          FROM scored) t WHERE rnk <= 10),
+      qrels AS MATERIALIZED (SELECT qd.doc_id AS q_id,
+          cv.vec_id AS doc_id
+        FROM qd JOIN cv ON cv.doc_id = qd.doc_id),
+      nrel AS (SELECT q_id, COUNT(*) AS n_rel FROM qrels GROUP BY 1),
+      nret AS (SELECT q_id, COUNT(*) AS n_ret FROM lr GROUP BY 1),
+      ha AS (SELECT lr.q_id, COUNT(*) AS hits, MIN(lr.rnk) AS first_rank,
+          SUM(CAST(round(1.0 / log2(CAST(lr.rnk AS DOUBLE) + 1.0), 8)
+            AS DECIMAL(18,8))) AS dcg
+        FROM lr JOIN qrels ON lr.q_id = qrels.q_id AND lr.doc_id = qrels.doc_id
+        GROUP BY 1),
+      idcg AS (SELECT q_id,
+          SUM(CAST(round(1.0 / log2(CAST(rr AS DOUBLE) + 1.0), 8)
+            AS DECIMAL(18,8))) AS idcg
+        FROM (SELECT q_id, UNNEST(generate_series(1, LEAST(n_rel, 10))) AS rr
+              FROM nrel)
+        GROUP BY 1),
+      ints AS (SELECT nrel.q_id, nrel.n_rel,
+          COALESCE(nret.n_ret, 0) AS n_ret,
+          COALESCE(ha.hits, 0) AS hits, ha.first_rank,
+          CAST(COALESCE(ha.dcg, 0) * 100000000 AS BIGINT) AS dcg8,
+          CAST(idcg.idcg * 100000000 AS BIGINT) AS idcg8
+        FROM nrel LEFT JOIN nret USING (q_id) LEFT JOIN ha USING (q_id)
+        JOIN idcg USING (q_id))
+      SELECT q_id, CAST(n_rel AS BIGINT) AS n_rel,
+        CAST(n_ret AS BIGINT) AS n_ret, CAST(hits AS BIGINT) AS hits,
+        CAST(first_rank AS BIGINT) AS first_rank,
+        ((2 * hits * 1000000 + n_rel) // (2 * n_rel)) / 1000000.0 AS recall_k,
+        COALESCE(((2 * 1 * 1000000 + first_rank) // (2 * first_rank))
+          / 1000000.0, 0.0) AS mrr,
+        ((2 * dcg8 * 1000000 + idcg8) // (2 * idcg8)) / 1000000.0 AS ndcg_k
+      FROM ints"""))
+
   val defs: Seq[QueryDef] =
     Seq(simBruteForce, simIvf, simIvfPruned, simIvfRecall, simIvfKmeans,
       simKnnGraph,
@@ -1882,5 +2204,6 @@ object SimilarityQueries {
       simSourceDrift, simPcaTop, simPcaSpectrum, simHardNegatives,
       packCoherent, simMatryoshka, simAnisotropy,
       simIndexMaterialized, simIndexAppend, simIndexPqProbe, simIndexStats,
-      simFilteredPq, decontamSemanticIndexed, e2eVecProbeAppend)
+      simFilteredPq, decontamSemanticIndexed, e2eVecProbeAppend,
+      hybridRetrievalIndexed, e2eVecRebuild, e2eRagServing)
 }

@@ -1600,4 +1600,60 @@ class StreamingSpec extends SparkSpec {
     assert(got(0L)._2 && got(50L)._2 && !got(1L)._2,
       "planted %25 vectors flag on the stream, others do not")
   }
+
+  test("vector stream INGEST appends into the stored index " +
+    "(foreachBatch + batchId ledger) — redelivery is a no-op, " +
+    "streamed-in vectors serve, torn appends stay invisible") {
+    // the ingest half of the stored-index serving loop: vectors
+    // arrive on a stream, each micro-batch folds in via
+    // VectorIndex.append (stored-centroid assignment, crash-safe
+    // commit), and a batchId-keyed ledger gives the exactly-once
+    // semantics the append sink itself leaves to the caller —
+    // a redelivered batch (the restart-after-crash path) must not
+    // plant duplicate index rows
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.{AtomicCommit, VectorIndex}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val dir = Files.createTempDirectory("graft_vecidx_ingest").toString
+    VectorIndex.build(emb.filter(col("vec_id") >= 10), dir,
+      cells = 8, iters = 3)
+    val ledger = new java.io.File(dir, "ledger")
+    ledger.mkdirs()
+    def appendOnce(b: org.apache.spark.sql.DataFrame,
+                   batchId: Long): Unit = {
+      val marker = new java.io.File(ledger, s"batch-$batchId")
+      if (!marker.exists()) {
+        VectorIndex.append(spark, dir, b)
+        marker.createNewFile() // committed AFTER the append lands
+      }
+    }
+    val deltaRows = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = in.toDF().toDF("vec_id", "emb").writeStream
+      .foreachBatch(appendOnce _).start()
+    in.addData(deltaRows.take(5): _*)
+    q.processAllAvailable()
+    in.addData(deltaRows.drop(5): _*)
+    q.processAllAvailable()
+    q.stop()
+    // redelivery of batch 0's payload under the same batchId — the
+    // ledger makes it a no-op
+    appendOnce(deltaRows.take(5).toSeq.toDF("vec_id", "emb"), 0L)
+    val appended = AtomicCommit.read(spark, s"$dir/vectors")
+      .filter(col("vec_id") >= 1000000)
+    assert(appended.count() === 10,
+      "no duplicate index rows after redelivery")
+    // streamed-in vectors serve: each original (absent from the
+    // index) retrieves its streamed identical twin at cos 1.0
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val top = VectorIndex.probe(spark, dir, queries, 1, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(top.length === 10 && top.forall { case (qid, vid, score) =>
+      vid == qid + 1000000L && score == 1.0 },
+      s"streamed-in twins must serve at rank 1: ${top.take(5).mkString(", ")}")
+  }
 }
