@@ -259,6 +259,20 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** 1-minute load average (NaN where /proc/loadavg is absent) — the
+    * noise record the r16 verdict asked for: both r16 boards ran on a
+    * host under sustained external load (loadavg 8–9, zero local
+    * java) and the committed medians overstated untouched entries by
+    * up to ~1.7×, which silently defanged the next round's 1.6×
+    * suspect trigger. Sampled at orchestrator start (before any
+    * worker spins — the cleanest external-load signal), before each
+    * group, and at the end; all readings land in the artifact.
+    */
+  private def loadavg1(): Double =
+    try new String(Files.readAllBytes(Paths.get("/proc/loadavg")),
+      StandardCharsets.UTF_8).split("\\s+")(0).toDouble
+    catch { case _: Throwable => Double.NaN }
+
   private def orchestratorMain(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nGroups = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUPS", "8").toInt
@@ -327,6 +341,8 @@ object Bench {
 
     val tmpDir = Files.createTempDirectory("graft_bench")
     var isolation = "per-group-jvm"
+    val loadStart = loadavg1()
+    val groupLoads = Vector.newBuilder[Double]
 
     // probe classpath candidates on the FIRST group, stick with the
     // winner for the rest. A group whose fork fails falls back
@@ -338,6 +354,7 @@ object Bench {
     val merged = Vector.newBuilder[(String, Vector[Double], Option[String])]
     var nFellBack = 0
     for ((g, i) <- groups.zipWithIndex) {
+      groupLoads += loadavg1()
       val out = tmpDir.resolve(s"group_$i.tsv")
       val ok = cpChosen match {
         case Some(cp) => forkWorker(cp, sfDir, g, out)
@@ -489,8 +506,23 @@ object Bench {
     // re-key to a new sf set SPARK_GRAFT_BENCH_PRIOR_FORCE=1.
     val sfMatches = priorSf.forall(_ == sfDir) ||
       sys.env.contains("SPARK_GRAFT_BENCH_PRIOR_FORCE")
-    if (!sys.env.contains("SPARK_GRAFT_BENCH_ONLY") && sfMatches) {
+    // NOISE GATE (r16 verdict #1): a board started on a host already
+    // under external load publishes its numbers (the run is still the
+    // run) but must NOT become the canonical prior — inflated medians
+    // skew LPT packing and, worse, raise the 1.6× suspect trigger's
+    // denominator so a real regression reads ≈ 1.0. The gate reads
+    // the 1-min loadavg from BEFORE any worker spun up; our own
+    // workers never count against it. Threshold overridable via
+    // SPARK_GRAFT_BENCH_MAX_START_LOAD (absolute 1-min loadavg;
+    // default 4.0 — r16's poisoned boards started at 8–9).
+    val maxStartLoad = sys.env.get("SPARK_GRAFT_BENCH_MAX_START_LOAD")
+      .map(_.toDouble).getOrElse(4.0)
+    val loadOk = loadStart.isNaN || loadStart <= maxStartLoad
+    val fullBoard = !sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
+    val priorWritten = fullBoard && sfMatches && loadOk
+    if (priorWritten) {
       val pj = (s""""__sf__":${jstr(sfDir)}""" +:
+        s""""__loadavg_start__":$loadStart""" +:
         finalResults.map { case (k, v, _) => s"${jstr(k)}:${median(v)}" })
         .mkString("{", ",", "}")
       try Files.write(Paths.get("BENCHPRIOR.json"),
@@ -498,10 +530,23 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] BENCHPRIOR.json write failed: ${e.getMessage}")
       }
-    } else if (!sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+    } else if (fullBoard && !loadOk)
+      System.err.println(f"[bench] start loadavg $loadStart%.2f > " +
+        f"$maxStartLoad%.2f — board NON-CANONICAL, BENCHPRIOR.json left " +
+        "untouched (quiet the host and re-run, or raise " +
+        "SPARK_GRAFT_BENCH_MAX_START_LOAD)")
+    else if (fullBoard)
       System.err.println(s"[bench] sidecar recorded at ${priorSf.get} != " +
         s"$sfDir — BENCHPRIOR.json left untouched (set " +
         "SPARK_GRAFT_BENCH_PRIOR_FORCE=1 to re-key)")
+    val loadEnd = loadavg1()
+    val loads = groupLoads.result()
+    // NaN (no /proc/loadavg) serializes as -1.0: JSON has no NaN
+    def jnum(d: Double) = if (d.isNaN) "-1.0" else d.toString
+    val loadJson = s""""loadavg_start":${jnum(loadStart)},""" +
+      s""""loadavg_end":${jnum(loadEnd)},""" +
+      s""""loadavg_pre_group":[${loads.map(jnum).mkString(",")}],""" +
+      s""""canonical_prior_written":$priorWritten"""
 
     // Driver contract: "queries" stays name -> one number (median).
     val qs = finalResults.map { case (k, v, _) => s"${jstr(k)}:${median(v)}" }
@@ -523,7 +568,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = finalResults.map(r => median(r._2)).sum
     val adoptedJson = adopted.map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"failed":$failed,"n_failed":${finalResults.count(_._3.nonEmpty)},"sf":"$sfDir","reps":$REPS,"isolation":"$isolation","n_groups":${groups.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"failed":$failed,"n_failed":${finalResults.count(_._3.nonEmpty)},"sf":"$sfDir","reps":$REPS,"isolation":"$isolation","n_groups":${groups.size},$loadJson}""")
     // Tail-safe second line (the driver archives only the output
     // tail; r6 lost the total when the full line truncated). Keyed
     // "total_compact", never a second conflicting "total".
@@ -537,7 +582,7 @@ object Bench {
       .filter(d => Files.isDirectory(Paths.get(d)))
       .map(jstr).mkString("[", ",", "]")
     val suspectsJson = suspectNames.map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${finalResults.size},"n_failed":${finalResults.count(_._3.nonEmpty)},"slowest":$slowest,"isolation":"$isolation","n_groups":${groups.size},"fresh_jvm_recheck":$recheckJson,"recheck_max_inflation":$maxRatioPublished,"recheck_max_raw_inflation":$maxRatioRaw,"recheck_adopted":$adoptedJson,"recheck_seed":$recheckSeed,"recheck_midpack":$midpackJson,"recheck_suspects":$suspectsJson,"recheck_suspects_dropped":$suspectsDropped,"warm_dirs":$warmJson,"sf":"$sfDir","reps":$REPS}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${finalResults.size},"n_failed":${finalResults.count(_._3.nonEmpty)},"slowest":$slowest,"isolation":"$isolation","n_groups":${groups.size},"fresh_jvm_recheck":$recheckJson,"recheck_max_inflation":$maxRatioPublished,"recheck_max_raw_inflation":$maxRatioRaw,"recheck_adopted":$adoptedJson,"recheck_seed":$recheckSeed,"recheck_midpack":$midpackJson,"recheck_suspects":$suspectsJson,"recheck_suspects_dropped":$suspectsDropped,"warm_dirs":$warmJson,"sf":"$sfDir","reps":$REPS,$loadJson}""")
     // LAST line, bounded < 1500 chars BY CONSTRUCTION: the driver
     // archives only the tail of stdout, and in r13 total_compact
     // outgrew the capture window (the recheck metadata it rightly
@@ -555,7 +600,7 @@ object Bench {
     val summaryAdopted = adopted.take(10).map(n => jstr(n.take(40)))
       .mkString("[", ",", "]") +
       (if (adopted.size > 10) s""","adopted_more":${adopted.size - 10}""" else "")
-    println(s"""{"metric":"total_summary","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${finalResults.size},"n_failed":${finalResults.count(_._3.nonEmpty)},"slowest":$summarySlow,"recheck_max_inflation":${math.rint(maxRatioPublished * 1000) / 1000},"recheck_max_raw_inflation":${math.rint(maxRatioRaw * 1000) / 1000},"n_suspects":${suspectNames.size},"recheck_adopted":$summaryAdopted,"isolation":"$isolation","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${finalResults.size},"n_failed":${finalResults.count(_._3.nonEmpty)},"slowest":$summarySlow,"recheck_max_inflation":${math.rint(maxRatioPublished * 1000) / 1000},"recheck_max_raw_inflation":${math.rint(maxRatioRaw * 1000) / 1000},"n_suspects":${suspectNames.size},"recheck_adopted":$summaryAdopted,"isolation":"$isolation","sf":"$sfDir","loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadEnd)},"canonical_prior_written":$priorWritten}""")
   }
 
   /** Fallback when a fork fails: time ONE group in-process with a
