@@ -70,18 +70,50 @@ object AtomicCommit {
     * with one atomic rename. If `write` throws (executor loss, kill),
     * the staged directory is abandoned where no reader looks; the
     * table's committed view is unchanged.
+    *
+    * `commitId` makes the append IDEMPOTENT at the protocol level:
+    * the committed delta directory is named by it, so a REDELIVERED
+    * append (stream-sink restart, at-least-once upstream) with the
+    * same id is a no-op — checked before the write (cheap skip) and
+    * again at the rename (two racing deliveries: exactly one rename
+    * wins, the loser's staging dir is discarded). Callers with a
+    * natural run identity (a streaming batchId, an ingest-day key)
+    * should pass it and drop their side ledger; without one, a
+    * random id preserves plain append-anything semantics.
     */
-  def commitAppend(target: String)(write: String => Unit): Unit = {
-    val id = java.util.UUID.randomUUID().toString
-    val staging = Paths.get(stagingRoot(target), id)
+  def commitAppend(target: String, commitId: Option[String] = None)
+                  (write: String => Unit): Unit = {
+    val id = commitId.getOrElse(java.util.UUID.randomUUID().toString)
+    require(id.nonEmpty && !id.contains('/') && !id.contains('\\') &&
+      id != "." && id != "..",
+      s"commitId must be a plain directory name, got '$id'")
+    val dst = Paths.get(deltasRoot(target), id)
+    if (Files.exists(dst)) return // already committed — idempotent replay
+    // staging name stays unique even under a duplicate commitId, so
+    // two racing deliveries never write into the same staged dir
+    val staging = Paths.get(stagingRoot(target),
+      s"$id-${java.util.UUID.randomUUID()}")
     Files.createDirectories(staging.getParent)
     write(staging.toString)
     require(Files.exists(staging.resolve("_SUCCESS")),
       s"staged write at $staging finished without _SUCCESS; refusing to commit")
-    val dst = Paths.get(deltasRoot(target), id)
     Files.createDirectories(dst.getParent)
-    Files.move(staging, dst, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(staging, dst, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // a concurrent delivery of the same commitId won the rename;
+        // this copy is redundant by definition — discard it
+        deleteRecursively(staging)
+    }
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
 
   /** Atomically (re)point a single-file manifest at `value` — the
     * version-swap commit for rebuilt indexes: write-to-temp +

@@ -512,32 +512,38 @@ object Dedup {
     * write (`PARTITION (ingest_date)`), and the bucket table stays
     * sorted-by-bb WITHIN each day's files so scan pruning holds.
     *
-    * Idempotency is the CALLER's contract (as with any append sink):
-    * replaying the same delta twice plants duplicate index rows —
-    * run-once semantics come from the pipeline's ledger, not this
-    * method. What is NOT the caller's problem is torn writes inside
-    * one delivery: both tables commit through [[AtomicCommit]]
-    * (staged dir + atomic rename), so a kill mid-append leaves the
-    * served index bit-unchanged — read the tables back with
+    * Torn writes inside one delivery are NOT the caller's problem:
+    * both tables commit through [[AtomicCommit]] (staged dir + atomic
+    * rename), so a kill mid-append leaves the served index
+    * bit-unchanged — read the tables back with
     * [[readIndexTable]]/[[readBucketsTable]] (base + committed
     * deltas), never a bare `spark.read.parquet` on the base dir.
-    * Column contracts match [[minhashIndexTable]] /
-    * [[minhashBucketsTable]] exactly, so a probe against the
-    * appended table is indistinguishable from one against a
-    * from-scratch rebuild over index ∪ delta (DedupSpec pins this;
-    * the e2e_probe_append oracle replays a two-day chain).
+    * Pass `commitId` (an ingest-day key, a streaming batchId) and
+    * redelivery becomes a protocol-level no-op too — the SAME id
+    * names both tables' delta dirs, so a replay after a crash
+    * BETWEEN the two commits heals the half-append (hh skips, bb
+    * lands) instead of duplicating it; without an id, replay
+    * dedup stays the caller's ledger contract. Column contracts
+    * match [[minhashIndexTable]] / [[minhashBucketsTable]] exactly,
+    * so a probe against the appended table is indistinguishable from
+    * one against a from-scratch rebuild over index ∪ delta (DedupSpec
+    * pins this; the e2e_probe_append oracle replays a two-day chain).
+    * Visibility ordering: hh commits first, so the torn state
+    * between the commits is "signatures without buckets" — those
+    * rows generate no candidates and stay invisible to probes.
     */
   def minhashIndexAppend(delta: DataFrame, idCol: String, textCol: String,
                          hhPath: String, bbPath: String,
-                         numHashes: Int = 64, bands: Int = 32): Unit = {
+                         numHashes: Int = 64, bands: Int = 32,
+                         commitId: Option[String] = None): Unit = {
     requireValidBanding(numHashes, bands)
     val idx = minhashIndexTable(delta, idCol, textCol, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      AtomicCommit.commitAppend(hhPath) { staging =>
+      AtomicCommit.commitAppend(hhPath, commitId) { staging =>
         idx.write.mode("overwrite").parquet(staging)
       }
-      AtomicCommit.commitAppend(bbPath) { staging =>
+      AtomicCommit.commitAppend(bbPath, commitId) { staging =>
         minhashBucketsTable(idx, numHashes, bands)
           .write.mode("overwrite").parquet(staging)
       }

@@ -149,16 +149,34 @@ object VectorIndex {
               iters: Int = 3): Unit = {
     val cur = resolveRoot(path)
     val vecs = readVectors(spark, cur).select(col("vec_id"), col("emb"))
-    val next = {
-      val n = Option(new java.io.File(path).listFiles())
-        .map(_.toSeq).getOrElse(Seq.empty)
-        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-        .map(_.getName.drop(1).toInt)
-        .foldLeft(0)(math.max) + 1
-      s"v$n"
-    }
+    val next = nextVersion(path)
     build(vecs, s"$path/$next", cells, iters)
     AtomicCommit.writeManifest(Paths.get(path, "MANIFEST"), next)
+  }
+
+  /** [[rebuild]] for the COMPRESSED index: retrains the coarse
+    * quantizer AND the PQ codebooks from the stored vectors (both
+    * drift-frozen under [[appendPq]]), re-encodes every vector, and
+    * swaps the MANIFEST atomically — same crash contract as
+    * [[rebuild]].
+    */
+  def rebuildPq(spark: SparkSession, path: String, cells: Int = 0,
+                iters: Int = 3, subspaces: Int = 8, kcents: Int = 16,
+                pqIters: Int = 2): Unit = {
+    val cur = resolveRoot(path)
+    val vecs = readVectors(spark, cur).select(col("vec_id"), col("emb"))
+    val next = nextVersion(path)
+    buildPq(vecs, s"$path/$next", cells, iters, subspaces, kcents, pqIters)
+    AtomicCommit.writeManifest(Paths.get(path, "MANIFEST"), next)
+  }
+
+  private def nextVersion(path: String): String = {
+    val n = Option(new java.io.File(path).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toInt)
+      .foldLeft(0)(math.max) + 1
+    s"v$n"
   }
 
   /** The stored coarse quantizer of the LIVE version, cell-ordered —
@@ -180,14 +198,16 @@ object VectorIndex {
     * atomic rename, so a killed append exposes nothing to probes
     * (VectorIndexSpec's torn-write test). Cost is delta-assign +
     * delta-write, independent of the standing index size.
-    * Re-delivering the same delta twice plants duplicate rows —
-    * run-once semantics stay with the caller's ledger (the streaming
-    * ingest twin in StreamingSpec shows the batchId ledger shape).
+    * Pass `commitId` (a streaming batchId, an ingest-day key) to make
+    * redelivery a protocol-level no-op — no side ledger needed
+    * (StreamingSpec's ingest twin); without one, replaying the same
+    * delta plants duplicate rows (plain append semantics).
     */
-  def append(spark: SparkSession, path: String, delta: DataFrame): Unit = {
+  def append(spark: SparkSession, path: String, delta: DataFrame,
+             commitId: Option[String] = None): Unit = {
     val root = resolveRoot(path)
     val cents = loadCentroids(spark, root)
-    AtomicCommit.commitAppend(s"$root/vectors") { staging =>
+    AtomicCommit.commitAppend(s"$root/vectors", commitId) { staging =>
       delta.select(col("vec_id"), col("emb"),
           Similarity.kmeansAssignCol(Similarity.quantize(col("emb")),
             cents).as("cell"))
@@ -260,12 +280,13 @@ object VectorIndex {
     * [[AtomicCommit]] (same torn-write immunity as [[append]]). No
     * retrain of either quantizer.
     */
-  def appendPq(spark: SparkSession, path: String, delta: DataFrame): Unit = {
+  def appendPq(spark: SparkSession, path: String, delta: DataFrame,
+               commitId: Option[String] = None): Unit = {
     val root = resolveRoot(path)
     val coarse = loadCentroids(spark, root)
     val cbs = loadCodebooks(spark, root)
     val subDim = cbs.head.head._1.length
-    AtomicCommit.commitAppend(s"$root/vectors") { staging =>
+    AtomicCommit.commitAppend(s"$root/vectors", commitId) { staging =>
       delta.select(col("vec_id"), col("emb"),
           Similarity.pqCodeCol(cbs, subDim).as("code"),
           Similarity.kmeansAssignCol(Similarity.quantize(col("emb")),
@@ -301,15 +322,19 @@ object VectorIndex {
         Similarity.pqLutCols(cbs, subDim): _*)
     val probed = qLuts.select(col("q_cell")).distinct()
       .collect().map(_.getLong(0).toInt).toSeq
-    val codes = readVectors(spark, root)
+    // every rescore candidate comes from a probed cell, so BOTH
+    // stages read the same partition-pruned scan — the exact rescore
+    // never touches a non-probed cell's files either
+    val pruned = readVectors(spark, root)
       .filter(col("cell").isInCollection(probed))
+    val codes = pruned
       .select(col("vec_id"), col("code"), col("cell").cast("long").as("cell"))
     val approx = codes
       .join(broadcast(qLuts),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .withColumn("ascore", -Similarity.pqAdistCol(subspaces))
     Similarity.refineStage(approx,
-      readVectors(spark, root).select(col("vec_id"), col("emb")),
+      pruned.select(col("vec_id"), col("emb")),
       queries, k, refine)
   }
 

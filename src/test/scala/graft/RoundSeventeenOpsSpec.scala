@@ -197,6 +197,91 @@ class RoundSeventeenOpsSpec extends SparkSpec {
       s"the exact twin appended AFTER rebuild must serve: ${top.toSeq}")
   }
 
+  test("commitId makes appends idempotent at the protocol level: " +
+    "the same vector delta redelivered twice lands once") {
+    val e = fixtureEmb
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vecidx_idem").toString
+    VectorIndex.build(e, dir, cells = 8, iters = 3)
+    val delta = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("emb"))
+    VectorIndex.append(spark, dir, delta, commitId = Some("day-1"))
+    VectorIndex.append(spark, dir, delta, commitId = Some("day-1"))
+    val n = AtomicCommit.read(spark, s"$dir/vectors")
+      .filter(col("vec_id") >= 1000000).count()
+    assert(n === 10, s"redelivered commitId must be a no-op, got $n rows")
+    // a DIFFERENT id is a genuine second day
+    VectorIndex.append(spark, dir,
+      delta.select((col("vec_id") + 1000000).as("vec_id"), col("emb")),
+      commitId = Some("day-2"))
+    assert(AtomicCommit.read(spark, s"$dir/vectors")
+      .filter(col("vec_id") >= 1000000).count() === 20)
+  }
+
+  test("minhash half-append heals on redelivery: a crash between the " +
+    "hh and bb commits leaves the delta invisible, and replaying the " +
+    "same commitId completes it exactly once") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "text")
+    val day1 = Seq(
+      (11L, "nothing like anything in the index corpus at all whatsoever"))
+      .toDF("id", "text")
+    val probeDoc = Seq(
+      (21L, "nothing like anything in the index corpus at all whatsoever"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_minhash_heal").toString
+    val idx0 = Dedup.minhashIndexTable(base, "id", "text", numHashes = 64)
+    idx0.write.mode("overwrite").parquet(s"$dir/hh")
+    Dedup.minhashBucketsTable(idx0).write.mode("overwrite")
+      .parquet(s"$dir/bb")
+    def probe() = Dedup.minhashProbePrebuilt(
+        Dedup.readIndexTable(spark, s"$dir/hh"),
+        Dedup.readBucketsTable(spark, s"$dir/bb"),
+        probeDoc, "id", "text", numHashes = 64, bands = 32,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // crash AFTER the hh commit, BEFORE the bb commit: only the
+    // signature table carries the delta — signatures without buckets
+    // generate no candidates, so the torn state is invisible
+    AtomicCommit.commitAppend(s"$dir/hh", Some("d1")) { staging =>
+      Dedup.minhashIndexTable(day1, "id", "text", numHashes = 64)
+        .write.mode("overwrite").parquet(staging)
+    }
+    assert(probe().isEmpty,
+      "signatures without buckets must stay invisible to probes")
+    // the redelivery (same commitId) heals: hh skips, bb lands
+    Dedup.minhashIndexAppend(day1, "id", "text", s"$dir/hh", s"$dir/bb",
+      numHashes = 64, bands = 32, commitId = Some("d1"))
+    assert(probe() === Set((21L, 11L)))
+    assert(Dedup.readIndexTable(spark, s"$dir/hh")
+      .filter(col("index_id") === 11L).count() === 1,
+      "the healed append must not duplicate the hh rows")
+  }
+
+  test("rebuildPq: the compressed index retrains coarse + codebooks " +
+    "from the stored vectors and swaps atomically; appended vectors " +
+    "serve from the new version") {
+    val e = fixtureEmb
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vecidx_rebuildpq").toString
+    VectorIndex.buildPq(e, dir, cells = 8, iters = 3)
+    val delta = e.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("emb"))
+    VectorIndex.appendPq(spark, dir, delta)
+    VectorIndex.rebuildPq(spark, dir, cells = 8, iters = 3)
+    assert(VectorIndex.resolveRoot(dir) === s"$dir/v1")
+    // the appended EXACT twin of query 0 shares cell and code with
+    // the original in the retrained index too — rank 1 at cos 1.0
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val top = VectorIndex.probePq(spark, dir, q, 3, nprobe = 3)
+      .orderBy(col("rnk")).collect()
+    assert(top.head.getLong(2) === 1000000L && top.head.getDouble(3) === 1.0,
+      s"the appended twin must serve from the rebuilt version: ${top.toSeq}")
+  }
+
   test("probeFiltered: the metadata pre-filter restricts candidates " +
     "BEFORE scoring (k survivors, all allowed), and allowed = " +
     "everything degrades to the plain probe") {

@@ -1606,11 +1606,10 @@ class StreamingSpec extends SparkSpec {
     "streamed-in vectors serve, torn appends stay invisible") {
     // the ingest half of the stored-index serving loop: vectors
     // arrive on a stream, each micro-batch folds in via
-    // VectorIndex.append (stored-centroid assignment, crash-safe
-    // commit), and a batchId-keyed ledger gives the exactly-once
-    // semantics the append sink itself leaves to the caller —
-    // a redelivered batch (the restart-after-crash path) must not
-    // plant duplicate index rows
+    // VectorIndex.append with the batchId as the COMMIT ID — the
+    // append protocol itself names the delta dir by it, so a
+    // redelivered batch (the restart-after-crash path) is a no-op
+    // with no side ledger to maintain
     implicit val sqlCtx = spark.sqlContext
     import graft.datapipe.{AtomicCommit, VectorIndex}
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -1618,16 +1617,9 @@ class StreamingSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_vecidx_ingest").toString
     VectorIndex.build(emb.filter(col("vec_id") >= 10), dir,
       cells = 8, iters = 3)
-    val ledger = new java.io.File(dir, "ledger")
-    ledger.mkdirs()
     def appendOnce(b: org.apache.spark.sql.DataFrame,
-                   batchId: Long): Unit = {
-      val marker = new java.io.File(ledger, s"batch-$batchId")
-      if (!marker.exists()) {
-        VectorIndex.append(spark, dir, b)
-        marker.createNewFile() // committed AFTER the append lands
-      }
-    }
+                   batchId: Long): Unit =
+      VectorIndex.append(spark, dir, b, commitId = Some(s"batch-$batchId"))
     val deltaRows = emb.filter(col("vec_id") < 10)
       .select((col("vec_id") + 1000000).as("vec_id"), col("emb"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
