@@ -170,6 +170,38 @@ object VectorIndex {
     AtomicCommit.writeManifest(Paths.get(path, "MANIFEST"), next)
   }
 
+  /** COMPACT the live version's base + committed deltas into the
+    * next version directory WITHOUT retraining — the small-file
+    * maintenance leg between [[append]] (daily) and [[rebuild]]
+    * (drift-triggered): sustained appends accumulate one delta
+    * directory per commit, and at 100 TB a probe's file listing and
+    * per-cell open count grow with commit count even though the data
+    * doesn't. Compaction rewrites the vectors (every column,
+    * including PQ `code` when present) into fresh cell partitions —
+    * one hash exchange on the partition key, file count re-bounded
+    * by cells — and copies the training artifacts (centroids, and
+    * codebooks when present) unchanged: assignments are preserved
+    * because the quantizer is, so a probe against the compacted
+    * version is bit-identical to one against base + deltas
+    * (RoundSeventeenOpsSpec pins it). Same atomic MANIFEST-swap
+    * commit as [[rebuild]]: a killed compaction leaves the old
+    * version fully live.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val cur = resolveRoot(path)
+    val next = nextVersion(path)
+    spark.read.parquet(s"$cur/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$next/centroids")
+    if (Files.isDirectory(Paths.get(s"$cur/codebooks")))
+      spark.read.parquet(s"$cur/codebooks").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/$next/codebooks")
+    readVectors(spark, cur)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/$next/vectors")
+    AtomicCommit.writeManifest(Paths.get(path, "MANIFEST"), next)
+  }
+
   private def nextVersion(path: String): String = {
     val n = Option(new java.io.File(path).listFiles())
       .map(_.toSeq).getOrElse(Seq.empty)

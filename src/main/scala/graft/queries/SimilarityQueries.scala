@@ -1627,6 +1627,70 @@ object SimilarityQueries {
         FROM scored)
       SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
 
+  /** The COMPACTION leg ([[graft.datapipe.VectorIndex.compact]]):
+    * exactly sim_index_append's chain — append the +0.01 twins, then
+    * probe — but with a compact() between them, folding the delta
+    * directories into one fresh version (no retrain, quantizer
+    * copied). The oracle is sim_index_append's VERBATIM: identical
+    * results are the operator's whole contract (compaction must be
+    * invisible in every output row), so a hash match certifies it
+    * against the exact trainer + append + probe replay.
+    */
+  private val simIndexCompact = QueryDef(
+    "sim_index_compact",
+    (s, d) => {
+      val cached = ensureVecIndexCached(s, d)
+      val path = ScratchDirs.freshAppendScratch("graft_vec_index_compact")
+      ScratchDirs.copyDir(s"$cached/centroids", s"$path/centroids")
+      ScratchDirs.copyDir(s"$cached/vectors", s"$path/vectors")
+      val e = embDouble(s, d)
+      val delta = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("emb"), x => x + lit(0.01)).as("emb"))
+      graft.datapipe.VectorIndex.append(s, path, delta)
+      graft.datapipe.VectorIndex.compact(s, path)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      graft.datapipe.VectorIndex.probe(s, path, q, 5, nprobe = 3)
+    },
+    Some(s"""WITH ${kmChainCtes("icv", "icseeds", "ic", "embedding", 8, 3, 64)},
+      iccell AS MATERIALIZED (SELECT vec_id, cell FROM ica3),
+      dv AS MATERIALIZED (SELECT vec_id + 1000000 AS vec_id,
+          list_transform(embedding,
+            x -> CAST(round((CAST(x AS DOUBLE) + 0.01) * 1000) AS BIGINT)) AS q
+        FROM embeddings WHERE vec_id % 5 = 0),
+      dp AS MATERIALIZED (SELECT d.vec_id, c.cell,
+          CAST(list_sum(list_transform(list_zip(d.q, c.s),
+               z -> (c.n * z[1] - z[2]) * (c.n * z[1] - z[2]))) AS DOUBLE)
+            / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) AS f
+        FROM dv d, icc2 c),
+      da AS MATERIALIZED (SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+          FROM dp) t WHERE rn = 1),
+      allcell AS MATERIALIZED (SELECT vec_id, cell FROM iccell
+        UNION ALL SELECT vec_id, cell FROM da),
+      e2 AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+        UNION ALL SELECT vec_id + 1000000,
+          list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01)
+        FROM embeddings WHERE vec_id % 5 = 0),
+      probes AS MATERIALIZED (SELECT q_id, cell FROM (
+          SELECT vec_id AS q_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+          FROM icp3 WHERE vec_id < 10) t WHERE rn <= 3),
+      scored AS MATERIALIZED (SELECT pr.q_id, g.vec_id,
+          round(list_cosine_similarity(qe.emb, ce.emb), 4) AS score
+        FROM probes pr
+        JOIN allcell g ON g.cell = pr.cell AND g.vec_id <> pr.q_id
+        JOIN e2 qe ON qe.vec_id = pr.q_id
+        JOIN e2 ce ON ce.vec_id = g.vec_id),
+      ranked AS MATERIALIZED (SELECT q_id, vec_id, score,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      SELECT q_id, rnk, vec_id, score FROM ranked WHERE rnk <= 5"""))
+
   /** Decontamination against the INDEXED eval set
     * ([[graft.datapipe.VectorIndex.decontaminateIndexed]]) — the
     * T191 escape hatch made real: same planted eval set as
@@ -2205,5 +2269,6 @@ object SimilarityQueries {
       packCoherent, simMatryoshka, simAnisotropy,
       simIndexMaterialized, simIndexAppend, simIndexPqProbe, simIndexStats,
       simFilteredPq, decontamSemanticIndexed, e2eVecProbeAppend,
-      hybridRetrievalIndexed, e2eVecRebuild, e2eRagServing)
+      hybridRetrievalIndexed, e2eVecRebuild, e2eRagServing,
+      simIndexCompact)
 }

@@ -282,6 +282,60 @@ class RoundSeventeenOpsSpec extends SparkSpec {
       s"the appended twin must serve from the rebuilt version: ${top.toSeq}")
   }
 
+  test("compact: base + committed deltas rewrite into one fresh " +
+    "version with NO retrain — probes bit-identical, delta dirs " +
+    "gone, appends keep working; PQ indexes compact too") {
+    val e = fixtureEmb
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vecidx_compact").toString
+    VectorIndex.build(e, dir, cells = 8, iters = 3)
+    for (day <- 1 to 3) {
+      val delta = e.filter(col("vec_id") % 5 === day)
+        .select((col("vec_id") + day * 1000000L).as("vec_id"),
+          transform(col("emb"), x => x + lit(0.01)).as("emb"))
+      VectorIndex.append(spark, dir, delta, commitId = Some(s"day-$day"))
+    }
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val before = probeRows(dir, q)
+    val centsBefore = VectorIndex.loadCentroids(spark, dir)
+    VectorIndex.compact(spark, dir)
+    assert(VectorIndex.resolveRoot(dir) === s"$dir/v1")
+    assert(probeRows(dir, q) === before,
+      "compaction must be invisible in probe results")
+    val centsAfter = VectorIndex.loadCentroids(spark, dir)
+    assert(centsBefore.zip(centsAfter).forall { case (a, b) =>
+      a._1.sameElements(b._1) && a._2 == b._2 },
+      "compaction must not touch the quantizer")
+    assert(AtomicCommit.committedPaths(s"$dir/v1/vectors").size === 1,
+      "the compacted version has one root, zero delta dirs")
+    // the loop continues: append + probe against the compacted version
+    val delta4 = e.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 4000000L).as("vec_id"), col("emb"))
+    VectorIndex.append(spark, dir, delta4, commitId = Some("day-4"))
+    val top = VectorIndex.probe(spark, dir,
+      e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb")),
+      1, nprobe = 3).collect()
+    assert(top.head.getLong(2) === 4000000L && top.head.getDouble(3) === 1.0)
+    // PQ edition: code column survives compaction
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft_vecidx_compact_pq").toString
+    VectorIndex.buildPq(e, pqDir, cells = 8, iters = 3)
+    VectorIndex.appendPq(spark, pqDir, e.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb")))
+    val qp = e.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val pqBefore = VectorIndex.probePq(spark, pqDir, qp, 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    VectorIndex.compact(spark, pqDir)
+    val pqAfter = VectorIndex.probePq(spark, pqDir, qp, 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(pqAfter === pqBefore, "PQ compaction must be invisible too")
+  }
+
   test("probeFiltered: the metadata pre-filter restricts candidates " +
     "BEFORE scoring (k survivors, all allowed), and allowed = " +
     "everything degrades to the plain probe") {
