@@ -107,7 +107,7 @@ object AtomicCommit {
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  private[datapipe] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -202,6 +202,30 @@ object VectorIndex {
     AtomicCommit.writeManifest(Paths.get(path, "MANIFEST"), next)
   }
 
+  /** Drop every NON-LIVE version directory (and, once a MANIFEST
+    * exists, the superseded legacy flat artifacts) — the retention
+    * sweep after [[rebuild]]/[[compact]] cycles. Old versions are
+    * kept by default precisely because probes in flight may still
+    * hold their root; vacuum is the CALLER's declaration that no
+    * reader predates the current MANIFEST. A flat (un-versioned)
+    * index is untouched. Idempotent; crash-safe trivially (deleting
+    * a dir no reader resolves).
+    */
+  def vacuum(path: String): Unit = {
+    val m = Paths.get(path, "MANIFEST")
+    if (!Files.exists(m)) return
+    val live = new String(Files.readAllBytes(m),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    Option(new java.io.File(path).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        f.getName != live)
+      .foreach(f => AtomicCommit.deleteRecursively(f.toPath))
+    Seq("centroids", "codebooks", "vectors", "vectors.deltas",
+        "vectors.staging")
+      .foreach(nm => AtomicCommit.deleteRecursively(Paths.get(path, nm)))
+  }
+
   private def nextVersion(path: String): String = {
     val n = Option(new java.io.File(path).listFiles())
       .map(_.toSeq).getOrElse(Seq.empty)

@@ -65,6 +65,16 @@ object TimeVecIndex {
         VectorIndex.probe(spark, dir, q, 5, nprobe = 3)
           .write.format("noop").mode("overwrite").save())
       time(s"append_delta100")(VectorIndex.append(spark, dir, delta))
+      // maintenance legs (round-17): compact rewrites base+deltas
+      // (O(index) I/O, no trainer); rebuild re-trains AND rewrites
+      // (O(index) I/O + trainer) — the cost ladder that justifies
+      // gating rebuild on the indexStats skew readout
+      time(s"compact")(VectorIndex.compact(spark, dir))
+      time(s"rebuild")(VectorIndex.rebuild(spark, dir))
+      time(s"probe_after_maint")(
+        VectorIndex.probe(spark, dir, q, 5, nprobe = 3)
+          .write.format("noop").mode("overwrite").save())
+      VectorIndex.vacuum(dir)
       time(s"probe_retrain")(
         Similarity.ivfTopKKmeans(e, q, 5, nprobe = 3)
           .write.format("noop").mode("overwrite").save())

@@ -336,6 +336,30 @@ class RoundSeventeenOpsSpec extends SparkSpec {
     assert(pqAfter === pqBefore, "PQ compaction must be invisible too")
   }
 
+  test("vacuum: non-live versions and superseded flat artifacts are " +
+    "swept; the live version keeps serving identically; a flat index " +
+    "is untouched") {
+    val e = fixtureEmb
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vecidx_vacuum").toString
+    VectorIndex.build(e, dir, cells = 8, iters = 3)
+    // flat layout: vacuum is a no-op
+    VectorIndex.vacuum(dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    assert(probeRows(dir, q).nonEmpty, "flat index untouched by vacuum")
+    VectorIndex.compact(spark, dir) // v1
+    VectorIndex.compact(spark, dir) // v2
+    val before = probeRows(dir, q)
+    VectorIndex.vacuum(dir)
+    val names = Option(new java.io.File(dir).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty).map(_.getName).sorted
+    assert(names === Seq("MANIFEST", "v2"),
+      s"only the MANIFEST and the live version survive: $names")
+    assert(probeRows(dir, q) === before,
+      "vacuum must not change what the live version serves")
+  }
+
   test("probeFiltered: the metadata pre-filter restricts candidates " +
     "BEFORE scoring (k survivors, all allowed), and allowed = " +
     "everything degrades to the plain probe") {

@@ -1648,4 +1648,67 @@ class StreamingSpec extends SparkSpec {
       vid == qid + 1000000L && score == 1.0 },
       s"streamed-in twins must serve at rank 1: ${top.take(5).mkString(", ")}")
   }
+
+  test("probe serving stream across a REBUILD swap — every " +
+    "micro-batch reads one whole index version: pre-swap batches " +
+    "serve the base, post-swap batches serve the rebuilt index") {
+    // the version-swap contract under live serving: the MANIFEST is
+    // resolved per probe, so a rebuild landing between micro-batches
+    // flips the served version atomically — no batch ever reads a
+    // half-index or a mix of versions
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.VectorIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val dir = Files.createTempDirectory("graft_vecidx_swap_stream").toString
+    VectorIndex.build(emb, dir, cells = 8, iters = 3)
+    // queries = +0.02 twins of vectors 0..5 (ids +5000000, not in
+    // the index): against the BASE they retrieve the original at
+    // cos < 1.0; the mid-stream delta plants EXACT matches of the
+    // query embeddings (ids +1000000), so after the swap the top-1
+    // flips to the appended twin at cos 1.0 — the swap is visible
+    // in the results, not just in the filesystem
+    val queries = emb.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 5000000).as("q_id"),
+        transform(col("emb"), x => x + lit(0.02)).as("q_emb"))
+    val qRows = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    def keyed(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val preExpected = keyed(
+      VectorIndex.probe(spark, dir, queries, 1, nprobe = 3).collect())
+    val outDir = Files.createTempDirectory("graft_vecidx_swap_out").toString
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = in.toDF().toDF("q_id", "q_emb").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        VectorIndex.probe(spark, dir, b, 1, nprobe = 3)
+          .withColumn("batch", lit(id))
+          .write.mode("append").parquet(outDir)
+      }.start()
+    in.addData(qRows.take(3): _*)
+    q.processAllAvailable()
+    // the swap, BETWEEN micro-batches: append the exact twins, then
+    // rebuild into v1 (atomic MANIFEST rename)
+    VectorIndex.append(spark, dir, emb.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("emb"), x => x + lit(0.02)).as("emb")))
+    VectorIndex.rebuild(spark, dir, cells = 8, iters = 3)
+    val postExpected = keyed(
+      VectorIndex.probe(spark, dir, queries, 1, nprobe = 3).collect())
+    in.addData(qRows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    val (pre, post) = out.partition(_._4 == 0L)
+    assert(pre.length === 3 && post.length === 3)
+    assert(pre.forall { case (qid, vid, score, _) =>
+      preExpected(qid) == ((vid, score)) && vid < 1000000L && score < 1.0 },
+      s"pre-swap batches serve the base index: ${pre.mkString(", ")}")
+    assert(post.forall { case (qid, vid, score, _) =>
+      postExpected(qid) == ((vid, score)) &&
+        vid == qid - 4000000L && score == 1.0 },
+      s"post-swap batches serve the rebuilt index: ${post.mkString(", ")}")
+  }
 }
