@@ -115,6 +115,29 @@ object AtomicCommit {
       finally s.close()
     }
 
+  /** The live VERSION directory of an index rooted at `path`: the
+    * MANIFEST target when one exists, else `path` itself (legacy
+    * flat layout). One bounded driver read; shared by the vector
+    * index and the minhash index roots.
+    */
+  def resolveVersionRoot(path: String): String = {
+    val m = Paths.get(path, "MANIFEST")
+    if (Files.exists(m))
+      s"$path/${new String(Files.readAllBytes(m),
+        java.nio.charset.StandardCharsets.UTF_8).trim}"
+    else path
+  }
+
+  /** The next unused `v<n>` version name under `path`. */
+  def nextVersion(path: String): String = {
+    val n = Option(new java.io.File(path).listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toInt)
+      .foldLeft(0)(math.max) + 1
+    s"v$n"
+  }
+
   /** Atomically (re)point a single-file manifest at `value` — the
     * version-swap commit for rebuilt indexes: write-to-temp +
     * ATOMIC_MOVE, so a concurrent reader sees either the old or the

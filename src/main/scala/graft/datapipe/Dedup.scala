@@ -560,6 +560,43 @@ object Dedup {
   def readBucketsTable(spark: SparkSession, bbPath: String): DataFrame =
     AtomicCommit.read(spark, bbPath)
 
+  /** Both tables of a VERSIONED minhash index root (a directory
+    * holding `hh/` and `bb/`, optionally under `v<n>/` behind a
+    * MANIFEST — see [[minhashIndexCompact]]): (signatures, buckets),
+    * each base + committed deltas.
+    */
+  def readIndexTables(spark: SparkSession,
+                      root: String): (DataFrame, DataFrame) = {
+    val cur = AtomicCommit.resolveVersionRoot(root)
+    (AtomicCommit.read(spark, s"$cur/hh"),
+      AtomicCommit.read(spark, s"$cur/bb"))
+  }
+
+  /** COMPACT the minhash index root — the maintenance leg
+    * [[VectorIndex.compact]] gives the vector side, minhash edition:
+    * sustained [[minhashIndexAppend]]s accumulate one delta dir per
+    * commit per table, and probe-side file listings grow with commit
+    * count. Compaction rewrites both tables (base + committed
+    * deltas) into the next `v<n>` version under `root` — the bucket
+    * table re-sorted by `bb` within partitions, restoring the
+    * scan-pruning layout the daily appends only maintain per-file —
+    * and swaps the MANIFEST atomically: a killed compaction leaves
+    * the old version fully live, probes never read a half-index.
+    * No re-hashing (signatures are content-pure), so a probe against
+    * the compacted root is bit-identical (RoundSeventeenOpsSpec).
+    */
+  def minhashIndexCompact(spark: SparkSession, root: String): Unit = {
+    val cur = AtomicCommit.resolveVersionRoot(root)
+    val next = AtomicCommit.nextVersion(root)
+    AtomicCommit.read(spark, s"$cur/hh")
+      .write.mode("overwrite").parquet(s"$root/$next/hh")
+    AtomicCommit.read(spark, s"$cur/bb")
+      .sortWithinPartitions(col("bb"))
+      .write.mode("overwrite").parquet(s"$root/$next/bb")
+    AtomicCommit.writeManifest(
+      java.nio.file.Paths.get(root, "MANIFEST"), next)
+  }
+
   /** Ingest-churn classification — the observability readout over
     * the two incremental probes: every DELTA document classified
     * against the static INDEX as `exact_dup` (content fingerprint

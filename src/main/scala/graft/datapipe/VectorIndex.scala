@@ -62,13 +62,8 @@ object VectorIndex {
     * target when one exists, else `path` itself (legacy flat layout —
     * what [[build]]/[[buildPq]] write). One bounded driver read.
     */
-  def resolveRoot(path: String): String = {
-    val m = Paths.get(path, "MANIFEST")
-    if (Files.exists(m))
-      s"$path/${new String(Files.readAllBytes(m),
-        java.nio.charset.StandardCharsets.UTF_8).trim}"
-    else path
-  }
+  def resolveRoot(path: String): String =
+    AtomicCommit.resolveVersionRoot(path)
 
   /** Base + committed-delta multi-root scan of the live version's
     * vectors table (partition-pruned like a single root — every root
@@ -226,14 +221,8 @@ object VectorIndex {
       .foreach(nm => AtomicCommit.deleteRecursively(Paths.get(path, nm)))
   }
 
-  private def nextVersion(path: String): String = {
-    val n = Option(new java.io.File(path).listFiles())
-      .map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toInt)
-      .foldLeft(0)(math.max) + 1
-    s"v$n"
-  }
+  private def nextVersion(path: String): String =
+    AtomicCommit.nextVersion(path)
 
   /** The stored coarse quantizer of the LIVE version, cell-ordered —
     * bounded driver state (cells·dim longs, the same rows every

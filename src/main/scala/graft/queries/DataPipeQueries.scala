@@ -5291,6 +5291,90 @@ object DataPipeQueries {
              WHERE CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) >= 0.8)
       SELECT * FROM v1 UNION ALL SELECT * FROM v2"""))
 
+  /** The minhash COMPACTION leg ([[Dedup.minhashIndexCompact]]):
+    * exactly e2e_probe_append's two-day chain, but the day-1 append
+    * is COMPACTED into a fresh index version (MANIFEST swap, no
+    * re-hashing) before day 2 probes — so day 2 reads ONE rewritten
+    * root instead of base + delta dirs. The oracle is
+    * e2e_probe_append's VERBATIM: identical verdicts are the
+    * operator's whole contract (compaction must be invisible in
+    * every output row).
+    */
+  private val e2eProbeCompact = QueryDef(
+    "e2e_probe_compact",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val toks = split(TextAnalysis.normalize(col("text")), " ")
+      val twin = array_join(slice(toks, lit(1), size(toks) - 1), " ")
+      val day1 = docs.filter(col("id") % 2 === 0)
+        .select((col("id") + 1000000).as("id"), twin.as("text"))
+      val day2 = docs.filter(col("id") % 2 === 0)
+        .select((col("id") + 2000000).as("id"), twin.as("text"))
+        .unionByName(docs.filter(col("id") % 2 === 1)
+          .select((col("id") + 3000000).as("id"), twin.as("text")))
+      val cached = ensureMinhashIndexCached(s, d)
+      val path = ScratchDirs.freshAppendScratch("graft_probe_compact")
+      ScratchDirs.copyDir(s"$cached/hh", s"$path/hh")
+      ScratchDirs.copyDir(s"$cached/bb", s"$path/bb")
+      def probe(delta: org.apache.spark.sql.DataFrame) = {
+        val (hh, bb) = Dedup.readIndexTables(s, path)
+        Dedup.minhashProbePrebuilt(hh, bb, delta, "id", "text",
+          numHashes = 64, bands = 32, threshold = 0.8)
+      }
+      probe(day1).write.mode("overwrite").parquet(s"$path/verdicts1")
+      Dedup.minhashIndexAppend(day1, "id", "text",
+        s"$path/hh", s"$path/bb", numHashes = 64, bands = 32)
+      // fold base + the day-1 delta into one fresh version; day 2
+      // serves from the compacted root through the MANIFEST
+      Dedup.minhashIndexCompact(s, path)
+      s.read.parquet(s"$path/verdicts1")
+        .select(lit(1L).as("day"), col("delta_id"), col("index_id"),
+          col("jaccard"))
+        .unionByName(probe(day2)
+          .select(lit(2L).as("day"), col("delta_id"), col("index_id"),
+            col("jaccard")))
+    },
+    Some("""WITH docs0 AS (SELECT doc_id AS id, text FROM documents),
+      tok AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM docs0),
+      tw AS (SELECT id, array_to_string(w[1:len(w)-1], ' ') AS text FROM tok),
+      day1 AS (SELECT id + 1000000 AS id, text FROM tw WHERE id % 2 = 0),
+      day2 AS (SELECT id + 2000000 AS id, text FROM tw WHERE id % 2 = 0
+               UNION ALL
+               SELECT id + 3000000 AS id, text FROM tw WHERE id % 2 = 1),
+      idx2 AS (SELECT id, text FROM docs0 UNION ALL SELECT id, text FROM day1),
+      shB AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+              FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      tokI2 AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM idx2),
+      shI2 AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+               FROM tokI2, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      tokD1 AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM day1),
+      shD1 AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+               FROM tokD1, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      tokD2 AS (SELECT id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM day2),
+      shD2 AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+               FROM tokD2, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+      szB AS (SELECT id, COUNT(*) AS n_sh FROM shB GROUP BY id),
+      szI2 AS (SELECT id, COUNT(*) AS n_sh FROM shI2 GROUP BY id),
+      szD1 AS (SELECT id, COUNT(*) AS n_sh FROM shD1 GROUP BY id),
+      szD2 AS (SELECT id, COUNT(*) AS n_sh FROM shD2 GROUP BY id),
+      c1 AS (SELECT d.id AS delta_id, i.id AS index_id, COUNT(*) AS n_common
+             FROM shD1 d JOIN shB i ON d.shingle = i.shingle GROUP BY 1, 2),
+      c2 AS (SELECT d.id AS delta_id, i.id AS index_id, COUNT(*) AS n_common
+             FROM shD2 d JOIN shI2 i ON d.shingle = i.shingle GROUP BY 1, 2),
+      v1 AS (SELECT CAST(1 AS BIGINT) AS day, delta_id, index_id,
+               CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) AS jaccard
+             FROM c1 JOIN szD1 sd ON sd.id = delta_id
+             JOIN szB si ON si.id = index_id
+             WHERE CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) >= 0.8),
+      v2 AS (SELECT CAST(2 AS BIGINT) AS day, delta_id, index_id,
+               CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) AS jaccard
+             FROM c2 JOIN szD2 sd ON sd.id = delta_id
+             JOIN szI2 si ON si.id = index_id
+             WHERE CAST(n_common AS DOUBLE) / (sd.n_sh + si.n_sh - n_common) >= 0.8)
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2"""))
+
   /** Ingest-churn verdicts: delta = near-dup twins of every doc +
     * identical copies of the %7 docs + fully-rewritten (every token
     * suffixed) %11 docs — so all three categories fire and the
@@ -7276,7 +7360,7 @@ object DataPipeQueries {
     dedupStats,
     dedupExact, dedupNgramJaccard, dedupThresholdCurve, dedupPairQuality,
     dedupMinhashLsh, dedupMinhashProbe, dedupProbeMaterialized,
-    e2eProbeAppend, e2eIngestChurn, dedupSimhash,
+    e2eProbeAppend, e2eProbeCompact, e2eIngestChurn, dedupSimhash,
     dedupClusters, dedupClusterSizes, dedupKeepOne, dedupCdcChunks,
     dedupIncremental,
     dedupLines, textBoilerplate, textExtractHtml, textNormalizeUnicode,

@@ -336,6 +336,67 @@ class RoundSeventeenOpsSpec extends SparkSpec {
     assert(pqAfter === pqBefore, "PQ compaction must be invisible too")
   }
 
+  test("minhashIndexCompact: base + delta dirs fold into one fresh " +
+    "version (no re-hash) — probes bit-identical, an unswapped " +
+    "version is never read, appends keep working against the live " +
+    "version") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different document about spark and scala joins"))
+      .toDF("id", "text")
+    val day1 = Seq(
+      (11L, "nothing like anything in the index corpus at all whatsoever"))
+      .toDF("id", "text")
+    val day3 = Seq(
+      (31L, "yet another novel document arriving after the compaction ran"))
+      .toDF("id", "text")
+    val probeDocs = Seq(
+      (21L, "nothing like anything in the index corpus at all whatsoever"),
+      (22L, "yet another novel document arriving after the compaction ran"))
+      .toDF("id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_minhash_compact").toString
+    val idx0 = Dedup.minhashIndexTable(base, "id", "text", numHashes = 64)
+    idx0.write.mode("overwrite").parquet(s"$root/hh")
+    Dedup.minhashBucketsTable(idx0).write.mode("overwrite")
+      .parquet(s"$root/bb")
+    def probe() = {
+      val (hh, bb) = Dedup.readIndexTables(spark, root)
+      Dedup.minhashProbePrebuilt(hh, bb, probeDocs, "id", "text",
+          numHashes = 64, bands = 32, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def liveTables(): (String, String) = {
+      val cur = graft.datapipe.AtomicCommit.resolveVersionRoot(root)
+      (s"$cur/hh", s"$cur/bb")
+    }
+    val (hh1, bb1) = liveTables()
+    Dedup.minhashIndexAppend(day1, "id", "text", hh1, bb1,
+      numHashes = 64, bands = 32)
+    val before = probe()
+    assert(before === Set((21L, 11L)))
+    // an unswapped half-compacted version must be invisible
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/v9/hh"))
+    assert(probe() === before)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/v9/hh"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/v9"))
+    Dedup.minhashIndexCompact(spark, root)
+    assert(graft.datapipe.AtomicCommit.resolveVersionRoot(root) ===
+      s"$root/v1")
+    assert(probe() === before,
+      "compaction must be invisible in probe verdicts")
+    assert(graft.datapipe.AtomicCommit
+      .committedPaths(s"$root/v1/hh").size === 1,
+      "the compacted version has one root, zero delta dirs")
+    // the loop continues against the LIVE version's tables
+    val (hh2, bb2) = liveTables()
+    Dedup.minhashIndexAppend(day3, "id", "text", hh2, bb2,
+      numHashes = 64, bands = 32)
+    assert(probe() === Set((21L, 11L), (22L, 31L)),
+      "post-compact appends must serve")
+  }
+
   test("vacuum: non-live versions and superseded flat artifacts are " +
     "swept; the live version keeps serving identically; a flat index " +
     "is untouched") {
