@@ -273,6 +273,15 @@ object Bench {
       StandardCharsets.UTF_8).split("\\s+")(0).toDouble
     catch { case _: Throwable => Double.NaN }
 
+  /** CPU-normalized noise-gate default: 0.25× the core count,
+    * floored at the historical absolute 4.0 so small hosts keep the
+    * old strictness. Loadavg is a runnable-thread count — it scales
+    * with cores, so the gate must too or a many-core host's idle hum
+    * permanently blocks BENCHPRIOR updates.
+    */
+  private[graft] def maxStartLoadDefault: Double =
+    math.max(4.0, 0.25 * Runtime.getRuntime.availableProcessors)
+
   private def orchestratorMain(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nGroups = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUPS", "8").toInt
@@ -513,10 +522,15 @@ object Bench {
     // denominator so a real regression reads ≈ 1.0. The gate reads
     // the 1-min loadavg from BEFORE any worker spun up; our own
     // workers never count against it. Threshold overridable via
-    // SPARK_GRAFT_BENCH_MAX_START_LOAD (absolute 1-min loadavg;
-    // default 4.0 — r16's poisoned boards started at 8–9).
+    // SPARK_GRAFT_BENCH_MAX_START_LOAD (absolute 1-min loadavg);
+    // the default is CPU-normalized — max(4.0, 0.25·cores) — so a
+    // many-core host's modest background load doesn't permanently
+    // block canonical-prior updates (loadavg scales with cores; an
+    // absolute 4.0 that meant "half busy" on 8 cores means "12%
+    // busy" on 32 — r16's poisoned boards started at 8–9 on this
+    // 32-core host, still above the normalized 8.0).
     val maxStartLoad = sys.env.get("SPARK_GRAFT_BENCH_MAX_START_LOAD")
-      .map(_.toDouble).getOrElse(4.0)
+      .map(_.toDouble).getOrElse(maxStartLoadDefault)
     val loadOk = loadStart.isNaN || loadStart <= maxStartLoad
     val fullBoard = !sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
     val priorWritten = fullBoard && sfMatches && loadOk

@@ -143,10 +143,90 @@ object VectorIndex {
   def rebuild(spark: SparkSession, path: String, cells: Int = 0,
               iters: Int = 3): Unit = {
     val cur = resolveRoot(path)
-    val vecs = readVectors(spark, cur).select(col("vec_id"), col("emb"))
+    val (snapPaths, snapIds) = snapshot(cur)
+    val vecs = AtomicCommit.readPaths(spark, snapPaths)
+      .select(col("vec_id"), col("emb"))
     val next = nextVersion(path)
     build(vecs, s"$path/$next", cells, iters)
+    finishMaintenance(spark, path, cur, next, snapIds)
+  }
+
+  /** The committed roots of `root`'s vectors table, listed ONCE:
+    * (paths to read, delta commit-ids in them). Everything the
+    * maintenance rewrite folds is exactly this driver-side list —
+    * a delta committing later is a fold-forward candidate, never a
+    * silently-half-read one.
+    */
+  private def snapshot(root: String): (Seq[String], Seq[String]) = {
+    val ids = AtomicCommit.committedDeltaIds(s"$root/vectors")
+    val base =
+      if (new java.io.File(s"$root/vectors").isDirectory)
+        Seq(s"$root/vectors")
+      else Seq.empty
+    (base ++ ids.map(id => s"$root/vectors.deltas/$id"), ids)
+  }
+
+  /** The shared tail of every maintenance rewrite (compact/rebuild,
+    * plain and PQ), in commit order: (1) write the new version's
+    * FOLDED ledger = the old ledger ∪ the snapshot's delta ids, so a
+    * redelivery of any folded commit stays a no-op across the swap;
+    * (2) fold forward every delta the snapshot missed — commits that
+    * landed in the (still-live) current version after the snapshot,
+    * and orphans stranded in superseded roots by an earlier race —
+    * re-assigned/re-encoded against the NEW version's quantizers
+    * (delta-sized work; a dir copy would carry stale cell
+    * assignments after a retrain); (3) swap the MANIFEST. A commit
+    * racing past step 2's re-listing is not lost either: it becomes
+    * an orphan in the superseded version, [[vacuum]] refuses while
+    * it exists, and the next compact folds it in here.
+    */
+  private def finishMaintenance(spark: SparkSession, path: String,
+                                cur: String, next: String,
+                                snapIds: Seq[String]): Unit = {
+    val nextRoot = s"$path/$next"
+    AtomicCommit.writeFoldedIds(s"$nextRoot/vectors",
+      AtomicCommit.foldedIds(s"$cur/vectors") ++ snapIds)
+    val missed =
+      AtomicCommit.committedDeltaIds(s"$cur/vectors")
+        .filterNot(snapIds.toSet).map(cur -> _) ++
+      AtomicCommit.supersededRoots(path)
+        .filterNot(_ == nextRoot).flatMap { r =>
+          AtomicCommit.committedDeltaIds(s"$r/vectors").map(r -> _)
+        }
+    val already = AtomicCommit.committedIds(s"$nextRoot/vectors")
+    missed.filterNot { case (_, id) => already(id) }
+      .foreach { case (r, id) =>
+        appendInto(spark, nextRoot,
+          spark.read.parquet(s"$r/vectors.deltas/$id")
+            .select(col("vec_id"), col("emb")), Some(id))
+      }
     AtomicCommit.writeManifest(Paths.get(path, "MANIFEST"), next)
+  }
+
+  /** [[append]]/[[appendPq]] against an EXPLICIT version root —
+    * picks the PQ shape when the root carries codebooks. Used by the
+    * maintenance fold-forward, which must target the not-yet-live
+    * next version.
+    */
+  private def appendInto(spark: SparkSession, root: String,
+                         delta: DataFrame,
+                         commitId: Option[String]): Unit = {
+    val cents = loadCentroids(spark, root)
+    val pq = Files.isDirectory(Paths.get(s"$root/codebooks"))
+    AtomicCommit.commitAppend(s"$root/vectors", commitId) { staging =>
+      val assigned =
+        if (pq) {
+          val cbs = loadCodebooks(spark, root)
+          delta.select(col("vec_id"), col("emb"),
+            Similarity.pqCodeCol(cbs, cbs.head.head._1.length).as("code"),
+            Similarity.kmeansAssignCol(Similarity.quantize(col("emb")),
+              cents).as("cell"))
+        } else delta.select(col("vec_id"), col("emb"),
+          Similarity.kmeansAssignCol(Similarity.quantize(col("emb")),
+            cents).as("cell"))
+      assigned.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    }
   }
 
   /** [[rebuild]] for the COMPRESSED index: retrains the coarse
@@ -159,10 +239,12 @@ object VectorIndex {
                 iters: Int = 3, subspaces: Int = 8, kcents: Int = 16,
                 pqIters: Int = 2): Unit = {
     val cur = resolveRoot(path)
-    val vecs = readVectors(spark, cur).select(col("vec_id"), col("emb"))
+    val (snapPaths, snapIds) = snapshot(cur)
+    val vecs = AtomicCommit.readPaths(spark, snapPaths)
+      .select(col("vec_id"), col("emb"))
     val next = nextVersion(path)
     buildPq(vecs, s"$path/$next", cells, iters, subspaces, kcents, pqIters)
-    AtomicCommit.writeManifest(Paths.get(path, "MANIFEST"), next)
+    finishMaintenance(spark, path, cur, next, snapIds)
   }
 
   /** COMPACT the live version's base + committed deltas into the
@@ -190,11 +272,12 @@ object VectorIndex {
     if (Files.isDirectory(Paths.get(s"$cur/codebooks")))
       spark.read.parquet(s"$cur/codebooks").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/$next/codebooks")
-    readVectors(spark, cur)
+    val (snapPaths, snapIds) = snapshot(cur)
+    AtomicCommit.readPaths(spark, snapPaths)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/$next/vectors")
-    AtomicCommit.writeManifest(Paths.get(path, "MANIFEST"), next)
+    finishMaintenance(spark, path, cur, next, snapIds)
   }
 
   /** Drop every NON-LIVE version directory (and, once a MANIFEST
@@ -205,10 +288,26 @@ object VectorIndex {
     * reader predates the current MANIFEST. A flat (un-versioned)
     * index is untouched. Idempotent; crash-safe trivially (deleting
     * a dir no reader resolves).
+    *
+    * ORPHAN GUARD: REFUSES (IllegalStateException) while any
+    * superseded root still holds a committed delta absent from the
+    * live version's committed set ([[AtomicCommit.orphanedDeltas]])
+    * — an append that raced a maintenance swap. Sweeping it here
+    * would be the one way the protocol loses an acknowledged commit;
+    * run [[compact]] first (it folds orphans forward), then vacuum.
     */
   def vacuum(path: String): Unit = {
     val m = Paths.get(path, "MANIFEST")
     if (!Files.exists(m)) return
+    val orphans = AtomicCommit.orphanedDeltas(path, "vectors")
+    if (orphans.nonEmpty)
+      throw new IllegalStateException(
+        "vacuum refused: superseded versions hold committed deltas " +
+          "the live version never folded (an append raced a " +
+          "compact/rebuild) — run compact to fold them forward, then " +
+          "vacuum. Orphans: " +
+          orphans.map { case (r, id) => s"$r/vectors.deltas/$id" }
+            .mkString(", "))
     val live = new String(Files.readAllBytes(m),
       java.nio.charset.StandardCharsets.UTF_8).trim
     Option(new java.io.File(path).listFiles())
@@ -217,7 +316,7 @@ object VectorIndex {
         f.getName != live)
       .foreach(f => AtomicCommit.deleteRecursively(f.toPath))
     Seq("centroids", "codebooks", "vectors", "vectors.deltas",
-        "vectors.staging")
+        "vectors.staging", "vectors.folded")
       .foreach(nm => AtomicCommit.deleteRecursively(Paths.get(path, nm)))
   }
 
@@ -360,7 +459,11 @@ object VectorIndex {
     val cbs = loadCodebooks(spark, root)
     val subspaces = cbs.size
     val subDim = cbs.head.head._1.length
-    val qLuts = localizeQueries(queries).select(
+    // ONE materialization feeds the LUT projection AND the exact
+    // rescore join — a nondeterministic queries plan can no longer
+    // diverge between the two stages
+    val local = localizeQueries(queries)
+    val qLuts = local.select(
       Seq(col("q_id"),
         explode(Similarity.kmeansProbesCol(Similarity.quantize(col("q_emb")),
           coarse, nprobe)).as("q_cell")) ++
@@ -380,7 +483,7 @@ object VectorIndex {
       .withColumn("ascore", -Similarity.pqAdistCol(subspaces))
     Similarity.refineStage(approx,
       pruned.select(col("vec_id"), col("emb")),
-      queries, k, refine)
+      local, k, refine)
   }
 
   /** Semantic decontamination against an INDEXED eval set — the
@@ -440,10 +543,23 @@ object VectorIndex {
     * directories, never the vector payload. Ratios are engine-exact
     * ([[graft.functions.ExactRound.ratio]]).
     *
-    * Output: (cell, n_vecs, share, skew) — 6-dp ratios.
+    * Alongside the SKEW readout (the [[rebuild]] trigger), the
+    * readout carries the two COMPACT triggers: `n_deltas` — the
+    * committed delta-dir count, which is exactly how many extra
+    * roots every probe's file listing unions — and `n_files`, the
+    * data-file count across base + deltas (per-cell open cost). Both
+    * are bounded driver-side listings, constant per row.
+    *
+    * Output: (cell, n_vecs, share, skew, n_deltas, n_files) — 6-dp
+    * ratios.
     */
   def indexStats(spark: SparkSession, path: String): DataFrame = {
-    val cells = readVectors(spark, resolveRoot(path))
+    val root = resolveRoot(path)
+    val nDeltas =
+      AtomicCommit.committedDeltaIds(s"$root/vectors").size.toLong
+    val nFiles = AtomicCommit.committedPaths(s"$root/vectors")
+      .map(countDataFiles).sum
+    val cells = readVectors(spark, root)
       .select(col("cell").cast("long").as("cell"))
     val g = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
     val t = g.agg(sum(col("n_vecs")).as("tot"), count(lit(1)).as("k"))
@@ -452,7 +568,18 @@ object VectorIndex {
         graft.functions.ExactRound.ratio(col("n_vecs"), col("tot"), 6)
           .as("share"),
         graft.functions.ExactRound.ratio(col("n_vecs") * col("k"),
-          col("tot"), 6).as("skew"))
+          col("tot"), 6).as("skew"),
+        lit(nDeltas).as("n_deltas"), lit(nFiles).as("n_files"))
+  }
+
+  /** Parquet data files (part-*) under `root`, recursively — the
+    * probe-side open count a compaction re-bounds.
+    */
+  private[datapipe] def countDataFiles(root: String): Long = {
+    val s = Files.walk(Paths.get(root))
+    try s.filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.startsWith("part-")).count()
+    finally s.close()
   }
 
   /** Serve top-k from the STORED index: queries probe their `nprobe`

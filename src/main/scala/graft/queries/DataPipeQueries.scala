@@ -5383,6 +5383,48 @@ object DataPipeQueries {
     * the planting, both fingerprint legs, and the exact cross-pair
     * Jaccard near leg.
     */
+  /** Minhash index-health readout ([[Dedup.dedupIndexStats]]) after
+    * one appended day — the COMPACT-scheduling twin of
+    * sim_index_stats: per table, the served row count (base +
+    * committed deltas) and the committed delta-dir count. The append
+    * goes through the root-resolving overload
+    * ([[Dedup.minhashIndexAppendRoot]]) — the API a versioned root
+    * requires — and the oracle derives the row counts from the
+    * corpus construction (one signature row per doc, `bands` = 32
+    * bucket rows per doc; every fixture doc has ≥ 3 tokens, so no
+    * doc is shingle-less) and the delta count from the single
+    * commit. `n_files` stays a function-level readout (asserted in
+    * the ops spec): base file counts depend on the cache writer's
+    * partitioning, which is not a corpus-derivable quantity.
+    */
+  private val dedupIndexStatsQ = QueryDef(
+    "dedup_index_stats",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), col("text"))
+      val toks = split(TextAnalysis.normalize(col("text")), " ")
+      val day1 = docs.filter(col("id") % 2 === 0)
+        .select((col("id") + 1000000).as("id"),
+          array_join(slice(toks, lit(1), size(toks) - 1), " ").as("text"))
+      val cached = ensureMinhashIndexCached(s, d)
+      val path = ScratchDirs.freshAppendScratch("graft_dedup_stats")
+      ScratchDirs.copyDir(s"$cached/hh", s"$path/hh")
+      ScratchDirs.copyDir(s"$cached/bb", s"$path/bb")
+      Dedup.minhashIndexAppendRoot(day1, "id", "text", path,
+        numHashes = 64, bands = 32, commitId = Some("day-1"))
+      Dedup.dedupIndexStats(s, path)
+        .select(col("tbl"), col("n_rows"), col("n_deltas"))
+    },
+    Some("""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+      d1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM documents
+             WHERE doc_id % 2 = 0)
+      SELECT 'hh' AS tbl, nd + n1 AS n_rows, CAST(1 AS BIGINT) AS n_deltas
+      FROM n, d1
+      UNION ALL
+      SELECT 'bb' AS tbl, 32 * (nd + n1) AS n_rows,
+        CAST(1 AS BIGINT) AS n_deltas
+      FROM n, d1"""))
+
   private val e2eIngestChurn = QueryDef(
     "e2e_ingest_churn",
     (s, d) => {
@@ -7360,7 +7402,8 @@ object DataPipeQueries {
     dedupStats,
     dedupExact, dedupNgramJaccard, dedupThresholdCurve, dedupPairQuality,
     dedupMinhashLsh, dedupMinhashProbe, dedupProbeMaterialized,
-    e2eProbeAppend, e2eProbeCompact, e2eIngestChurn, dedupSimhash,
+    e2eProbeAppend, e2eProbeCompact, dedupIndexStatsQ, e2eIngestChurn,
+    dedupSimhash,
     dedupClusters, dedupClusterSizes, dedupKeepOne, dedupCdcChunks,
     dedupIncremental,
     dedupLines, textBoilerplate, textExtractHtml, textNormalizeUnicode,

@@ -510,9 +510,18 @@ object SimilarityQueries {
     * DuckDB 1.0 inlines CTEs by default and a multi-chain DAG makes
     * planning explode exponentially.
     */
+  /** `kcSql` (optional): a scalar SELECT that derives the cell count
+    * from the data — the oracle twin of `cells = 0` → autoCells. The
+    * cell count enters the chain ONLY as the seeds LIMIT (iterations
+    * are unrolled, cells are not), and DuckDB accepts a scalar
+    * subquery there, so a `cells = 0` entry's oracle can self-size
+    * exactly like the Spark side and stay valid at EVERY sf — no
+    * fixture-size pin at all.
+    */
   private def kmChainCtes(v: String, seeds: String, p: String,
                           sliceSql: String, kc: Int, iters: Int,
-                          dim: Int, from: String = "embeddings"): String = {
+                          dim: Int, from: String = "embeddings",
+                          kcSql: String = ""): String = {
     def iterCte(i: Int) = s"""
       ${p}p$i AS MATERIALIZED (SELECT v.vec_id, v.q, c.cell,
          CAST(list_sum(list_transform(list_zip(v.q, c.s),
@@ -536,7 +545,8 @@ object SimilarityQueries {
      $seeds AS MATERIALIZED (SELECT
          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cell, q
-       FROM $v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kc),
+       FROM $v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       LIMIT ${if (kcSql.nonEmpty) s"($kcSql)" else s"$kc"}),
      ${p}c0 AS MATERIALIZED (SELECT cell, q AS s, CAST(1 AS BIGINT) AS n FROM $seeds),
      ${(1 to iters).map(iterCte).mkString(",")}"""
   }
@@ -1860,10 +1870,16 @@ object SimilarityQueries {
   /** Index-health readout over the stored index
     * ([[graft.datapipe.VectorIndex.indexStats]]): per-cell
     * population, share, and skew — the rebuild trigger consulted
-    * after sustained appends. The oracle replays the trainer and
-    * derives the same counts from the final assignment, so a hash
-    * match certifies the stored cell layout matches the training it
-    * claims.
+    * after sustained appends — plus the COMPACT triggers `n_deltas`
+    * (committed delta-dir count; 0 here, the cached index has no
+    * appends) and `n_files` (data files across committed roots; the
+    * build's repartition-by-cell + partitionBy write bounds it to
+    * one file per non-empty cell, so the oracle derives it as the
+    * assignment's distinct-cell count — a layout change that breaks
+    * that bound breaks this hash FIRST, by design). The oracle
+    * replays the trainer and derives the same counts from the final
+    * assignment, so a hash match certifies the stored cell layout
+    * matches the training it claims.
     */
   private val simIndexStats = QueryDef(
     "sim_index_stats",
@@ -1875,7 +1891,8 @@ object SimilarityQueries {
       t AS (SELECT SUM(n_vecs) AS tot, CAST(COUNT(*) AS BIGINT) AS k FROM g)
       SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
         ((2 * n_vecs * 1000000 + tot) // (2 * tot)) / 1000000.0 AS share,
-        ((2 * n_vecs * k * 1000000 + tot) // (2 * tot)) / 1000000.0 AS skew
+        ((2 * n_vecs * k * 1000000 + tot) // (2 * tot)) / 1000000.0 AS skew,
+        CAST(0 AS BIGINT) AS n_deltas, k AS n_files
       FROM g, t"""))
 
   /** IVF-PQ served from the STORED compressed index
@@ -2062,7 +2079,12 @@ object SimilarityQueries {
       // the drift readout, published BEFORE rebuild mutates the index
       graft.datapipe.VectorIndex.indexStats(s, path)
         .write.mode("overwrite").parquet(s"$path/stats_before")
-      graft.datapipe.VectorIndex.rebuild(s, path, cells = 8, iters = 3)
+      // cells = 0 → autoCells over the stored base ∪ delta; the
+      // oracle's r2 chain self-sizes identically (its seeds LIMIT is
+      // the autoCells scalar over uall), so the hash holds at EVERY
+      // sf — no fixture-size pin, and the sf1 board retrains the
+      // honest corpus-sized layout
+      graft.datapipe.VectorIndex.rebuild(s, path, cells = 0, iters = 3)
       val q = delta.select((col("vec_id") + 1000000).as("q_id"),
         col("emb").as("q_emb"))
       s.read.parquet(s"$path/stats_before")
@@ -2098,7 +2120,9 @@ object SimilarityQueries {
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         FROM embeddings
         UNION ALL SELECT vec_id, emb FROM dv),
-      ${kmChainCtes("r2v", "r2seeds", "r2", "emb", 8, 3, 64, from = "uall")},
+      ${kmChainCtes("r2v", "r2seeds", "r2", "emb", 8, 3, 64, from = "uall",
+        kcSql = "SELECT LEAST(4096, GREATEST(8, (COUNT(*) + 249) // 250)) " +
+          "FROM uall WHERE emb IS NOT NULL")},
       newcell AS MATERIALIZED (SELECT vec_id, cell FROM r2a3),
       qv AS MATERIALIZED (SELECT vec_id + 1000000 AS q_id, q, emb FROM dv),
       qp AS MATERIALIZED (SELECT d.q_id, c.cell,
@@ -2159,9 +2183,13 @@ object SimilarityQueries {
       val path = vecIndexCachePath(d) + "_rag"
       if (!new java.io.File(s"$path/centroids", "_SUCCESS").exists() ||
         !new java.io.File(s"$path/vectors", "_SUCCESS").exists())
+        // cells = 0 → autoCells over the chunk corpus; the oracle's
+        // rg chain self-sizes identically (autoCells scalar over cv
+        // as its seeds LIMIT), so the hash holds at every sf and the
+        // sf1 board builds the honest chunk-count-sized index
         graft.datapipe.VectorIndex.build(
           chunkVecs.select(col("vec_id"), col("emb")), path,
-          cells = 8, iters = 3)
+          cells = 0, iters = 3)
       val enDocs = docs.filter(col("lang") === "en")
         .select(col("doc_id"))
       val allowed = chunkVecs.join(enDocs, Seq("doc_id"))
@@ -2190,7 +2218,9 @@ object SimilarityQueries {
           list_transform(em.embedding,
             x -> CAST(x AS DOUBLE) + ch.win_id * 1e-3) AS emb
         FROM ch JOIN embeddings em ON em.vec_id = ch.doc_id),
-      ${kmChainCtes("rgv", "rgseeds", "rg", "emb", 8, 3, 64, from = "cv")},
+      ${kmChainCtes("rgv", "rgseeds", "rg", "emb", 8, 3, 64, from = "cv",
+        kcSql = "SELECT LEAST(4096, GREATEST(8, (COUNT(*) + 249) // 250)) " +
+          "FROM cv WHERE emb IS NOT NULL")},
       rcell AS MATERIALIZED (SELECT vec_id, cell FROM rga3),
       allowed AS MATERIALIZED (SELECT cv.vec_id FROM cv
         JOIN documents dd ON dd.doc_id = cv.doc_id WHERE dd.lang = 'en'),

@@ -1711,4 +1711,75 @@ class StreamingSpec extends SparkSpec {
         vid == qid - 4000000L && score == 1.0 },
       s"post-swap batches serve the rebuilt index: ${post.mkString(", ")}")
   }
+
+  test("minhash probe serving stream across a COMPACT swap — " +
+    "pre-swap batches read base + committed deltas, post-swap batches " +
+    "the compacted version, and the served pair set is identical " +
+    "throughout (compaction is invisible mid-stream)") {
+    // the compact edition of the rebuild-swap twin: each micro-batch
+    // re-resolves the MANIFEST (readIndexTables), so the compaction
+    // landing between batches atomically flips WHERE the index is
+    // read from without changing a single verdict
+    implicit val sqlCtx = spark.sqlContext
+    import graft.datapipe.Dedup
+    val base = (0L until 10L).map(i =>
+      (i, (0 to 30).map(j => s"w${(i * 31 + j) % 97}").mkString(" ")))
+      .toDF("id", "text")
+    val day1 = Seq(
+      (11L, "nothing like anything in the base corpus at all whatsoever"))
+      .toDF("id", "text")
+    val root = Files.createTempDirectory("graft_probe_compact_stream").toString
+    val idx0 = Dedup.minhashIndexTable(base, "id", "text", numHashes = 64)
+    idx0.write.mode("overwrite").parquet(s"$root/hh")
+    Dedup.minhashBucketsTable(idx0).write.mode("overwrite")
+      .parquet(s"$root/bb")
+    // the delta the compaction must keep serving: committed as an
+    // append, folded into the new version by the compact
+    Dedup.minhashIndexAppendRoot(day1, "id", "text", root,
+      numHashes = 64, bands = 32, commitId = Some("day-1"))
+    // probes pair with a BASE doc (near-dup of doc 0) and with the
+    // APPENDED doc (identical twin of 11) — both sides of the union
+    val p1 = (100L, (0 to 30).map(j => s"w${j % 97}").mkString(" ")
+      .replaceFirst("w0", "zz"))
+    val p2 = (101L, "nothing like anything in the base corpus at all whatsoever")
+    val outDir = Files.createTempDirectory("graft_probe_compact_out").toString
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val (hh, bb) = Dedup.readIndexTables(spark, root)
+        Dedup.minhashProbePrebuilt(hh, bb, b, "id", "text",
+            numHashes = 64, bands = 32, threshold = 0.5)
+          .withColumn("batch", lit(id))
+          .write.mode("append").parquet(outDir)
+      }.start()
+    in.addData(p1, p2)
+    q.processAllAvailable()
+    assert(graft.datapipe.AtomicCommit.resolveVersionRoot(root) === root,
+      "pre-swap batches read the flat base + delta layout")
+    // the swap, BETWEEN micro-batches
+    Dedup.minhashIndexCompact(spark, root)
+    assert(graft.datapipe.AtomicCommit.resolveVersionRoot(root) ===
+      s"$root/v1")
+    assert(graft.datapipe.AtomicCommit
+      .committedPaths(s"$root/v1/hh").size === 1,
+      "the compacted version is one root, zero delta dirs")
+    in.addData(p1, p2)
+    q.processAllAvailable()
+    q.stop()
+    graft.datapipe.Staging.releaseAll()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(3), r.getLong(0), r.getLong(1),
+        r.getDouble(2)))
+    val pre = out.filter(_._1 == 0L).map(t => (t._2, t._3, t._4)).toSet
+    val post = out.filter(_._1 != 0L).map(t => (t._2, t._3, t._4)).toSet
+    // docs 0/3/6 share rotated vocab, so probe 100 also pairs with
+    // them above 0.5 — the REQUIRED members are the planted base
+    // near-dup and the appended twin (served only via the delta)
+    assert(Set((100L, 0L), (101L, 11L))
+      .subsetOf(pre.map(p => (p._1, p._2))),
+      s"pre-swap serves the base pair AND the appended pair: $pre")
+    assert(post === pre,
+      s"the compacted version must serve the identical pair set: " +
+        s"pre=$pre post=$post")
+  }
 }
