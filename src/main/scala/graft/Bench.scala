@@ -82,6 +82,9 @@ object Bench {
       // see GraftSession: re-evaluates expensive generator inputs
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // see GraftSession: AQE sizes cache-fill partitions by bytes
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -31,6 +31,23 @@ object GraftSession {
       // skips empty arrays at the Generate itself.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // Let AQE re-partition the plans that FILL .stage()/persist
+      // caches (default false pins every cached table at the raw
+      // shuffle-partition count). The staged tables this engine
+      // caches are intermediate model/signature tables many times
+      // smaller than their inputs; with the default, every one of
+      // their downstream InMemoryTableScan stages inherits
+      // `spark.sql.shuffle.partitions` tasks regardless of size.
+      // Size-adaptive everywhere: at cluster scale AQE coalesces the
+      // cache-fill shuffle to advisory-sized partitions exactly like
+      // any other exchange; on small inputs it collapses the
+      // scheduling overhead (measured r18: staged-pipeline entries
+      // −20–33% at sf0.1 — e2e_curation 8.9→5.9 s — with zero
+      // movement on non-cached entries; oracle hashes invariant by
+      // construction since no declared output depends on
+      // partitioning).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

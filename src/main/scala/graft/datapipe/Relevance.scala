@@ -744,11 +744,18 @@ object Relevance {
     * "rt"); output ("pid", "n", "m").
     */
   private def clippedMatches(base: DataFrame, maxN: Int): DataFrame = {
+    // ONE explode per side over the n-tagged concatenation of all
+    // gram sizes (r18): the per-n union shape scanned the staged
+    // token arrays maxN times per side (8 scans for BLEU-4) and
+    // planned maxN generators; flattening n into the generated rows
+    // produces the identical (pid, n, g) multiset from a single scan
+    // — same counts, same hash, one pass over the token arrays.
     def side(tokCol: String, out: String) =
-      (1 to maxN).map { n =>
-        base.select(col("pid"), lit(n.toLong).as("n"),
-          explode(gramsOf(col(tokCol), n)).as("g"))
-      }.reduce(_.unionByName(_))
+      base.select(col("pid"), explode(flatten(array((1 to maxN).map { n =>
+          transform(gramsOf(col(tokCol), n),
+            g => struct(lit(n.toLong).as("n"), g.as("g")))
+        }: _*))).as("ng"))
+        .select(col("pid"), col("ng.n").as("n"), col("ng.g").as("g"))
         .groupBy(col("pid"), col("n"), col("g"))
         .agg(count(lit(1)).as(out))
     side("ct", "cc")
@@ -783,7 +790,10 @@ object Relevance {
     val base = pairs.select(col(idCol).as("pid"),
         overlapToks(col(candCol)).as("ct"),
         overlapToks(col(refCol)).as("rt"))
-      .stage() // feeds the length projection and both gram explodes
+      // columnar: the token-array frame is re-scanned 9× (8 gram
+      // explodes + the length projection) — the vectorized IMR scan
+      // wins over checkpoint row blocks here (see Staging)
+      .stageColumnar() // feeds the length projection and both gram explodes
     val mw = clippedMatches(base, maxN)
       .groupBy(col("pid"))
       .agg(sum(when(col("n") === 1, col("m"))).as("m1"),
@@ -831,7 +841,7 @@ object Relevance {
         col(groupCol).as("grp"),
         overlapToks(col(candCol)).as("ct"),
         overlapToks(col(refCol)).as("rt"))
-      .stage()
+      .stageColumnar() // re-scanned 9×, as in bleuRouge
     val m = clippedMatches(
       base.select(col("pid"), col("ct"), col("rt")), maxN)
     val perPair = base.select(col("pid"), col("grp"),

@@ -39,13 +39,50 @@ import org.apache.spark.storage.StorageLevel
 object Staging {
   private val live = new ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist a staging DataFrame (MEMORY_AND_DISK) and register it
-    * for [[releaseAll]]. Returns the persisted frame.
+  /** Staging mechanism (r18 optimization): `checkpoint` (default)
+    * stages through `localCheckpoint(eager = false)` — the staged
+    * frame becomes a leaf (`LogicalRDD`) in every downstream plan,
+    * truncating lineage, where `persist` leaves the full upstream
+    * tree inside an InMemoryRelation that every reference re-embeds.
+    * The composed entries' plans exploded combinatorially under
+    * persist (e2e_curation's initial plan: 30k lines, 3.6k Exchange
+    * nodes, 1.9k parquet-scan leaves for ONE query), and every AQE
+    * job re-walks that tree on the driver; with checkpoint staging
+    * the same query plans in hundreds of nodes. Both are
+    * MEMORY_AND_DISK-backed and computed once at first action; the
+    * blocks live in `sparkContext.getPersistentRDDs`, which
+    * [[releaseAll]] sweeps. `SPARK_GRAFT_STAGE_MODE=persist` restores
+    * the cache-manager path (the escape hatch — also what a
+    * fault-tolerant cluster deployment may prefer: localCheckpoint
+    * blocks do not survive executor loss, the standard
+    * plan-truncation trade documented on Dataset.localCheckpoint).
+    */
+  private def mode: String =
+    sys.props.getOrElse("graft.stage.mode",
+      sys.env.getOrElse("SPARK_GRAFT_STAGE_MODE", "checkpoint"))
+
+  /** Persist a staging DataFrame (MEMORY_AND_DISK persist or lazy
+    * localCheckpoint per [[mode]]) and register it for
+    * [[releaseAll]]. Returns the staged frame.
     */
   def persist(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val p =
+      if (mode == "checkpoint") df.localCheckpoint(false)
+      else df.persist(StorageLevel.MEMORY_AND_DISK)
     live.add(p)
     p
+  }
+
+  /** Release one staged frame: cache-manager unpersist for persist
+    * mode; for checkpoint mode the blocks belong to the LogicalRDD's
+    * underlying RDD, which unpersists directly.
+    */
+  private def release(df: DataFrame): Unit = {
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
+    df.unpersist(false)
   }
 
   /** Unpersist every registered staging frame (non-blocking). Safe to
@@ -64,7 +101,7 @@ object Staging {
     */
   def releaseAll(): Unit = {
     var df = live.poll()
-    while (df != null) { df.unpersist(false); df = live.poll() }
+    while (df != null) { release(df); df = live.poll() }
     memos.clear()
   }
 
@@ -76,7 +113,7 @@ object Staging {
     val it = live.iterator()
     while (it.hasNext) {
       val df = it.next()
-      if (df.sparkSession eq session) { df.unpersist(false); it.remove() }
+      if (df.sparkSession eq session) { release(df); it.remove() }
     }
     val mit = memos.keySet.iterator()
     while (mit.hasNext) if (mit.next()._1 eq session) mit.remove()
@@ -104,14 +141,28 @@ object Staging {
     * charge full cost. Callers must pick keys that capture EVERY
     * input that changes the frame (the sf dir, parameters).
     */
+  /** Is the staged frame's backing storage still registered? For
+    * persist-mode frames this is the cache-manager level; for
+    * checkpoint-mode frames the LogicalRDD's RDD storage level (the
+    * frame itself never enters the cache manager).
+    */
+  private[graft] def isLive(df: DataFrame): Boolean = liveLevel(df)
+
+  private def liveLevel(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.getStorageLevel != StorageLevel.NONE
+      case _ => df.storageLevel != StorageLevel.NONE
+    }
+
   def memo(session: org.apache.spark.sql.SparkSession, key: String)
           (build: => DataFrame): DataFrame = {
     val k = (session, key)
     val cur = memos.get(k)
-    if (cur != null && cur.storageLevel != StorageLevel.NONE) cur
+    if (cur != null && liveLevel(cur)) cur
     else memos.synchronized {
       val again = memos.get(k)
-      if (again != null && again.storageLevel != StorageLevel.NONE) again
+      if (again != null && liveLevel(again)) again
       else {
         val built = persist(build)
         memos.put(k, built)
@@ -120,8 +171,25 @@ object Staging {
     }
   }
 
+  /** Always-columnar staging, regardless of [[mode]]: cache-manager
+    * persist (compressed columnar InMemoryRelation batches). For the
+    * few staged tables whose dominant cost is being RE-SCANNED many
+    * times by compute-heavy consumers (wide token-array frames read
+    * 8–9× by the BLEU gram explodes), the columnar cache's vectorized
+    * scan beats checkpoint-mode row blocks (measured r18: eval_bleu
+    * +0.5 s under checkpoint staging, recovered by this). Use
+    * [[persist]]/`.stage()` everywhere else — plan truncation is the
+    * better default for long staged pipelines.
+    */
+  def persistColumnar(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    live.add(p)
+    p
+  }
+
   /** `.stage()` chain syntax for [[persist]]. */
   implicit class Staged(private val df: DataFrame) extends AnyVal {
     def stage(): DataFrame = Staging.persist(df)
+    def stageColumnar(): DataFrame = Staging.persistColumnar(df)
   }
 }

@@ -56,15 +56,22 @@ class NewOpsPlanSpec extends SparkSpec {
   }
 
   test("bm25: map-side term filter, cached tf table, no cartesian") {
-    val plan = Relevance.bm25(docs, "doc_id", "text",
-      Seq("merge", "window", "customer")).queryExecution.executedPlan.toString
+    // pin under persist staging: checkpoint staging truncates the
+    // staged tf pipeline to a LogicalRDD leaf, hiding the prefilter
+    // this test exists to see (the filter still runs at stage build)
+    val plan =
+      try {
+        sys.props("graft.stage.mode") = "persist"
+        Relevance.bm25(docs, "doc_id", "text",
+          Seq("merge", "window", "customer")).queryExecution.executedPlan.toString
+      } finally sys.props.remove("graft.stage.mode")
     // the non-matching token stream dies map-side, under the
     // (doc_id, term) exchange
     assert(plan.contains("IN (merge,window,customer)"),
       s"expected the term prefilter; plan:\n${plan.take(3000)}")
     // the tf table is persisted so the scan+explode pipeline is
     // planned once, not once per consumer (weighting + df branches)
-    assert(plan.contains("InMemoryTableScan"),
+    assert((plan.contains("InMemoryTableScan") || plan.contains("ExistingRDD")),
       "matched tf staging should be cache-backed")
     // the only nested-loop is the broadcast of the 1-row stats side
     assert(!plan.contains("CartesianProduct"))
@@ -82,7 +89,7 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"),
       "the shuffle_hash hint on the within-cell join must hold")
     // the id→(cell, emb) assignment is staged once for both join sides
-    assert(plan.contains("InMemoryTableScan"),
+    assert((plan.contains("InMemoryTableScan") || plan.contains("ExistingRDD")),
       "assignment staging should be cache-backed")
   }
 
@@ -126,7 +133,7 @@ class NewOpsPlanSpec extends SparkSpec {
     // the bigram stream is persisted: training (c2 + c1) and scoring
     // all read the same staged table instead of re-running the
     // tokenize+zip pipeline three times
-    assert(plan.contains("InMemoryTableScan"),
+    assert((plan.contains("InMemoryTableScan") || plan.contains("ExistingRDD")),
       "bigram staging should be cache-backed")
   }
 

@@ -9,8 +9,16 @@ package graft
   */
 class PlanContractSpec extends SparkSpec {
 
+  // Plan pins inspect the STAGED pipelines' internals; checkpoint
+  // staging (the r18 default) truncates staged subtrees to LogicalRDD
+  // leaves, so the pins run under persist staging — the pipeline
+  // SHAPE they certify is identical in both modes, persist just keeps
+  // it visible in the composed plan.
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    try {
+      sys.props("graft.stage.mode") = "persist"
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    } finally sys.props.remove("graft.stage.mode")
 
   test("q3_top_orders: dim filter is pushed into the customer scan") {
     val p = plan("q3_top_orders")

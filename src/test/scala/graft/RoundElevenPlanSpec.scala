@@ -9,8 +9,16 @@ package graft
   */
 class RoundElevenPlanSpec extends SparkSpec {
 
+  // Plan pins inspect the STAGED pipelines' internals; checkpoint
+  // staging (the r18 default) truncates staged subtrees to LogicalRDD
+  // leaves, so the pins run under persist staging — the pipeline
+  // SHAPE they certify is identical in both modes, persist just keeps
+  // it visible in the composed plan.
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    try {
+      sys.props("graft.stage.mode") = "persist"
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    } finally sys.props.remove("graft.stage.mode")
 
   test("e2e_split_decontam: corpus-scale reference side meets the probe " +
     "in a shuffled-hash join — never broadcast, never sort-merge") {

@@ -8,8 +8,16 @@ package graft
   */
 class RoundThirteenPlanSpec extends SparkSpec {
 
+  // Plan pins inspect the STAGED pipelines' internals; checkpoint
+  // staging (the r18 default) truncates staged subtrees to LogicalRDD
+  // leaves, so the pins run under persist staging — the pipeline
+  // SHAPE they certify is identical in both modes, persist just keeps
+  // it visible in the composed plan.
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    try {
+      sys.props("graft.stage.mode") = "persist"
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    } finally sys.props.remove("graft.stage.mode")
 
   test("sft_fim: a pure per-row projection — zero exchanges, zero " +
     "windows, stream-safe by construction") {
@@ -35,7 +43,7 @@ class RoundThirteenPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"the scalar frames must broadcast; plan:\n${p.take(2000)}")
     assert(!p.contains("Window"), "no window in the mixture update")
-    assert(p.contains("InMemoryTableScan"),
+    assert((p.contains("InMemoryTableScan") || p.contains("ExistingRDD")),
       "the KL frame must be staged once, not recomputed per consumer")
   }
 
@@ -45,7 +53,7 @@ class RoundThirteenPlanSpec extends SparkSpec {
     val p = plan("clf_temperature")
     assert(!p.contains("Window"),
       s"best-T must be min-of-struct over the grid frame; plan:\n${p.take(2000)}")
-    assert(p.contains("InMemoryTableScan"),
+    assert((p.contains("InMemoryTableScan") || p.contains("ExistingRDD")),
       "the per-T NLL frame must be staged (argmin + readout share it)")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
       "the best-T scalar must broadcast back")
@@ -75,7 +83,7 @@ class RoundThirteenPlanSpec extends SparkSpec {
     "histogram rollup; medians ride windows over the HISTOGRAM and " +
     "every join is group-keyed — no cartesian, no doc-level window") {
     val p = plan("text_robust_outliers")
-    assert(p.contains("InMemoryTableScan"),
+    assert((p.contains("InMemoryTableScan") || p.contains("ExistingRDD")),
       s"the length histogram must be staged (median, MAD and the " +
         s"outlier count all consume it); plan:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
@@ -110,7 +118,7 @@ class RoundThirteenPlanSpec extends SparkSpec {
       s"the top-k must ride the two-stage TopK, not a global sort; plan:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
     assert(!p.contains("Window"), "no window in collocation mining")
-    assert(p.contains("InMemoryTableScan"),
+    assert((p.contains("InMemoryTableScan") || p.contains("ExistingRDD")),
       "the unigram table must be staged — both pair sides consume it")
   }
 
@@ -146,7 +154,7 @@ class RoundThirteenPlanSpec extends SparkSpec {
     "strategy rows — the corpus is scanned once, no window, no " +
     "cartesian") {
     val p = plan("split_leakage")
-    assert(p.contains("InMemoryTableScan"),
+    assert((p.contains("InMemoryTableScan") || p.contains("ExistingRDD")),
       s"the fingerprint-group frame must be staged (both strategies " +
         s"consume it); plan:\n${p.take(2000)}")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
@@ -199,7 +207,7 @@ class RoundThirteenPlanSpec extends SparkSpec {
     val p = plan("sim_source_drift")
     assert(p.contains("ObjectHashAggregate"),
       s"the per-source vector sum must plan as ObjectHashAggregate; plan:\n${p.take(2000)}")
-    assert(p.contains("InMemoryTableScan"),
+    assert((p.contains("InMemoryTableScan") || p.contains("ExistingRDD")),
       "the source-sized vecSum frame must be staged — the corpus " +
         "rollup runs ONCE even though two branches consume it")
     // the only explodes left sit over the staged source×dim frame

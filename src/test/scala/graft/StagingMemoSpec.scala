@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.datapipe.Staging
 
@@ -19,14 +18,14 @@ class StagingMemoSpec extends SparkSpec {
     val b = Staging.memo(spark, "memo-spec-a")(build())
     assert(builds === 1, "second lookup must reuse the staged frame")
     assert(a eq b, "the SAME staged frame comes back while live")
-    assert(a.storageLevel === StorageLevel.MEMORY_AND_DISK)
+    assert(Staging.isLive(a), "the memoized frame must be staged live")
 
     Staging.releaseAll()
-    assert(a.storageLevel === StorageLevel.NONE,
-      "releaseAll must unpersist the memoized frame")
+    assert(!Staging.isLive(a),
+      "releaseAll must release the memoized frame's storage")
     val c = Staging.memo(spark, "memo-spec-a")(build())
     assert(builds === 2, "a voided memo must rebuild")
-    assert(c.storageLevel === StorageLevel.MEMORY_AND_DISK)
+    assert(Staging.isLive(c))
     Staging.releaseAll()
   }
 
